@@ -1,0 +1,63 @@
+"""Aggregation + window operators (SURVEY.md §2.4-§2.5, A1-A6).
+
+At scale all of these are single-shuffle hash aggregations with map-side
+partial aggregation (Spark does partial+final automatically); the
+latest-per-group pattern replaces the reference's three-group-by/three-join
+hand-rolled argmax (``I:42-58``, ``I:116-162``) with one window ranking —
+one shuffle on the partition key instead of three.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    keep_rank_col: bool = False,
+) -> DataFrame:
+    """§2.5 — latest row per group via ``row_number() = 1``.
+
+    Semantically equal to the reference's years/months/latest CTE chain
+    (``I:42-58``) on unique (group, order) combinations, with 1 shuffle
+    instead of 3.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    ranked = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return ranked if keep_rank_col else ranked.drop("__rn")
+
+
+def scalar_max(df: DataFrame, col: str):
+    """A3 — ungrouped MAX collected to a driver scalar (watermark read,
+    ``I:11-20``). One action; NULL when the table is empty."""
+    return df.agg(F.max(col).alias("v")).collect()[0]["v"]
+
+
+def dup_count(df: DataFrame, subset: Sequence[str] | None = None) -> int:
+    """A5 — number of duplicate rows, as ``df.duplicated().sum()`` counts them
+    (``csv_to_parquet_transformer.py:9-12``): total rows minus distinct rows.
+
+    Single aggregation over a grouped count — no second full scan.
+    """
+    keys = list(subset) if subset else df.columns
+    counts = df.groupBy(*keys).count()
+    row = counts.agg(
+        F.coalesce(F.sum(F.col("count") - F.lit(1)), F.lit(0)).alias("dups")
+    ).collect()[0]
+    return int(row["dups"])
+
+
+def dedup_full_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """A4 — ``SELECT DISTINCT`` / ``drop_duplicates`` (``I:62,171-192``,
+    ``csv_to_parquet_transformer.py:13``)."""
+    return df.dropDuplicates(list(subset)) if subset else df.dropDuplicates()
+
+
+def group_max(df: DataFrame, group_cols: Sequence[str], max_col: str, alias: str) -> DataFrame:
+    """A1/A2 — ``SELECT max(x) ... GROUP BY k`` (``I:44-50``)."""
+    return df.groupBy(*group_cols).agg(F.max(max_col).alias(alias))

@@ -1,0 +1,93 @@
+"""Join operators (SURVEY.md §2.3, J1-J10).
+
+Design rules for 100 TB scale:
+- dims are always broadcast (``F.broadcast``) — all reference dims are KB-MB;
+- the null-tolerant multi-key join (J3, ``I:101-109``) keeps its 5 equi keys
+  as an explicit ``on`` conjunction so Catalyst picks SortMergeJoin /
+  ShuffledHashJoin, with the null-tolerant residuals as extra predicates —
+  writing the residual CASE-expressions alone degrades to a
+  BroadcastNestedLoopJoin (SURVEY.md §4.2); a plan-shape test asserts this;
+- constant-pinned dim joins (J5, ``I:235,244,248``) pre-filter the dim to the
+  pinned row(s) then broadcast, so no fact-side shuffle is ever introduced.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def broadcast_dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """J1/J2/J8/J9 — equi join against a small dimension, always broadcast
+    (``I:96-100``, ``I:301-306``). No shuffle on the fact side."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def null_tolerant_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi_keys: Sequence[tuple[str, str]],
+    null_tolerant_pairs: Sequence[tuple[Column, Column]] = (),
+    extra: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """J3 — multi-key equi join with null-tolerant residual predicates
+    (``I:101-109``).
+
+    ``equi_keys`` are (left_col, right_col) name pairs joined with ``==`` —
+    these drive the shuffle/hash join. Each ``null_tolerant_pairs`` (l, r)
+    renders the reference's ``CASE WHEN l IS NULL THEN 1 WHEN l = r THEN 1
+    ELSE 0 END = 1`` as ``l.isNull() | r.isNull() | (l == r)`` residuals,
+    which Catalyst keeps as join residuals on top of the hash join.
+    """
+    cond: Column | None = None
+    for lc, rc in equi_keys:
+        p = left[lc] == right[rc]
+        cond = p if cond is None else cond & p
+    for lc_col, rc_col in null_tolerant_pairs:
+        p = lc_col.isNull() | rc_col.isNull() | (lc_col == rc_col)
+        cond = p if cond is None else cond & p
+    if extra is not None:
+        cond = extra if cond is None else cond & extra
+    return left.join(right, cond, how)
+
+
+def const_pinned_dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    pin: Column,
+    how: str = "left",
+) -> DataFrame:
+    """J5 — left join whose only condition pins the dim to constants
+    (``forex.from_currency = 'CNY'`` I:232-235; ``region_id = 7`` I:245-248).
+
+    Pre-filter the dim to the pinned row(s), then join on a constant-true
+    condition — a broadcast of a 1-row side, never a real cross product.
+    """
+    pinned = dim.filter(pin)
+    return fact.join(F.broadcast(pinned), F.lit(True), how)
+
+
+def normalized_key_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_expr: Callable[[DataFrame], Column],
+    right_expr: Callable[[DataFrame], Column],
+    extra: Column | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """J6/J7 — equi join on computed (case-/regex-normalized) keys
+    (``UPPER(channel_name) = UPPER(code)`` I:253-256; the double
+    REGEXP_REPLACE key I:257-264). Still an equi join for Catalyst because
+    both sides are deterministic expressions."""
+    cond = left_expr(left) == right_expr(right)
+    if extra is not None:
+        cond = cond & extra
+    return left.join(F.broadcast(right), cond, how)

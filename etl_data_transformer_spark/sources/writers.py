@@ -1,0 +1,58 @@
+"""Sinks: Parquet write, append, staged atomic swap (SURVEY.md §2.1 S2, S4-S7).
+
+The reference's zero-copy snapshot + swap (``Incremental_load_fact_item_status
+.sql:23-26,321-324``, BigQuery ``CREATE OR REPLACE ... COPY``) has no plain-
+Parquet equivalent; we emulate with a staging directory + atomic rename. At
+100 TB the production answer is a table format (Delta/Iceberg) where the swap
+is a metadata commit — the API here is shaped so that swap-in-place is a
+single function to replace.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Parquet sink (S2). Partitioning keys enable partition pruning at scale."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def append_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Table append (S4): ``INSERT INTO ... SELECT`` equivalent."""
+    write_parquet(df, path, mode="append", partition_by=partition_by)
+
+
+def atomic_swap_write(df: DataFrame, target_dir: str, partition_by: list[str] | None = None) -> None:
+    """Write ``df`` to a staging dir, then atomically swap it into place (S5).
+
+    Emulates BigQuery's ``CREATE OR REPLACE TABLE ... COPY`` swap: readers see
+    either the old or the new table, never a partial write. Single-filesystem
+    rename is atomic; on object stores use a table format instead.
+    """
+    parent = os.path.dirname(os.path.abspath(target_dir))
+    os.makedirs(parent, exist_ok=True)
+    staging = os.path.join(parent, f".staging-{uuid.uuid4().hex}")
+    backup = os.path.join(parent, f".backup-{uuid.uuid4().hex}")
+    write_parquet(df, staging, mode="overwrite", partition_by=partition_by)
+    try:
+        if os.path.exists(target_dir):
+            os.rename(target_dir, backup)
+        os.rename(staging, target_dir)
+    finally:
+        if os.path.exists(backup):
+            shutil.rmtree(backup, ignore_errors=True)
+        if os.path.exists(staging):
+            shutil.rmtree(staging, ignore_errors=True)
+
+
+def drop_table(path: str) -> None:
+    """Drop (S7): remove the table directory."""
+    shutil.rmtree(path, ignore_errors=True)
