@@ -1,0 +1,195 @@
+"""Incremental (CDC-style delete-insert) load runtime.
+
+Spark-native redesign of ``Incremental_load_fact_item_status.sql`` (SURVEY.md
+§2.8 C1-C5, §3.1, §4.3):
+
+reference (BigQuery script)                 → this engine (Spark)
+------------------------------------------- ---------------------------------
+DECLARE/SET script vars (I:2-8)             → ``LoadParams`` dataclass
+watermark scalar subquery + fallback (I:10-20) → ``compute_watermark``
+snapshot COPY + TRUNCATE/DELETE (I:23-34)   → partition-level delete-insert:
+                                              the fact is parquet partitioned
+                                              by ``cdc_date``; only lookback
+                                              partitions are rewritten
+                                              (dynamic partition overwrite)
+INSERT the rebuilt window (I:40-314)        → append of the 3-branch union
+COPY back + DROP staging (I:321-328)        → atomic staging-dir swap
+                                              (``atomic_swap_write``) for the
+                                              FULL_LOAD path
+audit proc call (I:331-341)                 → ``write_audit`` row append
+
+Why this is the 100 TB design: BigQuery needs the full-table COPY because its
+DML can't cheaply rewrite a time window; a date-partitioned parquet/Delta
+table *can* — ``partitionOverwriteMode=dynamic`` rewrites only the lookback
+partitions, so the cost of a DELTA load is proportional to the lookback
+window, not the table size.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import scalar_max
+from ..sources.writers import atomic_swap_write
+
+AUDIT_COLUMNS = [
+    "dag_name",
+    "target_table",
+    "load_start_ts",
+    "table_type",
+    "load_type",
+    "inserted_record_count",
+    "deleted_record_count",
+    "checksum_expr",
+    "load_end_ts",
+]
+
+
+@dataclass
+class LoadParams:
+    """Script variables (I:2-8) + Jinja params (S8) as plain Python config."""
+
+    load_type: str = "DELTA"  # or FULL_LOAD (I:29)
+    delta_day_count: int = 60  # lookback window (I:17)
+    minimum_date: dt.datetime = field(default_factory=lambda: dt.datetime(1970, 1, 1))
+    dag_name: str = "incremental_fact_load"
+    target_table: str = "fact_item_status"
+    cdc_column: str = "cdc_ts"
+
+
+@dataclass
+class LoadResult:
+    """Row-count metrics the reference captures via @@row_count (I:37,317)."""
+
+    load_type: str
+    watermark: dt.datetime
+    deleted_record_count: int
+    inserted_record_count: int
+    total_rows: int
+
+
+def compute_watermark(spark: SparkSession, target_path: str, params: LoadParams) -> dt.datetime:
+    """C3 (I:10-20): MAX(cdc) minus lookback, falling back to minimum_date
+    when the target is empty/missing (the IFNULL branch, I:17)."""
+    if params.load_type == "FULL_LOAD":
+        return params.minimum_date
+    try:
+        target = spark.read.parquet(target_path)
+    except Exception:  # noqa: BLE001 — target does not exist yet
+        return params.minimum_date
+    hwm = scalar_max(target, params.cdc_column)
+    if hwm is None:
+        return params.minimum_date
+    return hwm - dt.timedelta(days=params.delta_day_count)
+
+
+def run_incremental_load(
+    spark: SparkSession,
+    build_window: "callable",
+    target_path: str,
+    audit_path: str,
+    params: LoadParams,
+) -> LoadResult:
+    """C4 — the delete-insert incremental load (I:23-40, I:321-328).
+
+    ``build_window(watermark) -> DataFrame`` rebuilds the fact rows with
+    ``cdc_ts >= watermark`` (the reference's 3-branch INSERT, I:40-314).
+    The returned frame must contain ``params.cdc_column``.
+    """
+    start_ts = dt.datetime.now(dt.timezone.utc)
+    watermark = compute_watermark(spark, target_path, params)
+
+    rebuilt = build_window(watermark).withColumn(
+        "cdc_date", F.to_date(F.col(params.cdc_column))
+    )
+    # @@row_count capture (I:37,317): persist so count + write don't
+    # recompute the 3-branch union twice (SURVEY.md §7.4.5).
+    rebuilt = rebuilt.persist()
+    inserted = rebuilt.count()
+
+    deleted = 0
+    target_exists = os.path.isdir(target_path)
+    if params.load_type == "FULL_LOAD" or not target_exists:
+        # TRUNCATE path (I:30) / first load: whole table replaced atomically.
+        if target_exists:
+            deleted = spark.read.parquet(target_path).count()
+        atomic_swap_write(rebuilt, target_path, partition_by=["cdc_date"])
+    else:
+        old = spark.read.parquet(target_path)
+        wm_date = watermark.date()
+        deleted = old.filter(F.col(params.cdc_column) >= F.lit(watermark)).count()
+        # DELETE + INSERT (I:32-34, I:40) as a dynamic partition overwrite of
+        # the lookback partitions only: each touched partition is rewritten
+        # as its kept (< watermark) rows plus the rebuilt window. Cost ∝
+        # lookback window, not table size — this is why the reference's
+        # full-table COPY trick (I:23-26) is unnecessary on Spark.
+        kept_in_window = old.filter(
+            (F.col("cdc_date") >= F.lit(wm_date))
+            & (F.col(params.cdc_column) < F.lit(watermark))
+        )
+        # materialize before overwriting: the plan reads the same files the
+        # write replaces (a table format with replaceWhere commits this as
+        # metadata instead and needs no checkpoint)
+        out = kept_in_window.unionByName(rebuilt).localCheckpoint(eager=True)
+        old_dates = {
+            r["cdc_date"]
+            for r in old.filter(F.col("cdc_date") >= F.lit(wm_date)).select("cdc_date").distinct().collect()
+        }
+        out.write.mode("overwrite").partitionBy("cdc_date").parquet(target_path)
+        # Dynamic overwrite leaves a partition untouched when the new data
+        # has no rows for it — drop partitions that were fully deleted and
+        # not re-inserted (Delta's replaceWhere does this as one metadata
+        # commit; this is the plain-parquet emulation).
+        written_dates = {r["cdc_date"] for r in out.select("cdc_date").distinct().collect()}
+        for d in old_dates - written_dates:
+            shutil.rmtree(f"{target_path}/cdc_date={d.isoformat()}", ignore_errors=True)
+    rebuilt.unpersist()
+
+    total = spark.read.parquet(target_path).count()
+    write_audit(
+        spark,
+        audit_path,
+        params,
+        start_ts=start_ts,
+        inserted=inserted,
+        deleted=deleted,
+    )
+    return LoadResult(
+        load_type=params.load_type,
+        watermark=watermark,
+        deleted_record_count=deleted,
+        inserted_record_count=inserted,
+        total_rows=total,
+    )
+
+
+def write_audit(
+    spark: SparkSession,
+    audit_path: str,
+    params: LoadParams,
+    start_ts: dt.datetime,
+    inserted: int,
+    deleted: int,
+) -> None:
+    """C5 (I:331-341): one audit row with the same fields the reference's
+    ``proc_elc_audit_insert`` receives."""
+    row = [
+        (
+            params.dag_name,
+            params.target_table,
+            start_ts.replace(tzinfo=None),
+            "DW_FACT",
+            params.load_type,
+            inserted,
+            deleted,
+            "CONCAT(item_status_key, line_item_status, latest_status, trans_order_id, cart_id)",
+            dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+        )
+    ]
+    spark.createDataFrame(row, AUDIT_COLUMNS).write.mode("append").parquet(audit_path)

@@ -1,0 +1,52 @@
+"""Cleanse pipeline e2e (SURVEY.md §3.3, reference T:1-18)."""
+
+import os
+
+from etl_data_transformer_spark.plans.cleanse import cleanse, impute_nulls, normalize_columns
+
+
+def _write_messy_csv(spark, path):
+    """CSV dump of customer-ish rows: mixed-case headers, nulls, duplicates
+    (FIXTURES.md role-mapping for the cleanse input)."""
+    rows = [
+        ("1", "Alice", "10.5"),
+        ("2", "Bob", ""),
+        ("2", "Bob", ""),  # duplicate
+        ("3", "", "7.0"),
+        ("1", "Alice", "10.5"),  # duplicate
+    ]
+    import csv
+
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["C_CustKey", "C_Name", "C_AcctBal"])
+        w.writerows(rows)
+
+
+def test_cleanse_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "in.csv")
+    out = str(tmp_path / "out.parquet")
+    _write_messy_csv(spark, src)
+    report = cleanse(spark, src, out)
+    assert report.input_rows == 5
+    assert report.duplicate_rows == 2
+    assert report.output_rows == 3
+    result = spark.read.parquet(out)
+    assert result.columns == ["c_custkey", "c_name", "c_acctbal"]  # P1 lowercased
+    assert result.count() == 3
+    # P2: numeric nulls imputed with 0
+    assert result.filter("c_acctbal IS NULL").count() == 0
+    assert os.path.isdir(out)
+
+
+def test_normalize_columns(spark):
+    df = spark.createDataFrame([(1, 2)], ["Foo", "BAR_baz"])
+    assert normalize_columns(df).columns == ["foo", "bar_baz"]
+
+
+def test_impute_nulls_numeric_only_by_default(spark):
+    df = spark.createDataFrame([(None, None)], "n double, s string")
+    out = impute_nulls(df).collect()[0]
+    assert out["n"] == 0.0 and out["s"] is None  # documented deviation §7.4.2
+    out2 = impute_nulls(df, string_value="0").collect()[0]
+    assert out2["s"] == "0"
