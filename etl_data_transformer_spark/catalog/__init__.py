@@ -1,0 +1,53 @@
+"""Query catalog: every implemented operator as a named (spark_query,
+oracle_sql) pair — the driver-facing coverage inventory for SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import branch_queries as BQ
+from . import extensions as EXT
+from . import parity as PAR
+from .branch_queries import BRANCH_ORACLES
+from .oracles import ALL_ORACLES
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # reference-parity: aggregation / filter / scalar / join / set-op surface
+    "pricing_summary": PAR.q_pricing_summary,
+    "watermark_filter": PAR.q_watermark_filter,
+    "scalar_functions": PAR.q_scalar_functions,
+    "regex_key_join": PAR.q_regex_key_join,
+    "topk_orders_per_nation": PAR.q_topk_orders_per_nation,
+    "pivot_returnflag": PAR.q_pivot_returnflag,
+    "cube_agg": PAR.q_cube_agg,
+    "anti_join_customers": PAR.q_anti_join_customers,
+    "semi_join_customers": PAR.q_semi_join_customers,
+    "dup_count_docs": PAR.q_dup_count_docs,
+    "events_json": PAR.q_events_json,
+    "tumbling_events": PAR.q_tumbling_events,
+    # reference-parity: the incremental fact-load branches
+    "latest_rate_per_nation": BQ.q_latest_rate_per_nation,
+    "item_status": BQ.q_item_status,
+    "agg_china": BQ.q_agg_china,
+    "tomford": BQ.q_tomford,
+    "fact_union": BQ.q_fact_union,
+    # LLM-pipeline extensions
+    "doc_fingerprint": EXT.q_doc_fingerprint,
+    "exact_dedup_groups": EXT.q_exact_dedup_groups,
+    "minhash_pairs": EXT.q_minhash_pairs,
+    "simhash_docs": EXT.q_simhash_docs,
+    "simhash_near_dups": EXT.q_simhash_near_dups,
+    "embedding_near_dups": EXT.q_embedding_near_dups,
+    "ann_bruteforce": EXT.q_ann_bruteforce,
+    "ann_lsh": EXT.q_ann_lsh,
+    "ann_ivf": EXT.q_ann_ivf,
+    "text_stats": EXT.q_text_stats,
+    "lang_id": EXT.q_lang_id,
+    "quality_scores": EXT.q_quality_scores,
+    "multimodal_features": EXT.q_multimodal_features,
+}
+
+ORACLES: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

@@ -1,0 +1,211 @@
+"""DuckDB oracle SQL twins for the catalog queries.
+
+Dialect notes (hash-match hazards, see tools/check_oracle.py):
+- DuckDB ``regexp_replace`` needs the 'g' flag to match Spark's replace-all.
+- ``date_trunc('day'|'hour')`` returns DATE/TIMESTAMP — CAST explicitly.
+- aggregated doubles are round()-ed identically on both sides.
+- Spark whitespace split == ``regexp_split_to_array(trim(x), '\\s+')``.
+"""
+
+from __future__ import annotations
+
+from ..functions.text import BPE_TOKEN_RE, LANG_MARKERS
+
+# word-boundary marker patterns, shared with functions/text.py
+_MARKER_PATTERNS = {
+    lang: r"\b(" + "|".join(ws) + r")\b" for lang, ws in LANG_MARKERS.items()
+}
+
+_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+PARITY_ORACLES: dict[str, str] = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "watermark_filter": """
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        WHERE l_shipdate >= (SELECT max(l_shipdate) - INTERVAL 90 DAY FROM lineitem)
+        GROUP BY l_returnflag
+    """,
+    "scalar_functions": """
+        SELECT o_orderkey,
+               concat_ws('#', o_orderkey, o_orderstatus) AS syn_key,
+               coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+               round(o_totalprice / nullif(CAST(o_orderkey % 3 AS DOUBLE), 0), 4) AS price_div,
+               CAST(o_orderkey AS VARCHAR) AS key_str,
+               strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+               CAST(strftime(o_orderdate, '%y') AS BIGINT) AS yy,
+               month(o_orderdate) AS order_month,
+               upper(o_orderpriority) AS prio_upper,
+               upper(regexp_replace(regexp_replace(o_orderpriority, '[0-9]', '', 'g'),
+                                    '[\\(\\)\\d]+', '', 'g')) AS prio_norm,
+               strftime(CAST(date_trunc('day', o_orderdate) AS TIMESTAMP),
+                        '%Y-%m-%d %H:%M:%S') AS day_floor
+        FROM orders WHERE o_orderkey < 100
+    """,
+    "regex_key_join": """
+        SELECT prio_id,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        LEFT JOIN (VALUES ('-URGENT',1),('-HIGH',2),('-MEDIUM',3),
+                          ('-NOT SPECIFIED',4),('-LOW',5)) AS dim(prio_code, prio_id)
+          ON upper(regexp_replace(regexp_replace(o_orderpriority, '[0-9]', '', 'g'),
+                                  '[\\(\\)\\d]+', '', 'g')) = upper(dim.prio_code)
+        GROUP BY prio_id
+    """,
+    "topk_orders_per_nation": """
+        SELECT n_name, o_orderkey, o_totalprice, rk FROM (
+            SELECT n_name, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY n_nationkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        ) WHERE rk <= 3
+    """,
+    "pivot_returnflag": """
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "cube_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "anti_join_customers": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "semi_join_customers": """
+        SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "dup_count_docs": """
+        SELECT count(*) - count(DISTINCT text) AS dup_rows,
+               count(*) AS total_rows
+        FROM documents
+    """,
+    "events_json": """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(avg(k), 4) AS avg_k,
+               max(k) AS max_k,
+               round(sum(value), 4) AS sum_value
+        FROM (SELECT event_type, value,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+        GROUP BY event_type
+    """,
+    "tumbling_events": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+}
+
+EXTENSION_ORACLES: dict[str, str] = {
+    "doc_fingerprint": f"""
+        SELECT doc_id, sha256({_NORM_TEXT}) AS fp FROM documents
+    """,
+    "exact_dedup_groups": f"""
+        SELECT sha256({_NORM_TEXT}) AS fp,
+               count(*) AS n_copies,
+               min(doc_id) AS keeper_id
+        FROM documents GROUP BY 1
+    """,
+    "embedding_near_dups": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 250 AND b.vec_id < 250
+          AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    """,
+    "ann_bruteforce": """
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                       CAST(c.embedding AS DOUBLE[])) DESC,
+                                c.vec_id ASC) AS rank
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 10
+        ) WHERE rank <= 5
+    """,
+    "text_stats": f"""
+        SELECT doc_id,
+               length(text) AS n_chars_calc,
+               len({_TOKENS}) AS n_tokens,
+               len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
+               round(CASE WHEN length(text) > 0
+                          THEN len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) / length(text)
+                          ELSE 0.0 END, 6) AS punct_ratio
+        FROM documents
+    """,
+    "lang_id": f"""
+        SELECT doc_id, lang,
+               CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+                    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM (
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(lower(text), '{_MARKER_PATTERNS["en"]}')) AS s_en,
+                   len(regexp_extract_all(lower(text), '{_MARKER_PATTERNS["de"]}')) AS s_de,
+                   len(regexp_extract_all(lower(text), '{_MARKER_PATTERNS["fr"]}')) AS s_fr,
+                   len(regexp_extract_all(lower(text), '{_MARKER_PATTERNS["es"]}')) AS s_es
+            FROM documents
+        )
+    """,
+    "quality_scores": f"""
+        SELECT source,
+               count(*) AS n_docs,
+               round(avg(q), 4) AS avg_quality,
+               round(min(q), 6) AS min_quality,
+               round(max(q), 6) AS max_quality
+        FROM (
+            SELECT source,
+                   round(0.5 * least(1.0, len({_TOKENS}) / 100.0)
+                       + 0.3 * coalesce(len(list_distinct({_TOKENS}))
+                                        / nullif(len({_TOKENS}), 0), 0.0)
+                       + 0.2 * (1.0 - round(CASE WHEN length(text) > 0
+                                    THEN len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) / length(text)
+                                    ELSE 0.0 END, 6)), 6) AS q
+            FROM documents
+        )
+        GROUP BY source
+    """,
+    "multimodal_features": """
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(octet_length(encode(text)) AS DOUBLE) AS f_len,
+               CAST(ascii(text) AS DOUBLE) AS f_first,
+               CAST(ascii(right(text, 1)) AS DOUBLE) AS f_last,
+               CAST(octet_length(encode(text)) % 997 AS DOUBLE) AS f_mod
+        FROM documents
+    """,
+}
+
+ALL_ORACLES: dict[str, str] = {**PARITY_ORACLES, **EXTENSION_ORACLES}

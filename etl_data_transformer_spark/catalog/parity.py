@@ -1,0 +1,178 @@
+"""Reference-parity operator queries (SURVEY.md §2.2-§2.8) beyond the three
+branch queries: each exercises one inventory row with a DuckDB oracle twin
+in ``oracles.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import (
+    day_floor_string,
+    ifnull,
+    safe_divide,
+    strip_digits_parens_key,
+    surrogate_key,
+    two_digit_year,
+)
+from ..operators.aggregates import scalar_max
+from ..sources.readers import load_star
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2-style grouped aggregation over the fact (TPC-H Q1 shape)."""
+    li = load_star(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 standalone: incremental high-water-mark filter (I:112), counts by
+    flag. The predicate is a parquet-pushed filter."""
+    li = load_star(spark, sf_dir, ("lineitem",))["lineitem"]
+    import datetime as dt
+
+    offset = scalar_max(li, "l_shipdate") - dt.timedelta(days=90)
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit(offset))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F13 in one projection (key synthesis, IFNULL, SAFE_DIVIDE, casts,
+    date formatting incl. the 2-digit-year quirk, regex strip, case norm)."""
+    o = load_star(spark, sf_dir, ("orders",))["orders"].filter(F.col("o_orderkey") < 100)
+    return o.select(
+        F.col("o_orderkey"),
+        surrogate_key("o_orderkey", "o_orderstatus").alias("syn_key"),
+        ifnull(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias("status_or_open"),
+        F.round(safe_divide(F.col("o_totalprice"), (F.col("o_orderkey") % 3).cast("double")), 4).alias("price_div"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        two_digit_year("o_orderdate").alias("yy"),
+        F.month("o_orderdate").alias("order_month"),
+        F.upper("o_orderpriority").alias("prio_upper"),
+        strip_digits_parens_key("o_orderpriority").alias("prio_norm"),
+        day_floor_string("o_orderdate").alias("day_floor"),
+    )
+
+
+PRIORITY_DIM = [("-URGENT", 1), ("-HIGH", 2), ("-MEDIUM", 3), ("-NOT SPECIFIED", 4), ("-LOW", 5)]
+
+
+def q_regex_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: equi join on a regex-normalized key (the double REGEXP_REPLACE of
+    I:260-262), then aggregate per mapped id."""
+    o = load_star(spark, sf_dir, ("orders",))["orders"]
+    dim = spark.createDataFrame(PRIORITY_DIM, ["prio_code", "prio_id"])
+    joined = o.join(
+        F.broadcast(dim),
+        strip_digits_parens_key(o["o_orderpriority"]) == F.upper(dim["prio_code"]),
+        "left",
+    )
+    return joined.groupBy("prio_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q_topk_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 top-k via ranking window: 3 largest orders per nation."""
+    star = load_star(spark, sf_dir, ("orders", "customer", "nation"))
+    o, c, n = star["orders"], star["customer"], star["nation"]
+    joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    w = Window.partitionBy("n_nationkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): quantity by returnflag × linestatus."""
+    li = load_star(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over flag × status with subtotals."""
+    li = load_star(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers that never ordered."""
+    star = load_star(spark, sf_dir, ("orders", "customer"))
+    o, c = star["orders"], star["customer"]
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey", "c_mktsegment")
+
+
+def q_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: customers with at least one order, counted per segment."""
+    star = load_star(spark, sf_dir, ("orders", "customer"))
+    o, c = star["orders"], star["customer"]
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_dup_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: duplicate-row count as a 1-row metric (T:9-12 semantics)."""
+    d = load_star(spark, sf_dir, ("documents",))["documents"]
+    return d.agg(
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("dup_rows"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (extension of the events source): parse
+    ``props.k``, aggregate per event_type."""
+    ev = load_star(spark, sf_dir, ("events",))["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 tumbling-window aggregation (batch form of the streaming op)."""
+    from ..operators.window_ops import tumbling_agg
+
+    ev = load_star(spark, sf_dir, ("events",))["events"]
+    return tumbling_agg(ev, "ts", "1 hour", group_extra=["event_type"])

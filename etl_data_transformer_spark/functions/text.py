@@ -1,0 +1,121 @@
+"""Text-analysis expressions for the training-data pipeline surface
+(SURVEY.md §2.10; BASELINE.json north star).
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` — no Python
+UDFs in the hot path. Operates on ``documents.text`` (FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "las", "es", "una"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single punctuation.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization as an array column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: letter runs + digit runs + punctuation marks."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars (0 when empty)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.when(F.length(c) > 0, F.regexp_count(c, F.lit(r"[^\sA-Za-z0-9]")) / F.length(c)).otherwise(0.0),
+        6,
+    )
+
+
+def stopword_count(col: Column | str, words: list[str]) -> Column:
+    """Occurrences of any marker word (word-bounded)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(c), F.lit(pattern))
+
+
+def stopword_ratio(col: Column | str, words: list[str]) -> Column:
+    """Marker-word hits / token count."""
+    return F.round(F.try_divide(stopword_count(col, words), token_count(col)), 6)
+
+
+def lang_id(col: Column | str, markers: dict[str, list[str]] = LANG_MARKERS) -> Column:
+    """Language-ID heuristic: argmax over per-language marker-word hit counts
+    (ties broken by language order; 'und' when nothing matches)."""
+    c = F.col(col) if isinstance(col, str) else col
+    scores = [(lang, stopword_count(c, ws)) for lang, ws in markers.items()]
+    best = None
+    # fold to argmax via chained CASE comparisons — stays one codegen'd expr
+    expr = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in scores:
+        is_better = score > best_score
+        expr = F.when(is_better, F.lit(lang)).otherwise(expr)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    del best
+    return expr
+
+
+def quality_score(col: Column | str) -> Column:
+    """Document quality score in [0, 1]: rewards reasonable length and word
+    diversity, penalizes punctuation soup. Deterministic arithmetic only.
+
+    score = 0.5*min(1, tokens/100) + 0.3*distinct_token_ratio + 0.2*(1-punct_ratio)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n = F.size(toks)
+    distinct_ratio = F.try_divide(F.size(F.array_distinct(toks)), n)
+    length_term = F.least(F.lit(1.0), n / F.lit(100.0))
+    return F.round(
+        0.5 * length_term + 0.3 * F.coalesce(distinct_ratio, F.lit(0.0)) + 0.2 * (1.0 - punct_ratio(c)),
+        6,
+    )
+
+
+def normalize_for_fingerprint(col: Column | str) -> Column:
+    """Canonical text form: lowercase, collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: sha256 over the normalized text (the scalable
+    exact-dedup key — hash once, group/join on the 64-hex key)."""
+    return F.sha2(normalize_for_fingerprint(col), 256)
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct), the MinHash/Jaccard input."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )

@@ -1,0 +1,38 @@
+"""Vector expressions over ``array<float>`` embedding columns
+(SURVEY.md §2.10; fixtures ``embeddings.embedding``).
+
+All math stays JVM-side via higher-order functions (``zip_with`` /
+``aggregate``) in double precision — no Python in the hot path. The
+brute-force cosine here is the correctness oracle; the scale path is the
+LSH/IVF variants in ``operators/similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array columns, accumulated in double."""
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL when either vector has zero norm."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+
+
+def unit_normalize(a: Column | str) -> Column:
+    """Scale to unit L2 norm (pre-normalize once → cosine becomes dot)."""
+    n = l2_norm(a)
+    return F.transform(_c(a), lambda x: x.cast("double") / n)

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10).
+
+Three tiers, trading recall for scale:
+
+1. ``brute_force_topk`` — exact cosine top-k via crossJoin + window. O(Q·N);
+   the correctness oracle. Fine when the query side is small (it is
+   broadcast), never for N×N at 100 TB.
+2. ``lsh_topk`` — MLlib ``BucketedRandomProjectionLSH`` approximate join:
+   hash both sides into buckets, join within buckets only. The 100 TB path
+   for N×N-ish workloads.
+3. ``ivf_topk`` — IVF-style coarse quantization: assign every vector to its
+   nearest of k random-projection centroids (deterministic, seeded), search
+   only the probe-closest partitions. A pure-DataFrame scale path with no
+   MLlib dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, dot
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query side against the
+    corpus, rank per query by similarity (ties broken by neighbor id).
+
+    ``queries``/``corpus``: (id, embedding) frames; returns
+    (query_id, neighbor_id, rank).
+    """
+    q = queries.select(F.col("id").alias(query_id), F.col("embedding").alias("q_emb"))
+    c = corpus.select(F.col("id").alias(corpus_id), F.col("embedding").alias("c_emb"))
+    pairs = c.join(F.broadcast(q), F.lit(True), "inner")
+    if exclude_self:
+        pairs = pairs.filter(F.col(query_id) != F.col(corpus_id))
+    scored = pairs.select(
+        query_id,
+        corpus_id,
+        cosine("q_emb", "c_emb").alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "rank")
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via MLlib BucketedRandomProjectionLSH (the 100 TB
+    path: candidate generation is a bucket equi join, not a cross join).
+
+    Euclidean-distance LSH; on unit-normalized vectors Euclidean ranking ==
+    cosine ranking (d² = 2 - 2·cos).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import VectorUDT  # noqa: F401 — documents the dependency
+
+    def prep(df: DataFrame, id_alias: str) -> DataFrame:
+        norm = F.sqrt(dot("embedding", "embedding"))
+        unit = F.transform("embedding", lambda x: x.cast("double") / norm)
+        return df.select(F.col("id").alias(id_alias), array_to_vector(unit).alias("features"))
+
+    qdf = prep(queries, "query_id")
+    cdf = prep(corpus, "neighbor_id")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(cdf)
+    joined = model.approxSimilarityJoin(qdf, cdf, float("inf"), distCol="dist")
+    flat = joined.select(
+        F.col("datasetA.query_id").alias("query_id"),
+        F.col("datasetB.neighbor_id").alias("neighbor_id"),
+        F.col("dist"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    return (
+        flat.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probes: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: bucket corpus by nearest random-projection direction;
+    each query probes its ``n_probes`` closest lists (multi-probe recovers
+    recall on weakly-clustered data). Pure DataFrame ops, no MLlib."""
+    import random
+
+    rng = random.Random(seed)
+    dirs = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_lists)]
+
+    def projections(df: DataFrame):
+        proj_cols = [
+            F.aggregate(
+                F.zip_with("embedding", F.array(*[F.lit(v) for v in d]), lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for d in dirs
+        ]
+        return F.array(*proj_cols)
+
+    def assign_one(df: DataFrame, id_alias: str) -> DataFrame:
+        arr = projections(df)
+        return df.select(
+            F.col("id").alias(id_alias),
+            F.col("embedding").alias(f"{id_alias}_emb"),
+            F.array_position(arr, F.array_max(arr)).alias("list_id"),
+        )
+
+    def assign_probes(df: DataFrame, id_alias: str) -> DataFrame:
+        arr = projections(df)
+        zipped = F.arrays_zip(arr.alias("s"), F.sequence(F.lit(1), F.lit(n_lists)).cast("array<long>").alias("i"))
+        by_score_desc = F.array_sort(
+            zipped,
+            lambda l, r: F.when(l["s"] > r["s"], -1).when(l["s"] < r["s"], 1).otherwise(0),
+        )
+        probes = F.transform(F.slice(by_score_desc, 1, n_probes), lambda x: x["i"])
+        return df.select(
+            F.col("id").alias(id_alias),
+            F.col("embedding").alias(f"{id_alias}_emb"),
+            F.explode(probes).alias("list_id"),
+        )
+
+    q = assign_probes(queries, "query_id")
+    c = assign_one(corpus, "neighbor_id")
+    pairs = q.join(c, "list_id").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine("query_id_emb", "neighbor_id_emb").alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,37 @@
+"""Multimodal binary-column plumbing (stubbed decode, real Spark machinery)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_transformer_spark.operators import multimodal as MM
+
+
+def test_documents_as_media_schema(spark, star):
+    media = MM.documents_as_media(star["documents"])
+    kinds = dict(media.dtypes)
+    assert kinds["payload"] == "binary"
+    assert kinds["media_type"] == "string"
+    assert kinds["meta"].startswith("struct")
+
+
+def test_featurize_stub_values(spark):
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    media = MM.documents_as_media(df)
+    row = MM.featurize(media).collect()[0]
+    assert row["n_bytes"] == 3
+    assert row["feature"] == [3.0, 97.0, 99.0, 3.0]  # len, 'a', 'c', len%997
+
+
+def test_featurize_unstubbed_raises(spark):
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    media = MM.documents_as_media(df)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        MM.featurize(media, decode_stub=False).collect()
+
+
+def test_frame_sample(spark):
+    df = spark.createDataFrame([(1, "x" * 200)], ["doc_id", "text"])
+    media = MM.documents_as_media(df)
+    frames = MM.frame_sample(media, every_n_bytes=64).collect()
+    assert len(frames) == 3  # floor(200/64) frames
+    assert all(f["frame_sig"] for f in frames)
