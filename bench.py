@@ -1,0 +1,95 @@
+"""Benchmark harness: runs the catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Also records DuckDB wall-clock for the oracle-checked queries under
+"duckdb" for the BASELINE.md comparison (same data, same SQL).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_data_transformer_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: the flagship branches + one per operator family
+HEADLINE = [
+    "pricing_summary",
+    "watermark_filter",
+    "latest_rate_per_nation",
+    "item_status",
+    "agg_china",
+    "tomford",
+    "fact_union",
+    "topk_orders_per_nation",
+    "cube_agg",
+    "tumbling_events",
+    "exact_dedup_groups",
+    "minhash_pairs",
+    "simhash_near_dups",
+    "ann_bruteforce",
+    "text_stats",
+    "quality_scores",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers before timing
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    duck_times: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("region nation customer supplier part orders lineitem events "
+                  "documents embeddings").split():
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+        for name in HEADLINE:
+            if name not in oracles:
+                continue
+            t0 = time.time()
+            con.sql(oracles[name]).fetchall()
+            duck_times[name] = round(time.time() - t0, 3)
+    except Exception as e:  # noqa: BLE001 — comparison timing is best-effort
+        print(f"# duckdb timing skipped: {e}", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_headline_queries_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+                "duckdb": duck_times,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
