@@ -13,6 +13,7 @@ from . import extensions as EXT
 from . import parity as PAR
 from .branch_queries import BRANCH_ORACLES
 from .oracles import ALL_ORACLES
+from .temporal_queries import TEMPORAL_QUERIES
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # reference-parity: aggregation / filter / scalar / join / set-op surface
@@ -48,6 +49,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": EXT.q_lang_id,
     "quality_scores": EXT.q_quality_scores,
     "multimodal_features": EXT.q_multimodal_features,
+    # temporal + profiling surface (as-of, range join, sessions, rollup)
+    **TEMPORAL_QUERIES,
 }
 
 ORACLES: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

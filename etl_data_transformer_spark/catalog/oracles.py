@@ -208,4 +208,94 @@ EXTENSION_ORACLES: dict[str, str] = {
     """,
 }
 
-ALL_ORACLES: dict[str, str] = {**PARITY_ORACLES, **EXTENSION_ORACLES}
+TEMPORAL_ORACLES: dict[str, str] = {
+    # DuckDB has native ASOF JOIN (inclusive >=) — the ideal oracle for the
+    # union+carry-forward implementation in operators/temporal.py.
+    "asof_rate_orders": """
+        WITH o AS (
+            SELECT o_orderkey, o_orderdate, o_totalprice,
+                   c_nationkey AS nationkey
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ), rates AS (
+            SELECT c_nationkey AS nationkey,
+                   date_trunc('month', o_orderdate) AS rate_month,
+                   round(max(o_totalprice), 0) / 100.0 AS conversion_rate
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        )
+        SELECT o_orderkey, o.nationkey, conversion_rate,
+               round(o_totalprice / conversion_rate, 4) AS dollar_amt
+        FROM o ASOF JOIN rates
+          ON o.nationkey = rates.nationkey AND o.o_orderdate >= rates.rate_month
+    """,
+    "range_join_events": """
+        SELECT a.event_id AS id_a, b.event_id AS id_b,
+               CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 300 SECOND
+    """,
+    "session_agg_events": """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM flagged
+        )
+        SELECT user_id, sess_id,
+               min(ts) AS sess_start, max(ts) AS sess_end,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM sess GROUP BY user_id, sess_id
+    """,
+    "rolling_user_stats": """
+        SELECT user_id, event_id, ts, value,
+               lag(value)  OVER w AS prev_value,
+               lead(value) OVER w AS next_value,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "rollup_nation_status": """
+        SELECT coalesce(n_name, 'ALL') AS nation,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name, o_orderstatus)
+    """,
+    "profile_distinct": """
+        SELECT count(*) AS n_rows,
+               count(DISTINCT o_custkey) AS n_custkeys,
+               count(DISTINCT o_orderstatus) AS n_statuses,
+               count(DISTINCT o_orderpriority) AS n_priorities
+        FROM orders
+    """,
+    # profile_approx: intentionally no oracle — HLL sketches are
+    # implementation-specific (rows-only check).
+    "ngram_jaccard": """
+        WITH g AS (
+            SELECT doc_id,
+                   list_distinct([substring(text, i, 3)
+                                  for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS grams
+            FROM documents WHERE doc_id < 100 AND length(text) >= 3
+        ), p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard_3gram
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+        )
+        SELECT * FROM p WHERE jaccard_3gram >= 0.6
+    """,
+}
+
+ALL_ORACLES: dict[str, str] = {**PARITY_ORACLES, **EXTENSION_ORACLES, **TEMPORAL_ORACLES}

@@ -112,6 +112,14 @@ def fingerprint(col: Column | str) -> Column:
     return F.sha2(normalize_for_fingerprint(col), 256)
 
 
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-gram set (callers should pre-filter
+    ``length(text) >= n``). JVM-side: sequence + transform + substr."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.length(c) - F.lit(n - 1))
+    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle set (distinct), the MinHash/Jaccard input."""
     toks = tokens(col)

@@ -190,6 +190,30 @@ def ngram_jaccard_pairs(
     return minhash_dedup(df, text_col, id_col, threshold=threshold, shingle_n=n)
 
 
+def ngram_jaccard_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard over ALL pairs — the correctness oracle
+    for the LSH candidate path. O(N²): bound the input (the catalog caps it
+    at 100 docs); at corpus scale use ``minhash_dedup`` and verify samples
+    against this."""
+    from ..functions.text import char_ngrams
+
+    g = df.filter(F.length(text_col) >= n).select(F.col(id_col), char_ngrams(text_col, n).alias("g"))
+    a = g.select(F.col(id_col).alias("id_a"), F.col("g").alias("g_a"))
+    b = g.select(F.col(id_col).alias("id_b"), F.col("g").alias("g_b"))
+    sim = F.round(jaccard(F.col("g_a"), F.col("g_b")), 4)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias(f"jaccard_{n}gram"))
+        .filter(F.col(f"jaccard_{n}gram") >= threshold)
+    )
+
+
 def embedding_near_dups(df: DataFrame, id_col: str = "vec_id", threshold: float = 0.95) -> DataFrame:
     """Cosine-threshold near-dup pairs over an embedding column. Brute-force
     N² within the given frame — pre-filter or bucket (LSH/IVF) at scale."""

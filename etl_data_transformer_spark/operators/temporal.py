@@ -1,0 +1,180 @@
+"""Temporal operators: as-of join, bounded range join, sessionization,
+rolling analytics.
+
+None of these exist in the reference (its only temporal construct is the
+batch high-water mark, ``Incremental_load_fact_item_status.sql:10-20``) but
+they are the temporal surface a warehouse-grade engine needs, and each is
+built on the shuffle-minimal Spark shape:
+
+- ``as_of_join``      — union + windowed last-value carry-forward. ONE shuffle
+  on the join key, zero join explosion: both sides are tagged and unioned,
+  then the right side's payload is carried forward to each left row with
+  ``last(..., ignoreNulls=True)`` over an ordered window. This beats the
+  naive join-then-rank shape (which materializes every (left, right-earlier)
+  pair before ranking) by O(right cardinality per key).
+- ``range_join``      — equi-bucketed interval join: bucket timestamps to the
+  window width, explode the probe side to (bucket, bucket+1), equi-join on
+  (key, bucket), then filter the exact bound. Turns an inequality-only join
+  (BroadcastNestedLoop at scale) into a hash join with 2× probe duplication.
+- ``sessionize``      — gaps-and-islands: a session break flag via ``lag``,
+  then a running sum assigns session ids. Two window passes over ONE shuffle
+  (same partition key) — AQE keeps them in a single exchange.
+- ``rolling_stats``   — lag/lead/moving aggregate over a per-key ordered
+  window; the frame is rows-based so it is merge-computable per partition.
+
+All orderings take an explicit tiebreaker column so results are
+deterministic (hash-oracle-safe).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach ``right_cols`` from the
+    latest right row with ``right_ts <= left_ts`` and equal ``on`` keys.
+
+    Implementation (scale-first): tag sides, union, carry the right payload
+    forward with ``last(ignoreNulls=True)`` over (key ORDER BY ts, side).
+    Right rows sort before left rows at equal timestamps, so an exact
+    timestamp match is taken (inclusive bound — DuckDB ``ASOF JOIN ... >=``
+    semantics).
+
+    ``how='inner'`` drops left rows with no prior right row (DuckDB ASOF
+    default); ``'left'`` keeps them with NULL payload.
+    """
+    on = list(on)
+    right_cols = list(right_cols)
+    left_payload = [c for c in left.columns if c not in on]
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left_payload],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        *on,
+        "__ts",
+        "__side",
+        *left_payload,
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in right_cols],
+    )
+    out = carried.filter(F.col("__side") == 1).drop("__side", "__ts")
+    if how == "inner":
+        out = out.filter(F.coalesce(*[F.col(c).isNotNull() for c in right_cols]))
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_s: int = 0,
+    upper_s: int = 300,
+) -> DataFrame:
+    """Bounded-interval join: pairs where ``right_ts`` falls in
+    ``(left_ts + lower_s, left_ts + upper_s]`` seconds with equal ``on`` keys.
+
+    Buckets both sides at ``upper_s`` width and probes (bucket, bucket-1) on
+    the right so Catalyst plans a hash join on (keys, bucket); the exact
+    interval bound is applied as a post-join filter. Without the bucket key
+    this is an inequality-only join → BroadcastNestedLoopJoin → O(n²) at
+    scale.
+    """
+    on = list(on)
+    l_b = left.withColumn("__b", F.floor(F.unix_timestamp(F.col(left_ts)) / F.lit(upper_s)))
+    r_bucket = F.floor(F.unix_timestamp(F.col(right_ts)) / F.lit(upper_s))
+    r_b = right.withColumn("__b", F.explode(F.array(r_bucket, r_bucket - 1)))
+    joined = l_b.alias("l").join(r_b.alias("r"), on=[*on, "__b"])
+    lo = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower_s} SECONDS")
+    hi = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper_s} SECONDS")
+    return joined.filter((F.col(f"r.{right_ts}") > lo) & (F.col(f"r.{right_ts}") <= hi)).drop("__b")
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Assign 1-based per-key session ids: a new session starts when the gap
+    since the previous event exceeds ``gap`` (gaps-and-islands)."""
+    order = [F.col(ts_col).asc(), F.col(tiebreak).asc()]
+    w_lag = Window.partitionBy(key).orderBy(*order)
+    w_run = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(ts_col).over(w_lag)
+    is_new = F.when(prev.isNull() | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}")), 1).otherwise(0)
+    return df.withColumn("__new", is_new).withColumn("sess_id", F.sum("__new").over(w_run)).drop("__new")
+
+
+def session_agg(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    gap: str = "30 minutes",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-session rollup: start/end, event count, value sum."""
+    return (
+        sessionize(df, key, ts_col, tiebreak, gap)
+        .groupBy(key, "sess_id")
+        .agg(
+            F.min(ts_col).alias("sess_start"),
+            F.max(ts_col).alias("sess_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+    )
+
+
+def rolling_stats(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    value_col: str = "value",
+    window_rows: int = 3,
+) -> DataFrame:
+    """Per-key ordered analytics: lag/lead of ``value_col`` and a trailing
+    ``window_rows``-row moving average (current row inclusive)."""
+    order = [F.col(ts_col).asc(), F.col(tiebreak).asc()]
+    w = Window.partitionBy(key).orderBy(*order)
+    w_ma = Window.partitionBy(key).orderBy(*order).rowsBetween(-(window_rows - 1), Window.currentRow)
+    return df.select(
+        key,
+        tiebreak,
+        ts_col,
+        F.col(value_col),
+        F.lag(value_col).over(w).alias("prev_value"),
+        F.lead(value_col).over(w).alias("next_value"),
+        F.round(F.avg(value_col).over(w_ma), 4).alias(f"ma{window_rows}_value"),
+    )

@@ -1,0 +1,103 @@
+"""Temporal operator tests: as-of join, bucketed range join, sessionization,
+rolling stats (operators/temporal.py) with hand-computed expectations."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_data_transformer_spark.operators.temporal import (
+    as_of_join,
+    range_join,
+    rolling_stats,
+    session_agg,
+    sessionize,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_as_of_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-10 00:00:00"), "a"),
+            (1, _ts("2024-01-20 00:00:00"), "b"),
+            (1, _ts("2024-01-01 00:00:00"), "early"),  # before any rate
+            (2, _ts("2024-01-15 00:00:00"), "c"),
+        ],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-05 00:00:00"), 1.0),
+            (1, _ts("2024-01-20 00:00:00"), 2.0),  # equal ts → inclusive match
+            (2, _ts("2024-01-10 00:00:00"), 3.0),
+        ],
+        "k int, rts timestamp, rate double",
+    )
+    out = as_of_join(left, right, on=["k"], left_ts="ts", right_ts="rts", right_cols=["rate"])
+    got = {r["tag"]: r["rate"] for r in out.collect()}
+    # 'early' dropped (inner, no prior rate); 'b' takes the equal-ts rate
+    assert got == {"a": 1.0, "b": 2.0, "c": 3.0}
+
+    kept = as_of_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts", right_cols=["rate"], how="left"
+    )
+    got_left = {r["tag"]: r["rate"] for r in kept.collect()}
+    assert got_left["early"] is None and len(got_left) == 4
+
+
+def test_range_join_matches_naive(spark, star):
+    ev = star["events"].select("event_id", "user_id", "ts").limit(500)
+    a = ev.select("user_id", F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"))
+    b = ev.select("user_id", F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    fast = range_join(a, b, on=["user_id"], left_ts="ts_a", right_ts="ts_b", upper_s=600)
+    naive = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 600 SECONDS"))
+        )
+    )
+    fast_pairs = {(r["id_a"], r["id_b"]) for r in fast.select("id_a", "id_b").collect()}
+    naive_pairs = {(r["id_a"], r["id_b"]) for r in naive.select("id_a", "id_b").collect()}
+    assert fast_pairs == naive_pairs and len(fast_pairs) > 0
+
+
+def test_sessionize_gap_breaks(spark):
+    rows = [
+        (1, 1, _ts("2024-01-01 00:00:00"), 1.0),
+        (1, 2, _ts("2024-01-01 00:10:00"), 1.0),  # same session (10 min)
+        (1, 3, _ts("2024-01-01 01:00:00"), 1.0),  # 50 min gap → new session
+        (2, 4, _ts("2024-01-01 00:00:00"), 2.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp, value double")
+    out = sessionize(ev, gap="30 minutes")
+    sess = {r["event_id"]: r["sess_id"] for r in out.collect()}
+    assert sess == {1: 1, 2: 1, 3: 2, 4: 1}
+
+    agg = session_agg(ev, gap="30 minutes")
+    r = {(x["user_id"], x["sess_id"]): x["n_events"] for x in agg.collect()}
+    assert r == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_rolling_stats_values(spark):
+    rows = [(1, i, _ts(f"2024-01-01 00:0{i}:00"), float(i)) for i in range(1, 5)]
+    ev = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp, value double")
+    out = rolling_stats(ev, window_rows=3).orderBy("event_id").collect()
+    assert [r["prev_value"] for r in out] == [None, 1.0, 2.0, 3.0]
+    assert [r["next_value"] for r in out] == [2.0, 3.0, 4.0, None]
+    # trailing 3-row means: 1, 1.5, 2, 3
+    assert [r["ma3_value"] for r in out] == [1.0, 1.5, 2.0, 3.0]
+
+
+def test_ngram_jaccard_exact_identical_docs(spark):
+    from etl_data_transformer_spark.operators.dedup import ngram_jaccard_exact
+
+    d = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "zzzzzz")],
+        "doc_id long, text string",
+    )
+    out = ngram_jaccard_exact(d, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard_3gram"]) for r in out] == [(1, 2, 1.0)]
