@@ -39,6 +39,12 @@ HEADLINE = [
     "text_stats",
     "quality_scores",
     "multimodal_features",
+    "asof_rate_orders",
+    "range_join_events",
+    "session_agg_events",
+    "rolling_user_stats",
+    "ngram_jaccard",
+    "percentile_prices",
 ]
 
 

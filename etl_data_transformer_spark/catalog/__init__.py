@@ -29,6 +29,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_count_docs": PAR.q_dup_count_docs,
     "events_json": PAR.q_events_json,
     "tumbling_events": PAR.q_tumbling_events,
+    "percentile_prices": PAR.q_percentile_prices,
+    "string_agg_nations": PAR.q_string_agg_nations,
     # reference-parity: the incremental fact-load branches
     "latest_rate_per_nation": BQ.q_latest_rate_per_nation,
     "item_status": BQ.q_item_status,

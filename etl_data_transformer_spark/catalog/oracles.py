@@ -208,6 +208,22 @@ EXTENSION_ORACLES: dict[str, str] = {
     """,
 }
 
+PARITY_ORACLES["percentile_prices"] = """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+PARITY_ORACLES["string_agg_nations"] = """
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+"""
+
 TEMPORAL_ORACLES: dict[str, str] = {
     # DuckDB has native ASOF JOIN (inclusive >=) — the ideal oracle for the
     # union+carry-forward implementation in operators/temporal.py.

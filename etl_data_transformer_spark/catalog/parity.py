@@ -176,3 +176,30 @@ def q_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_star(spark, sf_dir, ("events",))["events"]
     return tumbling_agg(ev, "ts", "1 hour", group_extra=["event_type"])
+
+
+def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (ordered-set aggregate) per group."""
+    li = load_star(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
+    )
+
+
+def q_string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (collect_list → sort → join), via the SQL
+    entry point — the engine's ``spark.sql`` surface over registered views."""
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir, ("nation", "region"))
+    return spark.sql(
+        """
+        SELECT r_name,
+               concat_ws(',', sort_array(collect_list(n_name))) AS nations,
+               count(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )

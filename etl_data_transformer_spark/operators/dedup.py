@@ -6,26 +6,43 @@ Builds up from the reference's full-row DISTINCT (A4,
 
 - ``exact_dedup``            — sha256 content hash → keep first per group.
   One shuffle on a 32-byte key regardless of document size.
-- ``minhash_lsh_candidates`` — shingle → k minhashes → b bands → bucket
-  equi-join. All JVM-side built-ins; candidate generation never cross-joins.
-- ``minhash_dedup``          — candidates verified by exact shingle Jaccard.
-- ``simhash``                — 64-bit simhash via an Arrow-batched pandas UDF
-  (the documented slow path: 64 per-bit majority sums aren't expressible as
-  a sane codegen expression).
+- ``minhash_lsh_candidates`` — shingle → xxhash64 per shingle (ONCE) →
+  k affine rehashes → b bands → bucket equi-join. All JVM-side built-ins;
+  candidate generation never cross-joins.
+- ``minhash_dedup``          — candidates verified by exact shingle-hash
+  Jaccard (long arrays, not strings — same set semantics modulo 64-bit
+  collisions, ~10× cheaper to shuffle and intersect).
+- ``simhash``                — 64-bit simhash as one codegen'd SQL fold
+  (token-hash array → per-bit majority via aggregate+zip_with). No Python
+  in the path.
 - ``ngram_jaccard_pairs``    — exact n-gram Jaccard on candidate pairs.
+- ``ngram_jaccard_exact``    — exact char-n-gram Jaccard, all pairs (oracle).
 - ``embedding_near_dups``    — cosine-threshold pairs over embeddings.
+
+Performance shape (measured at sf0.1, 5k docs, 260k shingles): the naive
+formulation recomputed the shingling under every downstream reference
+(Catalyst collapses projections, so ``mh`` referenced 12× = 12 re-shingles).
+``_hashed_shingles`` therefore ends in ``repartition(id)``: the exchange
+materializes the hashed-shingle arrays once, and every consumer (banding,
+both verify-join sides) reuses the SAME exchange (ReusedExchange) instead of
+re-deriving it. Minhashing after the exchange is pure long arithmetic.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+import random
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 from ..functions.text import fingerprint, shingles
 from ..functions.vector import cosine
+
+# Mersenne prime 2^31-1: affine minhash permutations (a*h+b) mod P stay
+# within long range (a,b < P → product < 2^62) — ANSI-overflow-safe.
+_P = 2_147_483_647
+_rng = random.Random(42)
+_AFFINE = [(_rng.randrange(1, _P), _rng.randrange(0, _P)) for _ in range(64)]
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -51,37 +68,42 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def _minhashes(shingle_col, num_hashes: int):
-    """k minhash values: min over shingles of xxhash64(seed_i ++ shingle).
-    Seeded by prefixing the hash input — deterministic, JVM-side."""
+def _hashed_shingles(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> DataFrame:
+    """(id, hs): distinct word-n-gram shingles hashed to longs.
+
+    The input is spread BEFORE the shingle/hash compute so it runs on all
+    cores: a small parquet source arrives as one partition, and higher-order
+    array expressions are interpreted (not codegen'd) — leaving them before
+    the first exchange serializes the whole corpus onto one thread.
+    ``spread`` uses an explicit partition count because AQE would coalesce a
+    byte-small exchange back to one partition (bytes ≠ CPU cost), and is a
+    no-op when the scan is already parallel (cluster-scale inputs)."""
+    from ..sources.readers import spread
+
+    hs = F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+    return (
+        spread(df.select(F.col(id_col), F.col(text_col)), key=id_col)
+        .select(F.col(id_col), hs.alias("hs"))
+        .filter(F.size("hs") > 0)
+    )
+
+
+def _minhashes(hs_col, num_hashes: int):
+    """k minhash values via affine permutations of the pre-hashed shingles:
+    min over hs of (a_i * (h mod P) + b_i) mod P. Pure long arithmetic."""
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * F.pmod(h, F.lit(_P)) + F.lit(b)) % F.lit(_P)
+
     return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"seed{i}:"), s))))
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(hs_col, perm(a, b))) for (a, b) in _AFFINE[:num_hashes]]
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_n: int = 3,
-    num_hashes: int = 12,
-    bands: int = 4,
-) -> DataFrame:
-    """LSH candidate pairs: docs sharing any (band_idx, band_signature)
-    bucket. rows_per_band = num_hashes / bands.
-
-    Scale shape: explode to ``bands`` rows per doc, shuffle on the band
-    signature, self-join within buckets only — never an N×N cross join.
-    """
+def _lsh_candidates(hsh: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """Band the minhash signature and self-join on (band, signature) buckets
+    — explode to ``bands`` rows per doc, never an N×N cross join."""
     rows_per_band = num_hashes // bands
-    sigs = (
-        df.select(id_col, shingles(text_col, shingle_n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn("mh", _minhashes(F.col("sh"), num_hashes))
-    )
+    sigs = hsh.select(id_col, _minhashes(F.col("hs"), num_hashes).alias("mh"))
     banded = sigs.select(
         id_col,
         F.explode(
@@ -106,6 +128,19 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any (band_idx, band_signature)
+    bucket. rows_per_band = num_hashes / bands."""
+    return _lsh_candidates(_hashed_shingles(df, text_col, id_col, shingle_n), id_col, num_hashes, bands)
+
+
 def jaccard(a_col, b_col):
     """Exact Jaccard over two array columns."""
     inter = F.size(F.array_intersect(a_col, b_col))
@@ -122,48 +157,77 @@ def minhash_dedup(
     num_hashes: int = 12,
     bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs: LSH candidates verified by exact shingle Jaccard ≥
-    threshold. Returns (id_a, id_b, jaccard_sim)."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, shingle_n, num_hashes, bands)
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    """Near-dup pairs: LSH candidates verified by exact shingle-hash Jaccard
+    ≥ threshold. Returns (id_a, id_b, jaccard_sim).
+
+    The shingle-hash arrays ride along through the band join (≤ ``bands``-fold
+    duplication of a ~k-long array per doc), so the corpus is shingled ONCE
+    and the verify step needs no extra joins back to the corpus. For very
+    long documents where duplicating hs per band dominates shuffle volume,
+    the join-back shape (``_lsh_candidates`` + two id-joins) is the
+    alternative — at typical web-doc sizes carried-hs wins."""
+    rows_per_band = num_hashes // bands
+    hsh = _hashed_shingles(df, text_col, id_col, shingle_n)
+    sigs = hsh.select(id_col, "hs", _minhashes(F.col("hs"), num_hashes).alias("mh"))
+    banded = sigs.select(
+        id_col,
+        "hs",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        F.lit(b),
+                        *[F.col("mh")[b * rows_per_band + r] for r in range(rows_per_band)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("sig"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"), "sig")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"), "sig")
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim"))
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round(jaccard(F.col("hs_a"), F.col("hs_b")), 6).alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= threshold)
     )
 
 
-@pandas_udf(T.LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens, md5-based (deterministic across
-    processes — no PYTHONHASHSEED dependence). Arrow-batched slow path."""
-    import hashlib
-
-    out = []
-    for t in texts:
-        if not t:
-            out.append(0)
-            continue
-        acc = [0] * 64
-        for tok in t.split():
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            for bit in range(64):
-                acc[bit] += 1 if (h >> bit) & 1 else -1
-        v = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                v |= 1 << bit
-        # wrap to signed 64-bit for LongType
-        out.append(v - (1 << 64) if v >= (1 << 63) else v)
-    return pd.Series(out)
+def _simhash_sql(text_col: str) -> str:
+    """64-bit SimHash as one codegen'd SQL expression: whitespace tokens →
+    xxhash64 per token → per-bit ±1 majority (as a 64-slot counter array
+    folded in ONE pass over the tokens) → pack sign bits into a long.
+    Replaces a pandas-UDF implementation that did the 64-bit loop per token
+    in Python (~160M interpreter ops at sf0.1 — 10s → sub-second)."""
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    hl = f"transform({toks}, t -> xxhash64(t))"
+    ones = (
+        f"aggregate({hl}, array_repeat(0L, 64), "
+        "(acc, h) -> zip_with(acc, sequence(0, 63), (a, b) -> a + (shiftright(h, b) & 1)))"
+    )
+    packed = (
+        f"aggregate(zip_with({ones}, sequence(0, 63), "
+        f"(c, b) -> if(2 * c > size({toks}), shiftleft(1L, b), 0L)), 0L, (s, x) -> s + x)"
+    )
+    return f"coalesce(if(length(trim(coalesce({text_col}, ''))) = 0, 0L, {packed}), 0L)"
 
 
-def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach a 64-bit simhash column (``simhash64``)."""
-    return df.withColumn("simhash64", _simhash64(F.col(text_col)))
+def simhash(df: DataFrame, text_col: str = "text", distribute: bool = True) -> DataFrame:
+    """Attach a 64-bit simhash column (``simhash64``). JVM-side fold — see
+    ``_simhash_sql``.
+
+    ``distribute=True`` spreads the input first so the (interpreted,
+    CPU-heavy) fold runs on all cores even when the source is a single
+    small parquet partition; a no-op when the input is already well
+    partitioned (cluster-scale scans)."""
+    if distribute:
+        from ..sources.readers import spread
+
+        df = spread(df)
+    return df.withColumn("simhash64", F.expr(_simhash_sql(text_col)))
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:

@@ -36,18 +36,82 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType | None = None)
     return reader.option("inferSchema", True).csv(path)
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Tables big enough that serializing their map-side pipeline on one core
+# hurts, with a unique key to hash-spread on. (Round-robin repartition()
+# would ALSO work but injects a full local sort per input partition for
+# task-retry determinism — a single-threaded sort of the whole file here.
+# Hash partitioning on a unique key needs no sort and distributes evenly.)
+# Dims stay broadcast-sized and never need spreading.
+_SPREAD_TABLES = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def spread(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Ensure a DataFrame's map-side pipeline can use the whole machine:
+    repartition (hash on ``key`` when given — no determinism sort; else
+    round-robin) when the current partition count is below half the shuffle
+    parallelism; a no-op otherwise (cluster-scale inputs).
+
+    NOTE: reads ``df.rdd`` (a py4j plan conversion, ~0.5 s) — for table
+    scans prefer ``read_table``'s file-size estimate, which is free.
+    """
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target, F.col(key)) if key else df.repartition(target)
+    return df
+
+
+def _estimated_scan_tasks(spark: SparkSession, path: str) -> int:
+    """Scan tasks Spark will plan for ``path``: total bytes over
+    ``maxPartitionBytes`` — free (filesystem metadata only). Fixture files
+    are additionally single-row-group, so small estimates are, if anything,
+    optimistic."""
+    import os
+
+    max_bytes = int(str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).rstrip("b"))
+    if os.path.isdir(path):
+        size = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    else:
+        size = os.path.getsize(path)
+    return max(1, size // max_bytes)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str, auto_spread: bool = False) -> DataFrame:
     """Warehouse-style named table scan over the fixture directory (S3).
 
     Parquet TIMESTAMP(NANOS) columns (not supported by the Spark reader) come
     in as nanosecond longs via ``spark.sql.legacy.parquet.nanosAsLong`` and
     are converted to microsecond timestamps here.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: float division loses precision at ns-since-epoch
         # magnitudes (~1.7e18 exceeds double's 53-bit mantissa)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if auto_spread and name in _SPREAD_TABLES:
+        # single-row-group local files serialize the whole map-side pipeline
+        # onto one core; spread them when the scan can't feed the machine.
+        # Off by default: queries whose first shuffle/agg parallelizes anyway
+        # only pay for the extra exchange (measured: fact_union 5.4 s → 26 s
+        # with blanket spreading). CPU-heavy per-row operators (dedup,
+        # simhash, featurize) opt in via spread()/auto_spread instead.
+        # On cluster-scale data (tasks ≫ cores) this never triggers.
+        target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        try:
+            if _estimated_scan_tasks(spark, path) * 2 <= target:
+                df = df.repartition(target, F.col(_SPREAD_TABLES[name]))
+        except OSError:
+            pass  # non-local path (object store) — cluster-scale, no spread
     return df
 
 

@@ -7,8 +7,11 @@ stream with real watermarking.
 
 - ``stream_tumbling_agg``: readStream → withWatermark → window agg. The
   batch twin is ``operators/window_ops.tumbling_agg`` — same output schema.
-- ``stream_incremental_append``: the C4 delete-insert pattern's streaming
-  analogue — append-mode sink of late-data-tolerant aggregates.
+- ``stream_sessionize``: custom stateful operator via
+  ``applyInPandasWithState`` — per-user session aggregation with an
+  inactivity gap; closed sessions are emitted, the open session per key
+  lives in state until a later batch (or timeout) closes it. The batch twin
+  is ``operators/temporal.session_agg`` (gaps-and-islands).
 - ``run_available_now``: drain all available input once (Trigger.AvailableNow)
   — deterministic batch-like execution used by tests and backfills.
 
@@ -63,6 +66,99 @@ def stream_tumbling_agg(
         *[F.col(c) for c in (group_extra or [])],
         "n_events",
         "sum_value",
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, sess_start timestamp, sess_end timestamp, n_events long, sum_value double"
+)
+# state: open-session accumulator, timestamps as epoch micros
+SESSION_STATE_SCHEMA = "sess_start long, last_ts long, n_events long, sum_value double"
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    close_on_timeout: bool = False,
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-key sessions with an inactivity gap.
+
+    Sessions closed by a gap WITHIN the arriving data are emitted
+    immediately; the trailing open session is carried in group state and
+    closed by a later batch (or, with ``close_on_timeout=True``, by a
+    processing-time timeout). State per key is one 4-field tuple — bounded
+    regardless of stream length.
+
+    ``close_on_timeout`` is for long-running live streams only: a
+    processing-time timeout makes the engine schedule continuous empty
+    micro-batches to service timers, so a Trigger.AvailableNow drain (tests,
+    backfills) would never terminate — leave it False there.
+
+    This is the Python slow path by design (the point is the state API);
+    the batch equivalent (``operators/temporal.session_agg``) is pure
+    Catalyst and should be preferred for backfills.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        def emit(rows):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(rows),
+                    "sess_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in rows],
+                    "sess_end": [pd.Timestamp(l, unit="us") for _, l, _, _ in rows],
+                    "n_events": [n for _, _, n, _ in rows],
+                    "sum_value": [round(v, 4) for _, _, _, v in rows],
+                }
+            )
+
+        if state.hasTimedOut:
+            s, l, n, v = state.get
+            state.remove()
+            yield emit([(s, l, n, v)])
+            return
+
+        s = l = None
+        n, v = 0, 0.0
+        if state.exists:
+            s, l, n, v = state.get
+        closed: list[tuple] = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                t = int(pd.Timestamp(ts).value // 1_000)  # ns → us
+                if s is None:
+                    s = l = t
+                    n, v = 1, float(val)
+                elif t - l > gap_us:
+                    closed.append((s, l, n, v))
+                    s = l = t
+                    n, v = 1, float(val)
+                else:
+                    l = max(l, t)
+                    n += 1
+                    v += float(val)
+        if s is not None:
+            state.update((s, l, n, v))
+            if close_on_timeout:
+                state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        yield emit(closed)
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout if close_on_timeout else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -48,8 +48,8 @@ def test_simhash_identical_and_near(spark):
     )
     hashes = {r["doc_id"]: r["simhash64"] for r in DD.simhash(df).collect()}
     assert hashes[1] == hashes[2]  # identical text → identical simhash
-    ham_near = bin(hashes[1] ^ hashes[3] & (2**64 - 1)).count("1")
-    ham_far = bin(hashes[1] ^ hashes[4] & (2**64 - 1)).count("1")
+    ham_near = bin((hashes[1] ^ hashes[3]) & (2**64 - 1)).count("1")
+    ham_far = bin((hashes[1] ^ hashes[4]) & (2**64 - 1)).count("1")
     assert ham_near < ham_far  # near-dup closer in Hamming space
 
 

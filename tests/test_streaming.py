@@ -10,6 +10,7 @@ from etl_data_transformer_spark.streaming import (
     run_available_now,
     stream_tumbling_agg,
 )
+from etl_data_transformer_spark.streaming.pipeline import stream_sessionize
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -62,3 +63,35 @@ def test_stream_incremental_two_batches(spark, tmp_path):
     assert got2 >= got1
     full = tumbling_agg(ev, group_extra=["event_type"]).count()
     assert got2 == full
+
+
+def test_stream_sessionize_closed_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionization: gap-closed sessions are emitted;
+    the trailing open session per key stays in state (not emitted in one
+    AvailableNow drain). Batch twin: operators/temporal.session_agg."""
+    import datetime as dt
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, minute // 60, minute % 60)
+
+    rows = [
+        # user 1: two sessions (gap 40 min > 30); second stays open
+        (1, 1, ts(0), 1.0),
+        (2, 1, ts(10), 2.0),
+        (3, 1, ts(50), 3.0),
+        # user 2: one open session only → nothing emitted
+        (4, 2, ts(0), 4.0),
+    ]
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("event_id long, user_id long, ts timestamp, value double").parquet(src)
+    sessions = stream_sessionize(stream, gap_minutes=30)
+    got = run_available_now(sessions, str(tmp_path / "sess_ckpt"), "sess_q").collect()
+
+    assert len(got) == 1
+    r = got[0]
+    assert r["user_id"] == 1 and r["n_events"] == 2 and r["sum_value"] == 3.0
+    assert r["sess_start"] == ts(0) and r["sess_end"] == ts(10)
