@@ -65,12 +65,19 @@ def q_tomford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fact_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I:310-314 — the three branches unioned under the 24-col contract."""
+    """I:310-314 — the three branches unioned under the 24-col contract.
+
+    The latest-rates subplan appears in all three branches as an IDENTICAL
+    subtree, so Spark's exchange reuse computes it once already — measured
+    faster than materializing it via localCheckpoint (5.6 s vs 7.2 s at
+    sf0.1), so the branches are left self-contained. The ``rates=``
+    parameter remains for callers that precompute the dim."""
     star = load_star(spark, sf_dir)
+    f_off = fact_offset(spark, sf_dir)
     return union_branches(
-        item_status_branch(star, fact_offset(spark, sf_dir)),
+        item_status_branch(star, f_off),
         agg_china_branch(spark, star, events_offset(spark, sf_dir)),
-        tomford_branch(spark, star, fact_offset(spark, sf_dir)),
+        tomford_branch(spark, star, f_off),
     )
 
 

@@ -106,7 +106,11 @@ def config_brand_region(star: dict[str, DataFrame]) -> DataFrame:
     return broadcast_dim_join(n, r, n["n_regionkey"] == r["r_regionkey"])
 
 
-def item_status_branch(star: dict[str, DataFrame], offset: dt.datetime) -> DataFrame:
+def item_status_branch(
+    star: dict[str, DataFrame],
+    offset: dt.datetime,
+    rates: DataFrame | None = None,
+) -> DataFrame:
     """ITEM_STATUS (I:60-112) on fixtures. See module docstring."""
     li = star["lineitem"].filter(F.col("l_shipdate") >= F.lit(offset))  # P5, I:112
     o = star["orders"]
@@ -126,7 +130,7 @@ def item_status_branch(star: dict[str, DataFrame], offset: dt.datetime) -> DataF
     joined = broadcast_dim_join(joined, c, joined["o_custkey"] == c["c_custkey"])  # J1
     rcb = config_brand_region(star)
     joined = broadcast_dim_join(joined, rcb, joined["c_nationkey"] == rcb["n_nationkey"])
-    fx = latest_rates(derive_rates(star))
+    fx = rates if rates is not None else latest_rates(derive_rates(star))
     joined = broadcast_dim_join(joined, fx, joined["n_nationkey"] == fx["nationkey"])  # J2
     pt = star["part"].select("p_partkey", "p_name", "p_brand", "p_size")
     joined = joined.join(
@@ -174,9 +178,18 @@ CHANNEL_DIM = [("CLICK", 2), ("VIEW", 3), ("PURCHASE", 4), ("SIGNUP", 6), ("ERRO
 CHANNEL_CASE = {"PURCHASE": 1, "SIGNUP": 3}
 
 
-def agg_china_branch(spark: SparkSession, star: dict[str, DataFrame], offset: dt.datetime) -> DataFrame:
+def agg_china_branch(
+    spark: SparkSession,
+    star: dict[str, DataFrame],
+    offset: dt.datetime,
+    rates: DataFrame | None = None,
+) -> DataFrame:
     """AGG_CHINA (I:114-268) on fixtures. See module docstring."""
-    ev = star["events"]
+    from ..sources.readers import spread
+
+    # the JSON-parse + 7-col DISTINCT is the branch's CPU; spread the
+    # single-row-group source so it isn't serialized on one core
+    ev = spread(star["events"], key="event_id")
     # dedup_operation (I:171-188): DISTINCT over a projected noisy source,
     # incl. the day-floored record_updated_date (I:185).
     dedup = (
@@ -198,7 +211,7 @@ def agg_china_branch(spark: SparkSession, star: dict[str, DataFrame], offset: dt
     )
 
     # J5 const-pinned dims (I:232-248): 1-row sides, broadcast.
-    fx = latest_rates(derive_rates(star))
+    fx = rates if rates is not None else latest_rates(derive_rates(star))
     src = const_pinned_dim_join(src, fx, F.col("nationkey") == 7)  # 'CNY' analogue I:235
     reg = star["region"].select(F.col("r_regionkey").alias("cn_region"))
     src = const_pinned_dim_join(src, reg, F.col("cn_region") == 3)  # region_id = 7 analogue I:248
@@ -244,14 +257,19 @@ CANCEL_REASON_DIM = [("1-URGENT", 11), ("2-HIGH", 12), ("3-MEDIUM", 13), ("5-LOW
 ORDER_STATUS_DIM = [("O", 1), ("F", 2), ("P", 3)]
 
 
-def tomford_branch(spark: SparkSession, star: dict[str, DataFrame], offset: dt.datetime) -> DataFrame:
+def tomford_branch(
+    spark: SparkSession,
+    star: dict[str, DataFrame],
+    offset: dt.datetime,
+    rates: DataFrame | None = None,
+) -> DataFrame:
     """TOMFORD_STATUS (I:271-308) on fixtures. See module docstring."""
     o = star["orders"].filter(F.col("o_orderdate") >= F.lit(offset))  # I:307
     c = star["customer"].select("c_custkey", "c_nationkey")
     a = broadcast_dim_join(o, c, o["o_custkey"] == c["c_custkey"])
     rcb = config_brand_region(star)
     a = broadcast_dim_join(a, rcb, a["c_nationkey"] == rcb["n_nationkey"])  # J8 analogue I:302
-    fx = latest_rates(derive_rates(star))
+    fx = rates if rates is not None else latest_rates(derive_rates(star))
     a = broadcast_dim_join(a, fx, a["n_nationkey"] == fx["nationkey"])  # I:303
 
     ist = spark.createDataFrame(ORDER_STATUS_DIM, ["st_name", "st_id"])

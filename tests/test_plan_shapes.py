@@ -1,0 +1,55 @@
+"""Plan-shape assertions over the ENTIRE query catalog (SURVEY.md §4.2, §5.5).
+
+A BroadcastNestedLoopJoin in an unbounded operator means a join lost its
+equi-keys (the §4.2 failure mode) and would be O(n²) at scale. The only
+queries allowed to nested-loop are the deliberately input-bounded exact-N²
+oracles and constant-pinned 1-row dim joins.
+"""
+
+import pytest
+
+from etl_data_transformer_spark.catalog import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Intentionally bounded cross/NLJ shapes:
+#   *_near_dups / ann_bruteforce / ngram_jaccard — exact N² correctness
+#     oracles over capped inputs (the scale path is LSH/IVF/banding)
+#   agg_china / fact_union — const-pinned 1-row dim joins (J5, I:232-248)
+NLJ_ALLOWED = {
+    "embedding_near_dups",
+    "ann_bruteforce",
+    "ngram_jaccard",
+    "agg_china",
+    "fact_union",
+    "range_join_events",  # bucketed equi-join + bound filter; tiny residual
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unbounded_nested_loop_join(spark, name):
+    plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    if name in NLJ_ALLOWED:
+        pytest.skip("bounded N² / const-pinned join by design")
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name} degraded to NLJ:\n{plan[:2000]}"
+
+
+def test_item_status_uses_hash_join(spark):
+    """The null-tolerant join (J3) must keep its equi-keys → a hash or
+    sort-merge join, never a nested loop (SURVEY.md §4.2)."""
+    plan = QUERIES["item_status"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dims_are_broadcast(spark):
+    """Small dims must broadcast in the flagship branch."""
+    plan = QUERIES["item_status"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_is_hash_join(spark):
+    """The bucketed range join must plan a hash join on (key, bucket), not a
+    pure-inequality nested loop."""
+    plan = QUERIES["range_join_events"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan)
