@@ -93,6 +93,24 @@ def _stub_feature(b: bytes, dim: int) -> list[float]:
     return (base + [0.0] * dim)[:dim]
 
 
+def resize(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """'Resize' stub: truncate the payload to the target pixel budget and
+    stamp the new dimensions into ``meta`` — the real operator would be a
+    PIL/libvips call inside the same mapInPandas shape as ``featurize``.
+    Kept JVM-side here (binary substring) since the stub needs no codec."""
+    budget = target_w * target_h
+    return df.select(
+        "media_id",
+        F.expr(f"substring(payload, 1, {budget})").alias("payload"),
+        "media_type",
+        F.struct(
+            F.lit(target_w).alias("width"),
+            F.lit(target_h).alias("height"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stub: slice the payload every N bytes (the video
     frame-sample access pattern) — JVM-side byte slicing, no Python."""

@@ -35,3 +35,10 @@ def test_frame_sample(spark):
     frames = MM.frame_sample(media, every_n_bytes=64).collect()
     assert len(frames) == 3  # floor(200/64) frames
     assert all(f["frame_sig"] for f in frames)
+
+
+def test_resize_stub(spark, star):
+    media = MM.documents_as_media(star["documents"].limit(10))
+    out = MM.resize(media, target_w=8, target_h=8).collect()
+    assert all(len(r["payload"]) <= 64 for r in out)
+    assert all(r["meta"]["width"] == 8 and r["meta"]["height"] == 8 for r in out)
