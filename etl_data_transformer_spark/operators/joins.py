@@ -75,6 +75,33 @@ def const_pinned_dim_join(
     return fact.join(F.broadcast(pinned), F.lit(True), how)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_unique: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi join (SURVEY.md §4.3's documented fallback when AQE
+    skew splitting isn't enough): the skewed (left) side gets a deterministic
+    salt in [0, salt_buckets) derived from a unique column — NOT ``rand()``,
+    which breaks task-retry determinism — and the right side is replicated
+    ``salt_buckets``× via explode. The join key becomes (key, salt), so one
+    hot key spreads over ``salt_buckets`` reducers.
+
+    Cost: right side shuffled ``salt_buckets``× — use for skewed-fact ⋈
+    mid-size table where broadcast doesn't fit and one key dominates.
+    Output columns match ``left.join(right, on, how)``.
+    """
+    salt = F.pmod(F.xxhash64(F.col(left_unique)), F.lit(salt_buckets))
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return l_salted.join(r_salted, [on, "__salt"], how).drop("__salt")
+
+
 def normalized_key_join(
     left: DataFrame,
     right: DataFrame,

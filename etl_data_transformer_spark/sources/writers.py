@@ -56,3 +56,31 @@ def atomic_swap_write(df: DataFrame, target_dir: str, partition_by: list[str] | 
 def drop_table(path: str) -> None:
     """Drop (S7): remove the table directory."""
     shutil.rmtree(path, ignore_errors=True)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table: pre-shuffled on ``bucket_cols`` at write time
+    so later equi joins / aggregations on those columns need NO exchange —
+    the co-located-join strategy for repeatedly-joined 100 TB facts (pay the
+    shuffle once at load, never at query). Sorted within buckets so
+    SortMergeJoin also skips its sort.
+
+    Bucketing metadata lives in the session catalog (``saveAsTable``) —
+    plain ``.parquet(path)`` writes cannot carry it.
+    """
+    writer = (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
