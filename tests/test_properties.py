@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis): operator semantics vs naive
+reference implementations on randomized inputs. Few examples per property —
+each example runs real Spark jobs."""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_data_transformer_spark.operators.temporal import as_of_join, sessionize
+
+BASE_TS = dt.datetime(2024, 1, 1)
+
+_few = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def asof_case(draw):
+    keys = draw(st.lists(st.integers(0, 2), min_size=1, max_size=4, unique=True))
+    left = [
+        (k, draw(st.integers(0, 100)))
+        for k in keys
+        for _ in range(draw(st.integers(1, 3)))
+    ]
+    right = [
+        (k, draw(st.integers(0, 100)), draw(st.integers(1, 9)))
+        for k in draw(st.lists(st.integers(0, 2), min_size=0, max_size=3, unique=True))
+        for _ in range(draw(st.integers(1, 2)))
+    ]
+    return left, right
+
+
+@given(asof_case())
+@_few
+def test_as_of_join_matches_naive(spark, case):
+    left_rows, right_rows = case
+    # unique (key, ts) on the right — as-of is ill-defined on right ts ties
+    right_rows = list({(k, t): (k, t, v) for k, t, v in right_rows}.values())
+    left = spark.createDataFrame(
+        [(i, k, BASE_TS + dt.timedelta(minutes=t)) for i, (k, t) in enumerate(left_rows)],
+        "lid int, k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, BASE_TS + dt.timedelta(minutes=t), float(v)) for k, t, v in right_rows],
+        "k int, rts timestamp, rate double",
+    )
+    got = {
+        r["lid"]: r["rate"]
+        for r in as_of_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts", right_cols=["rate"], how="left"
+        ).collect()
+    }
+    # naive: latest right row with rts <= ts per left row
+    for i, (k, t) in enumerate(left_rows):
+        cands = [(rt, v) for rk, rt, v in right_rows if rk == k and rt <= t]
+        expect = float(max(cands)[1]) if cands else None
+        assert got[i] == expect, (i, k, t, got[i], expect)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 300)),  # (user, minute)
+        min_size=1,
+        max_size=12,
+    )
+)
+@_few
+def test_sessionize_matches_naive(spark, rows):
+    gap_min = 30
+    data = [
+        (i, u, BASE_TS + dt.timedelta(minutes=m)) for i, (u, m) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id int, user_id int, ts timestamp")
+    got = {
+        r["event_id"]: r["sess_id"]
+        for r in sessionize(df.withColumn("value", F.lit(1.0)), gap=f"{gap_min} minutes").collect()
+    }
+    # naive per user: sort by (ts, event_id), break on gap > 30 min
+    for u in {u for _, (u, _) in zip(range(len(rows)), rows)}:
+        evs = sorted((m, i) for i, (uu, m) in enumerate(rows) if uu == u)
+        sess, prev = 0, None
+        for m, i in evs:
+            if prev is None or m - prev > gap_min:
+                sess += 1
+            assert got[i] == sess, (u, i, m, got[i], sess)
+            prev = m

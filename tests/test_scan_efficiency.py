@@ -1,0 +1,39 @@
+"""Scan-efficiency assertions (SURVEY.md §4.2 'free from Catalyst' — but
+verify it stayed free): incremental filters reach the parquet scan and
+column pruning keeps unneeded columns out of the read schema."""
+
+from etl_data_transformer_spark.catalog import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _scan_lines(spark, name):
+    plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    return [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+
+
+def test_watermark_filter_pushed_to_scan(spark):
+    """The P5 incremental predicate must appear as a scan DataFilter, not a
+    post-scan Filter over the full table."""
+    scans = _scan_lines(spark, "watermark_filter")
+    assert any("l_shipdate" in ln and ">=" in ln and "DataFilters" in ln for ln in scans)
+
+
+def test_pricing_summary_prunes_columns(spark):
+    """The 6-column aggregation must not read all 11 lineitem columns."""
+    scans = _scan_lines(spark, "pricing_summary")
+    li_scan = next(ln for ln in scans if "l_quantity" in ln)
+    assert "l_partkey" not in li_scan and "l_suppkey" not in li_scan and "l_tax" not in li_scan
+
+
+def test_item_status_incremental_filter_pushed(spark):
+    """The flagship branch's watermark filter reaches the lineitem scan."""
+    scans = _scan_lines(spark, "item_status")
+    assert any("l_shipdate" in ln and ">=" in ln for ln in scans)
+
+
+def test_topk_prunes_order_columns(spark):
+    """topk reads only the 3 needed orders columns."""
+    scans = _scan_lines(spark, "topk_orders_per_nation")
+    o_scan = next(ln for ln in scans if "o_totalprice" in ln)
+    assert "o_orderpriority" not in o_scan and "o_orderdate" not in o_scan
