@@ -46,21 +46,21 @@ def q_latest_rate_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_item_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ITEM_STATUS branch (I:60-112): null-tolerant join + broadcast dims +
     latest-rate window + 24-col CASE/SAFE_DIVIDE projection + DISTINCT."""
-    star = load_star(spark, sf_dir)
+    star = load_star(spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region", "part"))
     return item_status_branch(star, fact_offset(spark, sf_dir))
 
 
 def q_agg_china(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AGG_CHINA branch (I:114-268): pre-join DISTINCT, const-pinned dims,
     UPPER-normalized dim join, CASE-with-dim-fallback, deterministic UUID."""
-    star = load_star(spark, sf_dir)
+    star = load_star(spark, sf_dir, ("events", "orders", "customer", "region"))
     return agg_china_branch(spark, star, events_offset(spark, sf_dir))
 
 
 def q_tomford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOMFORD_STATUS branch (I:271-308): IFNULL dates, literal columns,
     computed-key left joins, code→id lookups, casts."""
-    star = load_star(spark, sf_dir)
+    star = load_star(spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region", "part"))
     return tomford_branch(spark, star, fact_offset(spark, sf_dir))
 
 
@@ -72,7 +72,9 @@ def q_fact_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     faster than materializing it via localCheckpoint (5.6 s vs 7.2 s at
     sf0.1), so the branches are left self-contained. The ``rates=``
     parameter remains for callers that precompute the dim."""
-    star = load_star(spark, sf_dir)
+    star = load_star(
+        spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region", "part", "events")
+    )
     f_off = fact_offset(spark, sf_dir)
     return union_branches(
         item_status_branch(star, f_off),

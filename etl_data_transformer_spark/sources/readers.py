@@ -85,14 +85,27 @@ def _estimated_scan_tasks(spark: SparkSession, path: str) -> int:
     return max(1, size // max_bytes)
 
 
+# (session, path, auto_spread) → DataFrame. A DataFrame is an immutable lazy
+# plan, so sharing one per table is safe; without this every query pays a
+# parquet footer/schema-inference JOB per table it loads (measured: 14 of 25
+# jobs in one branch query were footer reads — several seconds of fixed cost).
+# Fixture directories are read-only, so no invalidation is needed.
+_TABLE_CACHE: dict[tuple[int, str, bool], DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str, auto_spread: bool = False) -> DataFrame:
     """Warehouse-style named table scan over the fixture directory (S3).
 
     Parquet TIMESTAMP(NANOS) columns (not supported by the Spark reader) come
     in as nanosecond longs via ``spark.sql.legacy.parquet.nanosAsLong`` and
-    are converted to microsecond timestamps here.
+    are converted to microsecond timestamps here. Scans are memoized per
+    session (see ``_TABLE_CACHE``).
     """
     path = f"{sf_dir}/{name}.parquet"
+    cache_key = (id(spark), path, auto_spread)
+    cached = _TABLE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: float division loses precision at ns-since-epoch
@@ -112,6 +125,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str, auto_spread: bool = 
                 df = df.repartition(target, F.col(_SPREAD_TABLES[name]))
         except OSError:
             pass  # non-local path (object store) — cluster-scale, no spread
+    _TABLE_CACHE[cache_key] = df
     return df
 
 
