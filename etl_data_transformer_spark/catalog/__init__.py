@@ -31,6 +31,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tumbling_events": PAR.q_tumbling_events,
     "percentile_prices": PAR.q_percentile_prices,
     "string_agg_nations": PAR.q_string_agg_nations,
+    "running_totals": PAR.q_running_totals,
+    "set_ops_customers": PAR.q_set_ops_customers,
+    "explode_part_types": PAR.q_explode_part_types,
+    "full_outer_region_stats": PAR.q_full_outer_region_stats,
     # reference-parity: the incremental fact-load branches
     "latest_rate_per_nation": BQ.q_latest_rate_per_nation,
     "item_status": BQ.q_item_status,

@@ -208,6 +208,46 @@ EXTENSION_ORACLES: dict[str, str] = {
     """,
 }
 
+PARITY_ORACLES["running_totals"] = """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS order_seq,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+           round(first_value(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS first_total,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+PARITY_ORACLES["set_ops_customers"] = """
+    SELECT custkey FROM (
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    EXCEPT ALL
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+PARITY_ORACLES["explode_part_types"] = """
+    SELECT word, count(*) AS n FROM (
+        SELECT unnest(string_split(p_type, ' ')) AS word FROM part
+    ) GROUP BY word
+"""
+
+PARITY_ORACLES["full_outer_region_stats"] = """
+    SELECT coalesce(ck, sk) AS nationkey,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(n_suppliers, 0) AS n_suppliers
+    FROM (SELECT n_nationkey AS ck, count(*) AS n_customers
+          FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT n_nationkey AS sk, count(*) AS n_suppliers
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY 1) s
+      ON c.ck = s.sk
+"""
+
 PARITY_ORACLES["percentile_prices"] = """
     SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,

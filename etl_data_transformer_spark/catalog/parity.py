@@ -178,6 +178,67 @@ def q_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_agg(ev, "ts", "1 hour", group_extra=["event_type"])
 
 
+def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame (ROWS UNBOUNDED PRECEDING): running order total and
+    order sequence number per customer."""
+    o = load_star(spark, sf_dir, ("orders",))["orders"]
+    order = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    w_run = Window.partitionBy("o_custkey").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w_seq = Window.partitionBy("o_custkey").orderBy(*order)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w_seq).alias("order_seq"),
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
+        F.round(F.first("o_totalprice").over(w_run), 2).alias("first_total"),
+        F.ntile(4).over(w_seq).alias("quartile"),
+    )
+
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT: customers with both a fulfilled and an open order,
+    minus any with a pending order."""
+    o = load_star(spark, sf_dir, ("orders",))["orders"]
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    p_cust = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return f_cust.intersect(o_cust).exceptAll(p_cust.distinct()).select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+
+def q_explode_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode (UNNEST): split p_type into words, count occurrences."""
+    p = load_star(spark, sf_dir, ("part",))["part"]
+    return (
+        p.select(F.explode(F.split("p_type", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_full_outer_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two per-region aggregates (customers vs suppliers
+    — suppliers cover fewer nations, so both null sides are exercised)."""
+    star = load_star(spark, sf_dir, ("customer", "supplier", "nation"))
+    c, s, n = star["customer"], star["supplier"], star["nation"]
+    cust = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cust.join(supp, cust["ck"] == supp["sk"], "full_outer").select(
+        F.coalesce("ck", "sk").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
 def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (ordered-set aggregate) per group."""
     li = load_star(spark, sf_dir, ("lineitem",))["lineitem"]
