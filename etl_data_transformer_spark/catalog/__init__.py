@@ -31,6 +31,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tumbling_events": PAR.q_tumbling_events,
     "percentile_prices": PAR.q_percentile_prices,
     "string_agg_nations": PAR.q_string_agg_nations,
+    "cleanse_report": PAR.q_cleanse_report,
     "running_totals": PAR.q_running_totals,
     "set_ops_customers": PAR.q_set_ops_customers,
     "explode_part_types": PAR.q_explode_part_types,

@@ -208,6 +208,13 @@ EXTENSION_ORACLES: dict[str, str] = {
     """,
 }
 
+PARITY_ORACLES["cleanse_report"] = """
+    SELECT count(*) + 10 AS input_rows,
+           CAST(10 AS BIGINT) AS duplicate_rows,
+           count(*) AS output_rows
+    FROM customer
+"""
+
 PARITY_ORACLES["running_totals"] = """
     SELECT o_custkey, o_orderkey,
            row_number() OVER w AS order_seq,

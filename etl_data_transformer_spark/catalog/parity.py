@@ -178,6 +178,29 @@ def q_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_agg(ev, "ts", "1 hour", group_extra=["event_type"])
 
 
+def q_cleanse_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The T:1-18 cleanse pipeline end-to-end, driver-checkable: stage
+    customer as a mixed-case-header CSV with 10 injected duplicate rows,
+    cleanse (lowercase → impute → dedup → parquet), return the metrics
+    report as one row. Oracle: counts derivable from the customer view."""
+    import tempfile
+
+    from ..plans.cleanse import cleanse
+
+    c = load_star(spark, sf_dir, ("customer",))["customer"]
+    staged = c.unionByName(c.orderBy("c_custkey").limit(10))
+    tmp = tempfile.mkdtemp(prefix="cleanse_q_")
+    csv_path, out_path = f"{tmp}/in_csv", f"{tmp}/out_parquet"
+    staged.toDF(*[col.upper() for col in c.columns]).write.mode("overwrite").option(
+        "header", True
+    ).csv(csv_path)
+    rep = cleanse(spark, csv_path, out_path)
+    return spark.createDataFrame(
+        [(rep.input_rows, rep.duplicate_rows, rep.output_rows)],
+        "input_rows long, duplicate_rows long, output_rows long",
+    )
+
+
 def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window frame (ROWS UNBOUNDED PRECEDING): running order total and
     order sequence number per customer."""

@@ -28,9 +28,27 @@ FIXTURE_TABLES = (
 )
 
 
-def read_csv(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
-    """CSV scan with header; schema inference when none is declared (S1)."""
-    reader = spark.read.option("header", True)
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """CSV scan with header; schema inference when none is declared (S1).
+
+    ``mode`` is Spark's malformed-record policy — PERMISSIVE (default: bad
+    fields null out), DROPMALFORMED, or FAILFAST. The reference's pandas
+    ``read_csv`` would raise on ragged rows; at 100 TB you quarantine them
+    instead: pass ``corrupt_col`` (requires an explicit ``schema``) to
+    capture each unparseable raw line in that column for triage.
+    """
+    reader = spark.read.option("header", True).option("mode", mode)
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col requires an explicit schema")
+        schema = T.StructType([*schema.fields, T.StructField(corrupt_col, T.StringType(), True)])
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         return reader.schema(schema).csv(path)
     return reader.option("inferSchema", True).csv(path)

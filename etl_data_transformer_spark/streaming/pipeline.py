@@ -162,6 +162,38 @@ def stream_sessionize(
     )
 
 
+def stream_incremental_append(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    cdc_column: str = "ts",
+    partition_col: str = "cdc_date",
+) -> None:
+    """The C4 incremental append as a streaming sink: new source files flow
+    into the date-partitioned fact exactly once (offsets + sink metadata in
+    the checkpoint), replacing the batch watermark bookkeeping
+    (``Incremental_load_fact_item_status.sql:10-20``) entirely — the
+    checkpoint IS the high-water mark.
+
+    Each ``Trigger.AvailableNow`` invocation drains whatever arrived since
+    the last run; re-running after a partial failure never duplicates rows
+    (file-sink transactional log). Partitioned by ``partition_col`` so batch
+    readers get partition pruning on the same layout the batch loader
+    (plans/incremental.py) writes.
+    """
+    out = stream_df.withColumn(partition_col, F.to_date(F.col(cdc_column)))
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", target_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy(partition_col)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,

@@ -50,3 +50,39 @@ def test_impute_nulls_numeric_only_by_default(spark):
     assert out["n"] == 0.0 and out["s"] is None  # documented deviation §7.4.2
     out2 = impute_nulls(df, string_value="0").collect()[0]
     assert out2["s"] == "0"
+
+
+def test_read_csv_quarantines_malformed(spark, tmp_path):
+    """Malformed rows null out (PERMISSIVE) and land in the corrupt column
+    for triage instead of failing the load (the 100 TB posture; pandas
+    read_csv would raise)."""
+    from pyspark.sql import types as T
+
+    from etl_data_transformer_spark.sources.readers import read_csv
+
+    p = tmp_path / "bad.csv"
+    p.write_text("id,amount\n1,10.5\nnot_a_number_row,,extra,fields\n3,30.0\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("amount", T.DoubleType())]
+    )
+    df = read_csv(spark, str(p), schema=schema, corrupt_col="_corrupt").cache()
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["amount"] == 10.5 and rows[1]["_corrupt"] is None
+    assert rows[3]["amount"] == 30.0
+    bad = [r for r in df.collect() if r["_corrupt"] is not None]
+    assert len(bad) == 1 and "not_a_number_row" in bad[0]["_corrupt"]
+    df.unpersist()
+
+
+def test_read_csv_dropmalformed(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from etl_data_transformer_spark.sources.readers import read_csv
+
+    p = tmp_path / "bad2.csv"
+    p.write_text("id,amount\n1,10.5\nx,y,z,w\n3,30.0\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("amount", T.DoubleType())]
+    )
+    df = read_csv(spark, str(p), schema=schema, mode="DROPMALFORMED")
+    assert sorted(r["id"] for r in df.collect()) == [1, 3]

@@ -95,3 +95,33 @@ def test_stream_sessionize_closed_sessions(spark, tmp_path):
     r = got[0]
     assert r["user_id"] == 1 and r["n_events"] == 2 and r["sum_value"] == 3.0
     assert r["sess_start"] == ts(0) and r["sess_end"] == ts(10)
+
+
+def test_stream_incremental_append_exactly_once(spark, tmp_path):
+    """Streaming C4 append: two drains over a growing source land every row
+    exactly once in the partitioned target (checkpoint = high-water mark);
+    re-running with no new data appends nothing."""
+    from etl_data_transformer_spark.streaming.pipeline import stream_incremental_append
+
+    src = str(tmp_path / "inc_src")
+    target = str(tmp_path / "inc_target")
+    ckpt = str(tmp_path / "inc_ckpt")
+    ev = read_table(spark, SF_DIR, "events")
+    first = ev.filter(F.col("event_id") < 500)
+    second = ev.filter(F.col("event_id") >= 500)
+
+    first.write.mode("overwrite").parquet(src)
+    stream_incremental_append(read_event_stream(spark, src), target, ckpt)
+    assert spark.read.parquet(target).count() == first.count()
+
+    second.write.mode("append").parquet(src)
+    stream_incremental_append(read_event_stream(spark, src), target, ckpt)
+    got = spark.read.parquet(target)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()  # no dupes
+
+    # idempotent re-run: nothing new to drain
+    stream_incremental_append(read_event_stream(spark, src), target, ckpt)
+    assert spark.read.parquet(target).count() == ev.count()
+    # partitioned layout for pruning
+    assert got.schema["cdc_date"].dataType.typeName() == "date"
