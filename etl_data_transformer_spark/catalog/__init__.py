@@ -56,6 +56,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": EXT.q_lang_id,
     "quality_scores": EXT.q_quality_scores,
     "multimodal_features": EXT.q_multimodal_features,
+    "chunk_documents": EXT.q_chunk_documents,
+    "tfidf_top_terms": EXT.q_tfidf_top_terms,
     # temporal + profiling surface (as-of, range join, sessions, rollup)
     **TEMPORAL_QUERIES,
 }

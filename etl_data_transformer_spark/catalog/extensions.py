@@ -125,6 +125,61 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline chunking: split each document into 50-token windows with
+    10-token overlap (stride 40) — the context-window prep step. Pure JVM
+    array ops; chunk count ∝ doc length, so the explode parallelizes by
+    document."""
+    size, stride = 50, 40
+    d = _docs(spark, sf_dir)
+    toks = TX.tokens("text")
+    n_chunks = F.ceil(F.greatest(F.size(toks) - (size - stride), F.lit(1)) / F.lit(stride)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, size)).alias("txt"),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.idx").alias("chunk_idx"),
+            F.size(TX.tokens(F.col("c.txt"))).alias("n_tokens"),
+            F.col("c.txt").alias("chunk_text"),
+        )
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: explode→tf, join document length and
+    document frequency, rank per doc. Three shuffles (tf groupBy, df groupBy,
+    per-doc window) — all on narrow keys; the df side is a broadcast-sized
+    term dictionary at any corpus size with a bounded vocabulary."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(TX.tokens(F.lower("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tc").alias("n_toks"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("docs_with"))
+    n_docs = dl.count()
+    score = F.round(
+        (F.col("tc") / F.col("n_toks").cast("double"))
+        * F.log(F.lit(float(n_docs)) / F.col("docs_with")),
+        8,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term").asc())
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "rnk")
+    )
+
+
 # ----------------------------------------------------------- multimodal ----
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

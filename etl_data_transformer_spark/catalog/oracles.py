@@ -197,6 +197,42 @@ EXTENSION_ORACLES: dict[str, str] = {
         )
         GROUP BY source
     """,
+    "chunk_documents": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKENS} AS toks FROM documents
+        ), c AS (
+          SELECT doc_id,
+                 unnest([{{'idx': i,
+                           'txt': array_to_string(toks[1 + i*40 : i*40 + 50], ' ')}}
+                         for i in range(0, CAST(ceil(greatest(len(toks) - 10, 1) / 40.0) AS INT))],
+                        recursive := true)
+          FROM t
+        )
+        SELECT doc_id, idx AS chunk_idx,
+               len(regexp_split_to_array(trim(txt), '\\s+')) AS n_tokens,
+               txt AS chunk_text
+        FROM c
+    """,
+    "tfidf_top_terms": """
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tc FROM tok GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, sum(tc) AS n_toks FROM tf GROUP BY 1
+        ), df AS (
+          SELECT term, count(*) AS docs_with FROM tf GROUP BY 1
+        ), n AS (SELECT count(*) AS n_docs FROM dl)
+        SELECT doc_id, term, rnk FROM (
+          SELECT tf.doc_id, tf.term,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY round((tc / CAST(n_toks AS DOUBLE))
+                                  * ln(CAST(n_docs AS DOUBLE) / docs_with), 8) DESC,
+                            tf.term ASC) AS rnk
+          FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
+        ) WHERE rnk <= 3
+    """,
     "multimodal_features": """
         SELECT doc_id AS media_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
