@@ -45,6 +45,8 @@ HEADLINE = [
     "rolling_user_stats",
     "ngram_jaccard",
     "percentile_prices",
+    "chunk_documents",
+    "tfidf_top_terms",
 ]
 
 

@@ -26,14 +26,26 @@ FACT_LOOKBACK_DAYS = 365
 EVENTS_LOOKBACK_DAYS = 15
 
 
+# (session, sf_dir, kind) → watermark. The fixture dirs are immutable, so
+# the MAX-scan + collect (C3) runs once per session instead of once per
+# query referencing the branch.
+_OFFSET_CACHE: dict[tuple[int, str, str], dt.datetime] = {}
+
+
 def fact_offset(spark: SparkSession, sf_dir: str) -> dt.datetime:
-    li = load_star(spark, sf_dir, ("lineitem",))["lineitem"]
-    return scalar_max(li, "l_shipdate") - dt.timedelta(days=FACT_LOOKBACK_DAYS)
+    key = (id(spark), sf_dir, "fact")
+    if key not in _OFFSET_CACHE:
+        li = load_star(spark, sf_dir, ("lineitem",))["lineitem"]
+        _OFFSET_CACHE[key] = scalar_max(li, "l_shipdate") - dt.timedelta(days=FACT_LOOKBACK_DAYS)
+    return _OFFSET_CACHE[key]
 
 
 def events_offset(spark: SparkSession, sf_dir: str) -> dt.datetime:
-    ev = load_star(spark, sf_dir, ("events",))["events"]
-    return scalar_max(ev, "ts") - dt.timedelta(days=EVENTS_LOOKBACK_DAYS)
+    key = (id(spark), sf_dir, "events")
+    if key not in _OFFSET_CACHE:
+        ev = load_star(spark, sf_dir, ("events",))["events"]
+        _OFFSET_CACHE[key] = scalar_max(ev, "ts") - dt.timedelta(days=EVENTS_LOOKBACK_DAYS)
+    return _OFFSET_CACHE[key]
 
 
 def q_latest_rate_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
