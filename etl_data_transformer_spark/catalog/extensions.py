@@ -180,6 +180,49 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/20 train/test split: hash the id (md5, engine-
+    portable) and threshold the hex prefix. Unlike ``randomSplit`` this is
+    stable across partitioning, retries, and engines — the property a
+    reproducible training pipeline needs. Returns per-(split, source)
+    counts."""
+    d = _docs(spark, sf_dir)
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd", "train"
+    ).otherwise("test")
+    return (
+        d.select(split.alias("split"), "source")
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pretraining-data curation: language allow-list → quality
+    threshold → exact dedup (keep lowest id per fingerprint) → per-language
+    survivor stats with token budget. One declarative plan: Catalyst fuses
+    the filters into the scan and the dedup is a single window shuffle."""
+    d = _docs(spark, sf_dir)
+    kept = (
+        d.filter(F.col("lang").isin("en", "de", "fr"))
+        .withColumn("q", TX.quality_score("text"))
+        .filter(F.col("q") >= 0.5)
+        .withColumn("fp", TX.fingerprint("text"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    survivors = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        survivors.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TX.token_count("text")).alias("total_tokens"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+    )
+
+
 # ----------------------------------------------------------- multimodal ----
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

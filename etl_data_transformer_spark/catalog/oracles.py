@@ -197,6 +197,39 @@ EXTENSION_ORACLES: dict[str, str] = {
         )
         GROUP BY source
     """,
+    "train_test_split": """
+        SELECT split, source, count(*) AS n FROM (
+            SELECT source,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                        THEN 'train' ELSE 'test' END AS split
+            FROM documents
+        ) GROUP BY split, source
+    """,
+    "curation_pipeline": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   round(0.5 * least(1.0, len({_TOKENS}) / 100.0)
+                       + 0.3 * coalesce(len(list_distinct({_TOKENS}))
+                                        / nullif(len({_TOKENS}), 0), 0.0)
+                       + 0.2 * (1.0 - round(CASE WHEN length(text) > 0
+                                    THEN len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) / length(text)
+                                    ELSE 0.0 END, 6)), 6) AS q,
+                   sha256({_NORM_TEXT}) AS fp,
+                   len({_TOKENS}) AS n_toks
+            FROM documents WHERE lang IN ('en', 'de', 'fr')
+        ), kept AS (
+            SELECT * FROM scored WHERE q >= 0.5
+        ), survivors AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM kept
+            ) WHERE rn = 1
+        )
+        SELECT lang, count(*) AS n_docs,
+               sum(n_toks) AS total_tokens,
+               round(avg(q), 4) AS avg_quality
+        FROM survivors GROUP BY lang
+    """,
     "chunk_documents": f"""
         WITH t AS (
           SELECT doc_id, {_TOKENS} AS toks FROM documents
