@@ -180,6 +180,19 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → clusters via iterative min-label connected
+    components (operators/graph.py). Edges are the exact n-gram Jaccard
+    pairs (oracle-able, unlike the seeded MinHash pairs); the oracle is a
+    DuckDB recursive CTE computing the same min-reachable-id — deterministic
+    regardless of algorithm."""
+    from ..operators.graph import dedup_clusters as _clusters
+
+    d = _docs(spark, sf_dir).filter((F.col("doc_id") < 100) & (F.length("text") >= 3))
+    pairs = DD.ngram_jaccard_exact(d, n=3, threshold=0.6)
+    return _clusters(d, pairs)
+
+
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~80/20 train/test split: hash the id (md5, engine-
     portable) and threshold the hex prefix. Unlike ``randomSplit`` this is

@@ -76,3 +76,13 @@ def test_ngram_jaccard_pairs(spark):
     df = spark.createDataFrame([(1, BASE), (2, NEAR), (3, FAR)], ["doc_id", "text"])
     pairs = DD.ngram_jaccard_pairs(df, threshold=0.3).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from etl_data_transformer_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    # chain 0-1-2, pair 3-4, singleton 5
+    edges = spark.createDataFrame([(1, 2), (0, 1), (3, 4)], ["src", "dst"])
+    got = {r["id"]: r["cluster_id"] for r in connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}

@@ -20,6 +20,7 @@ NLJ_ALLOWED = {
     "embedding_near_dups",
     "ann_bruteforce",
     "ngram_jaccard",
+    "dedup_clusters",  # built on the ngram_jaccard bounded-N² edge set
     "agg_china",
     "fact_union",
     "range_join_events",  # bucketed equi-join + bound filter; tiny residual
