@@ -3,10 +3,11 @@
 ``entry(spark)`` runs the flagship query (the ITEM_STATUS branch of the
 incremental fact load, SURVEY.md §7.1 Slice B) at sf0.001.
 ``queries()`` exposes one callable per implemented operator from SURVEY.md §2
-plus the LLM-pipeline extensions (catalog package); ``oracle_sql()`` gives
-the DuckDB twin for every SQL-expressible one — queries absent from
-``oracle_sql()`` (seeded-hash LSH banding, MLlib LSH, IVF projections,
-SimHash) are intentionally rows-only.
+plus the LLM-pipeline and temporal extensions (catalog package — 50 queries;
+inventory map in COVERAGE.md); ``oracle_sql()`` gives the DuckDB twin for
+every SQL-expressible one — the 6 absent from ``oracle_sql()`` (seeded-hash
+LSH banding, MLlib LSH, IVF projections, SimHash, HLL profiling) are
+intentionally rows-only.
 
 Column aliases match exactly on both sides (the driver sorts columns by name
 before value-hashing).
