@@ -9,6 +9,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import branch_queries as BQ
+from . import branch_sql as BSQL
 from . import extensions as EXT
 from . import parity as PAR
 from .branch_queries import BRANCH_ORACLES
@@ -42,6 +43,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_china": BQ.q_agg_china,
     "tomford": BQ.q_tomford,
     "fact_union": BQ.q_fact_union,
+    # same branches via the raw-SQL entry point (spark.sql over views) —
+    # hash-checked against the SAME oracles as the DataFrame builds
+    "sql_item_status": BSQL.q_sql_item_status,
+    "sql_fact_union": BSQL.q_sql_fact_union,
     # LLM-pipeline extensions
     "doc_fingerprint": EXT.q_doc_fingerprint,
     "exact_dedup_groups": EXT.q_exact_dedup_groups,

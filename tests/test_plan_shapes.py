@@ -23,6 +23,7 @@ NLJ_ALLOWED = {
     "dedup_clusters",  # built on the ngram_jaccard bounded-N² edge set
     "agg_china",
     "fact_union",
+    "sql_fact_union",  # same const-pinned dims via the raw-SQL entry point
     "range_join_events",  # bucketed equi-join + bound filter; tiny residual
 }
 
