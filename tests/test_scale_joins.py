@@ -51,3 +51,39 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling (SURVEY.md §4.3): a hot key must be split at
+    runtime (final adaptive plan marks the sort-merge join skew=true) —
+    the engine's first line of defense before manual salting."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("uid"),
+        )
+        right = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+        # execute THIS DataFrame (count() spawns a different query execution
+        # whose adaptive plan would not finalize joined's own)
+        joined = left.hint("merge").join(right, "k").select("k")
+        assert len(joined.collect()) == 300_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
