@@ -64,6 +64,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": EXT.q_chunk_documents,
     "tfidf_top_terms": EXT.q_tfidf_top_terms,
     "dedup_clusters": EXT.q_dedup_clusters,
+    "quantize_embeddings": EXT.q_quantize_embeddings,
     "train_test_split": EXT.q_train_test_split,
     "curation_pipeline": EXT.q_curation_pipeline,
     # temporal + profiling surface (as-of, range join, sessions, rollup)

@@ -180,6 +180,27 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings (the 4× storage lever at
+    corpus scale): per-vector scale, first 3 codes, reconstruction RMSE."""
+    from ..functions.vector import quant_rmse, quant_scale, quantize_int8
+
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") < 100)
+    scale = quant_scale("embedding")
+    out = e.select(
+        "vec_id",
+        scale.alias("s"),
+        quantize_int8("embedding", scale).alias("codes"),
+        quant_rmse("embedding", scale).alias("err"),
+    ).filter(F.col("s") > 0)
+    return out.select(
+        "vec_id",
+        F.round("s", 6).alias("scale"),
+        F.slice("codes", 1, 3).alias("q_head"),
+        F.round("err", 6).alias("rmse"),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → clusters via iterative min-label connected
     components (operators/graph.py). Edges are the exact n-gram Jaccard

@@ -197,6 +197,19 @@ EXTENSION_ORACLES: dict[str, str] = {
         )
         GROUP BY source
     """,
+    "quantize_embeddings": """
+        WITH q AS (
+          SELECT vec_id,
+                 list_max([abs(x) for x in CAST(embedding AS DOUBLE[])]) / 127.0 AS s,
+                 CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings WHERE vec_id < 100
+        )
+        SELECT vec_id, round(s, 6) AS scale,
+               [CAST(round(x / s, 0) AS BIGINT) for x in emb][1:3] AS q_head,
+               round(sqrt(list_sum([pow(x - round(x / s, 0) * s, 2) for x in emb])
+                          / len(emb)), 6) AS rmse
+        FROM q WHERE s > 0
+    """,
     "dedup_clusters": """
         WITH RECURSIVE g AS (
           SELECT doc_id,

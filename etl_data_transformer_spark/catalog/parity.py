@@ -195,6 +195,10 @@ def q_cleanse_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "header", True
     ).csv(csv_path)
     rep = cleanse(spark, csv_path, out_path)
+    # the report is fully materialized — the staging files can go
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         [(rep.input_rows, rep.duplicate_rows, rep.output_rows)],
         "input_rows long, duplicate_rows long, output_rows long",

@@ -36,3 +36,25 @@ def unit_normalize(a: Column | str) -> Column:
     """Scale to unit L2 norm (pre-normalize once → cosine becomes dot)."""
     n = l2_norm(a)
     return F.transform(_c(a), lambda x: x.cast("double") / n)
+
+
+def quant_scale(a: Column | str) -> Column:
+    """Symmetric int8 quantization scale: max|x| / 127."""
+    absmax = F.array_max(F.transform(_c(a), lambda x: F.abs(x.cast("double"))))
+    return absmax / F.lit(127.0)
+
+
+def quantize_int8(a: Column | str, scale: Column) -> Column:
+    """Quantize to int8 codes (as longs): round(x / scale). At 100 TB this
+    is the 4× embedding-storage lever; keep the per-vector ``scale`` column
+    for dequantization (x ≈ code * scale)."""
+    return F.transform(_c(a), lambda x: F.round(x.cast("double") / scale, 0).cast("long"))
+
+
+def quant_rmse(a: Column | str, scale: Column) -> Column:
+    """Root-mean-square reconstruction error of int8 quantization."""
+    err2 = F.transform(
+        _c(a),
+        lambda x: F.pow(x.cast("double") - F.round(x.cast("double") / scale, 0) * scale, F.lit(2.0)),
+    )
+    return F.sqrt(F.aggregate(err2, F.lit(0.0), lambda acc, v: acc + v) / F.size(_c(a)))
