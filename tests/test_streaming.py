@@ -125,3 +125,48 @@ def test_stream_incremental_append_exactly_once(spark, tmp_path):
     assert spark.read.parquet(target).count() == ev.count()
     # partitioned layout for pruning
     assert got.schema["cdc_date"].dataType.typeName() == "date"
+
+
+def test_stream_sessionize_state_across_drains(spark, tmp_path):
+    """Group state survives across AvailableNow drains: batch 2 events within
+    the gap EXTEND the open session (still unemitted); an event past the gap
+    CLOSES it and the completed session is emitted with batch-1+2 contents."""
+    import datetime as dt
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, minute // 60, minute % 60)
+
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    src = str(tmp_path / "sess2_src")
+    ckpt = str(tmp_path / "sess2_ckpt")
+
+    out = str(tmp_path / "sess2_out")
+
+    def drain():
+        # file sink (memory sink cannot recover from a checkpoint)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_sessionize(stream, gap_minutes=30)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    spark.createDataFrame([(1, 1, ts(0), 1.0)], schema).write.mode("overwrite").parquet(src)
+    assert drain() == []  # session still open in state
+
+    # +10 min: extends the open session; +90 min: gap exceeded → closes it
+    spark.createDataFrame(
+        [(2, 1, ts(10), 2.0), (3, 1, ts(90), 5.0)], schema
+    ).write.mode("append").parquet(src)
+    got2 = drain()
+    assert len(got2) == 1
+    r = got2[0]
+    # the closed session spans both drains' events (state carried over)
+    assert r["n_events"] == 2 and r["sum_value"] == 3.0
+    assert r["sess_start"] == ts(0) and r["sess_end"] == ts(10)
