@@ -64,6 +64,40 @@ def test_as_of_join_matches_naive(spark, case):
 
 @given(
     st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2000)),  # (key, second)
+        min_size=2,
+        max_size=10,
+        unique=True,
+    )
+)
+@_few
+def test_range_join_matches_naive_random(spark, rows):
+    upper_s = 300
+    df = spark.createDataFrame(
+        [(i, k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(rows)],
+        "eid int, k int, ts timestamp",
+    )
+    from etl_data_transformer_spark.operators.temporal import range_join
+
+    a = df.select("k", F.col("eid").alias("id_a"), F.col("ts").alias("ts_a"))
+    b = df.select("k", F.col("eid").alias("id_b"), F.col("ts").alias("ts_b"))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in range_join(a, b, on=["k"], left_ts="ts_a", right_ts="ts_b", upper_s=upper_s)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    expect = {
+        (i, j)
+        for i, (k1, s1) in enumerate(rows)
+        for j, (k2, s2) in enumerate(rows)
+        if k1 == k2 and 0 < s2 - s1 <= upper_s
+    }
+    assert got == expect
+
+
+@given(
+    st.lists(
         st.tuples(st.integers(0, 1), st.integers(0, 300)),  # (user, minute)
         min_size=1,
         max_size=12,
