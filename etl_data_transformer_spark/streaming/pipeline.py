@@ -194,6 +194,62 @@ def stream_incremental_append(
     q.awaitTermination()
 
 
+def stream_incremental_upsert(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    cdc_column: str = "ts",
+    partition_col: str = "cdc_date",
+) -> None:
+    """The FULL streaming form of the reference's delete-insert (C4,
+    ``Incremental_load_fact_item_status.sql:23-40``): each micro-batch
+    UPSERTS by ``key_cols`` — rows already in the target with a matching key
+    are replaced, new keys append.
+
+    ``foreachBatch`` + dynamic partition overwrite: only the date partitions
+    the batch touches are rewritten (read back, anti-join out replaced keys,
+    union the batch, overwrite those partitions). Cost per batch ∝ touched
+    partitions, not table size — the same property the batch loader
+    (plans/incremental.py) has, with the checkpoint as the high-water mark.
+    Batch-local dedup keeps the LAST row per key by ``cdc_column`` (CDC
+    ordering).
+    """
+    from pyspark.sql import Window
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:  # noqa: ARG001
+        spark = batch_df.sparkSession
+        batch = batch_df.withColumn(partition_col, F.to_date(F.col(cdc_column)))
+        w = Window.partitionBy(*key_cols).orderBy(F.col(cdc_column).desc())
+        batch = (
+            batch.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+        ).persist()
+        try:
+            if batch.isEmpty():
+                return
+            try:
+                old = spark.read.parquet(target_path)
+            except Exception:  # noqa: BLE001 — first batch, no target yet
+                batch.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+                return
+            dates = [r[partition_col] for r in batch.select(partition_col).distinct().collect()]
+            touched = old.filter(F.col(partition_col).isin(dates))
+            kept = touched.join(F.broadcast(batch.select(*key_cols).distinct()), key_cols, "left_anti")
+            out = kept.unionByName(batch).localCheckpoint(eager=True)
+            # dynamic overwrite: only the touched date partitions are replaced
+            out.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+        finally:
+            batch.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,

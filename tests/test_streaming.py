@@ -170,3 +170,42 @@ def test_stream_sessionize_state_across_drains(spark, tmp_path):
     # the closed session spans both drains' events (state carried over)
     assert r["n_events"] == 2 and r["sum_value"] == 3.0
     assert r["sess_start"] == ts(0) and r["sess_end"] == ts(10)
+
+
+def test_stream_incremental_upsert(spark, tmp_path):
+    """foreachBatch CDC upsert: later batches replace rows by key within the
+    touched date partitions; new keys append; in-batch duplicates collapse to
+    the latest version."""
+    import datetime as dt
+
+    from etl_data_transformer_spark.streaming.pipeline import stream_incremental_upsert
+
+    schema = "k long, ts timestamp, v double"
+    src = str(tmp_path / "ups_src")
+    target = str(tmp_path / "ups_target")
+    ckpt = str(tmp_path / "ups_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_incremental_upsert(stream, target, ckpt, key_cols=["k"], cdc_column="ts")
+
+    d1 = dt.datetime(2024, 1, 1, 10)
+    d2 = dt.datetime(2024, 1, 2, 10)
+    spark.createDataFrame([(1, d1, 1.0), (2, d1, 2.0)], schema).write.mode("overwrite").parquet(src)
+    drain()
+    assert {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()} == {(1, 1.0), (2, 2.0)}
+
+    # update k=1 (same partition date), add k=3 on a new date, and two
+    # in-batch versions of k=4 (the later one must win)
+    spark.createDataFrame(
+        [
+            (1, d1 + dt.timedelta(hours=1), 10.0),
+            (3, d2, 3.0),
+            (4, d2, 40.0),
+            (4, d2 + dt.timedelta(minutes=5), 44.0),
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    drain()
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, 10.0), (2, 2.0), (3, 3.0), (4, 44.0)}
