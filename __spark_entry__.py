@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship query (the ITEM_STATUS branch of the
 incremental fact load, SURVEY.md §7.1 Slice B) at sf0.001.
 ``queries()`` exposes one callable per implemented operator from SURVEY.md §2
-plus the LLM-pipeline and temporal extensions (catalog package — 53 queries;
+plus the LLM-pipeline and temporal extensions (catalog package — 54 queries;
 inventory map in COVERAGE.md); ``oracle_sql()`` gives the DuckDB twin for
 every SQL-expressible one — the 6 absent from ``oracle_sql()`` (seeded-hash
 LSH banding, MLlib LSH, IVF projections, SimHash, HLL profiling) are

@@ -31,6 +31,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json": PAR.q_events_json,
     "tumbling_events": PAR.q_tumbling_events,
     "percentile_prices": PAR.q_percentile_prices,
+    "price_histogram": PAR.q_price_histogram,
     "string_agg_nations": PAR.q_string_agg_nations,
     "cleanse_report": PAR.q_cleanse_report,
     "running_totals": PAR.q_running_totals,

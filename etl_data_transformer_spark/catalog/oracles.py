@@ -359,6 +359,15 @@ PARITY_ORACLES["full_outer_region_stats"] = """
       ON c.ck = s.sk
 """
 
+PARITY_ORACLES["price_histogram"] = """
+    WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
+    SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 10.0)), 9) AS INT) AS bucket,
+           count(*) AS n,
+           round(min(l_extendedprice), 2) AS bin_min,
+           round(max(l_extendedprice), 2) AS bin_max
+    FROM lineitem CROSS JOIN b GROUP BY 1
+"""
+
 PARITY_ORACLES["percentile_prices"] = """
     SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,

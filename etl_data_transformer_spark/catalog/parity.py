@@ -266,6 +266,24 @@ def q_full_outer_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling histogram: 10 equi-width price bins with per-bin counts and
+    bounds. Two passes (global min/max, then one grouped agg) — integer
+    counts, so engine-exact."""
+    li = load_star(spark, sf_dir, ("lineitem",))["lineitem"]
+    lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).collect()[0]
+    width = (hi - lo) / 10.0
+    bucket = F.least(F.floor((F.col("l_extendedprice") - F.lit(lo)) / F.lit(width)), F.lit(9)).cast("int")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("bin_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("bin_max"),
+        )
+    )
+
+
 def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (ordered-set aggregate) per group."""
     li = load_star(spark, sf_dir, ("lineitem",))["lineitem"]
