@@ -124,6 +124,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str, auto_spread: bool = 
     cached = _TABLE_CACHE.get(cache_key)
     if cached is not None:
         return cached
+    # Runtime-set (not session-build-time): callers hand us arbitrary
+    # SparkSessions, and the fixture events.parquet stores TIMESTAMP(NANOS),
+    # which the vectorized reader rejects outright unless nanos come in as
+    # longs. This is a runtime-settable SQL conf, so a plain
+    # `SparkSession.builder.getOrCreate()` works too.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: float division loses precision at ns-since-epoch
