@@ -193,10 +193,12 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_int8("embedding", scale).alias("codes"),
         quant_rmse("embedding", scale).alias("err"),
     ).filter(F.col("s") > 0)
+    # q_head is serialized to a CSV string: the driver's canonicalizer
+    # (pandas sort_values) cannot hash raw array cells (round-1 red row).
     return out.select(
         "vec_id",
         F.round("s", 6).alias("scale"),
-        F.slice("codes", 1, 3).alias("q_head"),
+        F.concat_ws(",", F.transform(F.slice("codes", 1, 3), lambda x: x.cast("string"))).alias("q_head"),
         F.round("err", 6).alias("rmse"),
     )
 
@@ -247,12 +249,17 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
     survivors = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # Quality is aggregated as an integer micro-sum, not round(avg(q), 4):
+    # q is a 6-decimal-rounded double, so avg(q) sits systematically at
+    # round-half midpoints where Spark and DuckDB tie-break differently
+    # (round-1 hash mismatch). sum(q)*1e6 is integral up to ~1e-5 float
+    # error, so the final round is unambiguous on both engines.
     return (
         survivors.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(TX.token_count("text")).alias("total_tokens"),
-            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.round(F.sum("q") * 1000000, 0).cast("long").alias("q_sum_micros"),
         )
     )
 

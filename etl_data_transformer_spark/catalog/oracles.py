@@ -205,7 +205,7 @@ EXTENSION_ORACLES: dict[str, str] = {
           FROM embeddings WHERE vec_id < 100
         )
         SELECT vec_id, round(s, 6) AS scale,
-               [CAST(round(x / s, 0) AS BIGINT) for x in emb][1:3] AS q_head,
+               array_to_string([CAST(round(x / s, 0) AS BIGINT) for x in emb][1:3], ',') AS q_head,
                round(sqrt(list_sum([pow(x - round(x / s, 0) * s, 2) for x in emb])
                           / len(emb)), 6) AS rmse
         FROM q WHERE s > 0
@@ -262,7 +262,7 @@ EXTENSION_ORACLES: dict[str, str] = {
         )
         SELECT lang, count(*) AS n_docs,
                sum(n_toks) AS total_tokens,
-               round(avg(q), 4) AS avg_quality
+               CAST(round(sum(q) * 1000000, 0) AS BIGINT) AS q_sum_micros
         FROM survivors GROUP BY lang
     """,
     "chunk_documents": f"""
