@@ -55,6 +55,19 @@ def main() -> None:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # ngram_jaccard left the 50-slot driver catalog in round 2 (its exact
+    # char-3-gram path is exercised inside dedup_clusters and pytest); keep
+    # benchmarking the same function so the 25-query series stays comparable.
+    if "ngram_jaccard" not in qs:
+        from etl_data_transformer_spark.operators import dedup as _DD
+        from etl_data_transformer_spark.sources.readers import load_star as _ls
+        from pyspark.sql import functions as _F
+
+        qs["ngram_jaccard"] = lambda spark, sf_dir: _DD.ngram_jaccard_exact(
+            _ls(spark, sf_dir, ("documents",))["documents"].filter(_F.col("doc_id") < 100),
+            n=3,
+            threshold=0.6,
+        )
     spark = get_spark("bench")
     # warm the JVM + parquet footers before timing
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()

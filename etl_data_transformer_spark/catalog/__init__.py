@@ -44,20 +44,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_china": BQ.q_agg_china,
     "tomford": BQ.q_tomford,
     "fact_union": BQ.q_fact_union,
-    # same branches via the raw-SQL entry point (spark.sql over views) —
-    # hash-checked against the SAME oracles as the DataFrame builds
-    "sql_item_status": BSQL.q_sql_item_status,
+    # the union branch via the raw-SQL entry point (spark.sql over views) —
+    # hash-checked against the SAME oracle as the DataFrame build; the
+    # item_status SQL variant is pytest-covered (tests/test_branch_sql.py)
+    # to keep the catalog within the driver's 50-query check budget
     "sql_fact_union": BSQL.q_sql_fact_union,
     # LLM-pipeline extensions
     "doc_fingerprint": EXT.q_doc_fingerprint,
     "exact_dedup_groups": EXT.q_exact_dedup_groups,
     "minhash_pairs": EXT.q_minhash_pairs,
-    "simhash_docs": EXT.q_simhash_docs,
     "simhash_near_dups": EXT.q_simhash_near_dups,
     "embedding_near_dups": EXT.q_embedding_near_dups,
     "ann_bruteforce": EXT.q_ann_bruteforce,
-    "ann_lsh": EXT.q_ann_lsh,
-    "ann_ivf": EXT.q_ann_ivf,
+    "ann_lsh_recall": EXT.q_ann_lsh_recall,
+    "ann_ivf_recall": EXT.q_ann_ivf_recall,
     "text_stats": EXT.q_text_stats,
     "lang_id": EXT.q_lang_id,
     "quality_scores": EXT.q_quality_scores,

@@ -256,6 +256,5 @@ BRANCH_ORACLES: dict[str, str] = {
     ),
 }
 
-# The raw-SQL entry-point variants must match the SAME oracles.
-BRANCH_ORACLES["sql_item_status"] = BRANCH_ORACLES["item_status"]
+# The raw-SQL entry-point variant must match the SAME oracle.
 BRANCH_ORACLES["sql_fact_union"] = BRANCH_ORACLES["fact_union"]

@@ -41,15 +41,15 @@ def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs verified by shingle Jaccard.
-    Non-SQL (seeded xxhash64 banding) → rows-only check."""
+    """MinHash+LSH near-dup candidate pairs verified by exact shingle-hash
+    Jaccard. Oracle-checked against DuckDB's exact all-pairs word-shingle
+    Jaccard: the verify step makes the output = {pairs with J >= t} ∩
+    {LSH candidates}, and on the fixtures every true pair sits at J >= 0.9
+    (measured: nothing between 0.2 and 0.9), where the seeded banding's
+    candidate recall is 1.0 — so the verified LSH output equals the exact
+    all-pairs answer. Jaccard over xxhash64-hashed shingles equals Jaccard
+    over the shingle strings barring 64-bit collisions."""
     return DD.minhash_dedup(_docs(spark, sf_dir), threshold=0.3).orderBy("id_a", "id_b")
-
-
-def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (Arrow-batched pandas UDF slow path).
-    Non-SQL → rows-only check."""
-    return DD.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash64")
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,20 +74,46 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(q, e, k=5)
 
 
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via BucketedRandomProjectionLSH (MLlib scale path).
-    Non-SQL → rows-only check."""
-    e = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), "embedding")
-    q = e.filter(F.col("id") < 10)
-    return SIM.lsh_topk(q, e, k=5)
+def _ann_recall(approx: DataFrame, exact: DataFrame, k: int, min_hits: int) -> DataFrame:
+    """Per-query recall@k assertion of an ANN path against the exact top-k:
+    (query_id, k, recall_ok). The oracle is the constant expectation — the
+    driver-checkable form of 'recall >= min_hits/k for every query vector'
+    (round-1 verdict item 5)."""
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(k).alias("k"),
+            (F.coalesce("n_hits", F.lit(0)) >= F.lit(min_hits)).alias("recall_ok"),
+        )
+    )
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style bucketed ANN (pure-DataFrame scale path).
-    Non-SQL (seeded projections) → rows-only check."""
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH top-5, asserted to recall >= 3/5 of
+    the exact top-5 per query vector (measured: 4/5 minimum on the
+    fixtures). The LSH path is the 100 TB candidate generator; the exact
+    side here is the bounded 10-query brute force."""
     e = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), "embedding")
     q = e.filter(F.col("id") < 10)
-    return SIM.ivf_topk(q, e, k=5)
+    return _ann_recall(SIM.lsh_topk(q, e, k=5), SIM.brute_force_topk(q, e, k=5), k=5, min_hits=3)
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (trained k-means centroids, 4-of-8 probes), asserted to
+    recall >= 1/5 of the exact top-5 per query vector (measured: 3/5
+    minimum on the fixtures — embeddings are near-isotropic, the worst case
+    for coarse quantization)."""
+    e = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), "embedding")
+    q = e.filter(F.col("id") < 10)
+    return _ann_recall(SIM.ivf_topk(q, e, k=5, n_probes=4), SIM.brute_force_topk(q, e, k=5), k=5, min_hits=1)
 
 
 # ----------------------------------------------------------- text stats ----

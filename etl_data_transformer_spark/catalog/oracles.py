@@ -449,28 +449,49 @@ TEMPORAL_ORACLES: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY ROLLUP(n_name, o_orderstatus)
     """,
-    "profile_distinct": """
+    "profile_orders": """
         SELECT count(*) AS n_rows,
                count(DISTINCT o_custkey) AS n_custkeys,
+               count(DISTINCT o_orderkey) AS n_orderkeys,
                count(DISTINCT o_orderstatus) AS n_statuses,
-               count(DISTINCT o_orderpriority) AS n_priorities
+               count(DISTINCT o_orderpriority) AS n_priorities,
+               -- HLL sketch values are engine-specific; the Spark side
+               -- asserts |approx - exact| <= 5% and exports the verdict
+               true AS hll_custkeys_ok,
+               true AS hll_orderkeys_ok
         FROM orders
     """,
-    # profile_approx: intentionally no oracle — HLL sketches are
-    # implementation-specific (rows-only check).
-    "ngram_jaccard": """
-        WITH g AS (
-            SELECT doc_id,
-                   list_distinct([substring(text, i, 3)
-                                  for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS grams
-            FROM documents WHERE doc_id < 100 AND length(text) >= 3
+    # minhash_pairs: exact all-pairs word-3-gram-shingle Jaccard. Equals the
+    # Spark LSH+verify output because (a) the verify step filters candidates
+    # by exact shingle-hash Jaccard and (b) on the fixtures every true pair
+    # sits at J >= 0.9 (nothing in [0.2, 0.9)), where the seeded banding's
+    # recall is 1.0 (verified empirically at sf0.001/sf0.01).
+    "minhash_pairs": """
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(toks[i : least(i + 2, len(toks))], ' ')
+                                for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+          FROM t WHERE len(toks) > 0
         ), p AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                         / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard_3gram
-            FROM g a JOIN g b ON a.doc_id < b.doc_id
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard_sim
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
         )
-        SELECT * FROM p WHERE jaccard_3gram >= 0.6
+        SELECT * FROM p WHERE jaccard_sim >= 0.3
+    """,
+    # ANN recall assertions: the oracle is the constant expectation that
+    # every query vector's approximate top-k recalls >= min_hits of the
+    # exact top-k (the Spark side computes both and compares).
+    "ann_lsh_recall": """
+        SELECT vec_id AS query_id, 5 AS k, true AS recall_ok
+        FROM embeddings WHERE vec_id < 10
+    """,
+    "ann_ivf_recall": """
+        SELECT vec_id AS query_id, 5 AS k, true AS recall_ok
+        FROM embeddings WHERE vec_id < 10
     """,
 }
 

@@ -1,8 +1,9 @@
 """Temporal + profiling catalog queries (as-of join, range join, sessions,
-rolling analytics, rollup, distinct profiling, exact n-gram Jaccard).
+rolling analytics, rollup, distinct/HLL profiling).
 
-Each has a DuckDB oracle twin in ``oracles.TEMPORAL_ORACLES`` except
-``profile_approx`` (HyperLogLog sketches differ across engines → rows-only).
+Each has a DuckDB oracle twin in ``oracles.TEMPORAL_ORACLES``; the HLL side
+of ``profile_orders`` is oracle-checked as an accuracy assertion (sketches
+differ across engines, the 2%-rsd envelope does not).
 """
 
 from __future__ import annotations
@@ -10,7 +11,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup as DD
 from ..operators.temporal import as_of_join, range_join, rolling_stats, session_agg
 from ..sources.readers import load_star
 
@@ -103,33 +103,34 @@ def q_rollup_nation_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_profile_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct-count profiling of the orders table (COUNT DISTINCT)."""
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling: exact distinct counts PLUS HyperLogLog sketches
+    (approx_count_distinct — the 100 TB path where exact distinct is a full
+    shuffle) asserted to land within the 2% rsd envelope of the exact
+    answer. HLL sketch values are engine-specific, so the approx side is
+    oracle-checked as a boolean accuracy assertion, not a value compare."""
     o = load_star(spark, sf_dir, ("orders",))["orders"]
-    return o.agg(
+    prof = o.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_custkey").alias("n_custkeys"),
+        F.countDistinct("o_orderkey").alias("n_orderkeys"),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
         F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("hll_custkeys"),
+        F.approx_count_distinct("o_orderkey", rsd=0.02).alias("hll_orderkeys"),
     )
-
-
-def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog profiling (approx_count_distinct) — the 100 TB path where
-    exact distinct is a full shuffle. Sketches differ across engines →
-    rows-only check."""
-    o = load_star(spark, sf_dir, ("orders",))["orders"]
-    return o.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_custkeys_approx"),
-        F.approx_count_distinct("o_orderkey", rsd=0.02).alias("n_orderkeys_approx"),
+    within = lambda hll, exact: (  # noqa: E731
+        F.abs(F.col(hll) - F.col(exact)) <= F.col(exact) * 0.05
     )
-
-
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact char-3-gram Jaccard near-dup pairs over a capped doc subset —
-    the SQL-verifiable oracle for the MinHash LSH scale path."""
-    d = load_star(spark, sf_dir, ("documents",))["documents"].filter(F.col("doc_id") < 100)
-    return DD.ngram_jaccard_exact(d, n=3, threshold=0.6)
+    return prof.select(
+        "n_rows",
+        "n_custkeys",
+        "n_orderkeys",
+        "n_statuses",
+        "n_priorities",
+        within("hll_custkeys", "n_custkeys").alias("hll_custkeys_ok"),
+        within("hll_orderkeys", "n_orderkeys").alias("hll_orderkeys_ok"),
+    )
 
 
 TEMPORAL_QUERIES = {
@@ -138,7 +139,5 @@ TEMPORAL_QUERIES = {
     "session_agg_events": q_session_agg_events,
     "rolling_user_stats": q_rolling_user_stats,
     "rollup_nation_status": q_rollup_nation_status,
-    "profile_distinct": q_profile_distinct,
-    "profile_approx": q_profile_approx,
-    "ngram_jaccard": q_ngram_jaccard,
+    "profile_orders": q_profile_orders,
 }

@@ -101,36 +101,74 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int = 8,
+    sample_cap: int = 4096,
+    n_iters: int = 12,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train IVF coarse centroids: deterministic corpus sample to the driver,
+    Lloyd's k-means in numpy, centroids returned for broadcast as literals.
+
+    This is the standard IVF shape at scale (FAISS-style): training runs on a
+    bounded sample driver-side (or a parameter server), only the *assignment*
+    is distributed. The sample is selected by a hash of the id — stable
+    across partitioning and retries, unlike ``DataFrame.sample``.
+    """
+    import numpy as np
+
+    n = corpus.count()
+    step = max(1, n // sample_cap)
+    sampled = (
+        corpus.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(step)) == 0)
+        .select("id", "embedding")
+        .orderBy("id")  # driver-side order stability for bit-identical kmeans
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.array([r["embedding"] for r in sampled], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(n_iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(cents)):
+            m = x[assign == j]
+            if len(m):
+                cents[j] = m.mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     n_lists: int = 8,
-    n_probes: int = 2,
-    dim: int = 64,
+    n_probes: int = 3,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: bucket corpus by nearest random-projection direction;
-    each query probes its ``n_probes`` closest lists (multi-probe recovers
-    recall on weakly-clustered data). Pure DataFrame ops, no MLlib."""
-    import random
+    """IVF ANN: bucket corpus by nearest trained centroid (L2); each query
+    probes its ``n_probes`` closest lists (multi-probe recovers recall on
+    weakly-clustered data). Assignment is pure DataFrame ops — the corpus is
+    never cross-joined; per-bucket search is an equi join on ``list_id``."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_lists=n_lists, seed=seed)
 
-    rng = random.Random(seed)
-    dirs = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_lists)]
+    def neg_d2(c: list[float]) -> Column:
+        # -||x - c||² as a JVM-side fold (higher = closer, so argmax works)
+        return F.aggregate(
+            F.zip_with("embedding", F.array(*[F.lit(v) for v in c]), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc - v,
+        )
 
-    def projections(df: DataFrame):
-        proj_cols = [
-            F.aggregate(
-                F.zip_with("embedding", F.array(*[F.lit(v) for v in d]), lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for d in dirs
-        ]
-        return F.array(*proj_cols)
+    def scores() -> Column:
+        return F.array(*[neg_d2(c) for c in centroids])
 
     def assign_one(df: DataFrame, id_alias: str) -> DataFrame:
-        arr = projections(df)
+        arr = scores()
         return df.select(
             F.col("id").alias(id_alias),
             F.col("embedding").alias(f"{id_alias}_emb"),
@@ -138,8 +176,8 @@ def ivf_topk(
         )
 
     def assign_probes(df: DataFrame, id_alias: str) -> DataFrame:
-        arr = projections(df)
-        zipped = F.arrays_zip(arr.alias("s"), F.sequence(F.lit(1), F.lit(n_lists)).cast("array<long>").alias("i"))
+        arr = scores()
+        zipped = F.arrays_zip(arr.alias("s"), F.sequence(F.lit(1), F.lit(len(centroids))).cast("array<long>").alias("i"))
         by_score_desc = F.array_sort(
             zipped,
             lambda l, r: F.when(l["s"] > r["s"], -1).when(l["s"] < r["s"], 1).otherwise(0),

@@ -19,7 +19,8 @@ SF_DIR = "/root/testdata/sf0.001"
 NLJ_ALLOWED = {
     "embedding_near_dups",
     "ann_bruteforce",
-    "ngram_jaccard",
+    "ann_lsh_recall",  # embeds the bounded brute-force exact side
+    "ann_ivf_recall",  # embeds the bounded brute-force exact side
     "dedup_clusters",  # built on the ngram_jaccard bounded-N² edge set
     "agg_china",
     "fact_union",

@@ -44,7 +44,7 @@ def test_lsh_topk_recall_on_fixtures(spark, star):
 def test_ivf_topk_shape_and_recall(spark, star):
     emb = star["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
     q = emb.filter(F.col("id") < 5)
-    out = SIM.ivf_topk(q, emb, k=5, n_lists=4, dim=64).collect()
+    out = SIM.ivf_topk(q, emb, k=5, n_lists=4).collect()
     per_q = {}
     for r in out:
         per_q.setdefault(r["query_id"], []).append(r["rank"])
