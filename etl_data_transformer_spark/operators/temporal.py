@@ -8,8 +8,9 @@ built on the shuffle-minimal Spark shape:
 
 - ``as_of_join``      — union + windowed last-value carry-forward. ONE shuffle
   on the join key, zero join explosion: both sides are tagged and unioned,
-  then the right side's payload is carried forward to each left row with
-  ``last(..., ignoreNulls=True)`` over an ordered window. This beats the
+  then the right side's payload (one struct per right row) is carried
+  forward to each left row with ``last(..., ignoreNulls=True)`` over an
+  ordered window. This beats the
   naive join-then-rank shape (which materializes every (left, right-earlier)
   pair before ranking) by O(right cardinality per key).
 - ``range_join``      — equi-bucketed interval join: bucket timestamps to the
@@ -54,40 +55,51 @@ def as_of_join(
 
     ``how='inner'`` drops left rows with no prior right row (DuckDB ASOF
     default); ``'left'`` keeps them with NULL payload.
+
+    The right payload is carried as ONE struct, not per-column: per-column
+    ``last(ignoreNulls=True)`` would blend fields from different right rows
+    whenever a payload column is legitimately NULL (and would break the
+    no-prior-row test, since ``isNotNull`` never yields NULL to coalesce
+    over). The struct is NULL only for left rows, so ``last`` skips exactly
+    those and the whole payload always comes from a single right row.
     """
+    from pyspark.sql import types as T
+
     on = list(on)
     right_cols = list(right_cols)
     left_payload = [c for c in left.columns if c not in on]
+    r_struct = T.StructType([T.StructField(c, right.schema[c].dataType, True) for c in right_cols])
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct).alias("__r"),
     )
     r_tagged = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
     )
     w = (
         Window.partitionBy(*on)
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = l_tagged.unionByName(r_tagged).select(
-        *on,
-        "__ts",
-        "__side",
-        *left_payload,
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in right_cols],
+    carried = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("__r_last", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
     )
-    out = carried.filter(F.col("__side") == 1).drop("__side", "__ts")
     if how == "inner":
-        out = out.filter(F.coalesce(*[F.col(c).isNotNull() for c in right_cols]))
-    return out
+        carried = carried.filter(F.col("__r_last").isNotNull())
+    return carried.select(
+        *on,
+        *left_payload,
+        *[F.col(f"__r_last.{c}").alias(c) for c in right_cols],
+    )
 
 
 def range_join(

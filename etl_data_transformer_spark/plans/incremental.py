@@ -141,7 +141,13 @@ def run_incremental_load(
             r["cdc_date"]
             for r in old.filter(F.col("cdc_date") >= F.lit(wm_date)).select("cdc_date").distinct().collect()
         }
-        out.write.mode("overwrite").partitionBy("cdc_date").parquet(target_path)
+        # dynamic overwrite set PER-WRITE, not via the session conf: with
+        # Spark's default 'static' mode this statement would truncate every
+        # partition outside the lookback window for callers whose session
+        # doesn't carry spark.sql.sources.partitionOverwriteMode.
+        out.write.option("partitionOverwriteMode", "dynamic").mode("overwrite").partitionBy(
+            "cdc_date"
+        ).parquet(target_path)
         # Dynamic overwrite leaves a partition untouched when the new data
         # has no rows for it — drop partitions that were fully deleted and
         # not re-inserted (Delta's replaceWhere does this as one metadata

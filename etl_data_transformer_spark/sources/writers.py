@@ -46,6 +46,14 @@ def atomic_swap_write(df: DataFrame, target_dir: str, partition_by: list[str] | 
         if os.path.exists(target_dir):
             os.rename(target_dir, backup)
         os.rename(staging, target_dir)
+    except BaseException:
+        # failure-atomicity: if the swap died between the two renames the
+        # target is missing while the original sits in backup — restore it
+        # before cleanup, otherwise the finally below would delete the only
+        # surviving copy of the table.
+        if not os.path.exists(target_dir) and os.path.exists(backup):
+            os.rename(backup, target_dir)
+        raise
     finally:
         if os.path.exists(backup):
             shutil.rmtree(backup, ignore_errors=True)

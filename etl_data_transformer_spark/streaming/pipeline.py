@@ -130,8 +130,15 @@ def stream_sessionize(
         if state.exists:
             s, l, n, v = state.get
         closed: list[tuple] = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts_col)
+        # Concatenate ALL Arrow chunks before sorting: a key's batch data
+        # spans multiple chunks once it exceeds arrow.maxRecordsPerBatch
+        # (default 10k rows), and sorting each chunk independently would
+        # process events out of time order — splitting sessions differently
+        # from the batch twin. Memory is bounded by the same assumption the
+        # state tuple already makes (one key's batch fits in memory).
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(ts_col)
             for ts, val in zip(pdf[ts_col], pdf[value_col]):
                 t = int(pd.Timestamp(ts).value // 1_000)  # ns → us
                 if s is None:
@@ -234,10 +241,20 @@ def stream_incremental_upsert(
                 return
             dates = [r[partition_col] for r in batch.select(partition_col).distinct().collect()]
             touched = old.filter(F.col(partition_col).isin(dates))
-            kept = touched.join(F.broadcast(batch.select(*key_cols).distinct()), key_cols, "left_anti")
+            # null-safe anti join: plain equality never matches NULL key
+            # values, so NULL-key rows would both survive the anti join AND
+            # re-append from the batch — duplicating every micro-batch.
+            bkeys = batch.select(*key_cols).distinct()
+            cond = [touched[k].eqNullSafe(bkeys[k]) for k in key_cols]
+            kept = touched.join(F.broadcast(bkeys), cond, "left_anti")
             out = kept.unionByName(batch).localCheckpoint(eager=True)
-            # dynamic overwrite: only the touched date partitions are replaced
-            out.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+            # dynamic overwrite set PER-WRITE: with Spark's default 'static'
+            # mode this overwrite would truncate the ENTIRE table for any
+            # caller whose session doesn't carry the conf (driver contract —
+            # never rely on session-build-time settings).
+            out.write.option("partitionOverwriteMode", "dynamic").mode("overwrite").partitionBy(
+                partition_col
+            ).parquet(target_path)
         finally:
             batch.unpersist()
 
