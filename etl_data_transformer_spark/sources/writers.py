@@ -35,7 +35,10 @@ def atomic_swap_write(df: DataFrame, target_dir: str, partition_by: list[str] | 
 
     Emulates BigQuery's ``CREATE OR REPLACE TABLE ... COPY`` swap: readers see
     either the old or the new table, never a partial write. Single-filesystem
-    rename is atomic; on object stores use a table format instead.
+    rename is atomic; on object stores use a table format instead. The two
+    renames still leave a brief target-missing window for concurrent openers
+    — ``sources/manifest.py`` (manifest + atomic pointer replace, the
+    Delta/Iceberg shape) removes it and is preferred for new tables.
     """
     parent = os.path.dirname(os.path.abspath(target_dir))
     os.makedirs(parent, exist_ok=True)

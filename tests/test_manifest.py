@@ -1,0 +1,83 @@
+"""Manifest-pointer commit: crash-injection atomicity, snapshot-isolated
+append, vacuum (round-1 verdict item 6)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_data_transformer_spark.sources import manifest as M
+
+
+def _write(spark, table, rows, mode="overwrite"):
+    df = spark.createDataFrame(rows, "id long, v string")
+    return M.commit_write(df, table, mode=mode)
+
+
+def test_commit_overwrite_and_read(spark, tmp_path):
+    table = str(tmp_path / "t")
+    v1 = _write(spark, table, [(1, "a")])
+    assert M.current_version(table) == v1
+    assert [r["v"] for r in M.read_table(spark, table).collect()] == ["a"]
+    v2 = _write(spark, table, [(2, "b"), (3, "c")])
+    assert M.current_version(table) == v2
+    assert sorted(r["v"] for r in M.read_table(spark, table).collect()) == ["b", "c"]
+
+
+def test_append_is_snapshot_isolated(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _write(spark, table, [(1, "a")])
+    # a reader resolved BEFORE the append keeps its manifest's file list
+    old_df = M.read_table(spark, table)
+    _write(spark, table, [(2, "b")], mode="append")
+    assert sorted(r["v"] for r in M.read_table(spark, table).collect()) == ["a", "b"]
+    assert [r["v"] for r in old_df.collect()] == ["a"]  # old snapshot intact
+
+
+@pytest.mark.parametrize("crash_at", ["data", "manifest", "pointer"])
+def test_crash_before_publish_preserves_old_version(spark, tmp_path, monkeypatch, crash_at):
+    """A writer dying at ANY point before the pointer replace leaves the
+    previous version fully readable; the pointer replace itself is atomic."""
+    table = str(tmp_path / "t")
+    v1 = _write(spark, table, [(1, "a")])
+
+    if crash_at == "data":
+        # die mid data write: break the parquet writer
+        monkeypatch.setattr(
+            "pyspark.sql.readwriter.DataFrameWriter.parquet",
+            lambda self, path: (_ for _ in ()).throw(OSError("injected data-write crash")),
+        )
+    elif crash_at == "manifest":
+        real_open = open
+
+        def failing_open(path, *a, **kw):
+            if isinstance(path, str) and M._MANIFEST_DIR in path and path.endswith(".json") and "w" in (a[0] if a else kw.get("mode", "r")):
+                raise OSError("injected manifest-write crash")
+            return real_open(path, *a, **kw)
+
+        monkeypatch.setattr("builtins.open", failing_open)
+    else:
+        monkeypatch.setattr(os, "replace", lambda s, d: (_ for _ in ()).throw(OSError("injected pointer crash")))
+
+    with pytest.raises(OSError, match="injected"):
+        _write(spark, table, [(9, "torn")])
+    monkeypatch.undo()
+
+    # old version still live and readable — no torn state visible
+    assert M.current_version(table) == v1
+    assert [r["v"] for r in M.read_table(spark, table).collect()] == ["a"]
+    # and the table recovers: a fresh commit publishes normally
+    _write(spark, table, [(2, "b")])
+    assert [r["v"] for r in M.read_table(spark, table).collect()] == ["b"]
+
+
+def test_vacuum_removes_only_unreferenced(spark, tmp_path):
+    table = str(tmp_path / "t")
+    v1 = _write(spark, table, [(1, "a")])
+    v2 = _write(spark, table, [(2, "b")])
+    v3 = _write(spark, table, [(3, "c")], mode="append")  # references v2's dir too
+    removed = M.vacuum(table)
+    assert removed == [v1]
+    assert sorted(r["v"] for r in M.read_table(spark, table).collect()) == ["b", "c"]
+    assert set(os.listdir(os.path.join(table, "data"))) == {v2, v3}
