@@ -72,14 +72,26 @@ def main() -> None:
     # warm the JVM + parquet footers before timing
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
+    # the host shows 2-3x wall-clock noise on identical runs (BASELINE.md);
+    # record min-of-N per query so round-over-round deltas are attributable
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        n = fn(spark, SF_DIR).count()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        best, n = float("inf"), 0
+        for _ in range(reps):
+            t0 = time.time()
+            n = fn(spark, SF_DIR).count()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
+        print(f"# {name}: {times[name]}s min-of-{reps} ({n} rows)", file=sys.stderr)
 
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # DuckDB reference timings are best-effort context (single rep): the
+    # by-design O(N^2) correctness oracles (exact all-pairs Jaccard) are
+    # skipped above sf0.01 — at sf0.1 that oracle alone is 12.5M pairs of
+    # list_intersect and takes minutes, which would dominate bench wall time.
+    duck_quadratic = {"minhash_pairs"}
     duck_times: dict[str, float] = {}
     try:
         import duckdb
@@ -91,13 +103,16 @@ def main() -> None:
         for name in HEADLINE:
             if name not in oracles:
                 continue
+            if name in duck_quadratic and float(sf) > 0.01:
+                print(f"# duckdb {name}: skipped (O(N^2) oracle at sf{sf})",
+                      file=sys.stderr)
+                continue
             t0 = time.time()
             con.sql(oracles[name]).fetchall()
             duck_times[name] = round(time.time() - t0, 3)
     except Exception as e:  # noqa: BLE001 — comparison timing is best-effort
         print(f"# duckdb timing skipped: {e}", file=sys.stderr)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
@@ -106,6 +121,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf),
+                "reps": reps,
                 "duckdb": duck_times,
             }
         )

@@ -200,6 +200,11 @@ def agg_china_branch(
             "event_type",
             "value",
             F.date_trunc("day", F.col("ts")).alias("record_updated_date"),
+            # single-field extraction: measured vs from_json(schema) at
+            # sf0.1 (min-of-3: 0.533s both) — identical, because Jackson
+            # parses the document once either way; from_json only wins when
+            # MULTIPLE fields are pulled from one parse. Revisit if more
+            # props fields join the projection.
             F.get_json_object("props", "$.k").cast("long").alias("k"),
         )
         .distinct()
