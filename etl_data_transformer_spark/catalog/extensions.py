@@ -278,8 +278,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Quality is aggregated as an integer micro-sum, not round(avg(q), 4):
     # q is a 6-decimal-rounded double, so avg(q) sits systematically at
     # round-half midpoints where Spark and DuckDB tie-break differently
-    # (round-1 hash mismatch). sum(q)*1e6 is integral up to ~1e-5 float
-    # error, so the final round is unambiguous on both engines.
+    # (round-1 hash mismatch). Note the round-2 driver mismatch on this
+    # query was a different bug entirely: the oracle's bare sum(BIGINT)
+    # returns HUGEINT, which pandas materializes as float64 ("3510.0" vs
+    # Spark's "3510") — every integer sum in an oracle must CAST to BIGINT.
     return (
         survivors.groupBy("lang")
         .agg(

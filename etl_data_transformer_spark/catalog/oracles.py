@@ -261,7 +261,7 @@ EXTENSION_ORACLES: dict[str, str] = {
             ) WHERE rn = 1
         )
         SELECT lang, count(*) AS n_docs,
-               sum(n_toks) AS total_tokens,
+               CAST(sum(n_toks) AS BIGINT) AS total_tokens,
                CAST(round(sum(q) * 1000000, 0) AS BIGINT) AS q_sum_micros
         FROM survivors GROUP BY lang
     """,
@@ -421,8 +421,8 @@ TEMPORAL_ORACLES: dict[str, str] = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
             SELECT user_id, ts, value,
-                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
             FROM flagged
         )
         SELECT user_id, sess_id,

@@ -3,13 +3,30 @@
 Runs every ``__spark_entry__.queries()`` entry on Spark and, when an
 ``oracle_sql()`` entry exists, the same query on DuckDB over the same parquet
 fixtures; compares row count, sorted column names, and an order-insensitive
-value hash (values stringified with float rounding, rows sorted).
+value hash (values stringified, rows sorted).
+
+Two deliberate strictness choices so that a local OK predicts the driver
+(round-2 lesson — the old mirror certified two driver-red queries as OK):
+
+* BOTH results are materialized through pandas (``.df()`` / ``toPandas()``),
+  not ``fetchall()``/``collect()``: DuckDB's ``sum(BIGINT)`` returns HUGEINT
+  which pandas renders as float64, so an oracle emitting a bare integer sum
+  shows up here as ``"3510.0"`` vs Spark's ``"3510"`` — exactly the class of
+  mismatch the driver's hash catches and ``fetchall()`` hides. Using pandas
+  on the Spark side too mirrors the driver's tolerance: an int column with
+  NULLs becomes float64 on both sides alike (r02 evidence: ``fact_union``
+  passed the driver with exactly that shape while ``curation_pipeline``
+  failed on a one-sided HUGEINT).
+* Floats are normalized with ``repr`` (shortest round-trip, up to 17
+  significant digits), not ``%.6g``, so last-ULP summation-order divergence
+  between engines fails locally too.
 
 Usage:  python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import hashlib
 import math
 import sys
@@ -17,6 +34,8 @@ import time
 from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -30,16 +49,36 @@ TABLES = (
 def _norm_cell(v) -> str:
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
-        return f"{v:.6g}"
+        # repr: shortest string that round-trips the double — int-valued
+        # floats stay visibly floats ("3510.0") and ULP diffs stay visible.
+        return repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     if isinstance(v, Decimal):
-        return f"{float(v):.6g}"
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, list):
+        return f"dec:{v}"
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, pd.Timestamp):
+        if pd.isna(v):
+            return "NULL"
+        return v.to_pydatetime().isoformat(sep=" ")
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
     return str(v)
 
 
@@ -49,6 +88,11 @@ def table_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, list[str
     norm_rows = sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
     h = hashlib.sha256("\n".join(norm_rows).encode()).hexdigest()[:16]
     return len(rows), sorted_cols, h
+
+
+def _norm_sorted_rows(cols: list[str], rows: list[tuple]) -> list[str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm_cell(r[i]) for r in [row] for i in order) for row in rows)
 
 
 def main() -> int:
@@ -71,21 +115,22 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
         spark_s = time.time() - t0
-        sn, sc, sh = table_fingerprint(scols, [tuple(r) for r in srows])
+        sn, sc, sh = table_fingerprint(scols, srows)
         if name not in oracles:
             print(f"OK?  {name}: rows-only (no oracle) rows={sn} cols={sc} [{spark_s:.1f}s]")
             continue
         try:
-            res = con.sql(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            odf = con.sql(oracles[name]).df()
+            ocols = list(odf.columns)
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
@@ -98,17 +143,11 @@ def main() -> int:
             if sc != oc:
                 print(f"     cols spark={sc}\n     cols duck ={oc}")
             if sn == on and sc == oc:
-                srt = sorted(
-                    "|".join(_norm_cell(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i]))
-                    for r in [tuple(r) for r in srows]
-                )
-                ort = sorted(
-                    "|".join(_norm_cell(r[i]) for i in sorted(range(len(ocols)), key=lambda i: ocols[i]))
-                    for r in orows
-                )
+                srt = _norm_sorted_rows(scols, srows)
+                ort = _norm_sorted_rows(ocols, orows)
                 diffs = [(a, b) for a, b in zip(srt, ort) if a != b][:3]
                 for a, b in diffs:
-                    print(f"     spark: {a[:200]}\n     duck : {b[:200]}")
+                    print(f"     spark: {a[:240]}\n     duck : {b[:240]}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
