@@ -5,11 +5,11 @@ incremental fact load, SURVEY.md §7.1 Slice B) at sf0.001.
 ``queries()`` exposes one callable per implemented operator from SURVEY.md §2
 plus the LLM-pipeline and temporal extensions (catalog package — 50 queries,
 sized to the driver's 50-query check budget; inventory map in COVERAGE.md);
-``oracle_sql()`` gives the DuckDB twin for every query except
-``simhash_near_dups`` (seeded xxhash64 bit-fold — no SQL twin; pytest-
-covered, rows-only here). Approximate operators (MinHash LSH, ANN LSH/IVF,
-HLL) are oracle-checked via exact-verification or accuracy-assertion
-outputs rather than left unchecked.
+``oracle_sql()`` gives the DuckDB twin for every query. Approximate
+operators (MinHash LSH, ANN LSH/IVF, SimHash, HLL) are oracle-checked via
+exact-verification or accuracy-assertion outputs rather than left
+unchecked — e.g. ``simhash_recall`` asserts the non-SQL-expressible
+xxhash64 bit-fold recalls every exact char-3-gram near-dup pair.
 
 Column aliases match exactly on both sides (the driver sorts columns by name
 before value-hashing).

@@ -53,7 +53,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": EXT.q_doc_fingerprint,
     "exact_dedup_groups": EXT.q_exact_dedup_groups,
     "minhash_pairs": EXT.q_minhash_pairs,
-    "simhash_near_dups": EXT.q_simhash_near_dups,
+    "simhash_recall": EXT.q_simhash_recall,
     "embedding_near_dups": EXT.q_embedding_near_dups,
     "ann_bruteforce": EXT.q_ann_bruteforce,
     "ann_lsh_recall": EXT.q_ann_lsh_recall,

@@ -52,10 +52,28 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_dedup(_docs(spark, sf_dir), threshold=0.3).orderBy("id_a", "id_b")
 
 
-def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-distance near-dup pairs, blocked on the high band.
-    Non-SQL → rows-only check."""
-    return DD.simhash_near_dups(_docs(spark, sf_dir), max_hamming=16)
+def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash accuracy gate — the driver-checkable form of the simhash
+    operator (the seeded xxhash64 bit-fold has no SQL twin, so this uses
+    the same recall-row pattern as ``ann_lsh_recall``): one row per exact
+    char-3-gram-Jaccard >= 0.6 near-dup pair on the capped corpus,
+    asserting the UNBLOCKED 64-bit simhash Hamming distance <= 26. Truth
+    pairs measure hamming 6-23 on the fixtures while unrelated pairs
+    center at 32±4 (binomial n=64), so all-pairs-pass under a broken hash
+    is a ~1e-180 coincidence — a statistically strong implementation
+    check. The blocked production path (``simhash_near_dups``, top-16-bit
+    band) stays pytest-covered (tests/test_dedup.py)."""
+    d = _docs(spark, sf_dir).filter((F.col("doc_id") < 100) & (F.length("text") >= 3))
+    truth = DD.ngram_jaccard_exact(d, n=3, threshold=0.6).select("id_a", "id_b")
+    hashed = DD.simhash(d).select("doc_id", "simhash64")
+    a = hashed.select(F.col("doc_id").alias("id_a"), F.col("simhash64").alias("h_a"))
+    b = hashed.select(F.col("doc_id").alias("id_b"), F.col("simhash64").alias("h_b"))
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        truth.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .select("id_a", "id_b", (ham <= F.lit(26)).alias("sim_found"))
+    )
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -232,6 +232,20 @@ EXTENSION_ORACLES: dict[str, str] = {
         )
         SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
     """,
+    "simhash_recall": """
+        WITH g AS (
+          SELECT doc_id,
+                 list_distinct([substring(text, i, 3)
+                                for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS grams
+          FROM documents WHERE doc_id < 100 AND length(text) >= 3
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS j
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, true AS sim_found FROM pairs WHERE j >= 0.6
+    """,
     "train_test_split": """
         SELECT split, source, count(*) AS n FROM (
             SELECT source,

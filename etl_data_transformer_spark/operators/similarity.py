@@ -127,6 +127,11 @@ def train_ivf_centroids(
         .limit(sample_cap)
         .collect()
     )
+    if not sampled:
+        raise ValueError(
+            "train_ivf_centroids: corpus is empty (or fully filtered out) — "
+            "cannot train coarse centroids on zero vectors"
+        )
     x = np.array([r["embedding"] for r in sampled], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]

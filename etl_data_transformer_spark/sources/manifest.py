@@ -18,9 +18,15 @@ Layout:
       _manifest/<version>.json  # {"version", "dirs": [...], "ts"}
       data/<version>/...        # immutable parquet per commit
 
-Single-writer per table (the reference's model); concurrent writers would
-need a compare-and-swap on the pointer (object-store conditional put /
-rename-if-absent), which is exactly where Delta's commit protocol picks up.
+Concurrent writers are guarded by a compare-and-swap publish: commits
+serialize on an ``O_CREAT|O_EXCL`` lock file (the local-filesystem analog of
+an object store's conditional put / rename-if-absent) and an ``append``
+whose base version moved since it was read fails cleanly with
+``ConcurrentWriteError`` instead of silently dropping the other writer's
+rows — the lost-update check Delta's commit protocol performs. Manifests
+also record the data schema and partition columns so an ``append`` with a
+drifted schema or different partitioning fails at COMMIT time, not at some
+later read.
 """
 
 from __future__ import annotations
@@ -36,6 +42,15 @@ from pyspark.sql import DataFrame, SparkSession
 _CURRENT = "_CURRENT"
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
+_COMMIT_LOCK = "_COMMIT_LOCK"
+# a crashed writer's lock is broken after this many seconds — long enough
+# that no live local commit publish (milliseconds of file I/O) spans it
+_LOCK_STALE_S = 300.0
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this append's base-version read and
+    its publish (lost-update conflict), or holds the commit lock."""
 
 
 def _manifest_path(table_dir: str, version: str) -> str:
@@ -52,6 +67,36 @@ def _read_current(table_dir: str) -> dict | None:
         return json.load(f)
 
 
+def _schema_fields(df: DataFrame) -> list[list[str]]:
+    """(name, dataType) pairs — the append-compatibility contract."""
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+def _acquire_lock(table_dir: str) -> str:
+    """Rename-if-absent commit lock (``O_CREAT|O_EXCL`` — the local-FS
+    analog of an object-store conditional put). A lock older than
+    ``_LOCK_STALE_S`` belongs to a crashed writer and is broken."""
+    import time
+
+    lock = os.path.join(table_dir, _COMMIT_LOCK)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            age = time.time() - os.path.getmtime(lock)
+        except OSError:  # lock vanished between open and stat — retry once
+            return _acquire_lock(table_dir)
+        if age <= _LOCK_STALE_S:
+            raise ConcurrentWriteError(
+                f"commit lock held by another writer on {table_dir}"
+            ) from None
+        os.unlink(lock)
+        return _acquire_lock(table_dir)
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        f.write(f"pid={os.getpid()}")
+    return lock
+
+
 def commit_write(
     df: DataFrame,
     table_dir: str,
@@ -66,6 +111,12 @@ def commit_write(
     point is the single ``os.replace`` of the pointer file — everything
     before it is invisible to readers, so a crash anywhere leaves the
     previous version fully intact.
+
+    Appends validate schema + partition-column compatibility against the
+    base version (drift fails HERE, not at a later read) and re-check under
+    the commit lock that the base version hasn't moved — a conflicting
+    concurrent commit raises ``ConcurrentWriteError`` and leaves the table
+    untouched (the orphaned data directory is ``vacuum``-able).
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode: {mode}")
@@ -73,26 +124,64 @@ def commit_write(
     os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
     data_dir = os.path.join(table_dir, _DATA_DIR, version)
 
+    fields = _schema_fields(df)
+    part_by = list(partition_by) if partition_by else []
+    prev = _read_current(table_dir) if mode == "append" else None
+    if prev is not None:
+        # older manifests (pre-schema) skip the check rather than reject
+        if prev.get("schema") is not None and prev["schema"] != fields:
+            raise ValueError(
+                f"append schema mismatch for {table_dir}: "
+                f"table has {prev['schema']}, append brings {fields}"
+            )
+        if prev.get("partition_by") is not None and prev["partition_by"] != part_by:
+            raise ValueError(
+                f"append partitioning mismatch for {table_dir}: "
+                f"table uses {prev['partition_by']}, append uses {part_by}"
+            )
+
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(data_dir)
 
-    prev = _read_current(table_dir) if mode == "append" else None
-    dirs = ([*prev["dirs"]] if prev else []) + [os.path.join(_DATA_DIR, version)]
-    manifest = {
-        "version": version,
-        "dirs": dirs,
-        "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
-    }
-    with open(_manifest_path(table_dir, version), "w", encoding="utf-8") as f:
-        f.write(json.dumps(manifest))
+    lock = _acquire_lock(table_dir)
+    try:
+        if mode == "append":
+            latest = _read_current(table_dir)
+            if (latest["version"] if latest else None) != (
+                prev["version"] if prev else None
+            ):
+                raise ConcurrentWriteError(
+                    f"append base version moved on {table_dir}: read "
+                    f"{prev['version'] if prev else None}, now "
+                    f"{latest['version'] if latest else None}"
+                )
+        dirs = ([*prev["dirs"]] if prev else []) + [os.path.join(_DATA_DIR, version)]
+        manifest = {
+            "version": version,
+            "dirs": dirs,
+            "schema": fields,
+            "partition_by": part_by,
+            "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
+        }
+        with open(_manifest_path(table_dir, version), "w", encoding="utf-8") as f:
+            f.write(json.dumps(manifest))
 
-    # the commit: atomic pointer replace (same-filesystem, POSIX-atomic)
-    tmp_pointer = os.path.join(table_dir, f".{_CURRENT}.{version}.tmp")
-    with open(tmp_pointer, "w", encoding="utf-8") as f:
-        f.write(version)
-    os.replace(tmp_pointer, os.path.join(table_dir, _CURRENT))
+        # the commit: atomic pointer replace (same-filesystem, POSIX-atomic);
+        # unlink the tmp pointer on any failure so aborted commits don't
+        # accumulate `._CURRENT.*.tmp` litter
+        tmp_pointer = os.path.join(table_dir, f".{_CURRENT}.{version}.tmp")
+        try:
+            with open(tmp_pointer, "w", encoding="utf-8") as f:
+                f.write(version)
+            os.replace(tmp_pointer, os.path.join(table_dir, _CURRENT))
+        except BaseException:
+            if os.path.exists(tmp_pointer):
+                os.unlink(tmp_pointer)
+            raise
+    finally:
+        os.unlink(lock)
     return version
 
 
@@ -127,4 +216,8 @@ def vacuum(table_dir: str) -> list[str]:
     for m in os.listdir(os.path.join(table_dir, _MANIFEST_DIR)):
         if m.removesuffix(".json") != manifest["version"]:
             os.remove(os.path.join(table_dir, _MANIFEST_DIR, m))
+    # stale tmp pointers from writers that crashed mid-publish
+    for f in os.listdir(table_dir):
+        if f.startswith(f".{_CURRENT}.") and f.endswith(".tmp"):
+            os.remove(os.path.join(table_dir, f))
     return removed

@@ -127,10 +127,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str, auto_spread: bool = 
     # Runtime-set (not session-build-time): callers hand us arbitrary
     # SparkSessions, and the fixture events.parquet stores TIMESTAMP(NANOS),
     # which the vectorized reader rejects outright unless nanos come in as
-    # longs. This is a runtime-settable SQL conf, so a plain
-    # `SparkSession.builder.getOrCreate()` works too.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    # longs. Scoped save/restore: the conf is captured into the DataFrame's
+    # plan at read time (verified: execution succeeds after restore), so the
+    # caller's session-wide setting is untouched outside this call.
+    nanos_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(nanos_key, None)
+    spark.conf.set(nanos_key, "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        if prior is None:
+            spark.conf.unset(nanos_key)
+        else:
+            spark.conf.set(nanos_key, prior)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: float division loses precision at ns-since-epoch
         # magnitudes (~1.7e18 exceeds double's 53-bit mantissa)

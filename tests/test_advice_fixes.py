@@ -167,3 +167,27 @@ def test_stream_upsert_null_keys_do_not_duplicate(spark, tmp_path):
     got = [(r["k"], r["v"]) for r in spark.read.parquet(target).collect()]
     # the NULL-key row was REPLACED (one copy, latest value), not duplicated
     assert len(got) == 2 and set(got) == {(None, 2.0), (7, 7.0)}
+
+
+def test_read_table_scopes_nanos_conf(spark):
+    """read_table must not leave nanosAsLong flipped on the caller's session
+    (round-2 advice): the override is save/restored around the read, and the
+    returned plan still executes afterwards (the conf is captured at read
+    time)."""
+    from etl_data_transformer_spark.sources import readers as R
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "false")
+        R._TABLE_CACHE.clear()  # force a fresh (non-memoized) read
+        df = R.read_table(spark, "/root/testdata/sf0.001", "events")
+        assert spark.conf.get(key) == "false"  # caller's setting untouched
+        assert df.count() > 0  # plan executes with the conf restored
+        assert dict(df.dtypes)["ts"] == "timestamp"  # nanos conversion applied
+    finally:
+        R._TABLE_CACHE.clear()
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)

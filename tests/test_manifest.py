@@ -81,3 +81,85 @@ def test_vacuum_removes_only_unreferenced(spark, tmp_path):
     assert removed == [v1]
     assert sorted(r["v"] for r in M.read_table(spark, table).collect()) == ["b", "c"]
     assert set(os.listdir(os.path.join(table, "data"))) == {v2, v3}
+
+
+def test_append_schema_mismatch_fails_at_commit(spark, tmp_path):
+    """Schema drift surfaces at append COMMIT time, not at a later read
+    (round-2 advice: manifests record schema + partition columns)."""
+    table = str(tmp_path / "t")
+    _write(spark, table, [(1, "a")])
+    drifted = spark.createDataFrame([(2.5, "b")], "id double, v string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        M.commit_write(drifted, table, mode="append")
+    # table untouched by the failed append
+    assert [r["v"] for r in M.read_table(spark, table).collect()] == ["a"]
+
+
+def test_append_partitioning_mismatch_fails_at_commit(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    M.commit_write(df, table, partition_by=["v"])
+    with pytest.raises(ValueError, match="partitioning mismatch"):
+        M.commit_write(df, table, mode="append")  # no partition_by
+
+
+def test_concurrent_append_conflict_fails_cleanly(spark, tmp_path, monkeypatch):
+    """Two-writer race: a commit that lands between an append's base-version
+    read and its publish makes the append fail with ConcurrentWriteError —
+    the competing writer's rows are never silently dropped."""
+    table = str(tmp_path / "t")
+    _write(spark, table, [(1, "a")])
+    real_acquire = M._acquire_lock
+    state = {"raced": False}
+
+    def racing_acquire(td):
+        if not state["raced"]:  # competing writer lands first, exactly once
+            state["raced"] = True
+            other = spark.createDataFrame([(99, "z")], "id long, v string")
+            M.commit_write(other, td, mode="overwrite")
+        return real_acquire(td)
+
+    monkeypatch.setattr(M, "_acquire_lock", racing_acquire)
+    with pytest.raises(M.ConcurrentWriteError, match="base version moved"):
+        _write(spark, table, [(2, "b")], mode="append")
+    monkeypatch.undo()
+    # the competing overwrite is the live version, intact
+    assert [r["v"] for r in M.read_table(spark, table).collect()] == ["z"]
+
+
+def test_commit_lock_blocks_then_goes_stale(spark, tmp_path):
+    import time
+
+    table = str(tmp_path / "t")
+    _write(spark, table, [(1, "a")])
+    lock = os.path.join(table, M._COMMIT_LOCK)
+    with open(lock, "w", encoding="utf-8") as f:
+        f.write("pid=0")
+    with pytest.raises(M.ConcurrentWriteError, match="lock held"):
+        _write(spark, table, [(2, "b")])
+    # a crashed writer's lock (older than the staleness window) is broken
+    os.utime(lock, (time.time() - M._LOCK_STALE_S - 1,) * 2)
+    _write(spark, table, [(2, "b")])
+    assert [r["v"] for r in M.read_table(spark, table).collect()] == ["b"]
+
+
+def test_failed_publish_leaves_no_tmp_pointer(spark, tmp_path, monkeypatch):
+    table = str(tmp_path / "t")
+    _write(spark, table, [(1, "a")])
+    monkeypatch.setattr(
+        os, "replace", lambda s, d: (_ for _ in ()).throw(OSError("injected"))
+    )
+    with pytest.raises(OSError, match="injected"):
+        _write(spark, table, [(2, "b")])
+    monkeypatch.undo()
+    assert not [f for f in os.listdir(table) if f.endswith(".tmp")]
+
+
+def test_vacuum_removes_stale_tmp_pointers(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _write(spark, table, [(1, "a")])
+    stale = os.path.join(table, f".{M._CURRENT}.deadbeef.tmp")
+    with open(stale, "w", encoding="utf-8") as f:
+        f.write("deadbeef")
+    M.vacuum(table)
+    assert not os.path.exists(stale)

@@ -57,3 +57,11 @@ def test_ivf_topk_shape_and_recall(spark, star):
     approx = {(r["query_id"], r["neighbor_id"]) for r in out}
     # a coarse 4-list quantizer on random vectors still recovers a fair share
     assert len(exact & approx) / len(exact) >= 0.3
+
+
+def test_train_ivf_centroids_empty_corpus_raises(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        SIM.train_ivf_centroids(empty)
