@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.aggregates import scalar_max
+from ..sources import manifest as manifest_store
 from ..sources.writers import atomic_swap_write
 
 AUDIT_COLUMNS = [
@@ -74,13 +75,21 @@ class LoadResult:
     total_rows: int
 
 
-def compute_watermark(spark: SparkSession, target_path: str, params: LoadParams) -> dt.datetime:
+def compute_watermark(
+    spark: SparkSession,
+    target_path: str,
+    params: LoadParams,
+    use_manifest: bool = False,
+) -> dt.datetime:
     """C3 (I:10-20): MAX(cdc) minus lookback, falling back to minimum_date
     when the target is empty/missing (the IFNULL branch, I:17)."""
     if params.load_type == "FULL_LOAD":
         return params.minimum_date
     try:
-        target = spark.read.parquet(target_path)
+        if use_manifest:
+            target = manifest_store.read_table(spark, target_path)
+        else:
+            target = spark.read.parquet(target_path)
     except Exception:  # noqa: BLE001 — target does not exist yet
         return params.minimum_date
     hwm = scalar_max(target, params.cdc_column)
@@ -95,15 +104,26 @@ def run_incremental_load(
     target_path: str,
     audit_path: str,
     params: LoadParams,
+    use_manifest: bool = False,
 ) -> LoadResult:
     """C4 — the delete-insert incremental load (I:23-40, I:321-328).
 
     ``build_window(watermark) -> DataFrame`` rebuilds the fact rows with
     ``cdc_ts >= watermark`` (the reference's 3-branch INSERT, I:40-314).
     The returned frame must contain ``params.cdc_column``.
+
+    ``use_manifest=True`` publishes through the manifest store instead of
+    in-place dynamic partition overwrite: the lookback partitions are
+    written to a new immutable version directory and
+    ``commit_replace_partitions`` swaps their ownership in ONE atomic
+    pointer replace — a crash at any point mid-load leaves the previous
+    version fully readable (no torn window between the overwrite and the
+    fully-deleted-partition cleanup, which the in-place path tolerates),
+    and no checkpoint barrier is needed because the plan never reads the
+    files it is replacing. Same cost profile: ∝ lookback window.
     """
     start_ts = dt.datetime.now(dt.timezone.utc)
-    watermark = compute_watermark(spark, target_path, params)
+    watermark = compute_watermark(spark, target_path, params, use_manifest=use_manifest)
 
     rebuilt = build_window(watermark).withColumn(
         "cdc_date", F.to_date(F.col(params.cdc_column))
@@ -114,12 +134,42 @@ def run_incremental_load(
     inserted = rebuilt.count()
 
     deleted = 0
-    target_exists = os.path.isdir(target_path)
+    if use_manifest:
+        target_exists = manifest_store.current_version(target_path) is not None
+    else:
+        target_exists = os.path.isdir(target_path)
     if params.load_type == "FULL_LOAD" or not target_exists:
         # TRUNCATE path (I:30) / first load: whole table replaced atomically.
-        if target_exists:
-            deleted = spark.read.parquet(target_path).count()
-        atomic_swap_write(rebuilt, target_path, partition_by=["cdc_date"])
+        if use_manifest:
+            if target_exists:
+                deleted = manifest_store.read_table(spark, target_path).count()
+            manifest_store.commit_write(
+                rebuilt, target_path, mode="overwrite", partition_by=["cdc_date"]
+            )
+        else:
+            if target_exists:
+                deleted = spark.read.parquet(target_path).count()
+            atomic_swap_write(rebuilt, target_path, partition_by=["cdc_date"])
+    elif use_manifest:
+        old = manifest_store.read_table(spark, target_path)
+        wm_date = watermark.date()
+        deleted = old.filter(F.col(params.cdc_column) >= F.lit(watermark)).count()
+        kept_in_window = old.filter(
+            (F.col("cdc_date") >= F.lit(wm_date))
+            & (F.col(params.cdc_column) < F.lit(watermark))
+        )
+        out = kept_in_window.unionByName(rebuilt)
+        old_dates = {
+            r["cdc_date"]
+            for r in old.filter(F.col("cdc_date") >= F.lit(wm_date)).select("cdc_date").distinct().collect()
+        }
+        written_dates = {r["cdc_date"] for r in out.select("cdc_date").distinct().collect()}
+        manifest_store.commit_replace_partitions(
+            out,
+            target_path,
+            partition_by="cdc_date",
+            drop_partitions={f"cdc_date={d.isoformat()}" for d in old_dates - written_dates},
+        )
     else:
         old = spark.read.parquet(target_path)
         wm_date = watermark.date()
@@ -157,7 +207,10 @@ def run_incremental_load(
             shutil.rmtree(f"{target_path}/cdc_date={d.isoformat()}", ignore_errors=True)
     rebuilt.unpersist()
 
-    total = spark.read.parquet(target_path).count()
+    if use_manifest:
+        total = manifest_store.read_table(spark, target_path).count()
+    else:
+        total = spark.read.parquet(target_path).count()
     write_audit(
         spark,
         audit_path,

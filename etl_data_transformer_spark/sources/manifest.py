@@ -15,8 +15,17 @@ Layout:
 
     table_dir/
       _CURRENT                  # pointer: name of the live manifest (atomic)
-      _manifest/<version>.json  # {"version", "dirs": [...], "ts"}
+      _manifest/<version>.json  # {"version", "dirs": [...], "ts", ...}
       data/<version>/...        # immutable parquet per commit
+
+For tables committed with a single-level ``partition_by``, the manifest also
+records which version directories own each partition
+(``"partitions": {"cdc_date=2024-01-02": ["data/<v>", ...], ...}``), which
+enables ``commit_replace_partitions`` — the Delta ``replaceWhere`` shape: a
+commit that atomically swaps ONLY the touched partitions' ownership to a new
+data directory, leaving every other partition's bytes untouched. That makes
+an incremental delete-insert load cost ∝ lookback window while keeping the
+all-or-nothing pointer publish (no torn table mid-load, ever).
 
 Concurrent writers are guarded by a compare-and-swap publish: commits
 serialize on an ``O_CREAT|O_EXCL`` lock file (the local-filesystem analog of
@@ -97,6 +106,71 @@ def _acquire_lock(table_dir: str) -> str:
     return lock
 
 
+def _check_compat(prev: dict, table_dir: str, fields: list, part_by: list, what: str) -> None:
+    """Schema/partitioning drift fails at COMMIT time, not at a later read.
+    Older manifests (pre-schema) skip the check rather than reject."""
+    if prev.get("schema") is not None and prev["schema"] != fields:
+        raise ValueError(
+            f"{what} schema mismatch for {table_dir}: "
+            f"table has {prev['schema']}, {what} brings {fields}"
+        )
+    if prev.get("partition_by") is not None and prev["partition_by"] != part_by:
+        raise ValueError(
+            f"{what} partitioning mismatch for {table_dir}: "
+            f"table uses {prev['partition_by']}, {what} uses {part_by}"
+        )
+
+
+def _write_data_dir(df: DataFrame, data_dir: str, part_by: list[str]) -> list[str]:
+    """Write the immutable version directory; returns its partition subdirs
+    (single-level layouts only — the mapping that powers partition swaps)."""
+    writer = df.write.mode("errorifexists")
+    if part_by:
+        writer = writer.partitionBy(*part_by)
+    writer.parquet(data_dir)
+    if len(part_by) == 1:
+        return sorted(d for d in os.listdir(data_dir) if "=" in d)
+    return []
+
+
+def _publish(
+    table_dir: str,
+    version: str,
+    build_manifest: "callable",
+    expected_base: str | None,
+    check_base: bool,
+) -> None:
+    """The commit: serialize on the lock, CAS-check the base version, write
+    the manifest, atomically replace the pointer. ``build_manifest(latest)``
+    receives the base manifest re-read under the lock."""
+    lock = _acquire_lock(table_dir)
+    try:
+        latest = _read_current(table_dir)
+        if check_base and (latest["version"] if latest else None) != expected_base:
+            raise ConcurrentWriteError(
+                f"base version moved on {table_dir}: read {expected_base}, "
+                f"now {latest['version'] if latest else None}"
+            )
+        manifest = build_manifest(latest)
+        with open(_manifest_path(table_dir, version), "w", encoding="utf-8") as f:
+            f.write(json.dumps(manifest))
+
+        # atomic pointer replace (same-filesystem, POSIX-atomic); unlink the
+        # tmp pointer on any failure so aborted commits don't accumulate
+        # `._CURRENT.*.tmp` litter
+        tmp_pointer = os.path.join(table_dir, f".{_CURRENT}.{version}.tmp")
+        try:
+            with open(tmp_pointer, "w", encoding="utf-8") as f:
+                f.write(version)
+            os.replace(tmp_pointer, os.path.join(table_dir, _CURRENT))
+        except BaseException:
+            if os.path.exists(tmp_pointer):
+                os.unlink(tmp_pointer)
+            raise
+    finally:
+        os.unlink(lock)
+
+
 def commit_write(
     df: DataFrame,
     table_dir: str,
@@ -128,36 +202,13 @@ def commit_write(
     part_by = list(partition_by) if partition_by else []
     prev = _read_current(table_dir) if mode == "append" else None
     if prev is not None:
-        # older manifests (pre-schema) skip the check rather than reject
-        if prev.get("schema") is not None and prev["schema"] != fields:
-            raise ValueError(
-                f"append schema mismatch for {table_dir}: "
-                f"table has {prev['schema']}, append brings {fields}"
-            )
-        if prev.get("partition_by") is not None and prev["partition_by"] != part_by:
-            raise ValueError(
-                f"append partitioning mismatch for {table_dir}: "
-                f"table uses {prev['partition_by']}, append uses {part_by}"
-            )
+        _check_compat(prev, table_dir, fields, part_by, "append")
 
-    writer = df.write.mode("errorifexists")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(data_dir)
+    new_subdirs = _write_data_dir(df, data_dir, part_by)
+    rel_dir = os.path.join(_DATA_DIR, version)
 
-    lock = _acquire_lock(table_dir)
-    try:
-        if mode == "append":
-            latest = _read_current(table_dir)
-            if (latest["version"] if latest else None) != (
-                prev["version"] if prev else None
-            ):
-                raise ConcurrentWriteError(
-                    f"append base version moved on {table_dir}: read "
-                    f"{prev['version'] if prev else None}, now "
-                    f"{latest['version'] if latest else None}"
-                )
-        dirs = ([*prev["dirs"]] if prev else []) + [os.path.join(_DATA_DIR, version)]
+    def build_manifest(latest: dict | None) -> dict:
+        dirs = ([*prev["dirs"]] if prev else []) + [rel_dir]
         manifest = {
             "version": version,
             "dirs": dirs,
@@ -165,31 +216,117 @@ def commit_write(
             "partition_by": part_by,
             "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
         }
-        with open(_manifest_path(table_dir, version), "w", encoding="utf-8") as f:
-            f.write(json.dumps(manifest))
+        if new_subdirs:
+            parts: dict[str, list[str]] = (
+                {k: list(v) for k, v in prev.get("partitions", {}).items()} if prev else {}
+            )
+            for p in new_subdirs:
+                parts[p] = [*parts.get(p, []), rel_dir]
+            manifest["partitions"] = parts
+        return manifest
 
-        # the commit: atomic pointer replace (same-filesystem, POSIX-atomic);
-        # unlink the tmp pointer on any failure so aborted commits don't
-        # accumulate `._CURRENT.*.tmp` litter
-        tmp_pointer = os.path.join(table_dir, f".{_CURRENT}.{version}.tmp")
-        try:
-            with open(tmp_pointer, "w", encoding="utf-8") as f:
-                f.write(version)
-            os.replace(tmp_pointer, os.path.join(table_dir, _CURRENT))
-        except BaseException:
-            if os.path.exists(tmp_pointer):
-                os.unlink(tmp_pointer)
-            raise
-    finally:
-        os.unlink(lock)
+    _publish(
+        table_dir,
+        version,
+        build_manifest,
+        expected_base=prev["version"] if prev else None,
+        check_base=mode == "append",
+    )
+    return version
+
+
+def commit_replace_partitions(
+    df: DataFrame,
+    table_dir: str,
+    partition_by: str,
+    drop_partitions: set[str] | None = None,
+) -> str:
+    """Delta ``replaceWhere``-shaped commit: atomically make ``df``'s rows
+    the ONLY contents of the partitions it touches, leaving all other
+    partitions' bytes untouched (plus explicitly dropping the
+    ``drop_partitions`` subdirs, e.g. ``{"cdc_date=2024-01-02"}`` — the
+    fully-deleted-and-not-reinserted case). The delete-insert incremental
+    load's publish: cost ∝ touched partitions, never table size, and the
+    swap is one pointer replace — a crash mid-load leaves the previous
+    version fully readable. First commit on an empty table behaves like
+    ``overwrite``. Conflicting concurrent commits raise
+    ``ConcurrentWriteError``."""
+    version = uuid.uuid4().hex
+    os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+    data_dir = os.path.join(table_dir, _DATA_DIR, version)
+
+    fields = _schema_fields(df)
+    part_by = [partition_by]
+    prev = _read_current(table_dir)
+    if prev is not None:
+        _check_compat(prev, table_dir, fields, part_by, "replace-partitions")
+        if prev.get("partitions") is None:
+            raise ValueError(
+                f"{table_dir} was not committed with a single-level "
+                "partition_by — no partition ownership map to swap against"
+            )
+
+    new_subdirs = _write_data_dir(df, data_dir, part_by)
+    rel_dir = os.path.join(_DATA_DIR, version)
+
+    def build_manifest(latest: dict | None) -> dict:
+        parts: dict[str, list[str]] = (
+            {k: list(v) for k, v in prev.get("partitions", {}).items()} if prev else {}
+        )
+        for p in new_subdirs:
+            parts[p] = [rel_dir]  # replaced: the new dir is the sole owner
+        for p in drop_partitions or ():
+            parts.pop(p, None)
+        dirs = sorted({d for owners in parts.values() for d in owners})
+        return {
+            "version": version,
+            "dirs": dirs,
+            "partitions": parts,
+            "schema": fields,
+            "partition_by": part_by,
+            "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
+        }
+
+    _publish(
+        table_dir,
+        version,
+        build_manifest,
+        expected_base=prev["version"] if prev else None,
+        check_base=True,
+    )
     return version
 
 
 def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Read the live version: pointer → manifest → parquet over its dirs."""
+    """Read the live version: pointer → manifest → parquet over its dirs.
+
+    Tables with a partition-ownership map read each version directory
+    restricted to the partitions it still owns (after a
+    ``commit_replace_partitions`` a directory may own only a subset of the
+    partitions it physically contains); ``basePath`` recovers the partition
+    column. Plain dir-list tables read their dirs wholesale."""
     manifest = _read_current(table_dir)
     if manifest is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
+    parts = manifest.get("partitions")
+    if parts is not None and not parts:  # every partition dropped
+        ddl = ", ".join(f"`{n}` {t}" for n, t in manifest["schema"])
+        return spark.createDataFrame([], ddl)
+    if parts:
+        by_dir: dict[str, list[str]] = {}
+        for p, owners in parts.items():
+            for d in owners:
+                by_dir.setdefault(d, []).append(p)
+        frames = [
+            spark.read.option("basePath", os.path.join(table_dir, d)).parquet(
+                *[os.path.join(table_dir, d, p) for p in sorted(ps)]
+            )
+            for d, ps in sorted(by_dir.items())
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
     paths = [os.path.join(table_dir, d) for d in manifest["dirs"]]
     return spark.read.parquet(*paths)
 

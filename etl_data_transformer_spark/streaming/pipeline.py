@@ -267,6 +267,31 @@ def stream_incremental_upsert(
     q.awaitTermination()
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_STATE_STORE_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+def use_rocksdb_state_store(spark: SparkSession, enabled: bool = True) -> None:
+    """Conf-gate the RocksDB state store for stateful streaming queries.
+
+    The default (HDFS-backed in-memory provider) keeps every key's state on
+    the executor heap — fine at test scale, but a cluster-scale
+    sessionization (hundreds of millions of open sessions) needs state that
+    spills: RocksDB keeps working state off-heap/on-disk with incremental
+    checkpointing. Results are provider-independent (pinned by
+    ``tests/test_streaming.py``); only memory behavior changes. The provider
+    is read at QUERY START and is checkpoint-sticky — set it before the
+    first run of a query, and don't flip it on an existing checkpoint.
+    ``enabled=False`` restores Spark's default provider.
+    """
+    if enabled:
+        spark.conf.set(_STATE_STORE_KEY, ROCKSDB_PROVIDER)
+    else:
+        spark.conf.unset(_STATE_STORE_KEY)
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,

@@ -22,6 +22,7 @@ NLJ_ALLOWED = {
     "ann_lsh_recall",  # embeds the bounded brute-force exact side
     "ann_ivf_recall",  # embeds the bounded brute-force exact side
     "dedup_clusters",  # built on the ngram_jaccard bounded-N² edge set
+    "simhash_recall",  # same bounded-N² exact truth side (capped corpus)
     "agg_china",
     "fact_union",
     "sql_fact_union",  # same const-pinned dims via the raw-SQL entry point

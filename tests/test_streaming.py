@@ -209,3 +209,56 @@ def test_stream_incremental_upsert(spark, tmp_path):
     drain()
     got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
     assert got == {(1, 10.0), (2, 2.0), (3, 3.0), (4, 44.0)}
+
+
+def test_sessionize_identical_under_rocksdb_state_store(spark, tmp_path):
+    """The RocksDB state store (the cluster-scale spill path for streaming
+    state) produces byte-identical sessionization results to the default
+    HDFS-backed provider — only memory behavior differs."""
+    import datetime as dt
+
+    from etl_data_transformer_spark.streaming.pipeline import (
+        ROCKSDB_PROVIDER,
+        _STATE_STORE_KEY,
+        use_rocksdb_state_store,
+    )
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, minute // 60, minute % 60)
+
+    rows = [
+        (1, 1, ts(0), 1.0),
+        (2, 1, ts(10), 2.0),
+        (3, 1, ts(50), 3.0),   # closes user 1's first session
+        (4, 2, ts(0), 4.0),
+        (5, 2, ts(20), 1.5),
+        (6, 2, ts(60), 2.5),   # closes user 2's first session
+    ]
+    src = str(tmp_path / "rdb_src")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(src)
+    schema = "event_id long, user_id long, ts timestamp, value double"
+
+    def drain(name):
+        stream = spark.readStream.schema(schema).parquet(src)
+        sessions = stream_sessionize(stream, gap_minutes=30)
+        ckpt = str(tmp_path / f"{name}_ckpt")  # provider is checkpoint-sticky
+        return sorted(
+            tuple(r) for r in run_available_now(sessions, ckpt, name).collect()
+        )
+
+    prior = spark.conf.get(_STATE_STORE_KEY, None)
+    try:
+        default_out = drain("rdb_default")
+        use_rocksdb_state_store(spark)
+        assert spark.conf.get(_STATE_STORE_KEY) == ROCKSDB_PROVIDER
+        rocksdb_out = drain("rdb_rocks")
+    finally:
+        if prior is None:
+            use_rocksdb_state_store(spark, enabled=False)
+        else:
+            spark.conf.set(_STATE_STORE_KEY, prior)
+
+    assert rocksdb_out == default_out
+    assert len(rocksdb_out) == 2  # one closed session per user
