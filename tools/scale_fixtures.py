@@ -1,0 +1,74 @@
+"""Generate an N×-scaled copy of a fixture directory for SCALING runs.
+
+The driver ships sf{0.001,0.01,0.1} only; the 100 TB story needs evidence
+that per-query wall-clock grows sublinearly with data (fixed job overhead
+amortizes, scans/shuffles parallelize). This derives a larger PERF-ONLY
+dataset from sf0.1 by unioning key-shifted replicas of the fact tables
+(orders, lineitem, events, documents, embeddings) while keeping dimensions
+fixed — the realistic shape: facts grow, dims don't. Document text gets a
+per-replica suffix token so dedup/similarity workloads don't degenerate
+into 10× exact copies.
+
+PERF ONLY: correctness is always checked against the driver's own fixtures
+(tools/check_oracle.py); this data never feeds an oracle comparison.
+
+Usage: python tools/scale_fixtures.py [factor] [src_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_data_transformer_spark.session import get_spark  # noqa: E402
+
+DIM_TABLES = ["region", "nation", "customer", "supplier", "part"]
+# fact table -> columns to shift by replica * (max+1) so keys stay unique
+SHIFT = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scratch/sf1_scaled"
+    spark = get_spark("scale_fixtures")
+    os.makedirs(out, exist_ok=True)
+
+    for t in DIM_TABLES:
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+        print(f"# {t}: copied (dim)")
+
+    for t, keys in SHIFT.items():
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        strides = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+        reps = []
+        for i in range(factor):
+            r = df
+            for k in keys:
+                r = r.withColumn(k, F.col(k) + F.lit(i * strides[k]))
+            if t == "documents" and i > 0:
+                # perturb text so near-dup workloads see near-dups, not copies
+                r = r.withColumn("text", F.concat_ws(" ", F.col("text"), F.lit(f"rep{i}")))
+            reps.append(r)
+        scaled = reps[0]
+        for r in reps[1:]:
+            scaled = scaled.unionByName(r)
+        scaled.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        print(f"# {t}: x{factor} -> {out}")
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
