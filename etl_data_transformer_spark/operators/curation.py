@@ -1,0 +1,158 @@
+"""Corpus-curation operators beyond dedup: PII redaction, benchmark
+contamination detection, and sequence packing (SURVEY.md §2.10 — the
+training-data-pipeline surface; no analog in the reference, which stops at
+full-row DISTINCT).
+
+All three are designed for the 100 TB shape:
+
+- ``redact_pii`` is a chain of JVM ``regexp_replace`` calls — one codegen'd
+  projection, no Python, no shuffle.
+- ``contamination_check`` never cross-joins: the corpus explodes to hashed
+  shingles (one row per doc×shingle), the benchmark's shingle set is tiny
+  and broadcast, and the overlap count is a map-side-combinable groupBy on
+  the doc id.
+- ``pack_sequences`` is partition-local greedy first-fit via
+  ``mapInPandas`` (Arrow-batched): packing is inherently sequential, so the
+  parallel unit is the partition — the standard trade (each executor packs
+  its slice; bins never span partitions).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+
+# ordered: more-specific patterns first so e.g. an email isn't half-eaten by
+# the phone pattern's digit runs
+_PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d(?:[ -]?\d){12,15}\b", "<CARD>"),
+    (r"\+?\d{1,3}[ -.]?\(?\d{2,4}\)?[ -.]?\d{3,4}[ -.]?\d{3,4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col, patterns: list[tuple[str, str]] | None = None):
+    """Expression: replace emails / card-like digit runs / phone numbers /
+    IPv4 addresses with placeholder tokens. A chained ``regexp_replace`` —
+    stays inside one whole-stage-codegen projection."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, token in patterns or _PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def redact_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Apply ``redact_pii`` in place over ``text_col``."""
+    return df.withColumn(text_col, redact_pii(text_col))
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Benchmark-contamination detection: for each corpus document, the
+    fraction of its word ``n``-gram shingles that appear anywhere in the
+    ``benchmark`` frame's ``text_col`` (the eval set). Returns
+    (id, n_shingles, n_hits, contamination, contaminated).
+
+    Scale shape: shingles are hashed to longs (xxhash64) on both sides, the
+    benchmark side is distinct-ed and broadcast (eval sets are tiny next to
+    a training corpus), and the join is a hash semi-join per exploded
+    shingle followed by a map-side-combinable count — never an N×N compare,
+    never a Python UDF. For a benchmark too big to broadcast, remove the
+    hint: the same plan becomes a shuffled hash join on the shingle hash.
+    """
+    hs = lambda c: F.transform(shingles(c, n), lambda s: F.xxhash64(s))  # noqa: E731
+    corpus_sh = (
+        corpus.select(F.col(id_col), hs(text_col).alias("hs"))
+        .filter(F.size("hs") > 0)
+        .select(id_col, F.size("hs").alias("n_shingles"), F.explode("hs").alias("h"))
+    )
+    bench_sh = (
+        benchmark.select(F.explode(hs(text_col)).alias("h")).distinct()
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "h", "left_semi")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = corpus_sh.select(id_col, "n_shingles").distinct()
+    out = (
+        base.join(hits, [id_col, "n_shingles"], "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        .withColumn("contamination", F.round(F.col("n_hits") / F.col("n_shingles"), 6))
+    )
+    return out.select(
+        id_col,
+        "n_shingles",
+        "n_hits",
+        "contamination",
+        (F.col("contamination") >= threshold).alias("contaminated"),
+    )
+
+
+PACKED_SCHEMA = "bin_id long, doc_ids array<long>, n_docs int, n_tokens long"
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy first-fit packing of documents into training sequences of at
+    most ``max_tokens`` whitespace tokens: returns one row per packed bin
+    (bin_id, doc_ids, n_docs, n_tokens). Documents longer than
+    ``max_tokens`` get a bin of their own (truncation is the trainer's
+    call, not the packer's).
+
+    Packing is order-sequential, so it runs partition-local inside
+    ``mapInPandas`` (Arrow batches; only id + token count cross into
+    Python — never the text). Bins are deterministic per partition (sorted
+    by id); bin_id is globally unique via the partition id in the high
+    bits. Co-locating similar-length docs first (``repartitionByRange`` on
+    the token count) tightens packing efficiency at scale.
+    """
+    import pandas as pd
+
+    counts = df.select(F.col(id_col), F.size(tokens(text_col)).alias("n_tok"))
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        bins: list[list] = []  # [doc_ids, token_sum]
+        rows = []
+        for pdf in batches:
+            rows.append(pdf)
+        if not rows:
+            return
+        allr = pd.concat(rows).sort_values(id_col)
+        for doc_id, n_tok in zip(allr[id_col], allr["n_tok"]):
+            n_tok = int(n_tok)
+            for b in bins:
+                if b[1] + n_tok <= max_tokens:
+                    b[0].append(int(doc_id))
+                    b[1] += n_tok
+                    break
+            else:
+                bins.append([[int(doc_id)], n_tok])
+        yield pd.DataFrame(
+            {
+                "bin_id": [(pid << 32) | i for i in range(len(bins))],
+                "doc_ids": [b[0] for b in bins],
+                "n_docs": [len(b[0]) for b in bins],
+                "n_tokens": [b[1] for b in bins],
+            }
+        )
+
+    return counts.mapInPandas(pack, schema=PACKED_SCHEMA)

@@ -1,0 +1,87 @@
+"""PII redaction, contamination detection, sequence packing
+(operators/curation.py — the training-data curation surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_data_transformer_spark.operators import curation as C
+
+
+def test_redact_pii_all_classes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@example.co.uk today"),
+            (2, "card 4111 1111 1111 1111 expires soon"),
+            (3, "call +1-555-123-4567 or 030 1234 5678"),
+            (4, "host at 192.168.10.1 went down"),
+            (5, "nothing sensitive here"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["text"] for r in C.redact_documents(df).collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "card <CARD> expires soon"
+    assert "<PHONE>" in got[3] and "555" not in got[3] and "1234" not in got[3]
+    assert got[4] == "host at <IP> went down"
+    assert got[5] == "nothing sensitive here"
+
+
+def test_redact_pii_is_single_codegen_projection(spark):
+    df = spark.createDataFrame([(1, "a@b.co")], "id long, text string")
+    plan = C.redact_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: pure projection
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_check_flags_planted_overlap(spark):
+    # benchmark doc planted verbatim inside corpus doc 1; doc 2 is clean
+    bench_text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words then {bench_text} and some closing words here"),
+            (2, "an entirely different document about spark shuffle partitions "
+                "and adaptive query execution behavior at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in C.contamination_check(corpus, bench, n=8, threshold=0.1).collect()}
+    assert got[1]["contaminated"] and got[1]["n_hits"] > 0
+    assert not got[2]["contaminated"] and got[2]["n_hits"] == 0
+    assert 0.0 < got[1]["contamination"] <= 1.0
+
+
+def test_contamination_check_broadcasts_benchmark(spark):
+    corpus = spark.createDataFrame([(1, "a b c d e f g h i j")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c d e f g h")], "doc_id long, text string")
+    plan = (
+        C.contamination_check(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # semi-join against the broadcast eval set
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_respects_budget_and_covers_all_docs(spark):
+    docs = [(i, " ".join(["tok"] * n)) for i, n in enumerate([50, 60, 70, 100, 10, 90, 40])]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(2)
+    bins = C.pack_sequences(df, max_tokens=100).collect()
+    # every bin within budget
+    assert all(r["n_tokens"] <= 100 for r in bins)
+    # every doc packed exactly once
+    packed = sorted(d for r in bins for d in r["doc_ids"])
+    assert packed == list(range(7))
+    # bin token counts are the sum of their members' counts
+    by_id = dict(enumerate([50, 60, 70, 100, 10, 90, 40]))
+    for r in bins:
+        assert r["n_tokens"] == sum(by_id[d] for d in r["doc_ids"])
+        assert r["n_docs"] == len(r["doc_ids"])
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(["t"] * 500)), (2, "a b")], "doc_id long, text string"
+    ).coalesce(1)
+    bins = {tuple(r["doc_ids"]): r for r in C.pack_sequences(df, max_tokens=100).collect()}
+    assert (1,) in bins and bins[(1,)]["n_tokens"] == 500  # own bin, untruncated
+    assert (2,) in bins
