@@ -19,13 +19,13 @@ Builds up from the reference's full-row DISTINCT (A4,
 - ``ngram_jaccard_exact``    — exact char-n-gram Jaccard, all pairs (oracle).
 - ``embedding_near_dups``    — cosine-threshold pairs over embeddings.
 
-Performance shape (measured at sf0.1, 5k docs, 260k shingles): the naive
-formulation recomputed the shingling under every downstream reference
-(Catalyst collapses projections, so ``mh`` referenced 12× = 12 re-shingles).
-``_hashed_shingles`` therefore ends in ``repartition(id)``: the exchange
-materializes the hashed-shingle arrays once, and every consumer (banding,
-both verify-join sides) reuses the SAME exchange (ReusedExchange) instead of
-re-deriving it. Minhashing after the exchange is pure long arithmetic.
+Performance shape (measured at sf0.1, 5k docs, 260k shingles): signatures
+are computed by explode → row-wise ``xxhash64`` → groupBy(collect_set + k
+mins) — every step whole-stage codegen'd with map-side partial mins
+(0.8 s), where the previous nested ``transform``/``array_min`` formulation
+ran interpreted one-thread-per-row (3.1 s). The groupBy's exchange also
+materializes (hs, mh) once, so banding and both verify-join sides reuse the
+same shuffle output instead of re-shingling (round-1's 12× recompute bug).
 """
 
 from __future__ import annotations
@@ -68,42 +68,48 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def _hashed_shingles(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> DataFrame:
-    """(id, hs): distinct word-n-gram shingles hashed to longs.
+def _signatures(df: DataFrame, text_col: str, id_col: str, shingle_n: int, num_hashes: int) -> DataFrame:
+    """(id, hs, mh): per-doc distinct shingle-hash set + k-minhash signature.
 
-    The input is spread BEFORE the shingle/hash compute so it runs on all
-    cores: a small parquet source arrives as one partition, and higher-order
-    array expressions are interpreted (not codegen'd) — leaving them before
-    the first exchange serializes the whole corpus onto one thread.
-    ``spread`` uses an explicit partition count because AQE would coalesce a
-    byte-small exchange back to one partition (bytes ≠ CPU cost), and is a
+    Shape matters here — this stage was 3.1 s of the 3.9 s sf0.1 pipeline
+    when written as nested higher-order array functions (``transform`` +
+    ``array_min`` are INTERPRETED expressions, one thread per row), and is
+    0.8 s as explode → row-wise ``xxhash64`` → groupBy with 1 ``collect_set``
+    + k ``min`` aggregates: every operator in that chain is whole-stage
+    codegen'd and the mins combine map-side. The minhash value is unchanged:
+    min over shingles of (a_i * (h mod P) + b_i) mod P, long arithmetic
+    (``min`` is duplicate-insensitive, so explode needs no distinct).
+
+    The input is spread BEFORE the explode so the shingle compute runs on
+    all cores even from a single-partition parquet scan; ``spread`` is a
     no-op when the scan is already parallel (cluster-scale inputs)."""
     from ..sources.readers import spread
 
-    hs = F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
-    return (
+    ex = (
         spread(df.select(F.col(id_col), F.col(text_col)), key=id_col)
-        .select(F.col(id_col), hs.alias("hs"))
-        .filter(F.size("hs") > 0)
+        .select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
+        .select(F.col(id_col), F.xxhash64("s").alias("h"))
+        .withColumn("hm", F.pmod(F.col("h"), F.lit(_P)))
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("hm") + F.lit(b)) % F.lit(_P)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(_AFFINE[:num_hashes])
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(F.collect_set("h").alias("hs"), *mins)
+        .select(
+            id_col,
+            "hs",
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("mh"),
+        )
     )
 
 
-def _minhashes(hs_col, num_hashes: int):
-    """k minhash values via affine permutations of the pre-hashed shingles:
-    min over hs of (a_i * (h mod P) + b_i) mod P. Pure long arithmetic."""
-    def perm(a: int, b: int):
-        return lambda h: (F.lit(a) * F.pmod(h, F.lit(_P)) + F.lit(b)) % F.lit(_P)
-
-    return F.array(
-        *[F.array_min(F.transform(hs_col, perm(a, b))) for (a, b) in _AFFINE[:num_hashes]]
-    )
-
-
-def _lsh_candidates(hsh: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+def _lsh_candidates(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
     """Band the minhash signature and self-join on (band, signature) buckets
     — explode to ``bands`` rows per doc, never an N×N cross join."""
     rows_per_band = num_hashes // bands
-    sigs = hsh.select(id_col, _minhashes(F.col("hs"), num_hashes).alias("mh"))
     banded = sigs.select(
         id_col,
         F.explode(
@@ -138,7 +144,9 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any (band_idx, band_signature)
     bucket. rows_per_band = num_hashes / bands."""
-    return _lsh_candidates(_hashed_shingles(df, text_col, id_col, shingle_n), id_col, num_hashes, bands)
+    return _lsh_candidates(
+        _signatures(df, text_col, id_col, shingle_n, num_hashes), id_col, num_hashes, bands
+    )
 
 
 def jaccard(a_col, b_col):
@@ -167,8 +175,7 @@ def minhash_dedup(
     the join-back shape (``_lsh_candidates`` + two id-joins) is the
     alternative — at typical web-doc sizes carried-hs wins."""
     rows_per_band = num_hashes // bands
-    hsh = _hashed_shingles(df, text_col, id_col, shingle_n)
-    sigs = hsh.select(id_col, "hs", _minhashes(F.col("hs"), num_hashes).alias("mh"))
+    sigs = _signatures(df, text_col, id_col, shingle_n, num_hashes)
     banded = sigs.select(
         id_col,
         "hs",
