@@ -27,12 +27,14 @@ from pyspark.sql import functions as F
 from ..functions.text import shingles, tokens
 
 # ordered: more-specific patterns first so e.g. an email isn't half-eaten by
-# the phone pattern's digit runs
+# the phone pattern's digit runs; IP before PHONE because the phone pattern's
+# dot-separated digit groups would otherwise consume IPv4s with 3-digit
+# octets (192.168.100.200)
 _PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     (r"\b\d(?:[ -]?\d){12,15}\b", "<CARD>"),
     (r"\+?\d{1,3}[ -.]?\(?\d{2,4}\)?[ -.]?\d{3,4}[ -.]?\d{3,4}\b", "<PHONE>"),
-    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
 ]
 
 
@@ -80,15 +82,16 @@ def contamination_check(
     bench_sh = (
         benchmark.select(F.explode(hs(text_col)).alias("h")).distinct()
     )
-    hits = (
-        corpus_sh.join(F.broadcast(bench_sh), "h", "left_semi")
-        .groupBy(id_col, "n_shingles")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    base = corpus_sh.select(id_col, "n_shingles").distinct()
+    # single pass over the exploded corpus (the expensive side): left join
+    # against the broadcast benchmark set and count hits conditionally —
+    # zero-hit docs keep their row via the groupBy, so no second
+    # corpus-shingling branch for the base set
     out = (
-        base.join(hits, [id_col, "n_shingles"], "left")
-        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        corpus_sh.join(
+            F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "h", "left"
+        )
+        .groupBy(id_col, "n_shingles")
+        .agg(F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"))
         .withColumn("contamination", F.round(F.col("n_hits") / F.col("n_shingles"), 6))
     )
     return out.select(

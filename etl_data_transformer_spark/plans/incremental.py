@@ -159,16 +159,18 @@ def run_incremental_load(
             & (F.col(params.cdc_column) < F.lit(watermark))
         )
         out = kept_in_window.unionByName(rebuilt)
+        # partitions in the rewrite window that `out` doesn't re-populate are
+        # fully-deleted; the commit derives the written set from the data dir
+        # it just wrote, so `out` is evaluated exactly once (in the write)
         old_dates = {
             r["cdc_date"]
             for r in old.filter(F.col("cdc_date") >= F.lit(wm_date)).select("cdc_date").distinct().collect()
         }
-        written_dates = {r["cdc_date"] for r in out.select("cdc_date").distinct().collect()}
         manifest_store.commit_replace_partitions(
             out,
             target_path,
             partition_by="cdc_date",
-            drop_partitions={f"cdc_date={d.isoformat()}" for d in old_dates - written_dates},
+            drop_unless_written={f"cdc_date={d.isoformat()}" for d in old_dates},
         )
     else:
         old = spark.read.parquet(target_path)

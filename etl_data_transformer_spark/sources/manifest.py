@@ -84,26 +84,38 @@ def _schema_fields(df: DataFrame) -> list[list[str]]:
 def _acquire_lock(table_dir: str) -> str:
     """Rename-if-absent commit lock (``O_CREAT|O_EXCL`` — the local-FS
     analog of an object-store conditional put). A lock older than
-    ``_LOCK_STALE_S`` belongs to a crashed writer and is broken."""
+    ``_LOCK_STALE_S`` belongs to a crashed writer and is broken by
+    atomically RENAMING it away first: rename claims the stale lock
+    exclusively (only one of N racing breakers succeeds; the rest see
+    FileNotFoundError and re-contend on the normal O_EXCL create), unlike
+    unlink-then-create, where two breakers can each unlink the other's
+    fresh lock and both enter the critical section."""
     import time
 
     lock = os.path.join(table_dir, _COMMIT_LOCK)
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+    for _ in range(8):
         try:
-            age = time.time() - os.path.getmtime(lock)
-        except OSError:  # lock vanished between open and stat — retry once
-            return _acquire_lock(table_dir)
-        if age <= _LOCK_STALE_S:
-            raise ConcurrentWriteError(
-                f"commit lock held by another writer on {table_dir}"
-            ) from None
-        os.unlink(lock)
-        return _acquire_lock(table_dir)
-    with os.fdopen(fd, "w", encoding="utf-8") as f:
-        f.write(f"pid={os.getpid()}")
-    return lock
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:  # lock vanished between open and stat — re-contend
+                continue
+            if age <= _LOCK_STALE_S:
+                raise ConcurrentWriteError(
+                    f"commit lock held by another writer on {table_dir}"
+                ) from None
+            claimed = f"{lock}.broken.{uuid.uuid4().hex}"
+            try:
+                os.rename(lock, claimed)  # atomic claim of the STALE lock only
+                os.unlink(claimed)
+            except FileNotFoundError:
+                pass  # another breaker claimed it first — re-contend
+            continue
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(f"pid={os.getpid()}")
+        return lock
+    raise ConcurrentWriteError(f"could not acquire commit lock on {table_dir}")
 
 
 def _check_compat(prev: dict, table_dir: str, fields: list, part_by: list, what: str) -> None:
@@ -216,7 +228,11 @@ def commit_write(
             "partition_by": part_by,
             "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
         }
-        if new_subdirs:
+        # single-level partitioned tables ALWAYS carry the ownership map —
+        # including when this commit wrote zero rows (new_subdirs empty), so
+        # an empty CDC-window append can't silently demote the table to the
+        # wholesale-dirs layout and resurrect replaced partitions
+        if len(part_by) == 1:
             parts: dict[str, list[str]] = (
                 {k: list(v) for k, v in prev.get("partitions", {}).items()} if prev else {}
             )
@@ -239,18 +255,22 @@ def commit_replace_partitions(
     df: DataFrame,
     table_dir: str,
     partition_by: str,
-    drop_partitions: set[str] | None = None,
+    drop_unless_written: set[str] | None = None,
 ) -> str:
     """Delta ``replaceWhere``-shaped commit: atomically make ``df``'s rows
     the ONLY contents of the partitions it touches, leaving all other
-    partitions' bytes untouched (plus explicitly dropping the
-    ``drop_partitions`` subdirs, e.g. ``{"cdc_date=2024-01-02"}`` — the
-    fully-deleted-and-not-reinserted case). The delete-insert incremental
-    load's publish: cost ∝ touched partitions, never table size, and the
-    swap is one pointer replace — a crash mid-load leaves the previous
-    version fully readable. First commit on an empty table behaves like
-    ``overwrite``. Conflicting concurrent commits raise
-    ``ConcurrentWriteError``."""
+    partitions' bytes untouched. ``drop_unless_written`` names subdirs
+    (e.g. ``{"cdc_date=2024-01-02"}``) that are REMOVED from the table if
+    ``df`` produced no rows for them — the caller passes every partition
+    in its rewrite window, and whichever ones the new data doesn't re-
+    populate are the fully-deleted case; the actually-written set is taken
+    from the committed data directory, so the caller never has to
+    pre-compute (and pre-evaluate) ``df``'s partition values. The
+    delete-insert incremental load's publish: cost ∝ touched partitions,
+    never table size, and the swap is one pointer replace — a crash
+    mid-load leaves the previous version fully readable. First commit on
+    an empty table behaves like ``overwrite``. Conflicting concurrent
+    commits raise ``ConcurrentWriteError``."""
     version = uuid.uuid4().hex
     os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
     data_dir = os.path.join(table_dir, _DATA_DIR, version)
@@ -275,7 +295,7 @@ def commit_replace_partitions(
         )
         for p in new_subdirs:
             parts[p] = [rel_dir]  # replaced: the new dir is the sole owner
-        for p in drop_partitions or ():
+        for p in (drop_unless_written or set()) - set(new_subdirs):
             parts.pop(p, None)
         dirs = sorted({d for owners in parts.values() for d in owners})
         return {
@@ -336,25 +356,50 @@ def current_version(table_dir: str) -> str | None:
     return m["version"] if m else None
 
 
-def vacuum(table_dir: str) -> list[str]:
+def vacuum(table_dir: str, grace_s: float = _LOCK_STALE_S) -> list[str]:
     """Delete data/manifest files unreferenced by the live version (run only
     when no reader can still hold an old manifest — Delta's retention-window
-    caveat applies). Returns the removed data directories."""
-    manifest = _read_current(table_dir)
-    if manifest is None:
-        return []
-    live_dirs = {os.path.basename(d) for d in manifest["dirs"]}
-    removed = []
-    data_root = os.path.join(table_dir, _DATA_DIR)
-    for d in os.listdir(data_root) if os.path.isdir(data_root) else []:
-        if d not in live_dirs:
-            shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
-            removed.append(d)
-    for m in os.listdir(os.path.join(table_dir, _MANIFEST_DIR)):
-        if m.removesuffix(".json") != manifest["version"]:
-            os.remove(os.path.join(table_dir, _MANIFEST_DIR, m))
-    # stale tmp pointers from writers that crashed mid-publish
-    for f in os.listdir(table_dir):
-        if f.startswith(f".{_CURRENT}.") and f.endswith(".tmp"):
-            os.remove(os.path.join(table_dir, f))
-    return removed
+    caveat applies). Returns the removed data directories.
+
+    Concurrent-writer safety: runs under the commit lock (no publish can
+    happen mid-vacuum), and additionally skips anything younger than
+    ``grace_s`` — a live writer stages its data directory BEFORE taking the
+    lock, so age is the only signal separating an in-flight commit's files
+    from a crashed one's orphans (the same retention-window reasoning Delta
+    applies). Pass ``grace_s=0`` only in single-writer tests."""
+    import time
+
+    lock = _acquire_lock(table_dir)
+    try:
+        manifest = _read_current(table_dir)
+        if manifest is None:
+            return []
+        now = time.time()
+
+        def old_enough(path: str) -> bool:
+            try:
+                return now - os.path.getmtime(path) > grace_s
+            except OSError:
+                return False
+
+        live_dirs = {os.path.basename(d) for d in manifest["dirs"]}
+        removed = []
+        data_root = os.path.join(table_dir, _DATA_DIR)
+        for d in os.listdir(data_root) if os.path.isdir(data_root) else []:
+            p = os.path.join(data_root, d)
+            if d not in live_dirs and old_enough(p):
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(d)
+        for m in os.listdir(os.path.join(table_dir, _MANIFEST_DIR)):
+            p = os.path.join(table_dir, _MANIFEST_DIR, m)
+            if m.removesuffix(".json") != manifest["version"] and old_enough(p):
+                os.remove(p)
+        # stale tmp pointers from writers that crashed mid-publish
+        for f in os.listdir(table_dir):
+            if f.startswith(f".{_CURRENT}.") and f.endswith(".tmp") and old_enough(
+                os.path.join(table_dir, f)
+            ):
+                os.remove(os.path.join(table_dir, f))
+        return removed
+    finally:
+        os.unlink(lock)

@@ -85,3 +85,9 @@ def test_pack_sequences_oversized_doc_gets_own_bin(spark):
     bins = {tuple(r["doc_ids"]): r for r in C.pack_sequences(df, max_tokens=100).collect()}
     assert (1,) in bins and bins[(1,)]["n_tokens"] == 500  # own bin, untruncated
     assert (2,) in bins
+
+
+def test_redact_pii_ip_with_three_digit_octets_not_phone(spark):
+    df = spark.createDataFrame([(1, "host 192.168.100.200 down")], "id long, text string")
+    got = C.redact_documents(df).collect()[0]["text"]
+    assert got == "host <IP> down"

@@ -185,5 +185,5 @@ def test_manifest_mid_load_crash_preserves_previous_version(spark, tmp_path, mon
     # re-run converges; the orphaned crash dir is vacuumable
     r = run_incremental_load(spark, _build_window(spark, changed), target, audit, delta, use_manifest=True)
     assert r.total_rows == 5
-    M.vacuum(target)
+    M.vacuum(target, grace_s=0)
     assert sorted(r["id"] for r in M.read_table(spark, target).collect()) == [1, 2, 3, 4, 5]

@@ -77,7 +77,7 @@ def test_vacuum_removes_only_unreferenced(spark, tmp_path):
     v1 = _write(spark, table, [(1, "a")])
     v2 = _write(spark, table, [(2, "b")])
     v3 = _write(spark, table, [(3, "c")], mode="append")  # references v2's dir too
-    removed = M.vacuum(table)
+    removed = M.vacuum(table, grace_s=0)
     assert removed == [v1]
     assert sorted(r["v"] for r in M.read_table(spark, table).collect()) == ["b", "c"]
     assert set(os.listdir(os.path.join(table, "data"))) == {v2, v3}
@@ -161,5 +161,37 @@ def test_vacuum_removes_stale_tmp_pointers(spark, tmp_path):
     stale = os.path.join(table, f".{M._CURRENT}.deadbeef.tmp")
     with open(stale, "w", encoding="utf-8") as f:
         f.write("deadbeef")
-    M.vacuum(table)
+    M.vacuum(table, grace_s=0)
     assert not os.path.exists(stale)
+
+
+def test_empty_append_keeps_partition_ownership_map(spark, tmp_path):
+    """A zero-row commit on a partitioned table must not demote it to the
+    wholesale-dirs layout (which would resurrect replaced partitions)."""
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "p1"), (2, "p2")], "id long, pt string"
+    )
+    M.commit_write(df, table, partition_by=["pt"])
+    repl = spark.createDataFrame([(9, "p1")], "id long, pt string")
+    M.commit_replace_partitions(repl, table, partition_by="pt")
+    empty = spark.createDataFrame([], "id long, pt string")
+    M.commit_write(empty, table, mode="append", partition_by=["pt"])
+    got = sorted((r["id"], r["pt"]) for r in M.read_table(spark, table).collect())
+    assert got == [(2, "p2"), (9, "p1")]  # replace survived the empty append
+    # and the table still supports partition swaps
+    M.commit_replace_partitions(
+        spark.createDataFrame([(5, "p2")], "id long, pt string"), table, partition_by="pt"
+    )
+    got = sorted((r["id"], r["pt"]) for r in M.read_table(spark, table).collect())
+    assert got == [(5, "p2"), (9, "p1")]
+
+
+def test_vacuum_grace_window_spares_young_orphans(spark, tmp_path):
+    """vacuum must not delete a just-staged data dir (an in-flight writer
+    stages BEFORE locking) — only orphans older than the grace window go."""
+    table = str(tmp_path / "t")
+    _write(spark, table, [(1, "a")])
+    _write(spark, table, [(2, "b")])  # first version now orphaned
+    assert M.vacuum(table) == []  # default grace: young orphan spared
+    assert M.vacuum(table, grace_s=0) != []  # explicit zero grace removes it

@@ -50,9 +50,18 @@ def main() -> None:
         )
         print(f"# {t}: copied (dim)")
 
+    # one stride per KEY FAMILY, not per table: lineitem.l_orderkey must use
+    # orders' stride or replica lineitems would point at wrong/absent orders
+    order_stride = (
+        spark.read.parquet(f"{src}/orders.parquet").agg(F.max("o_orderkey")).collect()[0][0] + 1
+    )
+    shared = {"o_orderkey": order_stride, "l_orderkey": order_stride}
     for t, keys in SHIFT.items():
         df = spark.read.parquet(f"{src}/{t}.parquet")
-        strides = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+        strides = {
+            k: shared[k] if k in shared else df.agg(F.max(k)).collect()[0][0] + 1
+            for k in keys
+        }
         reps = []
         for i in range(factor):
             r = df
