@@ -21,7 +21,19 @@ Two deliberate strictness choices so that a local OK predicts the driver
   significant digits), not ``%.6g``, so last-ULP summation-order divergence
   between engines fails locally too.
 
+Query-authoring rule this tool enforces by construction: never emit DECIMAL
+columns (DuckDB ``.df()`` renders them float64 while Spark keeps Decimal —
+guaranteed mismatch; cast to DOUBLE or quantized BIGINT on both sides).
+DATE columns are fine: both engines materialize them as datetime64 through
+pandas/Arrow.
+
 Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+
+Set ``CHECK_ORACLE_VANILLA=1`` to run on a BARE ``SparkSession.builder
+.getOrCreate()`` instead of the repo's tuned session — the driver runs the
+catalog on its own session (round 1 lost 9 rows to a session-build-time
+conf), so a green vanilla sweep proves no query depends on
+``session.get_spark``'s settings.
 """
 
 from __future__ import annotations
@@ -103,7 +115,20 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    spark = get_spark("check_oracle")
+    import os
+
+    if os.environ.get("CHECK_ORACLE_VANILLA"):
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("check_oracle_vanilla")
+            .getOrCreate()
+        )
+        print("# vanilla session (no repo confs)")
+    else:
+        spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
