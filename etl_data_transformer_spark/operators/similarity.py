@@ -36,6 +36,12 @@ def brute_force_topk(
     ``queries``/``corpus``: (id, embedding) frames; returns
     (query_id, neighbor_id, rank).
     """
+    # NOTE on a tried-and-rejected optimization: pre-normalizing both sides
+    # so the per-pair work is one dot (not dot + two norms) measured SLOWER
+    # at sf0.1 — without a barrier Catalyst collapses the normalize into the
+    # join (re-evaluated per pair), and with an exchange barrier the shuffle
+    # overhead exceeds the saved interpreted work (1.09s -> 1.36s). Revisit
+    # only if the bounded Q·N here ever grows past ~10^6 pairs.
     q = queries.select(F.col("id").alias(query_id), F.col("embedding").alias("q_emb"))
     c = corpus.select(F.col("id").alias(corpus_id), F.col("embedding").alias("c_emb"))
     pairs = c.join(F.broadcast(q), F.lit(True), "inner")
