@@ -2,6 +2,7 @@ from .pipeline import (
     EVENTS_SCHEMA,
     read_event_stream,
     run_available_now,
+    stream_exact_dedup,
     stream_incremental_append,
     stream_incremental_upsert,
     stream_sessionize,
@@ -13,6 +14,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "read_event_stream",
     "run_available_now",
+    "stream_exact_dedup",
     "stream_incremental_append",
     "stream_incremental_upsert",
     "stream_sessionize",

@@ -267,6 +267,37 @@ def stream_incremental_upsert(
     q.awaitTermination()
 
 
+def stream_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for document ingestion — the streaming twin of
+    ``operators/dedup.exact_dedup``: fingerprint the normalized content
+    (sha256) and keep one arrival per fingerprint.
+
+    Keeps ONE arrival per fingerprint (processing order within a
+    micro-batch is not data order — callers needing deterministic keeper
+    selection do a batch ``exact_dedup`` downstream).
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state by the
+    watermark horizon: a duplicate arriving within the window is dropped,
+    state for expired fingerprints is evicted — the property that keeps
+    state finite on an unbounded 100 TB ingest (a plain
+    ``dropDuplicates`` on a stream grows state forever). Exactness is
+    therefore windowed by design; cross-window dups are the batch
+    compaction job's business (``exact_dedup`` over the landed table).
+    """
+    from ..functions.text import fingerprint
+
+    return (
+        docs.withColumn("fp", fingerprint(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .drop("fp")
+    )
+
+
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )

@@ -262,3 +262,30 @@ def test_sessionize_identical_under_rocksdb_state_store(spark, tmp_path):
 
     assert rocksdb_out == default_out
     assert len(rocksdb_out) == 2  # one closed session per user
+
+
+def test_stream_exact_dedup_drops_in_window_duplicates(spark, tmp_path):
+    """Streaming exact dedup: same normalized text arriving twice within the
+    watermark window lands once; distinct texts all land."""
+    import datetime as dt
+
+    from etl_data_transformer_spark.streaming.pipeline import stream_exact_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    rows = [
+        (1, t0, "the same document"),
+        (2, t0 + dt.timedelta(minutes=1), "The  same   document"),  # normalized dup
+        (3, t0 + dt.timedelta(minutes=2), "a different document"),
+    ]
+    src = str(tmp_path / "dd_src")
+    spark.createDataFrame(rows, "doc_id long, ts timestamp, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(src)
+    out = stream_exact_dedup(stream, watermark="30 minutes")
+    got = run_available_now(out, str(tmp_path / "dd_ckpt"), "dd_q").collect()
+    ids = sorted(r["doc_id"] for r in got)
+    # exactly ONE of the two normalized-dup rows survives (which one is
+    # processing-order-dependent within a micro-batch), plus the distinct doc
+    assert len(ids) == 2 and ids[1] == 3 and ids[0] in (1, 2)
+    assert "fp" not in got[0].asDict()
