@@ -123,3 +123,61 @@ def test_sessionize_matches_naive(spark, rows):
                 sess += 1
             assert got[i] == sess, (u, i, m, got[i], sess)
             prev = m
+
+
+@given(
+    st.lists(st.integers(1, 120), min_size=1, max_size=25),
+    st.integers(1, 3),
+)
+@_few
+def test_pack_sequences_invariants(spark, sizes, n_parts):
+    """Packing invariants on random doc sizes: every doc lands in exactly one
+    bin, bins respect the budget unless a single doc exceeds it, and bin
+    token sums equal their members' sums."""
+    from etl_data_transformer_spark.operators.curation import pack_sequences
+
+    max_tokens = 100
+    docs = [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(n_parts)
+    bins = pack_sequences(df, max_tokens=max_tokens).collect()
+
+    packed = sorted(d for r in bins for d in r["doc_ids"])
+    assert packed == list(range(len(sizes)))  # exactly-once coverage
+    by_id = dict(enumerate(sizes))
+    for r in bins:
+        assert r["n_tokens"] == sum(by_id[d] for d in r["doc_ids"])
+        if len(r["doc_ids"]) > 1:
+            assert r["n_tokens"] <= max_tokens  # multi-doc bins within budget
+    assert len(set(r["bin_id"] for r in bins)) == len(bins)  # unique bin ids
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=4, max_size=40).filter(lambda t: t.strip()),
+        min_size=2,
+        max_size=10,
+    )
+)
+@_few
+def test_minhash_candidates_superset_of_high_jaccard_pairs(spark, texts):
+    """LSH guarantee on random texts: every pair with shingle-hash Jaccard
+    = 1.0 (identical shingle sets — minhash signatures provably equal, so
+    every band matches) appears in the candidate set."""
+    from etl_data_transformer_spark.operators.dedup import (
+        jaccard,
+        minhash_lsh_candidates,
+        _signatures,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(df, num_hashes=8, bands=4).collect()
+    }
+    sigs = _signatures(df, "text", "doc_id", 3, 8).collect()
+    from itertools import combinations
+
+    for ra, rb in combinations(sorted(sigs, key=lambda r: r["doc_id"]), 2):
+        if set(ra["hs"]) == set(rb["hs"]):
+            assert (ra["doc_id"], rb["doc_id"]) in cands
