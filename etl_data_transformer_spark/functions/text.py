@@ -127,3 +127,49 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
+
+
+def duplicate_line_fraction(col: Column | str) -> Column:
+    """Fraction of lines that are repeats of an earlier line (0 when the doc
+    has no newline structure) — the boilerplate/spam repetition signal from
+    published pretraining-data quality pipelines. JVM-side: split on
+    newlines, compare distinct vs total non-blank line counts."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, r"\n"), lambda x: F.length(F.trim(x)) > 0)
+    n = F.size(lines)
+    return F.round(
+        F.when(n > 0, (n - F.size(F.array_distinct(lines))) / n).otherwise(0.0), 6
+    )
+
+
+def symbol_word_ratio(col: Column | str, symbols: str = "#…") -> Column:
+    """Symbol-to-word ratio (hash marks / ellipses per word) — high values
+    mark markup soup and truncation spam."""
+    c = F.col(col) if isinstance(col, str) else col
+    pattern = "[" + symbols + "]|\\.\\.\\."
+    return F.round(F.try_divide(F.regexp_count(c, F.lit(pattern)), token_count(c)), 6)
+
+
+def mean_word_length(col: Column | str) -> Column:
+    """Mean token length: outliers on either end mark non-prose (DNA strings,
+    single-char spam)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.round(F.try_divide(total, F.size(toks)), 6)
+
+
+def repetition_quality_pass(
+    col: Column | str,
+    max_dup_line_frac: float = 0.3,
+    max_symbol_word_ratio: float = 0.1,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+) -> Column:
+    """Composite repetition/shape gate (the published-filter-suite shape:
+    a document must clear every signal). Returns boolean."""
+    return (
+        (duplicate_line_fraction(col) <= max_dup_line_frac)
+        & (symbol_word_ratio(col) <= max_symbol_word_ratio)
+        & mean_word_length(col).between(min_mean_word_len, max_mean_word_len)
+    )

@@ -53,3 +53,58 @@ def test_quality_score_bounds(spark, star):
         .collect()[0]
     )
     assert 0.0 <= scores["lo"] <= scores["hi"] <= 1.0
+
+
+def test_duplicate_line_fraction(spark):
+    from etl_data_transformer_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now\nbuy now\nbuy now\nunique line"),
+            (2, "all\ndistinct\nlines here"),
+            (3, "single line no newlines"),
+            (4, "a\n\n\na"),  # blank lines ignored; one dup of two non-blank
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["f"] for r in df.select("id", TX.duplicate_line_fraction("text").alias("f")).collect()}
+    assert got[1] == 0.5  # 2 of 4 lines are repeats
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+    assert got[4] == 0.5
+
+
+def test_symbol_word_ratio_and_mean_word_length(spark):
+    from etl_data_transformer_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "read more... click here... #ad #spam"), (2, "plain normal prose text")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            TX.symbol_word_ratio("text").alias("swr"),
+            TX.mean_word_length("text").alias("mwl"),
+        ).collect()
+    }
+    assert rows[1]["swr"] > 0.3 and rows[2]["swr"] == 0.0
+    assert 3.0 <= rows[2]["mwl"] <= 6.0
+
+
+def test_repetition_quality_pass_gates(spark):
+    from etl_data_transformer_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "a perfectly ordinary paragraph of readable text"),
+            (2, "spam line\nspam line\nspam line\nspam line"),  # dup lines
+            (3, "#### ### ## # ### ## #### ###"),  # symbol soup
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["ok"] for r in df.select("id", TX.repetition_quality_pass("text").alias("ok")).collect()}
+    assert got[1] is True
+    assert got[2] is False
+    assert got[3] is False
