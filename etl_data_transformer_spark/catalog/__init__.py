@@ -50,7 +50,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # to keep the catalog within the driver's 50-query check budget
     "sql_fact_union": BSQL.q_sql_fact_union,
     # LLM-pipeline extensions
-    "doc_fingerprint": EXT.q_doc_fingerprint,
+    "contamination_docs": EXT.q_contamination_docs,
     "exact_dedup_groups": EXT.q_exact_dedup_groups,
     "minhash_pairs": EXT.q_minhash_pairs,
     "simhash_recall": EXT.q_simhash_recall,

@@ -25,9 +25,20 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- dedup ----
 
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprint per document (sha256 over normalized text)."""
-    return _docs(spark, sf_dir).select("doc_id", TX.fingerprint("text").alias("fp"))
+def q_contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: docs with id < 50 play the eval set,
+    the rest are the corpus; per corpus doc, the fraction of its word
+    8-gram shingles found anywhere in the eval set (hashed-shingle
+    semi-join against the broadcast benchmark — never N×N). Replaced
+    ``doc_fingerprint`` in the 50-slot catalog: the fingerprint expression
+    stays oracle-covered through ``exact_dedup_groups`` (same
+    sha256-over-normalized-text)."""
+    from ..operators.curation import contamination_check
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") < 50)
+    corpus = d.filter(F.col("doc_id") >= 50)
+    return contamination_check(corpus, bench, n=8, threshold=0.1)
 
 
 def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -125,8 +125,25 @@ PARITY_ORACLES: dict[str, str] = {
 }
 
 EXTENSION_ORACLES: dict[str, str] = {
-    "doc_fingerprint": f"""
-        SELECT doc_id, sha256({_NORM_TEXT}) AS fp FROM documents
+    "contamination_docs": f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(toks[i : i + 7], ' ')
+                                for i in range(1, greatest(len(toks) - 7, 1) + 1)]) AS shingles
+          FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+        ), bench AS (
+          SELECT list_distinct(flatten(list(shingles))) AS bset
+          FROM sh WHERE doc_id < 50
+        )
+        SELECT s.doc_id,
+               len(s.shingles) AS n_shingles,
+               CAST(len(list_intersect(s.shingles, b.bset)) AS BIGINT) AS n_hits,
+               round(CAST(len(list_intersect(s.shingles, b.bset)) AS DOUBLE)
+                     / len(s.shingles), 6) AS contamination,
+               round(CAST(len(list_intersect(s.shingles, b.bset)) AS DOUBLE)
+                     / len(s.shingles), 6) >= 0.1 AS contaminated
+        FROM sh s, bench b
+        WHERE s.doc_id >= 50
     """,
     "exact_dedup_groups": f"""
         SELECT sha256({_NORM_TEXT}) AS fp,
