@@ -328,6 +328,10 @@ def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
     manifest = _read_current(table_dir)
     if manifest is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
+    return _read_manifest_df(spark, table_dir, manifest)
+
+
+def _read_manifest_df(spark: SparkSession, table_dir: str, manifest: dict) -> DataFrame:
     parts = manifest.get("partitions")
     if parts is not None and not parts:  # every partition dropped
         ddl = ", ".join(f"`{n}` {t}" for n, t in manifest["schema"])
@@ -354,6 +358,50 @@ def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
 def current_version(table_dir: str) -> str | None:
     m = _read_current(table_dir)
     return m["version"] if m else None
+
+
+def list_versions(table_dir: str) -> list[dict]:
+    """All retained manifests, oldest first by commit timestamp (time-travel
+    index; retention is governed by ``vacuum``)."""
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for m in os.listdir(mdir):
+        if m.endswith(".json"):
+            with open(os.path.join(mdir, m), encoding="utf-8") as f:
+                out.append(json.load(f))
+    return sorted(out, key=lambda x: x["ts"])
+
+
+def read_version(spark: SparkSession, table_dir: str, version: str) -> DataFrame:
+    """Time travel: read a specific retained version (manifests are immutable
+    until ``vacuum`` removes the unreferenced ones)."""
+    with open(_manifest_path(table_dir, version), encoding="utf-8") as f:
+        manifest = json.load(f)
+    return _read_manifest_df(spark, table_dir, manifest)
+
+
+def compact(spark: SparkSession, table_dir: str, target_partitions: int | None = None) -> str:
+    """OPTIMIZE-style small-file compaction: rewrite the live version as one
+    new version with consolidated files, committed atomically (readers see
+    old or compacted, never both). Many small appends / incremental loads
+    accumulate files per partition; at scale the file count — not the byte
+    count — dominates scan planning time. Partitioned tables keep their
+    layout (one rewrite job, same partition columns); ``target_partitions``
+    coalesces unpartitioned tables (default: shuffle-partitions setting).
+    """
+    manifest = _read_current(table_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    df = _read_manifest_df(spark, table_dir, manifest)
+    part_by = manifest.get("partition_by") or []
+    if not part_by:
+        df = df.coalesce(
+            target_partitions
+            or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
+    return commit_write(df, table_dir, mode="overwrite", partition_by=part_by or None)
 
 
 def vacuum(table_dir: str, grace_s: float = _LOCK_STALE_S) -> list[str]:

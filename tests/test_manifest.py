@@ -195,3 +195,46 @@ def test_vacuum_grace_window_spares_young_orphans(spark, tmp_path):
     _write(spark, table, [(2, "b")])  # first version now orphaned
     assert M.vacuum(table) == []  # default grace: young orphan spared
     assert M.vacuum(table, grace_s=0) != []  # explicit zero grace removes it
+
+
+def test_time_travel_reads_retained_versions(spark, tmp_path):
+    table = str(tmp_path / "t")
+    v1 = _write(spark, table, [(1, "a")])
+    v2 = _write(spark, table, [(2, "b")], mode="append")
+    assert [m["version"] for m in M.list_versions(table)] == [v1, v2]
+    assert [r["v"] for r in M.read_version(spark, table, v1).collect()] == ["a"]
+    assert sorted(r["v"] for r in M.read_version(spark, table, v2).collect()) == ["a", "b"]
+
+
+def test_compact_consolidates_appends(spark, tmp_path):
+    import glob
+
+    table = str(tmp_path / "t")
+    for i in range(4):  # four tiny appends -> four data dirs
+        _write(spark, table, [(i, f"v{i}")], mode="append" if i else "overwrite")
+    before = len(glob.glob(os.path.join(table, "data", "*", "*.parquet")))
+    M.compact(spark, table, target_partitions=1)
+    got = sorted(r["id"] for r in M.read_table(spark, table).collect())
+    assert got == [0, 1, 2, 3]  # same rows
+    M.vacuum(table, grace_s=0)
+    after = len(glob.glob(os.path.join(table, "data", "*", "*.parquet")))
+    assert after < before and after == 1  # one consolidated file
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "p1"), (2, "p2")], "id long, pt string")
+    M.commit_write(df, table, partition_by=["pt"])
+    M.commit_write(
+        spark.createDataFrame([(3, "p1")], "id long, pt string"),
+        table, mode="append", partition_by=["pt"],
+    )
+    M.compact(spark, table)
+    got = sorted((r["id"], r["pt"]) for r in M.read_table(spark, table).collect())
+    assert got == [(1, "p1"), (2, "p2"), (3, "p1")]
+    # still partition-swappable after compaction
+    M.commit_replace_partitions(
+        spark.createDataFrame([(9, "p2")], "id long, pt string"), table, partition_by="pt"
+    )
+    got = sorted((r["id"], r["pt"]) for r in M.read_table(spark, table).collect())
+    assert got == [(1, "p1"), (3, "p1"), (9, "p2")]
