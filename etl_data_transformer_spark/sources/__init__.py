@@ -1,5 +1,5 @@
 from . import manifest
-from .readers import FIXTURE_TABLES, load_star, read_csv, read_table, register_views
+from .readers import FIXTURE_TABLES, load_star, read_csv, read_jsonl, read_table, register_views
 from .writers import append_parquet, atomic_swap_write, drop_table, write_parquet
 
 __all__ = [
@@ -7,6 +7,7 @@ __all__ = [
     "load_star",
     "manifest",
     "read_csv",
+    "read_jsonl",
     "read_table",
     "register_views",
     "append_parquet",

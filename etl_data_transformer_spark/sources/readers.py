@@ -54,6 +54,37 @@ def read_csv(
     return reader.option("inferSchema", True).csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines scan — the dominant raw format for training-data corpora
+    (one document object per line). Same malformed-record policy surface as
+    ``read_csv``: PERMISSIVE nulls bad fields, DROPMALFORMED skips bad
+    lines, FAILFAST raises; pass ``corrupt_col`` (requires an explicit
+    ``schema``) to quarantine each unparseable raw line for triage instead
+    of silently dropping it. Schema inference costs an extra full pass over
+    the data — always declare a schema at scale. ``multiline=True`` parses
+    whole-file JSON arrays (one record may span lines; not splittable —
+    JSONL is the scalable layout).
+    """
+    reader = spark.read.option("mode", mode)
+    if multiline:
+        reader = reader.option("multiLine", True)
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col requires an explicit schema")
+        schema = T.StructType([*schema.fields, T.StructField(corrupt_col, T.StringType(), True)])
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    if schema is not None:
+        return reader.schema(schema).json(path)
+    return reader.json(path)
+
+
 # Tables big enough that serializing their map-side pipeline on one core
 # hurts, with a unique key to hash-spread on. (Round-robin repartition()
 # would ALSO work but injects a full local sort per input partition for

@@ -86,3 +86,40 @@ def test_read_csv_dropmalformed(spark, tmp_path):
     )
     df = read_csv(spark, str(p), schema=schema, mode="DROPMALFORMED")
     assert sorted(r["id"] for r in df.collect()) == [1, 3]
+
+
+def test_read_jsonl_quarantines_malformed(spark, tmp_path):
+    """JSONL scan with corrupt-record quarantine: parseable lines land typed,
+    the broken line is captured raw in the corrupt column."""
+    from pyspark.sql import types as T
+
+    from etl_data_transformer_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "ok"}\n'
+        '{"doc_id": broken not json\n'
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    df = read_jsonl(spark, str(p), schema=schema, corrupt_col="_corrupt").cache()
+    good = df.filter(df["_corrupt"].isNull())
+    bad = df.filter(df["_corrupt"].isNotNull())
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+    assert bad.count() == 1
+    assert "broken" in bad.collect()[0]["_corrupt"]
+    df.unpersist()
+
+
+def test_read_jsonl_dropmalformed_and_schemaless(spark, tmp_path):
+    from etl_data_transformer_spark.sources.readers import read_jsonl
+    from pyspark.sql import types as T
+
+    p = tmp_path / "docs2.jsonl"
+    p.write_text('{"a": 1}\n{"a": 2}\nnot json at all\n')
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    assert read_jsonl(spark, str(p), schema=schema, mode="DROPMALFORMED").count() == 2
+    inferred = read_jsonl(spark, str(p))  # inference path
+    assert "a" in inferred.columns
