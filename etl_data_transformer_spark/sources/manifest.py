@@ -35,7 +35,11 @@ whose base version moved since it was read fails cleanly with
 rows — the lost-update check Delta's commit protocol performs. Manifests
 also record the data schema and partition columns so an ``append`` with a
 drifted schema or different partitioning fails at COMMIT time, not at some
-later read.
+later read; ``allow_schema_evolution=True`` relaxes that to ADDITIVE drift
+(new columns null-fill on read, Delta's mergeSchema contract — type changes
+and drops always reject). ``read_version``/``list_versions`` give time
+travel over retained manifests and ``compact`` is the OPTIMIZE analog
+(also normalizes an evolved table back to one homogeneous schema).
 """
 
 from __future__ import annotations
@@ -118,10 +122,35 @@ def _acquire_lock(table_dir: str) -> str:
     raise ConcurrentWriteError(f"could not acquire commit lock on {table_dir}")
 
 
-def _check_compat(prev: dict, table_dir: str, fields: list, part_by: list, what: str) -> None:
+def _check_compat(
+    prev: dict,
+    table_dir: str,
+    fields: list,
+    part_by: list,
+    what: str,
+    allow_evolution: bool = False,
+) -> list:
     """Schema/partitioning drift fails at COMMIT time, not at a later read.
-    Older manifests (pre-schema) skip the check rather than reject."""
+    Older manifests (pre-schema) skip the check rather than reject.
+
+    With ``allow_evolution``, ADDITIVE drift is accepted: the new data may
+    add columns, but every existing column must keep its name and type
+    (type changes and drops still reject — they'd corrupt old data on
+    read). Returns the schema to record: the widened union under
+    evolution, else the unchanged table schema."""
     if prev.get("schema") is not None and prev["schema"] != fields:
+        if allow_evolution:
+            old_types = {n: t for n, t in prev["schema"]}
+            new_types = {n: t for n, t in fields}
+            changed = [n for n, t in old_types.items() if n in new_types and new_types[n] != t]
+            dropped = [n for n in old_types if n not in new_types]
+            if changed or dropped:
+                raise ValueError(
+                    f"{what} schema evolution on {table_dir} only supports "
+                    f"ADDING columns; changed={changed} dropped={dropped}"
+                )
+            # widened schema: old columns in their order, new ones appended
+            return [*prev["schema"], *[[n, t] for n, t in fields if n not in old_types]]
         raise ValueError(
             f"{what} schema mismatch for {table_dir}: "
             f"table has {prev['schema']}, {what} brings {fields}"
@@ -131,6 +160,7 @@ def _check_compat(prev: dict, table_dir: str, fields: list, part_by: list, what:
             f"{what} partitioning mismatch for {table_dir}: "
             f"table uses {prev['partition_by']}, {what} uses {part_by}"
         )
+    return prev["schema"] if prev.get("schema") is not None else fields
 
 
 def _write_data_dir(df: DataFrame, data_dir: str, part_by: list[str]) -> list[str]:
@@ -188,6 +218,7 @@ def commit_write(
     table_dir: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    allow_schema_evolution: bool = False,
 ) -> str:
     """Commit ``df`` as a new table version; returns the version id.
 
@@ -213,8 +244,15 @@ def commit_write(
     fields = _schema_fields(df)
     part_by = list(partition_by) if partition_by else []
     prev = _read_current(table_dir) if mode == "append" else None
+    record_schema = fields
+    evolved = bool(prev and prev.get("schema_evolved"))
     if prev is not None:
-        _check_compat(prev, table_dir, fields, part_by, "append")
+        record_schema = _check_compat(
+            prev, table_dir, fields, part_by, "append", allow_schema_evolution
+        )
+        evolved = evolved or record_schema != fields or (
+            prev.get("schema") is not None and prev["schema"] != record_schema
+        )
 
     new_subdirs = _write_data_dir(df, data_dir, part_by)
     rel_dir = os.path.join(_DATA_DIR, version)
@@ -224,10 +262,14 @@ def commit_write(
         manifest = {
             "version": version,
             "dirs": dirs,
-            "schema": fields,
+            "schema": record_schema,
             "partition_by": part_by,
             "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
         }
+        if evolved:
+            # version dirs now have heterogeneous (additively-compatible)
+            # parquet schemas; readers must merge instead of sampling one
+            manifest["schema_evolved"] = True
         # single-level partitioned tables ALWAYS carry the ownership map —
         # including when this commit wrote zero rows (new_subdirs empty), so
         # an empty CDC-window append can't silently demote the table to the
@@ -298,7 +340,7 @@ def commit_replace_partitions(
         for p in (drop_unless_written or set()) - set(new_subdirs):
             parts.pop(p, None)
         dirs = sorted({d for owners in parts.values() for d in owners})
-        return {
+        manifest = {
             "version": version,
             "dirs": dirs,
             "partitions": parts,
@@ -306,6 +348,9 @@ def commit_replace_partitions(
             "partition_by": part_by,
             "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
         }
+        if prev and prev.get("schema_evolved"):
+            manifest["schema_evolved"] = True  # older dirs still heterogeneous
+        return manifest
 
     _publish(
         table_dir,
@@ -333,6 +378,7 @@ def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
 
 def _read_manifest_df(spark: SparkSession, table_dir: str, manifest: dict) -> DataFrame:
     parts = manifest.get("partitions")
+    evolved = bool(manifest.get("schema_evolved"))
     if parts is not None and not parts:  # every partition dropped
         ddl = ", ".join(f"`{n}` {t}" for n, t in manifest["schema"])
         return spark.createDataFrame([], ddl)
@@ -349,10 +395,15 @@ def _read_manifest_df(spark: SparkSession, table_dir: str, manifest: dict) -> Da
         ]
         out = frames[0]
         for f in frames[1:]:
-            out = out.unionByName(f)
+            # evolved tables have additively-drifted dir schemas; missing
+            # columns null-fill (the Delta/Iceberg read contract)
+            out = out.unionByName(f, allowMissingColumns=evolved)
         return out
     paths = [os.path.join(table_dir, d) for d in manifest["dirs"]]
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if evolved:
+        reader = reader.option("mergeSchema", True)
+    return reader.parquet(*paths)
 
 
 def current_version(table_dir: str) -> str | None:

@@ -238,3 +238,45 @@ def test_compact_preserves_partition_layout(spark, tmp_path):
     )
     got = sorted((r["id"], r["pt"]) for r in M.read_table(spark, table).collect())
     assert got == [(1, "p1"), (3, "p1"), (9, "p2")]
+
+
+def test_schema_evolution_additive_append(spark, tmp_path):
+    """allow_schema_evolution=True accepts column ADDS: old rows null-fill
+    the new column on read; type changes and drops still reject."""
+    table = str(tmp_path / "t")
+    _write(spark, table, [(1, "a")])
+    wider = spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double")
+    # rejected by default
+    with pytest.raises(ValueError, match="schema mismatch"):
+        M.commit_write(wider, table, mode="append")
+    M.commit_write(wider, table, mode="append", allow_schema_evolution=True)
+    got = {r["id"]: (r["v"], r["score"]) for r in M.read_table(spark, table).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+    # a later same-width append keeps working and still merges
+    M.commit_write(
+        spark.createDataFrame([(3, "c", 1.0)], "id long, v string, score double"),
+        table, mode="append", allow_schema_evolution=True,
+    )
+    assert M.read_table(spark, table).count() == 3
+    # type change / drop always reject, even under evolution
+    changed = spark.createDataFrame([(4.0, "d", 1.0)], "id double, v string, score double")
+    with pytest.raises(ValueError, match="only supports ADDING"):
+        M.commit_write(changed, table, mode="append", allow_schema_evolution=True)
+    narrower = spark.createDataFrame([(5, 2.0)], "id long, score double")
+    with pytest.raises(ValueError, match="only supports ADDING"):
+        M.commit_write(narrower, table, mode="append", allow_schema_evolution=True)
+
+
+def test_schema_evolution_partitioned_and_compact_normalizes(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "p1")], "id long, pt string")
+    M.commit_write(df, table, partition_by=["pt"])
+    wider = spark.createDataFrame([(2, "p2", "en")], "id long, pt string, lang string")
+    M.commit_write(wider, table, mode="append", partition_by=["pt"], allow_schema_evolution=True)
+    got = {r["id"]: r["lang"] for r in M.read_table(spark, table).collect()}
+    assert got == {1: None, 2: "en"}
+    # compaction rewrites everything at the widened schema: flag resets
+    M.compact(spark, table)
+    assert M._read_current(table).get("schema_evolved") is None
+    got = {r["id"]: r["lang"] for r in M.read_table(spark, table).collect()}
+    assert got == {1: None, 2: "en"}
