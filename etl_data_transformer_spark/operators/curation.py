@@ -34,7 +34,10 @@ _PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     (r"\b\d(?:[ -]?\d){12,15}\b", "<CARD>"),
-    (r"\+?\d{1,3}[ -.]?\(?\d{2,4}\)?[ -.]?\d{3,4}[ -.]?\d{3,4}\b", "<PHONE>"),
+    # NB: separator class is [ .-] (literal space/dot/dash, dash LAST) —
+    # [ -.] is a character RANGE 0x20-0x2E that also matches , ( ) * + %,
+    # falsely redacting comma-grouped numbers like 1,234,567,890
+    (r"\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}\b", "<PHONE>"),
 ]
 
 

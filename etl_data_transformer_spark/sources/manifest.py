@@ -28,8 +28,9 @@ an incremental delete-insert load cost ∝ lookback window while keeping the
 all-or-nothing pointer publish (no torn table mid-load, ever).
 
 Concurrent writers are guarded by a compare-and-swap publish: commits
-serialize on an ``O_CREAT|O_EXCL`` lock file (the local-filesystem analog of
-an object store's conditional put / rename-if-absent) and an ``append``
+serialize on an ``fcntl.flock`` lock file (kernel-released on writer death —
+no staleness adjudication; an object store would use a conditional-put lease
+with TTL) and an ``append``
 whose base version moved since it was read fails cleanly with
 ``ConcurrentWriteError`` instead of silently dropping the other writer's
 rows — the lost-update check Delta's commit protocol performs. Manifests
@@ -56,9 +57,10 @@ _CURRENT = "_CURRENT"
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
 _COMMIT_LOCK = "_COMMIT_LOCK"
-# a crashed writer's lock is broken after this many seconds — long enough
-# that no live local commit publish (milliseconds of file I/O) spans it
-_LOCK_STALE_S = 300.0
+# vacuum spares orphans younger than this: a live writer stages its data
+# directory BEFORE taking the commit lock, so age is the only signal
+# separating an in-flight commit's files from a crashed one's
+_VACUUM_GRACE_S = 300.0
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -85,41 +87,35 @@ def _schema_fields(df: DataFrame) -> list[list[str]]:
     return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
 
 
-def _acquire_lock(table_dir: str) -> str:
-    """Rename-if-absent commit lock (``O_CREAT|O_EXCL`` — the local-FS
-    analog of an object-store conditional put). A lock older than
-    ``_LOCK_STALE_S`` belongs to a crashed writer and is broken by
-    atomically RENAMING it away first: rename claims the stale lock
-    exclusively (only one of N racing breakers succeeds; the rest see
-    FileNotFoundError and re-contend on the normal O_EXCL create), unlike
-    unlink-then-create, where two breakers can each unlink the other's
-    fresh lock and both enter the critical section."""
-    import time
+def _acquire_lock(table_dir: str) -> int:
+    """Commit lock via ``fcntl.flock(LOCK_EX | LOCK_NB)`` on a lock file:
+    the kernel releases it automatically when the holder's process dies, so
+    there is NO staleness window to adjudicate — the earlier mtime-based
+    stale-breaking schemes all had a stat-vs-steal race that could admit
+    two writers. A held lock raises ``ConcurrentWriteError`` immediately
+    (commits are milliseconds; callers retry at their level). On an object
+    store this maps to a conditional-put lease with TTL. Returns the open
+    fd; release with ``_release_lock``."""
+    import fcntl
 
     lock = os.path.join(table_dir, _COMMIT_LOCK)
-    for _ in range(8):
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            try:
-                age = time.time() - os.path.getmtime(lock)
-            except OSError:  # lock vanished between open and stat — re-contend
-                continue
-            if age <= _LOCK_STALE_S:
-                raise ConcurrentWriteError(
-                    f"commit lock held by another writer on {table_dir}"
-                ) from None
-            claimed = f"{lock}.broken.{uuid.uuid4().hex}"
-            try:
-                os.rename(lock, claimed)  # atomic claim of the STALE lock only
-                os.unlink(claimed)
-            except FileNotFoundError:
-                pass  # another breaker claimed it first — re-contend
-            continue
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
-            f.write(f"pid={os.getpid()}")
-        return lock
-    raise ConcurrentWriteError(f"could not acquire commit lock on {table_dir}")
+    fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except (BlockingIOError, OSError):
+        os.close(fd)
+        raise ConcurrentWriteError(
+            f"commit lock held by another writer on {table_dir}"
+        ) from None
+    os.write(fd, f"pid={os.getpid()}".encode())
+    return fd
+
+
+def _release_lock(fd: int) -> None:
+    import fcntl
+
+    fcntl.flock(fd, fcntl.LOCK_UN)
+    os.close(fd)
 
 
 def _check_compat(
@@ -137,30 +133,40 @@ def _check_compat(
     add columns, but every existing column must keep its name and type
     (type changes and drops still reject — they'd corrupt old data on
     read). Returns the schema to record: the widened union under
-    evolution, else the unchanged table schema."""
-    if prev.get("schema") is not None and prev["schema"] != fields:
-        if allow_evolution:
-            old_types = {n: t for n, t in prev["schema"]}
-            new_types = {n: t for n, t in fields}
-            changed = [n for n, t in old_types.items() if n in new_types and new_types[n] != t]
-            dropped = [n for n in old_types if n not in new_types]
-            if changed or dropped:
-                raise ValueError(
-                    f"{what} schema evolution on {table_dir} only supports "
-                    f"ADDING columns; changed={changed} dropped={dropped}"
-                )
-            # widened schema: old columns in their order, new ones appended
-            return [*prev["schema"], *[[n, t] for n, t in fields if n not in old_types]]
-        raise ValueError(
-            f"{what} schema mismatch for {table_dir}: "
-            f"table has {prev['schema']}, {what} brings {fields}"
-        )
+    evolution, else the unchanged table schema.
+
+    Schema comparison is by NAME -> TYPE mapping, not list order: parquet
+    reads assemble columns by name, and an evolved table's read-back column
+    order depends on which (uuid-named) version directory sorts first — an
+    order-sensitive compare would flake on semantically identical frames.
+    The partitioning check runs unconditionally (evolution never relaxes
+    it: drifting partition columns silently corrupts the ownership map)."""
+    # partitioning first — no schema-drift path may bypass it
     if prev.get("partition_by") is not None and prev["partition_by"] != part_by:
         raise ValueError(
             f"{what} partitioning mismatch for {table_dir}: "
             f"table uses {prev['partition_by']}, {what} uses {part_by}"
         )
-    return prev["schema"] if prev.get("schema") is not None else fields
+    if prev.get("schema") is None:
+        return fields
+    old_types = {n: t for n, t in prev["schema"]}
+    new_types = {n: t for n, t in fields}
+    if old_types == new_types:
+        return prev["schema"]
+    changed = [n for n, t in old_types.items() if n in new_types and new_types[n] != t]
+    dropped = [n for n in old_types if n not in new_types]
+    if not allow_evolution:
+        raise ValueError(
+            f"{what} schema mismatch for {table_dir}: "
+            f"table has {prev['schema']}, {what} brings {fields}"
+        )
+    if changed or dropped:
+        raise ValueError(
+            f"{what} schema evolution on {table_dir} only supports "
+            f"ADDING columns; changed={changed} dropped={dropped}"
+        )
+    # widened schema: old columns in their order, new ones appended
+    return [*prev["schema"], *[[n, t] for n, t in fields if n not in old_types]]
 
 
 def _write_data_dir(df: DataFrame, data_dir: str, part_by: list[str]) -> list[str]:
@@ -183,9 +189,11 @@ def _publish(
     check_base: bool,
 ) -> None:
     """The commit: serialize on the lock, CAS-check the base version, write
-    the manifest, atomically replace the pointer. ``build_manifest(latest)``
-    receives the base manifest re-read under the lock."""
-    lock = _acquire_lock(table_dir)
+    the manifest, atomically replace the pointer. ``build_manifest()`` may
+    safely close over the caller's pre-lock base manifest: the CAS check
+    guarantees it still equals the live one (overwrites don't depend on
+    the base at all)."""
+    lock_fd = _acquire_lock(table_dir)
     try:
         latest = _read_current(table_dir)
         if check_base and (latest["version"] if latest else None) != expected_base:
@@ -193,7 +201,7 @@ def _publish(
                 f"base version moved on {table_dir}: read {expected_base}, "
                 f"now {latest['version'] if latest else None}"
             )
-        manifest = build_manifest(latest)
+        manifest = build_manifest()
         with open(_manifest_path(table_dir, version), "w", encoding="utf-8") as f:
             f.write(json.dumps(manifest))
 
@@ -210,7 +218,7 @@ def _publish(
                 os.unlink(tmp_pointer)
             raise
     finally:
-        os.unlink(lock)
+        _release_lock(lock_fd)
 
 
 def commit_write(
@@ -250,14 +258,15 @@ def commit_write(
         record_schema = _check_compat(
             prev, table_dir, fields, part_by, "append", allow_schema_evolution
         )
-        evolved = evolved or record_schema != fields or (
-            prev.get("schema") is not None and prev["schema"] != record_schema
-        )
+        # heterogeneous-dirs flag: set iff this append ADDED columns (name
+        # sets differ — column order alone is irrelevant to by-name reads)
+        if prev.get("schema") is not None:
+            evolved = evolved or {n for n, _ in fields} != {n for n, _ in prev["schema"]}
 
     new_subdirs = _write_data_dir(df, data_dir, part_by)
     rel_dir = os.path.join(_DATA_DIR, version)
 
-    def build_manifest(latest: dict | None) -> dict:
+    def build_manifest() -> dict:
         dirs = ([*prev["dirs"]] if prev else []) + [rel_dir]
         manifest = {
             "version": version,
@@ -331,7 +340,7 @@ def commit_replace_partitions(
     new_subdirs = _write_data_dir(df, data_dir, part_by)
     rel_dir = os.path.join(_DATA_DIR, version)
 
-    def build_manifest(latest: dict | None) -> dict:
+    def build_manifest() -> dict:
         parts: dict[str, list[str]] = (
             {k: list(v) for k, v in prev.get("partitions", {}).items()} if prev else {}
         )
@@ -398,12 +407,23 @@ def _read_manifest_df(spark: SparkSession, table_dir: str, manifest: dict) -> Da
             # evolved tables have additively-drifted dir schemas; missing
             # columns null-fill (the Delta/Iceberg read contract)
             out = out.unionByName(f, allowMissingColumns=evolved)
-        return out
+        return _canonical_order(out, manifest)
     paths = [os.path.join(table_dir, d) for d in manifest["dirs"]]
     reader = spark.read
     if evolved:
         reader = reader.option("mergeSchema", True)
-    return reader.parquet(*paths)
+    return _canonical_order(reader.parquet(*paths), manifest)
+
+
+def _canonical_order(df: DataFrame, manifest: dict) -> DataFrame:
+    """Project to the manifest's recorded column order: physical order
+    otherwise depends on which uuid-named version dir sorts/reads first,
+    which would make read-back column order nondeterministic on evolved or
+    multi-dir tables."""
+    schema = manifest.get("schema")
+    if schema and {n for n, _ in schema} == set(df.columns):
+        return df.select(*[n for n, _ in schema])
+    return df
 
 
 def current_version(table_dir: str) -> str | None:
@@ -455,7 +475,7 @@ def compact(spark: SparkSession, table_dir: str, target_partitions: int | None =
     return commit_write(df, table_dir, mode="overwrite", partition_by=part_by or None)
 
 
-def vacuum(table_dir: str, grace_s: float = _LOCK_STALE_S) -> list[str]:
+def vacuum(table_dir: str, grace_s: float = _VACUUM_GRACE_S) -> list[str]:
     """Delete data/manifest files unreferenced by the live version (run only
     when no reader can still hold an old manifest — Delta's retention-window
     caveat applies). Returns the removed data directories.
@@ -465,10 +485,14 @@ def vacuum(table_dir: str, grace_s: float = _LOCK_STALE_S) -> list[str]:
     ``grace_s`` — a live writer stages its data directory BEFORE taking the
     lock, so age is the only signal separating an in-flight commit's files
     from a crashed one's orphans (the same retention-window reasoning Delta
-    applies). Pass ``grace_s=0`` only in single-writer tests."""
+    applies). Pass ``grace_s=0`` only in single-writer tests. A table
+    directory with no committed version (or that does not exist) is a
+    no-op."""
     import time
 
-    lock = _acquire_lock(table_dir)
+    if _read_current(table_dir) is None:
+        return []
+    lock_fd = _acquire_lock(table_dir)
     try:
         manifest = _read_current(table_dir)
         if manifest is None:
@@ -501,4 +525,4 @@ def vacuum(table_dir: str, grace_s: float = _LOCK_STALE_S) -> list[str]:
                 os.remove(os.path.join(table_dir, f))
         return removed
     finally:
-        os.unlink(lock)
+        _release_lock(lock_fd)

@@ -10,9 +10,26 @@ plain Python here: paths/names are function arguments.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# serializes the nanosAsLong save/flip/restore in read_table: concurrent
+# readers interleaving get/set/unset could leak the flipped conf onto the
+# session (the exact side effect the scoping exists to prevent)
+_NANOS_CONF_LOCK = threading.Lock()
+
+
+def _with_corrupt_col(reader, schema, corrupt_col):
+    """Shared malformed-record quarantine wiring for CSV/JSONL readers:
+    widen the schema with the corrupt-record column and point Spark at it.
+    Requires an explicit schema (inference would swallow the column)."""
+    if schema is None:
+        raise ValueError("corrupt_col requires an explicit schema")
+    schema = T.StructType([*schema.fields, T.StructField(corrupt_col, T.StringType(), True)])
+    return reader.option("columnNameOfCorruptRecord", corrupt_col), schema
 
 FIXTURE_TABLES = (
     "region",
@@ -45,10 +62,7 @@ def read_csv(
     """
     reader = spark.read.option("header", True).option("mode", mode)
     if corrupt_col is not None:
-        if schema is None:
-            raise ValueError("corrupt_col requires an explicit schema")
-        schema = T.StructType([*schema.fields, T.StructField(corrupt_col, T.StringType(), True)])
-        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+        reader, schema = _with_corrupt_col(reader, schema, corrupt_col)
     if schema is not None:
         return reader.schema(schema).csv(path)
     return reader.option("inferSchema", True).csv(path)
@@ -76,10 +90,7 @@ def read_jsonl(
     if multiline:
         reader = reader.option("multiLine", True)
     if corrupt_col is not None:
-        if schema is None:
-            raise ValueError("corrupt_col requires an explicit schema")
-        schema = T.StructType([*schema.fields, T.StructField(corrupt_col, T.StringType(), True)])
-        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+        reader, schema = _with_corrupt_col(reader, schema, corrupt_col)
     if schema is not None:
         return reader.schema(schema).json(path)
     return reader.json(path)
@@ -162,15 +173,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str, auto_spread: bool = 
     # plan at read time (verified: execution succeeds after restore), so the
     # caller's session-wide setting is untouched outside this call.
     nanos_key = "spark.sql.legacy.parquet.nanosAsLong"
-    prior = spark.conf.get(nanos_key, None)
-    spark.conf.set(nanos_key, "true")
-    try:
-        df = spark.read.parquet(path)
-    finally:
-        if prior is None:
-            spark.conf.unset(nanos_key)
-        else:
-            spark.conf.set(nanos_key, prior)
+    with _NANOS_CONF_LOCK:  # see lock comment: concurrent save/restore races
+        prior = spark.conf.get(nanos_key, None)
+        spark.conf.set(nanos_key, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prior is None:
+                spark.conf.unset(nanos_key)
+            else:
+                spark.conf.set(nanos_key, prior)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: float division loses precision at ns-since-epoch
         # magnitudes (~1.7e18 exceeds double's 53-bit mantissa)

@@ -290,11 +290,12 @@ def stream_exact_dedup(
     """
     from ..functions.text import fingerprint
 
+    # collision-safe internal column: a caller's own "fp" column survives
     return (
-        docs.withColumn("fp", fingerprint(text_col))
+        docs.withColumn("__fp_dedup", fingerprint(text_col))
         .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["fp"])
-        .drop("fp")
+        .dropDuplicatesWithinWatermark(["__fp_dedup"])
+        .drop("__fp_dedup")
     )
 
 

@@ -91,3 +91,16 @@ def test_redact_pii_ip_with_three_digit_octets_not_phone(spark):
     df = spark.createDataFrame([(1, "host 192.168.100.200 down")], "id long, text string")
     got = C.redact_documents(df).collect()[0]["text"]
     assert got == "host <IP> down"
+
+
+def test_redact_pii_leaves_comma_grouped_numbers_alone(spark):
+    """Regression: the phone separator class must be literal space/dot/dash,
+    not the [ -.] character RANGE (which matched ',', '(', '*', ... and
+    falsely redacted large comma-grouped numbers)."""
+    df = spark.createDataFrame(
+        [(1, "total=1,234,567,890 units"), (2, "call +1 555 123 4567 now")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["text"] for r in C.redact_documents(df).collect()}
+    assert got[1] == "total=1,234,567,890 units"
+    assert got[2] == "call <PHONE> now"

@@ -127,20 +127,25 @@ def test_concurrent_append_conflict_fails_cleanly(spark, tmp_path, monkeypatch):
     assert [r["v"] for r in M.read_table(spark, table).collect()] == ["z"]
 
 
-def test_commit_lock_blocks_then_goes_stale(spark, tmp_path):
-    import time
-
+def test_commit_lock_blocks_while_held_and_frees_on_release(spark, tmp_path):
+    """flock-based commit lock: held -> ConcurrentWriteError; released (the
+    kernel does this automatically when a holder dies) -> next commit
+    proceeds. A leftover lock FILE alone never blocks (no flock on it)."""
     table = str(tmp_path / "t")
     _write(spark, table, [(1, "a")])
-    lock = os.path.join(table, M._COMMIT_LOCK)
-    with open(lock, "w", encoding="utf-8") as f:
-        f.write("pid=0")
+    fd = M._acquire_lock(table)  # a live writer holds the flock
     with pytest.raises(M.ConcurrentWriteError, match="lock held"):
         _write(spark, table, [(2, "b")])
-    # a crashed writer's lock (older than the staleness window) is broken
-    os.utime(lock, (time.time() - M._LOCK_STALE_S - 1,) * 2)
+    M._release_lock(fd)  # holder finished/died: kernel releases
     _write(spark, table, [(2, "b")])
     assert [r["v"] for r in M.read_table(spark, table).collect()] == ["b"]
+    # an orphaned lock file without a live flock does not block
+    assert os.path.exists(os.path.join(table, M._COMMIT_LOCK))
+    _write(spark, table, [(3, "c")], mode="append")
+
+
+def test_vacuum_missing_table_dir_is_noop(spark, tmp_path):
+    assert M.vacuum(str(tmp_path / "never_created")) == []
 
 
 def test_failed_publish_leaves_no_tmp_pointer(spark, tmp_path, monkeypatch):

@@ -289,3 +289,19 @@ def test_stream_exact_dedup_drops_in_window_duplicates(spark, tmp_path):
     # processing-order-dependent within a micro-batch), plus the distinct doc
     assert len(ids) == 2 and ids[1] == 3 and ids[0] in (1, 2)
     assert "fp" not in got[0].asDict()
+
+
+def test_stream_exact_dedup_preserves_caller_fp_column(spark, tmp_path):
+    import datetime as dt
+
+    from etl_data_transformer_spark.streaming.pipeline import stream_exact_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    src = str(tmp_path / "fp_src")
+    spark.createDataFrame(
+        [(1, t0, "doc one", "user-fp-1")], "doc_id long, ts timestamp, text string, fp string"
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string, fp string").parquet(src)
+    out = stream_exact_dedup(stream)
+    got = run_available_now(out, str(tmp_path / "fp_ckpt"), "fp_q").collect()
+    assert got[0]["fp"] == "user-fp-1"  # caller's column intact
