@@ -285,3 +285,48 @@ def test_schema_evolution_partitioned_and_compact_normalizes(spark, tmp_path):
     assert M._read_current(table).get("schema_evolved") is None
     got = {r["id"]: r["lang"] for r in M.read_table(spark, table).collect()}
     assert got == {1: None, 2: "en"}
+
+
+def test_commit_lock_is_cross_process(spark, tmp_path):
+    """The flock is a real inter-process lock: a subprocess holding it makes
+    this process's commit fail with ConcurrentWriteError; when the holder
+    process EXITS (even without releasing), the kernel frees the lock."""
+    import subprocess
+    import sys
+    import time
+
+    table = str(tmp_path / "t")
+    _write(spark, table, [(1, "a")])
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import fcntl, os, sys, time\n"
+                f"fd = os.open({os.path.join(table, M._COMMIT_LOCK)!r}, os.O_CREAT | os.O_WRONLY)\n"
+                "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+                "print('locked', flush=True)\n"
+                "time.sleep(30)\n"
+            ),
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert holder.stdout.readline().strip() == "locked"
+        with pytest.raises(M.ConcurrentWriteError, match="lock held"):
+            _write(spark, table, [(2, "b")])
+    finally:
+        holder.kill()
+        holder.wait()
+    # holder died without unlocking: kernel released the flock
+    deadline = time.time() + 10
+    while True:
+        try:
+            _write(spark, table, [(2, "b")])
+            break
+        except M.ConcurrentWriteError:
+            if time.time() > deadline:
+                raise
+            time.sleep(0.2)
+    assert [r["v"] for r in M.read_table(spark, table).collect()] == ["b"]
