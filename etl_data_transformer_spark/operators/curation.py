@@ -162,3 +162,92 @@ def pack_sequences(
         )
 
     return counts.mapInPandas(pack, schema=PACKED_SCHEMA)
+
+
+def stratified_cap(
+    df: DataFrame,
+    key_col: str = "source",
+    cap_n: int = 1000,
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group cap — the domain-balancing step of a pretraining mix: keep
+    at most ``cap_n`` rows per ``key_col`` value. Deterministic selection:
+    highest ``order_col`` first when given (e.g. a quality score, so the cap
+    keeps the BEST documents), else a per-row hash (stable uniform sample,
+    independent of partitioning/retries — unlike ``sample()``).
+
+    One window shuffle on the group key; groups under the cap pass through
+    unchanged. Skewed groups (one domain = half the corpus) are exactly the
+    case this exists for — the window sort is per-group, so the big group
+    sorts in parallel chunks under range partitioning.
+    """
+    from pyspark.sql import Window
+
+    rank_by = (
+        F.col(order_col).desc() if order_col else F.xxhash64(F.col(id_col)).asc()
+    )
+    w = Window.partitionBy(key_col).orderBy(rank_by, F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap_n)
+        .drop("__rn")
+    )
+
+
+def hyperplane_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_bits: int = 16,
+    max_hamming: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-dup candidate pairs via random-hyperplane LSH (the
+    SimHash-for-embeddings construction): project each vector onto
+    ``n_bits`` seeded random hyperplanes, pack the sign bits into a long,
+    block on the signature, and keep pairs within ``max_hamming`` sign
+    flips. P[bit differs] = angle/pi, so small Hamming distance tracks high
+    cosine similarity. Pure DataFrame ops — signatures are one codegen'd
+    projection, candidates one equi join on the signature (exact-signature
+    blocking; widen with multi-probe or band splits for higher recall).
+    Complements ``similarity.lsh_topk`` (MLlib, Euclidean) with a
+    dependency-free cosine variant.
+    """
+    import random as _random
+
+    rng = _random.Random(seed)
+    dim_probe = df.select(F.size(emb_col).alias("d")).first()
+    if dim_probe is None:
+        return df.sparkSession.createDataFrame([], "id_a long, id_b long, hamming int")
+    dim = dim_probe["d"]
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+
+    def sig():
+        bits = F.lit(0).cast("long")
+        for b, plane in enumerate(planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(emb_col),
+                    F.array(*[F.lit(v) for v in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits = bits.bitwiseOR(F.shiftleft(F.when(proj >= 0, 1).otherwise(0).cast("long"), b))
+        return bits
+
+    signed = df.select(F.col(id_col), sig().alias("s"))
+    # block on the high bits, verify hamming on the full signature
+    block_bits = max(1, n_bits - max_hamming * 2)
+    blocked = signed.withColumn("blk", F.shiftrightunsigned("s", n_bits - block_bits))
+    a = blocked.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"), "blk")
+    b = blocked.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"), "blk")
+    ham = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))).cast("int")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

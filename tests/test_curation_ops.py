@@ -104,3 +104,38 @@ def test_redact_pii_leaves_comma_grouped_numbers_alone(spark):
     got = {r["id"]: r["text"] for r in C.redact_documents(df).collect()}
     assert got[1] == "total=1,234,567,890 units"
     assert got[2] == "call <PHONE> now"
+
+
+def test_stratified_cap_keeps_best_per_group(spark):
+    rows = [(i, "big" if i < 10 else "small", float(i)) for i in range(13)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    out = C.stratified_cap(df, key_col="source", cap_n=3, order_col="q").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # big group capped to its 3 HIGHEST-q members; small group untouched
+    assert sorted(by_src["big"]) == [7, 8, 9]
+    assert sorted(by_src["small"]) == [10, 11, 12]
+
+
+def test_stratified_cap_hash_mode_is_deterministic(spark):
+    rows = [(i, "s") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(r["doc_id"] for r in C.stratified_cap(df, cap_n=10).collect())
+    b = sorted(r["doc_id"] for r in C.stratified_cap(df.repartition(7), cap_n=10).collect())
+    assert a == b and len(a) == 10  # partitioning-independent selection
+
+
+def test_hyperplane_lsh_finds_identical_and_near_vectors(spark):
+    base = [1.0, 0.5, -0.3, 0.8]
+    near = [1.01, 0.49, -0.31, 0.79]          # tiny angle
+    far = [-1.0, 0.5, 0.3, -0.8]              # large angle
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in C.hyperplane_lsh_pairs(df, n_bits=16, max_hamming=2).collect()}
+    assert pairs.get((1, 2)) == 0            # identical vectors: hamming 0
+    assert (1, 3) in pairs and (2, 3) in pairs  # near vector found
+    assert (1, 4) not in pairs and (3, 4) not in pairs  # far vector blocked out
