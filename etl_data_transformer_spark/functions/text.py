@@ -173,3 +173,35 @@ def repetition_quality_pass(
         & (symbol_word_ratio(col) <= max_symbol_word_ratio)
         & mean_word_length(col).between(min_mean_word_len, max_mean_word_len)
     )
+
+
+def unigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Statistical language-model quality filter (the simplest form of the
+    perplexity filters used in published pretraining pipelines): score each
+    document by the mean log-probability of its tokens under the CORPUS'S
+    OWN unigram distribution (add-one smoothed). Gibberish and rare-token
+    soup score far below natural text; threshold on a corpus percentile.
+
+    Distributed shape: one groupBy builds the unigram table, per-doc scores
+    are an equi join from exploded tokens back to it plus a mean — two
+    shuffles on narrow keys, no Python. At 100 TB the unigram table is
+    bounded by vocabulary (small next to the corpus) and broadcastable.
+    Returns (id, n_tokens, mean_logprob).
+    """
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    tok = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("n_vocab")
+    ).collect()[0]
+    n_total, n_vocab = totals["n_total"], totals["n_vocab"]
+    logprob = F.log((F.col("c") + 1) / F.lit(float(n_total + n_vocab)))
+    return (
+        tok.join(F.broadcast(vocab), "t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(logprob), 6).alias("mean_logprob"),
+        )
+    )

@@ -108,3 +108,20 @@ def test_repetition_quality_pass_gates(spark):
     assert got[1] is True
     assert got[2] is False
     assert got[3] is False
+
+
+def test_unigram_logprob_separates_natural_from_gibberish(spark):
+    from etl_data_transformer_spark.functions import text as TX
+
+    common = "the quick brown fox jumps over the lazy dog and the cat"
+    docs = [(i, common) for i in range(8)]  # corpus dominated by these tokens
+    docs.append((100, "the quick brown fox and the dog"))   # natural: common tokens
+    docs.append((101, "zxqv jkwpl mnbtr qqoxz vvklm zzjjq"))  # gibberish: singletons
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_logprob"] for r in TX.unigram_logprob_scores(df).collect()}
+    assert got[100] > got[101]  # natural text scores strictly higher
+    assert all(v < 0 for v in got.values())  # log-probs
+    # deterministic across partitioning
+    got2 = {r["doc_id"]: r["mean_logprob"]
+            for r in TX.unigram_logprob_scores(df.repartition(5)).collect()}
+    assert got == got2
