@@ -202,17 +202,25 @@ def hyperplane_lsh_pairs(
     n_bits: int = 16,
     max_hamming: int = 2,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup candidate pairs via random-hyperplane LSH (the
     SimHash-for-embeddings construction): project each vector onto
     ``n_bits`` seeded random hyperplanes, pack the sign bits into a long,
-    block on the signature, and keep pairs within ``max_hamming`` sign
-    flips. P[bit differs] = angle/pi, so small Hamming distance tracks high
-    cosine similarity. Pure DataFrame ops — signatures are one codegen'd
-    projection, candidates one equi join on the signature (exact-signature
-    blocking; widen with multi-probe or band splits for higher recall).
-    Complements ``similarity.lsh_topk`` (MLlib, Euclidean) with a
-    dependency-free cosine variant.
+    and keep pairs within ``max_hamming`` sign flips. P[bit differs] =
+    angle/pi, so small Hamming distance tracks high cosine similarity.
+    Pure DataFrame ops — signatures are one codegen'd projection; the
+    Hamming-threshold self-join is pigeonhole multi-band
+    (``dedup.hamming_band_pairs``): ``max_hamming + 1`` disjoint signature
+    bands, so every pair within ``max_hamming`` shares at least one band
+    bucket — EXACT recall of the Hamming predicate, never N×N. (Replaces
+    the round-3 high-bit prefix block, whose recall was only
+    probabilistic.) ``max_bucket_size`` caps degenerate buckets at corpus
+    scale (audit with ``dedup.oversized_buckets``). Complements
+    ``similarity.lsh_topk`` (MLlib, Euclidean) with a dependency-free
+    cosine variant. Note the usual LSH caveat is UPSTREAM of the join: the
+    signature itself is a lossy sketch of cosine similarity; the blocking
+    no longer loses any pair the signature admits.
     """
     import random as _random
 
@@ -238,16 +246,9 @@ def hyperplane_lsh_pairs(
             bits = bits.bitwiseOR(F.shiftleft(F.when(proj >= 0, 1).otherwise(0).cast("long"), b))
         return bits
 
+    from .dedup import hamming_band_pairs
+
     signed = df.select(F.col(id_col), sig().alias("s"))
-    # block on the high bits, verify hamming on the full signature
-    block_bits = max(1, n_bits - max_hamming * 2)
-    blocked = signed.withColumn("blk", F.shiftrightunsigned("s", n_bits - block_bits))
-    a = blocked.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"), "blk")
-    b = blocked.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"), "blk")
-    ham = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))).cast("int")
-    return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+    return hamming_band_pairs(
+        signed, id_col, "s", n_bits=n_bits, max_hamming=max_hamming, max_bucket_size=max_bucket_size
     )
