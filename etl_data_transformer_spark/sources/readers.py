@@ -183,10 +183,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str, auto_spread: bool = 
                 spark.conf.unset(nanos_key)
             else:
                 spark.conf.set(nanos_key, prior)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division: float division loses precision at ns-since-epoch
-        # magnitudes (~1.7e18 exceeds double's 53-bit mantissa)
+    ts_dtype = dict(df.dtypes).get("ts") if name == "events" else None
+    if ts_dtype == "bigint":
+        # TIMESTAMP(NANOS) fixtures arrive as ns longs. Integer division:
+        # float division loses precision at ns-since-epoch magnitudes
+        # (~1.7e18 exceeds double's 53-bit mantissa).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        # timestamp[us] without isAdjustedToUTC reads as NTZ; normalize to
+        # the session (LTZ) type so downstream plans and oracles see one
+        # stable schema across fixture generations. Session tz is UTC
+        # (session.py:43), so the cast is value-preserving.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if auto_spread and name in _SPREAD_TABLES:
         # single-row-group local files serialize the whole map-side pipeline
         # onto one core; spread them when the scan can't feed the machine.

@@ -184,7 +184,9 @@ def test_read_table_scopes_nanos_conf(spark):
         df = R.read_table(spark, "/root/testdata/sf0.001", "events")
         assert spark.conf.get(key) == "false"  # caller's setting untouched
         assert df.count() > 0  # plan executes with the conf restored
-        assert dict(df.dtypes)["ts"] == "timestamp"  # nanos conversion applied
+        # ts normalized to the session (LTZ) type regardless of whether the
+        # fixture stores ns longs or native timestamp[us] (NTZ)
+        assert dict(df.dtypes)["ts"] == "timestamp"
     finally:
         R._TABLE_CACHE.clear()
         if prior is None:

@@ -86,3 +86,108 @@ def test_connected_components_chain_and_singleton(spark):
     edges = spark.createDataFrame([(1, 2), (0, 1), (3, 4)], ["src", "dst"])
     got = {r["id"]: r["cluster_id"] for r in connected_components(nodes, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+# ---------------------------------------------------------------------------
+# Pigeonhole multi-band Hamming blocking (round-3 verdict items 1-3)
+# ---------------------------------------------------------------------------
+
+def _brute_hamming_pairs(sig_by_id: dict[int, int], max_hamming: int) -> set[tuple[int, int]]:
+    ids = sorted(sig_by_id)
+    return {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((sig_by_id[a] ^ sig_by_id[b]) & (2**64 - 1)).count("1") <= max_hamming
+    }
+
+
+def test_hamming_band_pairs_exact_recall(spark):
+    """The pigeonhole guarantee: blocked pairs == ALL pairs within
+    max_hamming, on an adversarial signature set where differing bits land
+    in every band position (the case round-3 prefix blocking lost ~58% of)."""
+    import random
+
+    rng = random.Random(7)
+    sigs = {i: rng.getrandbits(63) for i in range(40)}
+    # plant near-dups whose differing bits fall in LOW bits (outside the old
+    # top-16 prefix block), HIGH bits, and straddling band boundaries
+    sigs[100] = sigs[0] ^ 0b111                      # low 3 bits
+    sigs[101] = sigs[1] ^ (0b101 << 61)              # high bits
+    sigs[102] = sigs[2] ^ (1 << 15) ^ (1 << 16) ^ (1 << 47)  # across slices
+    signed = {i: (v - 2**64 if v >= 2**63 else v) for i, v in sigs.items()}
+    df = spark.createDataFrame(list(signed.items()), "doc_id long, sig long")
+    for h in (1, 3):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in DD.hamming_band_pairs(df, "doc_id", "sig", n_bits=64, max_hamming=h).collect()
+        }
+        assert got == _brute_hamming_pairs(sigs, h)
+
+
+def test_hamming_band_pairs_reports_true_distance(spark):
+    df = spark.createDataFrame([(1, 0), (2, 0b1011)], "doc_id long, sig long")
+    rows = DD.hamming_band_pairs(df, "doc_id", "sig", n_bits=64, max_hamming=3).collect()
+    assert len(rows) == 1 and rows[0]["hamming"] == 3
+
+
+def test_hamming_band_pairs_rejects_impossible_banding(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, sig long")
+    with pytest.raises(ValueError):
+        DD.hamming_band_pairs(df, "doc_id", "sig", n_bits=4, max_hamming=7)
+
+
+def test_simhash_near_dups_blocked_equals_unblocked(spark):
+    """simhash_near_dups (banded join) == brute-force N^2 over the same
+    simhash values — the property the CORRECTNESS query asserts at sf0.01."""
+    texts = [(i, f"doc number {i} with shared boilerplate text and again") for i in range(30)]
+    texts += [(1000 + i, texts[i][1]) for i in range(5)]  # exact dups
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    sig_by_id = {r["doc_id"]: r["simhash64"] for r in DD.simhash(df).collect()}
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_near_dups(df, max_hamming=6).collect()
+    }
+    assert got == _brute_hamming_pairs(sig_by_id, 6)
+
+
+def test_oversized_buckets_audit_matches_cap(spark):
+    """A degenerate corpus (every doc identical) lands all docs in one bucket
+    per band; the audit reports each, and the capped join returns no pairs
+    while the uncapped join returns all N^2/2."""
+    df = spark.createDataFrame([(i, 42) for i in range(50)], "doc_id long, sig long")
+    uncapped = DD.hamming_band_pairs(df, "doc_id", "sig", n_bits=64, max_hamming=3)
+    assert uncapped.count() == 50 * 49 // 2
+    capped = DD.hamming_band_pairs(df, "doc_id", "sig", n_bits=64, max_hamming=3, max_bucket_size=10)
+    assert capped.count() == 0
+    audit = DD.oversized_buckets(df, "sig", n_bits=64, max_hamming=3, max_bucket_size=10).collect()
+    assert len(audit) == 4 and all(r["n_members"] == 50 for r in audit)
+
+
+def test_minhash_hot_bucket_cap_bounds_degenerate_corpus(spark):
+    """1k identical docs: uncapped minhash banding would self-join ~500k
+    pairs on one bucket key; the cap excludes the bucket entirely (bounded
+    work) and the audit surfaces it (no silent truncation)."""
+    df = spark.createDataFrame(
+        [(i, "same exact boilerplate text repeated everywhere ok") for i in range(1000)],
+        ["doc_id", "text"],
+    )
+    capped = DD.minhash_dedup(df, threshold=0.5, max_bucket_size=100)
+    assert capped.count() == 0
+    audit = DD.minhash_oversized_buckets(df, max_bucket_size=100).collect()
+    assert len(audit) == 4 and all(r["n_members"] == 1000 for r in audit)
+    cand = DD.minhash_lsh_candidates(df.limit(20), max_bucket_size=5)
+    assert cand.count() == 0  # cap applies on the candidates path too
+
+
+def test_minhash_cap_no_op_on_normal_corpus(spark):
+    """On a non-degenerate corpus the cap changes nothing: same pairs with
+    and without it (the CORRECTNESS query's oracle-hash stability)."""
+    rows = [(i, f"document {i} about topic {i % 7} with words {i * 3} and {i * 5}") for i in range(60)]
+    rows += [(200, rows[0][1] + " x"), (201, rows[1][1] + " y")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    plain = sorted(map(tuple, DD.minhash_dedup(df, threshold=0.3).collect()))
+    capped = sorted(map(tuple, DD.minhash_dedup(df, threshold=0.3, max_bucket_size=50).collect()))
+    assert plain == capped and len(plain) > 0
