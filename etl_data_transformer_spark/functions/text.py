@@ -186,16 +186,26 @@ def unigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
     are an equi join from exploded tokens back to it plus a mean — two
     shuffles on narrow keys, no Python. At 100 TB the unigram table is
     bounded by vocabulary (small next to the corpus) and broadcastable.
-    Returns (id, n_tokens, mean_logprob).
+    Returns (id, n_tokens, mean_logprob). Empty / all-whitespace documents
+    contribute no tokens (``tokens()`` on "" yields a zero-length string,
+    filtered here) and get no score row; an empty corpus returns an empty
+    result instead of crashing on a NULL total (round-3 advice).
     """
     from pyspark.sql import functions as F  # local alias for clarity
 
-    tok = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("t")
+    ).filter(F.length("t") > 0)
     vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     totals = vocab.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("n_vocab")
     ).collect()[0]
     n_total, n_vocab = totals["n_total"], totals["n_vocab"]
+    if n_total is None:  # zero tokens anywhere: sum() over no rows is NULL
+        return tok.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.lit(0.0).alias("mean_logprob"),
+        )
     logprob = F.log((F.col("c") + 1) / F.lit(float(n_total + n_vocab)))
     return (
         tok.join(F.broadcast(vocab), "t")

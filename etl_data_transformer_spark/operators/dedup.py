@@ -459,8 +459,17 @@ def ngram_jaccard_exact(
     (not a hash — this function is the exact oracle), count matches per
     pair, and derive |union| = |A| + |B| - |A∩B|. Every step is codegen'd
     with map-side combine, measured 1.4× the nested-loop+array_intersect
-    formulation it replaced — and pairs sharing no gram never materialize."""
+    formulation it replaced — and pairs sharing no gram never materialize.
+    That shape only emits pairs with at least one shared gram, so
+    ``threshold`` must be positive (at threshold<=0 the all-pairs
+    formulation would also return zero-overlap pairs; this one can't)."""
     from ..functions.text import char_ngrams
+
+    if threshold <= 0:
+        raise ValueError(
+            f"threshold must be > 0 (got {threshold}): the gram equi-join "
+            "never materializes pairs with empty intersection"
+        )
 
     g = (
         df.filter(F.length(text_col) >= n)

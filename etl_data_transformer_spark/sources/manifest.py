@@ -202,8 +202,19 @@ def _publish(
                 f"now {latest['version'] if latest else None}"
             )
         manifest = build_manifest()
-        with open(_manifest_path(table_dir, version), "w", encoding="utf-8") as f:
-            f.write(json.dumps(manifest))
+        # tmp + os.replace, mirroring the pointer publish: a crash mid-write
+        # must never leave a truncated <version>.json that breaks
+        # list_versions()/read_version() until vacuum's grace window expires
+        mpath = _manifest_path(table_dir, version)
+        tmp_manifest = f"{mpath}.tmp"
+        try:
+            with open(tmp_manifest, "w", encoding="utf-8") as f:
+                f.write(json.dumps(manifest))
+            os.replace(tmp_manifest, mpath)
+        except BaseException:
+            if os.path.exists(tmp_manifest):
+                os.unlink(tmp_manifest)
+            raise
 
         # atomic pointer replace (same-filesystem, POSIX-atomic); unlink the
         # tmp pointer on any failure so aborted commits don't accumulate
@@ -221,12 +232,16 @@ def _publish(
         _release_lock(lock_fd)
 
 
+_UNSET = object()
+
+
 def commit_write(
     df: DataFrame,
     table_dir: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     allow_schema_evolution: bool = False,
+    expected_base: "str | None | object" = _UNSET,
 ) -> str:
     """Commit ``df`` as a new table version; returns the version id.
 
@@ -242,6 +257,13 @@ def commit_write(
     the commit lock that the base version hasn't moved — a conflicting
     concurrent commit raises ``ConcurrentWriteError`` and leaves the table
     untouched (the orphaned data directory is ``vacuum``-able).
+
+    ``expected_base`` (internal; used by ``compact``): force the CAS check
+    even in overwrite mode, against the given version. An overwrite whose
+    CONTENT derives from a read of the live table (compaction) is a lost
+    update if another commit lands between that read and this publish —
+    plain overwrites, whose content is caller-supplied, intentionally skip
+    the check.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode: {mode}")
@@ -292,12 +314,17 @@ def commit_write(
             manifest["partitions"] = parts
         return manifest
 
+    if expected_base is _UNSET:
+        publish_expected = prev["version"] if prev else None
+        publish_check = mode == "append"
+    else:
+        publish_expected, publish_check = expected_base, True
     _publish(
         table_dir,
         version,
         build_manifest,
-        expected_base=prev["version"] if prev else None,
-        check_base=mode == "append",
+        expected_base=publish_expected,
+        check_base=publish_check,
     )
     return version
 
@@ -461,6 +488,11 @@ def compact(spark: SparkSession, table_dir: str, target_partitions: int | None =
     count — dominates scan planning time. Partitioned tables keep their
     layout (one rewrite job, same partition columns); ``target_partitions``
     coalesces unpartitioned tables (default: shuffle-partitions setting).
+
+    Content-preserving by contract, so the publish CAS-checks against the
+    version read here: a commit landing in between raises
+    ``ConcurrentWriteError`` (retry the compaction) instead of being
+    silently discarded — the lost-update Delta's OPTIMIZE also guards.
     """
     manifest = _read_current(table_dir)
     if manifest is None:
@@ -472,7 +504,13 @@ def compact(spark: SparkSession, table_dir: str, target_partitions: int | None =
             target_partitions
             or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         )
-    return commit_write(df, table_dir, mode="overwrite", partition_by=part_by or None)
+    return commit_write(
+        df,
+        table_dir,
+        mode="overwrite",
+        partition_by=part_by or None,
+        expected_base=manifest["version"],
+    )
 
 
 def vacuum(table_dir: str, grace_s: float = _VACUUM_GRACE_S) -> list[str]:

@@ -191,3 +191,13 @@ def test_minhash_cap_no_op_on_normal_corpus(spark):
     plain = sorted(map(tuple, DD.minhash_dedup(df, threshold=0.3).collect()))
     capped = sorted(map(tuple, DD.minhash_dedup(df, threshold=0.3, max_bucket_size=50).collect()))
     assert plain == capped and len(plain) > 0
+
+
+def test_ngram_jaccard_exact_rejects_nonpositive_threshold(spark):
+    """The gram equi-join can't emit zero-overlap pairs, so threshold<=0
+    would silently under-return vs the all-pairs oracle definition."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "abcdef"), (2, "uvwxyz")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="threshold must be > 0"):
+        DD.ngram_jaccard_exact(df, threshold=0.0)

@@ -125,3 +125,24 @@ def test_unigram_logprob_separates_natural_from_gibberish(spark):
     got2 = {r["doc_id"]: r["mean_logprob"]
             for r in TX.unigram_logprob_scores(df.repartition(5)).collect()}
     assert got == got2
+
+
+def test_unigram_logprob_empty_and_whitespace_corpus(spark):
+    """Round-3 advice: empty/all-whitespace corpora must not crash on a NULL
+    token total, and '' must never enter the vocabulary."""
+    from etl_data_transformer_spark.functions import text as TX
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert TX.unigram_logprob_scores(empty).collect() == []
+    blank = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    assert TX.unigram_logprob_scores(blank).collect() == []  # no tokens, no rows
+    # mixed: blank docs drop, real docs score — and the blank rows must not
+    # have poisoned the vocabulary with a zero-length token
+    mixed = spark.createDataFrame(
+        [(1, ""), (2, "the the the"), (3, " ")], "doc_id long, text string"
+    )
+    rows = TX.unigram_logprob_scores(mixed).collect()
+    assert [r["doc_id"] for r in rows] == [2] and rows[0]["n_tokens"] == 3
+    # score identical to the same doc in a corpus WITHOUT blank rows
+    alone = spark.createDataFrame([(2, "the the the")], "doc_id long, text string")
+    assert rows[0]["mean_logprob"] == TX.unigram_logprob_scores(alone).collect()[0]["mean_logprob"]
