@@ -22,19 +22,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "watermark_filter": PAR.q_watermark_filter,
     "scalar_functions": PAR.q_scalar_functions,
     "regex_key_join": PAR.q_regex_key_join,
-    "topk_orders_per_nation": PAR.q_topk_orders_per_nation,
     "pivot_returnflag": PAR.q_pivot_returnflag,
-    "cube_agg": PAR.q_cube_agg,
-    "anti_join_customers": PAR.q_anti_join_customers,
     "semi_join_customers": PAR.q_semi_join_customers,
-    "dup_count_docs": PAR.q_dup_count_docs,
     "events_json": PAR.q_events_json,
     "tumbling_events": PAR.q_tumbling_events,
     "percentile_prices": PAR.q_percentile_prices,
     "price_histogram": PAR.q_price_histogram,
     "string_agg_nations": PAR.q_string_agg_nations,
     "cleanse_report": PAR.q_cleanse_report,
-    "running_totals": PAR.q_running_totals,
     "set_ops_customers": PAR.q_set_ops_customers,
     "explode_part_types": PAR.q_explode_part_types,
     "full_outer_region_stats": PAR.q_full_outer_region_stats,
@@ -68,8 +63,33 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings": EXT.q_quantize_embeddings,
     "train_test_split": EXT.q_train_test_split,
     "curation_pipeline": EXT.q_curation_pipeline,
+    # round-4 promotions (round-3 verdict items 1-3): blocked-path recall
+    # gates for the pigeonhole Hamming joins, plus the round-3 pytest-only
+    # curation/text operators as first-class CORRECTNESS rows
+    "simhash_blocked_recall": EXT.q_simhash_blocked_recall,
+    "hyperplane_blocked_recall": EXT.q_hyperplane_blocked_recall,
+    "stratified_cap_docs": EXT.q_stratified_cap_docs,
+    "unigram_logprob": EXT.q_unigram_logprob,
+    "redact_pii_docs": EXT.q_redact_pii_docs,
     # temporal + profiling surface (as-of, range join, sessions, rollup)
     **TEMPORAL_QUERIES,
 }
 
-ORACLES: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}
+# Rotated OUT of the 50-slot driver contract in round 4 to make room for the
+# promotions above (each overlapped a surviving row: dup_count_docs ⊂
+# exact_dedup_groups, cube_agg ~ rollup_nation_status, running_totals ~
+# rolling_user_stats, topk_orders_per_nation ~ tfidf_top_terms's window
+# top-k, anti_join_customers ~ semi_join_customers). They stay
+# driver-strength verified: tests/test_rotated_oracle.py runs the identical
+# DuckDB value-hash compare on every entry here.
+ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "topk_orders_per_nation": PAR.q_topk_orders_per_nation,
+    "cube_agg": PAR.q_cube_agg,
+    "anti_join_customers": PAR.q_anti_join_customers,
+    "dup_count_docs": PAR.q_dup_count_docs,
+    "running_totals": PAR.q_running_totals,
+}
+
+_ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}
+ORACLES: dict[str, str] = {k: _ALL_SQL[k] for k in QUERIES if k in _ALL_SQL}
+ROTATED_ORACLES: dict[str, str] = {k: _ALL_SQL[k] for k in ROTATED_QUERIES}

@@ -321,6 +321,102 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_blocked_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-path exactness gate for the pigeonhole Hamming join (round-3
+    verdict item 1): over EVERY pair of the capped corpus, assert that the
+    banded ``hamming_band_pairs`` join finds the pair IFF the unblocked
+    all-pairs Hamming distance is within the threshold. The pigeonhole
+    construction (h+1 disjoint bands) guarantees this equivalence — unlike
+    the round-3 prefix block, whose recall was probabilistic. Oracle: the
+    constant-true expectation over the same pair universe."""
+    h = 8
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    hashed = DD.simhash(d).select("doc_id", "simhash64")
+    blocked = (
+        DD.hamming_band_pairs(hashed, "doc_id", "simhash64", n_bits=64, max_hamming=h)
+        .select("id_a", "id_b")
+        .withColumn("__found", F.lit(1))
+    )
+    a = hashed.select(F.col("doc_id").alias("id_a"), F.col("simhash64").alias("h_a"))
+    b = hashed.select(F.col("doc_id").alias("id_b"), F.col("simhash64").alias("h_b"))
+    unblocked = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= h
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .join(F.broadcast(blocked), ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__found").isNotNull() == unblocked).alias("blocked_eq_unblocked"),
+        )
+    )
+
+
+def q_hyperplane_blocked_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same blocked==unblocked equivalence gate for the hyperplane-LSH
+    Hamming join over embedding signatures (round-3 verdict item 2): the
+    16-bit sign signature's banded join must equal the all-pairs Hamming
+    scan on every pair of the capped corpus."""
+    from ..operators.curation import hyperplane_lsh_pairs, hyperplane_signatures
+
+    h = 2
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") < 150)
+    signed = hyperplane_signatures(e, n_bits=16)
+    blocked = (
+        hyperplane_lsh_pairs(e, n_bits=16, max_hamming=h)
+        .select("id_a", "id_b")
+        .withColumn("__found", F.lit(1))
+    )
+    a = signed.select(F.col("vec_id").alias("id_a"), F.col("s").alias("s_a"))
+    b = signed.select(F.col("vec_id").alias("id_b"), F.col("s").alias("s_b"))
+    unblocked = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))) <= h
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .join(F.broadcast(blocked), ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__found").isNotNull() == unblocked).alias("blocked_eq_unblocked"),
+        )
+    )
+
+
+def q_stratified_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap keeping the LONGEST documents (domain balancing with a
+    quality-ordered keep rule): at most 15 docs per source, ordered by char
+    length desc with the doc id as deterministic tie-break."""
+    from ..operators.curation import stratified_cap
+
+    d = _docs(spark, sf_dir).withColumn("n_chars_calc", F.length("text"))
+    return stratified_cap(d, key_col="source", cap_n=15, order_col="n_chars_calc").select(
+        "doc_id", "source", "n_chars_calc"
+    )
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality scores in engine-exact integer micro-nats
+    (per-token log-prob rounded per vocabulary entry BEFORE the
+    order-independent integer sum — the COVERAGE.md float-audit pattern)."""
+    return TX.unigram_logprob_scores(_docs(spark, sf_dir), quantize_micros=True)
+
+
+def q_redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a per-doc synthetic payload (deterministic email /
+    IP / card / phone built from the doc id) concatenated with a real text
+    prefix — exercises every pattern in the chain plus pass-through of
+    ordinary prose, all inside one codegen'd projection."""
+    from ..operators.curation import redact_pii
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    synth = F.concat_ws(
+        " ",
+        F.lit("contact"),
+        F.concat(F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        F.lit("ip 10.0.0.1 card 4111 1111 1111 1111 tel +1 555-123-4567 end"),
+        F.substring("text", 1, 40),
+    )
+    return d.select("doc_id", redact_pii(synth).alias("redacted"))
+
+
 # ----------------------------------------------------------- multimodal ----
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

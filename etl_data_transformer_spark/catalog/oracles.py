@@ -332,6 +332,76 @@ EXTENSION_ORACLES: dict[str, str] = {
           FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
         ) WHERE rnk <= 3
     """,
+    # blocked == unblocked equivalence over EVERY pair of the capped corpus:
+    # the pigeonhole band join is exact by construction, so the oracle is the
+    # constant-true expectation on the full pair universe (same pattern as
+    # the ann_*_recall gates). Any missed or spurious pair flips a boolean
+    # and fails the value hash.
+    "simhash_blocked_recall": """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, true AS blocked_eq_unblocked
+        FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        WHERE a.doc_id < 100 AND b.doc_id < 100
+    """,
+    "hyperplane_blocked_recall": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, true AS blocked_eq_unblocked
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 150 AND b.vec_id < 150
+    """,
+    "stratified_cap_docs": """
+        SELECT doc_id, source, n_chars_calc FROM (
+            SELECT doc_id, source, length(text) AS n_chars_calc,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY length(text) DESC NULLS LAST, doc_id ASC) AS rn
+            FROM documents
+        ) WHERE rn <= 15
+    """,
+    # per-token log-prob is a pure function of integer counts (c, N, V), so
+    # both engines round the SAME double to micro-nats per vocabulary entry;
+    # the per-doc score is then an order-independent integer sum.
+    "unigram_logprob": """
+        WITH tok AS (
+            SELECT doc_id, t FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+                FROM documents
+            ) WHERE length(t) > 0
+        ), vocab AS (
+            SELECT t, count(*) AS c FROM tok GROUP BY t
+        ), tot AS (
+            SELECT sum(c) AS n_total, count(*) AS n_vocab FROM vocab
+        ), lp AS (
+            SELECT t, CAST(round(1000000 * ln((c + 1) / CAST(n_total + n_vocab AS DOUBLE)), 0) AS BIGINT) AS lp_micros
+            FROM vocab CROSS JOIN tot
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(lp_micros) AS BIGINT) AS logprob_micros
+        FROM tok JOIN lp USING (t)
+        GROUP BY doc_id
+    """,
+    # chained regexp_replace mirrors curation._PII_PATTERNS order exactly
+    # (EMAIL, IP, CARD, PHONE — innermost applied first); DuckDB needs the
+    # 'g' flag to match Spark's replace-all.
+    "redact_pii_docs": r"""
+        WITH s AS (
+            SELECT doc_id,
+                   concat_ws(' ', 'contact',
+                             'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+                             'ip 10.0.0.1 card 4111 1111 1111 1111 tel +1 555-123-4567 end',
+                             substring(text, 1, 40)) AS raw
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(raw,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                   '\b\d(?:[ -]?\d){12,15}\b', '<CARD>', 'g'),
+                 '\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}\b', '<PHONE>', 'g')
+               AS redacted
+        FROM s
+    """,
     "multimodal_features": """
         SELECT doc_id AS media_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -175,7 +175,12 @@ def repetition_quality_pass(
     )
 
 
-def unigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
+def unigram_logprob_scores(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quantize_micros: bool = False,
+):
     """Statistical language-model quality filter (the simplest form of the
     perplexity filters used in published pretraining pipelines): score each
     document by the mean log-probability of its tokens under the CORPUS'S
@@ -190,6 +195,13 @@ def unigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
     contribute no tokens (``tokens()`` on "" yields a zero-length string,
     filtered here) and get no score row; an empty corpus returns an empty
     result instead of crashing on a NULL total (round-3 advice).
+
+    ``quantize_micros=True`` returns (id, n_tokens, logprob_micros) where
+    the per-TOKEN log-prob is rounded to integer micro-nats BEFORE summing
+    (each token type's log-prob is a pure function of its integer count, so
+    the rounding happens once per vocabulary entry) — an integer sum is
+    summation-order-independent and engine-exact, the float-audit pattern
+    (COVERAGE.md) that makes the score hash-checkable against DuckDB.
     """
     from pyspark.sql import functions as F  # local alias for clarity
 
@@ -202,16 +214,71 @@ def unigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
     ).collect()[0]
     n_total, n_vocab = totals["n_total"], totals["n_vocab"]
     if n_total is None:  # zero tokens anywhere: sum() over no rows is NULL
-        return tok.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.lit(0.0).alias("mean_logprob"),
-        )
+        score = F.lit(0).cast("long").alias("logprob_micros") if quantize_micros else F.lit(0.0).alias("mean_logprob")
+        return tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"), score)
     logprob = F.log((F.col("c") + 1) / F.lit(float(n_total + n_vocab)))
+    if quantize_micros:
+        vocab = vocab.withColumn("lp_micros", F.round(logprob * 1_000_000, 0).cast("long"))
+        score = F.sum("lp_micros").cast("long").alias("logprob_micros")
+    else:
+        score = F.round(F.avg(logprob), 6).alias("mean_logprob")
     return (
         tok.join(F.broadcast(vocab), "t")
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(logprob), 6).alias("mean_logprob"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_tokens"), score)
     )
+
+
+def bigram_logprob_scores(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quantize_micros: bool = False,
+):
+    """Conditional bigram LM quality score (the next rung up from
+    ``unigram_logprob_scores`` toward the published perplexity filters):
+    mean log of the add-one-smoothed conditional p(w2 | w1) =
+    (c(w1 w2) + 1) / (c(w1) + V) over each document's adjacent token pairs.
+    Repetitive n-gram soup scores high, shuffled-word gibberish scores low —
+    the signal unigrams cannot see (same bag of words, different order).
+
+    Distributed shape mirrors the unigram scorer: one pass builds bigrams
+    per document JVM-side (``zip_with`` over two array slices — no explode
+    of pairs until counting), two narrow groupBys build the bigram and
+    unigram-context tables, and scoring is an equi join from exploded
+    document bigrams back to the (broadcastable, vocabulary-bounded)
+    count tables. Documents with fewer than two tokens get no score row.
+    ``quantize_micros`` — same engine-exact integer-micro-nat contract as
+    the unigram scorer.
+    """
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    toks = F.filter(tokens(F.lower(F.col(text_col))), lambda t: F.length(t) > 0)
+    big = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("bg")),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+    bg_counts = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    w1_counts = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    n_vocab = big.select(F.split("bg", " ").getItem(1).alias("w2")).union(
+        big.select("w1")
+    ).distinct().count()
+    if n_vocab == 0:  # no doc has two tokens
+        return big.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.lit(0).cast("long").alias("logprob_micros") if quantize_micros else F.lit(0.0).alias("mean_logprob")),
+        )
+    logprob = F.log((F.col("c_bg") + 1) / (F.col("c_w1") + F.lit(float(n_vocab))))
+    scored = big.join(F.broadcast(bg_counts), "bg").join(F.broadcast(w1_counts), "w1")
+    if quantize_micros:
+        scored = scored.withColumn("lp_micros", F.round(logprob * 1_000_000, 0).cast("long"))
+        score = F.sum("lp_micros").cast("long").alias("logprob_micros")
+    else:
+        score = F.round(F.avg(logprob), 6).alias("mean_logprob")
+    return scored.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_bigrams"), score)

@@ -222,33 +222,47 @@ def hyperplane_lsh_pairs(
     signature itself is a lossy sketch of cosine similarity; the blocking
     no longer loses any pair the signature admits.
     """
+    from .dedup import hamming_band_pairs
+
+    signed = hyperplane_signatures(df, id_col=id_col, emb_col=emb_col, n_bits=n_bits, seed=seed)
+    if signed is None:
+        return df.sparkSession.createDataFrame([], "id_a long, id_b long, hamming int")
+    return hamming_band_pairs(
+        signed, id_col, "s", n_bits=n_bits, max_hamming=max_hamming, max_bucket_size=max_bucket_size
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_bits: int = 16,
+    seed: int = 42,
+) -> DataFrame | None:
+    """(id, s): the ``n_bits``-bit random-hyperplane sign signature used by
+    ``hyperplane_lsh_pairs`` — exposed so callers can compare the blocked
+    join against an unblocked all-pairs Hamming scan (the recall gate in
+    the catalog). One codegen'd projection; returns ``None`` on an empty
+    frame (no dimension to probe)."""
     import random as _random
 
     rng = _random.Random(seed)
     dim_probe = df.select(F.size(emb_col).alias("d")).first()
     if dim_probe is None:
-        return df.sparkSession.createDataFrame([], "id_a long, id_b long, hamming int")
+        return None
     dim = dim_probe["d"]
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
 
-    def sig():
-        bits = F.lit(0).cast("long")
-        for b, plane in enumerate(planes):
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col(emb_col),
-                    F.array(*[F.lit(v) for v in plane]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits = bits.bitwiseOR(F.shiftleft(F.when(proj >= 0, 1).otherwise(0).cast("long"), b))
-        return bits
-
-    from .dedup import hamming_band_pairs
-
-    signed = df.select(F.col(id_col), sig().alias("s"))
-    return hamming_band_pairs(
-        signed, id_col, "s", n_bits=n_bits, max_hamming=max_hamming, max_bucket_size=max_bucket_size
-    )
+    bits = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(emb_col),
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits = bits.bitwiseOR(F.shiftleft(F.when(proj >= 0, 1).otherwise(0).cast("long"), b))
+    return df.select(F.col(id_col), bits.alias("s"))

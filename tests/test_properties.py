@@ -181,3 +181,62 @@ def test_minhash_candidates_superset_of_high_jaccard_pairs(spark, texts):
     for ra, rb in combinations(sorted(sigs, key=lambda r: r["doc_id"]), 2):
         if set(ra["hs"]) == set(rb["hs"]):
             assert (ra["doc_id"], rb["doc_id"]) in cands
+
+
+# --------- dedup family on degenerate corpora (round-3 verdict item 7) ----
+
+
+@given(
+    st.lists(
+        st.sampled_from(["", " ", "a", "b", "ab", "a a a", "the quick brown fox", "\t"]),
+        min_size=2,
+        max_size=8,
+    )
+)
+@_few
+def test_dedup_family_degenerate_corpora_invariants(spark, texts):
+    """minhash_dedup / simhash_near_dups over corpora of empty, whitespace,
+    and single-char docs: no crash, pair ids are ordered and within range,
+    similarity metrics stay in bounds, and IDENTICAL texts always pair
+    (equal shingle sets → equal signatures → same buckets; equal simhash →
+    hamming 0 → pigeonhole guarantees a shared band)."""
+    from etl_data_transformer_spark.operators.dedup import minhash_dedup, simhash_near_dups
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    mh = minhash_dedup(df, num_hashes=8, bands=4, threshold=0.5).collect()
+    sh = simhash_near_dups(df, max_hamming=3).collect()
+    ids = set(range(len(texts)))
+    for r in mh:
+        assert r["id_a"] < r["id_b"] and {r["id_a"], r["id_b"]} <= ids
+        assert 0.5 <= r["jaccard_sim"] <= 1.0
+    for r in sh:
+        assert r["id_a"] < r["id_b"] and {r["id_a"], r["id_b"]} <= ids
+        assert 0 <= r["hamming"] <= 3
+
+    mh_pairs = {(r["id_a"], r["id_b"]) for r in mh}
+    sh_pairs = {(r["id_a"], r["id_b"]) for r in sh}
+    from itertools import combinations as _comb
+
+    for (ia, ta), (ib, tb) in _comb(docs, 2):
+        if ta == tb:
+            assert (ia, ib) in mh_pairs  # identical → jaccard 1.0 ≥ threshold
+            assert (ia, ib) in sh_pairs  # identical → hamming 0
+
+
+def test_dedup_all_identical_corpus_yields_all_pairs(spark):
+    """An all-identical corpus is the worst-case hot bucket: every one of the
+    C(n,2) pairs must surface (uncapped), with jaccard 1.0 / hamming 0."""
+    from etl_data_transformer_spark.operators.dedup import minhash_dedup, simhash_near_dups
+
+    n = 30
+    df = spark.createDataFrame(
+        [(i, "same exact text for every doc") for i in range(n)], "doc_id long, text string"
+    )
+    mh = minhash_dedup(df, num_hashes=8, bands=4, threshold=0.9).collect()
+    assert len(mh) == n * (n - 1) // 2
+    assert all(r["jaccard_sim"] == 1.0 for r in mh)
+    sh = simhash_near_dups(df, max_hamming=2).collect()
+    assert len(sh) == n * (n - 1) // 2
+    assert all(r["hamming"] == 0 for r in sh)

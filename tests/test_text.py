@@ -146,3 +146,60 @@ def test_unigram_logprob_empty_and_whitespace_corpus(spark):
     # score identical to the same doc in a corpus WITHOUT blank rows
     alone = spark.createDataFrame([(2, "the the the")], "doc_id long, text string")
     assert rows[0]["mean_logprob"] == TX.unigram_logprob_scores(alone).collect()[0]["mean_logprob"]
+
+
+def test_unigram_logprob_micros_matches_float_path(spark):
+    """quantize_micros: integer micro-nat sums track the float mean (sum ≈
+    mean × n × 1e6) and are exactly stable across partitioning."""
+    from etl_data_transformer_spark.functions import text as TX
+
+    docs = [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)]
+    docs.append((9, "zxqv jkwpl mnbtr"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    micros = {r["doc_id"]: (r["logprob_micros"], r["n_tokens"])
+              for r in TX.unigram_logprob_scores(df, quantize_micros=True).collect()}
+    floats = {r["doc_id"]: r["mean_logprob"] for r in TX.unigram_logprob_scores(df).collect()}
+    for doc_id, (m, n) in micros.items():
+        assert abs(m / (n * 1_000_000) - floats[doc_id]) < 1e-5
+    micros2 = {r["doc_id"]: (r["logprob_micros"], r["n_tokens"])
+               for r in TX.unigram_logprob_scores(df.repartition(7), quantize_micros=True).collect()}
+    assert micros == micros2  # integer sums: exactly partition-independent
+
+
+def test_bigram_logprob_separates_order_from_shuffle(spark):
+    """The bigram scorer sees what unigrams cannot: a doc with the corpus's
+    common word ORDER outscores the same bag of words shuffled."""
+    from etl_data_transformer_spark.functions import text as TX
+
+    common = "the quick brown fox jumps over the lazy dog"
+    docs = [(i, common) for i in range(8)]
+    docs.append((100, "the quick brown fox"))      # follows corpus bigrams
+    docs.append((101, "fox the brown quick"))      # same words, unseen order
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_logprob"] for r in TX.bigram_logprob_scores(df).collect()}
+    assert got[100] > got[101]
+    assert all(v < 0 for v in got.values())
+    # stable across partitioning
+    got2 = {r["doc_id"]: r["mean_logprob"]
+            for r in TX.bigram_logprob_scores(df.repartition(5)).collect()}
+    assert got == got2
+
+
+def test_bigram_logprob_edge_corpora(spark):
+    """Sub-two-token docs get no row; empty corpora don't crash; the
+    quantized path is partition-exact."""
+    from etl_data_transformer_spark.functions import text as TX
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert TX.bigram_logprob_scores(empty).collect() == []
+    short = spark.createDataFrame(
+        [(1, ""), (2, "word"), (3, "  ")], "doc_id long, text string"
+    )
+    assert TX.bigram_logprob_scores(short).collect() == []  # no doc has 2 tokens
+    mixed = spark.createDataFrame(
+        [(1, "one"), (2, "a b a b a"), (3, "")], "doc_id long, text string"
+    )
+    rows = TX.bigram_logprob_scores(mixed, quantize_micros=True).collect()
+    assert [r["doc_id"] for r in rows] == [2] and rows[0]["n_bigrams"] == 4
+    rows2 = TX.bigram_logprob_scores(mixed.repartition(4), quantize_micros=True).collect()
+    assert rows == rows2

@@ -40,7 +40,11 @@ def main() -> None:
     scaled = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1_scaled"
     import __spark_entry__ as entry_mod
 
-    qs = entry_mod.queries()
+    from etl_data_transformer_spark.catalog import ROTATED_QUERIES
+
+    # include queries rotated out of the driver contract (round 4) so the
+    # scaling series stays comparable round-over-round
+    qs = {**ROTATED_QUERIES, **entry_mod.queries()}
     spark = get_spark("bench_scaling")
     for d in (BASE, scaled):
         spark.read.parquet(f"{d}/lineitem.parquet").count()  # warm footers

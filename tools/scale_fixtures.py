@@ -12,7 +12,13 @@ into 10× exact copies.
 PERF ONLY: correctness is always checked against the driver's own fixtures
 (tools/check_oracle.py); this data never feeds an oracle comparison.
 
-Usage: python tools/scale_fixtures.py [factor] [src_dir] [out_dir]
+``--skew`` additionally writes ``<out_dir>_skew``: the same scaled fixture
+set but with HALF of ``orders.o_custkey`` remapped to one hot customer (a
+single key owning ~50% of a 1.5M-row fact side) — the skewed-join stress
+fixture for tools/bench_skew.py (round-3 verdict item 4). Non-orders tables
+are symlinked from the scaled dir, not copied.
+
+Usage: python tools/scale_fixtures.py [factor] [src_dir] [out_dir] [--skew]
 """
 
 from __future__ import annotations
@@ -38,9 +44,11 @@ SHIFT = {
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    out = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scratch/sf1_scaled"
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    factor = int(args[0]) if len(args) > 0 else 10
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    out = args[2] if len(args) > 2 else "/root/repo/.scratch/sf1_scaled"
     spark = get_spark("scale_fixtures")
     os.makedirs(out, exist_ok=True)
 
@@ -76,6 +84,26 @@ def main() -> None:
             scaled = scaled.unionByName(r)
         scaled.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
         print(f"# {t}: x{factor} -> {out}")
+
+    if skew:
+        out_skew = f"{out.rstrip('/')}_skew"
+        os.makedirs(out_skew, exist_ok=True)
+        orders = spark.read.parquet(f"{out}/orders.parquet")
+        hot = (
+            orders.groupBy("o_custkey").count().orderBy(F.desc("count"), "o_custkey").first()["o_custkey"]
+        )
+        # deterministic half of the orders (by orderkey parity) point at one
+        # customer: a single join key owning ~50% of the fact side
+        skewed = orders.withColumn(
+            "o_custkey",
+            F.when(F.pmod("o_orderkey", F.lit(2)) == 0, F.lit(hot)).otherwise(F.col("o_custkey")),
+        )
+        skewed.write.mode("overwrite").parquet(f"{out_skew}/orders.parquet")
+        for t in DIM_TABLES + [x for x in SHIFT if x != "orders"]:
+            dst = f"{out_skew}/{t}.parquet"
+            if not os.path.lexists(dst):
+                os.symlink(os.path.abspath(f"{out}/{t}.parquet"), dst)
+        print(f"# orders: hot o_custkey={hot} on 50% of rows -> {out_skew}")
     print("done")
 
 
