@@ -1,22 +1,24 @@
 """Skewed-key join stress (round-3 verdict item 4): measure the hot-key
-orders ⋈ customer join on the skewed 10× fixture under four strategies, plus
-the headline ``item_status`` pipeline on the same skewed data.
+lineitem ⋈ orders join (6M ⋈ 1.5M rows at the 10× fixture) under four
+strategies, plus the headline ``item_status`` pipeline on the same skewed
+data.
 
-The fixture (tools/scale_fixtures.py --skew) remaps HALF of the 1.5M-row
-``orders.o_custkey`` to ONE customer. The join measurements force a SHUFFLED
-hash join (autoBroadcastJoinThreshold=-1) because that's the regime where
-skew hurts — one reducer owns half the probe side:
+The fixture (tools/scale_fixtures.py --skew) remaps ~HALF of
+``lineitem.l_orderkey`` to ONE hot order (and half of ``orders.o_custkey``
+to one hot customer). The join measurements force a SHUFFLED hash join
+(autoBroadcastJoinThreshold=-1) because that's the regime where skew hurts —
+one reducer owns ~3M probe rows:
 
-1. ``shuffle``       — shuffled join, AQE skew handling OFF (the baseline hurt)
-2. ``aqe_skew``      — shuffled join, AQE skewJoin ON (runtime partition split)
-3. ``salted``        — operators.joins.salted_join (deterministic salt,
-                       right side replicated; the pre-AQE portable fix)
-4. ``broadcast``     — the engine's actual default for this dim size:
-                       broadcast join, skew-immune by construction
+1. ``shuffle``   — shuffled join, AQE skew handling OFF (the baseline hurt)
+2. ``aqe_skew``  — shuffled join, AQE skewJoin ON (runtime partition split)
+3. ``salted``    — operators.joins.salted_join (deterministic salt, right
+                   side replicated; the portable fix when AQE can't engage)
+4. ``broadcast`` — what the engine would pick if the right side fits:
+                   broadcast join, skew-immune by construction
 
 ``item_status`` runs last, unmodified, on the skewed dir: its dims are
-broadcast throughout (plans/branches.py), so the hot key must NOT slow it
-down — that's the design claim under test.
+broadcast throughout (plans/branches.py), so the hot keys must NOT slow it
+down materially — that's the design claim under test.
 
 Usage: python tools/bench_skew.py [skew_dir] [uniform_dir]
 """
@@ -48,24 +50,43 @@ def main() -> None:
     skew_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1_scaled_skew"
     base_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1_scaled"
     spark = get_spark("bench_skew")
+    # warm footers + page cache so the first timed strategy isn't charged
+    # for cold reads (min-of-3 can't fix a systematically cold first table)
+    for d in (base_dir, skew_dir):
+        for t in ("lineitem", "orders"):
+            spark.read.parquet(f"{d}/{t}.parquet").count()
 
     def join_count(d: str, strategy: str) -> int:
+        li = spark.read.parquet(f"{d}/lineitem.parquet")
         orders = spark.read.parquet(f"{d}/orders.parquet")
-        customer = spark.read.parquet(f"{d}/customer.parquet")
         if strategy == "broadcast":
-            j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+            j = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
         elif strategy == "salted":
             j = salted_join(
-                orders.withColumnRenamed("o_custkey", "k"),
-                customer.withColumnRenamed("c_custkey", "k"),
+                li.withColumnRenamed("l_orderkey", "k"),
+                orders.withColumnRenamed("o_orderkey", "k"),
                 on="k",
-                left_unique="o_orderkey",
-                salt_buckets=32,
+                # salt source just needs determinism + spread (not
+                # uniqueness): l_partkey is high-cardinality even on the
+                # hot-key rows, where the orderkey itself is constant.
+                # 8 buckets: enough to split the hot reducer 8-way while
+                # only replicating the build side 8x — salting's cost IS
+                # the build replication, so buckets stay minimal
+                left_unique="l_partkey",
+                salt_buckets=8,
             )
         else:
-            j = orders.join(customer, orders.o_custkey == customer.c_custkey)
-        # aggregate a customer-side column so the join can't be pruned away
-        return j.agg(F.count("c_acctbal")).collect()[0][0]
+            j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # aggregate payload columns from BOTH sides: column pruning must not
+        # strip the shuffle down to the (constant, hyper-compressible) hot
+        # key alone — AQE's skew detection works on compressed shuffle BYTES,
+        # and a key-only hot partition compresses below any sane threshold
+        # (measured: the split never engaged until payload rode along)
+        row0 = j.agg(
+            F.count("o_totalprice").alias("n"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) + F.col("o_totalprice")).alias("s"),
+        ).collect()[0]
+        return row0["n"]
 
     out: dict[str, dict] = {}
     conf = spark.conf
@@ -75,9 +96,9 @@ def main() -> None:
         conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         row["shuffle"], n = _timed(lambda: join_count(d, "shuffle"))
         conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        # the fixture's hot partition (~24 MB of 1.5M rows) sits under the
-        # 256 MB default threshold — tune down so the split actually engages,
-        # exactly what an operator would do on a real cluster
+        # the fixture's hot partition (~3M rows, tens of MB) sits under the
+        # 256 MB default threshold — tune down so the split actually
+        # engages, exactly what an operator would do on a real cluster
         conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB")
         conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
         row["aqe_skew"], n2 = _timed(lambda: join_count(d, "shuffle"))

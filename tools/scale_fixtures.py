@@ -13,10 +13,11 @@ PERF ONLY: correctness is always checked against the driver's own fixtures
 (tools/check_oracle.py); this data never feeds an oracle comparison.
 
 ``--skew`` additionally writes ``<out_dir>_skew``: the same scaled fixture
-set but with HALF of ``orders.o_custkey`` remapped to one hot customer (a
-single key owning ~50% of a 1.5M-row fact side) — the skewed-join stress
-fixture for tools/bench_skew.py (round-3 verdict item 4). Non-orders tables
-are symlinked from the scaled dir, not copied.
+set but with HALF of ``orders.o_custkey`` remapped to one hot customer AND
+half of ``lineitem.l_orderkey`` remapped to one hot order (single keys
+owning ~50% of the 1.5M/6M-row fact sides) — the skewed-join stress fixture
+for tools/bench_skew.py (round-3 verdict item 4). Unmodified tables are
+symlinked from the scaled dir, not copied.
 
 Usage: python tools/scale_fixtures.py [factor] [src_dir] [out_dir] [--skew]
 """
@@ -89,21 +90,45 @@ def main() -> None:
         out_skew = f"{out.rstrip('/')}_skew"
         os.makedirs(out_skew, exist_ok=True)
         orders = spark.read.parquet(f"{out}/orders.parquet")
-        hot = (
+        hot_cust = (
             orders.groupBy("o_custkey").count().orderBy(F.desc("count"), "o_custkey").first()["o_custkey"]
         )
         # deterministic half of the orders (by orderkey parity) point at one
         # customer: a single join key owning ~50% of the fact side
-        skewed = orders.withColumn(
+        skewed_orders = orders.withColumn(
             "o_custkey",
-            F.when(F.pmod("o_orderkey", F.lit(2)) == 0, F.lit(hot)).otherwise(F.col("o_custkey")),
+            F.when(F.pmod("o_orderkey", F.lit(2)) == 0, F.lit(hot_cust)).otherwise(F.col("o_custkey")),
         )
-        skewed.write.mode("overwrite").parquet(f"{out_skew}/orders.parquet")
+        for skew_table in ("orders", "lineitem"):
+            # a prior run may have symlinked this table; writing through the
+            # link would clobber the clean scaled copy
+            p = f"{out_skew}/{skew_table}.parquet"
+            if os.path.islink(p):
+                os.unlink(p)
+        skewed_orders.write.mode("overwrite").parquet(f"{out_skew}/orders.parquet")
+        # and half of the (6M-row) lineitem points at one hot ORDER — the
+        # N:1 fan stays 1 (the hot order exists, so inner-join row counts
+        # are preserved), but one reducer owns ~3M probe rows in a shuffled
+        # orderkey join. Parity on (orderkey, linenumber) keeps it
+        # deterministic and roughly half.
+        lineitem = spark.read.parquet(f"{out}/lineitem.parquet")
+        hot_order = lineitem.agg(F.min("l_orderkey")).collect()[0][0]
+        skewed_li = lineitem.withColumn(
+            "l_orderkey",
+            F.when(
+                F.pmod(F.col("l_orderkey") + F.col("l_linenumber"), F.lit(2)) == 0,
+                F.lit(hot_order),
+            ).otherwise(F.col("l_orderkey")),
+        )
+        skewed_li.write.mode("overwrite").parquet(f"{out_skew}/lineitem.parquet")
         for t in DIM_TABLES + [x for x in SHIFT if x != "orders"]:
+            if t == "lineitem":
+                continue
             dst = f"{out_skew}/{t}.parquet"
             if not os.path.lexists(dst):
                 os.symlink(os.path.abspath(f"{out}/{t}.parquet"), dst)
-        print(f"# orders: hot o_custkey={hot} on 50% of rows -> {out_skew}")
+        print(f"# orders: hot o_custkey={hot_cust} on 50% of rows -> {out_skew}")
+        print(f"# lineitem: hot l_orderkey={hot_order} on ~50% of rows -> {out_skew}")
     print("done")
 
 
