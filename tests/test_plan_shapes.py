@@ -23,6 +23,11 @@ NLJ_ALLOWED = {
     "ann_ivf_recall",  # embeds the bounded brute-force exact side
     "dedup_clusters",  # built on the ngram_jaccard bounded-N² edge set
     "simhash_recall",  # same bounded-N² exact truth side (capped corpus)
+    # blocked==unblocked equivalence gates: the UNBLOCKED all-pairs side is
+    # a deliberate bounded N² broadcast scan (the very thing the blocked
+    # production path avoids); corpus capped at 100/150 ids
+    "simhash_blocked_recall",
+    "hyperplane_blocked_recall",
     "agg_china",
     "fact_union",
     "sql_fact_union",  # same const-pinned dims via the raw-SQL entry point

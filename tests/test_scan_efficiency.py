@@ -2,13 +2,16 @@
 verify it stayed free): incremental filters reach the parquet scan and
 column pruning keeps unneeded columns out of the read schema."""
 
-from etl_data_transformer_spark.catalog import QUERIES
+from etl_data_transformer_spark.catalog import QUERIES, ROTATED_QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# rotated queries (round-4 contract swap) keep their plan assertions
+_ALL_QUERIES = {**ROTATED_QUERIES, **QUERIES}
+
 
 def _scan_lines(spark, name):
-    plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    plan = _ALL_QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     return [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
 
 
