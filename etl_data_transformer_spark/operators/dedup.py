@@ -200,9 +200,40 @@ def minhash_dedup(
     the bucket key only (the carried hs arrays never shuffle for it), and is
     NEVER silent: audit with ``minhash_oversized_buckets`` on the same
     parameters."""
+    banded = minhash_signature_store(df, text_col, id_col, shingle_n, num_hashes, bands)
+    if max_bucket_size is not None:
+        banded = _drop_hot_buckets(banded, ["sig"], max_bucket_size)
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"), "sig")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round(jaccard(F.col("hs_a"), F.col("hs_b")), 6).alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def minhash_signature_store(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, hs, sig): the banded MinHash signature rows ``minhash_dedup``
+    joins on — one row per (document, band), ``sig`` prefixed with the band
+    index so bands never cross-match. Exposed as the PERSISTED form for
+    incremental corpus growth: append each ingest batch's store to a
+    signature table (bucketed by ``sig`` for a shuffle-free candidate join)
+    and new batches dedup against the whole corpus WITHOUT re-shingling it
+    (``minhash_dedup_incremental``). Signatures are deterministic (seeded
+    affine family), so stored and freshly-computed rows are interchangeable.
+    """
     rows_per_band = num_hashes // bands
     sigs = _signatures(df, text_col, id_col, shingle_n, num_hashes)
-    banded = sigs.select(
+    return sigs.select(
         id_col,
         "hs",
         F.explode(
@@ -218,15 +249,62 @@ def minhash_dedup(
             )
         ).alias("sig"),
     )
+
+
+def minhash_dedup_incremental(
+    new_df: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs for an INCREMENTAL ingest batch: every pair with
+    Jaccard >= ``threshold`` where at least one side is a new document —
+    exactly ``minhash_dedup(old ∪ new)`` restricted to pairs touching the
+    batch (equivalence pinned by ``tests/test_dedup.py``), but the existing
+    corpus is never re-shingled: only its (id, hs, sig) signature rows
+    (``minhash_signature_store``, persisted per batch) join in. The daily
+    shape at 100 TB: batch-size shingling + one equi-join against a store
+    that can be bucketed by ``sig`` to make the candidate join shuffle-free
+    on the store side. Ids must be disjoint between batch and store.
+
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b. ``max_bucket_size``
+    caps degenerate buckets over the COMBINED corpus (same semantics as a
+    capped full-corpus run); callers should append
+    ``minhash_signature_store(new_df)`` to the store after the run.
+    """
+    new_banded = minhash_signature_store(new_df, text_col, id_col, shingle_n, num_hashes, bands)
+    all_banded = store.select(id_col, "hs", "sig").unionByName(new_banded)
     if max_bucket_size is not None:
-        banded = _drop_hot_buckets(banded, ["sig"], max_bucket_size)
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"), "sig")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"), "sig")
-    return (
+        hot = (
+            all_banded.groupBy("sig")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket_size)
+            .select("sig")
+        )
+        new_banded = new_banded.join(F.broadcast(hot), ["sig"], "left_anti")
+        all_banded = all_banded.join(F.broadcast(hot), ["sig"], "left_anti")
+    a = new_banded.select(F.col(id_col).alias("id_n"), F.col("hs").alias("hs_n"), "sig")
+    b = all_banded.select(F.col(id_col).alias("id_o"), F.col("hs").alias("hs_o"), "sig")
+    # keep each qualifying pair exactly once: new-vs-old always (the old id
+    # can't appear on the new side), new-vs-new only in id order
+    pairs = (
         a.join(b, "sig")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("id_n") != F.col("id_o"))
+        .withColumn("id_a", F.least("id_n", "id_o"))
+        .withColumn("id_b", F.greatest("id_n", "id_o"))
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", F.round(jaccard(F.col("hs_a"), F.col("hs_b")), 6).alias("jaccard_sim"))
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("hs_n"), F.col("hs_o")), 6).alias("jaccard_sim"),
+        )
         .filter(F.col("jaccard_sim") >= threshold)
     )
 

@@ -201,3 +201,51 @@ def test_ngram_jaccard_exact_rejects_nonpositive_threshold(spark):
     df = spark.createDataFrame([(1, "abcdef"), (2, "uvwxyz")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="threshold must be > 0"):
         DD.ngram_jaccard_exact(df, threshold=0.0)
+
+
+def test_minhash_incremental_equals_full_corpus_restriction(spark):
+    """The incremental batch dedup must equal the full-corpus run restricted
+    to pairs touching the batch — the store join changes the compute shape
+    (no corpus re-shingling), never the answer."""
+    old_rows = [
+        (i, f"old document {i} about subject {i % 5} with tokens {i * 7} and {i * 11}")
+        for i in range(40)
+    ]
+    new_rows = [
+        (100, old_rows[3][1] + " x"),          # near-dup of an old doc
+        (101, "an entirely novel new document about fresh things"),
+        (102, "an entirely novel new document about fresh things zz"),  # near-dup of 101
+        (103, old_rows[3][1] + " x"),          # exact dup of new 100 AND near old 3
+    ]
+    old = spark.createDataFrame(old_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+
+    store = DD.minhash_signature_store(old)
+    inc = sorted(map(tuple, DD.minhash_dedup_incremental(new, store, threshold=0.3).collect()))
+
+    full = DD.minhash_dedup(old.unionByName(new), threshold=0.3).collect()
+    new_ids = {r[0] for r in new_rows}
+    expected = sorted(tuple(r) for r in full if r["id_a"] in new_ids or r["id_b"] in new_ids)
+
+    assert inc == expected and len(inc) >= 3  # 100-3, 103-3, 100-103, 101-102
+    old_only = [(a, b) for a, b, _ in inc if a not in new_ids and b not in new_ids]
+    assert old_only == []  # old-vs-old pairs never re-emitted
+
+
+def test_minhash_incremental_empty_batch_and_cap(spark):
+    old = spark.createDataFrame(
+        [(i, "same exact boilerplate text repeated everywhere ok") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    store = DD.minhash_signature_store(old)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert DD.minhash_dedup_incremental(empty, store).collect() == []
+    # a degenerate store bucket is capped over the COMBINED corpus: the new
+    # doc matches 200 boilerplate rows without a cap, none with it
+    new = spark.createDataFrame(
+        [(900, "same exact boilerplate text repeated everywhere ok")], ["doc_id", "text"]
+    )
+    uncapped = DD.minhash_dedup_incremental(new, store, threshold=0.5)
+    assert uncapped.count() == 200
+    capped = DD.minhash_dedup_incremental(new, store, threshold=0.5, max_bucket_size=100)
+    assert capped.count() == 0
