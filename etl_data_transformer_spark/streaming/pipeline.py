@@ -299,6 +299,97 @@ def stream_exact_dedup(
     )
 
 
+def stream_near_dedup(
+    stream_docs: DataFrame,
+    store_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> None:
+    """Streaming NEAR-dup detection over a document ingest stream — the
+    streaming twin of ``operators/dedup.minhash_dedup_incremental``. Each
+    micro-batch:
+
+    1. joins against the PERSISTED signature store at ``store_path`` (the
+       landed corpus is never re-shingled — only the batch is),
+    2. writes its near-dup pairs (id_a, id_b, jaccard_sim) to
+       ``pairs_path``, and
+    3. appends its own banded signatures to the store,
+
+    so state grows with corpus SIGNATURES (ids + minhash bands), not text —
+    the property that keeps a 100 TB ingest feasible. Unlike the
+    watermark-bounded ``stream_exact_dedup``, near-dup detection is
+    against the FULL corpus history: the store is a table, not stream
+    state, so no window bound is needed.
+
+    ``foreachBatch`` side effects are at-least-once on retry; both sinks
+    are made idempotent by partitioning on the micro-batch id and
+    overwriting only that partition (dynamic partitionOverwriteMode, set
+    per-write) — a replayed batch rewrites its own partition instead of
+    appending duplicates.
+    """
+    from ..operators.dedup import minhash_dedup, minhash_dedup_incremental, minhash_signature_store
+
+    kw = dict(
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).persist()
+        try:
+            if batch.isEmpty():
+                return
+            try:
+                store = spark.read.parquet(store_path).select(id_col, "hs", "sig")
+            except Exception:  # noqa: BLE001 — first batch: no store yet
+                store = None
+            if store is None:
+                pairs = minhash_dedup(batch, **kw)
+            else:
+                pairs = minhash_dedup_incremental(batch, store, **kw)
+            _overwrite_batch_partition(pairs, pairs_path, batch_id)
+            sigs = minhash_signature_store(
+                batch, text_col, id_col, shingle_n, num_hashes, bands
+            )
+            _overwrite_batch_partition(sigs, store_path, batch_id)
+        finally:
+            batch.unpersist()
+
+    q = (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _overwrite_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent micro-batch sink: write under a __batch_id partition and
+    dynamically overwrite ONLY it, so a replayed foreachBatch invocation
+    replaces its earlier (possibly partial) output instead of duplicating."""
+    (
+        df.withColumn("__batch_id", F.lit(batch_id))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("__batch_id")
+        .parquet(path)
+    )
+
+
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )

@@ -305,3 +305,59 @@ def test_stream_exact_dedup_preserves_caller_fp_column(spark, tmp_path):
     out = stream_exact_dedup(stream)
     got = run_available_now(out, str(tmp_path / "fp_ckpt"), "fp_q").collect()
     assert got[0]["fp"] == "user-fp-1"  # caller's column intact
+
+
+def test_stream_near_dedup_cross_batch_pairs_and_store(spark, tmp_path):
+    """Streaming MinHash dedup: batch 2 must pair against batch 1 via the
+    persisted signature store (never re-shingling batch 1's text), the
+    store must accumulate signatures per batch, and an empty drain must
+    change nothing. (A batch emitting zero pairs leaves the pairs table
+    untouched by design — dynamic overwrite of an empty frame is a no-op,
+    which is exactly what makes replays idempotent.)"""
+    from etl_data_transformer_spark.streaming.pipeline import stream_near_dedup
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    base = "a very particular document about streaming dedup with many words"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_near_dedup(stream, store, pairs, ckpt, threshold=0.3)
+
+    spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " z"),  # in-batch near-dup of 1
+            (5, "a completely different text about other things entirely"),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(src)
+    drain()
+    p1 = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs).collect()}
+    assert p1 == {(1, 2)}
+    s1 = spark.read.parquet(store)
+    assert s1.select("doc_id").distinct().count() == 3
+
+    # batch 2: near-dups of doc 1 -> cross-batch pairs via the store, plus
+    # an in-batch pair (6, 7)
+    spark.createDataFrame([(6, base + " x"), (7, base + " x y")], schema).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()
+    }
+    for want in [(1, 2), (1, 6), (2, 6), (1, 7), (6, 7)]:
+        assert want in got, f"missing pair {want}: {sorted(got)}"
+    assert all(a < b for a, b in got)
+    s2 = spark.read.parquet(store)
+    assert s2.select("doc_id").distinct().count() == 5
+
+    # no new files -> no new micro-batch -> outputs unchanged
+    drain()
+    assert {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs).collect()} == got
+    assert spark.read.parquet(store).select("doc_id").distinct().count() == 5
