@@ -214,3 +214,101 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, embedding, list_id): nearest-centroid assignment of each vector —
+    the build (and INCREMENTAL append) step of a persisted IVF index. New
+    ingest batches are assigned against the frozen centroids and appended;
+    no retraining, no touching existing index rows. Pure codegen'd
+    expressions, one pass over the vectors."""
+
+    def neg_d2(c: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with("embedding", F.array(*[F.lit(v) for v in c]), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc - v,
+        )
+
+    arr = F.array(*[neg_d2(c) for c in centroids])
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        "embedding",
+        F.array_position(arr, F.array_max(arr)).alias("list_id"),
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_lists: int = 8,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> tuple[list[list[float]], DataFrame]:
+    """Build a PERSISTABLE IVF index: (centroids, assignments). Persist the
+    assignments with ``.write.partitionBy("list_id").parquet(path)`` (and
+    the centroids as a small JSON sidecar) — ``ivf_search`` then reads ONLY
+    the probed list partitions, which is the property that makes IVF the
+    100 TB tier: search cost scales with probed lists, not corpus size.
+    ``ivf_topk`` trains per call; this is its amortized form for a corpus
+    that outlives a single query batch."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_lists=n_lists, seed=seed)
+    return centroids, ivf_assign(corpus, centroids)
+
+
+def ivf_search(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probes: int = 3,
+) -> DataFrame:
+    """Top-k search against a persisted IVF index (``ivf_index`` /
+    ``ivf_assign`` output, any storage): each query probes its ``n_probes``
+    closest lists; the union of probed list ids (bounded by ``n_lists``, a
+    driver-side scalar set) is pushed as a STATIC filter on the index's
+    ``list_id`` partition column, so a partitioned index scan prunes every
+    unprobed list before reading a byte. Output matches ``ivf_topk``:
+    (query_id, neighbor_id, rank)."""
+
+    def neg_d2(c: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with("embedding", F.array(*[F.lit(v) for v in c]), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc - v,
+        )
+
+    arr = F.array(*[neg_d2(c) for c in centroids])
+    zipped = F.arrays_zip(arr.alias("s"), F.sequence(F.lit(1), F.lit(len(centroids))).cast("array<long>").alias("i"))
+    by_score_desc = F.array_sort(
+        zipped,
+        lambda l, r: F.when(l["s"] > r["s"], -1).when(l["s"] < r["s"], 1).otherwise(0),
+    )
+    probes = F.transform(F.slice(by_score_desc, 1, n_probes), lambda x: x["i"])
+    q = queries.select(
+        F.col("id").alias("query_id"),
+        F.col("embedding").alias("query_id_emb"),
+        F.explode(probes).alias("list_id"),
+    )
+    probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
+    c = index.filter(F.col("list_id").isin(probed)).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("embedding").alias("neighbor_id_emb"),
+        F.col("list_id").cast("long").alias("list_id"),
+    )
+    pairs = q.join(c, "list_id").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine("query_id_emb", "neighbor_id_emb").alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

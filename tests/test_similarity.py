@@ -65,3 +65,56 @@ def test_train_ivf_centroids_empty_corpus_raises(spark):
     empty = spark.createDataFrame([], "id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         SIM.train_ivf_centroids(empty)
+
+
+def test_ivf_persisted_index_matches_direct_topk(spark, star, tmp_path):
+    """ivf_search over a written-and-reloaded partitioned index must equal
+    ivf_topk with the same centroids — persistence changes storage, never
+    the answer."""
+    emb = star["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    q = emb.filter(F.col("id") < 5)
+    cents, assignments = SIM.ivf_index(emb, n_lists=8)
+    path = str(tmp_path / "ivf_index")
+    assignments.write.partitionBy("list_id").parquet(path)
+    index = spark.read.parquet(path)
+
+    direct = sorted(map(tuple, SIM.ivf_topk(q, emb, k=5, n_probes=3, centroids=cents).collect()))
+    stored = sorted(map(tuple, SIM.ivf_search(q, index, cents, k=5, n_probes=3).collect()))
+    assert direct == stored and len(stored) > 0
+
+
+def test_ivf_search_prunes_unprobed_partitions(spark, star, tmp_path):
+    """The probed-list filter must reach the partitioned scan as a
+    PartitionFilter (unprobed lists never read — the IVF scale property)."""
+    emb = star["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    q = emb.filter(F.col("id") == 0)
+    cents, assignments = SIM.ivf_index(emb, n_lists=8)
+    path = str(tmp_path / "ivf_index")
+    assignments.write.partitionBy("list_id").parquet(path)
+    index = spark.read.parquet(path)
+
+    out = SIM.ivf_search(q, index, cents, k=3, n_probes=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln and "list_id" in ln)
+    assert "PartitionFilters" in scan and "list_id" in scan.split("PartitionFilters")[1][:120]
+
+
+def test_ivf_assign_incremental_append(spark, star, tmp_path):
+    """New vectors assigned against frozen centroids and appended to the
+    index become searchable — no retraining, no rewrite of existing rows."""
+    emb = star["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    cents, assignments = SIM.ivf_index(emb, n_lists=8)
+    path = str(tmp_path / "ivf_index")
+    assignments.write.partitionBy("list_id").parquet(path)
+
+    # plant a near-copy of vector 0 under a fresh id and append it
+    v0 = emb.filter(F.col("id") == 0).collect()[0]["embedding"]
+    planted = spark.createDataFrame(
+        [(99999, [float(x) + 1e-4 for x in v0])], "id long, embedding array<float>"
+    )
+    SIM.ivf_assign(planted, cents).write.mode("append").partitionBy("list_id").parquet(path)
+
+    index = spark.read.parquet(path)
+    q = emb.filter(F.col("id") == 0)
+    got = {r["neighbor_id"]: r["rank"] for r in SIM.ivf_search(q, index, cents, k=3).collect()}
+    assert got.get(99999) == 1  # the planted near-copy is the top neighbor
