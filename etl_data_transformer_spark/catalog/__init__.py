@@ -75,19 +75,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **TEMPORAL_QUERIES,
 }
 
-# Rotated OUT of the 50-slot driver contract in round 4 to make room for the
-# promotions above (each overlapped a surviving row: dup_count_docs ⊂
-# exact_dedup_groups, cube_agg ~ rollup_nation_status, running_totals ~
-# rolling_user_stats, topk_orders_per_nation ~ tfidf_top_terms's window
-# top-k, anti_join_customers ~ semi_join_customers). They stay
-# driver-strength verified: tests/test_rotated_oracle.py runs the identical
-# DuckDB value-hash compare on every entry here.
+# Outside the 50-slot driver contract but verified at DRIVER STRENGTH by
+# tests/test_rotated_oracle.py (identical DuckDB value-hash compare):
+# - queries rotated out in round 4 to make room for the promotions above
+#   (each overlapped a surviving row: dup_count_docs ⊂ exact_dedup_groups,
+#   cube_agg ~ rollup_nation_status, running_totals ~ rolling_user_stats,
+#   topk_orders_per_nation ~ tfidf_top_terms's window top-k,
+#   anti_join_customers ~ semi_join_customers), and
+# - pytest-only oracle rows for operators that never fit the cap
+#   (bigram_logprob).
 ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders_per_nation": PAR.q_topk_orders_per_nation,
     "cube_agg": PAR.q_cube_agg,
     "anti_join_customers": PAR.q_anti_join_customers,
     "dup_count_docs": PAR.q_dup_count_docs,
     "running_totals": PAR.q_running_totals,
+    "bigram_logprob": EXT.q_bigram_logprob,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

@@ -399,6 +399,13 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.unigram_logprob_scores(_docs(spark, sf_dir), quantize_micros=True)
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram LM scores, engine-exact micro-nats (pytest-oracle
+    row — outside the 50-slot driver contract, hash-checked by
+    tests/test_rotated_oracle.py)."""
+    return TX.bigram_logprob_scores(_docs(spark, sf_dir), quantize_micros=True)
+
+
 def q_redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over a per-doc synthetic payload (deterministic email /
     IP / card / phone built from the doc id) concatenated with a real text

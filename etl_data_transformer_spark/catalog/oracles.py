@@ -378,6 +378,37 @@ EXTENSION_ORACLES: dict[str, str] = {
         FROM tok JOIN lp USING (t)
         GROUP BY doc_id
     """,
+    # pytest-oracle row (tests/test_rotated_oracle.py — not in the 50-slot
+    # driver contract): conditional bigram LM in engine-exact micro-nats.
+    # V = distinct tokens appearing in any bigram (either position), matching
+    # the Spark scorer's vocabulary definition.
+    "bigram_logprob": """
+        WITH toks AS (
+            SELECT doc_id,
+                   [t for t in regexp_split_to_array(trim(lower(text)), '\\s+')
+                    if length(t) > 0] AS ts
+            FROM documents
+        ), big AS (
+            SELECT doc_id,
+                   unnest([{'w1': ts[i], 'bg': ts[i] || ' ' || ts[i + 1]}
+                           for i in range(1, len(ts))], recursive := true)
+            FROM toks WHERE len(ts) >= 2
+        ), bgc AS (
+            SELECT bg, count(*) AS c_bg FROM big GROUP BY bg
+        ), w1c AS (
+            SELECT w1, count(*) AS c_w1 FROM big GROUP BY w1
+        ), vocab AS (
+            SELECT count(DISTINCT t) AS v FROM (
+                SELECT w1 AS t FROM big
+                UNION ALL
+                SELECT split_part(bg, ' ', 2) FROM big
+            )
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(CAST(round(1000000 * ln((c_bg + 1) / CAST(c_w1 + v AS DOUBLE)), 0) AS BIGINT)) AS BIGINT) AS logprob_micros
+        FROM big JOIN bgc USING (bg) JOIN w1c USING (w1) CROSS JOIN vocab
+        GROUP BY doc_id
+    """,
     # chained regexp_replace mirrors curation._PII_PATTERNS order exactly
     # (EMAIL, IP, CARD, PHONE — innermost applied first); DuckDB needs the
     # 'g' flag to match Spark's replace-all.
