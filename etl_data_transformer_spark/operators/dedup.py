@@ -261,6 +261,7 @@ def minhash_dedup_incremental(
     num_hashes: int = 12,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    include_batch_pairs: bool = True,
 ) -> DataFrame:
     """Near-dup pairs for an INCREMENTAL ingest batch: every pair with
     Jaccard >= ``threshold`` where at least one side is a new document —
@@ -276,9 +277,24 @@ def minhash_dedup_incremental(
     caps degenerate buckets over the COMBINED corpus (same semantics as a
     capped full-corpus run); callers should append
     ``minhash_signature_store(new_df)`` to the store after the run.
+
+    The store MUST have been built with the same (``shingle_n``,
+    ``num_hashes``, ``bands``) as this call: band signatures from different
+    parameters never equi-match, which silently yields zero store-side
+    pairs. Persist the parameters alongside the store and validate at read
+    time (they're not recoverable from the sig strings alone).
+
+    ``include_batch_pairs=False`` drops batch-internal pairs, turning this
+    into a pure CROSS-corpus near-dup join (batch vs store only) — the
+    near-dup tier of benchmark decontamination: store the eval set's
+    signatures once, screen every ingest batch against them (complements
+    ``curation.contamination_check``'s n-gram-overlap tier).
     """
     new_banded = minhash_signature_store(new_df, text_col, id_col, shingle_n, num_hashes, bands)
-    all_banded = store.select(id_col, "hs", "sig").unionByName(new_banded)
+    store_banded = store.select(id_col, "hs", "sig")
+    all_banded = (
+        store_banded.unionByName(new_banded) if include_batch_pairs else store_banded
+    )
     if max_bucket_size is not None:
         hot = (
             all_banded.groupBy("sig")

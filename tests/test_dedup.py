@@ -249,3 +249,28 @@ def test_minhash_incremental_empty_batch_and_cap(spark):
     assert uncapped.count() == 200
     capped = DD.minhash_dedup_incremental(new, store, threshold=0.5, max_bucket_size=100)
     assert capped.count() == 0
+
+
+def test_minhash_incremental_cross_corpus_mode(spark):
+    """include_batch_pairs=False: only batch-vs-store pairs (the near-dup
+    decontamination screen) — batch-internal near-dups are excluded."""
+    bench = spark.createDataFrame(
+        [(1, "the held out evaluation question about widgets and sprockets")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the held out evaluation question about widgets and sprockets z"),
+            (11, "the held out evaluation question about widgets and sprockets z y"),
+            (12, "completely unrelated training document"),
+        ],
+        ["doc_id", "text"],
+    )
+    store = DD.minhash_signature_store(bench)
+    cross = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_dedup_incremental(
+            batch, store, threshold=0.3, include_batch_pairs=False
+        ).collect()
+    }
+    assert cross == {(1, 10), (1, 11)}  # contaminated docs flagged, 10-11 pair excluded

@@ -240,3 +240,48 @@ def test_dedup_all_identical_corpus_yields_all_pairs(spark):
     sh = simhash_near_dups(df, max_hamming=2).collect()
     assert len(sh) == n * (n - 1) // 2
     assert all(r["hamming"] == 0 for r in sh)
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            ["", "a", "shared common text about things", "shared common text about stuff",
+             "another doc entirely", "shared common text about things x"]
+        ),
+        min_size=3,
+        max_size=9,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@_few
+def test_minhash_incremental_equivalence_property(spark, texts, split_at):
+    """For ANY corpus split into (old, new), the incremental store join must
+    equal the full-corpus run restricted to pairs touching a new id."""
+    from etl_data_transformer_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_dedup_incremental,
+        minhash_signature_store,
+    )
+
+    split_at = min(split_at, len(texts) - 1)
+    docs = [(i, t) for i, t in enumerate(texts)]
+    old = spark.createDataFrame(docs[:split_at], "doc_id long, text string")
+    new = spark.createDataFrame(docs[split_at:], "doc_id long, text string")
+
+    # store MUST be built with the same banding params as the incremental
+    # call — signatures from different (num_hashes, bands) never match
+    store = minhash_signature_store(old, num_hashes=8, bands=4)
+    inc = sorted(
+        map(tuple, minhash_dedup_incremental(
+            new, store, threshold=0.5, num_hashes=8, bands=4
+        ).collect())
+    )
+    full = minhash_dedup(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        threshold=0.5, num_hashes=8, bands=4,
+    ).collect()
+    new_ids = set(range(split_at, len(texts)))
+    expected = sorted(
+        tuple(r) for r in full if r["id_a"] in new_ids or r["id_b"] in new_ids
+    )
+    assert inc == expected
