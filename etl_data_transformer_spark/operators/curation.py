@@ -114,6 +114,7 @@ def pack_sequences(
     max_tokens: int = 2048,
     text_col: str = "text",
     id_col: str = "doc_id",
+    colocate_by_length: bool = False,
 ) -> DataFrame:
     """Greedy first-fit packing of documents into training sequences of at
     most ``max_tokens`` whitespace tokens: returns one row per packed bin
@@ -125,12 +126,15 @@ def pack_sequences(
     ``mapInPandas`` (Arrow batches; only id + token count cross into
     Python — never the text). Bins are deterministic per partition (sorted
     by id); bin_id is globally unique via the partition id in the high
-    bits. Co-locating similar-length docs first (``repartitionByRange`` on
-    the token count) tightens packing efficiency at scale.
+    bits. ``colocate_by_length`` range-partitions on the token count first
+    so similar-length docs share partitions — tighter bins at the price of
+    one extra shuffle (of (id, count) pairs only, never text).
     """
     import pandas as pd
 
     counts = df.select(F.col(id_col), F.size(tokens(text_col)).alias("n_tok"))
+    if colocate_by_length:
+        counts = counts.repartitionByRange(F.col("n_tok"), F.col(id_col))
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -162,6 +166,37 @@ def pack_sequences(
         )
 
     return counts.mapInPandas(pack, schema=PACKED_SCHEMA)
+
+
+def lm_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_fraction: float = 0.9,
+    use_bigram: bool = False,
+) -> DataFrame:
+    """Percentile-thresholded statistical-LM quality filter — the shape of
+    published perplexity filtering: score every document by its corpus-LM
+    mean log-prob (unigram, or conditional bigram with ``use_bigram``),
+    find the score at the (1 - keep_fraction) quantile, and keep documents
+    at or above it. Adaptive by construction: the threshold tracks the
+    corpus rather than a hand-tuned constant.
+
+    Scale shape: scoring is the two-shuffle broadcast-vocab plan of the
+    scorer; the cutoff is ONE driver-side scalar via ``approxQuantile``
+    (no row data collected); the keep step is a left-semi join on ids.
+    Documents the scorer yields no row for (no tokens / no bigrams) score
+    as unscoreable and are DROPPED — at pretraining scale an empty or
+    sub-two-token document is noise, not signal."""
+    from ..functions.text import bigram_logprob_scores, unigram_logprob_scores
+
+    scorer = bigram_logprob_scores if use_bigram else unigram_logprob_scores
+    scores = scorer(df, text_col=text_col, id_col=id_col)
+    if not scores.take(1):
+        return df.limit(0)
+    cutoff = scores.approxQuantile("mean_logprob", [1.0 - keep_fraction], 0.0001)[0]
+    keep = scores.filter(F.col("mean_logprob") >= cutoff).select(id_col)
+    return df.join(keep, id_col, "left_semi")
 
 
 def stratified_cap(

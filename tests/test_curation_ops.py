@@ -139,3 +139,45 @@ def test_hyperplane_lsh_finds_identical_and_near_vectors(spark):
     assert pairs.get((1, 2)) == 0            # identical vectors: hamming 0
     assert (1, 3) in pairs and (2, 3) in pairs  # near vector found
     assert (1, 4) not in pairs and (3, 4) not in pairs  # far vector blocked out
+
+
+def test_lm_quality_filter_drops_gibberish(spark):
+    """Percentile-thresholded LM filter: gibberish lands below the corpus
+    quantile and is dropped; natural text survives; blank docs (unscoreable)
+    always drop; an empty corpus returns empty instead of crashing."""
+    from etl_data_transformer_spark.operators.curation import lm_quality_filter
+
+    common = "the quick brown fox jumps over the lazy dog and then some more"
+    # 38 natural + 2 gibberish (5% noise): the p10 cutoff sits at the natural
+    # score, strictly above both gibberish scores
+    rows = [(i, common) for i in range(38)]
+    rows += [(100, "zxqv jkwpl mnbtr qqoxz vvklm"), (101, "qqq zzz xxx vvv kkk www"), (102, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in lm_quality_filter(df, keep_fraction=0.9).collect()}
+    assert 100 not in kept and 101 not in kept and 102 not in kept
+    assert set(range(38)) <= kept
+
+    bi = {r["doc_id"] for r in lm_quality_filter(df, keep_fraction=0.9, use_bigram=True).collect()}
+    assert 100 not in bi and set(range(38)) <= bi
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert lm_quality_filter(empty).collect() == []
+
+
+def test_pack_sequences_colocate_by_length_invariants(spark):
+    """Length co-location changes partitioning, never the packing contract:
+    exactly-once coverage, budget respected, token sums exact."""
+    from etl_data_transformer_spark.operators.curation import pack_sequences
+
+    sizes = [5, 90, 7, 88, 3, 95, 11, 80, 2, 99] * 4
+    docs = [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(6)
+    bins = pack_sequences(df, max_tokens=100, colocate_by_length=True).collect()
+    packed = sorted(d for r in bins for d in r["doc_ids"])
+    assert packed == list(range(len(sizes)))
+    by_id = dict(enumerate(sizes))
+    for r in bins:
+        assert r["n_tokens"] == sum(by_id[d] for d in r["doc_ids"])
+        if len(r["doc_ids"]) > 1:
+            assert r["n_tokens"] <= 100
+    assert len({r["bin_id"] for r in bins}) == len(bins)
