@@ -251,6 +251,73 @@ def minhash_signature_store(
     )
 
 
+def write_minhash_store(
+    store_df: DataFrame,
+    path: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    mode: str = "append",
+) -> None:
+    """Persist a ``minhash_signature_store`` frame with a ``_minhash_params``
+    JSON sidecar recording (shingle_n, num_hashes, bands). Appending to an
+    existing store validates the sidecar first — signatures from different
+    banding parameters never equi-match, so a silent mix would make every
+    later incremental run return zero store-side pairs (the footgun
+    ``read_minhash_store`` exists to close). Local-fs sidecar, matching
+    ``sources/manifest.py`` conventions; on an object store this becomes a
+    small conditional put."""
+    import json
+    import os
+
+    params = {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}
+    sidecar = os.path.join(path, "_minhash_params.json")
+    if os.path.exists(sidecar):
+        _validate_store_params(sidecar, params)
+        store_df.write.mode(mode).parquet(path)
+        return
+    store_df.write.mode(mode).parquet(path)
+    tmp = f"{sidecar}.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(params, f)
+    os.replace(tmp, sidecar)
+
+
+def read_minhash_store(
+    spark,
+    path: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Load a persisted signature store, validating that it was built with
+    the SAME banding parameters the caller is about to use — a mismatch
+    raises instead of silently matching nothing."""
+    import os
+
+    sidecar = os.path.join(path, "_minhash_params.json")
+    if os.path.exists(sidecar):
+        _validate_store_params(
+            sidecar, {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}
+        )
+    return spark.read.parquet(path).select("doc_id", "hs", "sig")
+
+
+def _validate_store_params(sidecar: str, expected: dict) -> None:
+    import json
+
+    with open(sidecar, encoding="utf-8") as f:
+        stored = json.load(f)
+    if stored != expected:
+        raise ValueError(
+            f"minhash store parameter mismatch: store built with {stored}, "
+            f"caller using {expected} — band signatures from different "
+            "parameters never match; rebuild the store or align the caller"
+        )
+
+
 def minhash_dedup_incremental(
     new_df: DataFrame,
     store: DataFrame,

@@ -274,3 +274,28 @@ def test_minhash_incremental_cross_corpus_mode(spark):
         ).collect()
     }
     assert cross == {(1, 10), (1, 11)}  # contaminated docs flagged, 10-11 pair excluded
+
+
+def test_minhash_store_params_sidecar_roundtrip_and_mismatch(spark, tmp_path):
+    """The store sidecar closes the silent-mismatch footgun: a reader (or
+    appender) with different banding params raises instead of matching
+    nothing."""
+    import pytest
+
+    path = str(tmp_path / "sig_store")
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with some words") for i in range(10)], ["doc_id", "text"]
+    )
+    store = DD.minhash_signature_store(docs, num_hashes=8, bands=4)
+    DD.write_minhash_store(store, path, num_hashes=8, bands=4)
+
+    loaded = DD.read_minhash_store(spark, path, num_hashes=8, bands=4)
+    assert loaded.count() == store.count()
+    new = spark.createDataFrame([(99, "doc number 3 with some words x")], ["doc_id", "text"])
+    pairs = DD.minhash_dedup_incremental(new, loaded, threshold=0.3, num_hashes=8, bands=4)
+    assert pairs.count() >= 1  # near-dup of doc 3 found through the store
+
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        DD.read_minhash_store(spark, path, num_hashes=12, bands=4)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        DD.write_minhash_store(store, path, num_hashes=12, bands=6)
