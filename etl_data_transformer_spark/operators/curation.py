@@ -205,6 +205,7 @@ def stratified_cap(
     cap_n: int = 1000,
     order_col: str | None = None,
     id_col: str = "doc_id",
+    two_phase: bool = False,
 ) -> DataFrame:
     """Per-group cap — the domain-balancing step of a pretraining mix: keep
     at most ``cap_n`` rows per ``key_col`` value. Deterministic selection:
@@ -212,10 +213,28 @@ def stratified_cap(
     keeps the BEST documents), else a per-row hash (stable uniform sample,
     independent of partitioning/retries — unlike ``sample()``).
 
-    One window shuffle on the group key; groups under the cap pass through
-    unchanged. Skewed groups (one domain = half the corpus) are exactly the
-    case this exists for — the window sort is per-group, so the big group
-    sorts in parallel chunks under range partitioning.
+    Hot-group shape (one domain = half the corpus): a naive reading of the
+    plan says the window puts the ENTIRE hot group on one reducer and sorts
+    it there. On Spark >= 3.5 that is NOT what executes: Catalyst rewrites
+    a ``row_number() <= k`` filter into ``WindowGroupLimit`` with a
+    **Partial** stage BEFORE the shuffle — every map task locally sorts its
+    slice and emits at most ``cap_n`` rows per group, so the reducer
+    receives at most ``cap_n × n_map_partitions`` rows for the hot group,
+    never the group itself (plan pinned by
+    ``tests/test_curation_ops.py::test_stratified_cap_plan_has_partial_group_limit``;
+    measured on a 12M-row hot group in ``tools/bench_stratified.py`` —
+    single-window ≈ manual two-phase, i.e. no straggler left to eliminate).
+
+    ``two_phase=True`` adds an explicit intermediate cap windowed on
+    ``(key_col, input partition id)`` before the final window. Identical
+    result (any global top-``cap_n`` row of a group is in the top-``cap_n``
+    of every subset containing it — equivalence pinned by
+    ``tests/test_curation_ops.py``); one extra shuffle of survivors. Worth
+    it ONLY at extreme map fan-in (100k+ scan tasks), where the native
+    bound ``cap_n × n_map_partitions`` could itself overwhelm the final
+    reducer — the extra phase re-bounds it at ``cap_n ×
+    shuffle_partitions``. At ordinary parallelism it's pure overhead;
+    default off.
     """
     from pyspark.sql import Window
 
@@ -223,6 +242,17 @@ def stratified_cap(
         F.col(order_col).desc() if order_col else F.xxhash64(F.col(id_col)).asc()
     )
     w = Window.partitionBy(key_col).orderBy(rank_by, F.col(id_col).asc())
+    if two_phase:
+        # partition id captured BEFORE the window's shuffle: it reflects the
+        # input split, giving the pre-cap window (key, pid) keys that spread
+        # a hot group across reducers
+        pre = Window.partitionBy(key_col, "__pid").orderBy(rank_by, F.col(id_col).asc())
+        df = (
+            df.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__prn", F.row_number().over(pre))
+            .filter(F.col("__prn") <= cap_n)
+            .drop("__pid", "__prn")
+        )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap_n)

@@ -126,6 +126,56 @@ def test_stratified_cap_hash_mode_is_deterministic(spark):
     assert a == b and len(a) == 10  # partitioning-independent selection
 
 
+def test_stratified_cap_two_phase_equals_single_window(spark):
+    """The pre-cap phase must never change the result: two-phase == the
+    single-window plan on a skewed frame (one group = 80% of rows), in both
+    order_col and hash modes, across repartitionings."""
+    rows = [(i, "hot" if i % 5 != 0 else f"cold{i % 3}", float(i % 17)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double").repartition(8)
+    for kwargs in ({"order_col": "q"}, {}):
+        one = sorted(
+            (r["source"], r["doc_id"])
+            for r in C.stratified_cap(df, cap_n=7, two_phase=False, **kwargs).collect()
+        )
+        two = sorted(
+            (r["source"], r["doc_id"])
+            for r in C.stratified_cap(df, cap_n=7, two_phase=True, **kwargs).collect()
+        )
+        two_repart = sorted(
+            (r["source"], r["doc_id"])
+            for r in C.stratified_cap(df.repartition(3), cap_n=7, two_phase=True, **kwargs).collect()
+        )
+        assert one == two == two_repart and len(one) == 7 * 4  # hot + cold0..2
+
+
+def test_stratified_cap_plan_has_partial_group_limit(spark):
+    """The straggler defense the docstring claims: Catalyst must plan a
+    Partial WindowGroupLimit BEFORE the exchange (map-side top-k per group),
+    so a hot group's reducer receives at most cap_n × n_map_partitions rows,
+    never the whole group. Checked in both order modes."""
+    rows = [(i, "hot", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double").repartition(10)
+    for kwargs in ({"order_col": "q"}, {}):
+        out = C.stratified_cap(df, cap_n=5, **kwargs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        partial = plan.find("WindowGroupLimit")
+        assert partial != -1 and "Partial" in plan, plan
+        # Partial group-limit sits below (after, in toString order) the
+        # exchange: the map side prunes before anything shuffles
+        assert "Exchange" in plan[:plan.rfind("WindowGroupLimit")], plan
+    assert C.stratified_cap(df, cap_n=5, order_col="q").count() == 5
+
+
+def test_stratified_cap_two_phase_plan_has_two_windows(spark):
+    """two_phase=True adds the explicit (key, partition-id) pre-cap window."""
+    rows = [(i, "hot", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double").repartition(10)
+    pre = C.stratified_cap(df, cap_n=5, order_col="q", two_phase=True)
+    assert pre.count() == 5  # final contract
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window(") >= 2 or plan.count("Window ") >= 2 or plan.count("Window") >= 2
+
+
 def test_hyperplane_lsh_finds_identical_and_near_vectors(spark):
     base = [1.0, 0.5, -0.3, 0.8]
     near = [1.01, 0.49, -0.31, 0.79]          # tiny angle
