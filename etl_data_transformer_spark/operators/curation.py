@@ -187,15 +187,35 @@ def lm_quality_filter(
     (no row data collected); the keep step is a left-semi join on ids.
     Documents the scorer yields no row for (no tokens / no bigrams) score
     as unscoreable and are DROPPED — at pretraining scale an empty or
-    sub-two-token document is noise, not signal."""
+    sub-two-token document is noise, not signal.
+
+    The scores frame is persisted for the take/quantile/filter sequence
+    (round-4 advice: unpersisted, the corpus was re-tokenized and
+    re-aggregated three times), then released once the keep-ids frame —
+    id column only, persisted spill-safe — is materialized from it. The
+    returned plan references only the keep ids; callers running many
+    filters in one session can ``spark.catalog.clearCache()`` between
+    them."""
+    from pyspark import StorageLevel
+
     from ..functions.text import bigram_logprob_scores, unigram_logprob_scores
 
     scorer = bigram_logprob_scores if use_bigram else unigram_logprob_scores
-    scores = scorer(df, text_col=text_col, id_col=id_col)
-    if not scores.take(1):
-        return df.limit(0)
-    cutoff = scores.approxQuantile("mean_logprob", [1.0 - keep_fraction], 0.0001)[0]
-    keep = scores.filter(F.col("mean_logprob") >= cutoff).select(id_col)
+    scores = scorer(df, text_col=text_col, id_col=id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        if not scores.take(1):
+            return df.limit(0)
+        cutoff = scores.approxQuantile("mean_logprob", [1.0 - keep_fraction], 0.0001)[0]
+        keep = (
+            scores.filter(F.col("mean_logprob") >= cutoff)
+            .select(id_col)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        keep.count()  # materialize ids off the cached scores before release
+    finally:
+        scores.unpersist()
     return df.join(keep, id_col, "left_semi")
 
 

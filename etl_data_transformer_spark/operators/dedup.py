@@ -267,17 +267,57 @@ def write_minhash_store(
     later incremental run return zero store-side pairs (the footgun
     ``read_minhash_store`` exists to close). Local-fs sidecar, matching
     ``sources/manifest.py`` conventions; on an object store this becomes a
-    small conditional put."""
-    import json
+    small conditional put.
+
+    Ordering (round-4 advice): ``mode='overwrite'`` is a legitimate REBUILD
+    with possibly new parameters — no validation; the sidecar is rewritten
+    after the data (Spark's overwrite deletes the target dir, sidecar
+    included). The append path writes the sidecar BEFORE the first data
+    write, so a crash between the two leaves a labeled-but-empty store
+    (harmless: later appends validate against it) rather than an unlabeled
+    store a mismatched append would silently extend."""
+    import os
+
+    params = {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}
+    sidecar = os.path.join(path, "_minhash_params.json")
+    if mode == "overwrite":
+        store_df.write.mode(mode).parquet(path)
+        _write_params_sidecar(sidecar, params)
+        return
+    ensure_minhash_params_sidecar(
+        path, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
+    )
+    store_df.write.mode(mode).parquet(path)
+
+
+def ensure_minhash_params_sidecar(
+    path: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> None:
+    """Write-or-validate the ``_minhash_params`` sidecar for a store at
+    ``path``: creates it (before any data lands — see ``write_minhash_store``
+    ordering note) when missing, validates it when present. The single
+    entry point every store writer — batch or streaming — calls first, so a
+    store can never be extended with signatures from different banding
+    parameters."""
     import os
 
     params = {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}
     sidecar = os.path.join(path, "_minhash_params.json")
     if os.path.exists(sidecar):
         _validate_store_params(sidecar, params)
-        store_df.write.mode(mode).parquet(path)
         return
-    store_df.write.mode(mode).parquet(path)
+    os.makedirs(path, exist_ok=True)
+    _write_params_sidecar(sidecar, params)
+
+
+def _write_params_sidecar(sidecar: str, params: dict) -> None:
+    import json
+    import os
+
     tmp = f"{sidecar}.tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(params, f)
@@ -359,12 +399,15 @@ def minhash_dedup_incremental(
     """
     new_banded = minhash_signature_store(new_df, text_col, id_col, shingle_n, num_hashes, bands)
     store_banded = store.select(id_col, "hs", "sig")
-    all_banded = (
-        store_banded.unionByName(new_banded) if include_batch_pairs else store_banded
-    )
+    combined = store_banded.unionByName(new_banded)
+    # pair GENERATION excludes batch-internal pairs when asked; the bucket
+    # cap always counts over the combined corpus (round-4 advice: a bucket
+    # pushed over the cap by batch rows is degenerate for the batch-vs-store
+    # join too, and the capped-full-corpus equivalence demands one census)
+    all_banded = combined if include_batch_pairs else store_banded
     if max_bucket_size is not None:
         hot = (
-            all_banded.groupBy("sig")
+            combined.groupBy("sig")
             .agg(F.count(F.lit(1)).alias("__bn"))
             .filter(F.col("__bn") > max_bucket_size)
             .select("sig")

@@ -333,8 +333,23 @@ def stream_near_dedup(
     overwriting only that partition (dynamic partitionOverwriteMode, set
     per-write) — a replayed batch rewrites its own partition instead of
     appending duplicates.
+
+    Store integrity (round-4 advice): the first-batch case is detected
+    EXPLICITLY (``AnalysisException`` whose condition is path-not-found /
+    no-schema) — any other read failure on an existing store (corrupt
+    footer, permissions, transient FS error) propagates so the micro-batch
+    retries, instead of silently degrading to batch-only dedup and dropping
+    every cross-batch pair. Each batch also write-or-validates the
+    ``_minhash_params`` sidecar (``ensure_minhash_params_sidecar``), so
+    restarting the stream with different (shingle_n, num_hashes, bands)
+    against an existing store raises instead of matching nothing.
     """
-    from ..operators.dedup import minhash_dedup, minhash_dedup_incremental, minhash_signature_store
+    from ..operators.dedup import (
+        ensure_minhash_params_sidecar,
+        minhash_dedup,
+        minhash_dedup_incremental,
+        minhash_signature_store,
+    )
 
     kw = dict(
         text_col=text_col,
@@ -352,13 +367,14 @@ def stream_near_dedup(
         try:
             if batch.isEmpty():
                 return
-            try:
-                store = spark.read.parquet(store_path).select(id_col, "hs", "sig")
-            except Exception:  # noqa: BLE001 — first batch: no store yet
-                store = None
+            ensure_minhash_params_sidecar(
+                store_path, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
+            )
+            store = _read_store_or_none(spark, store_path)
             if store is None:
                 pairs = minhash_dedup(batch, **kw)
             else:
+                store = store.select(id_col, "hs", "sig")
                 pairs = minhash_dedup_incremental(batch, store, **kw)
             _overwrite_batch_partition(pairs, pairs_path, batch_id)
             sigs = minhash_signature_store(
@@ -375,6 +391,24 @@ def stream_near_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def _read_store_or_none(spark: SparkSession, path: str):
+    """Read a parquet store, returning ``None`` ONLY for the legitimate
+    first-batch states: path absent, or present with no data files yet (the
+    sidecar is written before the first data batch). Every other failure —
+    corrupt files, permissions, transient FS errors on an existing store —
+    propagates, so ``foreachBatch`` retries instead of silently treating a
+    populated store as empty (which would drop all cross-batch pairs)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cond = e.getCondition() or ""
+        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            return None
+        raise
 
 
 def _overwrite_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:

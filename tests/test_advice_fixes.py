@@ -193,3 +193,127 @@ def test_read_table_scopes_nanos_conf(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prior)
+
+
+# ---- round-4 advice: minhash store lifecycle + streaming store integrity ----
+
+
+def test_minhash_store_overwrite_rebuilds_with_new_params(spark, tmp_path):
+    """mode='overwrite' is a legitimate rebuild: no validation against the
+    old sidecar, and the sidecar is rewritten to the new params."""
+    from etl_data_transformer_spark.operators import dedup as DD
+
+    path = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with some words") for i in range(6)], ["doc_id", "text"]
+    )
+    DD.write_minhash_store(
+        DD.minhash_signature_store(docs, num_hashes=8, bands=4), path, num_hashes=8, bands=4
+    )
+    # rebuild with DIFFERENT banding — must not raise, must relabel
+    DD.write_minhash_store(
+        DD.minhash_signature_store(docs, num_hashes=12, bands=6),
+        path,
+        num_hashes=12,
+        bands=6,
+        mode="overwrite",
+    )
+    assert DD.read_minhash_store(spark, path, num_hashes=12, bands=6).count() > 0
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        DD.read_minhash_store(spark, path, num_hashes=8, bands=4)
+
+
+def test_minhash_store_sidecar_lands_before_first_data_write(spark, tmp_path):
+    """A crash between sidecar and first data write must leave a LABELED
+    (empty) store, not an unlabeled one a mismatched append would extend:
+    the append path writes the sidecar first."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_data_transformer_spark.operators import dedup as DD
+
+    path = str(tmp_path / "store")
+    docs = spark.createDataFrame([(1, "some words here")], ["doc_id", "text"])
+    store = DD.minhash_signature_store(docs).withColumn(
+        "hs", F.raise_error(F.lit("simulated write crash"))
+    )
+    with pytest.raises(Exception, match="simulated write crash"):
+        DD.write_minhash_store(store, path)
+    assert os.path.exists(os.path.join(path, "_minhash_params.json"))
+    # the labeled empty store rejects a mismatched later append
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        DD.ensure_minhash_params_sidecar(path, shingle_n=5, num_hashes=12, bands=4)
+
+
+def test_incremental_bucket_cap_counts_combined_corpus(spark):
+    """include_batch_pairs=False changes pair GENERATION only: a bucket
+    pushed over the cap by batch rows is dropped for the cross-corpus join
+    too (round-4 advice — matches the docstring's combined-corpus cap)."""
+    from etl_data_transformer_spark.operators import dedup as DD
+
+    text = "alpha beta gamma delta epsilon zeta"
+    store_docs = spark.createDataFrame([(i, text) for i in range(3)], ["doc_id", "text"])
+    batch_docs = spark.createDataFrame([(i, text) for i in range(100, 104)], ["doc_id", "text"])
+    store = DD.minhash_signature_store(store_docs)
+    # store side alone: 3 members per bucket (under a cap of 5); batch adds
+    # 4 more -> combined 7 (over the cap) -> every bucket dropped -> no pairs
+    capped = DD.minhash_dedup_incremental(
+        batch_docs, store, threshold=0.3, max_bucket_size=5, include_batch_pairs=False
+    )
+    assert capped.count() == 0
+    # sanity: uncapped cross-corpus finds the 3x4 identical-text pairs
+    uncapped = DD.minhash_dedup_incremental(
+        batch_docs, store, threshold=0.3, include_batch_pairs=False
+    )
+    assert uncapped.count() == 12
+
+
+def test_read_store_or_none_distinguishes_first_batch_from_corruption(spark, tmp_path):
+    """Only path-not-found / no-data-yet map to 'first batch'; a corrupt
+    file in an existing store raises so the micro-batch retries."""
+    from etl_data_transformer_spark.streaming.pipeline import _read_store_or_none
+
+    missing = str(tmp_path / "nope")
+    assert _read_store_or_none(spark, missing) is None
+
+    sidecar_only = tmp_path / "labeled_empty"
+    sidecar_only.mkdir()
+    (sidecar_only / "_minhash_params.json").write_text("{}")
+    assert _read_store_or_none(spark, str(sidecar_only)) is None
+
+    corrupt = tmp_path / "corrupt_store"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        df = _read_store_or_none(spark, str(corrupt))
+        if df is not None:  # schema inference may defer the failure to read time
+            df.collect()
+
+
+def test_stream_near_dedup_rejects_param_drift_against_existing_store(spark, tmp_path):
+    """Restarting the stream with different banding params against an
+    existing store must raise (sidecar validation inside foreachBatch), not
+    silently yield zero store-side pairs."""
+    from pyspark.sql import types as T
+
+    from etl_data_transformer_spark.streaming.pipeline import stream_near_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    docs.write.mode("overwrite").parquet(str(src / "b0"))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "b0"))
+    stream_near_dedup(stream, store, pairs, str(tmp_path / "ck0"), num_hashes=8, bands=4)
+
+    docs.write.mode("overwrite").parquet(str(src / "b1"))
+    stream2 = spark.readStream.schema(schema).parquet(str(src / "b1"))
+    with pytest.raises(Exception, match="parameter mismatch"):
+        stream_near_dedup(stream2, store, pairs, str(tmp_path / "ck1"), num_hashes=12, bands=4)
