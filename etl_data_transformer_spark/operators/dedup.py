@@ -358,6 +358,78 @@ def _validate_store_params(sidecar: str, expected: dict) -> None:
         )
 
 
+def compact_minhash_store(
+    spark,
+    path: str,
+    *,
+    live_ids: DataFrame | None = None,
+    drop_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> None:
+    """Bound signature-store growth (round-4 verdict item 4): the
+    incremental-dedup lifecycle appends every batch's signatures forever,
+    including rows for documents later deleted or removed as duplicates —
+    dead rows that every future batch still joins against. Compaction
+    rewrites the store keeping only live documents' rows:
+
+    - ``live_ids``: keep rows whose ``id_col`` appears (left-semi join) —
+      the natural call is the deduped corpus' id column.
+    - ``drop_ids``: remove rows whose ``id_col`` appears (left-anti join) —
+      the natural call is the dedup output's losing side.
+
+    Exactly one must be given. The rewrite is a staging-dir + atomic-rename
+    swap (the ``sources/writers.atomic_swap_write`` shape) with the
+    ``_minhash_params`` sidecar written INTO the staging dir first, so
+    readers see the old or the compacted store — never a partial or
+    unlabeled one — and a crash leaves the original intact. Signatures are
+    per-document and deterministic, so dropping rows never changes
+    surviving pairs: an incremental run against the compacted store returns
+    exactly the pairs of a store rebuilt from the surviving corpus
+    (pinned by ``tests/test_dedup.py``).
+
+    Single-writer by design (the daily-ingest owner); for concurrent
+    writers route the store through ``sources/manifest.commit_write`` /
+    ``compact``, whose manifest-pointer CAS detects lost updates.
+    """
+    import os
+    import shutil
+    import uuid
+
+    if (live_ids is None) == (drop_ids is None):
+        raise ValueError("pass exactly one of live_ids / drop_ids")
+    params = {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}
+    sidecar = os.path.join(path, "_minhash_params.json")
+    if os.path.exists(sidecar):
+        _validate_store_params(sidecar, params)
+    store = spark.read.parquet(path).select(id_col, "hs", "sig")
+    if live_ids is not None:
+        kept = store.join(live_ids.select(id_col).distinct(), id_col, "left_semi")
+    else:
+        kept = store.join(drop_ids.select(id_col).distinct(), id_col, "left_anti")
+
+    parent = os.path.dirname(os.path.abspath(path))
+    staging = os.path.join(parent, f".staging-{uuid.uuid4().hex}")
+    backup = os.path.join(parent, f".backup-{uuid.uuid4().hex}")
+    kept.write.mode("overwrite").parquet(staging)
+    _write_params_sidecar(os.path.join(staging, "_minhash_params.json"), params)
+    try:
+        if os.path.exists(path):
+            os.rename(path, backup)
+        os.rename(staging, path)
+    except BaseException:
+        if not os.path.exists(path) and os.path.exists(backup):
+            os.rename(backup, path)  # restore before cleanup deletes it
+        raise
+    finally:
+        if os.path.exists(backup):
+            shutil.rmtree(backup, ignore_errors=True)
+        if os.path.exists(staging):
+            shutil.rmtree(staging, ignore_errors=True)
+
+
 def minhash_dedup_incremental(
     new_df: DataFrame,
     store: DataFrame,

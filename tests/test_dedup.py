@@ -299,3 +299,48 @@ def test_minhash_store_params_sidecar_roundtrip_and_mismatch(spark, tmp_path):
         DD.read_minhash_store(spark, path, num_hashes=12, bands=4)
     with pytest.raises(ValueError, match="parameter mismatch"):
         DD.write_minhash_store(store, path, num_hashes=12, bands=6)
+
+
+def test_compact_minhash_store_preserves_incremental_pairs(spark, tmp_path):
+    """Store compaction (drop signatures of deleted/deduped docs) must not
+    change any surviving pair: an incremental run against the compacted
+    store == the same run against a store rebuilt from the surviving
+    corpus; the sidecar survives the swap."""
+    import pytest
+
+    path = str(tmp_path / "sig_store")
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "alpha beta gamma delta epsilon zeta eta theta",   # dup of 0 -> deduped away
+        2: "one two three four five six seven eight nine",
+        3: "totally different content with other words here",
+    }
+    corpus = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    DD.write_minhash_store(DD.minhash_signature_store(corpus), path)
+
+    # doc 1 lost the dedup: compact it out of the store
+    dropped = spark.createDataFrame([(1,)], ["doc_id"])
+    DD.compact_minhash_store(spark, path, drop_ids=dropped)
+
+    compacted = DD.read_minhash_store(spark, path)  # sidecar still validates
+    assert compacted.filter(F.col("doc_id") == 1).count() == 0
+    assert compacted.select("doc_id").distinct().count() == 3
+
+    batch = spark.createDataFrame(
+        [(100, texts[0] + " x"), (101, texts[2])], ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_dedup_incremental(batch, compacted, threshold=0.3).collect()
+    }
+    rebuilt = DD.minhash_signature_store(corpus.filter(F.col("doc_id") != 1))
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_dedup_incremental(batch, rebuilt, threshold=0.3).collect()
+    }
+    assert got == want and (0, 100) in got and (2, 101) in got and (1, 100) not in got
+
+    # live_ids mode is the complement; exactly-one-selector contract enforced
+    DD.compact_minhash_store(spark, path, live_ids=corpus.select("doc_id"))
+    with pytest.raises(ValueError, match="exactly one"):
+        DD.compact_minhash_store(spark, path)
