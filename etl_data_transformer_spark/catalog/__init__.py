@@ -91,6 +91,7 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_count_docs": PAR.q_dup_count_docs,
     "running_totals": PAR.q_running_totals,
     "bigram_logprob": EXT.q_bigram_logprob,
+    "ann_ivf_quantized_match": EXT.q_ann_ivf_quantized_match,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

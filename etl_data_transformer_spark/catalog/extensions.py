@@ -135,6 +135,33 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall(SIM.lsh_topk(q, e, k=5), SIM.brute_force_topk(q, e, k=5), k=5, min_hits=3)
 
 
+def q_ann_ivf_quantized_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality gate for the int8-coarse + full-precision-rerank IVF path
+    (round-4 verdict item 5): for every (query, rank) slot of the top-5,
+    assert the quantized-rerank search returns the SAME neighbor as the
+    full-precision search over the same quantized index (rerank_k=20 is
+    wide enough on the fixtures that int8 coarse error cannot evict a true
+    top-5 candidate). Oracle: the constant-true expectation over
+    queries × ranks."""
+    e = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), "embedding")
+    q = e.filter(F.col("id") < 10)
+    cents = SIM.train_ivf_centroids(e, n_lists=8)
+    index = SIM.ivf_assign(e, cents, quantize=True)
+    full = SIM.ivf_search(q, index, cents, k=5, n_probes=4)
+    rer = SIM.ivf_search(
+        q, index, cents, k=5, n_probes=4, rerank_quantized=True, rerank_k=20
+    )
+    return (
+        full.withColumnRenamed("neighbor_id", "n_full")
+        .join(rer.withColumnRenamed("neighbor_id", "n_rerank"), ["query_id", "rank"], "full")
+        .select(
+            "query_id",
+            "rank",
+            (F.col("n_full") == F.col("n_rerank")).alias("match"),
+        )
+    )
+
+
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (trained k-means centroids, 4-of-8 probes), asserted to
     recall >= 1/5 of the exact top-5 per query vector (measured: 3/5

@@ -625,6 +625,11 @@ TEMPORAL_ORACLES: dict[str, str] = {
         SELECT vec_id AS query_id, 5 AS k, true AS recall_ok
         FROM embeddings WHERE vec_id < 10
     """,
+    "ann_ivf_quantized_match": """
+        SELECT vec_id AS query_id, rank, true AS match
+        FROM embeddings, (SELECT unnest([1, 2, 3, 4, 5]) AS rank)
+        WHERE vec_id < 10
+    """,
 }
 
 ALL_ORACLES: dict[str, str] = {**PARITY_ORACLES, **EXTENSION_ORACLES, **TEMPORAL_ORACLES}

@@ -220,12 +220,22 @@ def ivf_assign(
     vectors: DataFrame,
     centroids: list[list[float]],
     id_col: str = "id",
+    quantize: bool = False,
 ) -> DataFrame:
     """(id, embedding, list_id): nearest-centroid assignment of each vector —
     the build (and INCREMENTAL append) step of a persisted IVF index. New
     ingest batches are assigned against the frozen centroids and appended;
     no retraining, no touching existing index rows. Pure codegen'd
-    expressions, one pass over the vectors."""
+    expressions, one pass over the vectors.
+
+    ``quantize=True`` additionally stores symmetric-int8 ``codes``
+    (tinyint array — 4x smaller than the float32 embedding) and the
+    per-vector dequantization ``scale``: the coarse-scoring columns for
+    ``ivf_search(rerank_quantized=True)``. Parquet column pruning then lets
+    the probe scan read ONLY (id, codes, list_id) — the ~4x probed-IO cut
+    at corpus scale — while the full ``embedding`` column is fetched just
+    for the re-ranked candidates."""
+    from ..functions.vector import quant_scale, quantize_int8
 
     def neg_d2(c: list[float]) -> Column:
         return F.aggregate(
@@ -235,11 +245,22 @@ def ivf_assign(
         )
 
     arr = F.array(*[neg_d2(c) for c in centroids])
-    return vectors.select(
+    cols = [
         F.col(id_col).alias("id"),
-        "embedding",
+        F.col("embedding"),
         F.array_position(arr, F.array_max(arr)).alias("list_id"),
-    )
+    ]
+    if quantize:
+        scale = quant_scale("embedding")
+        cols.extend(
+            [
+                F.transform(
+                    quantize_int8("embedding", scale), lambda x: x.cast("tinyint")
+                ).alias("codes"),
+                scale.alias("scale"),
+            ]
+        )
+    return vectors.select(*cols)
 
 
 def ivf_index(
@@ -247,6 +268,7 @@ def ivf_index(
     n_lists: int = 8,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    quantize: bool = False,
 ) -> tuple[list[list[float]], DataFrame]:
     """Build a PERSISTABLE IVF index: (centroids, assignments). Persist the
     assignments with ``.write.partitionBy("list_id").parquet(path)`` (and
@@ -257,7 +279,7 @@ def ivf_index(
     that outlives a single query batch."""
     if centroids is None:
         centroids = train_ivf_centroids(corpus, n_lists=n_lists, seed=seed)
-    return centroids, ivf_assign(corpus, centroids)
+    return centroids, ivf_assign(corpus, centroids, quantize=quantize)
 
 
 def ivf_search(
@@ -266,6 +288,8 @@ def ivf_search(
     centroids: list[list[float]],
     k: int = 5,
     n_probes: int = 3,
+    rerank_quantized: bool = False,
+    rerank_k: int | None = None,
 ) -> DataFrame:
     """Top-k search against a persisted IVF index (``ivf_index`` /
     ``ivf_assign`` output, any storage): each query probes its ``n_probes``
@@ -273,7 +297,24 @@ def ivf_search(
     driver-side scalar set) is pushed as a STATIC filter on the index's
     ``list_id`` partition column, so a partitioned index scan prunes every
     unprobed list before reading a byte. Output matches ``ivf_topk``:
-    (query_id, neighbor_id, rank)."""
+    (query_id, neighbor_id, rank).
+
+    ``rerank_quantized=True`` (requires an index built with
+    ``quantize=True``) splits scoring into the FAISS-style two phases:
+
+    1. **coarse** — score every probed-list vector by cosine against its
+       int8 ``codes`` (cosine is scale-invariant, so the stored per-vector
+       ``scale`` cancels and the codes array scores directly); keep the
+       top ``rerank_k`` (default ``4*k``) candidates per query. The probed
+       scan reads only (id, codes, list_id) — parquet column pruning cuts
+       probed-partition IO ~4x at corpus scale.
+    2. **rerank** — join the surviving candidate ids back to the index for
+       their full-precision ``embedding`` (an id equi-join against the same
+       pruned partitions, now reading the embedding column for ~rerank_k
+       rows per query instead of whole lists) and rank exactly.
+
+    ``tests/test_similarity.py`` pins rerank == full-precision ranking on
+    the fixture and store==direct equivalence."""
 
     def neg_d2(c: list[float]) -> Column:
         return F.aggregate(
@@ -295,17 +336,62 @@ def ivf_search(
         F.explode(probes).alias("list_id"),
     )
     probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
-    c = index.filter(F.col("list_id").isin(probed)).select(
-        F.col("id").alias("neighbor_id"),
-        F.col("embedding").alias("neighbor_id_emb"),
-        F.col("list_id").cast("long").alias("list_id"),
-    )
-    pairs = q.join(c, "list_id").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        cosine("query_id_emb", "neighbor_id_emb").alias("sim"),
-    )
+    pruned = index.filter(F.col("list_id").isin(probed))
+    if rerank_quantized:
+        if "codes" not in index.columns:
+            raise ValueError(
+                "rerank_quantized requires an index built with quantize=True "
+                "(missing 'codes' column)"
+            )
+        n_cand = rerank_k if rerank_k is not None else 4 * k
+        if n_cand < k:
+            raise ValueError(f"rerank_k={n_cand} must be >= k={k}")
+        # phase 1: coarse score on int8 codes only — the embedding column is
+        # never read for non-candidates (parquet column pruning)
+        coarse_c = pruned.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("codes").alias("neighbor_codes"),
+            F.col("list_id").cast("long").alias("list_id"),
+        )
+        coarse_pairs = q.join(coarse_c, "list_id").filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("qsim").desc(), F.col("neighbor_id").asc()
+        )
+        cands = (
+            coarse_pairs.select(
+                "query_id",
+                "neighbor_id",
+                F.col("query_id_emb"),
+                cosine("query_id_emb", "neighbor_codes").alias("qsim"),
+            )
+            .withColumn("qrank", F.row_number().over(wq))
+            .filter(F.col("qrank") <= n_cand)
+            .select("query_id", "neighbor_id", "query_id_emb")
+        )
+        # phase 2: fetch full-precision embeddings for candidates only
+        full = pruned.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("embedding").alias("neighbor_id_emb"),
+        )
+        scored = cands.join(full, "neighbor_id").select(
+            "query_id",
+            "neighbor_id",
+            cosine("query_id_emb", "neighbor_id_emb").alias("sim"),
+        )
+    else:
+        c = pruned.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("embedding").alias("neighbor_id_emb"),
+            F.col("list_id").cast("long").alias("list_id"),
+        )
+        pairs = q.join(c, "list_id").filter(F.col("query_id") != F.col("neighbor_id"))
+        scored = pairs.select(
+            "query_id",
+            "neighbor_id",
+            cosine("query_id_emb", "neighbor_id_emb").alias("sim"),
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -118,3 +118,50 @@ def test_ivf_assign_incremental_append(spark, star, tmp_path):
     q = emb.filter(F.col("id") == 0)
     got = {r["neighbor_id"]: r["rank"] for r in SIM.ivf_search(q, index, cents, k=3).collect()}
     assert got.get(99999) == 1  # the planted near-copy is the top neighbor
+
+
+def test_ivf_quantized_rerank_matches_full_precision(spark, star, tmp_path):
+    """The int8-coarse + full-precision-rerank path must return EXACTLY the
+    full-precision search result on the fixture (rerank_k wide enough that
+    quantization error cannot evict a true top-k candidate), through a
+    written-and-reloaded quantized index."""
+    emb = star["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    q = emb.filter(F.col("id") < 10)
+    cents, assignments = SIM.ivf_index(emb, n_lists=8, quantize=True)
+    path = str(tmp_path / "ivf_q_index")
+    assignments.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    index = spark.read.parquet(path)
+    assert {"codes", "scale"} <= set(index.columns)
+    # codes stored as tinyint: the 4x-smaller coarse column the probe reads
+    assert dict(index.dtypes)["codes"] == "array<tinyint>"
+
+    full = sorted(map(tuple, SIM.ivf_search(q, index, cents, k=5, n_probes=3).collect()))
+    rq = SIM.ivf_search(
+        q, index, cents, k=5, n_probes=3, rerank_quantized=True, rerank_k=20
+    )
+    reranked = sorted(map(tuple, rq.collect()))
+    assert reranked == full
+
+    # the IO contract: the coarse scan reads codes WITHOUT the embedding
+    # column (the ~4x probed-IO cut), the rerank scan reads the embedding —
+    # both under list_id partition filters
+    plan = rq._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "list_id" in ln]
+    coarse = [ln for ln in scans if "codes" in ln]
+    rerank = [ln for ln in scans if "codes" not in ln]
+    assert coarse and all("embedding" not in ln.split("ReadSchema")[-1] for ln in coarse)
+    assert rerank and all("embedding" in ln.split("ReadSchema")[-1] for ln in rerank)
+    assert all("list_id" in ln.split("PartitionFilters")[1].split("PushedFilters")[0] for ln in scans)
+
+
+def test_ivf_quantized_rerank_guards(spark, star):
+    import pytest
+
+    emb = star["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    q = emb.filter(F.col("id") < 3)
+    cents, plain = SIM.ivf_index(emb, n_lists=4)  # no codes column
+    with pytest.raises(ValueError, match="quantize=True"):
+        SIM.ivf_search(q, plain, cents, k=3, rerank_quantized=True)
+    cents2, quant = SIM.ivf_index(emb, n_lists=4, quantize=True)
+    with pytest.raises(ValueError, match="must be >= k"):
+        SIM.ivf_search(q, quant, cents2, k=5, rerank_quantized=True, rerank_k=2)
