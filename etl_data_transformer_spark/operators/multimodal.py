@@ -59,26 +59,44 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def featurize(df: DataFrame, feature_dim: int = 4, decode_stub: bool = True) -> DataFrame:
+def featurize(
+    df: DataFrame,
+    feature_dim: int = 4,
+    decode_stub: bool = True,
+    decoder=None,
+) -> DataFrame:
     """Decode + feature-extract via Arrow-batched ``mapInPandas``.
 
     The stub "decoder" derives a deterministic feature vector from the raw
     bytes (length, first/last byte, simple checksum) — exactly the batch
     shape a real image decoder + CNN featurizer would produce.
+
+    ``decoder``: user-supplied ``bytes -> list[float]`` callable (length
+    ``feature_dim``), run inside the same tested mapInPandas shape — a
+    cluster WITH codec libraries installed passes e.g. a PIL/torchvision
+    pipeline here and gets real decode through identical Spark plumbing
+    (schema, Arrow batching, partitioning). The callable must be
+    serializable (top-level function or closure over picklable state);
+    heavyweight models should be lazily initialized inside it per executor.
+    With no ``decoder`` and ``decode_stub=False`` the operator raises where
+    the real codec call would go (codec libs are absent from this
+    container by design).
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        fn = decoder
+        if fn is None:
             if not decode_stub:
                 raise NotImplementedError(
                     "real media decode requires codec libraries (PIL/ffmpeg) "
-                    "not present in this environment"
+                    "not present in this environment — pass decoder= to use "
+                    "your own decode callable through this same plumbing"
                 )
+            fn = lambda b: _stub_feature(b, feature_dim)  # noqa: E731
+        for pdf in batches:
             payloads = pdf["payload"]
             n_bytes = payloads.map(lambda b: len(b) if b is not None else 0)
-            feats = payloads.map(
-                lambda b: _stub_feature(b, feature_dim) if b is not None else [0.0] * feature_dim
-            )
+            feats = payloads.map(lambda b: fn(b) if b is not None else [0.0] * feature_dim)
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "n_bytes": n_bytes, "feature": feats}
             )

@@ -40,3 +40,39 @@ def test_topk_prunes_order_columns(spark):
     scans = _scan_lines(spark, "topk_orders_per_nation")
     o_scan = next(ln for ln in scans if "o_totalprice" in ln)
     assert "o_orderpriority" not in o_scan and "o_orderdate" not in o_scan
+
+
+def test_parse_byte_conf_unit_forms():
+    """spread()'s maxPartitionBytes parse accepts every Spark byte-string
+    form (round-4 verdict residue: '128m' used to throw)."""
+    import pytest
+
+    from etl_data_transformer_spark.sources.readers import _parse_byte_conf
+
+    assert _parse_byte_conf("134217728") == 134217728
+    assert _parse_byte_conf("134217728b") == 134217728
+    assert _parse_byte_conf("128m") == 128 * 1024**2
+    assert _parse_byte_conf("128MB") == 128 * 1024**2
+    assert _parse_byte_conf("1g") == 1024**3
+    assert _parse_byte_conf(" 64k ") == 64 * 1024
+    assert _parse_byte_conf("2t") == 2 * 1024**4
+    assert _parse_byte_conf(134217728) == 134217728
+    with pytest.raises(ValueError, match="unparseable"):
+        _parse_byte_conf("12.5 parsecs")
+
+
+def test_spread_accepts_unit_conf(spark):
+    """spread() works end-to-end with a unit-suffixed maxPartitionBytes."""
+    from etl_data_transformer_spark.sources.readers import read_table, spread
+
+    key = "spark.sql.files.maxPartitionBytes"
+    prior = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "128m")
+        df = spread(read_table(spark, "/root/testdata/sf0.001", "documents"), key="doc_id")
+        assert df.count() > 0
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
