@@ -27,11 +27,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json": PAR.q_events_json,
     "tumbling_events": PAR.q_tumbling_events,
     "percentile_prices": PAR.q_percentile_prices,
+    # round-5 promotion (round-4 verdict item 8): the approx-percentile
+    # sketch is the 100 TB tier of the percentile family; its rank-error
+    # gate joins the contract. explode_part_types rotated out (explode is
+    # also exercised by chunk_documents / events_json's array paths).
+    "approx_percentile_prices": PAR.q_approx_percentile_prices,
     "price_histogram": PAR.q_price_histogram,
     "string_agg_nations": PAR.q_string_agg_nations,
     "cleanse_report": PAR.q_cleanse_report,
     "set_ops_customers": PAR.q_set_ops_customers,
-    "explode_part_types": PAR.q_explode_part_types,
     "full_outer_region_stats": PAR.q_full_outer_region_stats,
     # reference-parity: the incremental fact-load branches
     "latest_rate_per_nation": BQ.q_latest_rate_per_nation,
@@ -39,11 +43,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_china": BQ.q_agg_china,
     "tomford": BQ.q_tomford,
     "fact_union": BQ.q_fact_union,
-    # the union branch via the raw-SQL entry point (spark.sql over views) —
-    # hash-checked against the SAME oracle as the DataFrame build; the
-    # item_status SQL variant is pytest-covered (tests/test_branch_sql.py)
-    # to keep the catalog within the driver's 50-query check budget
-    "sql_fact_union": BSQL.q_sql_fact_union,
     # LLM-pipeline extensions
     "contamination_docs": EXT.q_contamination_docs,
     "exact_dedup_groups": EXT.q_exact_dedup_groups,
@@ -70,6 +69,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hyperplane_blocked_recall": EXT.q_hyperplane_blocked_recall,
     "stratified_cap_docs": EXT.q_stratified_cap_docs,
     "unigram_logprob": EXT.q_unigram_logprob,
+    # round-5 promotion (round-4 verdict item 3): the bigram LM scorer was
+    # the only catalog query without a driver row. sql_fact_union rotated
+    # out — it duplicates fact_union's oracle through the raw-SQL entry
+    # point, which stays driver-strength-checked in test_rotated_oracle.py
+    # (plus the item_status SQL variant in tests/test_branch_sql.py).
+    "bigram_logprob": EXT.q_bigram_logprob,
     "redact_pii_docs": EXT.q_redact_pii_docs,
     # temporal + profiling surface (as-of, range join, sessions, rollup)
     **TEMPORAL_QUERIES,
@@ -77,20 +82,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # Outside the 50-slot driver contract but verified at DRIVER STRENGTH by
 # tests/test_rotated_oracle.py (identical DuckDB value-hash compare):
-# - queries rotated out in round 4 to make room for the promotions above
-#   (each overlapped a surviving row: dup_count_docs ⊂ exact_dedup_groups,
-#   cube_agg ~ rollup_nation_status, running_totals ~ rolling_user_stats,
-#   topk_orders_per_nation ~ tfidf_top_terms's window top-k,
-#   anti_join_customers ~ semi_join_customers), and
-# - pytest-only oracle rows for operators that never fit the cap
-#   (bigram_logprob).
+# queries rotated out in rounds 4-5 to make room for promotions, each
+# overlapping a surviving row (dup_count_docs ⊂ exact_dedup_groups,
+# cube_agg ~ rollup_nation_status, running_totals ~ rolling_user_stats,
+# topk_orders_per_nation ~ tfidf_top_terms's window top-k,
+# anti_join_customers ~ semi_join_customers, sql_fact_union = fact_union's
+# oracle via spark.sql, explode_part_types ~ chunk_documents' explode),
+# plus gates that never fit the cap (ann_ivf_quantized_match).
 ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders_per_nation": PAR.q_topk_orders_per_nation,
     "cube_agg": PAR.q_cube_agg,
     "anti_join_customers": PAR.q_anti_join_customers,
     "dup_count_docs": PAR.q_dup_count_docs,
     "running_totals": PAR.q_running_totals,
-    "bigram_logprob": EXT.q_bigram_logprob,
+    "sql_fact_union": BSQL.q_sql_fact_union,
+    "explode_part_types": PAR.q_explode_part_types,
     "ann_ivf_quantized_match": EXT.q_ann_ivf_quantized_match,
 }
 

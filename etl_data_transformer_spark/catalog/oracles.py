@@ -508,6 +508,11 @@ PARITY_ORACLES["percentile_prices"] = """
     FROM lineitem GROUP BY l_returnflag
 """
 
+PARITY_ORACLES["approx_percentile_prices"] = """
+    SELECT l_returnflag, true AS p50_rank_ok, true AS p95_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+"""
+
 PARITY_ORACLES["string_agg_nations"] = """
     SELECT r_name,
            string_agg(n_name, ',' ORDER BY n_name) AS nations,

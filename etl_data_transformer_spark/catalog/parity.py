@@ -294,6 +294,31 @@ def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the 100 TB percentile tier (round-4 verdict item
+    8): ``F.percentile`` is an exact SORT-based aggregate — fine per group
+    at fixture scale, but the approximate sketch (``percentile_approx``,
+    Greenwald-Khanna: mergeable, bounded memory, no per-group sort) is the
+    operator a 100 TB scan should use. Its guarantee is on RANK, not value:
+    with accuracy ``a`` the returned element's rank is within ~1/a of the
+    target. The gate asserts exactly that — for p50/p95 per l_returnflag,
+    the fraction of rows at or below the sketch's answer is within 0.02 of
+    p (0.02 covers the 1e-4 sketch bound plus value discreteness/tie mass
+    at fixture row counts). Oracle: the constant-true expectation."""
+    li = load_star(spark, sf_dir, ("lineitem",))["lineitem"]
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)).alias("ap")
+    )
+    joined = li.join(F.broadcast(ap), "l_returnflag")
+    n = F.count(F.lit(1))
+    r50 = F.sum(F.when(F.col("l_extendedprice") <= F.col("ap")[0], 1).otherwise(0)) / n
+    r95 = F.sum(F.when(F.col("l_extendedprice") <= F.col("ap")[1], 1).otherwise(0)) / n
+    return joined.groupBy("l_returnflag").agg(
+        (F.abs(r50 - 0.5) <= 0.02).alias("p50_rank_ok"),
+        (F.abs(r95 - 0.95) <= 0.02).alias("p95_rank_ok"),
+    )
+
+
 def q_string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (collect_list → sort → join), via the SQL
     entry point — the engine's ``spark.sql`` surface over registered views."""
