@@ -97,19 +97,36 @@ def main() -> None:
     # warm the JVM + parquet footers before timing
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
-    # the host shows 2-3x wall-clock noise on identical runs (BASELINE.md);
-    # record min-of-N per query so round-over-round deltas are attributable
+    # the host shows 2-3x wall-clock noise on identical runs (BASELINE.md).
+    # Reps are INTERLEAVED across queries (rep-outer loop, round-4 verdict
+    # item 2): a transient host slowdown then lands on one rep of MANY
+    # queries instead of every rep of one query, so it cannot masquerade as
+    # a single-query regression (the r4 percentile_prices 6x blip). Report
+    # min-of-N per query plus the full per-rep spread for dispersion.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    times: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    rows: dict[str, int] = {}
+    # untimed warmup pass: plan compilation + page-cache warmup happen once,
+    # outside the measurement (the old per-query min-of-3 absorbed these in
+    # rep 1; interleaved reps need it explicit to stay comparable)
     for name in HEADLINE:
-        fn = qs[name]
-        best, n = float("inf"), 0
-        for _ in range(reps):
+        qs[name](spark, SF_DIR).count()
+    for rep in range(reps):
+        # nudge the driver GC so ContextCleaner drains accumulated shuffle/
+        # broadcast state between reps — measured: without it the largest
+        # query degrades monotonically across the interleaved run
+        spark.sparkContext._jvm.System.gc()
+        for name in HEADLINE:
             t0 = time.time()
-            n = fn(spark, SF_DIR).count()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]}s min-of-{reps} ({n} rows)", file=sys.stderr)
+            rows[name] = qs[name](spark, SF_DIR).count()
+            rep_times[name].append(round(time.time() - t0, 3))
+    times = {name: min(ts) for name, ts in rep_times.items()}
+    for name in HEADLINE:
+        print(
+            f"# {name}: {times[name]}s min-of-{reps} {rep_times[name]} "
+            f"({rows[name]} rows)",
+            file=sys.stderr,
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # DuckDB reference timings are best-effort context (single rep): the
@@ -145,6 +162,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "spread": rep_times,
                 "sf": float(sf),
                 "reps": reps,
                 "duckdb": duck_times,
