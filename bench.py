@@ -48,6 +48,7 @@ HEADLINE = [
     "chunk_documents",
     "tfidf_top_terms",
     "hyperplane_pairs",
+    "semantic_dedup",
 ]
 
 
@@ -92,6 +93,16 @@ def main() -> None:
 
         qs["simhash_near_dups"] = lambda spark, sf_dir: _DD2.simhash_near_dups(
             _ls2(spark, sf_dir, ("documents",))["documents"], max_hamming=16
+        )
+    # NEW headline row in round 5: the SemDeDup production path (cluster-
+    # blocked semantic dedup) over the FULL embeddings table — the rotated
+    # catalog twin (semantic_dedup_gate) is the capped invariant gate
+    if "semantic_dedup" not in qs:
+        from etl_data_transformer_spark.operators.curation import semantic_dedup as _sd
+        from etl_data_transformer_spark.sources.readers import load_star as _ls3
+
+        qs["semantic_dedup"] = lambda spark, sf_dir: _sd(
+            _ls3(spark, sf_dir, ("embeddings",))["embeddings"], threshold=0.4, n_clusters=8
         )
     spark = get_spark("bench")
     # warm the JVM + parquet footers before timing

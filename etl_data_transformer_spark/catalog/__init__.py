@@ -98,6 +98,7 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_fact_union": BSQL.q_sql_fact_union,
     "explode_part_types": PAR.q_explode_part_types,
     "ann_ivf_quantized_match": EXT.q_ann_ivf_quantized_match,
+    "semantic_dedup_gate": EXT.q_semantic_dedup_gate,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

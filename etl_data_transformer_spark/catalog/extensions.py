@@ -433,6 +433,40 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bigram_logprob_scores(_docs(spark, sf_dir), quantize_micros=True)
 
 
+def q_semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant gate for SemDeDup-style semantic dedup over the embeddings
+    table (seeded k-means clusters → in-cluster cosine drops): (1) zero
+    surviving same-cluster pairs at or above the threshold, (2) every
+    dropped vector is justified by an in-cluster lower-id neighbor at or
+    above it. Both are computed from the operator's own outputs against
+    its pair candidates — a broken drop rule breaks one of them. Oracle:
+    the constant expectation (one row)."""
+    from ..operators.curation import semantic_dedup, semantic_dedup_pairs
+    from ..operators.similarity import train_ivf_centroids
+
+    thr = 0.4  # fixture embeddings are near-isotropic; 0.4 yields real drops
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cents = train_ivf_centroids(
+        e.select(F.col("vec_id").alias("id"), "embedding"), n_lists=8
+    )
+    pairs = semantic_dedup_pairs(e, cents, threshold=thr)
+    survivors = semantic_dedup(e, threshold=thr, centroids=cents).select("vec_id")
+    surviving_pairs = (
+        pairs.join(survivors.withColumnRenamed("vec_id", "id_a"), "id_a", "left_semi")
+        .join(survivors.withColumnRenamed("vec_id", "id_b"), "id_b", "left_semi")
+    )
+    dropped = e.select("vec_id").join(survivors, "vec_id", "left_anti")
+    justified = dropped.join(
+        pairs.select(F.col("id_b").alias("vec_id")).distinct(), "vec_id", "left_semi"
+    )
+    n_viol = surviving_pairs.count()  # driver scalars: bounded gate outputs
+    ok = dropped.count() == justified.count()
+    return spark.range(1).select(
+        F.lit(n_viol).cast("long").alias("n_survivor_violations"),
+        F.lit(ok).alias("drops_justified"),
+    )
+
+
 def q_redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over a per-doc synthetic payload (deterministic email /
     IP / card / phone built from the doc id) concatenated with a real text

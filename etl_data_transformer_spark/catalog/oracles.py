@@ -635,6 +635,9 @@ TEMPORAL_ORACLES: dict[str, str] = {
         FROM embeddings, (SELECT unnest([1, 2, 3, 4, 5]) AS rank)
         WHERE vec_id < 10
     """,
+    "semantic_dedup_gate": """
+        SELECT CAST(0 AS BIGINT) AS n_survivor_violations, true AS drops_justified
+    """,
 }
 
 ALL_ORACLES: dict[str, str] = {**PARITY_ORACLES, **EXTENSION_ORACLES, **TEMPORAL_ORACLES}

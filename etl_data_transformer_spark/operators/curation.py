@@ -280,6 +280,91 @@ def stratified_cap(
     )
 
 
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """In-cluster cosine near-dup pairs — the candidate step of
+    ``semantic_dedup``. Each vector is assigned to its nearest frozen
+    centroid (``similarity.ivf_assign``: pure codegen'd expressions) and
+    pairs are generated by a self-equi-join on the cluster id only — the
+    pairwise cosine work is bounded by the largest cluster, never the
+    corpus (the SemDeDup trade: pairs straddling a cluster boundary are
+    accepted misses; tighten with more clusters). ``max_cluster_size``
+    drops degenerate clusters via the same narrow count + broadcast
+    anti-join as the banded dedups (audit by counting assignments per
+    ``list_id``). Returns (id_a, id_b, cosine_sim) with id_a < id_b.
+    Requires the embedding column to be named ``embedding``
+    (``ivf_assign``'s contract)."""
+    from ..functions.vector import cosine
+    from .dedup import _drop_hot_buckets
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(vectors, centroids, id_col=id_col)
+    if max_cluster_size is not None:
+        assigned = _drop_hot_buckets(assigned, ["list_id"], max_cluster_size)
+    a = assigned.select(F.col("id").alias("id_a"), F.col("embedding").alias("e_a"), "list_id")
+    b = assigned.select(F.col("id").alias("id_b"), F.col("embedding").alias("e_b"), "list_id")
+    return (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine("e_a", "e_b"), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023, public):
+    cluster the embedding space with seeded k-means (bounded driver-side
+    sample — ``similarity.train_ivf_centroids``), then within each cluster
+    drop every vector that has a LOWER-id neighbor at cosine >=
+    ``threshold``. Near-duplicate semantic content (paraphrases, template
+    clones) collapses to one representative per duplicate set; the keep
+    rule is deterministic (lowest id wins) and partitioning-independent.
+
+    Two invariants follow from the rule (pinned by
+    ``tests/test_curation_ops.py`` and the ``semantic_dedup_gate`` catalog
+    row): no two SURVIVORS in the same cluster are within ``threshold`` of
+    each other (if x < y survived with cos >= t, y had a lower-id neighbor
+    — contradiction), and every dropped vector has an in-cluster lower-id
+    neighbor at >= ``threshold`` (which may itself be dropped — the
+    chained case collapses a,b,c to a even when cos(a,c) < t, the standard
+    transitive-collapse behavior of keep-first dedup).
+
+    Scale shape: one narrow shuffle on the cluster id; pairwise cosine is
+    per-cluster (cap degenerate clusters with ``max_cluster_size``); the
+    drop set is ids-only. Returns the surviving rows of ``vectors``.
+    """
+    from .similarity import train_ivf_centroids
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors.select(F.col(id_col).alias("id"), "embedding"),
+            n_lists=n_clusters,
+            seed=seed,
+        )
+    pairs = semantic_dedup_pairs(
+        vectors, centroids, threshold=threshold, id_col=id_col, max_cluster_size=max_cluster_size
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return vectors.join(dropped, id_col, "left_anti")
+
+
 def hyperplane_lsh_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -231,3 +231,60 @@ def test_pack_sequences_colocate_by_length_invariants(spark):
         if len(r["doc_ids"]) > 1:
             assert r["n_tokens"] <= 100
     assert len({r["bin_id"] for r in bins}) == len(bins)
+
+
+def test_semantic_dedup_drops_planted_near_dup_and_keeps_invariants(spark):
+    """SemDeDup shape: a planted duplicate vector loses to its lower-id
+    twin; survivors have no in-cluster pair above threshold; every drop is
+    justified; selection is partitioning-independent."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((100, list(rows[3][1])))               # exact twin of id 3
+    near = [v + 0.001 for v in rows[5][1]]
+    rows.append((101, near))                           # near twin of id 5
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    kept = {r["vec_id"] for r in C.semantic_dedup(df, threshold=0.95, n_clusters=4).collect()}
+    assert 3 in kept and 100 not in kept
+    assert 5 in kept and 101 not in kept
+
+    kept_repart = {
+        r["vec_id"]
+        for r in C.semantic_dedup(df.repartition(5), threshold=0.95, n_clusters=4).collect()
+    }
+    assert kept == kept_repart
+
+    # invariants at a threshold loose enough to force chains
+    from etl_data_transformer_spark.operators.similarity import train_ivf_centroids
+
+    cents = train_ivf_centroids(
+        df.select(F.col("vec_id").alias("id"), "embedding"), n_lists=4
+    )
+    pairs = C.semantic_dedup_pairs(df, cents, threshold=0.5)
+    survivors = C.semantic_dedup(df, threshold=0.5, centroids=cents).select("vec_id")
+    surviving_pairs = (
+        pairs.join(survivors.withColumnRenamed("vec_id", "id_a"), "id_a", "left_semi")
+        .join(survivors.withColumnRenamed("vec_id", "id_b"), "id_b", "left_semi")
+    )
+    assert surviving_pairs.count() == 0
+    dropped = df.select("vec_id").join(survivors, "vec_id", "left_anti")
+    justified = dropped.join(
+        pairs.select(F.col("id_b").alias("vec_id")).distinct(), "vec_id", "left_semi"
+    )
+    assert dropped.count() == justified.count()
+
+
+def test_semantic_dedup_cluster_cap_bounds_pairs(spark):
+    """max_cluster_size drops degenerate clusters from pair generation (the
+    O(B^2) guard), and the capped run still returns a frame."""
+    rows = [(i, [1.0, 0.0, 0.0, float(i) * 1e-4]) for i in range(30)]  # one hot cluster
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from etl_data_transformer_spark.operators.similarity import train_ivf_centroids
+
+    cents = train_ivf_centroids(df.select(F.col("vec_id").alias("id"), "embedding"), n_lists=2)
+    capped = C.semantic_dedup_pairs(df, cents, threshold=0.5, max_cluster_size=10)
+    uncapped = C.semantic_dedup_pairs(df, cents, threshold=0.5)
+    assert capped.count() == 0 and uncapped.count() > 0  # hot cluster excluded
+    assert C.semantic_dedup(df, threshold=0.5, centroids=cents, max_cluster_size=10).count() == 30
