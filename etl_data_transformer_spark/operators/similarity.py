@@ -221,12 +221,31 @@ def ivf_assign(
     centroids: list[list[float]],
     id_col: str = "id",
     quantize: bool = False,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """(id, embedding, list_id): nearest-centroid assignment of each vector —
     the build (and INCREMENTAL append) step of a persisted IVF index. New
     ingest batches are assigned against the frozen centroids and appended;
-    no retraining, no touching existing index rows. Pure codegen'd
-    expressions, one pass over the vectors.
+    no retraining, no touching existing index rows.
+
+    Two execution paths for the argmin-over-centroids:
+
+    - **JVM expressions** (``arrow=False``): one interpreted
+      ``aggregate``/``zip_with`` fold per centroid — no Python workers, but
+      cost grows with ``n_lists × dim`` per row.
+    - **Arrow matmul** (``arrow=True``): ``mapInPandas`` with ONE BLAS
+      matmul per Arrow batch (``argmin(|c|² − 2·X·Cᵀ)`` — the FAISS coarse
+      scoring shape). Measured 9.8s → 2.0s on 20k × 64-dim vectors at 80
+      lists; real IVF deployments run thousands of lists, where the
+      interpreted-fold path is not viable.
+
+    ``arrow=None`` (default) auto-selects the matmul at ``>= 32`` lists
+    (the measured crossover region — below it the Python-worker startup
+    outweighs the fold savings). Float caveat: the two paths order
+    distances with different roundings, so a vector near-exactly
+    equidistant from two centroids may assign differently — harmless for
+    an approximate index; pinned identical on the fixtures by
+    ``tests/test_similarity.py``. Embeddings must be non-null.
 
     ``quantize=True`` additionally stores symmetric-int8 ``codes``
     (tinyint array — 4x smaller than the float32 embedding) and the
@@ -234,33 +253,73 @@ def ivf_assign(
     ``ivf_search(rerank_quantized=True)``. Parquet column pruning then lets
     the probe scan read ONLY (id, codes, list_id) — the ~4x probed-IO cut
     at corpus scale — while the full ``embedding`` column is fetched just
-    for the re-ranked candidates."""
+    for the re-ranked candidates. Quantization always runs as JVM
+    expressions (one rounding semantics, both paths)."""
     from ..functions.vector import quant_scale, quantize_int8
 
-    def neg_d2(c: list[float]) -> Column:
-        return F.aggregate(
-            F.zip_with("embedding", F.array(*[F.lit(v) for v in c]), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc - v,
-        )
+    if arrow is None:
+        arrow = len(centroids) >= 32
 
-    arr = F.array(*[neg_d2(c) for c in centroids])
-    cols = [
-        F.col(id_col).alias("id"),
-        F.col("embedding"),
-        F.array_position(arr, F.array_max(arr)).alias("list_id"),
-    ]
-    if quantize:
-        scale = quant_scale("embedding")
-        cols.extend(
-            [
-                F.transform(
-                    quantize_int8("embedding", scale), lambda x: x.cast("tinyint")
-                ).alias("codes"),
-                scale.alias("scale"),
-            ]
+    if arrow:
+        assigned = _ivf_assign_arrow(vectors, centroids, id_col)
+    else:
+        def neg_d2(c: list[float]) -> Column:
+            return F.aggregate(
+                F.zip_with("embedding", F.array(*[F.lit(v) for v in c]), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, v: acc - v,
+            )
+
+        arr = F.array(*[neg_d2(c) for c in centroids])
+        assigned = vectors.select(
+            F.col(id_col).alias("id"),
+            F.col("embedding"),
+            F.array_position(arr, F.array_max(arr)).alias("list_id"),
         )
-    return vectors.select(*cols)
+    if not quantize:
+        return assigned
+    scale = quant_scale("embedding")
+    return assigned.select(
+        "id",
+        "embedding",
+        "list_id",
+        F.transform(quantize_int8("embedding", scale), lambda x: x.cast("tinyint")).alias("codes"),
+        scale.alias("scale"),
+    )
+
+
+def _ivf_assign_arrow(vectors: DataFrame, centroids: list[list[float]], id_col: str) -> DataFrame:
+    """Arrow-batched nearest-centroid assignment: one numpy/BLAS matmul per
+    batch. argmin ties break on the first (lowest) centroid index — the
+    same rule as the JVM path's ``array_position`` of the first max."""
+    import numpy as np
+
+    id_type = dict(vectors.dtypes)[id_col]
+    emb_type = dict(vectors.dtypes)["embedding"]
+    schema = f"id {id_type}, embedding {emb_type}, list_id long"
+    cents = np.array(centroids, dtype=np.float64)
+    cent_norms = (cents * cents).sum(axis=1)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # argmin |x-c|² == argmin |c|² - 2 x·c (|x|² is row-constant)
+            lid = (cent_norms[None, :] - 2.0 * (x @ cents.T)).argmin(axis=1) + 1
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col] if id_col in pdf.columns else pdf["id"],
+                    "embedding": pdf["embedding"],
+                    "list_id": lid.astype("int64"),
+                }
+            )
+
+    return vectors.select(F.col(id_col).alias(id_col), "embedding").mapInPandas(
+        assign, schema=schema
+    )
 
 
 def ivf_index(

@@ -165,3 +165,34 @@ def test_ivf_quantized_rerank_guards(spark, star):
     cents2, quant = SIM.ivf_index(emb, n_lists=4, quantize=True)
     with pytest.raises(ValueError, match="must be >= k"):
         SIM.ivf_search(q, quant, cents2, k=5, rerank_quantized=True, rerank_k=2)
+
+
+def test_ivf_assign_arrow_matches_expr_path(spark, star):
+    """The Arrow-matmul assignment (the many-lists scale path) must agree
+    with the JVM-expression path on every fixture vector, including through
+    quantize=True, and ivf_search over either index returns the same top-k."""
+    emb = star["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    cents = SIM.train_ivf_centroids(emb, n_lists=8)
+    expr = {r["id"]: r["list_id"] for r in SIM.ivf_assign(emb, cents, arrow=False).collect()}
+    arrow = {r["id"]: r["list_id"] for r in SIM.ivf_assign(emb, cents, arrow=True).collect()}
+    assert expr == arrow and len(expr) > 0
+
+    qa = SIM.ivf_assign(emb, cents, quantize=True, arrow=True)
+    assert {"codes", "scale"} <= set(qa.columns)
+    q = emb.filter(F.col("id") < 5)
+    a = sorted(map(tuple, SIM.ivf_search(q, SIM.ivf_assign(emb, cents, arrow=False), cents, k=3).collect()))
+    b = sorted(map(tuple, SIM.ivf_search(q, SIM.ivf_assign(emb, cents, arrow=True), cents, k=3).collect()))
+    assert a == b
+
+
+def test_ivf_assign_auto_picks_arrow_at_many_lists(spark):
+    """arrow=None auto-selects: expression path below 32 lists (no Python
+    in the plan), Arrow path at >= 32 (ArrowEvalPython/mapInPandas node)."""
+    rows = [(i, [float(i % 7), float(i % 5), 1.0, 0.0]) for i in range(64)]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    few = [[float(j), 1.0, 0.0, 0.0] for j in range(4)]
+    many = [[float(j % 9), float(j % 4), 1.0, 0.0] for j in range(40)]
+    plan_few = SIM.ivf_assign(df, few)._jdf.queryExecution().executedPlan().toString()
+    plan_many = SIM.ivf_assign(df, many)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan_few
+    assert "Python" in plan_many or "MapInPandas" in plan_many

@@ -33,7 +33,27 @@ QUERIES = [
     "minhash_pairs",        # full-corpus MinHash LSH banding
     "ann_bruteforce",       # 10 queries x full embedding corpus
     "tfidf_top_terms",      # two groupBys + per-doc window
+    "semantic_dedup",       # cluster-blocked cosine dedup (clusters ∝ corpus)
 ]
+
+
+def _semantic_dedup_query(spark, sf_dir: str):
+    """SemDeDup production path with its documented scaling discipline:
+    n_clusters grows with the corpus so per-cluster pair work stays
+    constant (the knob that keeps the in-cluster O(B²) bounded). The row
+    count probe is parquet metadata — negligible next to the dedup."""
+    from pyspark.sql import functions as F
+
+    from etl_data_transformer_spark.operators.curation import semantic_dedup
+    from etl_data_transformer_spark.sources.readers import load_star
+
+    emb = load_star(spark, sf_dir, ("embeddings",))["embeddings"]
+    n = emb.count()
+    return semantic_dedup(
+        emb.select("vec_id", "embedding").withColumn("vec_id", F.col("vec_id")),
+        threshold=0.4,
+        n_clusters=max(8, n // 250),
+    )
 
 
 def main() -> None:
@@ -45,6 +65,7 @@ def main() -> None:
     # include queries rotated out of the driver contract (round 4) so the
     # scaling series stays comparable round-over-round
     qs = {**ROTATED_QUERIES, **entry_mod.queries()}
+    qs["semantic_dedup"] = _semantic_dedup_query
     spark = get_spark("bench_scaling")
     for d in (BASE, scaled):
         spark.read.parquet(f"{d}/lineitem.parquet").count()  # warm footers
