@@ -99,6 +99,7 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "explode_part_types": PAR.q_explode_part_types,
     "ann_ivf_quantized_match": EXT.q_ann_ivf_quantized_match,
     "semantic_dedup_gate": EXT.q_semantic_dedup_gate,
+    "leakage_safe_split_gate": EXT.q_leakage_safe_split_gate,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

@@ -467,6 +467,32 @@ def q_semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant gate for the near-dup-aware split: over the capped corpus,
+    ZERO exact char-3-gram near-dup pairs (J >= 0.6) straddle the
+    train/test boundary, every document is assigned exactly once, and both
+    splits are non-empty. Oracle: the constant expectation (one row)."""
+    from ..operators.curation import leakage_safe_split
+
+    d = _docs(spark, sf_dir).filter((F.col("doc_id") < 200) & (F.length("text") >= 3))
+    pairs = DD.ngram_jaccard_exact(d, n=3, threshold=0.6)
+    out = leakage_safe_split(d, pairs, test_fraction=0.2)
+    sides = out.select("doc_id", "split")
+    straddling = (
+        pairs.join(sides.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "s_a"), "id_a")
+        .join(sides.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "s_b"), "id_b")
+        .filter(F.col("s_a") != F.col("s_b"))
+        .count()
+    )
+    n_docs, n_assigned = d.count(), sides.count()
+    n_test = sides.filter(F.col("split") == "test").count()
+    return spark.range(1).select(
+        F.lit(straddling).cast("long").alias("n_straddling_pairs"),
+        F.lit(n_assigned == n_docs).alias("all_assigned_once"),
+        F.lit(0 < n_test < n_docs).alias("both_sides_nonempty"),
+    )
+
+
 def q_redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over a per-doc synthetic payload (deterministic email /
     IP / card / phone built from the doc id) concatenated with a real text

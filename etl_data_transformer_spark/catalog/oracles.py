@@ -638,6 +638,11 @@ TEMPORAL_ORACLES: dict[str, str] = {
     "semantic_dedup_gate": """
         SELECT CAST(0 AS BIGINT) AS n_survivor_violations, true AS drops_justified
     """,
+    "leakage_safe_split_gate": """
+        SELECT CAST(0 AS BIGINT) AS n_straddling_pairs,
+               true AS all_assigned_once,
+               true AS both_sides_nonempty
+    """,
 }
 
 ALL_ORACLES: dict[str, str] = {**PARITY_ORACLES, **EXTENSION_ORACLES, **TEMPORAL_ORACLES}

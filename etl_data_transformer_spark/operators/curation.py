@@ -280,6 +280,44 @@ def stratified_cap(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    test_fraction: float = 0.2,
+    salt: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/test split: a plain per-document hash split
+    (``q_train_test_split``) puts two near-identical documents on OPPOSITE
+    sides of the boundary — the train→test contamination published evals
+    warn about. Here the unit of assignment is the near-dup CLUSTER:
+    resolve ``pairs`` (id_a, id_b near-dup edges, e.g. ``minhash_dedup`` /
+    ``semantic_dedup_pairs`` output) into connected components
+    (``graph.dedup_clusters``), hash the cluster's canonical id, and send
+    the WHOLE cluster to one side — no edge can straddle the split by
+    construction (pinned by ``tests/test_curation_ops.py`` and the
+    ``leakage_safe_split_gate`` catalog row).
+
+    Scale shape: component resolution is the bounded min-label propagation
+    (rounds ∝ cluster diameter — near-dup clusters are shallow); the split
+    decision is a pure function of (salt, cluster_id) via md5, so it is
+    deterministic across partitioning, retries, and engines, and documents
+    added later join the side their cluster already lives on. Returns
+    ``df`` + (cluster_id, split)."""
+    from .graph import dedup_clusters
+
+    if not 0.0 < test_fraction < 1.0:
+        raise ValueError(f"test_fraction must be in (0, 1), got {test_fraction}")
+    clusters = dedup_clusters(df, pairs, id_col=id_col)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col("cluster_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    split = F.when(bucket < F.lit(int(test_fraction * 2**32)), "test").otherwise("train")
+    return df.join(clusters, id_col).withColumn("split", split)
+
+
 def semantic_dedup_pairs(
     vectors: DataFrame,
     centroids: list[list[float]],

@@ -288,3 +288,38 @@ def test_semantic_dedup_cluster_cap_bounds_pairs(spark):
     uncapped = C.semantic_dedup_pairs(df, cents, threshold=0.5)
     assert capped.count() == 0 and uncapped.count() > 0  # hot cluster excluded
     assert C.semantic_dedup(df, threshold=0.5, centroids=cents, max_cluster_size=10).count() == 30
+
+
+def test_leakage_safe_split_never_straddles_and_is_deterministic(spark):
+    """Near-dup pairs land on ONE side of the split (whole clusters move
+    together, including chained a-b, b-c components), assignment is
+    exhaustive and exactly-once, and stable across repartitioning."""
+    import pytest
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, f"unique document number {i} with its own words {i * 7}") for i in range(60)]
+    rows += [(100, text_a), (101, text_a + " x"), (102, text_a + " x y")]  # chain
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from etl_data_transformer_spark.operators.dedup import ngram_jaccard_exact
+
+    pairs = ngram_jaccard_exact(df, n=3, threshold=0.6)
+    out = C.leakage_safe_split(df, pairs, test_fraction=0.3)
+    got = {r["doc_id"]: (r["split"], r["cluster_id"]) for r in out.collect()}
+    assert len(got) == 63  # exactly once each
+    # the chained trio shares a cluster and a side
+    assert got[100] == got[101] == got[102]
+    # no pair straddles
+    for r in pairs.collect():
+        assert got[r["id_a"]][0] == got[r["id_b"]][0]
+    # both sides populated at this corpus size
+    sides = {s for s, _ in got.values()}
+    assert sides == {"train", "test"}
+
+    again = {
+        r["doc_id"]: (r["split"], r["cluster_id"])
+        for r in C.leakage_safe_split(df.repartition(7), pairs, test_fraction=0.3).collect()
+    }
+    assert got == again
+
+    with pytest.raises(ValueError, match="test_fraction"):
+        C.leakage_safe_split(df, pairs, test_fraction=1.5)
