@@ -336,25 +336,54 @@ def semantic_dedup_pairs(
     anti-join as the banded dedups (audit by counting assignments per
     ``list_id``). Returns (id_a, id_b, cosine_sim) with id_a < id_b.
     Requires the embedding column to be named ``embedding``
-    (``ivf_assign``'s contract)."""
-    from ..functions.vector import cosine
+    (``ivf_assign``'s contract).
+
+    The pairwise cosine runs as ``applyInPandas`` over the cluster groups —
+    ONE dense BLAS matmul per cluster (the standard SemDeDup execution
+    shape). Tried and rejected: an interpreted ``zip_with`` cosine per
+    joined pair (5.8 s at sf0.1) and the posexplode → (list_id, position)
+    equi-join → groupBy-sum shape (5.1 s — the join materializes
+    pairs × dim rows); the per-cluster matmul measures ~1 s on the same
+    input. Each cluster's (B_c × B_c) similarity matrix lives in one
+    worker — ``max_cluster_size`` is the memory bound (e.g. 20k rows ≈
+    3 GB of doubles); zero-norm vectors never pair (cosine undefined)."""
+    import numpy as np
+    import pandas as pd
+
     from .dedup import _drop_hot_buckets
     from .similarity import ivf_assign
 
     assigned = ivf_assign(vectors, centroids, id_col=id_col)
     if max_cluster_size is not None:
         assigned = _drop_hot_buckets(assigned, ["list_id"], max_cluster_size)
-    a = assigned.select(F.col("id").alias("id_a"), F.col("embedding").alias("e_a"), "list_id")
-    b = assigned.select(F.col("id").alias("id_b"), F.col("embedding").alias("e_b"), "list_id")
-    return (
-        a.join(b, "list_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine("e_a", "e_b"), 6).alias("cosine_sim"),
+    id_type = dict(assigned.dtypes)["id"]
+    schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["id"].to_numpy()
+        norms = np.linalg.norm(x, axis=1)
+        live = norms > 0.0
+        x, ids, norms = x[live], ids[live], norms[live]
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        sim = (x @ x.T) / (norms[:, None] * norms[None, :])
+        iu = np.triu_indices(len(ids), k=1)
+        s = np.round(sim[iu], 6)
+        keep = s >= threshold
+        ia, ib = ids[iu[0][keep]], ids[iu[1][keep]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cosine_sim": s[keep],
+            }
         )
-        .filter(F.col("cosine_sim") >= threshold)
+
+    return assigned.select("id", "list_id", "embedding").groupBy("list_id").applyInPandas(
+        per_cluster, schema=schema
     )
 
 
