@@ -191,11 +191,13 @@ def lm_quality_filter(
 
     The scores frame is persisted for the take/quantile/filter sequence
     (round-4 advice: unpersisted, the corpus was re-tokenized and
-    re-aggregated three times), then released once the keep-ids frame —
-    id column only, persisted spill-safe — is materialized from it. The
-    returned plan references only the keep ids; callers running many
-    filters in one session can ``spark.catalog.clearCache()`` between
-    them."""
+    re-aggregated three times), then released once the keep-ids frame is
+    materialized from it via an EAGER ``localCheckpoint`` — unlike a
+    ``persist`` (which the CacheManager pins until an explicit unpersist,
+    leaking one cache entry per call; round-5 review), checkpoint blocks
+    are released by the ContextCleaner as soon as the returned DataFrame
+    becomes unreachable, so repeated filter calls in one long session
+    don't accumulate dead storage."""
     from pyspark import StorageLevel
 
     from ..functions.text import bigram_logprob_scores, unigram_logprob_scores
@@ -208,12 +210,12 @@ def lm_quality_filter(
         if not scores.take(1):
             return df.limit(0)
         cutoff = scores.approxQuantile("mean_logprob", [1.0 - keep_fraction], 0.0001)[0]
+        # eager: ids materialize off the cached scores BEFORE the unpersist
         keep = (
             scores.filter(F.col("mean_logprob") >= cutoff)
             .select(id_col)
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
-        keep.count()  # materialize ids off the cached scores before release
     finally:
         scores.unpersist()
     return df.join(keep, id_col, "left_semi")

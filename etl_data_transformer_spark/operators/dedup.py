@@ -269,20 +269,29 @@ def write_minhash_store(
     ``sources/manifest.py`` conventions; on an object store this becomes a
     small conditional put.
 
-    Ordering (round-4 advice): ``mode='overwrite'`` is a legitimate REBUILD
-    with possibly new parameters — no validation; the sidecar is rewritten
-    after the data (Spark's overwrite deletes the target dir, sidecar
-    included). The append path writes the sidecar BEFORE the first data
+    Ordering (round-4 advice + round-5 review): ``mode='overwrite'`` is a
+    legitimate REBUILD with possibly new parameters — no validation, and
+    the rebuild goes through a staging-dir atomic swap with the NEW sidecar
+    written into staging before the swap, so data and label become visible
+    together (a plain in-place overwrite had a crash window that left
+    unlabeled data a later mismatched append would silently mislabel and
+    extend). The append path writes the sidecar BEFORE the first data
     write, so a crash between the two leaves a labeled-but-empty store
     (harmless: later appends validate against it) rather than an unlabeled
     store a mismatched append would silently extend."""
     import os
 
+    from ..sources.writers import atomic_swap_write
+
     params = {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}
-    sidecar = os.path.join(path, "_minhash_params.json")
     if mode == "overwrite":
-        store_df.write.mode(mode).parquet(path)
-        _write_params_sidecar(sidecar, params)
+        atomic_swap_write(
+            store_df,
+            path,
+            finalize_staging=lambda staging: _write_params_sidecar(
+                os.path.join(staging, "_minhash_params.json"), params
+            ),
+        )
         return
     ensure_minhash_params_sidecar(
         path, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
@@ -380,23 +389,28 @@ def compact_minhash_store(
     - ``drop_ids``: remove rows whose ``id_col`` appears (left-anti join) —
       the natural call is the dedup output's losing side.
 
-    Exactly one must be given. The rewrite is a staging-dir + atomic-rename
-    swap (the ``sources/writers.atomic_swap_write`` shape) with the
-    ``_minhash_params`` sidecar written INTO the staging dir first, so
-    readers see the old or the compacted store — never a partial or
-    unlabeled one — and a crash leaves the original intact. Signatures are
-    per-document and deterministic, so dropping rows never changes
-    surviving pairs: an incremental run against the compacted store returns
-    exactly the pairs of a store rebuilt from the surviving corpus
-    (pinned by ``tests/test_dedup.py``).
+    Exactly one must be given. The rewrite goes through
+    ``sources/writers.atomic_swap_write`` with the ``_minhash_params``
+    sidecar dropped into the staging dir before the swap, so readers see
+    the old or the compacted store — never a partial or unlabeled one —
+    and a crash leaves the original intact. The store's column set and
+    partition layout are PRESERVED: a streaming store
+    (``stream_near_dedup``) is ``__batch_id``-partitioned, and the
+    compacted rewrite keeps that partitioning so later micro-batches'
+    dynamic partition overwrites land in a consistent directory structure
+    (a flat rewrite would make the next ``spark.read.parquet`` fail
+    partition discovery). Signatures are per-document and deterministic,
+    so dropping rows never changes surviving pairs: an incremental run
+    against the compacted store returns exactly the pairs of a store
+    rebuilt from the surviving corpus (pinned by ``tests/test_dedup.py``).
 
     Single-writer by design (the daily-ingest owner); for concurrent
     writers route the store through ``sources/manifest.commit_write`` /
     ``compact``, whose manifest-pointer CAS detects lost updates.
     """
     import os
-    import shutil
-    import uuid
+
+    from ..sources.writers import atomic_swap_write
 
     if (live_ids is None) == (drop_ids is None):
         raise ValueError("pass exactly one of live_ids / drop_ids")
@@ -404,30 +418,19 @@ def compact_minhash_store(
     sidecar = os.path.join(path, "_minhash_params.json")
     if os.path.exists(sidecar):
         _validate_store_params(sidecar, params)
-    store = spark.read.parquet(path).select(id_col, "hs", "sig")
+    store = spark.read.parquet(path)
     if live_ids is not None:
         kept = store.join(live_ids.select(id_col).distinct(), id_col, "left_semi")
     else:
         kept = store.join(drop_ids.select(id_col).distinct(), id_col, "left_anti")
-
-    parent = os.path.dirname(os.path.abspath(path))
-    staging = os.path.join(parent, f".staging-{uuid.uuid4().hex}")
-    backup = os.path.join(parent, f".backup-{uuid.uuid4().hex}")
-    kept.write.mode("overwrite").parquet(staging)
-    _write_params_sidecar(os.path.join(staging, "_minhash_params.json"), params)
-    try:
-        if os.path.exists(path):
-            os.rename(path, backup)
-        os.rename(staging, path)
-    except BaseException:
-        if not os.path.exists(path) and os.path.exists(backup):
-            os.rename(backup, path)  # restore before cleanup deletes it
-        raise
-    finally:
-        if os.path.exists(backup):
-            shutil.rmtree(backup, ignore_errors=True)
-        if os.path.exists(staging):
-            shutil.rmtree(staging, ignore_errors=True)
+    atomic_swap_write(
+        kept,
+        path,
+        partition_by=["__batch_id"] if "__batch_id" in store.columns else None,
+        finalize_staging=lambda staging: _write_params_sidecar(
+            os.path.join(staging, "_minhash_params.json"), params
+        ),
+    )
 
 
 def minhash_dedup_incremental(

@@ -418,26 +418,38 @@ def ivf_search(
         wq = Window.partitionBy("query_id").orderBy(
             F.col("qsim").desc(), F.col("neighbor_id").asc()
         )
+        # the window shuffles (query_id, neighbor_id, qsim) ONLY — carrying
+        # the query embedding per coarse row would move embedding-width
+        # bytes for EVERY probed-list candidate and undo the quantized
+        # path's IO savings (round-5 review); survivors rejoin the tiny
+        # broadcast query frame instead
         cands = (
             coarse_pairs.select(
                 "query_id",
                 "neighbor_id",
-                F.col("query_id_emb"),
                 cosine("query_id_emb", "neighbor_codes").alias("qsim"),
             )
             .withColumn("qrank", F.row_number().over(wq))
             .filter(F.col("qrank") <= n_cand)
-            .select("query_id", "neighbor_id", "query_id_emb")
+            .select("query_id", "neighbor_id")
         )
-        # phase 2: fetch full-precision embeddings for candidates only
+        # phase 2: full-precision embeddings for candidates only — query
+        # side re-broadcast (bounded), index side an id equi-join
+        q_emb = queries.select(
+            F.col("id").alias("query_id"), F.col("embedding").alias("query_id_emb")
+        )
         full = pruned.select(
             F.col("id").alias("neighbor_id"),
             F.col("embedding").alias("neighbor_id_emb"),
         )
-        scored = cands.join(full, "neighbor_id").select(
-            "query_id",
-            "neighbor_id",
-            cosine("query_id_emb", "neighbor_id_emb").alias("sim"),
+        scored = (
+            cands.join(F.broadcast(q_emb), "query_id")
+            .join(full, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine("query_id_emb", "neighbor_id_emb").alias("sim"),
+            )
         )
     else:
         c = pruned.select(

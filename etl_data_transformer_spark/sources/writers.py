@@ -30,7 +30,12 @@ def append_parquet(df: DataFrame, path: str, partition_by: list[str] | None = No
     write_parquet(df, path, mode="append", partition_by=partition_by)
 
 
-def atomic_swap_write(df: DataFrame, target_dir: str, partition_by: list[str] | None = None) -> None:
+def atomic_swap_write(
+    df: DataFrame,
+    target_dir: str,
+    partition_by: list[str] | None = None,
+    finalize_staging=None,
+) -> None:
     """Write ``df`` to a staging dir, then atomically swap it into place (S5).
 
     Emulates BigQuery's ``CREATE OR REPLACE TABLE ... COPY`` swap: readers see
@@ -39,12 +44,19 @@ def atomic_swap_write(df: DataFrame, target_dir: str, partition_by: list[str] | 
     renames still leave a brief target-missing window for concurrent openers
     — ``sources/manifest.py`` (manifest + atomic pointer replace, the
     Delta/Iceberg shape) removes it and is preferred for new tables.
+
+    ``finalize_staging(staging_dir)``: optional hook run after the data
+    write but BEFORE the swap — sidecars/metadata dropped here become
+    visible atomically with the data (no labeled-without-data or
+    data-without-label crash window).
     """
     parent = os.path.dirname(os.path.abspath(target_dir))
     os.makedirs(parent, exist_ok=True)
     staging = os.path.join(parent, f".staging-{uuid.uuid4().hex}")
     backup = os.path.join(parent, f".backup-{uuid.uuid4().hex}")
     write_parquet(df, staging, mode="overwrite", partition_by=partition_by)
+    if finalize_staging is not None:
+        finalize_staging(staging)
     try:
         if os.path.exists(target_dir):
             os.rename(target_dir, backup)

@@ -361,3 +361,52 @@ def test_stream_near_dedup_cross_batch_pairs_and_store(spark, tmp_path):
     drain()
     assert {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs).collect()} == got
     assert spark.read.parquet(store).select("doc_id").distinct().count() == 5
+
+
+def test_compact_preserves_streaming_store_layout(spark, tmp_path):
+    """Compacting a __batch_id-partitioned streaming signature store must
+    keep the partition layout: a later micro-batch's dynamic partition
+    overwrite and the next store read both still work (a flat rewrite used
+    to corrupt partition discovery — round-5 review)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_data_transformer_spark.operators.dedup import compact_minhash_store
+    from etl_data_transformer_spark.streaming.pipeline import stream_near_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    text = "the quick brown fox jumps over the lazy dog once more"
+
+    b0 = spark.createDataFrame([(1, text), (2, "other words entirely here")], schema)
+    b0.write.parquet(str(src / "b0"))
+    stream_near_dedup(
+        spark.readStream.schema(schema).parquet(str(src / "b0")),
+        store, pairs, str(tmp_path / "ck0"), threshold=0.3,
+    )
+    assert "__batch_id" in spark.read.parquet(store).columns
+
+    # doc 2 deleted from the corpus: compact its signatures away
+    compact_minhash_store(spark, store, drop_ids=spark.createDataFrame([(2,)], ["doc_id"]))
+    after = spark.read.parquet(store)
+    assert "__batch_id" in after.columns  # layout preserved
+    assert after.filter(F.col("doc_id") == 2).count() == 0
+
+    # the stream continues against the compacted store: a near-dup of doc 1
+    # is still caught, and the store read doesn't trip partition discovery
+    b1 = spark.createDataFrame([(10, text + " x")], schema)
+    b1.write.parquet(str(src / "b1"))
+    stream_near_dedup(
+        spark.readStream.schema(schema).parquet(str(src / "b1")),
+        store, pairs, str(tmp_path / "ck1"), threshold=0.3,
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()
+    }
+    assert (1, 10) in got
+    assert spark.read.parquet(store).filter(F.col("doc_id") == 10).count() > 0

@@ -42,15 +42,13 @@ def _semantic_dedup_query(spark, sf_dir: str):
     n_clusters grows with the corpus so per-cluster pair work stays
     constant (the knob that keeps the in-cluster O(B²) bounded). The row
     count probe is parquet metadata — negligible next to the dedup."""
-    from pyspark.sql import functions as F
-
     from etl_data_transformer_spark.operators.curation import semantic_dedup
     from etl_data_transformer_spark.sources.readers import load_star
 
     emb = load_star(spark, sf_dir, ("embeddings",))["embeddings"]
     n = emb.count()
     return semantic_dedup(
-        emb.select("vec_id", "embedding").withColumn("vec_id", F.col("vec_id")),
+        emb.select("vec_id", "embedding"),
         threshold=0.4,
         n_clusters=max(8, n // 250),
     )
