@@ -49,6 +49,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "hyperplane_pairs",
     "semantic_dedup",
+    "winnow_overlap_docs",
 ]
 
 

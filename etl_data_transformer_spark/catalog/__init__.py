@@ -100,6 +100,7 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_quantized_match": EXT.q_ann_ivf_quantized_match,
     "semantic_dedup_gate": EXT.q_semantic_dedup_gate,
     "leakage_safe_split_gate": EXT.q_leakage_safe_split_gate,
+    "winnow_overlap_docs": EXT.q_winnow_overlap_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

@@ -493,6 +493,18 @@ def q_leakage_safe_split_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs (MOSS-style boilerplate /
+    plagiarism detection): char-20-gram Karp-Rabin hashes, window-8 minima
+    selected, pairs sharing >= 3 fingerprints with the containment estimate.
+    k=20 keeps fingerprints discriminative on the template-generated
+    fixture (k=8 matched half of all pairs through shared vocabulary).
+    The rolling hash is pure codepoint arithmetic, so the DuckDB oracle
+    reproduces every fingerprint bit-exact with list comprehensions."""
+    d = _docs(spark, sf_dir)
+    return DD.winnow_overlap_pairs(d, k=20, w=8, min_shared=3)
+
+
 def q_redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over a per-doc synthetic payload (deterministic email /
     IP / card / phone built from the doc id) concatenated with a real text

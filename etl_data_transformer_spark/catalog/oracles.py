@@ -635,6 +635,36 @@ TEMPORAL_ORACLES: dict[str, str] = {
         FROM embeddings, (SELECT unnest([1, 2, 3, 4, 5]) AS rank)
         WHERE vec_id < 10
     """,
+    # winnowing fingerprints: the identical Karp-Rabin fold + window-min
+    # selection in DuckDB list comprehensions (ord == Spark ascii ==
+    # codepoint; both folds start from accumulator 0 ≡ first codepoint).
+    "winnow_overlap_docs": f"""
+        WITH d AS (
+          SELECT doc_id, {_NORM_TEXT} AS t FROM documents
+        ), kg AS (
+          SELECT doc_id, [
+              list_reduce(
+                [CAST(ord(substr(t, CAST(i AS INT) + j, 1)) AS BIGINT)
+                 for j in range(0, 20)],
+                (a, b) -> (a * 31 + b) % 1000000007
+              ) for i in range(1, greatest(length(t) - 19, 0) + 1)] AS kg
+          FROM d
+        ), wf AS (
+          SELECT doc_id, list_distinct([
+              list_min(kg[CAST(i AS INT):CAST(i AS INT) + 7])
+              for i in range(1, greatest(len(kg) - 7, 0) + 1)]) AS fps
+          FROM kg
+        ), ex AS (
+          SELECT doc_id, len(fps) AS nf, unnest(fps) AS fp FROM wf
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS shared,
+               round(CAST(count(*) AS DOUBLE) / least(min(a.nf), min(b.nf)), 6)
+                 AS containment
+        FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 3
+    """,
     "semantic_dedup_gate": """
         SELECT CAST(0 AS BIGINT) AS n_survivor_violations, true AS drops_justified
     """,

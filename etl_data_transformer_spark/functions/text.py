@@ -129,6 +129,64 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+# Karp-Rabin polynomial rolling-hash parameters for winnowing fingerprints.
+# BASE * (MOD - 1) + max codepoint < 2^63 — the fold never overflows a long.
+WINNOW_BASE = 31
+WINNOW_MOD = 1_000_000_007
+
+
+def kgram_hashes(col: Column | str, k: int = 8) -> Column:
+    """Karp-Rabin polynomial hash of every character k-gram of ``col``:
+    ``h = fold(0, (acc, c) -> (acc * BASE + codepoint(c)) % MOD)``.
+
+    Pure integer arithmetic on codepoints (no engine-specific hash
+    function), so an ANSI-SQL oracle can reproduce every value bit-exact.
+    Callers should pass an ALREADY-MATERIALIZED normalized column (see
+    ``winnow_fingerprints``) — inlining ``normalize_for_fingerprint`` here
+    would re-run the regex once per (gram, char) inside the nested lambdas.
+    Returns ``array<long>`` in document order (one hash per gram start);
+    texts shorter than ``k`` return an empty array.
+    """
+    t = F.col(col) if isinstance(col, str) else col
+    n_grams = F.length(t) - F.lit(k - 1)
+    starts = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    offsets = F.sequence(F.lit(0), F.lit(k - 1))
+    return F.transform(
+        starts,
+        lambda i: F.aggregate(
+            offsets,
+            F.lit(0).cast("long"),
+            lambda acc, j: (acc * F.lit(WINNOW_BASE) + F.ascii(t.substr(i + j, F.lit(1))))
+            % F.lit(WINNOW_MOD),
+        ),
+    )
+
+
+def winnow_select(hashes_col: Column | str, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): slide a window of ``w`` consecutive k-gram hashes and keep
+    the minimum of each window; the distinct selected hashes are the
+    document's fingerprint set. Guarantees every shared substring of length
+    ``>= k + w - 1`` between two documents contributes at least one SHARED
+    fingerprint — the local-sampling property that makes fingerprint
+    equi-joins a sound plagiarism/boilerplate detector.
+
+    Array-native (transform + slice + array_min): the whole selection is one
+    codegen'd projection per document — no explode, no shuffle. Pass a
+    MATERIALIZED hashes column (same inlining caveat as ``kgram_hashes``).
+    """
+    h = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
+    n_windows = F.size(h) - F.lit(w - 1)
+    starts = F.when(n_windows >= 1, F.sequence(F.lit(1), n_windows)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_sort(
+        F.array_distinct(F.transform(starts, lambda i: F.array_min(F.slice(h, i, w))))
+    )
+
+
 def duplicate_line_fraction(col: Column | str) -> Column:
     """Fraction of lines that are repeats of an earlier line (0 when the doc
     has no newline structure) — the boilerplate/spam repetition signal from

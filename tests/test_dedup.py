@@ -344,3 +344,75 @@ def test_compact_minhash_store_preserves_incremental_pairs(spark, tmp_path):
     DD.compact_minhash_store(spark, path, live_ids=corpus.select("doc_id"))
     with pytest.raises(ValueError, match="exactly one"):
         DD.compact_minhash_store(spark, path)
+
+
+# ------------------------------------------------------- winnowing ----
+
+
+def test_winnow_arrow_equals_expression_path(spark, star):
+    """The vectorized numpy path and the pure-expression path are the same
+    integer fold over codepoints — values must be bit-identical."""
+    docs = star["documents"].filter(F.col("doc_id") < 60)
+    fast = DD.winnow_fingerprints(docs, k=8, w=4, arrow=True)
+    slow = DD.winnow_fingerprints(docs, k=8, w=4, arrow=False)
+    a = {r["doc_id"]: (r["n_grams"], list(r["fingerprints"])) for r in fast.collect()}
+    b = {r["doc_id"]: (r["n_grams"], list(r["fingerprints"])) for r in slow.collect()}
+    assert a == b and len(a) == 60
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Winnowing guarantee: any shared substring of length >= k + w - 1
+    yields at least one shared fingerprint (here k=8, w=4 → 11 chars)."""
+    shared = "xqzjvkwpyfmg"  # 12 distinctive chars >= k + w - 1
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb " + shared + " cccc dddd"),
+            (2, "totally different preamble " + shared + " and suffix here"),
+            (3, "no overlap with anything else at all in this one row"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = DD.winnow_overlap_pairs(df, k=8, w=4, min_shared=1).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in ids
+    assert not any(3 in p for p in ids)
+
+
+def test_winnow_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "tiny"), (3, None), (4, "exactly8")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in DD.winnow_fingerprints(df, k=8, w=4).collect()}
+    assert list(rows[1]["fingerprints"]) == [] and rows[1]["n_grams"] == 0
+    assert list(rows[2]["fingerprints"]) == []
+    assert list(rows[3]["fingerprints"]) == []
+    # one gram but fewer than w windows → no fingerprint selected
+    assert rows[4]["n_grams"] == 1 and list(rows[4]["fingerprints"]) == []
+
+
+def test_winnow_hot_fingerprint_cap(spark):
+    """A fingerprint shared by every doc is dropped by the cap; pairs from
+    rarer fingerprints survive."""
+    boiler = "this boilerplate footer appears everywhere verbatim"
+    rare = "zzz unique collision segment qqq"
+    rows = [(i, f"doc number {i} body " + boiler) for i in range(10)]
+    rows += [(100, "A " + rare + " tail-a"), (101, "B " + rare + " tail-b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = DD.winnow_overlap_pairs(df, k=8, w=4, min_shared=1, max_bucket_size=4)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    # the 10 boilerplate docs share only hot (dropped) fingerprints beyond
+    # their distinct "doc number i" prefixes — far fewer pairs than 45
+    uncapped = DD.winnow_overlap_pairs(df, k=8, w=4, min_shared=1)
+    assert len(got) < uncapped.count()
+
+
+def test_winnow_overlap_reuses_fingerprint_exchange(spark, star):
+    """The self-join must hang both sides off ONE repartition("fp") exchange
+    (ReusedExchange in the executed plan) — otherwise the whole fingerprint
+    map stage runs once per side."""
+    docs = star["documents"].filter(F.col("doc_id") < 100)
+    df = DD.winnow_overlap_pairs(docs, k=20, w=8, min_shared=1)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
