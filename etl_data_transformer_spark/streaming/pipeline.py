@@ -299,6 +299,49 @@ def stream_exact_dedup(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: each left event matched to right events
+    of the same key whose timestamp falls in
+    ``[left_ts + lower, left_ts + upper]`` — the streaming twin of the
+    bounded batch ``operators/temporal.range_join`` (e.g. view→purchase
+    attribution within an attribution window).
+
+    Both sides are watermarked and the join condition carries an explicit
+    event-time range — the two things Spark requires to EVICT join state:
+    a left row can stop waiting once the right watermark passes
+    ``left_ts + upper``, so state stays bounded by
+    ``watermark + upper`` regardless of stream length (an equi-join without
+    the time bound would buffer both streams forever).
+
+    Right-side columns are prefixed ``r_`` (both inputs are event streams
+    with overlapping schemas). ``how='inner'`` emits matches eagerly —
+    available-now drains see them immediately; outer variants
+    ('leftOuter'/'rightOuter'/'fullOuter') only emit the null-padded
+    unmatched rows once the watermark closes them, which a single
+    AvailableNow drain never reaches — use inner for backfill-style runs.
+    """
+    r = right.select([F.col(c).alias(f"r_{c}") for c in right.columns])
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = r.withWatermark(f"r_{right_ts}", right_watermark)
+    cond = (
+        (lw[key_col] == rw[f"r_{key_col}"])
+        & (rw[f"r_{right_ts}"] >= lw[left_ts] + F.expr(f"INTERVAL {lower}"))
+        & (rw[f"r_{right_ts}"] <= lw[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, how)
+
+
 def stream_near_dedup(
     stream_docs: DataFrame,
     store_path: str,
