@@ -63,6 +63,7 @@ def contamination_check(
     id_col: str = "doc_id",
     n: int = 8,
     threshold: float = 0.1,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Benchmark-contamination detection: for each corpus document, the
     fraction of its word ``n``-gram shingles that appear anywhere in the
@@ -73,8 +74,13 @@ def contamination_check(
     benchmark side is distinct-ed and broadcast (eval sets are tiny next to
     a training corpus), and the join is a hash semi-join per exploded
     shingle followed by a map-side-combinable count — never an N×N compare,
-    never a Python UDF. For a benchmark too big to broadcast, remove the
-    hint: the same plan becomes a shuffled hash join on the shingle hash.
+    never a Python UDF. For a benchmark too big to broadcast, pass
+    ``broadcast_bench=False``: the same plan becomes a shuffled hash join
+    on the shingle hash, and under
+    ``joins.runtime_filtered_join_confs()`` Catalyst injects a runtime
+    BLOOM filter of the benchmark keys into the corpus side, dropping
+    non-matching shingle rows before the shuffle (bloom false positives
+    only pass extra rows to the exact join — counts unchanged).
     """
     hs = lambda c: F.transform(shingles(c, n), lambda s: F.xxhash64(s))  # noqa: E731
     corpus_sh = (
@@ -89,10 +95,11 @@ def contamination_check(
     # against the broadcast benchmark set and count hits conditionally —
     # zero-hit docs keep their row via the groupBy, so no second
     # corpus-shingling branch for the base set
+    bench_side = bench_sh.withColumn("__hit", F.lit(1))
+    if broadcast_bench:
+        bench_side = F.broadcast(bench_side)
     out = (
-        corpus_sh.join(
-            F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "h", "left"
-        )
+        corpus_sh.join(bench_side, "h", "left")
         .groupBy(id_col, "n_shingles")
         .agg(F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"))
         .withColumn("contamination", F.round(F.col("n_hits") / F.col("n_shingles"), 6))

@@ -118,3 +118,56 @@ def normalized_key_join(
     if extra is not None:
         cond = cond & extra
     return left.join(F.broadcast(right), cond, how)
+
+
+def runtime_filtered_join_confs(
+    creation_side_threshold: str = "1GB",
+    application_side_scan_threshold: str = "0",
+) -> dict[str, str]:
+    """Conf set that makes Catalyst inject a RUNTIME BLOOM FILTER into
+    large-large shuffled joins (``InjectRuntimeFilter``): the selective
+    build side aggregates a bloom filter of its join keys, and the probe
+    side's scan gets a ``might_contain`` predicate — rows that cannot match
+    are dropped BEFORE the shuffle, which at 100 TB is the difference
+    between shuffling the whole fact table and shuffling only the matching
+    slice. This is the engine-native answer to "semi-join against a set too
+    big to broadcast" (e.g. contamination_check with a huge eval corpus).
+
+    Spark enables the feature by default but gates it on size estimates
+    (creation side < 10 MB, probe scan > 10 GB); these confs widen the gate.
+    Apply with::
+
+        with_confs(spark, runtime_filtered_join_confs())
+
+    or set them per-cluster. Correctness is unaffected — bloom false
+    positives only let extra rows through to the exact join.
+    """
+    return {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": creation_side_threshold,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": application_side_scan_threshold,
+    }
+
+
+class with_confs:
+    """Context manager: set SQL confs, restore previous values on exit."""
+
+    def __init__(self, spark, confs: dict[str, str]):
+        self.spark, self.confs, self._saved = spark, confs, {}
+
+    def __enter__(self):
+        for k, v in self.confs.items():
+            try:
+                self._saved[k] = self.spark.conf.get(k)
+            except Exception:
+                self._saved[k] = None
+            self.spark.conf.set(k, v)
+        return self.spark
+
+    def __exit__(self, *exc):
+        for k, old in self._saved.items():
+            if old is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, old)
+        return False

@@ -323,3 +323,18 @@ def test_leakage_safe_split_never_straddles_and_is_deterministic(spark):
 
     with pytest.raises(ValueError, match="test_fraction"):
         C.leakage_safe_split(df, pairs, test_fraction=1.5)
+
+
+def test_contamination_shuffled_bench_equals_broadcast(spark, star):
+    """broadcast_bench=False (the huge-eval-set path) returns identical
+    counts to the broadcast plan."""
+    from etl_data_transformer_spark.operators.curation import contamination_check
+
+    d = star["documents"].filter(F.col("doc_id") < 120)
+    bench = d.filter(F.col("doc_id") < 30)
+    corpus = d.filter(F.col("doc_id") >= 30)
+    a = contamination_check(corpus, bench, n=8, threshold=0.1).collect()
+    b = contamination_check(
+        corpus, bench, n=8, threshold=0.1, broadcast_bench=False
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -87,3 +87,48 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injected_and_correct(spark):
+    """With the widened gates, a selective large-large shuffled join gets a
+    runtime bloom filter (might_contain on the probe side) and returns the
+    same rows as the unfiltered plan."""
+    from etl_data_transformer_spark.operators.joins import (
+        runtime_filtered_join_confs,
+        with_confs,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+        F.col("o_totalprice") > 200000
+    )
+    expected = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    confs = {
+        **runtime_filtered_join_confs(),
+        # force the shuffled-join shape the feature targets
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    with with_confs(spark, confs):
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        got = j.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_with_confs_restores_previous_values(spark):
+    from etl_data_transformer_spark.operators.joins import with_confs
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with with_confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
