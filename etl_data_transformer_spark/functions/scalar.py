@@ -110,3 +110,31 @@ def in_list(col: Column | str, values: Iterable[object]) -> Column:
     """P6 — ``col IN (...)`` (I:63-65)."""
     c = F.col(col) if isinstance(col, str) else col
     return c.isin(list(values))
+
+
+def zorder_key(cols: list, bits: int = 21):
+    """Z-order (Morton) key over non-negative integer columns: bit ``b`` of
+    column ``i`` lands at position ``b * len(cols) + i``, interleaving the
+    dimensions so rows close in EVERY dimension get close keys. Sort/range-
+    partition on this key (``sources.writers.write_sorted``) and a scan
+    filtered on any subset of the dimensions prunes most files — the
+    multi-column data-skipping layout (single-column sort only skips on its
+    leading column). ``bits`` caps each dimension at ``2^bits - 1``
+    (21 bits × 3 cols fits a long); values are clamped, preserving order.
+
+    Statically unrolled shifts/masks — one codegen'd expression, no UDF.
+    """
+    n = len(cols)
+    if not (1 <= n <= 3):
+        raise ValueError("zorder_key interleaves 1-3 columns")
+    if bits * n > 63:
+        raise ValueError("bits * len(cols) must fit in a signed long")
+    cap = F.lit((1 << bits) - 1)
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        v = F.least(F.greatest(F.col(c) if isinstance(c, str) else c, F.lit(0)).cast("long"), cap)
+        for b in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(v, b).bitwiseAND(F.lit(1)), b * n + i)
+            )
+    return key

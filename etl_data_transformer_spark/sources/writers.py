@@ -107,3 +107,29 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    partition_by: list[str] | None = None,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Data-skipping layout: globally range-partition on ``sort_cols`` and
+    sort within each output file, so every parquet file (and row group)
+    covers a NARROW, mostly-disjoint min/max range of the sort key. Range
+    scans then prune at the footer level: a predicate on the sort key
+    touches ~1/N of the files instead of all of them — at 100 TB the
+    difference between reading the whole table and reading one key range
+    (this is the plain-parquet form of what Delta OPTIMIZE ZORDER /
+    clustering keys do).
+
+    ``repartitionByRange`` samples the key distribution, so files are
+    near-equal-sized even on skewed keys. For multi-dimensional locality
+    sort on ``functions.scalar.zorder_key(...)`` instead of a column list.
+    """
+    out = df.repartitionByRange(*([num_files] if num_files else []), *sort_cols)
+    out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode(mode).partitionBy(*(partition_by or [])).parquet(path)
