@@ -168,6 +168,36 @@ def session_agg(
     )
 
 
+def session_agg_native(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    value_col: str = "value",
+) -> DataFrame:
+    """``session_agg`` twin on Spark's NATIVE ``session_window`` aggregate —
+    the engine merges overlapping per-event windows ``[ts, ts + gap)``
+    internally (one aggregation, no lag/running-sum window pair), and the
+    same call works unchanged on a watermarked stream, where the
+    gaps-and-islands formulation cannot (lag over a stream is unbounded
+    state). Boundary semantics vs ``sessionize``: an event at EXACTLY
+    ``prev + gap`` starts a new session here (window is half-open) but
+    continues the session there (strict ``>``); real event-time data at
+    microsecond resolution never lands on the boundary — equivalence is
+    pytest-pinned on the fixture.
+    """
+    return (
+        df.groupBy(F.col(key), F.session_window(F.col(ts_col), gap).alias("sw"))
+        .agg(
+            F.min(ts_col).alias("sess_start"),
+            F.max(ts_col).alias("sess_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .select(key, "sess_start", "sess_end", "n_events", "sum_value")
+    )
+
+
 def rolling_stats(
     df: DataFrame,
     key: str = "user_id",

@@ -101,3 +101,23 @@ def test_ngram_jaccard_exact_identical_docs(spark):
     )
     out = ngram_jaccard_exact(d, threshold=0.9).collect()
     assert [(r["id_a"], r["id_b"], r["jaccard_3gram"]) for r in out] == [(1, 2, 1.0)]
+
+
+def test_session_agg_native_equals_gaps_and_islands(spark, star):
+    """Native session_window aggregation and the gaps-and-islands window
+    formulation produce the same sessions on microsecond event data."""
+    from etl_data_transformer_spark.operators.temporal import (
+        session_agg,
+        session_agg_native,
+    )
+
+    ev = star["events"]
+    a = {
+        (r["user_id"], r["sess_start"], r["sess_end"], r["n_events"], r["sum_value"])
+        for r in session_agg(ev).collect()
+    }
+    b = {
+        (r["user_id"], r["sess_start"], r["sess_end"], r["n_events"], r["sum_value"])
+        for r in session_agg_native(ev).collect()
+    }
+    assert a == b and len(a) > 0
