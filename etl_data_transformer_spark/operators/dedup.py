@@ -355,15 +355,15 @@ def read_minhash_store(
     return spark.read.parquet(path).select("doc_id", "hs", "sig")
 
 
-def _validate_store_params(sidecar: str, expected: dict) -> None:
+def _validate_store_params(sidecar: str, expected: dict, label: str = "minhash") -> None:
     import json
 
     with open(sidecar, encoding="utf-8") as f:
         stored = json.load(f)
     if stored != expected:
         raise ValueError(
-            f"minhash store parameter mismatch: store built with {stored}, "
-            f"caller using {expected} — band signatures from different "
+            f"{label} store parameter mismatch: store built with {stored}, "
+            f"caller using {expected} — signatures from different "
             "parameters never match; rebuild the store or align the caller"
         )
 
@@ -938,4 +938,133 @@ def winnow_overlap_pairs(
                 F.col("shared").cast("double") / F.least("nf_a", "nf_b"), 6
             ).alias("containment"),
         )
+    )
+
+
+def winnow_store_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    arrow: bool = True,
+) -> DataFrame:
+    """(id, nf, fp) exploded winnowing-fingerprint rows — the persisted
+    store form ``winnow_overlap_incremental`` joins against. Fingerprints
+    are deterministic, so stored and freshly-computed rows are
+    interchangeable (the same property the MinHash store lifecycle rests
+    on)."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w, arrow=arrow)
+    return fps.select(
+        F.col(id_col),
+        F.size("fingerprints").alias("nf"),
+        F.explode("fingerprints").alias("fp"),
+    )
+
+
+def write_winnow_store(store_df: DataFrame, path: str, *, k: int = 8, w: int = 4, mode: str = "append") -> None:
+    """Persist winnow-store rows with a ``_winnow_params`` sidecar — same
+    lifecycle discipline as ``write_minhash_store``: overwrite = atomic
+    rebuild with the new label swapped in with the data; append = sidecar
+    validated/written BEFORE the first data write (fingerprints from a
+    different (k, w) share no values, so a silent mix yields zero
+    store-side pairs)."""
+    import os
+
+    from ..sources.writers import atomic_swap_write
+
+    params = {"k": k, "w": w}
+    sidecar = os.path.join(path, "_winnow_params.json")
+    if mode == "overwrite":
+        atomic_swap_write(
+            store_df,
+            path,
+            finalize_staging=lambda staging: _write_params_sidecar(
+                os.path.join(staging, "_winnow_params.json"), params
+            ),
+        )
+        return
+    if os.path.exists(sidecar):
+        _validate_store_params(sidecar, params, label="winnow")
+    else:
+        os.makedirs(path, exist_ok=True)
+        _write_params_sidecar(sidecar, params)
+    store_df.write.mode(mode).parquet(path)
+
+
+def read_winnow_store(spark, path: str, *, k: int = 8, w: int = 4) -> DataFrame:
+    """Load a persisted winnow store, validating (k, w) against the sidecar
+    — a mismatch raises instead of silently matching nothing."""
+    import os
+
+    sidecar = os.path.join(path, "_winnow_params.json")
+    if os.path.exists(sidecar):
+        _validate_store_params(sidecar, {"k": k, "w": w}, label="winnow")
+    return spark.read.parquet(path).select("doc_id", "nf", "fp")
+
+
+def winnow_overlap_incremental(
+    new_df: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int | None = None,
+    include_batch_pairs: bool = True,
+) -> DataFrame:
+    """Winnowing-overlap pairs for an INCREMENTAL ingest batch: every pair
+    sharing >= ``min_shared`` fingerprints where at least one side is a new
+    document — exactly ``winnow_overlap_pairs(old ∪ new)`` restricted to
+    pairs touching the batch (equivalence pinned in ``tests/test_dedup.py``),
+    but the existing corpus is never re-fingerprinted: only its (id, nf, fp)
+    store rows join in. Ids must be disjoint between batch and store.
+
+    ``include_batch_pairs=False`` keeps only batch-vs-store pairs — the
+    verbatim-overlap tier of benchmark decontamination (store the eval
+    set's fingerprints once, screen every ingest batch). The hot-fp cap
+    counts over the COMBINED corpus regardless (same census discipline as
+    ``minhash_dedup_incremental``). Returns
+    (id_a, id_b, shared, containment).
+    """
+    new_rows = winnow_store_rows(new_df, text_col, id_col, k, w).withColumn(
+        "__new", F.lit(1)
+    )
+    store_rows = store.select(F.col(id_col), "nf", "fp").withColumn("__new", F.lit(0))
+    combined = store_rows.unionByName(new_rows)
+    other = combined if include_batch_pairs else store_rows
+    if max_bucket_size is not None:
+        hot = (
+            combined.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket_size)
+            .select("fp")
+        )
+        new_rows = new_rows.join(F.broadcast(hot), ["fp"], "left_anti")
+        other = other.join(F.broadcast(hot), ["fp"], "left_anti")
+    a = new_rows.select(F.col(id_col).alias("id_n"), F.col("nf").alias("nf_n"), "fp")
+    b = other.select(
+        F.col(id_col).alias("id_o"), F.col("nf").alias("nf_o"), "fp", F.col("__new").alias("__new_o")
+    )
+    # count each shared fp exactly once per pair: batch-vs-store pairs only
+    # appear as (new, old); batch-vs-batch pairs appear in both orders, so
+    # keep them in id order only
+    pairs = (
+        a.join(b, "fp")
+        .filter((F.col("__new_o") == 0) | (F.col("id_n") < F.col("id_o")))
+        .filter(F.col("id_n") != F.col("id_o"))
+        .withColumn("id_a", F.least("id_n", "id_o"))
+        .withColumn("id_b", F.greatest("id_n", "id_o"))
+        .groupBy("id_a", "id_b", "nf_n", "nf_o")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "shared",
+        F.round(F.col("shared").cast("double") / F.least("nf_n", "nf_o"), 6).alias(
+            "containment"
+        ),
     )

@@ -416,3 +416,59 @@ def test_winnow_overlap_reuses_fingerprint_exchange(spark, star):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_winnow_incremental_equals_full_corpus_restriction(spark, star):
+    """Incremental run (batch vs stored fingerprints) == full-corpus
+    winnow_overlap_pairs restricted to pairs touching the batch."""
+    d = star["documents"].filter(F.col("doc_id") < 200)
+    old = d.filter(F.col("doc_id") < 120)
+    new = d.filter(F.col("doc_id") >= 120)
+    full = DD.winnow_overlap_pairs(d, k=20, w=8, min_shared=1)
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    expected = {
+        (r["id_a"], r["id_b"], r["shared"], r["containment"])
+        for r in full.collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    store = DD.winnow_store_rows(old, k=20, w=8)
+    got = {
+        (r["id_a"], r["id_b"], r["shared"], r["containment"])
+        for r in DD.winnow_overlap_incremental(
+            new, store, k=20, w=8, min_shared=1
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_winnow_incremental_cross_corpus_only(spark, star):
+    """include_batch_pairs=False keeps only batch-vs-store pairs."""
+    d = star["documents"].filter(F.col("doc_id") < 200)
+    old = d.filter(F.col("doc_id") < 120)
+    new = d.filter(F.col("doc_id") >= 120)
+    store = DD.winnow_store_rows(old, k=20, w=8)
+    got = DD.winnow_overlap_incremental(
+        new, store, k=20, w=8, min_shared=1, include_batch_pairs=False
+    ).collect()
+    assert len(got) > 0
+    for r in got:
+        assert (r["id_a"] < 120) != (r["id_b"] < 120)  # exactly one side old
+
+
+def test_winnow_store_roundtrip_and_param_mismatch(spark, star, tmp_path):
+    import pytest
+
+    d = star["documents"].filter(F.col("doc_id") < 60)
+    path = str(tmp_path / "wstore")
+    DD.write_winnow_store(DD.winnow_store_rows(d, k=20, w=8), path, k=20, w=8)
+    back = DD.read_winnow_store(spark, path, k=20, w=8)
+    assert back.count() == DD.winnow_store_rows(d, k=20, w=8).count()
+    with pytest.raises(ValueError, match="winnow store parameter mismatch"):
+        DD.read_winnow_store(spark, path, k=8, w=4)
+    with pytest.raises(ValueError, match="winnow store parameter mismatch"):
+        DD.write_winnow_store(DD.winnow_store_rows(d, k=8, w=4), path, k=8, w=4)
+    # overwrite = legitimate rebuild with new params
+    DD.write_winnow_store(
+        DD.winnow_store_rows(d, k=8, w=4), path, k=8, w=4, mode="overwrite"
+    )
+    assert DD.read_winnow_store(spark, path, k=8, w=4).count() > 0
