@@ -505,6 +505,20 @@ def q_winnow_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.winnow_overlap_pairs(d, k=20, w=8, min_shared=3)
 
 
+def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter terms over the corpus vocabulary: Misra-Gries
+    candidate sweep (no shuffle) + exact count verify — the result equals a
+    plain GROUP BY ... HAVING, which is exactly what the oracle runs."""
+    from ..operators.aggregates import heavy_hitters
+
+    tok = (
+        _docs(spark, sf_dir)
+        .select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    return heavy_hitters(tok, "term", support=0.02)
+
+
 def q_redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over a per-doc synthetic payload (deterministic email /
     IP / card / phone built from the doc id) concatenated with a real text

@@ -635,6 +635,20 @@ TEMPORAL_ORACLES: dict[str, str] = {
         FROM embeddings, (SELECT unnest([1, 2, 3, 4, 5]) AS rank)
         WHERE vec_id < 10
     """,
+    # heavy hitters: the two-phase sketch+verify operator is EXACT, so the
+    # oracle is the plain GROUP BY ... HAVING it must equal
+    "heavy_hitter_terms": """
+        WITH tok AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+          FROM documents
+        ), f AS (
+          SELECT term FROM tok WHERE length(term) > 0
+        ), n AS (SELECT count(*) AS c FROM f)
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt,
+               round(count(*) / (SELECT c FROM n), 6) AS frequency
+        FROM f GROUP BY term
+        HAVING count(*) > 0.02 * (SELECT c FROM n)
+    """,
     # winnowing fingerprints: the identical Karp-Rabin fold + window-min
     # selection in DuckDB list comprehensions (ord == Spark ascii ==
     # codepoint; both folds start from accumulator 0 ≡ first codepoint).

@@ -61,3 +61,38 @@ def dedup_full_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataF
 def group_max(df: DataFrame, group_cols: Sequence[str], max_col: str, alias: str) -> DataFrame:
     """A1/A2 — ``SELECT max(x) ... GROUP BY k`` (``I:44-50``)."""
     return df.groupBy(*group_cols).agg(F.max(max_col).alias(alias))
+
+
+def heavy_hitters(df: DataFrame, col: str, support: float = 0.01) -> DataFrame:
+    """Exact heavy hitters (items with count > ``support`` × N) in two
+    phases: a one-pass Misra-Gries candidate sweep (``df.stat.freqItems`` —
+    per-partition summaries of ≤ 1/support entries merged on the driver, NO
+    shuffle, guaranteed SUPERSET of the true heavy hitters), then an exact
+    count restricted to candidate rows. Returns (item, cnt, frequency).
+
+    The scale point: a plain ``GROUP BY col HAVING count > support*N``
+    shuffles the ENTIRE key universe (every distinct token of a 100 TB
+    corpus) to find the handful of frequent ones; this shape shuffles only
+    rows matching ≤ 1/support candidate values. The result is EXACT —
+    false candidates are removed by the exact counts, true heavy hitters
+    cannot be missed (sketch guarantee) — so a plain SQL oracle verifies it
+    row-for-row.
+    """
+    if not (0.0 < support < 1.0):
+        raise ValueError("support must be in (0, 1)")
+    n = df.count()
+    cands = df.stat.freqItems([col], support).collect()[0][0]
+    if n == 0 or not cands:
+        return (
+            df.select(col)
+            .limit(0)
+            .withColumn("cnt", F.lit(0).cast("long"))
+            .withColumn("frequency", F.lit(0.0))
+        )
+    return (
+        df.filter(F.col(col).isin(list(cands)))
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > support * n)
+        .withColumn("frequency", F.round(F.col("cnt") / F.lit(n), 6))
+    )

@@ -50,3 +50,38 @@ def test_group_max(spark):
     df = spark.createDataFrame([("a", 1), ("a", 5), ("b", 2)], ["k", "v"])
     got = {r["k"]: r["mx"] for r in group_max(df, ["k"], "v", "mx").collect()}
     assert got == {"a": 5, "b": 2}
+
+
+def test_heavy_hitters_exact_vs_plain_groupby(spark, star):
+    """Two-phase sketch+verify equals the plain GROUP BY ... HAVING answer."""
+    from etl_data_transformer_spark.operators.aggregates import heavy_hitters
+
+    tok = (
+        star["documents"]
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    n = tok.count()
+    expected = {
+        (r["term"], r["cnt"])
+        for r in tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 0.02 * n)
+        .collect()
+    }
+    got = {(r["term"], r["cnt"]) for r in heavy_hitters(tok, "term", 0.02).collect()}
+    assert got == expected and len(got) > 0
+
+
+def test_heavy_hitters_empty_and_validation(spark):
+    import pytest
+
+    from etl_data_transformer_spark.operators.aggregates import heavy_hitters
+
+    empty = spark.createDataFrame([], "term string")
+    out = heavy_hitters(empty, "term", 0.1)
+    assert out.columns == ["term", "cnt", "frequency"] and out.count() == 0
+    with pytest.raises(ValueError):
+        heavy_hitters(empty, "term", 0.0)
+    with pytest.raises(ValueError):
+        heavy_hitters(empty, "term", 1.0)
