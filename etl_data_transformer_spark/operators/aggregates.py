@@ -77,22 +77,36 @@ def heavy_hitters(df: DataFrame, col: str, support: float = 0.01) -> DataFrame:
     false candidates are removed by the exact counts, true heavy hitters
     cannot be missed (sketch guarantee) — so a plain SQL oracle verifies it
     row-for-row.
+
+    The three actions (count, sketch, verify) run off one persisted scan of
+    the input lineage — q_heavy_hitter_terms' tokenize+explode would
+    otherwise re-execute per action (review finding); the small result is
+    eagerly localCheckpoint'ed so the cache can be released before return.
     """
-    if not (0.0 < support < 1.0):
-        raise ValueError("support must be in (0, 1)")
-    n = df.count()
-    cands = df.stat.freqItems([col], support).collect()[0][0]
-    if n == 0 or not cands:
+    # mirror freqItems' real lower bound — below it the JVM raises an
+    # opaque IllegalArgumentException deep in the sketch
+    if not (1e-4 <= support < 1.0):
+        raise ValueError("support must be in [1e-4, 1)")
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = df.count()
+        cands = df.stat.freqItems([col], support).collect()[0][0]
+        if n == 0 or not cands:
+            return (
+                df.select(col)
+                .limit(0)
+                .withColumn("cnt", F.lit(0).cast("long"))
+                .withColumn("frequency", F.lit(0.0))
+            )
         return (
-            df.select(col)
-            .limit(0)
-            .withColumn("cnt", F.lit(0).cast("long"))
-            .withColumn("frequency", F.lit(0.0))
+            df.filter(F.col(col).isin(list(cands)))
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > support * n)
+            .withColumn("frequency", F.round(F.col("cnt") / F.lit(n), 6))
+            .localCheckpoint(eager=True)  # materialize off the cache now
         )
-    return (
-        df.filter(F.col(col).isin(list(cands)))
-        .groupBy(col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") > support * n)
-        .withColumn("frequency", F.round(F.col("cnt") / F.lit(n), 6))
-    )
+    finally:
+        df.unpersist()

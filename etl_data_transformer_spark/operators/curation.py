@@ -64,6 +64,7 @@ def contamination_check(
     n: int = 8,
     threshold: float = 0.1,
     broadcast_bench: bool = True,
+    bucket_bits: int = 20,
 ) -> DataFrame:
     """Benchmark-contamination detection: for each corpus document, the
     fraction of its word ``n``-gram shingles that appear anywhere in the
@@ -75,12 +76,21 @@ def contamination_check(
     a training corpus), and the join is a hash semi-join per exploded
     shingle followed by a map-side-combinable count — never an N×N compare,
     never a Python UDF. For a benchmark too big to broadcast, pass
-    ``broadcast_bench=False``: the same plan becomes a shuffled hash join
-    on the shingle hash, and under
-    ``joins.runtime_filtered_join_confs()`` Catalyst injects a runtime
-    BLOOM filter of the benchmark keys into the corpus side, dropping
-    non-matching shingle rows before the shuffle (bloom false positives
-    only pass extra rows to the exact join — counts unchanged).
+    ``broadcast_bench=False``: hit counting becomes a two-tier filter — a
+    broadcast semi-join against the benchmark's COARSE bucket set
+    (``h mod 2^bucket_bits``: at most ``2^bucket_bits`` longs, broadcastable
+    when the full shingle set is not — a one-hash block bloom built
+    entirely from DataFrame ops), which drops non-matching corpus shingle
+    rows map-side BEFORE any shuffle, then the exact shuffled semi join on
+    the full hash over the survivors. Bucket false positives only pass
+    extra rows to the exact join — counts unchanged (equivalence
+    pytest-pinned). Catalyst's InjectRuntimeFilter would inject this bloom
+    automatically for plain-column join keys
+    (``joins.runtime_filtered_join_confs``) but cannot trace lineage
+    through the shingle explode — verified in ``tests/test_curation_ops.py``,
+    hence the hand-rolled tier. The price: zero-hit documents need a
+    separate per-doc census, so the corpus is shingled twice (the census
+    shuffle itself is one narrow row per document, map-side combined).
     """
     hs = lambda c: F.transform(shingles(c, n), lambda s: F.xxhash64(s))  # noqa: E731
     corpus_sh = (
@@ -95,14 +105,31 @@ def contamination_check(
     # against the broadcast benchmark set and count hits conditionally —
     # zero-hit docs keep their row via the groupBy, so no second
     # corpus-shingling branch for the base set
-    bench_side = bench_sh.withColumn("__hit", F.lit(1))
     if broadcast_bench:
-        bench_side = F.broadcast(bench_side)
-    out = (
-        corpus_sh.join(bench_side, "h", "left")
-        .groupBy(id_col, "n_shingles")
-        .agg(F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"))
-        .withColumn("contamination", F.round(F.col("n_hits") / F.col("n_shingles"), 6))
+        out = (
+            corpus_sh.join(
+                F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "h", "left"
+            )
+            .groupBy(id_col, "n_shingles")
+            .agg(F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"))
+        )
+    else:
+        base = corpus_sh.select(id_col, "n_shingles").distinct()
+        n_buckets = F.lit(1 << bucket_bits)
+        buckets = bench_sh.select(F.pmod(F.col("h"), n_buckets).alias("__bkt")).distinct()
+        pre = corpus_sh.withColumn("__bkt", F.pmod(F.col("h"), n_buckets)).join(
+            F.broadcast(buckets), "__bkt", "left_semi"
+        )
+        hits = (
+            pre.join(bench_sh, "h", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        )
+        out = base.join(hits, id_col, "left").withColumn(
+            "n_hits", F.coalesce("n_hits", F.lit(0)).cast("long")
+        )
+    out = out.withColumn(
+        "contamination", F.round(F.col("n_hits") / F.col("n_shingles"), 6)
     )
     return out.select(
         id_col,

@@ -992,7 +992,9 @@ def write_winnow_store(store_df: DataFrame, path: str, *, k: int = 8, w: int = 4
     store_df.write.mode(mode).parquet(path)
 
 
-def read_winnow_store(spark, path: str, *, k: int = 8, w: int = 4) -> DataFrame:
+def read_winnow_store(
+    spark, path: str, *, k: int = 8, w: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
     """Load a persisted winnow store, validating (k, w) against the sidecar
     — a mismatch raises instead of silently matching nothing."""
     import os
@@ -1000,7 +1002,7 @@ def read_winnow_store(spark, path: str, *, k: int = 8, w: int = 4) -> DataFrame:
     sidecar = os.path.join(path, "_winnow_params.json")
     if os.path.exists(sidecar):
         _validate_store_params(sidecar, {"k": k, "w": w}, label="winnow")
-    return spark.read.parquet(path).select("doc_id", "nf", "fp")
+    return spark.read.parquet(path).select(id_col, "nf", "fp")
 
 
 def winnow_overlap_incremental(
@@ -1032,8 +1034,12 @@ def winnow_overlap_incremental(
         "__new", F.lit(1)
     )
     store_rows = store.select(F.col(id_col), "nf", "fp").withColumn("__new", F.lit(0))
-    combined = store_rows.unionByName(new_rows)
-    other = combined if include_batch_pairs else store_rows
+    # one repartition("fp") that EVERY consumer (hot-fp census, both join
+    # sides) hangs off, so the batch fingerprint map stage and the store
+    # scan run once (ReusedExchange — the same restructure that took
+    # winnow_overlap_pairs from 3.9 s to 2.4 s; without it the Arrow UDF
+    # executes once per consumer)
+    combined = store_rows.unionByName(new_rows).repartition("fp")
     if max_bucket_size is not None:
         hot = (
             combined.groupBy("fp")
@@ -1041,9 +1047,11 @@ def winnow_overlap_incremental(
             .filter(F.col("__bn") > max_bucket_size)
             .select("fp")
         )
-        new_rows = new_rows.join(F.broadcast(hot), ["fp"], "left_anti")
-        other = other.join(F.broadcast(hot), ["fp"], "left_anti")
-    a = new_rows.select(F.col(id_col).alias("id_n"), F.col("nf").alias("nf_n"), "fp")
+        combined = combined.join(F.broadcast(hot), ["fp"], "left_anti")
+    other = combined if include_batch_pairs else combined.filter(F.col("__new") == 0)
+    a = combined.filter(F.col("__new") == 1).select(
+        F.col(id_col).alias("id_n"), F.col("nf").alias("nf_n"), "fp"
+    )
     b = other.select(
         F.col(id_col).alias("id_o"), F.col("nf").alias("nf_o"), "fp", F.col("__new").alias("__new_o")
     )

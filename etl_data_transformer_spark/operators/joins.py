@@ -131,7 +131,12 @@ def runtime_filtered_join_confs(
     are dropped BEFORE the shuffle, which at 100 TB is the difference
     between shuffling the whole fact table and shuffling only the matching
     slice. This is the engine-native answer to "semi-join against a set too
-    big to broadcast" (e.g. contamination_check with a huge eval corpus).
+    big to broadcast". Two limitations, plan-pinned in tests: the rewrite
+    only fires for join types that may prune the probe side (Inner /
+    LeftSemi — never the probe side of a LEFT OUTER join), and the probe
+    key's lineage must reach a scan (a key derived through an explode is
+    not traced — ``curation.contamination_check`` hand-rolls a coarse
+    bucket tier for exactly that reason).
 
     Spark enables the feature by default but gates it on size estimates
     (creation side < 10 MB, probe scan > 10 GB); these confs widen the gate.
@@ -156,12 +161,20 @@ class with_confs:
         self.spark, self.confs, self._saved = spark, confs, {}
 
     def __enter__(self):
-        for k, v in self.confs.items():
+        # save ALL current values first, then apply — and roll back on a
+        # failed set: __exit__ never runs when __enter__ raises, so a
+        # partial apply would otherwise leak confs into the shared session
+        for k in self.confs:
             try:
                 self._saved[k] = self.spark.conf.get(k)
             except Exception:
                 self._saved[k] = None
-            self.spark.conf.set(k, v)
+        try:
+            for k, v in self.confs.items():
+                self.spark.conf.set(k, v)
+        except Exception:
+            self.__exit__(None, None, None)
+            raise
         return self.spark
 
     def __exit__(self, *exc):

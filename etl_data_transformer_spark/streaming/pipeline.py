@@ -312,10 +312,13 @@ def stream_interval_join(
     how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each left event matched to right events
-    of the same key whose timestamp falls in
-    ``[left_ts + lower, left_ts + upper]`` — the streaming twin of the
-    bounded batch ``operators/temporal.range_join`` (e.g. view→purchase
-    attribution within an attribution window).
+    of the same key whose timestamp falls in the HALF-OPEN interval
+    ``(left_ts + lower, left_ts + upper]`` — the same boundary semantics as
+    the bounded batch ``operators/temporal.range_join`` (its streaming
+    twin; the strict lower bound means a right event at exactly
+    ``left_ts + lower`` does NOT match on either engine — equivalence is
+    pytest-pinned boundary-for-boundary). E.g. view→purchase attribution
+    within an attribution window.
 
     Both sides are watermarked and the join condition carries an explicit
     event-time range — the two things Spark requires to EVICT join state:
@@ -336,7 +339,7 @@ def stream_interval_join(
     rw = r.withWatermark(f"r_{right_ts}", right_watermark)
     cond = (
         (lw[key_col] == rw[f"r_{key_col}"])
-        & (rw[f"r_{right_ts}"] >= lw[left_ts] + F.expr(f"INTERVAL {lower}"))
+        & (rw[f"r_{right_ts}"] > lw[left_ts] + F.expr(f"INTERVAL {lower}"))
         & (rw[f"r_{right_ts}"] <= lw[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
     return lw.join(rw, cond, how)

@@ -327,14 +327,49 @@ def test_leakage_safe_split_never_straddles_and_is_deterministic(spark):
 
 def test_contamination_shuffled_bench_equals_broadcast(spark, star):
     """broadcast_bench=False (the huge-eval-set path) returns identical
-    counts to the broadcast plan."""
+    counts to the broadcast plan, through its two-tier coarse-bucket
+    pre-filter — including a tiny bucket space that forces bucket
+    collisions (false positives must not change counts)."""
     from etl_data_transformer_spark.operators.curation import contamination_check
 
     d = star["documents"].filter(F.col("doc_id") < 120)
     bench = d.filter(F.col("doc_id") < 30)
     corpus = d.filter(F.col("doc_id") >= 30)
     a = contamination_check(corpus, bench, n=8, threshold=0.1).collect()
-    b = contamination_check(
+    for bits in (20, 4):
+        b = contamination_check(
+            corpus, bench, n=8, threshold=0.1, broadcast_bench=False, bucket_bits=bits
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b)), bits
+    shuffled = contamination_check(
         corpus, bench, n=8, threshold=0.1, broadcast_bench=False
-    ).collect()
-    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    )
+    plan = shuffled._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftSemi") == 2  # coarse broadcast tier + exact tier
+
+
+def test_runtime_filter_does_not_reach_through_explode(spark, star):
+    """Documented limitation pinning the reason contamination_check
+    hand-rolls its bucket tier: InjectRuntimeFilter cannot trace a join key
+    derived through a Generate (explode), so no might_contain appears even
+    with the widened gates."""
+    from etl_data_transformer_spark.operators.joins import (
+        runtime_filtered_join_confs,
+        with_confs,
+    )
+    from etl_data_transformer_spark.functions.text import shingles
+
+    d = star["documents"].filter(F.col("doc_id") < 120)
+    ex = lambda df: df.select(  # noqa: E731
+        "doc_id", F.explode(shingles("text", 8)).alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("h"))
+    confs = {
+        **runtime_filtered_join_confs(),
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    with with_confs(spark, confs):
+        j = ex(d.filter(F.col("doc_id") >= 30)).join(
+            ex(d.filter(F.col("doc_id") < 30)), "h", "left_semi"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" not in plan

@@ -426,7 +426,7 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
         for r in views_b.join(
             buys_b.select([F.col(c).alias(f"r_{c}") for c in buys_b.columns]),
             (F.col("user_id") == F.col("r_user_id"))
-            & (F.col("r_ts") >= F.col("ts"))
+            & (F.col("r_ts") > F.col("ts"))
             & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 2 hours")),
         ).collect()
     }
@@ -488,7 +488,7 @@ def test_stream_interval_join_state_across_drains(spark, tmp_path):
         for r in views.join(
             buys.select([F.col(c).alias(f"r_{c}") for c in buys.columns]),
             (F.col("user_id") == F.col("r_user_id"))
-            & (F.col("r_ts") >= F.col("ts"))
+            & (F.col("r_ts") > F.col("ts"))
             & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 2 hours")),
         ).collect()
     }
