@@ -144,8 +144,10 @@ def main() -> None:
     # DuckDB reference timings are best-effort context (single rep): the
     # by-design O(N^2) correctness oracles (exact all-pairs Jaccard) are
     # skipped above sf0.01 — at sf0.1 that oracle alone is 12.5M pairs of
-    # list_intersect and takes minutes, which would dominate bench wall time.
-    duck_quadratic = {"minhash_pairs"}
+    # list_intersect and takes minutes, which would dominate bench wall
+    # time. winnow's oracle is O(N) but its per-char list comprehensions
+    # measured 17.8 s at sf0.1 (vs ~3 s for the Spark side) — same skip.
+    duck_quadratic = {"minhash_pairs", "winnow_overlap_docs"}
     duck_times: dict[str, float] = {}
     try:
         import duckdb

@@ -102,6 +102,7 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_safe_split_gate": EXT.q_leakage_safe_split_gate,
     "winnow_overlap_docs": EXT.q_winnow_overlap_docs,
     "heavy_hitter_terms": EXT.q_heavy_hitter_terms,
+    "encode_docs_ids": EXT.q_encode_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

@@ -505,6 +505,22 @@ def q_winnow_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.winnow_overlap_pairs(d, k=20, w=8, min_shared=3)
 
 
+def q_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-table pipeline: build the deterministic dense-id vocabulary
+    (two-phase distributed id assignment — no single-reducer window, no RDD
+    zipWithIndex), encode every document as its token-id sequence, emit the
+    exploded (doc_id, pos, token_id) rows. min_count=300 sits near the
+    fixture's median token count, so roughly half the vocabulary drops and
+    the OOV path is genuinely exercised (the template corpus has no hapax
+    tokens — min count 12)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    vocab = TX.build_vocab(d, min_count=300)
+    enc = TX.encode_docs(d, vocab)
+    return enc.select(
+        "doc_id", F.posexplode("token_ids").alias("pos", "token_id")
+    )
+
+
 def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy-hitter terms over the corpus vocabulary: Misra-Gries
     candidate sweep (no shuffle) + exact count verify — the result equals a

@@ -635,6 +635,31 @@ TEMPORAL_ORACLES: dict[str, str] = {
         FROM embeddings, (SELECT unnest([1, 2, 3, 4, 5]) AS rank)
         WHERE vec_id < 10
     """,
+    # tokenizer table: dense ids in (count DESC, token ASC) order are a
+    # pure window function in SQL; the Spark side assigns the same ids
+    # distributed (range partitions + per-partition row_number + offsets)
+    "encode_docs_ids": """
+        WITH arr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             t -> length(t) > 0) AS ts
+          FROM documents WHERE doc_id < 200
+        ), tok AS (
+          SELECT doc_id, i - 1 AS pos, ts[i] AS token
+          FROM arr, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g
+        ), counts AS (
+          SELECT token, count(*) AS cnt FROM tok GROUP BY token
+          HAVING count(*) >= 300
+        ), vocab AS (
+          SELECT token,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1
+                      AS BIGINT) AS token_id
+          FROM counts
+        )
+        SELECT t.doc_id, CAST(t.pos AS INT) AS pos,
+               CAST(coalesce(v.token_id, -1) AS BIGINT) AS token_id
+        FROM tok t LEFT JOIN vocab v USING (token)
+    """,
     # heavy hitters: the two-phase sketch+verify operator is EXACT, so the
     # oracle is the plain GROUP BY ... HAVING it must equal
     "heavy_hitter_terms": """

@@ -340,3 +340,109 @@ def bigram_logprob_scores(
     else:
         score = F.round(F.avg(logprob), 6).alias("mean_logprob")
     return scored.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_bigrams"), score)
+
+
+def build_vocab(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    num_partitions: int | None = None,
+):
+    """Deterministic distributed vocabulary: (token, token_id, cnt) with
+    dense ids 0..V-1 assigned in (count DESC, token ASC) order — the
+    token→id table a training pipeline feeds its tokenizer.
+
+    Scale shape — dense GLOBAL ids without a single-reducer window and
+    without dropping to RDD ``zipWithIndex``: range-partition the counted
+    vocab on the global sort key, take per-partition row counts (one tiny
+    driver collect, ≤ num_partitions rows), broadcast the cumulative
+    offsets back, and add them to a PER-PARTITION row_number. Every step
+    is DataFrame-native; the window sorts each range partition
+    independently. Ordering ties on count break by token string, so ids
+    are bit-stable across runs and cluster layouts (pytest-pinned).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    ).filter(F.length("token") > 0)
+    counts = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    parts = num_partitions or counts.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    ranged = counts.repartitionByRange(
+        int(parts), F.col("cnt").desc(), F.col("token").asc()
+    ).withColumn("__pid", F.spark_partition_id())
+    sizes = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not sizes:  # empty corpus / nothing above min_count
+        return counts.select(
+            "token", F.lit(0).cast("long").alias("token_id"), "cnt"
+        ).limit(0)
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offset_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        ),
+        F.col("__pid"),
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        ranged.withColumn(
+            "token_id",
+            (F.row_number().over(w) - 1 + offset_expr).cast("long"),
+        )
+        .select("token", "token_id", "cnt")
+    )
+
+
+def encode_docs(
+    df,
+    vocab,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = -1,
+    broadcast_vocab: bool = True,
+):
+    """Encode each document as its token-id sequence (order-preserving):
+    (id, n_tokens, token_ids array<long>). Out-of-vocabulary tokens get
+    ``oov_id``. Posexplode → equi-join against the vocab (broadcast for
+    normal vocabularies; pass ``broadcast_vocab=False`` to shuffle-join a
+    vocabulary too big to broadcast) → re-assemble ordered by position via
+    ``array_sort`` over (pos, id) structs — no window, one shuffle back to
+    the document key.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(tokens(F.lower(F.col(text_col))), lambda t: F.length(t) > 0)
+        ).alias("pos", "token"),
+    )
+    v = vocab.select("token", "token_id")
+    if broadcast_vocab:
+        v = F.broadcast(v)
+    joined = tok.join(v, "token", "left").select(
+        id_col,
+        F.struct(
+            F.col("pos"), F.coalesce("token_id", F.lit(oov_id)).alias("tid")
+        ).alias("pt"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(F.collect_list("pt").alias("pts"))
+        .select(
+            F.col(id_col),
+            F.size("pts").alias("n_tokens"),
+            F.transform(F.array_sort("pts"), lambda s: s["tid"]).alias("token_ids"),
+        )
+    )

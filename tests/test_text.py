@@ -203,3 +203,60 @@ def test_bigram_logprob_edge_corpora(spark):
     assert [r["doc_id"] for r in rows] == [2] and rows[0]["n_bigrams"] == 4
     rows2 = TX.bigram_logprob_scores(mixed.repartition(4), quantize_micros=True).collect()
     assert rows == rows2
+
+
+def test_build_vocab_dense_deterministic_ids(spark, star):
+    """Ids are dense 0..V-1 in (count DESC, token ASC) order and identical
+    under different range-partition counts (the two-phase offset assignment
+    must not depend on layout)."""
+    from etl_data_transformer_spark.functions.text import build_vocab
+
+    d = star["documents"].filter(F.col("doc_id") < 100)
+    v3 = {r["token"]: (r["token_id"], r["cnt"]) for r in build_vocab(d, num_partitions=3).collect()}
+    v7 = {r["token"]: (r["token_id"], r["cnt"]) for r in build_vocab(d, num_partitions=7).collect()}
+    assert v3 == v7 and len(v3) > 20
+    ids = sorted(tid for tid, _ in v3.values())
+    assert ids == list(range(len(v3)))  # dense, zero-based
+    # global order respected: id increases as (cnt desc, token asc)
+    by_id = sorted(v3.items(), key=lambda kv: kv[1][0])
+    keys = [(-cnt, tok) for tok, (_, cnt) in by_id]
+    assert keys == sorted(keys)
+
+
+def test_encode_docs_roundtrip_and_oov(spark, star):
+    from etl_data_transformer_spark.functions.text import build_vocab, encode_docs, tokens
+
+    d = star["documents"].filter(F.col("doc_id") < 100)
+    # the template fixture has no hapax tokens (min count 15) — cut at the
+    # median so some tokens stay in-vocab and the rest exercise OOV
+    all_counts = sorted(r["cnt"] for r in build_vocab(d, min_count=1).collect())
+    cutoff = all_counts[len(all_counts) // 2]
+    vocab = build_vocab(d, min_count=cutoff + 1)
+    assert 0 < vocab.count() < len(all_counts)
+    enc = {r["doc_id"]: r for r in encode_docs(d, vocab).collect()}
+    vmap = {r["token"]: r["token_id"] for r in vocab.collect()}
+    docs = d.select(
+        "doc_id",
+        F.filter(tokens(F.lower(F.col("text"))), lambda t: F.length(t) > 0).alias("ts"),
+    ).collect()
+    assert len(enc) == len(docs)
+    oov_seen = False
+    for r in docs:
+        got = list(enc[r["doc_id"]]["token_ids"])
+        want = [vmap.get(t, -1) for t in r["ts"]]
+        assert got == want, r["doc_id"]
+        assert enc[r["doc_id"]]["n_tokens"] == len(r["ts"])
+        oov_seen = oov_seen or -1 in want
+    assert oov_seen  # the above-median cutoff must leave OOV tokens
+
+
+def test_build_vocab_empty_and_min_count(spark):
+    from etl_data_transformer_spark.functions.text import build_vocab
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert build_vocab(empty).count() == 0
+    df = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string"
+    )
+    v = {r["token"]: r["token_id"] for r in build_vocab(df, min_count=2).collect()}
+    assert v == {"a": 0, "b": 1}
