@@ -103,6 +103,7 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_overlap_docs": EXT.q_winnow_overlap_docs,
     "heavy_hitter_terms": EXT.q_heavy_hitter_terms,
     "encode_docs_ids": EXT.q_encode_docs,
+    "dedup_lines_docs": EXT.q_dedup_lines_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

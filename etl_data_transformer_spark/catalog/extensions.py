@@ -521,6 +521,24 @@ def q_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal over a synthetic repeated-line
+    payload (built deterministically from each doc's text: prefix, repeated
+    boilerplate, prefix again): repeated lines drop, first-occurrence order
+    is preserved."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    prefix = F.substring("text", 1, 30)
+    synth = F.concat_ws(
+        "\n", prefix, F.lit("boilerplate footer"), prefix, F.lit("boilerplate footer"), F.substring("text", 31, 30)
+    )
+    return d.select(
+        "doc_id",
+        TX.dedup_lines(synth).alias("cleaned"),
+        F.size(F.split(synth, r"\n")).alias("n_lines_in"),
+        F.size(F.split(TX.dedup_lines(synth), r"\n")).alias("n_lines_out"),
+    )
+
+
 def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy-hitter terms over the corpus vocabulary: Misra-Gries
     candidate sweep (no shuffle) + exact count verify — the result equals a

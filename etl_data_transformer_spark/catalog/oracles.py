@@ -635,6 +635,27 @@ TEMPORAL_ORACLES: dict[str, str] = {
         FROM embeddings, (SELECT unnest([1, 2, 3, 4, 5]) AS rank)
         WHERE vec_id < 10
     """,
+    # intra-doc repeated-line removal: identical indexed list_filter +
+    # first-occurrence-position predicate in DuckDB
+    "dedup_lines_docs": """
+        WITH s AS (
+          SELECT doc_id,
+                 concat_ws(chr(10), substr(text, 1, 30), 'boilerplate footer',
+                           substr(text, 1, 30), 'boilerplate footer',
+                           substr(text, 31, 30)) AS synth
+          FROM documents WHERE doc_id < 200
+        ), l AS (
+          SELECT doc_id, synth, string_split(synth, chr(10)) AS lines FROM s
+        )
+        SELECT doc_id,
+               array_to_string(
+                 list_filter(lines, (x, i) -> list_position(lines, x) = i),
+                 chr(10)) AS cleaned,
+               CAST(len(lines) AS INT) AS n_lines_in,
+               CAST(len(list_filter(lines, (x, i) -> list_position(lines, x) = i))
+                    AS INT) AS n_lines_out
+        FROM l
+    """,
     # tokenizer table: dense ids in (count DESC, token ASC) order are a
     # pure window function in SQL; the Spark side assigns the same ids
     # distributed (range partitions + per-partition row_number + offsets)

@@ -446,3 +446,21 @@ def encode_docs(
             F.transform(F.array_sort("pts"), lambda s: s["tid"]).alias("token_ids"),
         )
     )
+
+
+def dedup_lines(col: Column | str) -> Column:
+    """Intra-document repetition removal: drop every line that repeats an
+    EARLIER line verbatim, preserving first-occurrence order — the
+    in-document half of the published boilerplate filters
+    (``duplicate_line_fraction`` is the detector; this is the fixer).
+
+    One codegen-free but document-local expression: split on newlines,
+    keep line i iff its first occurrence index is i
+    (``array_position == index``). O(lines²) string compares per document —
+    document-local, no shuffle, no Python; fine for prose-sized line counts
+    (cap line count upstream for pathological inputs).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, r"\n")
+    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + 1)
+    return F.array_join(kept, "\n")

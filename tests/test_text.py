@@ -260,3 +260,22 @@ def test_build_vocab_empty_and_min_count(spark):
     )
     v = {r["token"]: r["token_id"] for r in build_vocab(df, min_count=2).collect()}
     assert v == {"a": 0, "b": 1}
+
+
+def test_dedup_lines_keeps_first_occurrence_order(spark):
+    from etl_data_transformer_spark.functions.text import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb\nd"),
+            (2, "same\nsame\nsame"),
+            (3, "no repeats here"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["out"] for r in df.select("doc_id", dedup_lines("text").alias("out")).collect()}
+    assert got[1] == "a\nb\nc\nd"
+    assert got[2] == "same"
+    assert got[3] == "no repeats here"
+    assert got[4] == ""

@@ -34,6 +34,7 @@ QUERIES = [
     "ann_bruteforce",       # 10 queries x full embedding corpus
     "tfidf_top_terms",      # two groupBys + per-doc window
     "semantic_dedup",       # cluster-blocked cosine dedup (clusters ∝ corpus)
+    "winnow_overlap_docs",  # map-only fingerprints + fp equi-join
 ]
 
 
