@@ -104,6 +104,7 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitter_terms": EXT.q_heavy_hitter_terms,
     "encode_docs_ids": EXT.q_encode_docs,
     "dedup_lines_docs": EXT.q_dedup_lines_docs,
+    "top_ngram_docs": EXT.q_top_ngram_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

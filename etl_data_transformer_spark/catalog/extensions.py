@@ -539,6 +539,13 @@ def q_dedup_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: per doc, the fraction of word
+    2-grams taken by the most frequent 2-gram (loop-spam detector)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return d.select("doc_id", TX.top_ngram_fraction("text", 2).alias("top2_frac"))
+
+
 def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy-hitter terms over the corpus vocabulary: Misra-Gries
     candidate sweep (no shuffle) + exact count verify — the result equals a

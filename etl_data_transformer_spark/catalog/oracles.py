@@ -635,6 +635,26 @@ TEMPORAL_ORACLES: dict[str, str] = {
         FROM embeddings, (SELECT unnest([1, 2, 3, 4, 5]) AS rank)
         WHERE vec_id < 10
     """,
+    # top-2-gram repetition fraction: same count-the-mode list expressions
+    "top_ngram_docs": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> length(x) > 0) AS toks
+          FROM documents WHERE doc_id < 200
+        ), g AS (
+          SELECT doc_id,
+                 [array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 1], ' ')
+                  for i in range(1, greatest(len(toks) - 1, 0) + 1)] AS grams
+          FROM t
+        )
+        SELECT doc_id,
+               round(CASE WHEN len(grams) >= 1 THEN
+                 CAST(list_max([len(list_filter(grams, x -> x = gd))
+                                for gd in list_distinct(grams)]) AS DOUBLE)
+                 / len(grams) ELSE 0.0 END, 6) AS top2_frac
+        FROM g
+    """,
     # intra-doc repeated-line removal: identical indexed list_filter +
     # first-occurrence-position predicate in DuckDB
     "dedup_lines_docs": """

@@ -464,3 +464,35 @@ def dedup_lines(col: Column | str) -> Column:
     lines = F.split(c, r"\n")
     kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + 1)
     return F.array_join(kept, "\n")
+
+
+def top_ngram_fraction(col: Column | str, n: int = 2) -> Column:
+    """Fraction of the document's word n-grams taken by the single most
+    frequent n-gram — the published repetition signal ("top-2-gram
+    fraction") that catches loop spam ("buy now buy now buy now") which
+    line-level dedup misses. 0.0 for documents with fewer than ``n``
+    tokens.
+
+    Document-local array expression: build the (non-distinct) n-gram list,
+    count each DISTINCT gram's occurrences with an aggregate over the
+    list, take the max count over grams, divide by total grams. O(G·D)
+    compares per doc (G grams × D distinct) — no shuffle, no Python.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(tokens(c), lambda t: F.length(t) > 0)
+    n_g = F.size(toks) - F.lit(n - 1)
+    idx = F.when(n_g >= 1, F.sequence(F.lit(1), n_g)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    return F.round(
+        F.when(
+            n_g >= 1,
+            F.array_max(counts).cast("double") / F.size(grams),
+        ).otherwise(0.0),
+        6,
+    )

@@ -279,3 +279,25 @@ def test_dedup_lines_keeps_first_occurrence_order(spark):
     assert got[2] == "same"
     assert got[3] == "no repeats here"
     assert got[4] == ""
+
+
+def test_top_ngram_fraction_detects_loop_spam(spark):
+    from etl_data_transformer_spark.functions.text import top_ngram_fraction
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "a perfectly ordinary sentence with no repeats at all"),
+            (3, "one"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select("doc_id", top_ngram_fraction("text", 2).alias("f")).collect()
+    }
+    # "buy now" appears 4 times of 7 bigrams
+    assert abs(got[1] - 4 / 7) < 1e-6
+    assert got[2] == 1 / 8  # all bigrams unique -> 1/n_grams (9 tokens)
+    assert got[3] == 0.0 and got[4] == 0.0
