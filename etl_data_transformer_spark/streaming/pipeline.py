@@ -345,6 +345,22 @@ def stream_interval_join(
     return lw.join(rw, cond, how)
 
 
+def stream_dim_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment — the streaming twin of
+    ``operators/joins.broadcast_dim_join`` (J1/J2/J8): join each
+    micro-batch against a STATIC dimension. Stateless (no watermark, no
+    join state — the static side is re-planned per micro-batch, so a dim
+    table updated in place is picked up on the next batch), broadcast so
+    the stream side never shuffles. Left join keeps unmatched facts, same
+    as the batch branches."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def stream_near_dedup(
     stream_docs: DataFrame,
     store_path: str,

@@ -493,3 +493,28 @@ def test_stream_interval_join_state_across_drains(spark, tmp_path):
         ).collect()
     }
     assert pairs == expected and len(pairs) > 0
+
+
+def test_stream_dim_enrich_equals_batch_and_sees_dim_updates(spark, tmp_path):
+    """Stream-static broadcast enrichment matches the batch join, and a dim
+    updated between drains is re-read on the next micro-batch (the static
+    side is re-planned per batch)."""
+    from etl_data_transformer_spark.streaming.pipeline import stream_dim_enrich
+
+    src = _events_dir(spark, tmp_path)
+    dim_path = str(tmp_path / "dim")
+    users = [(u, f"segment_{u % 3}") for u in range(1, 16)]
+    spark.createDataFrame(users, "user_id long, segment string").write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+
+    batch = spark.read.parquet(src)
+    expected = {
+        (r["event_id"], r["segment"])
+        for r in batch.join(spark.read.parquet(dim_path), "user_id", "left").collect()
+    }
+    stream = read_event_stream(spark, src)
+    enriched = stream_dim_enrich(stream, spark.read.parquet(dim_path), "user_id")
+    got_df = run_available_now(enriched, str(tmp_path / "ckpt_de"), "dim_enrich")
+    got = {(r["event_id"], r["segment"]) for r in got_df.collect()}
+    assert got == expected and len(got) > 0
