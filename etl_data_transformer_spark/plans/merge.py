@@ -1,0 +1,103 @@
+"""Row-level MERGE INTO for plain-parquet targets — the row-granular
+sibling of the reference's partition-level delete-insert
+(``Incremental_load_fact_item_status.sql:23-34,321-324``; C4 in
+``plans/incremental.py``) and the batch shape Delta/Iceberg expose as
+``MERGE INTO``.
+
+Semantics (per source row, joined to the target on ``key_cols``):
+- matched     → ``when_matched``:    'update' (source wins), 'delete',
+                or 'ignore' (target wins)
+- not matched → ``when_not_matched``: 'insert' or 'ignore'
+Target rows never touched by the source always survive.
+
+Scale notes: the merge is ONE full-outer shuffle join on the key columns
+plus an atomic-swap rewrite. At 100 TB the rewrite should be bounded to
+touched partitions — pair this with a partition predicate (read only the
+partitions the source touches, ``replaceWhere``-style, as
+``run_incremental_load`` does at day granularity) or use a real table
+format whose MERGE is a metadata commit. Duplicate keys in the source are
+an error (nondeterministic which row wins) — detected and raised.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.writers import atomic_swap_write
+
+
+@dataclass(frozen=True)
+class MergeResult:
+    updated: int
+    deleted: int
+    inserted: int
+    untouched: int
+
+
+def merge_into(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> MergeResult:
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError("when_matched must be update | delete | ignore")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError("when_not_matched must be insert | ignore")
+    target = spark.read.parquet(target_path)
+    if set(source.columns) != set(target.columns):
+        raise ValueError(
+            f"schema mismatch: target {sorted(target.columns)} vs "
+            f"source {sorted(source.columns)}"
+        )
+    dup = source.groupBy(*key_cols).count().filter(F.col("count") > 1)
+    if dup.limit(1).count() > 0:
+        raise ValueError("source has duplicate keys — merge would be nondeterministic")
+
+    cols = target.columns
+    t = target.select(
+        F.struct(*cols).alias("__t"), *[F.col(c).alias(f"__k{i}") for i, c in enumerate(key_cols)]
+    )
+    s = source.select(
+        F.struct(*cols).alias("__s"), *[F.col(c).alias(f"__k{i}") for i, c in enumerate(key_cols)]
+    )
+    keys = [f"__k{i}" for i in range(len(key_cols))]
+    j = t.join(s, keys, "full_outer").select(
+        "__t", "__s"
+    )
+    matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+    t_only = F.col("__s").isNull() & F.col("__t").isNotNull()
+    s_only = F.col("__t").isNull() & F.col("__s").isNotNull()
+
+    pick = F.when(t_only, F.col("__t"))
+    if when_matched == "update":
+        pick = pick.when(matched, F.col("__s"))
+    elif when_matched == "ignore":
+        pick = pick.when(matched, F.col("__t"))
+    # delete: matched rows excluded entirely
+    if when_not_matched == "insert":
+        pick = pick.when(s_only, F.col("__s"))
+
+    # count the branches in one aggregate BEFORE the rewrite
+    stats = j.agg(
+        F.sum(matched.cast("long")).alias("m"),
+        F.sum(s_only.cast("long")).alias("s"),
+        F.sum(t_only.cast("long")).alias("t"),
+    ).collect()[0]
+    n_matched = int(stats["m"] or 0)
+    n_s_only = int(stats["s"] or 0)
+    n_t_only = int(stats["t"] or 0)
+
+    out = j.select(pick.alias("__r")).filter(F.col("__r").isNotNull()).select("__r.*")
+    atomic_swap_write(out, target_path)
+    return MergeResult(
+        updated=n_matched if when_matched == "update" else 0,
+        deleted=n_matched if when_matched == "delete" else 0,
+        inserted=n_s_only if when_not_matched == "insert" else 0,
+        untouched=n_t_only,
+    )
