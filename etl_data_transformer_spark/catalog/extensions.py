@@ -531,11 +531,17 @@ def q_dedup_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth = F.concat_ws(
         "\n", prefix, F.lit("boilerplate footer"), prefix, F.lit("boilerplate footer"), F.substring("text", 31, 30)
     )
-    return d.select(
-        "doc_id",
-        TX.dedup_lines(synth).alias("cleaned"),
-        F.size(F.split(synth, r"\n")).alias("n_lines_in"),
-        F.size(F.split(TX.dedup_lines(synth), r"\n")).alias("n_lines_out"),
+    # materialize synth + cleaned once — dedup_lines is O(lines²) per doc,
+    # so inlining it twice in one projection would double the work
+    return (
+        d.select("doc_id", synth.alias("__synth"))
+        .select("doc_id", "__synth", TX.dedup_lines(F.col("__synth")).alias("cleaned"))
+        .select(
+            "doc_id",
+            "cleaned",
+            F.size(F.split(F.col("__synth"), r"\n")).alias("n_lines_in"),
+            F.size(F.split("cleaned", r"\n")).alias("n_lines_out"),
+        )
     )
 
 

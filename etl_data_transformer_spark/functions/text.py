@@ -345,7 +345,6 @@ def bigram_logprob_scores(
 def build_vocab(
     df,
     text_col: str = "text",
-    id_col: str = "doc_id",
     min_count: int = 1,
     num_partitions: int | None = None,
 ):
@@ -361,7 +360,14 @@ def build_vocab(
     is DataFrame-native; the window sorts each range partition
     independently. Ordering ties on count break by token string, so ids
     are bit-stable across runs and cluster layouts (pytest-pinned).
+
+    The range-partitioned frame is PERSISTED across the two jobs (sizes
+    collect, id assignment) — the range partitioner's sample seed changes
+    per execution, so an un-cached recompute could re-draw partition
+    bounds and mismatch the broadcast offsets (review finding); the small
+    result is eagerly localCheckpoint'ed so the cache releases on return.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     tok = df.select(
@@ -377,33 +383,37 @@ def build_vocab(
     )
     ranged = counts.repartitionByRange(
         int(parts), F.col("cnt").desc(), F.col("token").asc()
-    ).withColumn("__pid", F.spark_partition_id())
-    sizes = {
-        r["__pid"]: r["n"]
-        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    if not sizes:  # empty corpus / nothing above min_count
-        return counts.select(
-            "token", F.lit(0).cast("long").alias("token_id"), "cnt"
-        ).limit(0)
-    offsets, acc = {}, 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    offset_expr = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-        ),
-        F.col("__pid"),
-    )
-    w = Window.partitionBy("__pid").orderBy(F.col("cnt").desc(), F.col("token").asc())
-    return (
-        ranged.withColumn(
-            "token_id",
-            (F.row_number().over(w) - 1 + offset_expr).cast("long"),
+    ).withColumn("__pid", F.spark_partition_id()).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        sizes = {
+            r["__pid"]: r["n"]
+            for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        if not sizes:  # empty corpus / nothing above min_count
+            return counts.select(
+                "token", F.lit(0).cast("long").alias("token_id"), "cnt"
+            ).limit(0)
+        offsets, acc = {}, 0
+        for pid in sorted(sizes):
+            offsets[pid] = acc
+            acc += sizes[pid]
+        offset_expr = F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+            ),
+            F.col("__pid"),
         )
-        .select("token", "token_id", "cnt")
-    )
+        w = Window.partitionBy("__pid").orderBy(F.col("cnt").desc(), F.col("token").asc())
+        return (
+            ranged.withColumn(
+                "token_id",
+                (F.row_number().over(w) - 1 + offset_expr).cast("long"),
+            )
+            .select("token", "token_id", "cnt")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        ranged.unpersist()
 
 
 def encode_docs(
@@ -420,7 +430,10 @@ def encode_docs(
     normal vocabularies; pass ``broadcast_vocab=False`` to shuffle-join a
     vocabulary too big to broadcast) → re-assemble ordered by position via
     ``array_sort`` over (pos, id) structs — no window, one shuffle back to
-    the document key.
+    the document key. Zero-token documents (empty/null/whitespace text)
+    keep their row with ``n_tokens=0, token_ids=[]`` via a doc-level left
+    join back to the input keys (posexplode emits nothing for them —
+    review finding).
     """
     tok = df.select(
         F.col(id_col),
@@ -437,7 +450,7 @@ def encode_docs(
             F.col("pos"), F.coalesce("token_id", F.lit(oov_id)).alias("tid")
         ).alias("pt"),
     )
-    return (
+    enc = (
         joined.groupBy(id_col)
         .agg(F.collect_list("pt").alias("pts"))
         .select(
@@ -445,6 +458,11 @@ def encode_docs(
             F.size("pts").alias("n_tokens"),
             F.transform(F.array_sort("pts"), lambda s: s["tid"]).alias("token_ids"),
         )
+    )
+    return df.select(F.col(id_col)).join(enc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("token_ids", F.array().cast("array<long>")).alias("token_ids"),
     )
 
 

@@ -67,8 +67,14 @@ def merge_into(
         F.struct(*cols).alias("__s"), *[F.col(c).alias(f"__k{i}") for i, c in enumerate(key_cols)]
     )
     keys = [f"__k{i}" for i in range(len(key_cols))]
-    j = t.join(s, keys, "full_outer").select(
-        "__t", "__s"
+    # persist the joined frame: the stats aggregate and the rewrite both
+    # consume it — uncached, the full-outer shuffle would run twice and a
+    # non-deterministic source could make the reported counts disagree
+    # with the written rows (review finding)
+    from pyspark import StorageLevel
+
+    j = t.join(s, keys, "full_outer").select("__t", "__s").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
     t_only = F.col("__s").isNull() & F.col("__t").isNotNull()
@@ -84,17 +90,20 @@ def merge_into(
         pick = pick.when(s_only, F.col("__s"))
 
     # count the branches in one aggregate BEFORE the rewrite
-    stats = j.agg(
-        F.sum(matched.cast("long")).alias("m"),
-        F.sum(s_only.cast("long")).alias("s"),
-        F.sum(t_only.cast("long")).alias("t"),
-    ).collect()[0]
-    n_matched = int(stats["m"] or 0)
-    n_s_only = int(stats["s"] or 0)
-    n_t_only = int(stats["t"] or 0)
+    try:
+        stats = j.agg(
+            F.sum(matched.cast("long")).alias("m"),
+            F.sum(s_only.cast("long")).alias("s"),
+            F.sum(t_only.cast("long")).alias("t"),
+        ).collect()[0]
+        n_matched = int(stats["m"] or 0)
+        n_s_only = int(stats["s"] or 0)
+        n_t_only = int(stats["t"] or 0)
 
-    out = j.select(pick.alias("__r")).filter(F.col("__r").isNotNull()).select("__r.*")
-    atomic_swap_write(out, target_path)
+        out = j.select(pick.alias("__r")).filter(F.col("__r").isNotNull()).select("__r.*")
+        atomic_swap_write(out, target_path)
+    finally:
+        j.unpersist()
     return MergeResult(
         updated=n_matched if when_matched == "update" else 0,
         deleted=n_matched if when_matched == "delete" else 0,

@@ -354,10 +354,16 @@ def stream_dim_enrich(
     """Stream-static dimension enrichment — the streaming twin of
     ``operators/joins.broadcast_dim_join`` (J1/J2/J8): join each
     micro-batch against a STATIC dimension. Stateless (no watermark, no
-    join state — the static side is re-planned per micro-batch, so a dim
-    table updated in place is picked up on the next batch), broadcast so
-    the stream side never shuffles. Left join keeps unmatched facts, same
-    as the batch branches."""
+    join state), broadcast so the stream side never shuffles. Left join
+    keeps unmatched facts, same as the batch branches.
+
+    Dim freshness caveat: a parquet-path dim pins its FILE LISTING when
+    the DataFrame is created — an in-place overwrite between micro-batches
+    is NOT picked up (and deleting the old files fails the next batch).
+    To refresh the dim across a long-running stream, restart the query
+    with a re-created dim DataFrame, route the join through
+    ``foreachBatch`` re-reading the path per batch, or use a table format
+    whose snapshot resolves at scan time (Delta/Iceberg)."""
     return stream.join(F.broadcast(dim), on, how)
 
 

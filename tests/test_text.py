@@ -301,3 +301,18 @@ def test_top_ngram_fraction_detects_loop_spam(spark):
     assert abs(got[1] - 4 / 7) < 1e-6
     assert got[2] == 1 / 8  # all bigrams unique -> 1/n_grams (9 tokens)
     assert got[3] == 0.0 and got[4] == 0.0
+
+
+def test_encode_docs_keeps_zero_token_docs(spark):
+    from etl_data_transformer_spark.functions.text import build_vocab, encode_docs
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, ""), (3, None), (4, "   ")], "doc_id long, text string"
+    )
+    vocab = build_vocab(df)
+    enc = {r["doc_id"]: r for r in encode_docs(df, vocab).collect()}
+    assert set(enc) == {1, 2, 3, 4}
+    assert enc[1]["n_tokens"] == 3
+    for empty_id in (2, 3, 4):
+        assert enc[empty_id]["n_tokens"] == 0
+        assert list(enc[empty_id]["token_ids"]) == []
