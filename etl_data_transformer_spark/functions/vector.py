@@ -58,3 +58,23 @@ def quant_rmse(a: Column | str, scale: Column) -> Column:
         lambda x: F.pow(x.cast("double") - F.round(x.cast("double") / scale, 0) * scale, F.lit(2.0)),
     )
     return F.sqrt(F.aggregate(err2, F.lit(0.0), lambda acc, v: acc + v) / F.size(_c(a)))
+
+
+def matryoshka_truncate(a: Column | str, dim: int) -> Column:
+    """Matryoshka-style dimensionality reduction: keep the FIRST ``dim``
+    components and re-normalize to unit L2 (MRL-trained embeddings order
+    information by prefix, so the truncated prefix is itself a valid
+    embedding). At 100 TB this is the cheap recall/latency dial: a 4×
+    truncation cuts ANN index storage and probe IO 4× with a known small
+    recall cost — pair with ``operators/similarity.ivf_*`` or
+    ``quantize_int8`` (the levers compose). NULL-norm prefixes (all-zero)
+    return NULL elements via ``try_divide`` semantics upstream; callers
+    filter or keep as policy.
+    """
+    pre = F.slice(_c(a), 1, dim)
+    n = F.sqrt(
+        F.aggregate(
+            pre, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    return F.transform(pre, lambda x: x.cast("double") / n)
