@@ -12,6 +12,7 @@ from . import branch_queries as BQ
 from . import branch_sql as BSQL
 from . import extensions as EXT
 from . import parity as PAR
+from . import temporal_queries as TQ
 from .branch_queries import BRANCH_ORACLES
 from .oracles import ALL_ORACLES
 from .temporal_queries import TEMPORAL_QUERIES
@@ -105,6 +106,7 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encode_docs_ids": EXT.q_encode_docs,
     "dedup_lines_docs": EXT.q_dedup_lines_docs,
     "top_ngram_docs": EXT.q_top_ngram_docs,
+    "resample_events": TQ.q_resample_events,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

@@ -567,6 +567,34 @@ TEMPORAL_ORACLES: dict[str, str] = {
                count(*) AS n_events, round(sum(value), 4) AS sum_value
         FROM sess GROUP BY user_id, sess_id
     """,
+    # resample + forward fill: generate_series grid + IGNORE NULLS window
+    "resample_events": """
+        WITH b AS (
+          SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                 value
+          FROM events
+        ), span AS (
+          SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+          FROM b GROUP BY user_id
+        ), grid AS (
+          SELECT user_id,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+          FROM span
+        ), agg AS (
+          SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n_events,
+                 round(sum(value), 4) AS sum_value
+          FROM b GROUP BY user_id, bucket
+        )
+        SELECT g.user_id, g.bucket,
+               CAST(coalesce(a.n_events, 0) AS BIGINT) AS n_events,
+               a.sum_value,
+               last_value(a.sum_value IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_sum_value
+        FROM grid g LEFT JOIN agg a
+          ON g.user_id = a.user_id AND g.bucket = a.bucket
+    """,
     "rolling_user_stats": """
         SELECT user_id, event_id, ts, value,
                lag(value)  OVER w AS prev_value,

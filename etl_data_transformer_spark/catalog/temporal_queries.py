@@ -84,6 +84,16 @@ def q_rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_stats(ev, key="user_id", ts_col="ts", tiebreak="event_id", value_col="value", window_rows=3)
 
 
+def q_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly grid from first to last event with gap buckets
+    forward-filled — the resample/gap-fill primitive
+    (operators/temporal.resample_ffill)."""
+    from ..operators.temporal import resample_ffill
+
+    ev = load_star(spark, sf_dir, ("events",))["events"]
+    return resample_ffill(ev, key="user_id", ts_col="ts", value_col="value")
+
+
 def q_rollup_nation_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(nation, status) totals with 'ALL' supergroup labels."""
     star = load_star(spark, sf_dir, ("orders", "customer", "nation"))

@@ -220,3 +220,49 @@ def rolling_stats(
         F.lead(value_col).over(w).alias("next_value"),
         F.round(F.avg(value_col).over(w_ma), 4).alias(f"ma{window_rows}_value"),
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    granularity: str = "hour",
+) -> DataFrame:
+    """Per-key regular time grid with forward fill: truncate events to
+    ``granularity`` buckets, generate EVERY bucket from each key's first to
+    last (``sequence`` + explode — no driver loop), left-join the observed
+    per-bucket aggregate, and carry the last observed sum into empty
+    buckets (``last(ignorenulls)`` over an ordered running frame). The
+    standard gap-filling/resample primitive for sensor/event series.
+
+    Returns (key, bucket, n_events, sum_value, filled_sum_value) —
+    ``sum_value`` NULL on gap buckets, ``filled_sum_value`` forward-filled.
+    Scale: the grid is at most (span/granularity) rows per key, generated
+    distributed; one shuffle for the aggregate, one for the window — both
+    on the key.
+    """
+    bucket = F.date_trunc(granularity, F.col(ts_col))
+    span = df.groupBy(key).agg(
+        F.min(bucket).alias("__lo"), F.max(bucket).alias("__hi")
+    )
+    grid = span.select(
+        key,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"INTERVAL 1 {granularity}"))
+        ).alias("bucket"),
+    )
+    agg = df.groupBy(F.col(key), bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(value_col), 4).alias("sum_value"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, [key, "bucket"], "left")
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0)).cast("long"))
+        .withColumn("filled_sum_value", F.last("sum_value", ignorenulls=True).over(w))
+    )

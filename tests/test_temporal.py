@@ -121,3 +121,30 @@ def test_session_agg_native_equals_gaps_and_islands(spark, star):
         for r in session_agg_native(ev).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_resample_ffill_fills_gap_buckets(spark):
+    import datetime as dt
+
+    from etl_data_transformer_spark.operators.temporal import resample_ffill
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    rows = [
+        (1, ts(0, 10), 1.0),
+        (1, ts(0, 20), 2.0),   # hour 0: sum 3.0
+        (1, ts(3, 5), 5.0),    # hours 1-2 are gaps
+        (2, ts(1, 0), 7.0),    # single-bucket key: no gaps
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["bucket"].hour): (r["n_events"], r["sum_value"], r["filled_sum_value"])
+        for r in resample_ffill(df).collect()
+    }
+    assert got[(1, 0)] == (2, 3.0, 3.0)
+    assert got[(1, 1)] == (0, None, 3.0)   # gap: carried forward
+    assert got[(1, 2)] == (0, None, 3.0)
+    assert got[(1, 3)] == (1, 5.0, 5.0)
+    assert got[(2, 1)] == (1, 7.0, 7.0)
+    assert len(got) == 5  # grid spans each key's own range only
