@@ -83,13 +83,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # Outside the 50-slot driver contract but verified at DRIVER STRENGTH by
 # tests/test_rotated_oracle.py (identical DuckDB value-hash compare):
-# queries rotated out in rounds 4-5 to make room for promotions, each
+# (a) queries rotated out in rounds 4-5 to make room for promotions, each
 # overlapping a surviving row (dup_count_docs ⊂ exact_dedup_groups,
 # cube_agg ~ rollup_nation_status, running_totals ~ rolling_user_stats,
 # topk_orders_per_nation ~ tfidf_top_terms's window top-k,
 # anti_join_customers ~ semi_join_customers, sql_fact_union = fact_union's
-# oracle via spark.sql, explode_part_types ~ chunk_documents' explode),
-# plus gates that never fit the cap (ann_ivf_quantized_match).
+# oracle via spark.sql, explode_part_types ~ chunk_documents' explode);
+# (b) gates that never fit the cap (ann_ivf_quantized_match, semantic /
+# leakage-split invariants); and (c) round-5 operators added AFTER the cap
+# filled (winnowing, heavy hitters, vocab/encoder, line dedup, top-ngram,
+# resample+ffill, funnel) — same oracle strength, just not in the driver's
+# 50 rows.
 ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders_per_nation": PAR.q_topk_orders_per_nation,
     "cube_agg": PAR.q_cube_agg,
@@ -107,6 +111,7 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lines_docs": EXT.q_dedup_lines_docs,
     "top_ngram_docs": EXT.q_top_ngram_docs,
     "resample_events": TQ.q_resample_events,
+    "funnel_events": TQ.q_funnel_events,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

@@ -567,6 +567,30 @@ TEMPORAL_ORACLES: dict[str, str] = {
                count(*) AS n_events, round(sum(value), 4) AS sum_value
         FROM sess GROUP BY user_id, sess_id
     """,
+    # ordered funnel: per-step conditional-min CTE chain
+    "funnel_events": """
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS step_1_ts FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, min(e.ts) AS step_2_ts FROM events e
+          JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.step_1_ts
+          GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, min(e.ts) AS step_3_ts FROM events e
+          JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.step_2_ts
+          GROUP BY e.user_id
+        )
+        SELECT s1.user_id, s1.step_1_ts, s2.step_2_ts, s3.step_3_ts,
+               CAST(1 + CAST(s2.step_2_ts IS NOT NULL AS INT)
+                      + CAST(s3.step_3_ts IS NOT NULL AS INT) AS INT)
+                 AS steps_completed
+        FROM s1
+        LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
     # resample + forward fill: generate_series grid + IGNORE NULLS window
     "resample_events": """
         WITH b AS (

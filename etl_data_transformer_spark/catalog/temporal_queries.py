@@ -94,6 +94,15 @@ def q_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_ffill(ev, key="user_id", ts_col="ts", value_col="value")
 
 
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase conversion funnel per user (each step
+    strictly after the previous step's first qualifying event)."""
+    from ..operators.temporal import funnel
+
+    ev = load_star(spark, sf_dir, ("events",))["events"]
+    return funnel(ev, steps=["view", "click", "purchase"])
+
+
 def q_rollup_nation_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(nation, status) totals with 'ALL' supergroup labels."""
     star = load_star(spark, sf_dir, ("orders", "customer", "nation"))

@@ -266,3 +266,48 @@ def resample_ffill(
         .withColumn("n_events", F.coalesce("n_events", F.lit(0)).cast("long"))
         .withColumn("filled_sum_value", F.last("sum_value", ignorenulls=True).over(w))
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: per key, the earliest time of step 1, then the
+    earliest step-2 event STRICTLY AFTER it, and so on — the classic
+    conversion-progression query (view → click → purchase), where a step
+    only counts if it happens after the previous step was reached.
+
+    Shape: one narrow aggregate per step (min over the key — map-side
+    combinable), each conditioned on the previous step's time via a
+    broadcast join of the per-key step table (one row per key — tiny next
+    to the event stream, so each refinement joins broadcast and the event
+    scan is the only big input, read once per step). len(steps) is small
+    and fixed; no window over the full event stream, no N² self-join.
+
+    Returns (key, step_1_ts, ..., step_N_ts, steps_completed) with NULL
+    times where the funnel stalled.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(key)
+        .agg(F.min(ts_col).alias("step_1_ts"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev_col = f"step_{i - 1}_ts"
+        nxt = (
+            df.filter(F.col(type_col) == step)
+            .join(F.broadcast(cur.select(key, prev_col)), key)
+            .filter(F.col(ts_col) > F.col(prev_col))
+            .groupBy(key)
+            .agg(F.min(ts_col).alias(f"step_{i}_ts"))
+        )
+        cur = cur.join(nxt, key, "left")
+    completed = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        completed = completed + F.col(f"step_{i}_ts").isNotNull().cast("int")
+    return cur.withColumn("steps_completed", completed)

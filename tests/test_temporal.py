@@ -148,3 +148,35 @@ def test_resample_ffill_fills_gap_buckets(spark):
     assert got[(1, 3)] == (1, 5.0, 5.0)
     assert got[(2, 1)] == (1, 7.0, 7.0)
     assert len(got) == 5  # grid spans each key's own range only
+
+
+def test_funnel_order_sensitivity(spark):
+    import datetime as dt
+
+    from etl_data_transformer_spark.operators.temporal import funnel
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, m // 60, m % 60)
+
+    rows = [
+        # user 1 completes in order
+        (1, ts(0), "view"), (1, ts(10), "click"), (1, ts(20), "purchase"),
+        # user 2: purchase BEFORE click -> stalls at step 2
+        (2, ts(0), "view"), (2, ts(5), "purchase"), (2, ts(10), "click"),
+        # user 3: never views -> no funnel row at all
+        (3, ts(0), "click"), (3, ts(5), "purchase"),
+        # user 4: click before the first view does not count
+        (4, ts(0), "click"), (4, ts(5), "view"), (4, ts(10), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["user_id"]: r for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1]["steps_completed"] == 3 and got[1]["step_3_ts"] == ts(20)
+    assert got[2]["steps_completed"] == 2 and got[2]["step_2_ts"] == ts(10)
+    assert got[2]["step_3_ts"] is None  # purchase pre-dated the click
+    assert got[4]["steps_completed"] == 2 and got[4]["step_2_ts"] == ts(10)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        funnel(df, ["view"])
