@@ -33,7 +33,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # gate joins the contract. explode_part_types rotated out (explode is
     # also exercised by chunk_documents / events_json's array paths).
     "approx_percentile_prices": PAR.q_approx_percentile_prices,
-    "price_histogram": PAR.q_price_histogram,
     "string_agg_nations": PAR.q_string_agg_nations,
     "cleanse_report": PAR.q_cleanse_report,
     "set_ops_customers": PAR.q_set_ops_customers,
@@ -77,6 +76,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (plus the item_status SQL variant in tests/test_branch_sql.py).
     "bigram_logprob": EXT.q_bigram_logprob,
     "redact_pii_docs": EXT.q_redact_pii_docs,
+    # round-5 in-session promotion: winnowing fingerprints are the
+    # mandate-named rolling-hash document fingerprinting — the strongest
+    # new operator gets a driver CORRECTNESS row. price_histogram rotated
+    # out (equi-width histogram keeps its identical DuckDB hash check in
+    # tests/test_rotated_oracle.py; the distribution-profiling family
+    # stays driver-live via percentile_prices / approx_percentile_prices /
+    # profile_orders).
+    "winnow_overlap_docs": EXT.q_winnow_overlap_docs,
     # temporal + profiling surface (as-of, range join, sessions, rollup)
     **TEMPORAL_QUERIES,
 }
@@ -91,7 +98,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # oracle via spark.sql, explode_part_types ~ chunk_documents' explode);
 # (b) gates that never fit the cap (ann_ivf_quantized_match, semantic /
 # leakage-split invariants); and (c) round-5 operators added AFTER the cap
-# filled (winnowing, heavy hitters, vocab/encoder, line dedup, top-ngram,
+# filled (heavy hitters, vocab/encoder, line dedup, top-ngram,
 # resample+ffill, funnel) — same oracle strength, just not in the driver's
 # 50 rows.
 ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -105,7 +112,7 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_quantized_match": EXT.q_ann_ivf_quantized_match,
     "semantic_dedup_gate": EXT.q_semantic_dedup_gate,
     "leakage_safe_split_gate": EXT.q_leakage_safe_split_gate,
-    "winnow_overlap_docs": EXT.q_winnow_overlap_docs,
+    "price_histogram": PAR.q_price_histogram,
     "heavy_hitter_terms": EXT.q_heavy_hitter_terms,
     "encode_docs_ids": EXT.q_encode_docs,
     "dedup_lines_docs": EXT.q_dedup_lines_docs,
