@@ -50,6 +50,8 @@ HEADLINE = [
     "hyperplane_pairs",
     "semantic_dedup",
     "winnow_overlap_docs",
+    "resample_events",
+    "funnel_events",
 ]
 
 
