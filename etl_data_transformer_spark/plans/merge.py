@@ -11,7 +11,8 @@ Semantics (per source row, joined to the target on ``key_cols``):
 Target rows never touched by the source always survive.
 
 Scale notes: the merge is ONE full-outer shuffle join on the key columns
-plus an atomic-swap rewrite. At 100 TB the rewrite should be bounded to
+plus an atomic-swap rewrite; branch counts are collected by ``observe``
+metrics DURING the write, so no second pass or cache is needed. At 100 TB the rewrite should be bounded to
 touched partitions — pair this with a partition predicate (read only the
 partitions the source touches, ``replaceWhere``-style, as
 ``run_incremental_load`` does at day granularity) or use a real table
@@ -67,15 +68,7 @@ def merge_into(
         F.struct(*cols).alias("__s"), *[F.col(c).alias(f"__k{i}") for i, c in enumerate(key_cols)]
     )
     keys = [f"__k{i}" for i in range(len(key_cols))]
-    # persist the joined frame: the stats aggregate and the rewrite both
-    # consume it — uncached, the full-outer shuffle would run twice and a
-    # non-deterministic source could make the reported counts disagree
-    # with the written rows (review finding)
-    from pyspark import StorageLevel
-
-    j = t.join(s, keys, "full_outer").select("__t", "__s").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    j = t.join(s, keys, "full_outer").select("__t", "__s")
     matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
     t_only = F.col("__s").isNull() & F.col("__t").isNotNull()
     s_only = F.col("__t").isNull() & F.col("__s").isNotNull()
@@ -89,21 +82,30 @@ def merge_into(
     if when_not_matched == "insert":
         pick = pick.when(s_only, F.col("__s"))
 
-    # count the branches in one aggregate BEFORE the rewrite
-    try:
-        stats = j.agg(
-            F.sum(matched.cast("long")).alias("m"),
-            F.sum(s_only.cast("long")).alias("s"),
-            F.sum(t_only.cast("long")).alias("t"),
-        ).collect()[0]
-        n_matched = int(stats["m"] or 0)
-        n_s_only = int(stats["s"] or 0)
-        n_t_only = int(stats["t"] or 0)
+    # branch counts ride the WRITE itself via Observation — genuinely one
+    # full-outer pass (a separate count aggregate would re-run the join, or
+    # force a persist of the whole joined frame), and the counts are
+    # collected from exactly the execution that produced the committed
+    # rows, so MergeResult can never disagree with the written table
+    from pyspark.sql import Observation
 
-        out = j.select(pick.alias("__r")).filter(F.col("__r").isNotNull()).select("__r.*")
-        atomic_swap_write(out, target_path)
-    finally:
-        j.unpersist()
+    obs = Observation()
+    observed = j.observe(
+        obs,
+        F.sum(matched.cast("long")).alias("m"),
+        F.sum(s_only.cast("long")).alias("s"),
+        F.sum(t_only.cast("long")).alias("t"),
+    )
+    out = (
+        observed.select(pick.alias("__r"))
+        .filter(F.col("__r").isNotNull())
+        .select("__r.*")
+    )
+    atomic_swap_write(out, target_path)
+    stats = obs.get
+    n_matched = int(stats["m"] or 0)
+    n_s_only = int(stats["s"] or 0)
+    n_t_only = int(stats["t"] or 0)
     return MergeResult(
         updated=n_matched if when_matched == "update" else 0,
         deleted=n_matched if when_matched == "delete" else 0,
