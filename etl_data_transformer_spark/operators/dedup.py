@@ -974,7 +974,6 @@ def write_winnow_store(store_df: DataFrame, path: str, *, k: int = 8, w: int = 4
     from ..sources.writers import atomic_swap_write
 
     params = {"k": k, "w": w}
-    sidecar = os.path.join(path, "_winnow_params.json")
     if mode == "overwrite":
         atomic_swap_write(
             store_df,
@@ -984,12 +983,23 @@ def write_winnow_store(store_df: DataFrame, path: str, *, k: int = 8, w: int = 4
             ),
         )
         return
+    ensure_winnow_params_sidecar(path, k=k, w=w)
+    store_df.write.mode(mode).parquet(path)
+
+
+def ensure_winnow_params_sidecar(path: str, *, k: int = 8, w: int = 4) -> None:
+    """Write-or-validate the ``_winnow_params`` sidecar — the single entry
+    point every winnow-store writer (batch or streaming) calls before its
+    first data write, mirroring ``ensure_minhash_params_sidecar``."""
+    import os
+
+    params = {"k": k, "w": w}
+    sidecar = os.path.join(path, "_winnow_params.json")
     if os.path.exists(sidecar):
         _validate_store_params(sidecar, params, label="winnow")
-    else:
-        os.makedirs(path, exist_ok=True)
-        _write_params_sidecar(sidecar, params)
-    store_df.write.mode(mode).parquet(path)
+        return
+    os.makedirs(path, exist_ok=True)
+    _write_params_sidecar(sidecar, params)
 
 
 def read_winnow_store(

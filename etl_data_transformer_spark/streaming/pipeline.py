@@ -461,6 +461,79 @@ def stream_near_dedup(
     q.awaitTermination()
 
 
+def stream_winnow_dedup(
+    stream_docs: DataFrame,
+    store_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int | None = None,
+) -> None:
+    """Streaming VERBATIM-overlap detection over a document ingest stream —
+    the streaming twin of ``operators/dedup.winnow_overlap_incremental``
+    (as ``stream_near_dedup`` is for MinHash). Each micro-batch winnows
+    ONLY its own documents, joins their fingerprints against the persisted
+    store at ``store_path``, writes overlap pairs
+    (id_a, id_b, shared, containment) to ``pairs_path``, and appends its
+    own (id, nf, fp) rows to the store. State grows with fingerprints
+    (~2/(w+1) longs per gram), never text.
+
+    Same durability discipline as ``stream_near_dedup``: idempotent
+    ``__batch_id``-partitioned sinks (a replayed batch overwrites its own
+    partition), explicit first-batch detection (real store-read failures
+    propagate and retry), and the ``_winnow_params`` sidecar
+    written-or-validated before any data so a restart with different
+    (k, w) raises instead of matching nothing.
+    """
+    from ..operators.dedup import (
+        ensure_winnow_params_sidecar,
+        winnow_overlap_incremental,
+        winnow_overlap_pairs,
+        winnow_store_rows,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).persist()
+        try:
+            if batch.isEmpty():
+                return
+            ensure_winnow_params_sidecar(store_path, k=k, w=w)
+            store = _read_store_or_none(spark, store_path)
+            if store is None:
+                pairs = winnow_overlap_pairs(
+                    batch, text_col, id_col, k, w, min_shared, max_bucket_size
+                )
+            else:
+                pairs = winnow_overlap_incremental(
+                    batch,
+                    store.select(id_col, "nf", "fp"),
+                    text_col,
+                    id_col,
+                    k,
+                    w,
+                    min_shared,
+                    max_bucket_size,
+                )
+            _overwrite_batch_partition(pairs, pairs_path, batch_id)
+            rows = winnow_store_rows(batch, text_col, id_col, k, w)
+            _overwrite_batch_partition(rows, store_path, batch_id)
+        finally:
+            batch.unpersist()
+
+    q = (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _read_store_or_none(spark: SparkSession, path: str):
     """Read a parquet store, returning ``None`` ONLY for the legitimate
     first-batch states: path absent, or present with no data files yet (the

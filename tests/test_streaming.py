@@ -519,3 +519,52 @@ def test_stream_dim_enrich_equals_batch(spark, tmp_path):
     got_df = run_available_now(enriched, str(tmp_path / "ckpt_de"), "dim_enrich")
     got = {(r["event_id"], r["segment"]) for r in got_df.collect()}
     assert got == expected and len(got) > 0
+
+
+def test_stream_winnow_dedup_cross_batch_pairs_and_store(spark, tmp_path):
+    """Streaming winnowing overlap: batch 2 pairs against batch 1 through
+    the persisted fingerprint store (batch 1's text never re-winnowed),
+    the store accumulates rows per batch, and a (k, w) restart mismatch
+    raises via the sidecar."""
+    import pytest
+
+    from etl_data_transformer_spark.streaming.pipeline import stream_winnow_dedup
+
+    src = str(tmp_path / "src_w")
+    store = str(tmp_path / "store_w")
+    pairs = str(tmp_path / "pairs_w")
+    ckpt = str(tmp_path / "ckpt_w")
+    schema = "doc_id long, text string"
+    shared = "an unmistakably distinctive shared passage for winnowing"
+
+    def drain(k=8, w=4):
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_winnow_dedup(stream, store, pairs, ckpt, k=k, w=w, min_shared=1)
+
+    spark.createDataFrame(
+        [
+            (1, "first doc: " + shared + " plus its own tail"),
+            (2, "completely unrelated content with no overlap whatsoever"),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(src)
+    drain()
+    assert spark.read.parquet(store).select("doc_id").distinct().count() == 2
+
+    spark.createDataFrame(
+        [(6, "second batch reuses " + shared + " inside new framing")], schema
+    ).write.mode("append").parquet(src)
+    drain()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()
+    }
+    assert (1, 6) in got and not any(2 in p for p in got)
+    assert spark.read.parquet(store).select("doc_id").distinct().count() == 3
+
+    # restarting with different winnowing parameters must raise loudly
+    spark.createDataFrame([(9, "more text arriving later")], schema).write.mode(
+        "append"
+    ).parquet(src)
+    with pytest.raises(Exception, match="winnow store parameter mismatch"):
+        drain(k=20, w=8)
