@@ -1086,3 +1086,48 @@ def winnow_overlap_incremental(
             "containment"
         ),
     )
+
+
+def compact_winnow_store(
+    spark,
+    path: str,
+    *,
+    live_ids: DataFrame | None = None,
+    drop_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> None:
+    """Bound winnow-store growth — the ``compact_minhash_store`` twin for
+    the fingerprint store: drop rows of documents later deleted/deduped
+    (``drop_ids`` anti-join) or keep only surviving documents
+    (``live_ids`` semi-join; exactly one must be given), rewriting through
+    the atomic staging swap with the ``_winnow_params`` sidecar placed in
+    staging before the swap. Fingerprints are per-document and
+    deterministic, so dropping rows never changes surviving pairs
+    (pinned by ``tests/test_dedup.py``). A streaming store's
+    ``__batch_id`` partition layout is preserved so later micro-batch
+    overwrites keep landing consistently."""
+    import os
+
+    from ..sources.writers import atomic_swap_write
+
+    if (live_ids is None) == (drop_ids is None):
+        raise ValueError("pass exactly one of live_ids / drop_ids")
+    params = {"k": k, "w": w}
+    sidecar = os.path.join(path, "_winnow_params.json")
+    if os.path.exists(sidecar):
+        _validate_store_params(sidecar, params, label="winnow")
+    store = spark.read.parquet(path)
+    if live_ids is not None:
+        kept = store.join(live_ids.select(id_col).distinct(), id_col, "left_semi")
+    else:
+        kept = store.join(drop_ids.select(id_col).distinct(), id_col, "left_anti")
+    atomic_swap_write(
+        kept,
+        path,
+        partition_by=["__batch_id"] if "__batch_id" in store.columns else None,
+        finalize_staging=lambda staging: _write_params_sidecar(
+            os.path.join(staging, "_winnow_params.json"), params
+        ),
+    )

@@ -472,3 +472,38 @@ def test_winnow_store_roundtrip_and_param_mismatch(spark, star, tmp_path):
         DD.winnow_store_rows(d, k=8, w=4), path, k=8, w=4, mode="overwrite"
     )
     assert DD.read_winnow_store(spark, path, k=8, w=4).count() > 0
+
+
+def test_compact_winnow_store_preserves_incremental_pairs(spark, star, tmp_path):
+    """Post-compaction incremental run == run against a store rebuilt from
+    the surviving corpus (dead rows never affected surviving pairs)."""
+    import pytest
+
+    d = star["documents"].filter(F.col("doc_id") < 160)
+    old = d.filter(F.col("doc_id") < 100)
+    survivors = old.filter(F.col("doc_id") % 3 != 0)
+    batch = d.filter(F.col("doc_id") >= 100)
+    path = str(tmp_path / "wstore_c")
+    DD.write_winnow_store(DD.winnow_store_rows(old, k=20, w=8), path, k=20, w=8)
+    DD.compact_winnow_store(
+        spark, path, drop_ids=old.filter(F.col("doc_id") % 3 == 0).select("doc_id"),
+        k=20, w=8,
+    )
+    compacted = DD.read_winnow_store(spark, path, k=20, w=8)
+    got = {
+        tuple(r)
+        for r in DD.winnow_overlap_incremental(
+            batch, compacted, k=20, w=8, min_shared=1
+        ).collect()
+    }
+    rebuilt = DD.winnow_store_rows(survivors, k=20, w=8)
+    want = {
+        tuple(r)
+        for r in DD.winnow_overlap_incremental(
+            batch, rebuilt, k=20, w=8, min_shared=1
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # exactly-one-of validation
+    with pytest.raises(ValueError, match="exactly one"):
+        DD.compact_winnow_store(spark, path, k=20, w=8)
