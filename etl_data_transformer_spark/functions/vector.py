@@ -67,14 +67,30 @@ def matryoshka_truncate(a: Column | str, dim: int) -> Column:
     embedding). At 100 TB this is the cheap recall/latency dial: a 4×
     truncation cuts ANN index storage and probe IO 4× with a known small
     recall cost — pair with ``operators/similarity.ivf_*`` or
-    ``quantize_int8`` (the levers compose). NULL-norm prefixes (all-zero)
-    return NULL elements via ``try_divide`` semantics upstream; callers
-    filter or keep as policy.
+    ``quantize_int8`` (the levers compose).
+
+    Expression shape (review finding): the norm is evaluated ONCE per row
+    inside ``array_repeat`` and the division runs as ``zip_with`` over
+    lambda variables only — referencing the norm subtree from inside a
+    ``transform`` lambda would re-evaluate the O(dim) fold per ELEMENT
+    (O(dim²)/row; Spark does not hoist loop invariants out of
+    higher-order-function lambdas). Vectors shorter than ``dim`` raise at
+    runtime (``assert_true``) instead of silently returning a short prefix.
     """
-    pre = F.slice(_c(a), 1, dim)
+    if dim <= 0:
+        raise ValueError("dim must be positive")
+    arr = _c(a)
+    pre = F.slice(arr, 1, dim)
     n = F.sqrt(
         F.aggregate(
             pre, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
         )
     )
-    return F.transform(pre, lambda x: x.cast("double") / n)
+    checked = F.when(
+        F.assert_true(
+            F.size(arr) >= dim,
+            F.concat(F.lit(f"matryoshka_truncate: vector shorter than dim={dim}: "), F.size(arr).cast("string")),
+        ).isNull(),
+        F.zip_with(pre, F.array_repeat(n, dim), lambda x, nn: x.cast("double") / nn),
+    )
+    return checked

@@ -442,7 +442,9 @@ def stream_near_dedup(
             if store is None:
                 pairs = minhash_dedup(batch, **kw)
             else:
-                store = store.select(id_col, "hs", "sig")
+                store = _drop_replayed_batch_rows(store, batch, id_col).select(
+                    id_col, "hs", "sig"
+                )
                 pairs = minhash_dedup_incremental(batch, store, **kw)
             _overwrite_batch_partition(pairs, pairs_path, batch_id)
             sigs = minhash_signature_store(
@@ -511,7 +513,9 @@ def stream_winnow_dedup(
             else:
                 pairs = winnow_overlap_incremental(
                     batch,
-                    store.select(id_col, "nf", "fp"),
+                    _drop_replayed_batch_rows(store, batch, id_col).select(
+                        id_col, "nf", "fp"
+                    ),
                     text_col,
                     id_col,
                     k,
@@ -550,6 +554,21 @@ def _read_store_or_none(spark: SparkSession, path: str):
         if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             return None
         raise
+
+
+def _drop_replayed_batch_rows(store: DataFrame, batch: DataFrame, id_col: str) -> DataFrame:
+    """foreachBatch replay idempotence (round-5 review finding): a batch
+    that crashed after writing its store partition but before the
+    checkpoint commit is re-run — without this exclusion it would read its
+    OWN rows back from the store and double/triple-count in-batch pairs
+    (winnow containment > 1.0). Batch and store ids are contractually
+    disjoint (the incremental-dedup precondition), so any store row whose
+    id is in the current batch can only be the replay's own partial write —
+    dropping them makes the recompute identical to the first attempt, and
+    the partition overwrite then rewrites the same bytes. (Excluding by
+    ``__batch_id`` instead would misfire when a NEW checkpoint restarts
+    batch numbering against an existing store.)"""
+    return store.join(batch.select(id_col).distinct(), id_col, "left_anti")
 
 
 def _overwrite_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:

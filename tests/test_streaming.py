@@ -568,3 +568,38 @@ def test_stream_winnow_dedup_cross_batch_pairs_and_store(spark, tmp_path):
     ).parquet(src)
     with pytest.raises(Exception, match="winnow store parameter mismatch"):
         drain(k=20, w=8)
+
+
+def test_replayed_batch_rows_excluded_from_store_reads(spark, star):
+    """Replay simulation: a store polluted with the current batch's own
+    fingerprint rows (a crashed foreachBatch's partial write) must produce
+    IDENTICAL pairs to a clean store — no double-counted shared counts, no
+    containment > 1.0."""
+    from etl_data_transformer_spark.operators import dedup as DD
+    from etl_data_transformer_spark.streaming.pipeline import _drop_replayed_batch_rows
+
+    d = star["documents"].filter(F.col("doc_id") < 160)
+    old = d.filter(F.col("doc_id") < 100)
+    batch = d.filter(F.col("doc_id") >= 100)
+    clean_store = DD.winnow_store_rows(old, k=20, w=8)
+    polluted = clean_store.unionByName(DD.winnow_store_rows(batch, k=20, w=8))
+    healed = _drop_replayed_batch_rows(polluted, batch, "doc_id")
+    want = {
+        tuple(r)
+        for r in DD.winnow_overlap_incremental(
+            batch, clean_store, k=20, w=8, min_shared=1
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in DD.winnow_overlap_incremental(
+            batch, healed, k=20, w=8, min_shared=1
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    assert all(r[3] <= 1.0 for r in got)  # containment bounded
+    # and WITHOUT the healing, the polluted store does inflate counts
+    bad = DD.winnow_overlap_incremental(
+        batch, polluted, k=20, w=8, min_shared=1
+    ).collect()
+    assert {tuple(r) for r in bad} != want

@@ -46,3 +46,15 @@ def test_matryoshka_truncate_unit_norm_and_rank_preservation(spark, star):
     # = 0.5; assert we land near that statistical floor (MRL-trained
     # vectors would score far higher)
     assert corr > 0.35, corr
+
+
+def test_matryoshka_truncate_validations(spark):
+    import pytest
+
+    from etl_data_transformer_spark.functions.vector import matryoshka_truncate
+
+    with pytest.raises(ValueError):
+        matryoshka_truncate("embedding", 0)
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, embedding array<double>")
+    with pytest.raises(Exception, match="shorter than dim"):
+        df.select(matryoshka_truncate("embedding", 8).alias("t")).collect()
