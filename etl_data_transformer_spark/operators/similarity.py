@@ -469,3 +469,23 @@ def ivf_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ivf_delete(spark, index_path: str, drop_ids: DataFrame, id_col: str = "id") -> None:
+    """Remove vectors from a persisted ``list_id``-partitioned IVF index —
+    the delete leg of the index lifecycle (build → append via ``ivf_assign``
+    → search → delete): left-anti join the dropped ids, rewrite through the
+    atomic staging swap PRESERVING the ``list_id`` partition layout, so
+    probed-partition pruning and later appends keep working and a reader
+    always sees the old or the compacted index, never a partial one.
+
+    At corpus scale the rewrite touches every list; a deletion-heavy
+    deployment would keep a small tombstone set (broadcast anti-join at
+    search time) and fold it in at the next scheduled compaction — this
+    function IS that compaction step.
+    """
+    from ..sources.writers import atomic_swap_write
+
+    index = spark.read.parquet(index_path)
+    kept = index.join(drop_ids.select(id_col).distinct(), id_col, "left_anti")
+    atomic_swap_write(kept, index_path, partition_by=["list_id"])

@@ -228,3 +228,33 @@ def test_ivf_over_matryoshka_truncated_embeddings(spark, star):
     # is ~30x above chance: the composed pipeline works end-to-end and
     # retains real signal. MRL-trained embeddings are the production case.
     assert sum(got.values()) >= 4, got
+
+
+def test_ivf_delete_removes_vectors_and_preserves_layout(spark, star, tmp_path):
+    """Deleted vectors disappear from search results; survivors' results
+    equal an index rebuilt without them; the partitioned layout (and its
+    PartitionFilters pruning) survives the rewrite."""
+    emb = star["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    q = emb.filter(F.col("id") < 5)
+    cents, assignments = SIM.ivf_index(emb, n_lists=8)
+    path = str(tmp_path / "ivf_del")
+    assignments.write.partitionBy("list_id").parquet(path)
+
+    drop = emb.filter((F.col("id") >= 100) & (F.col("id") < 300)).select("id")
+    SIM.ivf_delete(spark, path, drop)
+    index = spark.read.parquet(path)
+    assert index.filter((F.col("id") >= 100) & (F.col("id") < 300)).count() == 0
+
+    got = SIM.ivf_search(q, index, cents, k=5, n_probes=3)
+    dropped = {r["id"] for r in drop.collect()}
+    assert not any(r["neighbor_id"] in dropped for r in got.collect())
+    # equivalence with an index built from the surviving corpus only
+    survivors = emb.filter((F.col("id") < 100) | (F.col("id") >= 300))
+    rebuilt = SIM.ivf_assign(survivors, cents)
+    want = sorted(map(tuple, SIM.ivf_search(q, rebuilt, cents, k=5, n_probes=3).collect()))
+    assert sorted(map(tuple, got.collect())) == want
+    # layout: partition pruning still applies after the rewrite
+    out = SIM.ivf_search(q.limit(1), index, cents, k=3, n_probes=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln and "list_id" in ln)
+    assert "PartitionFilters" in scan
