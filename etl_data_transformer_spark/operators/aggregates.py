@@ -110,3 +110,59 @@ def heavy_hitters(df: DataFrame, col: str, support: float = 0.01) -> DataFrame:
         )
     finally:
         df.unpersist()
+
+
+def profile_table(df: DataFrame, approx_distinct: bool = True) -> DataFrame:
+    """Generic column profiler: ONE aggregation pass over the whole table
+    producing one row per column — (column, dtype, n_rows, n_nulls,
+    null_frac, n_distinct, min_str, max_str). The schema-drift /
+    data-quality sweep run after every load at scale.
+
+    All per-column statistics are expressions in a SINGLE ``agg`` (Spark
+    computes them in one partial+final aggregate — one scan, no per-column
+    jobs); the wide one-row result is unpivoted driver-side via a
+    stack-style select. ``approx_distinct=True`` (default) uses the HLL
+    sketch — mergeable and O(1) memory, the 100 TB tier, and the whole
+    profile stays literally ONE Aggregate node; False gives exact
+    ``count(distinct)`` per column, which Spark rewrites into an
+    Expand + two-aggregate plan (multi-column DISTINCT) — still a single
+    scan, but each row fans out once per column. min/max are
+    cast to string so heterogeneous column types fit one output schema
+    (NULL for types without ordering, e.g. maps).
+    """
+    from pyspark.sql import types as T
+
+    def orderable(dt) -> bool:
+        return not isinstance(dt, (T.MapType,))
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in df.schema.fields:
+        c = f.name
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+        if approx_distinct:
+            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
+        else:
+            aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+        if orderable(f.dataType):
+            aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"__min_{c}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(f.name).alias("column"),
+            F.lit(f.dataType.simpleString()).alias("dtype"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nulls_{f.name}").alias("n_nulls"),
+            F.round(F.try_divide(F.col(f"__nulls_{f.name}"), F.col("__n")), 6).alias(
+                "null_frac"
+            ),
+            F.col(f"__nd_{f.name}").alias("n_distinct"),
+            F.col(f"__min_{f.name}").alias("min_str"),
+            F.col(f"__max_{f.name}").alias("max_str"),
+        )
+        for f in df.schema.fields
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

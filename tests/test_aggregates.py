@@ -85,3 +85,39 @@ def test_heavy_hitters_empty_and_validation(spark):
         heavy_hitters(empty, "term", 0.0)
     with pytest.raises(ValueError):
         heavy_hitters(empty, "term", 1.0)
+
+
+def test_profile_table_one_row_per_column(spark, star):
+    from etl_data_transformer_spark.operators.aggregates import profile_table
+
+    orders = star["orders"]
+    prof = {r["column"]: r for r in profile_table(orders, approx_distinct=False).collect()}
+    assert set(prof) == set(orders.columns)
+    n = orders.count()
+    assert all(r["n_rows"] == n for r in prof.values())
+    exact_ck = orders.select("o_custkey").distinct().count()
+    assert prof["o_custkey"]["n_distinct"] == exact_ck
+    assert prof["o_orderstatus"]["null_frac"] == 0.0
+    assert prof["o_totalprice"]["min_str"] is not None
+    # approx path: within HLL envelope of exact
+    aprof = {r["column"]: r for r in profile_table(orders).collect()}
+    assert abs(aprof["o_custkey"]["n_distinct"] - exact_ck) <= exact_ck * 0.1
+
+
+def test_profile_table_nulls_and_single_pass(spark):
+    from etl_data_transformer_spark.operators.aggregates import profile_table
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (None, "x")], "a int, b string"
+    )
+    prof = {r["column"]: r for r in profile_table(df, approx_distinct=False).collect()}
+    assert prof["a"]["n_nulls"] == 1 and prof["b"]["n_nulls"] == 1
+    assert abs(prof["a"]["null_frac"] - 1 / 3) < 1e-6
+    assert prof["b"]["n_distinct"] == 1  # countDistinct ignores nulls
+    # approx path: literally ONE Aggregate node (HLL is a plain aggregate);
+    # exact path: Expand + two aggregates (multi-column DISTINCT rewrite),
+    # still a single scan
+    plan_a = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan_a.count("Aggregate") == 1
+    plan_e = profile_table(df, approx_distinct=False)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan_e.count("LogicalRDD") == 1  # one scan either way
