@@ -180,3 +180,17 @@ def test_funnel_order_sensitivity(spark):
 
     with pytest.raises(ValueError):
         funnel(df, ["view"])
+
+
+def test_funnel_step_tables_join_broadcast(spark, star):
+    """The per-key step tables (one row per key) must join BROADCAST against
+    the event stream — the event scan is the only shuffled input."""
+    from etl_data_transformer_spark.operators.temporal import funnel
+
+    ev = star["events"]
+    df = funnel(ev, steps=["view", "click", "purchase"])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 2
