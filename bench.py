@@ -171,6 +171,18 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — comparison timing is best-effort
         print(f"# duckdb timing skipped: {e}", file=sys.stderr)
 
+    # Detail (per-rep spread + DuckDB reference) goes to a sidecar file and
+    # a stderr line: the round-5 driver's tail capture truncated the single
+    # summary line once `spread` (3 reps x 30 queries) was inlined, leaving
+    # BENCH_r05.json unparsed. The FINAL stdout line must stay short — it is
+    # the driver contract.
+    detail = {"spread": rep_times, "duckdb": duck_times, "reps": reps}
+    try:
+        with open("BENCH_DETAIL.json", "w") as f:
+            json.dump(detail, f)
+    except OSError as e:
+        print(f"# detail sidecar not written: {e}", file=sys.stderr)
+    print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -178,10 +190,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
-                "spread": rep_times,
                 "sf": float(sf),
                 "reps": reps,
-                "duckdb": duck_times,
             }
         )
     )

@@ -234,10 +234,22 @@ def stream_incremental_upsert(
         try:
             if batch.isEmpty():
                 return
-            try:
-                old = spark.read.parquet(target_path)
-            except Exception:  # noqa: BLE001 — first batch, no target yet
-                batch.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+            # First-batch probe via the same AnalysisException gating as
+            # _read_store_or_none (round-5 verdict #1): ONLY a genuinely
+            # absent/empty target takes the create path. A transient read
+            # failure on an EXISTING table (corrupt footer, permissions, FS
+            # blip) must propagate so foreachBatch retries — the old blind
+            # `except Exception` here fell through to a STATIC overwrite
+            # that replaced the whole table with one micro-batch.
+            old = _read_store_or_none(spark, target_path)
+            if old is None:
+                # dynamic mode even on create: harmless on an empty path,
+                # and keeps the write mode identical across batches so a
+                # replay of batch 0 against its own partial output can
+                # never static-truncate partitions it didn't touch.
+                batch.write.option("partitionOverwriteMode", "dynamic").mode(
+                    "overwrite"
+                ).partitionBy(partition_col).parquet(target_path)
                 return
             dates = [r[partition_col] for r in batch.select(partition_col).distinct().collect()]
             touched = old.filter(F.col(partition_col).isin(dates))

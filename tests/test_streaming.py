@@ -211,6 +211,44 @@ def test_stream_incremental_upsert(spark, tmp_path):
     assert got == {(1, 10.0), (2, 2.0), (3, 3.0), (4, 44.0)}
 
 
+def test_stream_incremental_upsert_read_failure_does_not_truncate(spark, tmp_path):
+    """Round-5 verdict #1: a read failure on an EXISTING target must fail the
+    micro-batch (so foreachBatch retries), never fall through to the
+    first-batch create path — which, pre-fix, overwrote the whole table with
+    just the current batch. Inject the failure with a corrupt parquet file
+    dropped into a populated target."""
+    import datetime as dt
+
+    import pytest
+
+    from etl_data_transformer_spark.streaming.pipeline import stream_incremental_upsert
+
+    schema = "k long, ts timestamp, v double"
+    src = str(tmp_path / "cor_src")
+    target = tmp_path / "cor_target"
+    ckpt = str(tmp_path / "cor_ckpt")
+
+    d1 = dt.datetime(2024, 1, 1, 10)
+    spark.createDataFrame([(1, d1, 1.0), (2, d1, 2.0)], schema).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_incremental_upsert(stream, str(target), ckpt, key_cols=["k"], cdc_column="ts")
+    before = {(r["k"], r["v"]) for r in spark.read.parquet(str(target)).collect()}
+    assert before == {(1, 1.0), (2, 2.0)}
+
+    # corrupt footer inside the existing target → the probe read must raise
+    part = target / "cdc_date=2024-01-01"
+    (part / "part-corrupt.parquet").write_bytes(b"PAR1 this is not a parquet file")
+    spark.createDataFrame([(3, d1, 3.0)], schema).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    with pytest.raises(Exception, match="(?i)footer|corrupt|parquet|not a"):
+        stream_incremental_upsert(stream2, str(target), ckpt, key_cols=["k"], cdc_column="ts")
+
+    # target survives: original rows intact once the injected file is removed
+    (part / "part-corrupt.parquet").unlink()
+    after = {(r["k"], r["v"]) for r in spark.read.parquet(str(target)).collect()}
+    assert after == before
+
+
 def test_sessionize_identical_under_rocksdb_state_store(spark, tmp_path):
     """The RocksDB state store (the cluster-scale spill path for streaming
     state) produces byte-identical sessionization results to the default

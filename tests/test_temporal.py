@@ -182,15 +182,57 @@ def test_funnel_order_sensitivity(spark):
         funnel(df, ["view"])
 
 
-def test_funnel_step_tables_join_broadcast(spark, star):
-    """The per-key step tables (one row per key) must join BROADCAST against
-    the event stream — the event scan is the only shuffled input."""
+def test_funnel_default_mode_no_forced_broadcast(spark, star):
+    """Default (scale-safe) mode: the per-key step table — O(#keys), unbounded
+    — must NOT be hint-broadcast. With auto-broadcast disabled the plan
+    contains zero BroadcastExchange (a leftover hint would force one anyway),
+    and the pre-repartitioned event stream is shuffled exactly once and
+    reused by every step (ReusedExchange)."""
     from etl_data_transformer_spark.operators.temporal import funnel
 
     ev = star["events"]
-    df = funnel(ev, steps=["view", "click", "purchase"])
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 2
+    with_conf = [
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"),
+    ]
+    old = {k: spark.conf.get(k, None) for k, _ in with_conf}
+    try:
+        for k, v in with_conf:
+            spark.conf.set(k, v)
+        df = funnel(ev, steps=["view", "click", "purchase"])
+        rows = df.collect()
+        assert rows  # sanity: funnel produced results
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "ReusedExchange" in plan  # one event shuffle, shared by steps
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_funnel_broadcast_mode_pins_hint(spark, star):
+    """broadcast_steps=True (small known key domains only): the step tables
+    join broadcast even with auto-broadcast disabled — the event scan is the
+    only shuffled input."""
+    from etl_data_transformer_spark.operators.temporal import funnel
+
+    ev = star["events"]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = funnel(ev, steps=["view", "click", "purchase"], broadcast_steps=True)
+        base = funnel(ev, steps=["view", "click", "purchase"])
+        got = {tuple(r) for r in df.collect()}
+        assert got == {tuple(r) for r in base.collect()}  # mode-independent result
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
