@@ -322,6 +322,46 @@ def _ivf_assign_arrow(vectors: DataFrame, centroids: list[list[float]], id_col: 
     )
 
 
+def _ivf_probes_arrow(
+    queries: DataFrame, centroids: list[list[float]], n_probes: int
+) -> DataFrame:
+    """Arrow-batched top-``n_probes`` probe selection: ONE BLAS matmul per
+    query batch scores all centroids, a stable argsort keeps the
+    tie-break of the expression path (equal distances → lower centroid
+    index first). The query-side twin of ``_ivf_assign_arrow`` — round-5
+    verdict #4: SCALING.md measured the interpreted per-centroid fold "not
+    viable" at thousands of lists for assignment, and probe selection is
+    the identical shape run per query row."""
+    import numpy as np
+
+    id_type = dict(queries.dtypes)["id"]
+    emb_type = dict(queries.dtypes)["embedding"]
+    schema = f"query_id {id_type}, query_id_emb {emb_type}, list_id long"
+    cents = np.array(centroids, dtype=np.float64)
+    cent_norms = (cents * cents).sum(axis=1)
+    p = min(n_probes, len(centroids))
+
+    def probes(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # rank by |x-c|² == rank by |c|² - 2 x·c (|x|² is row-constant)
+            d = cent_norms[None, :] - 2.0 * (x @ cents.T)
+            top = np.argsort(d, axis=1, kind="stable")[:, :p] + 1
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["id"].to_numpy().repeat(p),
+                    "query_id_emb": pdf["embedding"].to_numpy().repeat(p),
+                    "list_id": top.reshape(-1).astype("int64"),
+                }
+            )
+
+    return queries.select("id", "embedding").mapInPandas(probes, schema=schema)
+
+
 def ivf_index(
     corpus: DataFrame,
     n_lists: int = 8,
@@ -349,6 +389,7 @@ def ivf_search(
     n_probes: int = 3,
     rerank_quantized: bool = False,
     rerank_k: int | None = None,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """Top-k search against a persisted IVF index (``ivf_index`` /
     ``ivf_assign`` output, any storage): each query probes its ``n_probes``
@@ -372,28 +413,37 @@ def ivf_search(
        pruned partitions, now reading the embedding column for ~rerank_k
        rows per query instead of whole lists) and rank exactly.
 
-    ``tests/test_similarity.py`` pins rerank == full-precision ranking on
-    the fixture and store==direct equivalence."""
+    Probe selection auto-switches (``arrow=None``) to the Arrow BLAS matmul
+    at ``>= 32`` lists — the same crossover as ``ivf_assign`` — so a
+    million-query sweep against a thousands-of-lists index never runs the
+    interpreted per-centroid fold per query row. ``tests/test_similarity.py``
+    pins Arrow probes == expression probes on the fixture, plus rerank ==
+    full-precision ranking and store==direct equivalence."""
+    if arrow is None:
+        arrow = len(centroids) >= 32
 
-    def neg_d2(c: list[float]) -> Column:
-        return F.aggregate(
-            F.zip_with("embedding", F.array(*[F.lit(v) for v in c]), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc - v,
+    if arrow:
+        q = _ivf_probes_arrow(queries, centroids, n_probes)
+    else:
+        def neg_d2(c: list[float]) -> Column:
+            return F.aggregate(
+                F.zip_with("embedding", F.array(*[F.lit(v) for v in c]), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, v: acc - v,
+            )
+
+        arr = F.array(*[neg_d2(c) for c in centroids])
+        zipped = F.arrays_zip(arr.alias("s"), F.sequence(F.lit(1), F.lit(len(centroids))).cast("array<long>").alias("i"))
+        by_score_desc = F.array_sort(
+            zipped,
+            lambda l, r: F.when(l["s"] > r["s"], -1).when(l["s"] < r["s"], 1).otherwise(0),
         )
-
-    arr = F.array(*[neg_d2(c) for c in centroids])
-    zipped = F.arrays_zip(arr.alias("s"), F.sequence(F.lit(1), F.lit(len(centroids))).cast("array<long>").alias("i"))
-    by_score_desc = F.array_sort(
-        zipped,
-        lambda l, r: F.when(l["s"] > r["s"], -1).when(l["s"] < r["s"], 1).otherwise(0),
-    )
-    probes = F.transform(F.slice(by_score_desc, 1, n_probes), lambda x: x["i"])
-    q = queries.select(
-        F.col("id").alias("query_id"),
-        F.col("embedding").alias("query_id_emb"),
-        F.explode(probes).alias("list_id"),
-    )
+        probes = F.transform(F.slice(by_score_desc, 1, n_probes), lambda x: x["i"])
+        q = queries.select(
+            F.col("id").alias("query_id"),
+            F.col("embedding").alias("query_id_emb"),
+            F.explode(probes).alias("list_id"),
+        )
     probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
     pruned = index.filter(F.col("list_id").isin(probed))
     if rerank_quantized:

