@@ -441,7 +441,13 @@ def stream_near_dedup(
         max_bucket_size=max_bucket_size,
     )
 
+    ns = _stream_store_namespace(checkpoint_dir)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from ..operators.dedup import _write_params_sidecar
+
         spark = batch_df.sparkSession
         batch = batch_df.select(id_col, text_col).persist()
         try:
@@ -450,7 +456,14 @@ def stream_near_dedup(
             ensure_minhash_params_sidecar(
                 store_path, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
             )
-            store = _read_store_or_none(spark, store_path)
+            store = _partitioned_store_or_convert(
+                spark,
+                store_path,
+                lambda staging: _write_params_sidecar(
+                    os.path.join(staging, "_minhash_params.json"),
+                    {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands},
+                ),
+            )
             if store is None:
                 pairs = minhash_dedup(batch, **kw)
             else:
@@ -458,11 +471,11 @@ def stream_near_dedup(
                     id_col, "hs", "sig"
                 )
                 pairs = minhash_dedup_incremental(batch, store, **kw)
-            _overwrite_batch_partition(pairs, pairs_path, batch_id)
+            _overwrite_batch_partition(pairs, pairs_path, ns, batch_id)
             sigs = minhash_signature_store(
                 batch, text_col, id_col, shingle_n, num_hashes, bands
             )
-            _overwrite_batch_partition(sigs, store_path, batch_id)
+            _overwrite_batch_partition(sigs, store_path, ns, batch_id)
         finally:
             batch.unpersist()
 
@@ -510,14 +523,26 @@ def stream_winnow_dedup(
         winnow_store_rows,
     )
 
+    ns = _stream_store_namespace(checkpoint_dir)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from ..operators.dedup import _write_params_sidecar
+
         spark = batch_df.sparkSession
         batch = batch_df.select(id_col, text_col).persist()
         try:
             if batch.isEmpty():
                 return
             ensure_winnow_params_sidecar(store_path, k=k, w=w)
-            store = _read_store_or_none(spark, store_path)
+            store = _partitioned_store_or_convert(
+                spark,
+                store_path,
+                lambda staging: _write_params_sidecar(
+                    os.path.join(staging, "_winnow_params.json"), {"k": k, "w": w}
+                ),
+            )
             if store is None:
                 pairs = winnow_overlap_pairs(
                     batch, text_col, id_col, k, w, min_shared, max_bucket_size
@@ -535,9 +560,9 @@ def stream_winnow_dedup(
                     min_shared,
                     max_bucket_size,
                 )
-            _overwrite_batch_partition(pairs, pairs_path, batch_id)
+            _overwrite_batch_partition(pairs, pairs_path, ns, batch_id)
             rows = winnow_store_rows(batch, text_col, id_col, k, w)
-            _overwrite_batch_partition(rows, store_path, batch_id)
+            _overwrite_batch_partition(rows, store_path, ns, batch_id)
         finally:
             batch.unpersist()
 
@@ -548,6 +573,70 @@ def stream_winnow_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def _stream_store_namespace(checkpoint_dir: str) -> str:
+    """Stable per-CHECKPOINT token namespacing the ``__batch_id`` partition
+    values of foreachBatch store/pairs sinks (round-5 advice, medium):
+    micro-batch numbering restarts at 0 whenever a stream is started with a
+    NEW checkpoint, and an un-namespaced dynamic overwrite of
+    ``__batch_id=0`` would silently replace a PREVIOUS run's partition —
+    deleting store rows for unrelated documents. The token is persisted in
+    a sidecar file NEXT TO the checkpoint dir, so:
+
+    - restart from the SAME checkpoint → same token → a replayed batch
+      still overwrites exactly its own partition (idempotent), and
+    - a NEW checkpoint → fresh token → its batch 0 lands in a new
+      partition; earlier runs' rows are never touched.
+
+    Local-filesystem file ops, matching the params-sidecar discipline of
+    ``operators/dedup.py``; on an object store, route the store through a
+    table format instead (see ``sources/manifest.py``)."""
+    import os
+    import uuid
+
+    marker = os.path.abspath(checkpoint_dir).rstrip("/") + ".store_ns"
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as f:
+            return f.read().strip()
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    tmp = f"{marker}.tmp-{uuid.uuid4().hex}"
+    token = uuid.uuid4().hex[:12]
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(token)
+    try:
+        os.link(tmp, marker)  # atomic no-clobber publish
+    except FileExistsError:
+        with open(marker, encoding="utf-8") as f:
+            token = f.read().strip()
+    finally:
+        os.unlink(tmp)
+    return token
+
+
+def _partitioned_store_or_convert(
+    spark: SparkSession, store_path: str, finalize_staging
+) -> DataFrame | None:
+    """Read a streaming store, CONVERTING a batch-seeded flat layout first
+    (round-5 advice, medium): ``write_minhash_store``/``write_winnow_store``
+    write unpartitioned parquet, and a ``__batch_id``-partitioned streaming
+    append on top would create a mixed flat/partitioned directory Spark
+    cannot read consistently. A store without the ``__batch_id`` column is
+    rewritten once — atomically, sidecar re-created in staging via
+    ``finalize_staging`` — under a single ``__batch_id='seed'`` partition,
+    after which streaming appends land in a uniform layout."""
+    from ..sources.writers import atomic_swap_write
+
+    store = _read_store_or_none(spark, store_path)
+    if store is None or "__batch_id" in store.columns:
+        return store
+    atomic_swap_write(
+        store.withColumn("__batch_id", F.lit("seed")),
+        store_path,
+        partition_by=["__batch_id"],
+        finalize_staging=finalize_staging,
+    )
+    return spark.read.parquet(store_path)
 
 
 def _read_store_or_none(spark: SparkSession, path: str):
@@ -583,12 +672,15 @@ def _drop_replayed_batch_rows(store: DataFrame, batch: DataFrame, id_col: str) -
     return store.join(batch.select(id_col).distinct(), id_col, "left_anti")
 
 
-def _overwrite_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+def _overwrite_batch_partition(df: DataFrame, path: str, ns: str, batch_id: int) -> None:
     """Idempotent micro-batch sink: write under a __batch_id partition and
     dynamically overwrite ONLY it, so a replayed foreachBatch invocation
-    replaces its earlier (possibly partial) output instead of duplicating."""
+    replaces its earlier (possibly partial) output instead of duplicating.
+    The partition value is namespaced by the per-checkpoint token
+    (``_stream_store_namespace``) so a NEW checkpoint's restarted batch
+    numbering can never overwrite a previous run's partitions."""
     (
-        df.withColumn("__batch_id", F.lit(batch_id))
+        df.withColumn("__batch_id", F.lit(f"{ns}-{batch_id:06d}"))
         .write.option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .partitionBy("__batch_id")

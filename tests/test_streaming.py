@@ -448,6 +448,86 @@ def test_compact_preserves_streaming_store_layout(spark, tmp_path):
     }
     assert (1, 10) in got
     assert spark.read.parquet(store).filter(F.col("doc_id") == 10).count() > 0
+    # round-5 advice (medium): ck1 restarts batch numbering at 0 — without
+    # per-checkpoint namespacing its dynamic overwrite would have silently
+    # replaced ck0's batch-0 store partition, deleting doc 1's signatures
+    assert spark.read.parquet(store).filter(F.col("doc_id") == 1).count() > 0
+
+
+def test_stream_new_checkpoint_preserves_prior_runs_store(spark, tmp_path):
+    """Round-5 advice (medium): a stream restarted with a NEW checkpoint
+    against an existing store restarts micro-batch numbering at 0; the
+    store/pairs partitions are namespaced per checkpoint, so run 2's
+    batch 0 must NOT overwrite run 1's batch-0 rows — and a third run must
+    still find cross-run pairs against BOTH earlier runs' fingerprints."""
+    from etl_data_transformer_spark.streaming.pipeline import stream_winnow_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    base = "one shared verbatim passage that both documents quote at length"
+
+    def run(sub, ck):
+        stream_winnow_dedup(
+            spark.readStream.schema(schema).parquet(str(src / sub)),
+            store, pairs, str(tmp_path / ck), k=4, w=3, min_shared=1,
+        )
+
+    spark.createDataFrame([(1, base + " first")], schema).write.parquet(str(src / "r1"))
+    run("r1", "ck1")
+    spark.createDataFrame([(2, "totally unrelated words about nothing")], schema).write.parquet(
+        str(src / "r2")
+    )
+    run("r2", "ck2")  # new checkpoint: its batch 0 must not clobber run 1's
+    got_store = spark.read.parquet(store)
+    assert got_store.filter(F.col("doc_id") == 1).count() > 0  # run 1 rows intact
+    assert got_store.select("__batch_id").distinct().count() == 2  # distinct namespaces
+
+    spark.createDataFrame([(3, base + " third")], schema).write.parquet(str(src / "r3"))
+    run("r3", "ck3")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()
+    }
+    assert (1, 3) in got  # cross-run overlap vs run 1 still detected
+
+
+def test_stream_append_converts_batch_seeded_flat_store(spark, tmp_path):
+    """Round-5 advice (medium): a store seeded by the BATCH writer is
+    unpartitioned; the first streaming append must convert it to the
+    __batch_id-partitioned layout (atomically, sidecar preserved) instead
+    of creating a mixed flat/partitioned directory — and pairs against the
+    seeded fingerprints must be found."""
+    from etl_data_transformer_spark.operators.dedup import (
+        winnow_store_rows,
+        write_winnow_store,
+    )
+    from etl_data_transformer_spark.streaming.pipeline import stream_winnow_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    base = "a long quoted passage reused verbatim across the corpus documents"
+
+    seed = spark.createDataFrame([(1, base + " seed")], schema)
+    write_winnow_store(winnow_store_rows(seed, "text", "doc_id", 4, 3), store, k=4, w=3)
+    assert "__batch_id" not in spark.read.parquet(store).columns  # flat seed
+
+    spark.createDataFrame([(2, base + " streamed")], schema).write.parquet(str(src / "b1"))
+    stream_winnow_dedup(
+        spark.readStream.schema(schema).parquet(str(src / "b1")),
+        store, pairs, str(tmp_path / "ck"), k=4, w=3, min_shared=1,
+    )
+    after = spark.read.parquet(store)
+    assert "__batch_id" in after.columns  # converted, uniform layout
+    assert after.filter(F.col("doc_id") == 1).count() > 0  # seed rows survive
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()
+    }
+    assert (1, 2) in got  # seed x stream overlap found through the store
 
 
 def test_stream_interval_join_equals_batch(spark, tmp_path):
