@@ -141,8 +141,13 @@ def profile_table(df: DataFrame, approx_distinct: bool = True) -> DataFrame:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
         if approx_distinct:
             aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
-        else:
+        elif orderable(f.dataType):
             aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+        else:
+            # exact countDistinct rejects map types (no ordering/equality
+            # for hashing groups) — NULL n_distinct, same fallback as
+            # min/max (round-5 advice)
+            aggs.append(F.lit(None).cast("long").alias(f"__nd_{c}"))
         if orderable(f.dataType):
             aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
             aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))

@@ -131,5 +131,12 @@ def write_sorted(
     sort on ``functions.scalar.zorder_key(...)`` instead of a column list.
     """
     out = df.repartitionByRange(*([num_files] if num_files else []), *sort_cols)
-    out = out.sortWithinPartitions(*sort_cols)
+    # with partition_by, the V1 file writer requires its output ordered by
+    # the partition columns and inserts its OWN (sort_cols-oblivious) sort
+    # when the incoming ordering doesn't lead with them — which would undo
+    # the data-skipping layout inside each partition directory (round-5
+    # advice). Leading the within-partition sort with partition_by keeps
+    # the writer's requirement already satisfied, so the sort_cols order
+    # survives into the files.
+    out = out.sortWithinPartitions(*(partition_by or []), *sort_cols)
     out.write.mode(mode).partitionBy(*(partition_by or [])).parquet(path)

@@ -121,3 +121,23 @@ def test_profile_table_nulls_and_single_pass(spark):
     assert plan_a.count("Aggregate") == 1
     plan_e = profile_table(df, approx_distinct=False)._jdf.queryExecution().optimizedPlan().toString()
     assert plan_e.count("LogicalRDD") == 1  # one scan either way
+
+
+def test_profile_table_map_column_both_modes(spark):
+    """Round-5 advice: exact countDistinct rejects MapType — exact mode must
+    emit NULL n_distinct for non-orderable columns (mirroring the min/max
+    fallback) instead of failing analysis; approx mode still sketches it."""
+    from pyspark.sql import functions as F
+
+    from etl_data_transformer_spark.operators.aggregates import profile_table
+
+    df = (
+        spark.range(4)
+        .withColumn("m", F.create_map(F.lit("k"), F.col("id")))
+        .withColumn("s", F.col("id").cast("string"))
+    )
+    exact = {r["column"]: r for r in profile_table(df, approx_distinct=False).collect()}
+    assert exact["m"]["n_distinct"] is None and exact["m"]["min_str"] is None
+    assert exact["s"]["n_distinct"] == 4  # orderable columns unaffected
+    approx = {r["column"]: r for r in profile_table(df).collect()}
+    assert approx["m"]["n_distinct"] == 4  # HLL path handles maps

@@ -51,6 +51,34 @@ def test_write_sorted_gives_disjoint_file_ranges(spark, tmp_path):
     assert spark.read.parquet(path).count() == orders.count()
 
 
+def test_write_sorted_partitioned_keeps_sort_col_ranges(spark, tmp_path):
+    """Round-5 advice: with partition_by set, the file writer inserts its own
+    partition-column sort when the incoming ordering doesn't lead with the
+    partition columns — which used to scramble sort_cols within each
+    partition directory. The fix leads the within-partition sort with
+    partition_by, so per-file min/max ranges on the sort key stay disjoint
+    INSIDE each partition directory."""
+    orders = read_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_part_sorted")
+    write_sorted(orders, path, ["o_orderkey"], partition_by=["o_orderstatus"], num_files=6)
+    checked = 0
+    for part in sorted(glob.glob(f"{path}/o_orderstatus=*")):
+        ranges = sorted(_file_ranges(part, "o_orderkey"))
+        if len(ranges) < 2:
+            continue
+        checked += 1
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2, (part, ranges)
+    assert checked >= 1  # at least one partition had multiple files to check
+    # rows inside every file are key-sorted (row-group/page-level skipping in
+    # big files depends on this, and pre-fix it relied on the writer's
+    # inserted sort being accidentally stable)
+    for f in glob.glob(f"{path}/*/*.parquet"):
+        keys = pq.read_table(f, columns=["o_orderkey"])["o_orderkey"].to_pylist()
+        assert keys == sorted(keys), f
+    assert spark.read.parquet(path).count() == orders.count()
+
+
 def test_zorder_key_is_morton_interleave(spark):
     def morton2(x, y, bits=21):
         k = 0
