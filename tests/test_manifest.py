@@ -403,3 +403,55 @@ def test_manifest_json_write_is_atomic(spark, tmp_path, monkeypatch):
     assert [v["version"] for v in versions] == [M.current_version(table)]
     mdir = os.path.join(table, M._MANIFEST_DIR)
     assert all(not f.endswith(".tmp") for f in os.listdir(mdir))
+
+
+def test_concurrent_append_race_one_winner_loser_retries(spark, tmp_path):
+    """Round-5 verdict item 8: two writers committing appends simultaneously
+    from the SAME base version — exactly one must win (lock + base-version
+    CAS), the loser must fail with ConcurrentWriteError WITHOUT corrupting
+    the pointer, and a clean retry must then land its rows on top of the
+    winner's version."""
+    import threading
+
+    table = str(tmp_path / "t")
+    base = _write(spark, table, [(0, "base")])
+
+    barrier = threading.Barrier(2)
+    results: dict[str, object] = {}
+
+    def worker(tag):
+        df = spark.createDataFrame([(ord(tag), tag)], "id long, v string")
+        barrier.wait()
+        try:
+            results[tag] = M.commit_write(df, table, mode="append")
+        except M.ConcurrentWriteError as e:
+            results[tag] = e
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    wins = [t for t, r in results.items() if isinstance(r, str)]
+    losses = [t for t, r in results.items() if isinstance(r, M.ConcurrentWriteError)]
+    assert len(wins) == 1 and len(losses) == 1, results
+    winner, loser = wins[0], losses[0]
+
+    # pointer and table intact: base + winner's row, nothing from the loser
+    assert M.current_version(table) == results[winner]
+    got = sorted(r["v"] for r in M.read_table(spark, table).collect())
+    assert got == sorted(["base", winner])
+    # every recorded manifest parses and the chain is consistent
+    versions = [m["version"] for m in M.list_versions(table)]
+    assert results[winner] in versions and base in versions
+
+    # the loser retries cleanly against the moved base and lands on top
+    df = spark.createDataFrame([(ord(loser), loser)], "id long, v string")
+    v3 = M.commit_write(df, table, mode="append")
+    assert M.current_version(table) == v3
+    got = sorted(r["v"] for r in M.read_table(spark, table).collect())
+    assert got == sorted(["base", winner, loser])
+    # the loser's orphaned first-attempt data dir is vacuum-able, not live
+    live = set(M.list_versions(table)[-1]["dirs"])
+    assert len(live) == 3
