@@ -24,7 +24,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_functions": PAR.q_scalar_functions,
     "regex_key_join": PAR.q_regex_key_join,
     "pivot_returnflag": PAR.q_pivot_returnflag,
-    "semi_join_customers": PAR.q_semi_join_customers,
     "events_json": PAR.q_events_json,
     "tumbling_events": PAR.q_tumbling_events,
     "percentile_prices": PAR.q_percentile_prices,
@@ -57,7 +56,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": EXT.q_quality_scores,
     "multimodal_features": EXT.q_multimodal_features,
     "chunk_documents": EXT.q_chunk_documents,
-    "tfidf_top_terms": EXT.q_tfidf_top_terms,
     "dedup_clusters": EXT.q_dedup_clusters,
     "quantize_embeddings": EXT.q_quantize_embeddings,
     "train_test_split": EXT.q_train_test_split,
@@ -84,29 +82,45 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stays driver-live via percentile_prices / approx_percentile_prices /
     # profile_orders).
     "winnow_overlap_docs": EXT.q_winnow_overlap_docs,
+    # round-6 rotation (round-5 verdict item 6): the four longest-rotated
+    # queries return to the driver's 50 slots for a fresh driver-strength
+    # sf0.01 row; their overlapping, longer-driver-tenured twins rotate out
+    # (pairings: cube_agg <-> rollup_nation_status, anti_join_customers <->
+    # semi_join_customers, running_totals <-> rolling_user_stats,
+    # topk_orders_per_nation <-> tfidf_top_terms' window top-k). Every
+    # rotated-out query keeps the IDENTICAL DuckDB value-hash compare in
+    # tests/test_rotated_oracle.py; see COVERAGE.md for the rotation log.
+    "cube_agg": PAR.q_cube_agg,
+    "anti_join_customers": PAR.q_anti_join_customers,
+    "running_totals": PAR.q_running_totals,
+    "topk_orders_per_nation": PAR.q_topk_orders_per_nation,
     # temporal + profiling surface (as-of, range join, sessions, rollup)
     **TEMPORAL_QUERIES,
 }
+# rotated out this round (overlap documented above); the pop keeps the
+# TEMPORAL_QUERIES spread intact for its other entries
+for _out in ("rollup_nation_status", "rolling_user_stats"):
+    QUERIES.pop(_out)
 
 # Outside the 50-slot driver contract but verified at DRIVER STRENGTH by
 # tests/test_rotated_oracle.py (identical DuckDB value-hash compare):
-# (a) queries rotated out in rounds 4-5 to make room for promotions, each
-# overlapping a surviving row (dup_count_docs ⊂ exact_dedup_groups,
-# cube_agg ~ rollup_nation_status, running_totals ~ rolling_user_stats,
-# topk_orders_per_nation ~ tfidf_top_terms's window top-k,
-# anti_join_customers ~ semi_join_customers, sql_fact_union = fact_union's
-# oracle via spark.sql, explode_part_types ~ chunk_documents' explode);
-# (b) gates that never fit the cap (ann_ivf_quantized_match, semantic /
-# leakage-split invariants); and (c) round-5 operators added AFTER the cap
-# filled (heavy hitters, vocab/encoder, line dedup, top-ngram,
-# resample+ffill, funnel) — same oracle strength, just not in the driver's
-# 50 rows.
+# (a) queries rotated out in rounds 4-6 to make room for promotions /
+# returning rotations, each overlapping a surviving row (dup_count_docs ⊂
+# exact_dedup_groups, semi_join_customers ~ anti_join_customers,
+# tfidf_top_terms ~ topk_orders_per_nation's window top-k,
+# rollup_nation_status ~ cube_agg, rolling_user_stats ~ running_totals,
+# sql_fact_union = fact_union's oracle via spark.sql, explode_part_types ~
+# chunk_documents' explode); (b) gates that never fit the cap
+# (ann_ivf_quantized_match, semantic / leakage-split / sequence-packing
+# invariants); and (c) round-5 operators added AFTER the cap filled
+# (heavy hitters, vocab/encoder, line dedup, top-ngram, resample+ffill,
+# funnel) — same oracle strength, just not in the driver's 50 rows.
 ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "topk_orders_per_nation": PAR.q_topk_orders_per_nation,
-    "cube_agg": PAR.q_cube_agg,
-    "anti_join_customers": PAR.q_anti_join_customers,
+    "semi_join_customers": PAR.q_semi_join_customers,
+    "tfidf_top_terms": EXT.q_tfidf_top_terms,
+    "rollup_nation_status": TQ.q_rollup_nation_status,
+    "rolling_user_stats": TQ.q_rolling_user_stats,
     "dup_count_docs": PAR.q_dup_count_docs,
-    "running_totals": PAR.q_running_totals,
     "sql_fact_union": BSQL.q_sql_fact_union,
     "explode_part_types": PAR.q_explode_part_types,
     "ann_ivf_quantized_match": EXT.q_ann_ivf_quantized_match,
@@ -119,6 +133,7 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_ngram_docs": EXT.q_top_ngram_docs,
     "resample_events": TQ.q_resample_events,
     "funnel_events": TQ.q_funnel_events,
+    "sequence_packing_gate": EXT.q_sequence_packing_gate,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

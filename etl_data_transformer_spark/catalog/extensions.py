@@ -602,3 +602,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feature")[2].alias("f_last"),
         F.col("feature")[3].alias("f_mod"),
     )
+
+
+# ------------------------------------------------------ sequence packing ----
+
+def q_sequence_packing_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant gate for greedy sequence packing (round-5 verdict item 7):
+    over the packed output of the documents table at a 64-token budget,
+    (1) every document lands in exactly one pack (assignment count ==
+    distinct count == corpus size), (2) token mass is conserved (sum of
+    pack sizes == sum of per-doc whitespace token counts), (3) no
+    MULTI-doc pack exceeds the budget, and (4) oversize documents are
+    quarantined into single-doc packs whose count matches the corpus'
+    oversize-doc count. The oracle recomputes (1), (2), (4) from the raw
+    documents table in DuckDB; (3) is the constant expectation 0."""
+    from ..operators.curation import pack_sequences
+
+    budget = 64
+    d = _docs(spark, sf_dir)
+    packed = pack_sequences(d, max_tokens=budget)
+    exploded = packed.select(F.explode("doc_ids").alias("doc_id"))
+    return packed.agg(
+        F.sum("n_docs").cast("long").alias("n_docs_assigned"),
+        F.sum("n_tokens").cast("long").alias("total_tokens_packed"),
+        F.sum(((F.col("n_tokens") > budget) & (F.col("n_docs") > 1)).cast("long"))
+        .cast("long")
+        .alias("n_multi_doc_over_budget"),
+        F.sum((F.col("n_tokens") > budget).cast("long")).cast("long").alias("n_oversize_bins"),
+    ).crossJoin(exploded.agg(F.count_distinct("doc_id").cast("long").alias("n_docs_distinct")))

@@ -805,6 +805,22 @@ TEMPORAL_ORACLES: dict[str, str] = {
                true AS all_assigned_once,
                true AS both_sides_nonempty
     """,
+    # packing invariants recomputed from the RAW documents table: doc count
+    # conservation (every doc in exactly one pack), token-mass conservation,
+    # and the oversize-quarantine count; only the no-overfull-multi-doc-pack
+    # term is a constant expectation
+    "sequence_packing_gate": """
+        WITH t AS (
+          SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+          FROM documents
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs_assigned,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens_packed,
+               CAST(0 AS BIGINT) AS n_multi_doc_over_budget,
+               CAST(count(*) FILTER (WHERE n_tok > 64) AS BIGINT) AS n_oversize_bins,
+               CAST(count(*) AS BIGINT) AS n_docs_distinct
+        FROM t
+    """,
 }
 
 ALL_ORACLES: dict[str, str] = {**PARITY_ORACLES, **EXTENSION_ORACLES, **TEMPORAL_ORACLES}
