@@ -288,17 +288,36 @@ def ivf_assign(
     )
 
 
-def _ivf_assign_arrow(vectors: DataFrame, centroids: list[list[float]], id_col: str) -> DataFrame:
-    """Arrow-batched nearest-centroid assignment: one numpy/BLAS matmul per
-    batch. argmin ties break on the first (lowest) centroid index — the
-    same rule as the JVM path's ``array_position`` of the first max."""
+def _arrow_centroid_ranker(centroids: list[list[float]]):
+    """The shared FAISS-style coarse-scoring kernel behind BOTH Arrow IVF
+    paths (assignment = top-1, probe selection = top-p): returns
+    ``rank(embedding_series, p) -> int64 ndarray (n, p)`` of 1-based
+    centroid ids, nearest first. One BLAS matmul per Arrow batch scores
+    every centroid (rank by ``|x-c|² == |c|² - 2·x·c``, ``|x|²`` is
+    row-constant); the stable argsort keeps the tie-break of the JVM
+    expression paths (equal distances → lower centroid index first)."""
     import numpy as np
 
+    cents = np.array(centroids, dtype=np.float64)
+    cent_norms = (cents * cents).sum(axis=1)
+
+    def rank(emb_series, p: int):
+        x = np.stack(emb_series.to_numpy()).astype(np.float64)
+        d = cent_norms[None, :] - 2.0 * (x @ cents.T)
+        return np.argsort(d, axis=1, kind="stable")[:, :p] + 1
+
+    return rank
+
+
+def _ivf_assign_arrow(vectors: DataFrame, centroids: list[list[float]], id_col: str) -> DataFrame:
+    """Arrow-batched nearest-centroid assignment — the top-1 case of the
+    shared ``_arrow_centroid_ranker`` kernel. argmin ties break on the
+    first (lowest) centroid index — the same rule as the JVM path's
+    ``array_position`` of the first max."""
     id_type = dict(vectors.dtypes)[id_col]
     emb_type = dict(vectors.dtypes)["embedding"]
     schema = f"id {id_type}, embedding {emb_type}, list_id long"
-    cents = np.array(centroids, dtype=np.float64)
-    cent_norms = (cents * cents).sum(axis=1)
+    rank = _arrow_centroid_ranker(centroids)
 
     def assign(batches):
         import pandas as pd
@@ -306,14 +325,11 @@ def _ivf_assign_arrow(vectors: DataFrame, centroids: list[list[float]], id_col: 
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            # argmin |x-c|² == argmin |c|² - 2 x·c (|x|² is row-constant)
-            lid = (cent_norms[None, :] - 2.0 * (x @ cents.T)).argmin(axis=1) + 1
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col] if id_col in pdf.columns else pdf["id"],
                     "embedding": pdf["embedding"],
-                    "list_id": lid.astype("int64"),
+                    "list_id": rank(pdf["embedding"], 1).reshape(-1),
                 }
             )
 
@@ -322,23 +338,56 @@ def _ivf_assign_arrow(vectors: DataFrame, centroids: list[list[float]], id_col: 
     )
 
 
+def _ivf_probes_expr(
+    queries: DataFrame, centroids: list[list[float]], n_probes: int
+) -> DataFrame:
+    """JVM-expression top-``n_probes`` probe selection (the few-lists tier):
+    one interpreted ``aggregate``/``zip_with`` fold per centroid per query
+    row, ranked with a comparator ``array_sort`` (TimSort — stable, so
+    equal distances keep the lower centroid index first, matching the
+    Arrow path's stable argsort). Explodes to one row per (query, probe)."""
+
+    def neg_d2(c: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(v) for v in c]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc - v,
+        )
+
+    arr = F.array(*[neg_d2(c) for c in centroids])
+    zipped = F.arrays_zip(
+        arr.alias("s"),
+        F.sequence(F.lit(1), F.lit(len(centroids))).cast("array<long>").alias("i"),
+    )
+    by_score_desc = F.array_sort(
+        zipped,
+        lambda l, r: F.when(l["s"] > r["s"], -1).when(l["s"] < r["s"], 1).otherwise(0),
+    )
+    probes = F.transform(F.slice(by_score_desc, 1, n_probes), lambda x: x["i"])
+    return queries.select(
+        F.col("id").alias("query_id"),
+        F.col("embedding").alias("query_id_emb"),
+        F.explode(probes).alias("list_id"),
+    )
+
+
 def _ivf_probes_arrow(
     queries: DataFrame, centroids: list[list[float]], n_probes: int
 ) -> DataFrame:
-    """Arrow-batched top-``n_probes`` probe selection: ONE BLAS matmul per
-    query batch scores all centroids, a stable argsort keeps the
-    tie-break of the expression path (equal distances → lower centroid
-    index first). The query-side twin of ``_ivf_assign_arrow`` — round-5
-    verdict #4: SCALING.md measured the interpreted per-centroid fold "not
-    viable" at thousands of lists for assignment, and probe selection is
-    the identical shape run per query row."""
-    import numpy as np
-
+    """Arrow-batched top-``n_probes`` probe selection — the top-p case of
+    the shared ``_arrow_centroid_ranker`` kernel. The query-side twin of
+    ``_ivf_assign_arrow`` — round-5 verdict #4: SCALING.md measured the
+    interpreted per-centroid fold "not viable" at thousands of lists for
+    assignment, and probe selection is the identical shape run per query
+    row."""
     id_type = dict(queries.dtypes)["id"]
     emb_type = dict(queries.dtypes)["embedding"]
     schema = f"query_id {id_type}, query_id_emb {emb_type}, list_id long"
-    cents = np.array(centroids, dtype=np.float64)
-    cent_norms = (cents * cents).sum(axis=1)
+    rank = _arrow_centroid_ranker(centroids)
     p = min(n_probes, len(centroids))
 
     def probes(batches):
@@ -347,15 +396,12 @@ def _ivf_probes_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            # rank by |x-c|² == rank by |c|² - 2 x·c (|x|² is row-constant)
-            d = cent_norms[None, :] - 2.0 * (x @ cents.T)
-            top = np.argsort(d, axis=1, kind="stable")[:, :p] + 1
+            top = rank(pdf["embedding"], p)
             yield pd.DataFrame(
                 {
                     "query_id": pdf["id"].to_numpy().repeat(p),
                     "query_id_emb": pdf["embedding"].to_numpy().repeat(p),
-                    "list_id": top.reshape(-1).astype("int64"),
+                    "list_id": top.reshape(-1),
                 }
             )
 
@@ -422,28 +468,15 @@ def ivf_search(
     if arrow is None:
         arrow = len(centroids) >= 32
 
+    q = (_ivf_probes_arrow if arrow else _ivf_probes_expr)(queries, centroids, n_probes)
     if arrow:
-        q = _ivf_probes_arrow(queries, centroids, n_probes)
-    else:
-        def neg_d2(c: list[float]) -> Column:
-            return F.aggregate(
-                F.zip_with("embedding", F.array(*[F.lit(v) for v in c]), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                F.lit(0.0),
-                lambda acc, v: acc - v,
-            )
-
-        arr = F.array(*[neg_d2(c) for c in centroids])
-        zipped = F.arrays_zip(arr.alias("s"), F.sequence(F.lit(1), F.lit(len(centroids))).cast("array<long>").alias("i"))
-        by_score_desc = F.array_sort(
-            zipped,
-            lambda l, r: F.when(l["s"] > r["s"], -1).when(l["s"] < r["s"], 1).otherwise(0),
-        )
-        probes = F.transform(F.slice(by_score_desc, 1, n_probes), lambda x: x["i"])
-        q = queries.select(
-            F.col("id").alias("query_id"),
-            F.col("embedding").alias("query_id_emb"),
-            F.explode(probes).alias("list_id"),
-        )
+        # the probe frame is consumed twice (driver-side probed-list collect
+        # + the list_id join); an eager localCheckpoint materializes the
+        # mapInPandas ONCE so the BLAS matmul and the Arrow round-trip of
+        # every query embedding don't run twice (round-6 review). The
+        # expression path stays lazy: its recompute is JVM-only and cheap
+        # next to a checkpoint of the exploded frame.
+        q = q.localCheckpoint(eager=True)
     probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
     pruned = index.filter(F.col("list_id").isin(probed))
     if rerank_quantized:

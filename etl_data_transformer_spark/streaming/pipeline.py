@@ -459,6 +459,8 @@ def stream_near_dedup(
             store = _partitioned_store_or_convert(
                 spark,
                 store_path,
+                ns,
+                checkpoint_dir,
                 lambda staging: _write_params_sidecar(
                     os.path.join(staging, "_minhash_params.json"),
                     {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands},
@@ -539,6 +541,8 @@ def stream_winnow_dedup(
             store = _partitioned_store_or_convert(
                 spark,
                 store_path,
+                ns,
+                checkpoint_dir,
                 lambda staging: _write_params_sidecar(
                     os.path.join(staging, "_winnow_params.json"), {"k": k, "w": w}
                 ),
@@ -589,13 +593,21 @@ def _stream_store_namespace(checkpoint_dir: str) -> str:
     - a NEW checkpoint → fresh token → its batch 0 lands in a new
       partition; earlier runs' rows are never touched.
 
-    Local-filesystem file ops, matching the params-sidecar discipline of
-    ``operators/dedup.py``; on an object store, route the store through a
-    table format instead (see ``sources/manifest.py``)."""
+    The token lives INSIDE the checkpoint dir (round-6 review): its
+    lifetime must equal the checkpoint's. A sibling file would decouple
+    them — ``rm -rf`` of the checkpoint to reprocess would leave the stale
+    token behind and the restarted batch 0 would overwrite the earlier
+    run's partitions again; conversely a lost sibling while the checkpoint
+    survives would re-token a replay into duplicates. Spark's checkpoint
+    layout reads only its known entries (offsets/commits/metadata/state),
+    so the extra file is inert. Local-filesystem file ops, matching the
+    params-sidecar discipline of ``operators/dedup.py``; on an object
+    store, route the store through a table format instead (see
+    ``sources/manifest.py``)."""
     import os
     import uuid
 
-    marker = os.path.abspath(checkpoint_dir).rstrip("/") + ".store_ns"
+    marker = os.path.join(os.path.abspath(checkpoint_dir), "__store_ns")
     if os.path.exists(marker):
         with open(marker, encoding="utf-8") as f:
             return f.read().strip()
@@ -615,23 +627,50 @@ def _stream_store_namespace(checkpoint_dir: str) -> str:
 
 
 def _partitioned_store_or_convert(
-    spark: SparkSession, store_path: str, finalize_staging
+    spark: SparkSession, store_path: str, ns: str, checkpoint_dir: str, finalize_staging
 ) -> DataFrame | None:
-    """Read a streaming store, CONVERTING a batch-seeded flat layout first
-    (round-5 advice, medium): ``write_minhash_store``/``write_winnow_store``
-    write unpartitioned parquet, and a ``__batch_id``-partitioned streaming
-    append on top would create a mixed flat/partitioned directory Spark
-    cannot read consistently. A store without the ``__batch_id`` column is
-    rewritten once — atomically, sidecar re-created in staging via
-    ``finalize_staging`` — under a single ``__batch_id='seed'`` partition,
-    after which streaming appends land in a uniform layout."""
+    """Read a streaming store, converting non-current layouts first; each
+    conversion is a one-time atomic rewrite (sidecar re-created in staging
+    via ``finalize_staging``):
+
+    - **flat batch-seeded store** (round-5 advice, medium): ``write_*_store``
+      writes unpartitioned parquet, and a ``__batch_id``-partitioned
+      streaming append on top would create a mixed flat/partitioned
+      directory Spark cannot read consistently → rewritten under a single
+      ``__batch_id='seed'`` partition.
+    - **legacy pre-namespace store** (round-6 review): integer-valued
+      ``__batch_id`` partitions written before per-checkpoint namespacing.
+      Left in place, a replayed in-flight batch N would write
+      ``{ns}-N`` while its partial ``__batch_id=N`` partition survives —
+      permanent duplicate store rows. If the driving checkpoint has
+      committed batches (the same logical stream continuing across the
+      upgrade), legacy ids map into THIS run's namespace so the replay's
+      dynamic overwrite targets exactly its own partition again; a fresh
+      checkpoint adopting an old store maps them into the inert
+      ``legacy-`` namespace instead (preserved, never collided with)."""
+    import os
+
     from ..sources.writers import atomic_swap_write
 
     store = _read_store_or_none(spark, store_path)
-    if store is None or "__batch_id" in store.columns:
+    if store is None:
+        return None
+    if "__batch_id" not in store.columns:
+        converted = store.withColumn("__batch_id", F.lit("seed"))
+    elif dict(store.dtypes)["__batch_id"] != "string":
+        commits = os.path.join(checkpoint_dir, "commits")
+        continuing = os.path.isdir(commits) and any(
+            not e.startswith(".") for e in os.listdir(commits)
+        )
+        prefix = ns if continuing else "legacy"
+        # format_string, not lpad: lpad TRUNCATES ids past 6 digits
+        converted = store.withColumn(
+            "__batch_id", F.format_string(f"{prefix}-%06d", F.col("__batch_id"))
+        )
+    else:
         return store
     atomic_swap_write(
-        store.withColumn("__batch_id", F.lit("seed")),
+        converted,
         store_path,
         partition_by=["__batch_id"],
         finalize_staging=finalize_staging,

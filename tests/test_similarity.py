@@ -195,12 +195,21 @@ def test_ivf_search_arrow_probes_match_expr_path(spark, star):
     index = SIM.ivf_assign(emb, cents, arrow=False)
     q = emb.filter(F.col("id") < 10)
 
-    # (a) probe frame shape: n_probes rows per query, n_probes=1 picks the
-    # assignment list (nearest centroid) for vectors that are their own query
+    # (a) probe SETS identical between the Arrow and expression paths at
+    # every prefix length 1..4 — set equality at each nested prefix pins
+    # the rank ORDER too (the rank-p probe is the lone element added going
+    # from prefix p-1 to p), and n_probes=1 must equal the assignment list
     n_q = q.count()
-    for npb in (1, 3):
-        probes = SIM._ivf_probes_arrow(q, cents, npb).select("query_id", "list_id").collect()
-        assert len(probes) == n_q * npb
+    for npb in (1, 2, 3, 4):
+        a = {
+            (r["query_id"], r["list_id"])
+            for r in SIM._ivf_probes_arrow(q, cents, npb).collect()
+        }
+        e = {
+            (r["query_id"], r["list_id"])
+            for r in SIM._ivf_probes_expr(q, cents, npb).collect()
+        }
+        assert a == e and len(a) == n_q * npb, npb
     own_list = {r["id"]: r["list_id"] for r in index.filter(F.col("id") < 10).collect()}
     one_probe = {
         r["query_id"]: r["list_id"]
@@ -220,9 +229,26 @@ def test_ivf_search_arrow_probes_match_expr_path(spark, star):
     b = sorted(map(tuple, SIM.ivf_search(q, qidx, cents, k=3, rerank_quantized=True, arrow=True).collect()))
     assert a == b
 
-    # (c) auto-switch: 8 lists -> no Python node in the search plan
+    # (c) auto-switch both sides: 8 lists -> no Python node in the search
+    # plan; >=32 lists -> the probe mapInPandas engages (checked on the
+    # CHECKPOINTED probe frame's own plan — after the eager localCheckpoint
+    # the search plan reads scanned blocks, not the Python node itself)
     plan_few = SIM.ivf_search(q, index, cents, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan_few and "MapInPandas" not in plan_few
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    many_cents = [[float(v) for v in rng.normal(size=64)] for _ in range(40)]
+    probes_plan = (
+        SIM._ivf_probes_arrow(q, many_cents, 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in probes_plan or "Python" in probes_plan
+    many_index = SIM.ivf_assign(emb, many_cents)
+    got_many = SIM.ivf_search(q, many_index, many_cents, k=3)  # arrow=None -> auto
+    assert got_many.count() > 0  # end-to-end through the auto Arrow path
 
 
 def test_ivf_assign_auto_picks_arrow_at_many_lists(spark):

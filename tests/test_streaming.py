@@ -493,6 +493,114 @@ def test_stream_new_checkpoint_preserves_prior_runs_store(spark, tmp_path):
     assert (1, 3) in got  # cross-run overlap vs run 1 still detected
 
 
+def test_stream_namespace_token_dies_with_checkpoint(spark, tmp_path):
+    """Round-6 review: the namespace token lives INSIDE the checkpoint dir,
+    so deleting the checkpoint to reprocess from scratch also discards the
+    token — the restarted run gets a fresh namespace and cannot overwrite
+    the earlier run's store partitions."""
+    import shutil
+
+    from etl_data_transformer_spark.streaming.pipeline import stream_winnow_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    ckpt = tmp_path / "ck"
+
+    spark.createDataFrame([(1, "alpha beta gamma delta epsilon zeta")], schema).write.parquet(
+        str(src / "r1")
+    )
+    stream_winnow_dedup(
+        spark.readStream.schema(schema).parquet(str(src / "r1")),
+        store, pairs, str(ckpt), k=4, w=3,
+    )
+    assert (ckpt / "__store_ns").exists()  # token inside the checkpoint
+
+    shutil.rmtree(ckpt)  # 'reprocess from scratch': checkpoint AND token gone
+    spark.createDataFrame([(2, "totally different words here now")], schema).write.parquet(
+        str(src / "r2")
+    )
+    stream_winnow_dedup(
+        spark.readStream.schema(schema).parquet(str(src / "r2")),
+        store, pairs, str(ckpt), k=4, w=3,
+    )
+    got = spark.read.parquet(store)
+    # both runs' batch 0 landed — under DISTINCT namespaces, no overwrite
+    assert got.filter(F.col("doc_id") == 1).count() > 0
+    assert got.select("__batch_id").distinct().count() == 2
+
+
+def test_stream_migrates_legacy_integer_batch_id_store(spark, tmp_path):
+    """Round-6 review: a store written by the pre-namespace code has
+    integer-valued __batch_id partitions; the first post-upgrade batch must
+    migrate it (atomic rewrite into the inert 'legacy-' namespace for a
+    fresh checkpoint) so later batch-id collisions/duplicates are
+    impossible — and cross-store pairs against migrated rows still work."""
+    from etl_data_transformer_spark.operators.dedup import (
+        ensure_winnow_params_sidecar,
+        winnow_store_rows,
+    )
+    from etl_data_transformer_spark.streaming.pipeline import stream_winnow_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    base = "one shared verbatim passage that both documents quote at length"
+
+    # simulate the pre-namespace layout: integer __batch_id partitions
+    seed = spark.createDataFrame([(1, base + " legacy")], schema)
+    ensure_winnow_params_sidecar(store, k=4, w=3)
+    (
+        winnow_store_rows(seed, "text", "doc_id", 4, 3)
+        .withColumn("__batch_id", F.lit(0))
+        .write.mode("append")
+        .partitionBy("__batch_id")
+        .parquet(store)
+    )
+    assert dict(spark.read.parquet(store).dtypes)["__batch_id"] != "string"
+
+    spark.createDataFrame([(2, base + " streamed")], schema).write.parquet(str(src / "b1"))
+    stream_winnow_dedup(
+        spark.readStream.schema(schema).parquet(str(src / "b1")),
+        store, pairs, str(tmp_path / "ck"), k=4, w=3, min_shared=1,
+    )
+    after = spark.read.parquet(store)
+    assert dict(after.dtypes)["__batch_id"] == "string"  # migrated
+    legacy_parts = {
+        r["__batch_id"] for r in after.filter(F.col("doc_id") == 1).select("__batch_id").collect()
+    }
+    assert legacy_parts == {"legacy-000000"}  # fresh checkpoint -> inert ns
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()
+    }
+    assert (1, 2) in got  # overlap vs migrated rows found
+
+
+def test_partitioned_store_convert_continuing_checkpoint_uses_run_ns(spark, tmp_path):
+    """Unit check of the migration's other branch: when the driving
+    checkpoint already has committed batches (same logical stream continuing
+    across the upgrade), legacy integer ids map into the CURRENT run's
+    namespace so a replayed in-flight batch overwrites its own partition."""
+    from etl_data_transformer_spark.streaming.pipeline import (
+        _partitioned_store_or_convert,
+    )
+
+    store = str(tmp_path / "store")
+    spark.createDataFrame([(1, 10, 99)], "doc_id long, nf int, fp long").withColumn(
+        "__batch_id", F.lit(5)
+    ).write.partitionBy("__batch_id").parquet(store)
+    ckpt = tmp_path / "ck"
+    (ckpt / "commits").mkdir(parents=True)
+    (ckpt / "commits" / "0").write_text("v1")
+
+    out = _partitioned_store_or_convert(spark, store, "tok123", str(ckpt), None)
+    vals = {r["__batch_id"] for r in out.select("__batch_id").collect()}
+    assert vals == {"tok123-000005"}
+
+
 def test_stream_append_converts_batch_seeded_flat_store(spark, tmp_path):
     """Round-5 advice (medium): a store seeded by the BATCH writer is
     unpartitioned; the first streaming append must convert it to the
