@@ -468,6 +468,262 @@ def semantic_dedup(
     return vectors.join(dropped, id_col, "left_anti")
 
 
+# ------------------------------------------------- incremental semantic ----
+#
+# The persisted-store lifecycle for SemDeDup-style dedup, completing the
+# incremental family (exact: content-hash store via exact_dedup; MinHash:
+# dedup.minhash_*_store; winnowing: dedup.winnow_*_store): the landed
+# corpus is never re-assigned or re-scored — only each ingest batch is,
+# against frozen centroids, and its cosine comparisons run only inside the
+# clusters the batch actually touches (partition-pruned store read).
+
+
+def semantic_store_rows(
+    vectors: DataFrame, centroids: list[list[float]], id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, embedding, list_id): the persisted store form for incremental
+    semantic dedup — exactly ``similarity.ivf_assign``'s output against the
+    store's FROZEN centroids (assignment is deterministic, so stored and
+    freshly-computed rows are interchangeable — the property every
+    incremental-dedup store here rests on)."""
+    from .similarity import ivf_assign
+
+    return ivf_assign(vectors, centroids, id_col=id_col)
+
+
+def write_semantic_store(
+    store_df: DataFrame,
+    path: str,
+    *,
+    centroids: list[list[float]],
+    mode: str = "append",
+) -> None:
+    """Persist ``semantic_store_rows`` partitioned by ``list_id`` (the IVF
+    index layout — incremental runs read ONLY the batch-touched cluster
+    partitions) with a ``_semantic_params`` JSON sidecar recording the
+    frozen centroids. Appends validate the sidecar first: rows assigned
+    under different centroids belong to different cluster geometries, and
+    a silent mix would miss in-cluster neighbors nondeterministically.
+    ``mode='overwrite'`` is a rebuild — staging-dir atomic swap with the
+    new sidecar written into staging before the swap (same ordering
+    discipline as ``dedup.write_minhash_store``)."""
+    import os
+
+    from ..sources.writers import atomic_swap_write
+
+    if mode == "overwrite":
+        atomic_swap_write(
+            store_df,
+            path,
+            partition_by=["list_id"],
+            finalize_staging=lambda staging: _write_semantic_sidecar(staging, centroids),
+        )
+        return
+    ensure_semantic_params_sidecar(path, centroids=centroids)
+    store_df.write.mode(mode).partitionBy("list_id").parquet(path)
+
+
+def _write_semantic_sidecar(path: str, centroids: list[list[float]]) -> None:
+    from .dedup import _write_params_sidecar
+
+    import os
+
+    _write_params_sidecar(
+        os.path.join(path, "_semantic_params.json"), {"centroids": centroids}
+    )
+
+
+def ensure_semantic_params_sidecar(path: str, *, centroids: list[list[float]]) -> None:
+    """Write-or-validate the ``_semantic_params`` sidecar — the single entry
+    point every semantic-store writer calls before its first data write,
+    mirroring ``dedup.ensure_minhash_params_sidecar``. Validation is exact
+    float equality: JSON round-trips Python floats losslessly, and the
+    centroids either ARE the store's frozen ones or they are not."""
+    import json
+    import os
+
+    sidecar = os.path.join(path, "_semantic_params.json")
+    if os.path.exists(sidecar):
+        with open(sidecar, encoding="utf-8") as f:
+            stored = json.load(f)["centroids"]
+        if stored != [list(map(float, c)) for c in centroids]:
+            raise ValueError(
+                f"semantic store centroid mismatch at {path}: rows were "
+                "assigned under different frozen centroids — rebuild the "
+                "store (mode='overwrite') to retrain"
+            )
+        return
+    os.makedirs(path, exist_ok=True)
+    _write_semantic_sidecar(path, centroids)
+
+
+def read_semantic_store(spark, path: str) -> tuple[list[list[float]], DataFrame]:
+    """(centroids, rows) of a persisted semantic store — the centroids come
+    from the sidecar, so callers can't accidentally pair the rows with a
+    retrained geometry."""
+    import json
+    import os
+
+    sidecar = os.path.join(path, "_semantic_params.json")
+    with open(sidecar, encoding="utf-8") as f:
+        centroids = json.load(f)["centroids"]
+    return centroids, spark.read.parquet(path)
+
+
+def semantic_dedup_pairs_incremental(
+    new_vectors: DataFrame,
+    store: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    max_cluster_size: int | None = None,
+    include_batch_pairs: bool = True,
+) -> DataFrame:
+    """In-cluster cosine pairs for an INCREMENTAL ingest batch: every pair
+    at cosine >= ``threshold`` where at least one side is new — exactly
+    ``semantic_dedup_pairs(old ∪ new)`` restricted to pairs touching the
+    batch (equivalence pinned by ``tests/test_curation_ops.py``), but the
+    landed corpus is never re-assigned: its (id, embedding, list_id) store
+    rows join in as-is, and only the partitions of clusters the batch
+    touches are read at all (the probed-cluster set is a driver-side
+    scalar list bounded by n_clusters — a ``list_id``-partitioned store
+    prunes every other partition). Ids must be disjoint between batch and
+    store.
+
+    Per-cluster work is ONE rectangular BLAS matmul (batch rows x combined
+    rows) — cost per batch ∝ |batch| x touched-cluster sizes, never
+    store². ``max_cluster_size`` caps clusters by their COMBINED size
+    (same census semantics as ``dedup.minhash_dedup_incremental``).
+    ``include_batch_pairs=False`` keeps only batch-vs-store pairs — the
+    semantic tier of benchmark decontamination (store the eval set's
+    embeddings once, screen every batch against them). Returns
+    (id_a, id_b, cosine_sim) with id_a < id_b."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _drop_hot_buckets
+    from .similarity import ivf_assign
+
+    assigned_new = ivf_assign(new_vectors, centroids, id_col=id_col).withColumn(
+        "is_new", F.lit(True)
+    )
+    touched = [
+        r["list_id"] for r in assigned_new.select("list_id").distinct().collect()
+    ]
+    old = (
+        store.filter(F.col("list_id").isin(touched))
+        .select("id", "embedding", "list_id")
+        .withColumn("is_new", F.lit(False))
+    )
+    combined = assigned_new.select("id", "embedding", "list_id", "is_new").unionByName(old)
+    if max_cluster_size is not None:
+        combined = _drop_hot_buckets(combined, ["list_id"], max_cluster_size)
+    id_type = dict(assigned_new.dtypes)["id"]
+    schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        new_mask = pdf["is_new"].to_numpy()
+        if not new_mask.any() or len(pdf) < 2:
+            return empty
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["id"].to_numpy()
+        norms = np.linalg.norm(x, axis=1)
+        live = norms > 0.0
+        x, ids, norms, new_mask = x[live], ids[live], norms[live], new_mask[live]
+        ni = np.flatnonzero(new_mask)
+        if len(ids) < 2 or not len(ni):
+            return empty
+        sim = (x[ni] @ x.T) / (norms[ni, None] * norms[None, :])
+        s = np.round(sim, 6)
+        rows_i, cols_j = np.nonzero(s >= threshold)
+        a_idx, b_idx = ni[rows_i], cols_j
+        # each qualifying pair exactly once: batch-vs-old always from the
+        # batch row; batch-vs-batch only from the lower-index side
+        if include_batch_pairs:
+            keep = (~new_mask[b_idx]) | (a_idx < b_idx)
+        else:
+            keep = ~new_mask[b_idx]
+        a_idx, b_idx = a_idx[keep], b_idx[keep]
+        ia, ib = ids[a_idx], ids[b_idx]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cosine_sim": s[rows_i[keep], cols_j[keep]],
+            }
+        )
+
+    return combined.groupBy("list_id").applyInPandas(per_cluster, schema=schema)
+
+
+def semantic_dedup_incremental(
+    new_vectors: DataFrame,
+    store: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """Surviving rows of an ingest batch under the store's keep-lowest-id
+    rule: a new vector is dropped iff it has an in-cluster neighbor at
+    cosine >= ``threshold`` with a LOWER id — in the store or in the batch.
+    With batch ids above all store ids (the natural monotonic-ingest
+    shape), running batches through this sequentially (appending
+    ``semantic_store_rows`` of the FULL batch after each run, so later
+    chained near-dups still resolve to the original representative) yields
+    exactly the batch ``semantic_dedup`` survivors over the combined corpus
+    with the same frozen centroids — pinned by
+    ``tests/test_curation_ops.py``. Old rows a new lower-id vector would
+    retroactively displace are (by the same rule) never displaced: ids
+    encode arrival, first arrival wins."""
+    pairs = semantic_dedup_pairs_incremental(
+        new_vectors,
+        store,
+        centroids,
+        threshold=threshold,
+        id_col=id_col,
+        max_cluster_size=max_cluster_size,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return new_vectors.join(dropped, id_col, "left_anti")
+
+
+def compact_semantic_store(
+    spark,
+    path: str,
+    *,
+    live_ids: DataFrame | None = None,
+    drop_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+) -> None:
+    """Bound semantic-store growth: rewrite keeping only live vectors'
+    rows (``live_ids`` left-semi / ``drop_ids`` left-anti — exactly one),
+    through the staging atomic swap with the sidecar re-created in staging
+    and the ``list_id`` partition layout preserved, so probed-cluster
+    pruning and later appends keep working. Assignments are deterministic
+    per vector, so dropping rows never changes surviving pairs: an
+    incremental run against the compacted store equals one against a store
+    rebuilt from the surviving corpus (pinned by
+    ``tests/test_curation_ops.py``)."""
+    from ..sources.writers import atomic_swap_write
+
+    if (live_ids is None) == (drop_ids is None):
+        raise ValueError("pass exactly one of live_ids / drop_ids")
+    centroids, store = read_semantic_store(spark, path)
+    ids = (live_ids if live_ids is not None else drop_ids).select(
+        F.col(id_col).alias("id")
+    ).distinct()
+    how = "left_semi" if live_ids is not None else "left_anti"
+    kept = store.join(ids, "id", how)
+    atomic_swap_write(
+        kept,
+        path,
+        partition_by=["list_id"],
+        finalize_staging=lambda staging: _write_semantic_sidecar(staging, centroids),
+    )
+
+
 def hyperplane_lsh_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

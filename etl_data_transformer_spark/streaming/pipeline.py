@@ -579,6 +579,98 @@ def stream_winnow_dedup(
     q.awaitTermination()
 
 
+def stream_semantic_dedup(
+    stream_vectors: DataFrame,
+    store_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    max_cluster_size: int | None = None,
+) -> None:
+    """Streaming SEMANTIC near-dup detection over an embedding ingest
+    stream — the streaming twin of ``operators/curation.
+    semantic_dedup_incremental`` (as ``stream_near_dedup`` is for MinHash
+    and ``stream_winnow_dedup`` for winnowing, completing the streaming
+    dedup family). Each micro-batch assigns ONLY its own vectors to the
+    frozen ``centroids``, emits in-cluster cosine pairs
+    (id_a, id_b, cosine_sim) touching the batch — against the persisted
+    store AND batch-internal — to ``pairs_path``, and appends its own
+    (id, embedding, list_id) rows to the store. Per-batch cost ∝ |batch| x
+    touched-cluster sizes, never store²; the store read prunes to the
+    touched clusters' partitions (``list_id`` nests under ``__batch_id``
+    in the sink layout).
+
+    Same durability discipline as the other streaming dedups: idempotent
+    per-checkpoint-namespaced ``__batch_id`` sinks, explicit first-batch
+    detection (real store-read failures propagate and retry), batch-seeded
+    ``list_id``-partitioned stores converted once to the streaming layout,
+    and the ``_semantic_params`` centroid sidecar written-or-validated
+    before any data so a restart with retrained centroids raises instead
+    of mixing cluster geometries."""
+    from ..operators.curation import (
+        _write_semantic_sidecar,
+        ensure_semantic_params_sidecar,
+        semantic_dedup_pairs,
+        semantic_dedup_pairs_incremental,
+        semantic_store_rows,
+    )
+
+    ns = _stream_store_namespace(checkpoint_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, "embedding").persist()
+        try:
+            if batch.isEmpty():
+                return
+            ensure_semantic_params_sidecar(store_path, centroids=centroids)
+            store = _partitioned_store_or_convert(
+                spark,
+                store_path,
+                ns,
+                checkpoint_dir,
+                lambda staging: _write_semantic_sidecar(staging, centroids),
+                extra_partition_cols=("list_id",),
+            )
+            if store is None:
+                pairs = semantic_dedup_pairs(
+                    batch,
+                    centroids,
+                    threshold=threshold,
+                    id_col=id_col,
+                    max_cluster_size=max_cluster_size,
+                )
+            else:
+                clean = store.join(
+                    batch.select(F.col(id_col).alias("id")).distinct(), "id", "left_anti"
+                ).select("id", "embedding", "list_id")
+                pairs = semantic_dedup_pairs_incremental(
+                    batch,
+                    clean,
+                    centroids,
+                    threshold=threshold,
+                    id_col=id_col,
+                    max_cluster_size=max_cluster_size,
+                )
+            _overwrite_batch_partition(pairs, pairs_path, ns, batch_id)
+            rows = semantic_store_rows(batch, centroids, id_col=id_col)
+            _overwrite_batch_partition(
+                rows, store_path, ns, batch_id, extra_partition_cols=("list_id",)
+            )
+        finally:
+            batch.unpersist()
+
+    q = (
+        stream_vectors.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _stream_store_namespace(checkpoint_dir: str) -> str:
     """Stable per-CHECKPOINT token namespacing the ``__batch_id`` partition
     values of foreachBatch store/pairs sinks (round-5 advice, medium):
@@ -627,7 +719,12 @@ def _stream_store_namespace(checkpoint_dir: str) -> str:
 
 
 def _partitioned_store_or_convert(
-    spark: SparkSession, store_path: str, ns: str, checkpoint_dir: str, finalize_staging
+    spark: SparkSession,
+    store_path: str,
+    ns: str,
+    checkpoint_dir: str,
+    finalize_staging,
+    extra_partition_cols: tuple[str, ...] = (),
 ) -> DataFrame | None:
     """Read a streaming store, converting non-current layouts first; each
     conversion is a one-time atomic rewrite (sidecar re-created in staging
@@ -672,7 +769,7 @@ def _partitioned_store_or_convert(
     atomic_swap_write(
         converted,
         store_path,
-        partition_by=["__batch_id"],
+        partition_by=["__batch_id", *extra_partition_cols],
         finalize_staging=finalize_staging,
     )
     return spark.read.parquet(store_path)
@@ -711,18 +808,28 @@ def _drop_replayed_batch_rows(store: DataFrame, batch: DataFrame, id_col: str) -
     return store.join(batch.select(id_col).distinct(), id_col, "left_anti")
 
 
-def _overwrite_batch_partition(df: DataFrame, path: str, ns: str, batch_id: int) -> None:
+def _overwrite_batch_partition(
+    df: DataFrame,
+    path: str,
+    ns: str,
+    batch_id: int,
+    extra_partition_cols: tuple[str, ...] = (),
+) -> None:
     """Idempotent micro-batch sink: write under a __batch_id partition and
     dynamically overwrite ONLY it, so a replayed foreachBatch invocation
     replaces its earlier (possibly partial) output instead of duplicating.
     The partition value is namespaced by the per-checkpoint token
     (``_stream_store_namespace``) so a NEW checkpoint's restarted batch
-    numbering can never overwrite a previous run's partitions."""
+    numbering can never overwrite a previous run's partitions.
+    ``extra_partition_cols`` nest additional partition levels UNDER the
+    batch id (e.g. the semantic store's ``list_id``, so probed-cluster
+    partition pruning survives streaming ingestion) — the dynamic
+    overwrite still replaces only this batch's own subtree."""
     (
         df.withColumn("__batch_id", F.lit(f"{ns}-{batch_id:06d}"))
         .write.option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
-        .partitionBy("__batch_id")
+        .partitionBy("__batch_id", *extra_partition_cols)
         .parquet(path)
     )
 

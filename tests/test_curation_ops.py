@@ -373,3 +373,110 @@ def test_runtime_filter_does_not_reach_through_explode(spark, star):
         )
         plan = j._jdf.queryExecution().optimizedPlan().toString()
     assert "might_contain" not in plan
+
+
+def _semantic_fixture(spark, n=60, dim=8, seed=11):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    # planted cross-batch near-dups: later ids are twins of early ids
+    rows.append((200, list(rows[3][1])))                 # twin of 3 (batch 2)
+    rows.append((201, [v + 0.001 for v in rows[7][1]]))  # near twin of 7 (batch 2)
+    rows.append((202, list(rows[52][1])))                # twin of a batch-2 row
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_incremental_equals_batch_over_combined(spark):
+    """Sequential incremental runs (store grows by the FULL batch after each)
+    keep exactly the batch semantic_dedup survivors over the combined corpus
+    with the same frozen centroids — including chained cross-batch drops."""
+    from etl_data_transformer_spark.operators.similarity import train_ivf_centroids
+
+    df = _semantic_fixture(spark)
+    cents = train_ivf_centroids(df.select(F.col("vec_id").alias("id"), "embedding"), n_lists=4)
+    b1 = df.filter(F.col("vec_id") < 50)
+    b2 = df.filter(F.col("vec_id") >= 50)
+
+    expect = {r["vec_id"] for r in C.semantic_dedup(df, threshold=0.95, centroids=cents).collect()}
+
+    s1 = C.semantic_dedup_incremental(b1, C.semantic_store_rows(b1.limit(0), cents), cents, 0.95)
+    store = C.semantic_store_rows(b1, cents)
+    s2 = C.semantic_dedup_incremental(b2, store, cents, 0.95)
+    got = {r["vec_id"] for r in s1.collect()} | {r["vec_id"] for r in s2.collect()}
+    assert got == expect
+    assert 200 not in got and 201 not in got and 202 not in got  # planted dups dropped
+
+
+def test_semantic_pairs_incremental_touch_batch_only(spark):
+    """Incremental pairs = combined-corpus pairs restricted to pairs with at
+    least one new side (store-internal pairs never re-emitted), and
+    include_batch_pairs=False keeps only the cross tier."""
+    from etl_data_transformer_spark.operators.similarity import train_ivf_centroids
+
+    df = _semantic_fixture(spark)
+    cents = train_ivf_centroids(df.select(F.col("vec_id").alias("id"), "embedding"), n_lists=4)
+    b1 = df.filter(F.col("vec_id") < 50)
+    b2 = df.filter(F.col("vec_id") >= 50)
+    t = 0.5  # loose threshold: plenty of pairs on the gaussian fixture
+
+    all_pairs = {
+        (r["id_a"], r["id_b"]) for r in C.semantic_dedup_pairs(df, cents, threshold=t).collect()
+    }
+    new_ids = {r["vec_id"] for r in b2.collect()}
+    expect = {(a, b) for a, b in all_pairs if a in new_ids or b in new_ids}
+    store = C.semantic_store_rows(b1, cents)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in C.semantic_dedup_pairs_incremental(b2, store, cents, threshold=t).collect()
+    }
+    assert got == expect and got  # non-empty, exact restriction
+    cross = {
+        (r["id_a"], r["id_b"])
+        for r in C.semantic_dedup_pairs_incremental(
+            b2, store, cents, threshold=t, include_batch_pairs=False
+        ).collect()
+    }
+    assert cross == {(a, b) for a, b in expect if (a in new_ids) != (b in new_ids)}
+
+
+def test_semantic_store_lifecycle_and_compaction(spark, tmp_path):
+    """Store write/append validates the centroid sidecar (mismatch raises);
+    compaction preserves layout + sidecar, and an incremental run against
+    the compacted store equals one against a store rebuilt from the
+    surviving corpus."""
+    import pytest
+
+    from etl_data_transformer_spark.operators.similarity import train_ivf_centroids
+
+    df = _semantic_fixture(spark)
+    cents = train_ivf_centroids(df.select(F.col("vec_id").alias("id"), "embedding"), n_lists=4)
+    b1 = df.filter(F.col("vec_id") < 50)
+    b2 = df.filter(F.col("vec_id") >= 50)
+    path = str(tmp_path / "sem_store")
+
+    C.write_semantic_store(C.semantic_store_rows(b1, cents), path, centroids=cents)
+    got_cents, rows = C.read_semantic_store(spark, path)
+    assert got_cents == cents and rows.count() == b1.count()
+    assert "list_id" in rows.columns
+
+    other = [[c + 1.0 for c in row] for row in cents]
+    with pytest.raises(ValueError, match="centroid mismatch"):
+        C.write_semantic_store(C.semantic_store_rows(b2, cents), path, centroids=other)
+
+    # drop some store vectors, compact, compare vs rebuilt store
+    drop = spark.createDataFrame([(3,), (7,)], ["vec_id"])
+    C.compact_semantic_store(spark, path, drop_ids=drop)
+    _, after = C.read_semantic_store(spark, path)
+    assert after.filter(F.col("id").isin(3, 7)).count() == 0
+    survivors_b1 = b1.join(drop, "vec_id", "left_anti")
+    rebuilt = C.semantic_store_rows(survivors_b1, cents)
+    inc_compacted = {
+        r["vec_id"] for r in C.semantic_dedup_incremental(b2, after, cents, 0.95).collect()
+    }
+    inc_rebuilt = {
+        r["vec_id"] for r in C.semantic_dedup_incremental(b2, rebuilt, cents, 0.95).collect()
+    }
+    assert inc_compacted == inc_rebuilt
+    # with 3 and 7 gone their planted twins now survive
+    assert 200 in inc_compacted and 201 in inc_compacted

@@ -829,3 +829,98 @@ def test_replayed_batch_rows_excluded_from_store_reads(spark, star):
         batch, polluted, k=20, w=8, min_shared=1
     ).collect()
     assert {tuple(r) for r in bad} != want
+
+
+def test_stream_semantic_dedup_matches_incremental_batch(spark, tmp_path):
+    """Streaming semantic dedup drains two micro-batches and its accumulated
+    pairs equal the batch semantic_dedup_pairs over the combined corpus
+    (every pair touches some batch, batches are processed in order); a
+    batch-seeded list_id-partitioned store converts to the streaming layout
+    and still pairs against the stream."""
+    import random
+
+    from etl_data_transformer_spark.operators import curation as C
+    from etl_data_transformer_spark.operators.similarity import train_ivf_centroids
+    from etl_data_transformer_spark.streaming.pipeline import stream_semantic_dedup
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((100, list(rows[2][1])))   # batch-2 twin of batch-1's id 2
+    rows.append((101, list(rows[30][1])))  # batch-2 twin of a batch-2 row
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_ivf_centroids(df.select(F.col("vec_id").alias("id"), "embedding"), n_lists=4)
+
+    src = str(tmp_path / "src")
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ck")
+    t = 0.5
+
+    def drain():
+        stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(src)
+        stream_semantic_dedup(stream, store, pairs, ckpt, cents, threshold=t)
+
+    b1 = df.filter(F.col("vec_id") < 25)
+    b2 = df.filter(F.col("vec_id") >= 25)
+    b1.write.mode("overwrite").parquet(src)
+    drain()
+    b2.write.mode("append").parquet(src)
+    drain()
+
+    expect = {
+        (r["id_a"], r["id_b"])
+        for r in C.semantic_dedup_pairs(df, cents, threshold=t).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()
+    }
+    assert got == expect and (2, 100) in got and (30, 101) in got
+    srows = spark.read.parquet(store)
+    assert {"__batch_id", "list_id"} <= set(srows.columns)  # nested layout
+    assert srows.select("id").distinct().count() == df.count()
+
+    # replay-idempotence sanity: nothing new to drain -> outputs unchanged
+    drain()
+    assert {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()
+    } == expect
+
+
+def test_stream_semantic_dedup_converts_batch_seeded_store(spark, tmp_path):
+    """A semantic store seeded by the BATCH writer (list_id-partitioned, no
+    __batch_id) converts once to the streaming layout; pairs against the
+    seeded vectors are found and the seed rows survive."""
+    import random
+
+    from etl_data_transformer_spark.operators import curation as C
+    from etl_data_transformer_spark.operators.similarity import train_ivf_centroids
+    from etl_data_transformer_spark.streaming.pipeline import stream_semantic_dedup
+
+    rng = random.Random(5)
+    base = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(20)]
+    seed_df = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    cents = train_ivf_centroids(
+        seed_df.select(F.col("vec_id").alias("id"), "embedding"), n_lists=4
+    )
+    store = str(tmp_path / "store")
+    C.write_semantic_store(C.semantic_store_rows(seed_df, cents), store, centroids=cents)
+    assert "__batch_id" not in spark.read.parquet(store).columns
+
+    src = str(tmp_path / "src")
+    twin = spark.createDataFrame(
+        [(100, list(base[4][1]))], "vec_id long, embedding array<float>"
+    )
+    twin.write.mode("overwrite").parquet(src)
+    stream_semantic_dedup(
+        spark.readStream.schema("vec_id long, embedding array<float>").parquet(src),
+        store, str(tmp_path / "pairs"), str(tmp_path / "ck"), cents, threshold=0.95,
+    )
+    after = spark.read.parquet(store)
+    assert {"__batch_id", "list_id"} <= set(after.columns)
+    assert after.select("id").distinct().count() == 21  # seed + stream rows
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).select("id_a", "id_b").collect()
+    }
+    assert (4, 100) in got  # seed x stream twin found through the store
