@@ -506,9 +506,14 @@ def write_semantic_store(
     a silent mix would miss in-cluster neighbors nondeterministically.
     ``mode='overwrite'`` is a rebuild — staging-dir atomic swap with the
     new sidecar written into staging before the swap (same ordering
-    discipline as ``dedup.write_minhash_store``)."""
-    import os
+    discipline as ``dedup.write_minhash_store``).
 
+    Appending onto a STREAMING-layout store (``stream_semantic_dedup``
+    nests ``list_id`` under ``__batch_id``) is rejected: a flat
+    ``list_id``-partitioned append next to the nested dirs would break
+    partition discovery for every later read (round-6 review). A
+    streaming store grows through its stream; batch backfills go through
+    ``mode='overwrite'`` or their own store."""
     from ..sources.writers import atomic_swap_write
 
     if mode == "overwrite":
@@ -519,14 +524,35 @@ def write_semantic_store(
             finalize_staging=lambda staging: _write_semantic_sidecar(staging, centroids),
         )
         return
+    existing = _store_columns_or_none(store_df.sparkSession, path)
+    if existing is not None and "__batch_id" in existing:
+        raise ValueError(
+            f"semantic store at {path} has the streaming (__batch_id) layout; "
+            "a flat batch append would corrupt partition discovery — append "
+            "through stream_semantic_dedup or rebuild with mode='overwrite'"
+        )
     ensure_semantic_params_sidecar(path, centroids=centroids)
     store_df.write.mode(mode).partitionBy("list_id").parquet(path)
 
 
-def _write_semantic_sidecar(path: str, centroids: list[list[float]]) -> None:
-    from .dedup import _write_params_sidecar
+def _store_columns_or_none(spark, path: str) -> list[str] | None:
+    """Column names of an existing parquet store, ``None`` if absent/empty
+    (same first-batch gating as ``streaming.pipeline._read_store_or_none``)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
 
+    try:
+        return spark.read.parquet(path).columns
+    except AnalysisException as e:
+        cond = e.getCondition() or ""
+        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            return None
+        raise
+
+
+def _write_semantic_sidecar(path: str, centroids: list[list[float]]) -> None:
     import os
+
+    from .dedup import _write_params_sidecar
 
     _write_params_sidecar(
         os.path.join(path, "_semantic_params.json"), {"centroids": centroids}
@@ -578,6 +604,7 @@ def semantic_dedup_pairs_incremental(
     id_col: str = "vec_id",
     max_cluster_size: int | None = None,
     include_batch_pairs: bool = True,
+    new_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """In-cluster cosine pairs for an INCREMENTAL ingest batch: every pair
     at cosine >= ``threshold`` where at least one side is new — exactly
@@ -597,16 +624,26 @@ def semantic_dedup_pairs_incremental(
     ``include_batch_pairs=False`` keeps only batch-vs-store pairs — the
     semantic tier of benchmark decontamination (store the eval set's
     embeddings once, screen every batch against them). Returns
-    (id_a, id_b, cosine_sim) with id_a < id_b."""
+    (id_a, id_b, cosine_sim) with id_a < id_b.
+
+    The batch assignment is consumed twice (the driver-side touched-cluster
+    collect, then the per-cluster job) so it materializes ONCE via an eager
+    ``localCheckpoint`` instead of re-running the Arrow matmul per consumer
+    (round-6 review). Callers that already hold the batch's
+    ``semantic_store_rows`` frame MATERIALIZED (e.g. ``stream_semantic_dedup``,
+    which writes those rows to the store anyway) pass it as ``new_assigned``
+    and the assignment runs exactly once per batch overall."""
     import numpy as np
     import pandas as pd
 
     from .dedup import _drop_hot_buckets
     from .similarity import ivf_assign
 
-    assigned_new = ivf_assign(new_vectors, centroids, id_col=id_col).withColumn(
-        "is_new", F.lit(True)
-    )
+    if new_assigned is None:
+        new_assigned = ivf_assign(new_vectors, centroids, id_col=id_col).localCheckpoint(
+            eager=True
+        )
+    assigned_new = new_assigned.withColumn("is_new", F.lit(True))
     touched = [
         r["list_id"] for r in assigned_new.select("list_id").distinct().collect()
     ]
@@ -700,12 +737,15 @@ def compact_semantic_store(
     """Bound semantic-store growth: rewrite keeping only live vectors'
     rows (``live_ids`` left-semi / ``drop_ids`` left-anti — exactly one),
     through the staging atomic swap with the sidecar re-created in staging
-    and the ``list_id`` partition layout preserved, so probed-cluster
-    pruning and later appends keep working. Assignments are deterministic
-    per vector, so dropping rows never changes surviving pairs: an
-    incremental run against the compacted store equals one against a store
-    rebuilt from the surviving corpus (pinned by
-    ``tests/test_curation_ops.py``)."""
+    and the store's partition layout preserved — ``list_id`` for a batch
+    store, ``__batch_id``/``list_id`` for a streaming one (round-6 review:
+    a flat-to-``list_id`` rewrite of a streaming store would leave the next
+    micro-batch's ``__batch_id`` write in a mixed layout Spark cannot
+    read) — so probed-cluster pruning and later appends keep working.
+    Assignments are deterministic per vector, so dropping rows never
+    changes surviving pairs: an incremental run against the compacted
+    store equals one against a store rebuilt from the surviving corpus
+    (pinned by ``tests/test_curation_ops.py``)."""
     from ..sources.writers import atomic_swap_write
 
     if (live_ids is None) == (drop_ids is None):
@@ -716,10 +756,13 @@ def compact_semantic_store(
     ).distinct()
     how = "left_semi" if live_ids is not None else "left_anti"
     kept = store.join(ids, "id", how)
+    part_by = (
+        ["__batch_id", "list_id"] if "__batch_id" in store.columns else ["list_id"]
+    )
     atomic_swap_write(
         kept,
         path,
-        partition_by=["list_id"],
+        partition_by=part_by,
         finalize_staging=lambda staging: _write_semantic_sidecar(staging, centroids),
     )
 

@@ -612,7 +612,6 @@ def stream_semantic_dedup(
     from ..operators.curation import (
         _write_semantic_sidecar,
         ensure_semantic_params_sidecar,
-        semantic_dedup_pairs,
         semantic_dedup_pairs_incremental,
         semantic_store_rows,
     )
@@ -634,28 +633,28 @@ def stream_semantic_dedup(
                 lambda staging: _write_semantic_sidecar(staging, centroids),
                 extra_partition_cols=("list_id",),
             )
+            # assign the batch ONCE (round-6 review: these rows feed the
+            # touched-cluster collect, the pair job, AND the store write —
+            # without the materialization each consumer re-runs the matmul)
+            rows = semantic_store_rows(batch, centroids, id_col=id_col).localCheckpoint(
+                eager=True
+            )
             if store is None:
-                pairs = semantic_dedup_pairs(
-                    batch,
-                    centroids,
-                    threshold=threshold,
-                    id_col=id_col,
-                    max_cluster_size=max_cluster_size,
-                )
+                base = rows.limit(0).select("id", "embedding", "list_id")
             else:
-                clean = store.join(
+                base = store.join(
                     batch.select(F.col(id_col).alias("id")).distinct(), "id", "left_anti"
                 ).select("id", "embedding", "list_id")
-                pairs = semantic_dedup_pairs_incremental(
-                    batch,
-                    clean,
-                    centroids,
-                    threshold=threshold,
-                    id_col=id_col,
-                    max_cluster_size=max_cluster_size,
-                )
+            pairs = semantic_dedup_pairs_incremental(
+                batch,
+                base,
+                centroids,
+                threshold=threshold,
+                id_col=id_col,
+                max_cluster_size=max_cluster_size,
+                new_assigned=rows,
+            )
             _overwrite_batch_partition(pairs, pairs_path, ns, batch_id)
-            rows = semantic_store_rows(batch, centroids, id_col=id_col)
             _overwrite_batch_partition(
                 rows, store_path, ns, batch_id, extra_partition_cols=("list_id",)
             )

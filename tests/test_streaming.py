@@ -924,3 +924,56 @@ def test_stream_semantic_dedup_converts_batch_seeded_store(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "pairs")).select("id_a", "id_b").collect()
     }
     assert (4, 100) in got  # seed x stream twin found through the store
+
+
+def test_semantic_store_streaming_layout_guards(spark, tmp_path):
+    """Round-6 review: (a) a flat batch append onto a streaming-layout
+    semantic store is rejected (it would corrupt partition discovery);
+    (b) compacting a streaming store preserves the __batch_id/list_id
+    nesting so the stream keeps working afterwards."""
+    import random
+
+    import pytest
+
+    from etl_data_transformer_spark.operators import curation as C
+    from etl_data_transformer_spark.operators.similarity import train_ivf_centroids
+    from etl_data_transformer_spark.streaming.pipeline import stream_semantic_dedup
+
+    rng = random.Random(9)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_ivf_centroids(df.select(F.col("vec_id").alias("id"), "embedding"), n_lists=4)
+    src = str(tmp_path / "src")
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ck")
+
+    df.filter(F.col("vec_id") < 10).write.mode("overwrite").parquet(src)
+    stream_semantic_dedup(
+        spark.readStream.schema("vec_id long, embedding array<float>").parquet(src),
+        store, pairs, ckpt, cents, threshold=0.95,
+    )
+    assert "__batch_id" in spark.read.parquet(store).columns
+
+    # (a) flat batch append refused
+    extra = df.filter(F.col("vec_id") >= 10)
+    with pytest.raises(ValueError, match="streaming .*layout|__batch_id"):
+        C.write_semantic_store(C.semantic_store_rows(extra, cents), store, centroids=cents)
+
+    # (b) compaction preserves the nested layout; the stream continues
+    C.compact_semantic_store(
+        spark, store, drop_ids=spark.createDataFrame([(0,)], ["vec_id"])
+    )
+    after = spark.read.parquet(store)
+    assert {"__batch_id", "list_id"} <= set(after.columns)
+    assert after.filter(F.col("id") == 0).count() == 0
+    twin = spark.createDataFrame([(100, rows[4][1])], "vec_id long, embedding array<float>")
+    twin.write.mode("append").parquet(src)
+    stream_semantic_dedup(
+        spark.readStream.schema("vec_id long, embedding array<float>").parquet(src),
+        store, pairs, ckpt, cents, threshold=0.95,
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()
+    }
+    assert (4, 100) in got  # post-compaction stream still pairs vs the store
