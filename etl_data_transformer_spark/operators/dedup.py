@@ -294,10 +294,35 @@ def write_minhash_store(
             ),
         )
         return
+    _reject_streaming_layout_append(store_df, path, "minhash")
     ensure_minhash_params_sidecar(
         path, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
     )
     store_df.write.mode(mode).parquet(path)
+
+def _reject_streaming_layout_append(store_df: DataFrame, path: str, what: str) -> None:
+    """A flat batch append onto a STREAMING-layout store (__batch_id
+    partitions from the stream_*_dedup foreachBatch sinks) would write
+    un-partitioned files next to the partition dirs — a mixed layout Spark
+    cannot read (round-6 review, found first on the semantic twin). A
+    streaming store grows through its stream; batch backfills rebuild with
+    mode='overwrite' or use their own store."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        cols = store_df.sparkSession.read.parquet(path).columns
+    except AnalysisException as e:
+        cond = e.getCondition() or ""
+        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            return
+        raise
+    if "__batch_id" in cols:
+        raise ValueError(
+            f"{what} store at {path} has the streaming (__batch_id) layout; "
+            "a flat batch append would corrupt partition discovery — append "
+            "through the streaming twin or rebuild with mode='overwrite'"
+        )
+
 
 
 def ensure_minhash_params_sidecar(
@@ -983,6 +1008,7 @@ def write_winnow_store(store_df: DataFrame, path: str, *, k: int = 8, w: int = 4
             ),
         )
         return
+    _reject_streaming_layout_append(store_df, path, "winnow")
     ensure_winnow_params_sidecar(path, k=k, w=w)
     store_df.write.mode(mode).parquet(path)
 

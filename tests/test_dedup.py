@@ -507,3 +507,41 @@ def test_compact_winnow_store_preserves_incremental_pairs(spark, star, tmp_path)
     # exactly-one-of validation
     with pytest.raises(ValueError, match="exactly one"):
         DD.compact_winnow_store(spark, path, k=20, w=8)
+
+
+def test_batch_store_writers_reject_streaming_layout(spark, tmp_path):
+    """Round-6 review parity: write_minhash_store / write_winnow_store
+    appends onto a __batch_id-partitioned (streaming) store raise instead
+    of writing flat files into the partitioned directory; overwrite (the
+    documented rebuild) still works."""
+    import pytest
+
+    from etl_data_transformer_spark.operators.dedup import (
+        minhash_signature_store,
+        winnow_store_rows,
+        write_minhash_store,
+        write_winnow_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    for rows, writer, sidecar in (
+        (minhash_signature_store(docs), write_minhash_store, "_minhash_params.json"),
+        (winnow_store_rows(docs, k=4, w=3), write_winnow_store, "_winnow_params.json"),
+    ):
+        path = str(tmp_path / sidecar.replace(".json", "_store"))
+        # simulate the streaming sink layout
+        rows.withColumn("__batch_id", F.lit("tok-000000")).write.partitionBy(
+            "__batch_id"
+        ).parquet(path)
+        if "winnow" in sidecar:
+            with pytest.raises(ValueError, match="streaming"):
+                writer(rows, path, k=4, w=3)
+            writer(rows, path, k=4, w=3, mode="overwrite")  # rebuild allowed
+        else:
+            with pytest.raises(ValueError, match="streaming"):
+                writer(rows, path)
+            writer(rows, path, mode="overwrite")
+        assert "__batch_id" not in spark.read.parquet(path).columns  # rebuilt flat
