@@ -480,3 +480,28 @@ def test_semantic_store_lifecycle_and_compaction(spark, tmp_path):
     assert inc_compacted == inc_rebuilt
     # with 3 and 7 gone their planted twins now survive
     assert 200 in inc_compacted and 201 in inc_compacted
+
+
+def test_semantic_incremental_prunes_untouched_cluster_partitions(spark, tmp_path):
+    """The batch's touched-cluster filter must reach the persisted store's
+    partitioned scan as a PartitionFilter — untouched clusters are never
+    read (the property that keeps per-batch cost ∝ touched clusters)."""
+    from etl_data_transformer_spark.operators.similarity import train_ivf_centroids
+
+    df = _semantic_fixture(spark)
+    cents = train_ivf_centroids(df.select(F.col("vec_id").alias("id"), "embedding"), n_lists=4)
+    path = str(tmp_path / "sem_store")
+    C.write_semantic_store(
+        C.semantic_store_rows(df.filter(F.col("vec_id") < 50), cents), path, centroids=cents
+    )
+    _, store = C.read_semantic_store(spark, path)
+
+    batch = df.filter(F.col("vec_id") == 200)  # one vector -> one cluster
+    pairs = C.semantic_dedup_pairs_incremental(batch, store, cents, threshold=0.95)
+    pairs.collect()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln and "list_id" in ln
+    )
+    assert "PartitionFilters" in scan
+    assert "list_id" in scan.split("PartitionFilters")[1][:120]
