@@ -57,6 +57,92 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def exact_fingerprint_store(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, fp): the persisted store form for incremental exact dedup — one
+    32-byte sha256 fingerprint per landed document. Fingerprints are
+    deterministic, so stored and freshly-computed rows are interchangeable
+    (the shared property of every incremental-dedup store here: MinHash
+    signatures, winnow fingerprints, semantic assignments)."""
+    return df.select(id_col, fingerprint(text_col).alias("fp"))
+
+
+def write_exact_store(store_df: DataFrame, path: str, *, mode: str = "append") -> None:
+    """Persist ``exact_fingerprint_store`` rows with an ``_exact_params``
+    sidecar recording the fingerprint algorithm version — exact dedup has
+    no tunable parameters, but pinning the algorithm keeps a future hash
+    change from silently matching nothing against an old store (the same
+    footgun the banded stores' sidecars close). Same lifecycle discipline
+    as ``write_minhash_store``: overwrite = atomic rebuild with the label
+    swapped in with the data; append = sidecar validated/written before
+    the first data write, streaming-layout stores rejected."""
+    import os
+
+    from ..sources.writers import atomic_swap_write
+
+    params = {"algo": _EXACT_FP_ALGO}
+    if mode == "overwrite":
+        atomic_swap_write(
+            store_df,
+            path,
+            finalize_staging=lambda staging: _write_params_sidecar(
+                os.path.join(staging, "_exact_params.json"), params
+            ),
+        )
+        return
+    _reject_streaming_layout_append(store_df, path, "exact-fingerprint")
+    ensure_exact_params_sidecar(path)
+    store_df.write.mode(mode).parquet(path)
+
+
+_EXACT_FP_ALGO = "sha256-normalized-v1"
+
+
+def ensure_exact_params_sidecar(path: str) -> None:
+    """Write-or-validate the ``_exact_params`` sidecar (see
+    ``write_exact_store``)."""
+    import os
+
+    params = {"algo": _EXACT_FP_ALGO}
+    sidecar = os.path.join(path, "_exact_params.json")
+    if os.path.exists(sidecar):
+        _validate_store_params(sidecar, params, label="exact-fingerprint")
+        return
+    os.makedirs(path, exist_ok=True)
+    _write_params_sidecar(sidecar, params)
+
+
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Surviving rows of an INCREMENTAL ingest batch under exact dedup:
+    a new document survives iff its content fingerprint appears nowhere in
+    the landed corpus (the store's (id, fp) rows — the corpus text is never
+    re-hashed) and it is the lowest-id holder of that fingerprint within
+    the batch. With batch ids above all store ids, running batches through
+    this sequentially (appending ``exact_fingerprint_store`` of the FULL
+    batch after each run) keeps exactly the ``exact_dedup`` survivors of
+    the combined corpus — pinned by ``tests/test_dedup.py``. Ids must be
+    disjoint between batch and store.
+
+    Scale shape: the batch is hashed once; the store side joins
+    fingerprints only (32-byte keys, never text) via a left-anti join that
+    Catalyst can runtime-filter; in-batch dedup is the same window
+    ``exact_dedup`` uses, over batch-sized input."""
+    hashed = new_df.withColumn("fp", fingerprint(text_col))
+    fresh = hashed.join(store.select("fp"), "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "fp")
+    )
+
+
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Duplicate-group report: (fingerprint, n_copies, keeper_id) for groups
     with more than one member."""

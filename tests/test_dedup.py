@@ -545,3 +545,38 @@ def test_batch_store_writers_reject_streaming_layout(spark, tmp_path):
                 writer(rows, path)
             writer(rows, path, mode="overwrite")
         assert "__batch_id" not in spark.read.parquet(path).columns  # rebuilt flat
+
+
+def test_exact_dedup_incremental_equals_batch_over_combined(spark, tmp_path):
+    """Sequential incremental exact dedup (fingerprint store grows by the
+    FULL batch after each run) keeps exactly the batch exact_dedup survivors
+    over the combined corpus — including cross-batch and in-batch dups —
+    and the store lifecycle (sidecar, append, overwrite rebuild) works."""
+    from etl_data_transformer_spark.operators.dedup import (
+        exact_dedup,
+        exact_dedup_incremental,
+        exact_fingerprint_store,
+        write_exact_store,
+    )
+
+    rows = [
+        (1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta"),   # 3 dups 1
+        (10, "epsilon"), (11, "gamma delta"), (12, "epsilon"),       # 11 dups 2 (cross), 12 dups 10 (in-batch)
+        (13, "zeta eta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    b1 = df.filter(F.col("doc_id") < 10)
+    b2 = df.filter(F.col("doc_id") >= 10)
+    expect = {r["doc_id"] for r in exact_dedup(df).collect()}
+
+    path = str(tmp_path / "exact_store")
+    write_exact_store(exact_fingerprint_store(b1.limit(0)), path)  # labeled empty store
+    s1 = exact_dedup_incremental(b1, spark.read.parquet(path))
+    write_exact_store(exact_fingerprint_store(b1), path)
+    s2 = exact_dedup_incremental(b2, spark.read.parquet(path))
+    got = {r["doc_id"] for r in s1.collect()} | {r["doc_id"] for r in s2.collect()}
+    assert got == expect == {1, 2, 10, 13}
+
+    # overwrite rebuild replaces the store atomically
+    write_exact_store(exact_fingerprint_store(b2), path, mode="overwrite")
+    assert spark.read.parquet(path).count() == b2.count()
