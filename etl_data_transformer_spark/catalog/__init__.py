@@ -134,6 +134,7 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_events": TQ.q_resample_events,
     "funnel_events": TQ.q_funnel_events,
     "sequence_packing_gate": EXT.q_sequence_packing_gate,
+    "semantic_incremental_gate": EXT.q_semantic_incremental_gate,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

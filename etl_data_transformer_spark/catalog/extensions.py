@@ -647,3 +647,44 @@ def q_sequence_packing_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = bin_stats.unionByName(doc_stats)
     return merged.agg(*[F.max(c).alias(c) for c in merged.columns])
+
+
+def q_semantic_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence gate for incremental semantic dedup (round 6): split the
+    embeddings table at the median id into a landed corpus and an ingest
+    batch, run the batch through ``semantic_dedup_incremental`` against the
+    corpus' store rows, and assert its survivors are EXACTLY the batch's
+    share of a full ``semantic_dedup`` over the combined corpus with the
+    same frozen centroids — and that the gate is non-vacuous (some batch
+    vectors are actually dropped at the threshold). Oracle: the constant
+    expectation (one row)."""
+    from ..operators.curation import (
+        semantic_dedup,
+        semantic_dedup_incremental,
+        semantic_store_rows,
+    )
+    from ..operators.similarity import train_ivf_centroids
+
+    thr = 0.4  # same near-isotropic-fixture threshold as semantic_dedup_gate
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    n = e.count()
+    corpus = e.filter(F.col("vec_id") < n // 2)
+    batch = e.filter(F.col("vec_id") >= n // 2)
+    cents = train_ivf_centroids(
+        e.select(F.col("vec_id").alias("id"), "embedding"), n_lists=8
+    )
+    store = semantic_store_rows(corpus, cents)
+    inc = {
+        r["vec_id"]
+        for r in semantic_dedup_incremental(batch, store, cents, threshold=thr).collect()
+    }
+    combined = semantic_dedup(e, threshold=thr, centroids=cents)
+    batch_share = {
+        r["vec_id"] for r in combined.filter(F.col("vec_id") >= n // 2).collect()
+    }
+    n_batch = batch.count()
+    return spark.range(1).select(
+        F.lit(inc == batch_share).alias("matches_combined_batch_dedup"),
+        F.lit(len(inc) < n_batch).alias("batch_drops_nonvacuous"),
+        F.lit(len(inc) > 0).alias("survivors_nonempty"),
+    )

@@ -805,6 +805,11 @@ TEMPORAL_ORACLES: dict[str, str] = {
                true AS all_assigned_once,
                true AS both_sides_nonempty
     """,
+    "semantic_incremental_gate": """
+        SELECT true AS matches_combined_batch_dedup,
+               true AS batch_drops_nonvacuous,
+               true AS survivors_nonempty
+    """,
     # packing invariants recomputed from the RAW documents table: doc count
     # conservation (every doc in exactly one pack), token-mass conservation,
     # and the oversize-quarantine count; only the no-overfull-multi-doc-pack
