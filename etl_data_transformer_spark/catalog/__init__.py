@@ -135,6 +135,7 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_events": TQ.q_funnel_events,
     "sequence_packing_gate": EXT.q_sequence_packing_gate,
     "semantic_incremental_gate": EXT.q_semantic_incremental_gate,
+    "mixture_sample_docs": EXT.q_mixture_sample_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

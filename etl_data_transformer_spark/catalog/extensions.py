@@ -688,3 +688,20 @@ def q_semantic_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(inc) < n_batch).alias("batch_drops_nonvacuous"),
         F.lit(len(inc) > 0).alias("survivors_nonempty"),
     )
+
+
+def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sample of ``documents``: weights
+    src0:3 / src1:1 / src2:1 over a 2000-token budget → per-domain targets
+    1200/400/400, filled in md5-hash order (``curation.sample_token_mixture``
+    — the scale-safe two-phase path). The DuckDB oracle re-derives the
+    identical selection as a plain window cumulative sum, so every surviving
+    (doc_id, source, n_toks) row hash-matches."""
+    from ..operators.curation import sample_token_mixture
+
+    d = _docs(spark, sf_dir)
+    sampled = sample_token_mixture(
+        d, {"src0": 3.0, "src1": 1.0, "src2": 1.0}, 2000
+    )
+    n_toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    return sampled.select("doc_id", "source", n_toks.alias("n_toks"))

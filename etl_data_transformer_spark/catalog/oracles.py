@@ -828,4 +828,28 @@ TEMPORAL_ORACLES: dict[str, str] = {
     """,
 }
 
+
+# Deterministic mixture sample: same md5-order greedy fill as
+# curation.sample_token_mixture (weights src0:3/src1:1/src2:1, budget 2000
+# → targets 1200/400/400; "tokens strictly before < target" keeps the
+# boundary doc). The window formulation here is the REFERENCE the two-phase
+# bucketed Spark path is equivalence-pinned against.
+TEMPORAL_ORACLES["mixture_sample_docs"] = """
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    ), c AS (
+        SELECT doc_id, source, n_toks,
+               sum(n_toks) OVER (
+                   PARTITION BY source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_toks AS tok_before
+        FROM t
+    )
+    SELECT doc_id, source, n_toks FROM c
+    WHERE tok_before < CASE source WHEN 'src0' THEN 1200 ELSE 400 END
+"""
+
 ALL_ORACLES: dict[str, str] = {**PARITY_ORACLES, **EXTENSION_ORACLES, **TEMPORAL_ORACLES}

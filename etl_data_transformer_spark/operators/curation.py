@@ -838,3 +838,231 @@ def hyperplane_signatures(
         )
         bits = bits.bitwiseOR(F.shiftleft(F.when(proj >= 0, 1).otherwise(0).cast("long"), b))
     return df.select(F.col(id_col), bits.alias("s"))
+
+
+# --------------------------------------------------------------------------
+# Deterministic domain-mixture sampling to a token budget — the "data
+# mixing" step of a training pipeline: given target domain weights (e.g.
+# web 60 / code 25 / books 15) and a total token budget, select documents
+# so each domain contributes (up to availability) its weighted share.
+# --------------------------------------------------------------------------
+
+
+def mixture_targets(weights: dict[str, float], token_budget: int) -> dict[str, int]:
+    """Per-domain token targets: floor(budget * w / sum(w)). Fractions of a
+    token are dropped rather than redistributed — targets are reproducible
+    from (weights, budget) alone, which the sampling guarantee below
+    depends on."""
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0 (got {token_budget})")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be >= 0 (got {weights})")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("sum of weights must be > 0")
+    return {d: int(token_budget * w / total) for d, w in weights.items()}
+
+
+def _mixture_hash(id_col: str, salt: str):
+    """Engine-portable deterministic shuffle key: md5 of (salt || id). The
+    same expression DuckDB evaluates identically (the ``train_test_split``
+    portability trick), so the selection is reproducible across engines,
+    partitionings, and retries — unlike ``sample()``/``randomSplit``."""
+    return F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+
+
+def sample_token_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    domain_col: str = "source",
+    token_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+    bucket_hex_digits: int = 3,
+) -> DataFrame:
+    """Deterministic mixture sampler: keep, per domain, the docs that come
+    first in md5-hash order until the domain's token target is reached.
+
+    SELECTION RULE (exact, order-free): doc x of domain d survives iff the
+    total tokens of d-docs STRICTLY BEFORE x in (md5(salt||id), id) order is
+    < target_d — i.e. each domain takes docs in a deterministic pseudo-random
+    order until its budget fills; the doc that crosses the boundary is kept
+    (overshoot ≤ one document), and a domain with fewer tokens than its
+    target is kept whole. Domains absent from ``weights`` are dropped.
+    Because the hash order is data-independent, adding unrelated documents
+    never flips a selected doc except through the budget itself.
+
+    SCALE SHAPE — no whole-domain window: a naive cumulative-sum window
+    partitioned by domain puts each domain's ENTIRE doc set through one
+    reducer (the hot-partition failure mode at 100 TB). Instead:
+
+    1. map-side-combinable census: token sums per (domain, hash-prefix
+       bucket) — 16^``bucket_hex_digits`` (default 4096) buckets/domain,
+       a bounded driver collect like ``build_vocab``'s offset table;
+    2. driver prefix-sum over each domain's ordered buckets classifies
+       every bucket as keep-all / drop-all / THE boundary bucket;
+    3. only the single boundary bucket per domain (~1/4096 of the domain)
+       runs the exact cumulative-sum window, with the census prefix as its
+       token offset.
+
+    Equivalence with the one-window formulation is pytest-pinned, and the
+    ``mixture_sample_docs`` oracle re-derives the selection as a plain
+    DuckDB window. Returns the surviving rows (original columns).
+    """
+    targets = mixture_targets(weights, token_budget)
+    spark = df.sparkSession
+    tok = (
+        F.col(token_col)
+        if token_col
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ).cast("long")
+    base = (
+        df.filter(F.col(domain_col).isin(list(targets)))
+        .withColumn("__tok", tok)
+        .withColumn("__h", _mixture_hash(id_col, salt))
+        .withColumn("__bkt", F.substring("__h", 1, bucket_hex_digits))
+    )
+
+    census = (
+        base.groupBy(domain_col, "__bkt")
+        .agg(F.sum("__tok").alias("__btok"))
+        .collect()
+    )
+    by_domain: dict[str, list] = {}
+    for r in census:
+        by_domain.setdefault(r[domain_col], []).append((r["__bkt"], r["__btok"]))
+
+    keep_all: list[tuple[str, str]] = []          # (domain, bucket)
+    boundary: list[tuple[str, str, int]] = []     # (domain, bucket, token offset)
+    for d, buckets in by_domain.items():
+        target, cum = targets[d], 0
+        for bkt, btok in sorted(buckets):
+            if cum >= target:
+                break  # this and later buckets: every doc's prefix >= target
+            if cum + btok < target:
+                keep_all.append((d, bkt))
+            else:
+                # the one bucket whose docs straddle the target (also covers
+                # cum+btok == target: a trailing zero-token doc there has
+                # prefix == target and must drop — window decides)
+                boundary.append((d, bkt, cum))
+            cum += btok
+
+    out_cols = df.columns
+    if not keep_all and not boundary:
+        return df.filter(F.lit(False)).select(*out_cols)
+
+    parts = []
+    if keep_all:
+        ka = spark.createDataFrame(keep_all, schema=f"{domain_col} string, __bkt string")
+        parts.append(base.join(F.broadcast(ka), [domain_col, "__bkt"], "left_semi"))
+    if boundary:
+        from pyspark.sql import Window
+
+        bd = spark.createDataFrame(
+            boundary, schema=f"{domain_col} string, __bkt string, __off long"
+        )
+        w = (
+            Window.partitionBy(domain_col, "__bkt")
+            .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        target_expr = None
+        for d, t in targets.items():
+            cond = F.col(domain_col) == d
+            target_expr = (
+                F.when(cond, F.lit(t)) if target_expr is None else target_expr.when(cond, F.lit(t))
+            )
+        prefix = F.sum("__tok").over(w) - F.col("__tok") + F.col("__off")
+        parts.append(
+            base.join(F.broadcast(bd), [domain_col, "__bkt"])
+            .withColumn("__before", prefix)
+            .filter(F.col("__before") < target_expr)
+        )
+    out = parts[0] if len(parts) == 1 else parts[0].select(*out_cols).unionByName(
+        parts[1].select(*out_cols)
+    )
+    return out.select(*out_cols)
+
+
+def sample_token_mixture_window(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    domain_col: str = "source",
+    token_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """One-window reference formulation of ``sample_token_mixture`` (whole
+    domain through a single cumulative-sum window) — the equivalence oracle
+    for tests and small-corpus runs; NOT the scale path (hot domain = hot
+    partition)."""
+    from pyspark.sql import Window
+
+    targets = mixture_targets(weights, token_budget)
+    tok = (
+        F.col(token_col)
+        if token_col
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ).cast("long")
+    target_expr = None
+    for d, t in targets.items():
+        cond = F.col(domain_col) == d
+        target_expr = (
+            F.when(cond, F.lit(t)) if target_expr is None else target_expr.when(cond, F.lit(t))
+        )
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(_mixture_hash(id_col, salt).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_cols = df.columns
+    return (
+        df.filter(F.col(domain_col).isin(list(targets)))
+        .withColumn("__tok", tok)
+        .withColumn("__before", F.sum("__tok").over(w) - F.col("__tok"))
+        .filter(F.col("__before") < target_expr)
+        .select(*out_cols)
+    )
+
+
+def mixture_report(
+    sampled: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    domain_col: str = "source",
+    token_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Audit twin of ``sample_token_mixture`` (the same discipline as the
+    capped-join audits): per-domain (target_tokens, selected_tokens,
+    selected_docs). ``selected_tokens`` < target means the domain was
+    EXHAUSTED (kept whole but couldn't fill its share) — the signal to
+    re-weight or up-sample; > target is the ≤ 1-doc overshoot."""
+    targets = mixture_targets(weights, token_budget)
+    tok = (
+        F.col(token_col)
+        if token_col
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ).cast("long")
+    target_expr = None
+    for d, t in targets.items():
+        cond = F.col(domain_col) == d
+        target_expr = (
+            F.when(cond, F.lit(t)) if target_expr is None else target_expr.when(cond, F.lit(t))
+        )
+    return (
+        sampled.groupBy(domain_col)
+        .agg(
+            F.sum(tok).alias("selected_tokens"),
+            F.count(F.lit(1)).alias("selected_docs"),
+        )
+        .withColumn("target_tokens", target_expr)
+        .select(domain_col, "target_tokens", "selected_tokens", "selected_docs")
+    )

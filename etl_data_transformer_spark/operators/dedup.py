@@ -520,28 +520,15 @@ def compact_minhash_store(
     writers route the store through ``sources/manifest.commit_write`` /
     ``compact``, whose manifest-pointer CAS detects lost updates.
     """
-    import os
-
-    from ..sources.writers import atomic_swap_write
-
-    if (live_ids is None) == (drop_ids is None):
-        raise ValueError("pass exactly one of live_ids / drop_ids")
-    params = {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}
-    sidecar = os.path.join(path, "_minhash_params.json")
-    if os.path.exists(sidecar):
-        _validate_store_params(sidecar, params)
-    store = spark.read.parquet(path)
-    if live_ids is not None:
-        kept = store.join(live_ids.select(id_col).distinct(), id_col, "left_semi")
-    else:
-        kept = store.join(drop_ids.select(id_col).distinct(), id_col, "left_anti")
-    atomic_swap_write(
-        kept,
+    _compact_store(
+        spark,
         path,
-        partition_by=["__batch_id"] if "__batch_id" in store.columns else None,
-        finalize_staging=lambda staging: _write_params_sidecar(
-            os.path.join(staging, "_minhash_params.json"), params
-        ),
+        live_ids=live_ids,
+        drop_ids=drop_ids,
+        id_col=id_col,
+        params={"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands},
+        sidecar_name="_minhash_params.json",
+        label="minhash",
     )
 
 
@@ -1220,16 +1207,190 @@ def compact_winnow_store(
     (pinned by ``tests/test_dedup.py``). A streaming store's
     ``__batch_id`` partition layout is preserved so later micro-batch
     overwrites keep landing consistently."""
+    _compact_store(
+        spark,
+        path,
+        live_ids=live_ids,
+        drop_ids=drop_ids,
+        id_col=id_col,
+        params={"k": k, "w": w},
+        sidecar_name="_winnow_params.json",
+        label="winnow",
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental SimHash: persisted signature store + batch-vs-store pairs.
+# Completes the incremental family (exact / minhash / winnow / semantic all
+# have stores). Unlike the MinHash store, the rows carry the RAW 64-bit
+# signature and pigeonhole banding happens at query time — so one store
+# serves ANY max_hamming, and the sidecar pins only the hash algorithm
+# (a token-hash change would silently match nothing against an old store).
+# --------------------------------------------------------------------------
+
+_SIMHASH_ALGO = "xxhash64-token-majority-v1"
+
+
+def simhash_store_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash64): the persisted store form for incremental simhash
+    near-dup detection — 8 bytes per landed document. Signatures are
+    deterministic (``_simhash_sql``'s integer fold), so stored and
+    freshly-computed rows are interchangeable."""
+    return simhash(df, text_col).select(id_col, "simhash64")
+
+
+def write_simhash_store(store_df: DataFrame, path: str, *, mode: str = "append") -> None:
+    """Persist ``simhash_store_rows`` with a ``_simhash_params`` sidecar —
+    same lifecycle discipline as ``write_minhash_store``: overwrite =
+    atomic rebuild with the label swapped in with the data; append =
+    sidecar validated/written before the first data write,
+    streaming-layout stores rejected."""
+    import os
+
+    from ..sources.writers import atomic_swap_write
+
+    params = {"algo": _SIMHASH_ALGO, "n_bits": 64}
+    if mode == "overwrite":
+        atomic_swap_write(
+            store_df,
+            path,
+            finalize_staging=lambda staging: _write_params_sidecar(
+                os.path.join(staging, "_simhash_params.json"), params
+            ),
+        )
+        return
+    _reject_streaming_layout_append(store_df, path, "simhash")
+    ensure_simhash_params_sidecar(path)
+    store_df.write.mode(mode).parquet(path)
+
+
+def ensure_simhash_params_sidecar(path: str) -> None:
+    """Write-or-validate the ``_simhash_params`` sidecar (see
+    ``write_simhash_store``)."""
+    import os
+
+    params = {"algo": _SIMHASH_ALGO, "n_bits": 64}
+    sidecar = os.path.join(path, "_simhash_params.json")
+    if os.path.exists(sidecar):
+        _validate_store_params(sidecar, params, label="simhash")
+        return
+    os.makedirs(path, exist_ok=True)
+    _write_params_sidecar(sidecar, params)
+
+
+def read_simhash_store(spark, path: str, *, id_col: str = "doc_id") -> DataFrame:
+    """Load a persisted simhash store, validating the algorithm sidecar —
+    a hash-algorithm mismatch raises instead of silently matching nothing."""
+    import os
+
+    sidecar = os.path.join(path, "_simhash_params.json")
+    if os.path.exists(sidecar):
+        _validate_store_params(
+            sidecar, {"algo": _SIMHASH_ALGO, "n_bits": 64}, label="simhash"
+        )
+    return spark.read.parquet(path).select(id_col, "simhash64")
+
+
+def simhash_near_dups_incremental(
+    new_df: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+    include_batch_pairs: bool = True,
+) -> DataFrame:
+    """Simhash near-dup pairs for an INCREMENTAL ingest batch: every pair
+    with Hamming distance <= ``max_hamming`` where at least one side is a
+    new document — exactly ``simhash_near_dups(old ∪ new)`` restricted to
+    pairs touching the batch (equivalence pinned by ``tests/test_dedup.py``),
+    but the existing corpus is never re-hashed: only its (id, simhash64)
+    store rows join in, and banding those is a projection over 8-byte
+    signatures, not a pass over text. Ids must be disjoint between batch
+    and store.
+
+    Pigeonhole recall is preserved: batch and store rows are banded by the
+    SAME ``max_hamming + 1`` disjoint slices, so any qualifying pair shares
+    at least one (band, value) bucket whichever side each doc is on. The
+    hot-bucket cap counts over the COMBINED corpus (same census discipline
+    as ``minhash_dedup_incremental``); ``include_batch_pairs=False`` keeps
+    only batch-vs-store pairs — the simhash tier of benchmark
+    decontamination. Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    n_bands = max_hamming + 1
+    new_rows = simhash_store_rows(new_df, text_col, id_col).withColumn("__new", F.lit(1))
+    store_rows = store.select(F.col(id_col), "simhash64").withColumn("__new", F.lit(0))
+    banded = (
+        store_rows.unionByName(new_rows)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col("simhash64").alias("__sig"),
+            "__new",
+            F.explode(_hamming_bands_expr("simhash64", 64, n_bands)).alias("bk"),
+        )
+        .select("__id", "__sig", "__new", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
+    )
+    if max_bucket_size is not None:
+        banded = _drop_hot_buckets(banded, ["band", "bv"], max_bucket_size)
+    a = banded.filter(F.col("__new") == 1).select(
+        F.col("__id").alias("id_n"), F.col("__sig").alias("h_n"), "band", "bv"
+    )
+    other = banded if include_batch_pairs else banded.filter(F.col("__new") == 0)
+    b = other.select(
+        F.col("__id").alias("id_o"),
+        F.col("__sig").alias("h_o"),
+        "band",
+        "bv",
+        F.col("__new").alias("__new_o"),
+    )
+    hamming = F.bit_count(F.col("h_n").bitwiseXOR(F.col("h_o"))).cast("int")
+    # keep each qualifying pair exactly once: new-vs-old always appears as
+    # (new, old); new-vs-new appears in both orders, so keep id order only
+    return (
+        a.join(b, ["band", "bv"])
+        .filter((F.col("__new_o") == 0) | (F.col("id_n") < F.col("id_o")))
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _compact_store(
+    spark,
+    path: str,
+    *,
+    live_ids: DataFrame | None,
+    drop_ids: DataFrame | None,
+    id_col: str,
+    params: dict,
+    sidecar_name: str,
+    label: str,
+) -> None:
+    """Shared store-compaction body (minhash / winnow / simhash): validate
+    the params sidecar, semi-join (``live_ids``) or anti-join (``drop_ids``)
+    the store rows, and rewrite through the atomic staging swap with the
+    sidecar placed in staging BEFORE the swap — readers see the old or the
+    compacted store, never a partial or unlabeled one. A streaming store's
+    ``__batch_id`` partition layout is preserved so later micro-batch
+    overwrites keep landing consistently. Store rows are per-document and
+    deterministic in every tier, so dropping rows never changes surviving
+    pairs (pinned per tier in ``tests/test_dedup.py``)."""
     import os
 
     from ..sources.writers import atomic_swap_write
 
     if (live_ids is None) == (drop_ids is None):
         raise ValueError("pass exactly one of live_ids / drop_ids")
-    params = {"k": k, "w": w}
-    sidecar = os.path.join(path, "_winnow_params.json")
+    sidecar = os.path.join(path, sidecar_name)
     if os.path.exists(sidecar):
-        _validate_store_params(sidecar, params, label="winnow")
+        _validate_store_params(sidecar, params, label=label)
     store = spark.read.parquet(path)
     if live_ids is not None:
         kept = store.join(live_ids.select(id_col).distinct(), id_col, "left_semi")
@@ -1240,6 +1401,29 @@ def compact_winnow_store(
         path,
         partition_by=["__batch_id"] if "__batch_id" in store.columns else None,
         finalize_staging=lambda staging: _write_params_sidecar(
-            os.path.join(staging, "_winnow_params.json"), params
+            os.path.join(staging, sidecar_name), params
         ),
+    )
+
+
+def compact_simhash_store(
+    spark,
+    path: str,
+    *,
+    live_ids: DataFrame | None = None,
+    drop_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> None:
+    """Bound simhash-store growth — the ``compact_minhash_store`` twin for
+    the raw-signature store (see ``_compact_store`` for the shared
+    lifecycle guarantees)."""
+    _compact_store(
+        spark,
+        path,
+        live_ids=live_ids,
+        drop_ids=drop_ids,
+        id_col=id_col,
+        params={"algo": _SIMHASH_ALGO, "n_bits": 64},
+        sidecar_name="_simhash_params.json",
+        label="simhash",
     )

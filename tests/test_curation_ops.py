@@ -505,3 +505,110 @@ def test_semantic_incremental_prunes_untouched_cluster_partitions(spark, tmp_pat
     )
     assert "PartitionFilters" in scan
     assert "list_id" in scan.split("PartitionFilters")[1][:120]
+
+
+def _mixture_fixture(spark, seed=7):
+    """Skewed domains + zero-token docs + a domain to exhaust + a domain
+    outside the weights."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    did = 0
+    for d, n, lo, hi in (
+        ("web", 120, 5, 40),     # big, will be budget-bounded
+        ("code", 40, 10, 20),    # medium
+        ("books", 6, 3, 8),      # tiny → exhausted
+        ("junk", 30, 5, 10),     # not in weights → dropped
+    ):
+        for _ in range(n):
+            k = rng.randint(lo, hi)
+            text = " ".join(f"w{rng.randint(0, 999)}" for _ in range(k))
+            rows.append((did, d, text))
+            did += 1
+    rows.append((did, "web", ""))        # zero-token doc (trim->split gives [''], size 1)
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_mixture_sampler_bucketed_equals_window(spark):
+    """The scale-safe two-phase sampler == the one-window reference, on a
+    corpus exercising keep-all / boundary / drop buckets per domain
+    (bucket_hex_digits=1 → 16 buckets over ~120 docs)."""
+    df = _mixture_fixture(spark)
+    weights = {"web": 6.0, "code": 3.0, "books": 1.0}
+    for budget in (0, 500, 1500, 10**6):
+        fast = C.sample_token_mixture(
+            df, weights, budget, bucket_hex_digits=1
+        )
+        ref = C.sample_token_mixture_window(df, weights, budget)
+        got = sorted(r["doc_id"] for r in fast.collect())
+        want = sorted(r["doc_id"] for r in ref.collect())
+        assert got == want, f"budget={budget}"
+    # huge budget keeps every weighted-domain doc, drops unweighted domains
+    all_kept = C.sample_token_mixture(df, weights, 10**6, bucket_hex_digits=1)
+    assert all_kept.count() == df.filter(F.col("source") != "junk").count()
+    assert all_kept.filter(F.col("source") == "junk").count() == 0
+
+
+def test_mixture_sampler_partitioning_invariant_and_targets(spark):
+    """Selection is independent of input partitioning, fills each domain to
+    its target within one doc of overshoot, and keeps exhausted domains
+    whole."""
+    df = _mixture_fixture(spark)
+    weights = {"web": 6.0, "code": 3.0, "books": 1.0}
+    budget = 1500
+    targets = C.mixture_targets(weights, budget)
+    assert targets == {"web": 900, "code": 450, "books": 150}
+
+    a = sorted(r["doc_id"] for r in C.sample_token_mixture(df, weights, budget).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in C.sample_token_mixture(df.repartition(13, "text"), weights, budget).collect()
+    )
+    assert a == b and len(a) > 0
+
+    rep = {
+        r["source"]: r
+        for r in C.mixture_report(
+            C.sample_token_mixture(df, weights, budget), weights, budget
+        ).collect()
+    }
+    tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    max_doc = {
+        r["source"]: r["m"]
+        for r in df.groupBy("source").agg(F.max(tok).alias("m")).collect()
+    }
+    avail = {
+        r["source"]: r["s"]
+        for r in df.groupBy("source").agg(F.sum(tok).alias("s")).collect()
+    }
+    for d, t in targets.items():
+        sel = rep[d]["selected_tokens"]
+        if avail[d] <= t:          # exhausted: kept whole
+            assert sel == avail[d]
+        else:                      # filled: target <= selected < target + max doc
+            assert t <= sel < t + max_doc[d]
+
+
+def test_mixture_sampler_validation_and_edge_cases(spark):
+    import pytest
+
+    df = _mixture_fixture(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        C.mixture_targets({}, 100)
+    with pytest.raises(ValueError, match=">= 0"):
+        C.mixture_targets({"a": -1.0}, 100)
+    with pytest.raises(ValueError, match="> 0"):
+        C.mixture_targets({"a": 0.0}, 100)
+    with pytest.raises(ValueError, match="token_budget"):
+        C.mixture_targets({"a": 1.0}, -5)
+
+    # zero-weight domain contributes nothing but doesn't break the others
+    got = C.sample_token_mixture(
+        df, {"web": 1.0, "books": 0.0}, 300, bucket_hex_digits=1
+    )
+    assert got.filter(F.col("source") == "books").count() == 0
+    assert got.filter(F.col("source") == "web").count() > 0
+    # weights naming only absent domains → empty result, schema preserved
+    empty = C.sample_token_mixture(df, {"nope": 1.0}, 300)
+    assert empty.count() == 0 and empty.columns == df.columns

@@ -580,3 +580,115 @@ def test_exact_dedup_incremental_equals_batch_over_combined(spark, tmp_path):
     # overwrite rebuild replaces the store atomically
     write_exact_store(exact_fingerprint_store(b2), path, mode="overwrite")
     assert spark.read.parquet(path).count() == b2.count()
+
+
+def test_simhash_incremental_equals_full_corpus_restriction(spark):
+    """Incremental simhash pairs == full-corpus simhash_near_dups(old ∪ new)
+    restricted to pairs touching the batch — the store join (8-byte
+    signatures, no text re-hash) changes the compute shape, never the
+    answer. Pigeonhole recall must survive the batch/store split."""
+    old_rows = [
+        (i, f"old document {i} about subject {i % 5} with tokens {i * 7} and {i * 11}")
+        for i in range(40)
+    ]
+    new_rows = [
+        (100, old_rows[3][1] + " x"),          # near-dup of an old doc
+        (101, "an entirely novel new document about fresh things"),
+        (102, "an entirely novel new document about fresh things zz"),  # near 101
+        (103, old_rows[3][1] + " x"),          # exact dup of new 100 AND near old 3
+    ]
+    old = spark.createDataFrame(old_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+
+    store = DD.simhash_store_rows(old)
+    inc = sorted(
+        map(tuple, DD.simhash_near_dups_incremental(new, store, max_hamming=12).collect())
+    )
+    full = DD.simhash_near_dups(old.unionByName(new), max_hamming=12).collect()
+    new_ids = {r[0] for r in new_rows}
+    expected = sorted(tuple(r) for r in full if r["id_a"] in new_ids or r["id_b"] in new_ids)
+
+    assert inc == expected and len(inc) >= 2  # at least 100-103 (d=0), 101-102
+    assert (100, 103, 0) in inc  # identical text → identical signature
+    old_only = [(a, b) for a, b, _ in inc if a not in new_ids and b not in new_ids]
+    assert old_only == []  # old-vs-old pairs never re-emitted
+
+
+def test_simhash_incremental_cap_and_cross_corpus_mode(spark, tmp_path):
+    """Combined-corpus hot-bucket census + include_batch_pairs=False
+    decontamination tier + store lifecycle (sidecar roundtrip, streaming
+    reject, overwrite rebuild)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    boiler = "same exact boilerplate text repeated everywhere ok"
+    old = spark.createDataFrame(
+        [(i, boiler) for i in range(200)], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "simhash_store")
+    DD.write_simhash_store(DD.simhash_store_rows(old), path)
+    store = DD.read_simhash_store(spark, path)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert DD.simhash_near_dups_incremental(empty, store).collect() == []
+
+    new = spark.createDataFrame([(900, boiler)], ["doc_id", "text"])
+    # identical docs: every band bucket holds all 201 rows → capped run drops them
+    assert DD.simhash_near_dups_incremental(new, store).count() == 200
+    assert (
+        DD.simhash_near_dups_incremental(new, store, max_bucket_size=100).count() == 0
+    )
+
+    # cross-corpus decontamination: batch-internal pair (900, 901) excluded
+    batch2 = spark.createDataFrame([(900, boiler), (901, boiler)], ["doc_id", "text"])
+    cross = DD.simhash_near_dups_incremental(
+        batch2, store, include_batch_pairs=False
+    )
+    got = {(r["id_a"], r["id_b"]) for r in cross.collect()}
+    assert len(got) == 400 and (900, 901) not in got
+
+    # appending onto a streaming-layout store is rejected; overwrite rebuilds
+    stream_path = str(tmp_path / "stream_store")
+    DD.simhash_store_rows(old).withColumn("__batch_id", F.lit("t-0")).write.partitionBy(
+        "__batch_id"
+    ).parquet(stream_path)
+    with pytest.raises(ValueError, match="streaming"):
+        DD.write_simhash_store(DD.simhash_store_rows(new), stream_path)
+    DD.write_simhash_store(DD.simhash_store_rows(new), stream_path, mode="overwrite")
+    assert spark.read.parquet(stream_path).count() == 1
+
+
+def test_compact_simhash_store_preserves_incremental_pairs(spark, tmp_path):
+    """Post-compaction incremental run == run against a store rebuilt from
+    the surviving corpus; sidecar survives the atomic swap."""
+    import os
+
+    docs = spark.createDataFrame(
+        [(i, f"document {i} on topic {i % 4} tokens {i * 3}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    survivors = docs.filter("doc_id % 3 != 0")
+    path = str(tmp_path / "sh_store")
+    DD.write_simhash_store(DD.simhash_store_rows(docs), path)
+    DD.compact_simhash_store(spark, path, live_ids=survivors.select("doc_id"))
+    assert os.path.exists(os.path.join(path, "_simhash_params.json"))
+
+    rebuilt = DD.simhash_store_rows(survivors)
+    new = spark.createDataFrame(
+        [(500, "document 7 on topic 3 tokens 21 z")], ["doc_id", "text"]
+    )
+    via_compacted = sorted(
+        map(
+            tuple,
+            DD.simhash_near_dups_incremental(
+                new, DD.read_simhash_store(spark, path), max_hamming=16
+            ).collect(),
+        )
+    )
+    via_rebuilt = sorted(
+        map(
+            tuple,
+            DD.simhash_near_dups_incremental(new, rebuilt, max_hamming=16).collect(),
+        )
+    )
+    assert via_compacted == via_rebuilt and len(via_compacted) >= 1
