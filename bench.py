@@ -52,6 +52,7 @@ HEADLINE = [
     "winnow_overlap_docs",
     "resample_events",
     "funnel_events",
+    "mixture_sample_docs",
 ]
 
 

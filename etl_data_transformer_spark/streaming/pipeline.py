@@ -579,6 +579,96 @@ def stream_winnow_dedup(
     q.awaitTermination()
 
 
+def stream_simhash_dedup(
+    stream_docs: DataFrame,
+    store_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> None:
+    """Streaming SimHash near-dup detection — the streaming twin of
+    ``operators/dedup.simhash_near_dups_incremental`` (as
+    ``stream_near_dedup`` is for MinHash). Each micro-batch simhashes ONLY
+    its own documents, pigeonhole-bands them against the persisted raw
+    64-bit signature store at ``store_path``, writes Hamming pairs
+    (id_a, id_b, hamming) to ``pairs_path``, and appends its own
+    (id, simhash64) rows to the store — 8 bytes of state per landed
+    document, the leanest store of the family.
+
+    Same durability discipline as the other streaming dedup twins:
+    idempotent ``__batch_id``-partitioned sinks (a replayed batch
+    overwrites its own partition), explicit first-batch detection (real
+    store-read failures propagate and retry rather than truncating), and
+    the ``_simhash_params`` algorithm sidecar written-or-validated before
+    any data so a restart against a store built by a different token-hash
+    version raises instead of matching nothing. ``max_hamming`` is a
+    query-time parameter (banding derives from it per batch), so the SAME
+    store serves streams with different thresholds.
+    """
+    from ..operators.dedup import (
+        _SIMHASH_ALGO,
+        ensure_simhash_params_sidecar,
+        simhash_near_dups,
+        simhash_near_dups_incremental,
+        simhash_store_rows,
+    )
+
+    ns = _stream_store_namespace(checkpoint_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from ..operators.dedup import _write_params_sidecar
+
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).persist()
+        try:
+            if batch.isEmpty():
+                return
+            ensure_simhash_params_sidecar(store_path)
+            store = _partitioned_store_or_convert(
+                spark,
+                store_path,
+                ns,
+                checkpoint_dir,
+                lambda staging: _write_params_sidecar(
+                    os.path.join(staging, "_simhash_params.json"),
+                    {"algo": _SIMHASH_ALGO, "n_bits": 64},
+                ),
+            )
+            if store is None:
+                pairs = simhash_near_dups(
+                    batch, text_col, id_col, max_hamming, max_bucket_size
+                )
+            else:
+                pairs = simhash_near_dups_incremental(
+                    batch,
+                    _drop_replayed_batch_rows(store, batch, id_col).select(
+                        id_col, "simhash64"
+                    ),
+                    text_col,
+                    id_col,
+                    max_hamming,
+                    max_bucket_size,
+                )
+            _overwrite_batch_partition(pairs, pairs_path, ns, batch_id)
+            rows = simhash_store_rows(batch, text_col, id_col)
+            _overwrite_batch_partition(rows, store_path, ns, batch_id)
+        finally:
+            batch.unpersist()
+
+    q = (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_semantic_dedup(
     stream_vectors: DataFrame,
     store_path: str,

@@ -977,3 +977,59 @@ def test_semantic_store_streaming_layout_guards(spark, tmp_path):
         for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()
     }
     assert (4, 100) in got  # post-compaction stream still pairs vs the store
+
+
+def test_stream_simhash_dedup_cross_batch_pairs_and_store(spark, tmp_path):
+    """Streaming simhash near-dup: batch 2 pairs against batch 1 through the
+    persisted raw-signature store (batch 1's text never re-hashed), the
+    store accumulates (id, simhash64) rows per batch, and a replayed drain
+    with no new data is a no-op."""
+    from etl_data_transformer_spark.streaming.pipeline import stream_simhash_dedup
+
+    src = str(tmp_path / "src_sh")
+    store = str(tmp_path / "store_sh")
+    pairs = str(tmp_path / "pairs_sh")
+    ckpt = str(tmp_path / "ckpt_sh")
+    schema = "doc_id long, text string"
+    base = "a sufficiently long and distinctive document body about turbines"
+
+    def drain(max_hamming=8):
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_simhash_dedup(stream, store, pairs, ckpt, max_hamming=max_hamming)
+
+    spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different content regarding maritime chronometers"),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(src)
+    drain()
+    assert spark.read.parquet(store).select("doc_id").distinct().count() == 2
+
+    spark.createDataFrame([(6, base + " extra")], schema).write.mode("append").parquet(src)
+    drain()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()
+    }
+    assert (1, 6) in got and not any(2 in p for p in got)
+    assert spark.read.parquet(store).select("doc_id").distinct().count() == 3
+
+    # pairs match the batch-mode incremental operator over the same split
+    from etl_data_transformer_spark.operators import dedup as DD
+
+    b1 = spark.createDataFrame([(1, base), (2, "completely different content regarding maritime chronometers")], schema)
+    b2 = spark.createDataFrame([(6, base + " extra")], schema)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_near_dups_incremental(
+            b2, DD.simhash_store_rows(b1), max_hamming=8
+        ).collect()
+    }
+    assert {p for p in got if 6 in p} == want
+
+    # no-new-data drain leaves both sinks unchanged
+    n_pairs = spark.read.parquet(pairs).count()
+    drain()
+    assert spark.read.parquet(pairs).count() == n_pairs

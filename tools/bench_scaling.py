@@ -35,6 +35,7 @@ QUERIES = [
     "tfidf_top_terms",      # two groupBys + per-doc window
     "semantic_dedup",       # cluster-blocked cosine dedup (clusters ∝ corpus)
     "winnow_overlap_docs",  # map-only fingerprints + fp equi-join
+    "mixture_sample_docs",  # token-mixture sampling: bucket census + boundary window
 ]
 
 
