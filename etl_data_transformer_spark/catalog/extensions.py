@@ -697,11 +697,12 @@ def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the scale-safe two-phase path). The DuckDB oracle re-derives the
     identical selection as a plain window cumulative sum, so every surviving
     (doc_id, source, n_toks) row hash-matches."""
-    from ..operators.curation import sample_token_mixture
+    from ..operators.curation import _mixture_tok, sample_token_mixture
 
     d = _docs(spark, sf_dir)
     sampled = sample_token_mixture(
         d, {"src0": 3.0, "src1": 1.0, "src2": 1.0}, 2000
     )
-    n_toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
-    return sampled.select("doc_id", "source", n_toks.alias("n_toks"))
+    return sampled.select(
+        "doc_id", "source", _mixture_tok(None, "text").alias("n_toks")
+    )

@@ -837,7 +837,7 @@ TEMPORAL_ORACLES: dict[str, str] = {
 TEMPORAL_ORACLES["mixture_sample_docs"] = """
     WITH t AS (
         SELECT doc_id, source,
-               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+               CAST(coalesce(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS BIGINT) AS n_toks,
                md5(CAST(doc_id AS VARCHAR)) AS h
         FROM documents WHERE source IN ('src0', 'src1', 'src2')
     ), c AS (

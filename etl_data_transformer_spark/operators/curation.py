@@ -873,6 +873,29 @@ def _mixture_hash(id_col: str, salt: str):
     return F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
 
 
+def _mixture_tok(token_col: str | None, text_col: str):
+    """Per-doc token count for the mixture fill: the shared
+    ``functions/text.token_count`` whitespace expression (or a caller
+    column), null-coalesced to 0 so a null-text/null-count doc is a
+    zero-cost keep wherever it falls in hash order — identically in the
+    bucketed path, the window reference, the audit report, and the DuckDB
+    oracle (an un-coalesced NULL would silently diverge: NULL survives a
+    keep-all bucket but fails the ``before < target`` comparison)."""
+    from ..functions.text import token_count
+
+    c = F.col(token_col) if token_col else token_count(text_col)
+    return F.coalesce(c.cast("long"), F.lit(0).cast("long"))
+
+
+def _mixture_target_expr(targets: dict, domain_col: str):
+    """CASE chain mapping the domain column to its token target."""
+    expr = None
+    for d, t in targets.items():
+        cond = F.col(domain_col) == d
+        expr = F.when(cond, F.lit(t)) if expr is None else expr.when(cond, F.lit(t))
+    return expr
+
+
 def sample_token_mixture(
     df: DataFrame,
     weights: dict[str, float],
@@ -915,14 +938,9 @@ def sample_token_mixture(
     """
     targets = mixture_targets(weights, token_budget)
     spark = df.sparkSession
-    tok = (
-        F.col(token_col)
-        if token_col
-        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    ).cast("long")
     base = (
         df.filter(F.col(domain_col).isin(list(targets)))
-        .withColumn("__tok", tok)
+        .withColumn("__tok", _mixture_tok(token_col, text_col))
         .withColumn("__h", _mixture_hash(id_col, salt))
         .withColumn("__bkt", F.substring("__h", 1, bucket_hex_digits))
     )
@@ -956,27 +974,37 @@ def sample_token_mixture(
     if not keep_all and not boundary:
         return df.filter(F.lit(False)).select(*out_cols)
 
+    # typed schemas from the input (not DDL strings): domain_col may be
+    # non-string (int domain ids) or a non-identifier name
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    domain_field = StructField(domain_col, df.schema[domain_col].dataType)
     parts = []
     if keep_all:
-        ka = spark.createDataFrame(keep_all, schema=f"{domain_col} string, __bkt string")
+        ka = spark.createDataFrame(
+            keep_all,
+            schema=StructType([domain_field, StructField("__bkt", StringType())]),
+        )
         parts.append(base.join(F.broadcast(ka), [domain_col, "__bkt"], "left_semi"))
     if boundary:
         from pyspark.sql import Window
 
         bd = spark.createDataFrame(
-            boundary, schema=f"{domain_col} string, __bkt string, __off long"
+            boundary,
+            schema=StructType(
+                [
+                    domain_field,
+                    StructField("__bkt", StringType()),
+                    StructField("__off", LongType()),
+                ]
+            ),
         )
         w = (
             Window.partitionBy(domain_col, "__bkt")
             .orderBy(F.col("__h").asc(), F.col(id_col).asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        target_expr = None
-        for d, t in targets.items():
-            cond = F.col(domain_col) == d
-            target_expr = (
-                F.when(cond, F.lit(t)) if target_expr is None else target_expr.when(cond, F.lit(t))
-            )
+        target_expr = _mixture_target_expr(targets, domain_col)
         prefix = F.sum("__tok").over(w) - F.col("__tok") + F.col("__off")
         parts.append(
             base.join(F.broadcast(bd), [domain_col, "__bkt"])
@@ -1006,17 +1034,7 @@ def sample_token_mixture_window(
     from pyspark.sql import Window
 
     targets = mixture_targets(weights, token_budget)
-    tok = (
-        F.col(token_col)
-        if token_col
-        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    ).cast("long")
-    target_expr = None
-    for d, t in targets.items():
-        cond = F.col(domain_col) == d
-        target_expr = (
-            F.when(cond, F.lit(t)) if target_expr is None else target_expr.when(cond, F.lit(t))
-        )
+    target_expr = _mixture_target_expr(targets, domain_col)
     w = (
         Window.partitionBy(domain_col)
         .orderBy(_mixture_hash(id_col, salt).asc(), F.col(id_col).asc())
@@ -1025,7 +1043,7 @@ def sample_token_mixture_window(
     out_cols = df.columns
     return (
         df.filter(F.col(domain_col).isin(list(targets)))
-        .withColumn("__tok", tok)
+        .withColumn("__tok", _mixture_tok(token_col, text_col))
         .withColumn("__before", F.sum("__tok").over(w) - F.col("__tok"))
         .filter(F.col("__before") < target_expr)
         .select(*out_cols)
@@ -1046,21 +1064,11 @@ def mixture_report(
     EXHAUSTED (kept whole but couldn't fill its share) — the signal to
     re-weight or up-sample; > target is the ≤ 1-doc overshoot."""
     targets = mixture_targets(weights, token_budget)
-    tok = (
-        F.col(token_col)
-        if token_col
-        else F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    ).cast("long")
-    target_expr = None
-    for d, t in targets.items():
-        cond = F.col(domain_col) == d
-        target_expr = (
-            F.when(cond, F.lit(t)) if target_expr is None else target_expr.when(cond, F.lit(t))
-        )
+    target_expr = _mixture_target_expr(targets, domain_col)
     return (
         sampled.groupBy(domain_col)
         .agg(
-            F.sum(tok).alias("selected_tokens"),
+            F.sum(_mixture_tok(token_col, text_col)).alias("selected_tokens"),
             F.count(F.lit(1)).alias("selected_docs"),
         )
         .withColumn("target_tokens", target_expr)

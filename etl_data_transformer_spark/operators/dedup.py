@@ -1320,6 +1320,10 @@ def simhash_near_dups_incremental(
     decontamination. Returns (id_a, id_b, hamming) with id_a < id_b.
     """
     n_bands = max_hamming + 1
+    if n_bands > 64:
+        # same guard as hamming_band_pairs: 65+ bands over 64 bits would
+        # give zero-width slices whose bv=0 buckets cross-join everything
+        raise ValueError(f"max_hamming={max_hamming} needs more bands than bits (64)")
     new_rows = simhash_store_rows(new_df, text_col, id_col).withColumn("__new", F.lit(1))
     store_rows = store.select(F.col(id_col), "simhash64").withColumn("__new", F.lit(0))
     banded = (

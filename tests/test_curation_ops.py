@@ -612,3 +612,47 @@ def test_mixture_sampler_validation_and_edge_cases(spark):
     # weights naming only absent domains → empty result, schema preserved
     empty = C.sample_token_mixture(df, {"nope": 1.0}, 300)
     assert empty.count() == 0 and empty.columns == df.columns
+
+
+def test_mixture_sampler_null_text_and_int_domain(spark):
+    """Review regressions: (a) null text is a zero-cost keep IDENTICALLY in
+    the bucketed and window formulations (an un-coalesced NULL survived
+    keep-all buckets but failed `before < target`); (b) a non-string domain
+    column works in the scale path (driver frames use the input's type, not
+    a DDL string schema)."""
+    rows = [(i, i % 3, "word " * (i % 7 + 1)) for i in range(60)]
+    rows += [(100, 0, None), (101, 1, None)]   # null text docs
+    df = spark.createDataFrame(rows, "doc_id long, dom int, text string")
+    weights = {0: 2.0, 1: 1.0}
+    for budget in (0, 40, 10**6):
+        fast = sorted(
+            r["doc_id"]
+            for r in C.sample_token_mixture(
+                df, weights, budget, domain_col="dom", bucket_hex_digits=1
+            ).collect()
+        )
+        ref = sorted(
+            r["doc_id"]
+            for r in C.sample_token_mixture_window(
+                df, weights, budget, domain_col="dom"
+            ).collect()
+        )
+        assert fast == ref, f"budget={budget}"
+    # null-text docs of weighted domains survive a huge budget at zero cost
+    big = C.sample_token_mixture(
+        df, weights, 10**6, domain_col="dom", bucket_hex_digits=1
+    )
+    assert {100, 101} <= {r["doc_id"] for r in big.collect()}
+
+
+def test_simhash_incremental_rejects_oversized_max_hamming(spark):
+    """max_hamming >= 64 must raise (as in hamming_band_pairs), not silently
+    produce zero-width bands that cross-join everything."""
+    import pytest
+
+    from etl_data_transformer_spark.operators import dedup as DD
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    store = DD.simhash_store_rows(df)
+    with pytest.raises(ValueError, match="more bands than bits"):
+        DD.simhash_near_dups_incremental(df, store, max_hamming=64)
