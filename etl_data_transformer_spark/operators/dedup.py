@@ -669,12 +669,59 @@ def simhash(df: DataFrame, text_col: str = "text", distribute: bool = True) -> D
     ``distribute=True`` spreads the input first so the (interpreted,
     CPU-heavy) fold runs on all cores even when the source is a single
     small parquet partition; a no-op when the input is already well
-    partitioned (cluster-scale scans)."""
+    partitioned (cluster-scale scans).
+
+    This is the ATTACH form (keeps every input column, no shuffle). The
+    dedup/store pipelines use ``simhash_signatures`` instead — the same
+    values via explode + codegen'd aggregation, which at corpus scale
+    beats this interpreted higher-order fold the same way the minhash
+    ``_signatures`` explode rewrite did."""
     if distribute:
         from ..sources.readers import spread
 
         df = spread(df)
     return df.withColumn("simhash64", F.expr(_simhash_sql(text_col)))
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash64) as explode → row-wise ``xxhash64`` → groupBy with 64
+    conditional-sum aggregates — BIT-IDENTICAL to ``simhash``'s fold
+    (equivalence pytest-pinned, so stores built by either path
+    interoperate under the same ``_SIMHASH_ALGO`` label), but every step
+    is whole-stage codegen'd with map-side partial sums, where the
+    ``aggregate``/``zip_with`` fold is an INTERPRETED expression evaluated
+    one thread per row (the same trade that took minhash signatures from
+    3.1 s to 0.8 s and winnowing to Arrow). Empty/whitespace/null text maps
+    to signature 0L exactly as the fold's guard does."""
+    from ..sources.readers import spread
+
+    base = spread(df.select(F.col(id_col), F.col(text_col)), key=id_col)
+    txt = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    empty = base.filter(F.length(txt) == 0).select(
+        F.col(id_col), F.lit(0).cast("long").alias("simhash64")
+    )
+    ex = (
+        base.filter(F.length(txt) > 0)
+        .select(F.col(id_col), F.explode(F.split(txt, r"\s+")).alias("__t"))
+        .select(F.col(id_col), F.xxhash64("__t").alias("__h"))
+    )
+    # bit-b one-counts: shiftright is arithmetic, but & 1 keeps only the
+    # low bit so sign extension is harmless — same expression as the fold
+    ones = [
+        F.sum(F.shiftright("__h", b).bitwiseAND(F.lit(1))).alias(f"__o{b}")
+        for b in range(64)
+    ]
+    agg = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *ones)
+    packed = None
+    for b in range(64):
+        bit = F.when(
+            2 * F.col(f"__o{b}") > F.col("__n"),
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed + bit
+    return agg.select(F.col(id_col), packed.alias("simhash64")).unionByName(empty)
 
 
 def band_slices(n_bits: int, n_bands: int) -> list[tuple[int, int]]:
@@ -750,6 +797,16 @@ def hamming_band_pairs(
     n_bands = max_hamming + 1
     if n_bands > n_bits:
         raise ValueError(f"max_hamming={max_hamming} needs more bands than bits ({n_bits})")
+    # no explicit repartition: the self-join's two shuffle exchanges (and
+    # the hot-bucket census's) have IDENTICAL deterministic subtrees, so
+    # Spark's ReuseExchange collapses them and the signature computation
+    # runs once (plan-asserted). This requires ``sigs`` to be
+    # DETERMINISTIC — a nondeterministic subtree (e.g. the attach-form
+    # ``simhash``'s random spread) defeats reuse and recomputes per side;
+    # ``simhash_near_dups`` passes the deterministic ``simhash_signatures``
+    # for exactly this reason (interleaved A/B at 50k docs: 3.3 s vs 5.1 s
+    # for fold-without-reuse; an explicit repartition would only add a
+    # third exchange, measured +0.4 s — SCALING.md).
     banded = sigs.select(
         F.col(id_col).alias("__id"),
         F.col(sig_col).alias("__sig"),
@@ -803,7 +860,7 @@ def simhash_near_dups(
     ~58% of hamming-3 pairs: C(48,3)/C(64,3) recall under uniform bit
     positions.) ``max_bucket_size`` caps degenerate buckets at corpus scale;
     audit the exclusions with ``oversized_buckets`` when set."""
-    hashed = simhash(df, text_col).select(id_col, "simhash64")
+    hashed = simhash_signatures(df, text_col, id_col)
     return hamming_band_pairs(
         hashed, id_col, "simhash64", n_bits=64, max_hamming=max_hamming, max_bucket_size=max_bucket_size
     )
@@ -1236,9 +1293,10 @@ def simhash_store_rows(
 ) -> DataFrame:
     """(id, simhash64): the persisted store form for incremental simhash
     near-dup detection — 8 bytes per landed document. Signatures are
-    deterministic (``_simhash_sql``'s integer fold), so stored and
-    freshly-computed rows are interchangeable."""
-    return simhash(df, text_col).select(id_col, "simhash64")
+    deterministic (the codegen'd explode aggregation, bit-identical to
+    ``simhash``'s fold), so stored and freshly-computed rows are
+    interchangeable."""
+    return simhash_signatures(df, text_col, id_col)
 
 
 def write_simhash_store(store_df: DataFrame, path: str, *, mode: str = "append") -> None:
@@ -1324,7 +1382,20 @@ def simhash_near_dups_incremental(
         # same guard as hamming_band_pairs: 65+ bands over 64 bits would
         # give zero-width slices whose bv=0 buckets cross-join everything
         raise ValueError(f"max_hamming={max_hamming} needs more bands than bits (64)")
-    new_rows = simhash_store_rows(new_df, text_col, id_col).withColumn("__new", F.lit(1))
+    # batch signatures use the ATTACH-form fold, and there is deliberately
+    # NO repartition here — the opposite of hamming_band_pairs, by
+    # measurement (SCALING.md): the store side is already a cheap 8-byte
+    # signature scan (nothing expensive to reuse), the a-side's
+    # __new == 1 filter constant-folds the store branch of the union away
+    # (so the store is scanned once either way), and a repartition would
+    # shuffle store+batch band rows an extra time for no reuse benefit
+    # (measured 2x slower at a 49.5k-row store). The fold recomputing per
+    # side costs only |batch|.
+    new_rows = (
+        simhash(new_df, text_col)
+        .select(id_col, "simhash64")
+        .withColumn("__new", F.lit(1))
+    )
     store_rows = store.select(F.col(id_col), "simhash64").withColumn("__new", F.lit(0))
     banded = (
         store_rows.unionByName(new_rows)

@@ -692,3 +692,43 @@ def test_compact_simhash_store_preserves_incremental_pairs(spark, tmp_path):
         )
     )
     assert via_compacted == via_rebuilt and len(via_compacted) >= 1
+
+
+def test_simhash_signatures_bit_identical_to_fold(spark):
+    """The codegen'd explode aggregation must produce EXACTLY the fold's
+    values (stores built by either path interoperate under the same
+    _SIMHASH_ALGO label) — including empty / whitespace-only / null text
+    (signature 0L) and duplicate tokens (counted per occurrence)."""
+    rows = [
+        (1, "alpha beta gamma alpha alpha"),     # duplicate tokens
+        (2, ""),                                  # empty
+        (3, "   "),                               # whitespace only
+        (4, None),                                # null
+        (5, "единственный token с unicode 字"),
+        (6, "x"),
+        (7, "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fold = {
+        r["doc_id"]: r["simhash64"]
+        for r in DD.simhash(df).select("doc_id", "simhash64").collect()
+    }
+    grouped = {
+        r["doc_id"]: r["simhash64"] for r in DD.simhash_signatures(df).collect()
+    }
+    assert grouped == fold
+    assert fold[2] == fold[3] == fold[4] == 0
+
+
+def test_hamming_band_pairs_reuses_signature_exchange(spark):
+    """Both self-join sides must hang off ONE repartition exchange so the
+    upstream signature computation runs once (ReusedExchange), mirroring
+    the winnow_overlap_pairs plan discipline."""
+    docs = spark.createDataFrame(
+        [(i, f"some document number {i} with shared words") for i in range(50)],
+        "doc_id long, text string",
+    )
+    pairs = DD.simhash_near_dups(docs, max_hamming=8)
+    pairs.collect()  # finalize AQE
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
