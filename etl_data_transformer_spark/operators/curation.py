@@ -937,25 +937,51 @@ def sample_token_mixture(
     DuckDB window. Returns the surviving rows (original columns).
     """
     targets = mixture_targets(weights, token_budget)
-    spark = df.sparkSession
     base = (
         df.filter(F.col(domain_col).isin(list(targets)))
         .withColumn("__tok", _mixture_tok(token_col, text_col))
         .withColumn("__h", _mixture_hash(id_col, salt))
         .withColumn("__bkt", F.substring("__h", 1, bucket_hex_digits))
     )
+    from pyspark.sql.types import StringType
 
+    return _bucketed_fill(
+        df,
+        base,
+        targets,
+        domain_col,
+        StringType(),
+        [F.col("__h").asc(), F.col(id_col).asc()],
+    )
+
+
+def _bucketed_fill(
+    df: DataFrame,
+    base: DataFrame,
+    targets: dict,
+    domain_col: str,
+    bucket_dtype,
+    order_cols: list,
+) -> DataFrame:
+    """Shared two-phase fill: ``base`` carries ``__tok`` (null-free token
+    counts) and ``__bkt`` (a bucket key MONOTONE in the intended per-domain
+    order, whose within-bucket refinement is ``order_cols``). Census per
+    (domain, bucket) → driver prefix-sum classifies keep-all / boundary /
+    drop → only boundary buckets run the exact cumulative-sum window.
+    Selection rule: a doc survives iff the domain's tokens strictly before
+    it (bucket order, then ``order_cols``) < target."""
+    spark = df.sparkSession
     census = (
         base.groupBy(domain_col, "__bkt")
         .agg(F.sum("__tok").alias("__btok"))
         .collect()
     )
-    by_domain: dict[str, list] = {}
+    by_domain: dict = {}
     for r in census:
         by_domain.setdefault(r[domain_col], []).append((r["__bkt"], r["__btok"]))
 
-    keep_all: list[tuple[str, str]] = []          # (domain, bucket)
-    boundary: list[tuple[str, str, int]] = []     # (domain, bucket, token offset)
+    keep_all: list[tuple] = []       # (domain, bucket)
+    boundary: list[tuple] = []       # (domain, bucket, token offset)
     for d, buckets in by_domain.items():
         target, cum = targets[d], 0
         for bkt, btok in sorted(buckets):
@@ -976,14 +1002,14 @@ def sample_token_mixture(
 
     # typed schemas from the input (not DDL strings): domain_col may be
     # non-string (int domain ids) or a non-identifier name
-    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.types import LongType, StructField, StructType
 
     domain_field = StructField(domain_col, df.schema[domain_col].dataType)
+    bucket_field = StructField("__bkt", bucket_dtype)
     parts = []
     if keep_all:
         ka = spark.createDataFrame(
-            keep_all,
-            schema=StructType([domain_field, StructField("__bkt", StringType())]),
+            keep_all, schema=StructType([domain_field, bucket_field])
         )
         parts.append(base.join(F.broadcast(ka), [domain_col, "__bkt"], "left_semi"))
     if boundary:
@@ -991,17 +1017,11 @@ def sample_token_mixture(
 
         bd = spark.createDataFrame(
             boundary,
-            schema=StructType(
-                [
-                    domain_field,
-                    StructField("__bkt", StringType()),
-                    StructField("__off", LongType()),
-                ]
-            ),
+            schema=StructType([domain_field, bucket_field, StructField("__off", LongType())]),
         )
         w = (
             Window.partitionBy(domain_col, "__bkt")
-            .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+            .orderBy(*order_cols)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         target_expr = _mixture_target_expr(targets, domain_col)
@@ -1017,6 +1037,69 @@ def sample_token_mixture(
     return out.select(*out_cols)
 
 
+def sample_token_mixture_ordered(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    order_col: str,
+    domain_col: str = "source",
+    token_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Quality-ordered mixture fill: like ``sample_token_mixture`` but each
+    domain takes docs in ASCENDING ``order_col`` order (negate the column
+    for best-first, e.g. ``-quality``) until its token target fills — the
+    curation shape "keep each domain's best documents up to its weighted
+    share". Ties (equal ``order_col``) break by the same md5 hash then id,
+    so the selection stays deterministic and engine-portable; null order
+    values sort LAST (selected only if budget remains after every ranked
+    doc).
+
+    Same two-phase scale discipline as the hash-ordered fill, with the
+    hash-prefix bucket replaced by a VALUE-RANGE bucket: one narrow
+    min/max aggregate fixes the global range, docs bucket by
+    ``floor((v - lo) / span * n_buckets)`` (monotone in the fill order, so
+    the census prefix-sum classification is exact), and only each domain's
+    boundary bucket runs a window. A heavily skewed order column degrades
+    gracefully — a fat boundary bucket just means a bigger window, never a
+    wrong answer (equivalence with the one-window reference is
+    pytest-pinned; degenerate all-equal order values collapse to a single
+    boundary bucket = the reference formulation itself)."""
+    targets = mixture_targets(weights, token_budget)
+    pre = (
+        df.filter(F.col(domain_col).isin(list(targets)))
+        .withColumn("__tok", _mixture_tok(token_col, text_col))
+        .withColumn("__h", _mixture_hash(id_col, salt))
+        .withColumn("__ok", F.col(order_col).cast("double"))
+    )
+    r = pre.agg(F.min("__ok").alias("lo"), F.max("__ok").alias("hi")).first()
+    lo, hi = (r["lo"], r["hi"]) if r is not None else (None, None)
+    if lo is None or hi is None or lo == hi:
+        bucket = F.when(F.col("__ok").isNull(), F.lit(n_buckets)).otherwise(F.lit(0))
+    else:
+        span = hi - lo
+        bucket = F.when(F.col("__ok").isNull(), F.lit(n_buckets)).otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("__ok") - F.lit(lo)) / F.lit(span) * n_buckets),
+            )
+        )
+    base = pre.withColumn("__bkt", bucket.cast("int"))
+    from pyspark.sql.types import IntegerType
+
+    return _bucketed_fill(
+        df,
+        base,
+        targets,
+        domain_col,
+        IntegerType(),
+        [F.col("__ok").asc_nulls_last(), F.col("__h").asc(), F.col(id_col).asc()],
+    )
+
+
 def sample_token_mixture_window(
     df: DataFrame,
     weights: dict[str, float],
@@ -1026,18 +1109,23 @@ def sample_token_mixture_window(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "",
+    order_col: str | None = None,
 ) -> DataFrame:
-    """One-window reference formulation of ``sample_token_mixture`` (whole
-    domain through a single cumulative-sum window) — the equivalence oracle
-    for tests and small-corpus runs; NOT the scale path (hot domain = hot
+    """One-window reference formulation of ``sample_token_mixture`` (and,
+    with ``order_col``, of ``sample_token_mixture_ordered``): whole domain
+    through a single cumulative-sum window — the equivalence oracle for
+    tests and small-corpus runs; NOT the scale path (hot domain = hot
     partition)."""
     from pyspark.sql import Window
 
     targets = mixture_targets(weights, token_budget)
     target_expr = _mixture_target_expr(targets, domain_col)
+    order = [_mixture_hash(id_col, salt).asc(), F.col(id_col).asc()]
+    if order_col is not None:
+        order = [F.col(order_col).cast("double").asc_nulls_last()] + order
     w = (
         Window.partitionBy(domain_col)
-        .orderBy(_mixture_hash(id_col, salt).asc(), F.col(id_col).asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out_cols = df.columns

@@ -656,3 +656,53 @@ def test_simhash_incremental_rejects_oversized_max_hamming(spark):
     store = DD.simhash_store_rows(df)
     with pytest.raises(ValueError, match="more bands than bits"):
         DD.simhash_near_dups_incremental(df, store, max_hamming=64)
+
+
+def test_mixture_ordered_bucketed_equals_window(spark):
+    """Quality-ordered fill: the value-range-bucketed scale path == the
+    one-window reference across budgets, on a corpus with duplicate order
+    values (tie-break by hash), null order values (fill last), negative
+    values (best-first via negation), and a degenerate all-equal domain."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    did = 0
+    for d, n in (("web", 80), ("code", 30)):
+        for _ in range(n):
+            k = rng.randint(3, 25)
+            q = rng.choice([0.1, 0.25, 0.25, 0.5, 0.8, 0.93])  # dup values
+            rows.append((did, d, " ".join(f"t{rng.randint(0,99)}" for _ in range(k)), q))
+            did += 1
+    rows.append((900, "web", "null quality doc one", None))
+    rows.append((901, "web", "null quality doc two", None))
+    for _ in range(10):  # degenerate domain: every order value identical
+        rows.append((did + 1000, "flat", "same same same", 0.5))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string, q double")
+    neg = df.withColumn("neg_q", -F.col("q"))  # best-first
+    weights = {"web": 2.0, "code": 1.0, "flat": 1.0}
+    for budget in (0, 120, 400, 10**6):
+        fast = sorted(
+            r["doc_id"]
+            for r in C.sample_token_mixture_ordered(
+                neg, weights, budget, "neg_q", n_buckets=8
+            ).collect()
+        )
+        ref = sorted(
+            r["doc_id"]
+            for r in C.sample_token_mixture_window(
+                neg, weights, budget, order_col="neg_q"
+            ).collect()
+        )
+        assert fast == ref, f"budget={budget}"
+    # best-first actually prefers high q: selected web docs' mean q beats the
+    # domain mean at a tight budget
+    sel = C.sample_token_mixture_ordered(neg, weights, 120, "neg_q", n_buckets=8)
+    sel_q = [r["q"] for r in sel.filter("source='web'").collect() if r["q"] is not None]
+    all_q = [r["q"] for r in df.filter("source='web'").collect() if r["q"] is not None]
+    assert sel_q and sum(sel_q) / len(sel_q) > sum(all_q) / len(all_q)
+    # null-order docs only appear when the budget outlasts every ranked doc
+    assert not {900, 901} & {r["doc_id"] for r in sel.collect()}
+    huge = C.sample_token_mixture_ordered(neg, weights, 10**6, "neg_q", n_buckets=8)
+    assert {900, 901} <= {r["doc_id"] for r in huge.collect()}
