@@ -1,0 +1,123 @@
+"""Composed incremental ingest (plans/ingest.py): exact → MinHash → SimHash
+tiers against persisted stores, survivors landed, stores grown by survivor
+rows only."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_data_transformer_spark.operators import dedup as DD
+from etl_data_transformer_spark.plans.ingest import run_incremental_ingest
+
+
+def _paths(tmp_path):
+    return {k: str(tmp_path / k) for k in ("ex", "mh", "sh", "landed")}
+
+
+def test_ingest_two_batches_tiers_and_stores(spark, tmp_path):
+    p = _paths(tmp_path)
+    kw = dict(
+        exact_store=p["ex"],
+        minhash_store=p["mh"],
+        simhash_store=p["sh"],
+        minhash_threshold=0.3,
+        simhash_max_hamming=10,
+        survivors_path=p["landed"],
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different content about maritime chronometers"),
+            (3, "the quick brown fox jumps over the lazy dog today"),      # exact dup of 1
+            (4, "the quick brown fox jumps over the lazy dog yesterday"),  # near dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    r1 = run_incremental_ingest(b1, **kw)
+    assert (r1.n_batch, r1.n_after_exact, r1.n_landed) == (4, 3, 2)
+    assert r1.minhash_pairs >= 1  # (1, 4) caught by the near tier
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # exact dup of landed 1
+            (11, "the quick brown fox leaps over the lazy dog today"),  # near dup of landed 1
+            (12, "an entirely novel new document about fresh things"),
+            (13, "an entirely novel new document about fresh thingz"),  # near dup of in-batch 12
+        ],
+        "doc_id long, text string",
+    )
+    r2 = run_incremental_ingest(b2, **kw)
+    assert r2.n_batch == 4 and r2.n_after_exact == 3  # 10 dropped by the store fp
+    assert r2.n_landed == 1  # 11 and 13 dropped by near tiers
+
+    landed = spark.read.parquet(p["landed"])
+    assert sorted(r["doc_id"] for r in landed.collect()) == [1, 2, 12]
+
+    # stores hold exactly the landed survivors' rows
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(p["ex"]).select("doc_id").collect()
+    ) == [1, 2, 12]
+    assert set(
+        r["doc_id"] for r in spark.read.parquet(p["sh"]).select("doc_id").distinct().collect()
+    ) == {1, 2, 12}
+
+    # landed corpus has no surviving exact or near pair (the point)
+    assert DD.exact_dup_groups(landed).count() == 0
+    assert DD.simhash_near_dups(landed, max_hamming=10).count() == 0
+
+    # empty batch is a no-op with a zeroed report
+    r3 = run_incremental_ingest(
+        spark.createDataFrame([], "doc_id long, text string"), **kw
+    )
+    assert (r3.n_batch, r3.n_landed) == (0, 0)
+    assert spark.read.parquet(p["ex"]).count() == 3
+
+
+def test_ingest_exact_only_and_store_corruption_propagates(spark, tmp_path):
+    import pytest
+
+    p = _paths(tmp_path)
+    b = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma delta")],
+        "doc_id long, text string",
+    )
+    r = run_incremental_ingest(b, exact_store=p["ex"])
+    assert (r.n_batch, r.n_after_exact, r.n_landed) == (3, 2, 2)
+    assert r.n_after_minhash is None and r.simhash_pairs is None
+
+    # a corrupt EXISTING store must fail the batch, not silently degrade
+    # to batch-only dedup (the _read_store_or_none discipline)
+    for f in os.listdir(p["ex"]):
+        if f.endswith(".parquet"):
+            with open(os.path.join(p["ex"], f), "wb") as fh:
+                fh.write(b"not a parquet file")
+    with pytest.raises(Exception, match="[Pp]arquet|FOOTER|footer"):
+        run_incremental_ingest(
+            spark.createDataFrame([(9, "epsilon")], "doc_id long, text string"),
+            exact_store=p["ex"],
+        )
+
+
+def test_ingest_drop_policy_store_partner_wins_regardless_of_id_order(spark, tmp_path):
+    """The loser rule must not assume batch ids sort above store ids: a
+    batch doc near-matching a landed doc is dropped even when its id is
+    SMALLER than the landed doc's."""
+    p = _paths(tmp_path)
+    kw = dict(
+        exact_store=p["ex"],
+        minhash_store=p["mh"],
+        minhash_threshold=0.3,
+    )
+    first = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    assert run_incremental_ingest(first, **kw).n_landed == 1
+    second = spark.createDataFrame(
+        [(5, "the quick brown fox jumps over the lazy dog yesterday")],
+        "doc_id long, text string",
+    )
+    r = run_incremental_ingest(second, **kw)
+    assert r.minhash_pairs == 1 and r.n_landed == 0  # 5 loses to landed 1000
