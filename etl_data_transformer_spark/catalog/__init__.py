@@ -136,6 +136,7 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing_gate": EXT.q_sequence_packing_gate,
     "semantic_incremental_gate": EXT.q_semantic_incremental_gate,
     "mixture_sample_docs": EXT.q_mixture_sample_docs,
+    "mixture_quality_docs": EXT.q_mixture_quality_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

@@ -706,3 +706,20 @@ def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select(
         "doc_id", "source", _mixture_tok(None, "text").alias("n_toks")
     )
+
+
+def q_mixture_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered mixture sample: same three-domain weights/budget as
+    ``mixture_sample_docs`` but each domain takes its LONGEST documents
+    first (order by ``-n_chars``; md5 tie-break) — exercising
+    ``sample_token_mixture_ordered``'s value-range-bucketed fill. The
+    DuckDB oracle is the straight window ordered the same way."""
+    from ..operators.curation import _mixture_tok, sample_token_mixture_ordered
+
+    d = _docs(spark, sf_dir).withColumn("neg_chars", -F.col("n_chars"))
+    sampled = sample_token_mixture_ordered(
+        d, {"src0": 3.0, "src1": 1.0, "src2": 1.0}, 2000, "neg_chars"
+    )
+    return sampled.select(
+        "doc_id", "source", _mixture_tok(None, "text").alias("n_toks")
+    )

@@ -852,4 +852,27 @@ TEMPORAL_ORACLES["mixture_sample_docs"] = """
     WHERE tok_before < CASE source WHEN 'src0' THEN 1200 ELSE 400 END
 """
 
-ALL_ORACLES: dict[str, str] = {**PARITY_ORACLES, **EXTENSION_ORACLES, **TEMPORAL_ORACLES}
+
+# Quality-ordered mixture twin: longest-docs-first per domain (ORDER BY
+# -n_chars, md5 tie-break, NULLS LAST), same "tokens strictly before <
+# target" rule. ALL_ORACLES is rebuilt below after this late addition.
+TEMPORAL_ORACLES["mixture_quality_docs"] = """
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(coalesce(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS BIGINT) AS n_toks,
+               CAST(-n_chars AS DOUBLE) AS ok,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    ), c AS (
+        SELECT doc_id, source, n_toks,
+               sum(n_toks) OVER (
+                   PARTITION BY source ORDER BY ok ASC NULLS LAST, h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_toks AS tok_before
+        FROM t
+    )
+    SELECT doc_id, source, n_toks FROM c
+    WHERE tok_before < CASE source WHEN 'src0' THEN 1200 ELSE 400 END
+"""
+
+ALL_ORACLES = {**PARITY_ORACLES, **EXTENSION_ORACLES, **TEMPORAL_ORACLES}

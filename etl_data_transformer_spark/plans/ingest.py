@@ -91,6 +91,7 @@ def run_incremental_ingest(
     simhash_max_hamming: int = 3,
     max_bucket_size: int | None = None,
     survivors_path: str | None = None,
+    audit_path: str | None = None,
 ) -> IngestReport:
     """Run one ingest batch through the enabled dedup tiers (exact is
     mandatory — it is the cheapest and catches byte-duplicates the banded
@@ -205,7 +206,7 @@ def run_incremental_ingest(
             DD.simhash_store_rows(survivors, text_col, id_col), simhash_store
         )
 
-    return IngestReport(
+    report = IngestReport(
         n_batch,
         n_after_exact,
         n_after_minhash,
@@ -214,3 +215,33 @@ def run_incremental_ingest(
         mh_pairs_n,
         sh_pairs_n,
     )
+    if audit_path is not None:
+        write_ingest_audit(spark, audit_path, report)
+    return report
+
+
+def write_ingest_audit(spark, audit_path: str, report: IngestReport) -> None:
+    """Append one audit row per ingest batch — the same never-silent
+    lifecycle record as ``plans/incremental.write_audit`` (C5, the
+    reference's ``proc_elc_audit_insert``, I:331-341), carrying the
+    per-tier counts so dedup aggressiveness is reviewable over time."""
+    import datetime as dt
+
+    row = [
+        (
+            report.n_batch,
+            report.n_after_exact,
+            report.n_after_minhash,
+            report.n_after_simhash,
+            report.n_landed,
+            report.minhash_pairs,
+            report.simhash_pairs,
+            dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+        )
+    ]
+    cols = (
+        "n_batch long, n_after_exact long, n_after_minhash long, "
+        "n_after_simhash long, n_landed long, minhash_pairs long, "
+        "simhash_pairs long, ingest_ts timestamp"
+    )
+    spark.createDataFrame(row, cols).write.mode("append").parquet(audit_path)

@@ -25,6 +25,7 @@ def test_ingest_two_batches_tiers_and_stores(spark, tmp_path):
         minhash_threshold=0.3,
         simhash_max_hamming=10,
         survivors_path=p["landed"],
+        audit_path=str(tmp_path / "audit"),
     )
     b1 = spark.createDataFrame(
         [
@@ -66,6 +67,11 @@ def test_ingest_two_batches_tiers_and_stores(spark, tmp_path):
     # landed corpus has no surviving exact or near pair (the point)
     assert DD.exact_dup_groups(landed).count() == 0
     assert DD.simhash_near_dups(landed, max_hamming=10).count() == 0
+
+    # one audit row per batch, counts mirroring the reports
+    audit = spark.read.parquet(str(tmp_path / "audit")).orderBy("ingest_ts").collect()
+    assert [r["n_landed"] for r in audit] == [2, 1]
+    assert audit[0]["n_batch"] == 4 and audit[1]["n_after_exact"] == 3
 
     # empty batch is a no-op with a zeroed report
     r3 = run_incremental_ingest(
