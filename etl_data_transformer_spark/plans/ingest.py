@@ -24,12 +24,20 @@ dropped for pairing with a store doc); use
 resolution matters.
 
 Durability: stores are appended AFTER all tiers compute (survivors are
-pinned first via ``localCheckpoint``), and the optional survivors sink is
-written before any store append, so a crash mid-append leaves the
-survivors output consistent and the rerun-able unit is the whole batch.
-Single-writer by design (the ingest owner); idempotent re-runs need the
-streaming twins (``streaming/pipeline.stream_*_dedup``), whose
-batch-partitioned sinks exist for exactly that.
+pinned first via ``localCheckpoint``). Store reads HEAL partial prior
+attempts: any store row whose id is in the current batch can only be a
+crashed earlier run's append (ids are contractually disjoint), and is
+excluded (``_drop_replayed_batch_rows``) — so a rerun recomputes the SAME
+survivors, and re-appending duplicates store rows is result-neutral
+(every tier's join semantics are duplicate-insensitive; compaction prunes
+them). The one non-idempotent sink is ``survivors_path``: a rerun after a
+crash between its write and the last store append double-appends there —
+callers needing exactly-once landed output use the streaming twins
+(``streaming/pipeline.stream_*_dedup``), whose batch-partitioned sinks
+exist for exactly that. Store sidecars and layouts are validated UP FRONT
+(before any tier computes or sink writes), so a parameter mismatch or a
+streaming-layout store fails the batch cleanly rather than after partial
+appends. Single-writer by design (the ingest owner).
 """
 
 from __future__ import annotations
@@ -53,6 +61,11 @@ class IngestReport:
     n_landed: int
     minhash_pairs: int | None
     simhash_pairs: int | None
+    # oversized-bucket audits (None unless the tier ran WITH a cap): the
+    # number of degenerate buckets the cap excluded over the combined
+    # batch+store corpus — a capped run must never be silent
+    minhash_capped_buckets: int | None = None
+    simhash_capped_buckets: int | None = None
 
 
 def _near_losers(pairs: DataFrame, survivors: DataFrame, id_col: str) -> DataFrame:
@@ -97,42 +110,88 @@ def run_incremental_ingest(
     mandatory — it is the cheapest and catches byte-duplicates the banded
     tiers would also flag; MinHash/SimHash tiers activate when their store
     path is given). Batch ids must be disjoint from every store's ids (the
-    shared incremental-dedup contract). Absent/empty stores take the
-    first-batch path (full-batch dedup) — any OTHER store-read failure
-    propagates rather than silently degrading to batch-only dedup (the
-    ``_read_store_or_none`` discipline)."""
+    shared incremental-dedup contract); every batch column survives into
+    the landed output. Absent/empty stores take the first-batch path
+    (full-batch dedup) — any OTHER store-read failure propagates rather
+    than silently degrading to batch-only dedup (the
+    ``_read_store_or_none`` discipline). Store sidecars validate and
+    streaming layouts reject BEFORE any tier computes (round-6 review: a
+    read-time parameter mismatch must not surface only after earlier
+    sinks committed)."""
     from ..operators import dedup as DD
     from ..sources.writers import append_parquet
-    from ..streaming.pipeline import _read_store_or_none
+    from ..streaming.pipeline import _drop_replayed_batch_rows, _read_store_or_none
 
     spark = batch.sparkSession
-    batch = batch.select(id_col, text_col)
     n_batch = batch.count()
+    mh_on = minhash_store is not None
+    sh_on = simhash_store is not None
     if n_batch == 0:
-        return IngestReport(
+        report = IngestReport(
             0,
             0,
-            0 if minhash_store else None,
-            0 if simhash_store else None,
+            0 if mh_on else None,
+            0 if sh_on else None,
             0,
-            0 if minhash_store else None,
-            0 if simhash_store else None,
+            0 if mh_on else None,
+            0 if sh_on else None,
         )
+        if audit_path is not None:
+            write_ingest_audit(spark, audit_path, report)
+        return report
+
+    # read + validate every enabled store UP FRONT: sidecar mismatches and
+    # streaming (__batch_id) layouts fail here, before any compute or sink;
+    # rows from a crashed prior attempt of THIS batch are healed away so a
+    # rerun recomputes identical survivors
+    def _load(path, ensure, cols):
+        ensure()
+        store = _read_store_or_none(spark, path)
+        if store is None:
+            return None
+        if "__batch_id" in store.columns:
+            raise ValueError(
+                f"store at {path} has the streaming (__batch_id) layout; "
+                "batch ingest appends would corrupt it — run the stream "
+                "twin, or rebuild the store flat with mode='overwrite'"
+            )
+        return _drop_replayed_batch_rows(store, batch, id_col).select(*cols)
+
+    ex_store = _load(
+        exact_store, lambda: DD.ensure_exact_params_sidecar(exact_store), [id_col, "fp"]
+    )
+    mh_store = (
+        _load(
+            minhash_store,
+            lambda: DD.ensure_minhash_params_sidecar(
+                minhash_store, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
+            ),
+            [id_col, "hs", "sig"],
+        )
+        if mh_on
+        else None
+    )
+    sh_store = (
+        _load(
+            simhash_store,
+            lambda: DD.ensure_simhash_params_sidecar(simhash_store),
+            [id_col, "simhash64"],
+        )
+        if sh_on
+        else None
+    )
 
     # tier 1: exact fingerprints (store absent → plain in-batch exact dedup)
-    ex_store = _read_store_or_none(spark, exact_store)
     if ex_store is None:
         survivors = DD.exact_dedup(batch, text_col, id_col)
     else:
-        survivors = DD.exact_dedup_incremental(
-            batch, ex_store.select(id_col, "fp"), text_col, id_col
-        )
+        survivors = DD.exact_dedup_incremental(batch, ex_store, text_col, id_col)
     survivors = survivors.localCheckpoint(eager=True)
     n_after_exact = survivors.count()
 
     # tier 2: MinHash near-dup
-    n_after_minhash = mh_pairs_n = None
-    if minhash_store is not None:
+    n_after_minhash = mh_pairs_n = mh_capped = None
+    if mh_on:
         mh_kw = dict(
             text_col=text_col,
             id_col=id_col,
@@ -142,12 +201,23 @@ def run_incremental_ingest(
             bands=bands,
             max_bucket_size=max_bucket_size,
         )
-        mh_store = _read_store_or_none(spark, minhash_store)
         if mh_store is None:
             pairs = DD.minhash_dedup(survivors, **mh_kw)
         else:
-            pairs = DD.minhash_dedup_incremental(
-                survivors, mh_store.select(id_col, "hs", "sig"), **mh_kw
+            pairs = DD.minhash_dedup_incremental(survivors, mh_store, **mh_kw)
+        if max_bucket_size is not None:
+            # cap-audit twin (never a silent cap): degenerate band buckets
+            # over the COMBINED batch+store corpus, same census as the cap
+            sigs = DD.minhash_signature_store(
+                survivors, text_col, id_col, shingle_n, num_hashes, bands
+            ).select("sig")
+            if mh_store is not None:
+                sigs = sigs.unionByName(mh_store.select("sig"))
+            mh_capped = (
+                sigs.groupBy("sig")
+                .agg(F.count(F.lit(1)).alias("__bn"))
+                .filter(F.col("__bn") > max_bucket_size)
+                .count()
             )
         pairs = pairs.localCheckpoint(eager=True)
         mh_pairs_n = pairs.count()
@@ -158,9 +228,8 @@ def run_incremental_ingest(
         n_after_minhash = survivors.count()
 
     # tier 3: SimHash near-dup
-    n_after_simhash = sh_pairs_n = None
-    if simhash_store is not None:
-        sh_store = _read_store_or_none(spark, simhash_store)
+    n_after_simhash = sh_pairs_n = sh_capped = None
+    if sh_on:
         if sh_store is None:
             pairs = DD.simhash_near_dups(
                 survivors, text_col, id_col, simhash_max_hamming, max_bucket_size
@@ -168,11 +237,26 @@ def run_incremental_ingest(
         else:
             pairs = DD.simhash_near_dups_incremental(
                 survivors,
-                sh_store.select(id_col, "simhash64"),
+                sh_store,
                 text_col,
                 id_col,
                 simhash_max_hamming,
                 max_bucket_size,
+            )
+        if max_bucket_size is not None:
+            sigs = DD.simhash_store_rows(survivors, text_col, id_col)
+            if sh_store is not None:
+                sigs = sigs.unionByName(sh_store)
+            banded = sigs.select(
+                F.explode(
+                    DD._hamming_bands_expr("simhash64", 64, simhash_max_hamming + 1)
+                ).alias("bk")
+            )
+            sh_capped = (
+                banded.groupBy("bk.band", "bk.bv")
+                .agg(F.count(F.lit(1)).alias("__bn"))
+                .filter(F.col("__bn") > max_bucket_size)
+                .count()
             )
         pairs = pairs.localCheckpoint(eager=True)
         sh_pairs_n = pairs.count()
@@ -214,6 +298,8 @@ def run_incremental_ingest(
         n_landed,
         mh_pairs_n,
         sh_pairs_n,
+        mh_capped,
+        sh_capped,
     )
     if audit_path is not None:
         write_ingest_audit(spark, audit_path, report)

@@ -127,3 +127,89 @@ def test_ingest_drop_policy_store_partner_wins_regardless_of_id_order(spark, tmp
     )
     r = run_incremental_ingest(second, **kw)
     assert r.minhash_pairs == 1 and r.n_landed == 0  # 5 loses to landed 1000
+
+
+def test_ingest_review_fixes(spark, tmp_path):
+    """Round-6 review regressions: metadata columns survive into the landed
+    output; a rerun after a crashed partial store append recomputes the
+    SAME survivors (replay healing) instead of exact-dropping the whole
+    batch; empty batches still write their audit row; capped runs report
+    their oversized-bucket audit; sidecar mismatches and streaming-layout
+    stores fail BEFORE any sink commits."""
+    import pytest
+
+    p = _paths(tmp_path)
+    audit = str(tmp_path / "audit")
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", "web", 0.9),
+            (2, "the quick brown fox jumps over the lazy dog today", "web", 0.2),
+        ],
+        "doc_id long, text string, source string, quality double",
+    )
+    kw = dict(exact_store=p["ex"], survivors_path=p["landed"], audit_path=audit)
+    r = run_incremental_ingest(b1, **kw)
+    assert r.n_landed == 1
+    landed = spark.read.parquet(p["landed"])
+    assert set(landed.columns) == {"doc_id", "text", "source", "quality"}  # metadata kept
+    assert landed.first()["source"] == "web"
+
+    # replay healing: simulate a crashed prior attempt that appended the
+    # NEXT batch's fingerprints before dying — the rerun must not see its
+    # own rows in the store and drop everything
+    b2 = spark.createDataFrame(
+        [(10, "a genuinely new document", "web", 0.5)],
+        "doc_id long, text string, source string, quality double",
+    )
+    DD.write_exact_store(DD.exact_fingerprint_store(b2), p["ex"])  # partial crash artifact
+    r2 = run_incremental_ingest(b2, **kw)
+    assert r2.n_landed == 1  # healed, not exact-dropped
+
+    # empty batch: zeroed report AND an audit row
+    n_audit = spark.read.parquet(audit).count()
+    run_incremental_ingest(b2.limit(0), **kw)
+    assert spark.read.parquet(audit).count() == n_audit + 1
+
+    # capped run reports its oversized-bucket audit
+    boiler = spark.createDataFrame(
+        [
+            (100 + i, f"same exact boilerplate text repeated everywhere ok {i}")
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    r3 = run_incremental_ingest(
+        boiler,
+        exact_store=str(tmp_path / "ex2"),
+        minhash_store=str(tmp_path / "mh2"),
+        simhash_store=str(tmp_path / "sh2"),
+        max_bucket_size=5,
+    )
+    assert r3.minhash_capped_buckets > 0 and r3.simhash_capped_buckets > 0
+    assert r3.minhash_pairs == 0  # the degenerate bucket was capped away
+
+    # sidecar mismatch fails up front, before ANY sink: landed output and
+    # exact store are untouched by the failed run
+    n_landed_rows = spark.read.parquet(p["landed"]).count()
+    n_ex_rows = spark.read.parquet(p["ex"]).count()
+    DD.write_minhash_store(
+        DD.minhash_signature_store(b1, num_hashes=8, bands=4), str(tmp_path / "mh3"),
+        num_hashes=8, bands=4,
+    )
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        run_incremental_ingest(
+            spark.createDataFrame([(50, "x y z", "w", 0.1)], b1.schema),
+            exact_store=p["ex"],
+            minhash_store=str(tmp_path / "mh3"),  # built with 8/4, caller uses 12/4
+            survivors_path=p["landed"],
+        )
+    assert spark.read.parquet(p["landed"]).count() == n_landed_rows
+    assert spark.read.parquet(p["ex"]).count() == n_ex_rows
+
+    # streaming-layout store rejected up front
+    stream_store = str(tmp_path / "stream_ex")
+    DD.exact_fingerprint_store(b1).withColumn("__batch_id", F.lit("t-0")).write.partitionBy(
+        "__batch_id"
+    ).parquet(stream_store)
+    with pytest.raises(ValueError, match="streaming"):
+        run_incremental_ingest(b2, exact_store=stream_store)
