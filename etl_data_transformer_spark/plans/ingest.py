@@ -181,6 +181,75 @@ def run_incremental_ingest(
         else None
     )
 
+    survivors, report = _run_tiers(
+        batch,
+        ex_store,
+        mh_store,
+        sh_store,
+        mh_on=mh_on,
+        sh_on=sh_on,
+        text_col=text_col,
+        id_col=id_col,
+        minhash_threshold=minhash_threshold,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        simhash_max_hamming=simhash_max_hamming,
+        max_bucket_size=max_bucket_size,
+        n_batch=n_batch,
+    )
+
+    # sinks: survivors first, then each store's rows FOR THE SURVIVORS —
+    # future batches dedup against the kept corpus (a dropped exact dup
+    # shares its keeper's fingerprint anyway; a dropped near-dup's
+    # signature is intentionally not retained)
+    if survivors_path is not None:
+        append_parquet(survivors, survivors_path)
+    DD.write_exact_store(
+        DD.exact_fingerprint_store(survivors, text_col, id_col), exact_store
+    )
+    if minhash_store is not None:
+        DD.write_minhash_store(
+            DD.minhash_signature_store(survivors, text_col, id_col, shingle_n, num_hashes, bands),
+            minhash_store,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+    if simhash_store is not None:
+        DD.write_simhash_store(
+            DD.simhash_store_rows(survivors, text_col, id_col), simhash_store
+        )
+
+    if audit_path is not None:
+        write_ingest_audit(spark, audit_path, report)
+    return report
+
+
+def _run_tiers(
+    batch: DataFrame,
+    ex_store: DataFrame | None,
+    mh_store: DataFrame | None,
+    sh_store: DataFrame | None,
+    *,
+    mh_on: bool,
+    sh_on: bool,
+    text_col: str,
+    id_col: str,
+    minhash_threshold: float,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+    simhash_max_hamming: int,
+    max_bucket_size: int | None,
+    n_batch: int,
+) -> tuple[DataFrame, IngestReport]:
+    """The shared tier body (batch runner + streaming twin): exact →
+    MinHash → SimHash over an already-validated, already-healed view of
+    each store (``None`` = first batch for that tier). Returns the
+    surviving rows (all input columns) and the per-tier report."""
+    from ..operators import dedup as DD
+
     # tier 1: exact fingerprints (store absent → plain in-batch exact dedup)
     if ex_store is None:
         survivors = DD.exact_dedup(batch, text_col, id_col)
@@ -266,51 +335,27 @@ def run_incremental_ingest(
             ).localCheckpoint(eager=True)
         n_after_simhash = survivors.count()
 
-    n_landed = survivors.count()
-
-    # sinks: survivors first, then each store's rows FOR THE SURVIVORS —
-    # future batches dedup against the kept corpus (a dropped exact dup
-    # shares its keeper's fingerprint anyway; a dropped near-dup's
-    # signature is intentionally not retained)
-    if survivors_path is not None:
-        append_parquet(survivors, survivors_path)
-    DD.write_exact_store(
-        DD.exact_fingerprint_store(survivors, text_col, id_col), exact_store
-    )
-    if minhash_store is not None:
-        DD.write_minhash_store(
-            DD.minhash_signature_store(survivors, text_col, id_col, shingle_n, num_hashes, bands),
-            minhash_store,
-            shingle_n=shingle_n,
-            num_hashes=num_hashes,
-            bands=bands,
-        )
-    if simhash_store is not None:
-        DD.write_simhash_store(
-            DD.simhash_store_rows(survivors, text_col, id_col), simhash_store
-        )
-
     report = IngestReport(
         n_batch,
         n_after_exact,
         n_after_minhash,
         n_after_simhash,
-        n_landed,
+        survivors.count(),
         mh_pairs_n,
         sh_pairs_n,
         mh_capped,
         sh_capped,
     )
-    if audit_path is not None:
-        write_ingest_audit(spark, audit_path, report)
-    return report
+    return survivors, report
 
 
-def write_ingest_audit(spark, audit_path: str, report: IngestReport) -> None:
-    """Append one audit row per ingest batch — the same never-silent
-    lifecycle record as ``plans/incremental.write_audit`` (C5, the
-    reference's ``proc_elc_audit_insert``, I:331-341), carrying the
-    per-tier counts so dedup aggressiveness is reviewable over time."""
+def ingest_audit_row(spark, report: IngestReport) -> DataFrame:
+    """One audit row for an ingest batch — the same never-silent lifecycle
+    record as ``plans/incremental.write_audit`` (C5, the reference's
+    ``proc_elc_audit_insert``, I:331-341), carrying the per-tier counts so
+    dedup aggressiveness is reviewable over time. Shared by the batch
+    append (``write_ingest_audit``) and the streaming twin's idempotent
+    batch-partitioned sink."""
     import datetime as dt
 
     row = [
@@ -322,12 +367,20 @@ def write_ingest_audit(spark, audit_path: str, report: IngestReport) -> None:
             report.n_landed,
             report.minhash_pairs,
             report.simhash_pairs,
+            report.minhash_capped_buckets,
+            report.simhash_capped_buckets,
             dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
         )
     ]
     cols = (
         "n_batch long, n_after_exact long, n_after_minhash long, "
         "n_after_simhash long, n_landed long, minhash_pairs long, "
-        "simhash_pairs long, ingest_ts timestamp"
+        "simhash_pairs long, minhash_capped_buckets long, "
+        "simhash_capped_buckets long, ingest_ts timestamp"
     )
-    spark.createDataFrame(row, cols).write.mode("append").parquet(audit_path)
+    return spark.createDataFrame(row, cols)
+
+
+def write_ingest_audit(spark, audit_path: str, report: IngestReport) -> None:
+    """Append ``ingest_audit_row`` to the audit table (batch runner path)."""
+    ingest_audit_row(spark, report).write.mode("append").parquet(audit_path)

@@ -669,6 +669,169 @@ def stream_simhash_dedup(
     q.awaitTermination()
 
 
+def stream_ingest(
+    stream_docs: DataFrame,
+    landed_path: str,
+    checkpoint_dir: str,
+    *,
+    exact_store: str,
+    minhash_store: str | None = None,
+    simhash_store: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    minhash_threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    simhash_max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+    audit_path: str | None = None,
+) -> None:
+    """Streaming twin of ``plans/ingest.run_incremental_ingest`` — the
+    EXACTLY-ONCE landed corpus the batch runner's docstring defers to.
+    Each micro-batch runs the shared tier body (exact → MinHash → SimHash
+    vs the persisted stores; ``plans/ingest._run_tiers``) and writes every
+    sink — the landed survivors (ALL batch columns), each store's
+    survivor rows, and the per-batch audit row — through the idempotent
+    ``__batch_id``-partitioned overwrite, so a replayed batch replaces its
+    own partitions instead of double-landing documents (the duplication
+    the batch runner's append-only ``survivors_path`` cannot avoid).
+    Sidecars are written-or-validated before any data; replayed store rows
+    are healed on read; a corrupt store read fails the batch and retries.
+    """
+    from ..operators.dedup import (
+        _SIMHASH_ALGO,
+        _write_params_sidecar,
+        ensure_exact_params_sidecar,
+        ensure_minhash_params_sidecar,
+        ensure_simhash_params_sidecar,
+        exact_fingerprint_store,
+        minhash_signature_store,
+        simhash_store_rows,
+    )
+    from ..operators.dedup import _EXACT_FP_ALGO
+    from ..plans.ingest import _run_tiers, ingest_audit_row
+
+    ns = _stream_store_namespace(checkpoint_dir)
+    mh_on = minhash_store is not None
+    sh_on = simhash_store is not None
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        batch = batch_df.persist()
+        try:
+            if batch.isEmpty():
+                return
+
+            def load(path, ensure, sidecar, params, cols):
+                ensure()
+                store = _partitioned_store_or_convert(
+                    spark,
+                    path,
+                    ns,
+                    checkpoint_dir,
+                    lambda staging: _write_params_sidecar(
+                        os.path.join(staging, sidecar), params
+                    ),
+                )
+                if store is None:
+                    return None
+                return _drop_replayed_batch_rows(store, batch, id_col).select(*cols)
+
+            ex = load(
+                exact_store,
+                lambda: ensure_exact_params_sidecar(exact_store),
+                "_exact_params.json",
+                {"algo": _EXACT_FP_ALGO},
+                [id_col, "fp"],
+            )
+            mh = (
+                load(
+                    minhash_store,
+                    lambda: ensure_minhash_params_sidecar(
+                        minhash_store,
+                        shingle_n=shingle_n,
+                        num_hashes=num_hashes,
+                        bands=bands,
+                    ),
+                    "_minhash_params.json",
+                    {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands},
+                    [id_col, "hs", "sig"],
+                )
+                if mh_on
+                else None
+            )
+            sh = (
+                load(
+                    simhash_store,
+                    lambda: ensure_simhash_params_sidecar(simhash_store),
+                    "_simhash_params.json",
+                    {"algo": _SIMHASH_ALGO, "n_bits": 64},
+                    [id_col, "simhash64"],
+                )
+                if sh_on
+                else None
+            )
+
+            survivors, report = _run_tiers(
+                batch,
+                ex,
+                mh,
+                sh,
+                mh_on=mh_on,
+                sh_on=sh_on,
+                text_col=text_col,
+                id_col=id_col,
+                minhash_threshold=minhash_threshold,
+                shingle_n=shingle_n,
+                num_hashes=num_hashes,
+                bands=bands,
+                simhash_max_hamming=simhash_max_hamming,
+                max_bucket_size=max_bucket_size,
+                n_batch=batch.count(),
+            )
+
+            _overwrite_batch_partition(survivors, landed_path, ns, batch_id)
+            _overwrite_batch_partition(
+                exact_fingerprint_store(survivors, text_col, id_col),
+                exact_store,
+                ns,
+                batch_id,
+            )
+            if mh_on:
+                _overwrite_batch_partition(
+                    minhash_signature_store(
+                        survivors, text_col, id_col, shingle_n, num_hashes, bands
+                    ),
+                    minhash_store,
+                    ns,
+                    batch_id,
+                )
+            if sh_on:
+                _overwrite_batch_partition(
+                    simhash_store_rows(survivors, text_col, id_col),
+                    simhash_store,
+                    ns,
+                    batch_id,
+                )
+            if audit_path is not None:
+                _overwrite_batch_partition(
+                    ingest_audit_row(spark, report), audit_path, ns, batch_id
+                )
+        finally:
+            batch.unpersist()
+
+    q = (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_semantic_dedup(
     stream_vectors: DataFrame,
     store_path: str,

@@ -1033,3 +1033,73 @@ def test_stream_simhash_dedup_cross_batch_pairs_and_store(spark, tmp_path):
     n_pairs = spark.read.parquet(pairs).count()
     drain()
     assert spark.read.parquet(pairs).count() == n_pairs
+
+
+def test_stream_ingest_composed_tiers_exactly_once(spark, tmp_path):
+    """Streaming composed ingest: batch 2's docs dedup against batch 1's
+    landed corpus through the persisted stores (exact + minhash + simhash),
+    the landed sink holds each survivor exactly once with ALL its columns,
+    stores hold only survivors' rows, and audit rows land per batch."""
+    from etl_data_transformer_spark.streaming.pipeline import stream_ingest
+
+    src = str(tmp_path / "src")
+    landed = str(tmp_path / "landed")
+    ex, mh, sh = (str(tmp_path / p) for p in ("ex", "mh", "sh"))
+    audit = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, source string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_ingest(
+            stream,
+            landed,
+            ckpt,
+            exact_store=ex,
+            minhash_store=mh,
+            simhash_store=sh,
+            minhash_threshold=0.3,
+            simhash_max_hamming=10,
+            audit_path=audit,
+        )
+
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", "web"),
+            (2, "the quick brown fox jumps over the lazy dog today", "web"),   # exact dup
+            (3, "completely different content about maritime chronometers", "books"),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(src)
+    drain()
+    got1 = spark.read.parquet(landed)
+    assert sorted(r["doc_id"] for r in got1.collect()) == [1, 3]
+    assert set(got1.columns) >= {"doc_id", "text", "source"}  # metadata kept
+
+    spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today", "web"),      # exact dup of landed 1
+            (11, "the quick brown fox jumps over the lazy dog yesterday", "web"),  # near dup of landed 1
+            (12, "an entirely novel new document about fresh things", "web"),
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    drain()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(landed).collect()
+    ) == [1, 3, 12]
+
+    # stores hold exactly the landed survivors
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(ex).select("doc_id").collect()
+    ) == [1, 3, 12]
+    # one audit row per non-empty batch, counts matching
+    rows = spark.read.parquet(audit).orderBy("ingest_ts").collect()
+    assert [r["n_landed"] for r in rows] == [2, 1]
+    assert rows[1]["n_batch"] == 3 and rows[1]["n_after_exact"] == 2
+
+    # no-new-data drain changes nothing (exactly-once)
+    drain()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(landed).collect()
+    ) == [1, 3, 12]
