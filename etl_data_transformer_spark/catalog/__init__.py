@@ -137,6 +137,7 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_incremental_gate": EXT.q_semantic_incremental_gate,
     "mixture_sample_docs": EXT.q_mixture_sample_docs,
     "mixture_quality_docs": EXT.q_mixture_quality_docs,
+    "boilerplate_lines_docs": EXT.q_boilerplate_lines_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

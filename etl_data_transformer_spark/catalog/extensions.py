@@ -723,3 +723,33 @@ def q_mixture_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select(
         "doc_id", "source", _mixture_tok(None, "text").alias("n_toks")
     )
+
+
+def q_boilerplate_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate line removal (CCNet-style): multi-line
+    docs are synthesized from the fixtures (same trick as
+    ``dedup_lines_docs``) with a legal-footer line planted in every doc
+    and a per-doc unique line; ``curation.drop_boilerplate_lines`` must
+    strip exactly the ubiquitous footer from every document."""
+    from ..operators.curation import drop_boilerplate_lines
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    synth = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 30),
+            F.lit("standard legal footer all rights reserved"),
+            F.substring("text", 31, 30),
+            F.concat(F.lit("unique line of doc "), F.col("doc_id").cast("string")),
+        ).alias("synth"),
+    )
+    out = drop_boilerplate_lines(
+        synth, text_col="synth", id_col="doc_id", min_docs=10
+    )
+    return out.select(
+        "doc_id",
+        F.col("clean_text"),
+        F.col("n_lines_in").cast("int").alias("n_lines_in"),
+        F.col("n_lines_out").cast("int").alias("n_lines_out"),
+    )

@@ -875,4 +875,43 @@ TEMPORAL_ORACLES["mixture_quality_docs"] = """
     WHERE tok_before < CASE source WHEN 'src0' THEN 1200 ELSE 400 END
 """
 
-ALL_ORACLES = {**PARITY_ORACLES, **EXTENSION_ORACLES, **TEMPORAL_ORACLES}
+
+# Cross-doc boilerplate line removal: the footer planted in every synth doc
+# crosses min_docs=10 and is removed everywhere; substr/unique lines stay
+# (duplicate fixture texts share substr lines in far fewer than 10 docs).
+# ALL_ORACLES is rebuilt below after this late addition.
+TEMPORAL_ORACLES["boilerplate_lines_docs"] = """
+    WITH s AS (
+        SELECT doc_id,
+               concat_ws(chr(10), substr(text, 1, 30),
+                         'standard legal footer all rights reserved',
+                         substr(text, 31, 30),
+                         'unique line of doc ' || CAST(doc_id AS VARCHAR)) AS synth
+        FROM documents WHERE doc_id < 200
+    ), l AS (
+        SELECT doc_id,
+               unnest(string_split(synth, chr(10))) AS line,
+               generate_subscripts(string_split(synth, chr(10)), 1) AS pos
+        FROM s
+    ), bp AS (
+        SELECT line FROM (
+            SELECT line, count(DISTINCT doc_id) AS nd FROM l
+            WHERE length(trim(line)) >= 4 GROUP BY line
+        ) WHERE nd >= 10
+    ), k AS (
+        SELECT doc_id, pos, line FROM l
+        WHERE line NOT IN (SELECT line FROM bp)
+    ), a AS (
+        SELECT doc_id,
+               array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text,
+               count(*) AS n_out
+        FROM k GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(len(string_split(s.synth, chr(10))) AS INT) AS n_lines_in,
+           CAST(coalesce(a.n_out, 0) AS INT) AS n_lines_out
+    FROM s LEFT JOIN a USING (doc_id)
+"""
+
+ALL_ORACLES: dict[str, str] = {**PARITY_ORACLES, **EXTENSION_ORACLES, **TEMPORAL_ORACLES}

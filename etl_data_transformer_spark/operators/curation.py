@@ -1162,3 +1162,64 @@ def mixture_report(
         .withColumn("target_tokens", target_expr)
         .select(domain_col, "target_tokens", "selected_tokens", "selected_docs")
     )
+
+
+def drop_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 5,
+    min_line_chars: int = 4,
+    clean_col: str = "clean_text",
+) -> DataFrame:
+    """CCNet-style cross-document line dedup: a line occurring in >=
+    ``min_docs`` DISTINCT documents is boilerplate (navigation, cookie
+    banners, legal footers — the dominant web-corpus noise after
+    whole-document dedup) and is removed from EVERY document. Complements
+    ``functions/text.dedup_lines`` (intra-document repetition).
+
+    Scale shape: posexplode lines (map) → distinct-doc census per line
+    (map-side-combinable aggregate on line keys) → anti-join the census's
+    boilerplate set back (AQE broadcasts it when small — the usual case:
+    only lines crossing the threshold survive the census filter) →
+    per-doc reassembly in original line order via one groupBy. Two key
+    shuffles total, nothing driver-side, no N×N.
+
+    Lines shorter than ``min_line_chars`` after trimming are never treated
+    as boilerplate (empty lines and one-word connectors are legitimately
+    ubiquitous). Returns every input row (all columns) plus ``clean_col``
+    — documents whose every line was boilerplate get '' — and
+    ``n_lines_in`` / ``n_lines_out`` counts for the removal audit.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    )
+    boiler = (
+        lines.filter(F.length(F.trim("line")) >= min_line_chars)
+        .groupBy("line")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    assembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s.line
+            ),
+            "\n",
+        ).alias(clean_col),
+        F.count(F.lit(1)).alias("n_lines_out"),
+    )
+    return (
+        df.withColumn(
+            "n_lines_in",
+            F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")),
+        )
+        .join(assembled, id_col, "left")
+        .withColumn(clean_col, F.coalesce(F.col(clean_col), F.lit("")))
+        .withColumn("n_lines_out", F.coalesce("n_lines_out", F.lit(0)).cast("long"))
+    )

@@ -706,3 +706,27 @@ def test_mixture_ordered_bucketed_equals_window(spark):
     assert not {900, 901} & {r["doc_id"] for r in sel.collect()}
     huge = C.sample_token_mixture_ordered(neg, weights, 10**6, "neg_q", n_buckets=8)
     assert {900, 901} <= {r["doc_id"] for r in huge.collect()}
+
+
+def test_drop_boilerplate_lines_semantics(spark):
+    """The ubiquitous footer disappears from every doc; per-doc unique and
+    sub-threshold-frequency lines stay; short lines (incl. empty) are never
+    treated as boilerplate; docs of pure boilerplate come back empty with
+    all metadata columns intact."""
+    footer = "standard legal footer all rights reserved"
+    rows = []
+    for i in range(10):
+        rows.append((i, f"unique content line {i}\n{footer}\n\nok", "web"))
+    rows.append((100, f"shared pair line\n{footer}", "web"))      # pair line: 2 docs only
+    rows.append((101, f"shared pair line\n{footer}", "web"))
+    rows.append((102, footer, "web"))                             # pure boilerplate
+    rows.append((103, None, "web"))                               # null text
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in C.drop_boilerplate_lines(df, min_docs=5).collect()}
+
+    assert out[0]["clean_text"] == "unique content line 0\n\nok"  # footer gone, '' + 'ok' kept
+    assert out[0]["n_lines_in"] == 4 and out[0]["n_lines_out"] == 3
+    assert out[100]["clean_text"] == "shared pair line"           # 2 < min_docs: kept
+    assert out[102]["clean_text"] == "" and out[102]["n_lines_out"] == 0
+    assert out[103]["clean_text"] == ""                           # null text → empty
+    assert out[5]["source"] == "web"                              # metadata preserved
