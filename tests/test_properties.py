@@ -285,3 +285,88 @@ def test_minhash_incremental_equivalence_property(spark, texts, split_at):
         tuple(r) for r in full if r["id_a"] in new_ids or r["id_b"] in new_ids
     )
     assert inc == expected
+
+
+@st.composite
+def mixture_case(draw):
+    """Random corpus for the mixture-fill equivalence: arbitrary domains,
+    token counts (incl. zero), duplicate order values, and a budget near
+    the corpus total to stress boundary-bucket classification."""
+    n = draw(st.integers(1, 25))
+    rows = []
+    for i in range(n):
+        dom = draw(st.sampled_from(["a", "b", "c"]))
+        toks = draw(st.integers(0, 12))
+        q = draw(st.sampled_from([0.0, 0.25, 0.5, 0.5, 1.0]))
+        rows.append((i, dom, " ".join(f"w{j}" for j in range(toks)), q))
+    total = sum(len(r[2].split()) for r in rows if r[2])
+    budget = draw(st.integers(0, max(total + 5, 5)))
+    weights = {d: draw(st.floats(0.1, 5.0)) for d in draw(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3, unique=True)
+    )}
+    return rows, weights, budget
+
+
+@given(mixture_case())
+@_few
+def test_mixture_bucketed_equals_window_property(spark, case):
+    """The two-phase bucketed fill == the one-window reference on random
+    corpora/budgets — both the hash-ordered and the quality-ordered form
+    (tiny bucket counts force many boundary buckets)."""
+    from etl_data_transformer_spark.operators import curation as C
+
+    rows, weights, budget = case
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string, q double")
+    fast = sorted(
+        r["doc_id"]
+        for r in C.sample_token_mixture(df, weights, budget, bucket_hex_digits=1).collect()
+    )
+    ref = sorted(
+        r["doc_id"] for r in C.sample_token_mixture_window(df, weights, budget).collect()
+    )
+    assert fast == ref
+    fast_o = sorted(
+        r["doc_id"]
+        for r in C.sample_token_mixture_ordered(
+            df, weights, budget, "q", n_buckets=4
+        ).collect()
+    )
+    ref_o = sorted(
+        r["doc_id"]
+        for r in C.sample_token_mixture_window(
+            df, weights, budget, order_col="q"
+        ).collect()
+    )
+    assert fast_o == ref_o
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["x", "y", "shared line of text", ""]),
+                  st.sampled_from(["x", "y", "shared line of text", "unique"])),
+        min_size=1, max_size=12,
+    ),
+    st.integers(2, 4),
+)
+@_few
+def test_boilerplate_lines_matches_naive(spark, docs, min_docs):
+    """drop_boilerplate_lines == a naive per-line census on random corpora."""
+    from collections import Counter
+
+    from etl_data_transformer_spark.operators import curation as C
+
+    rows = [(i, "\n".join(pair)) for i, pair in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in C.drop_boilerplate_lines(df, min_docs=min_docs, min_line_chars=2).collect()
+    }
+    census = Counter()
+    for _id, text in rows:
+        for line in set(text.split("\n")):
+            if len(line.strip()) >= 2:
+                census[line] += 1
+    boiler = {l for l, c in census.items() if c >= min_docs}
+    for _id, text in rows:
+        want = "\n".join(l for l in text.split("\n") if l not in boiler)
+        assert got[_id] == want, (_id, got[_id], want)
