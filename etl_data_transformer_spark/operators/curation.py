@@ -1171,6 +1171,7 @@ def drop_boilerplate_lines(
     min_docs: int = 5,
     min_line_chars: int = 4,
     clean_col: str = "clean_text",
+    materialize_lines: bool = False,
 ) -> DataFrame:
     """CCNet-style cross-document line dedup: a line occurring in >=
     ``min_docs`` DISTINCT documents is boilerplate (navigation, cookie
@@ -1183,7 +1184,13 @@ def drop_boilerplate_lines(
     boilerplate set back (AQE broadcasts it when small — the usual case:
     only lines crossing the threshold survive the census filter) →
     per-doc reassembly in original line order via one groupBy. Two key
-    shuffles total, nothing driver-side, no N×N.
+    shuffles total, nothing driver-side, no N×N. The census and the
+    anti-join probe each run the split+explode map once (they prune to
+    different columns, so no exchange is shareable between them — a cheap
+    re-scan by design); ``materialize_lines=True`` instead materializes
+    the exploded lines once (``localCheckpoint``) and feeds both from
+    storage — worth it when the input is itself an expensive subplan
+    rather than a parquet scan.
 
     Lines shorter than ``min_line_chars`` after trimming are never treated
     as boilerplate (empty lines and one-word connectors are legitimately
@@ -1197,10 +1204,19 @@ def drop_boilerplate_lines(
             "pos", "line"
         ),
     )
+    if materialize_lines:
+        lines = lines.localCheckpoint(eager=True)
+    # the distinct-doc count is written as distinct -> count rather than
+    # countDistinct: both aggregates' ClusteredDistribution is satisfied by
+    # the existing hashpartitioning(line) (subset rule), so the census adds
+    # no exchange of its own — countDistinct's internal distinct-aggregate
+    # path demands a (line, doc_id) exchange and breaks the reuse
     boiler = (
         lines.filter(F.length(F.trim("line")) >= min_line_chars)
+        .select("line", id_col)
+        .distinct()
         .groupBy("line")
-        .agg(F.countDistinct(id_col).alias("__nd"))
+        .agg(F.count(F.lit(1)).alias("__nd"))
         .filter(F.col("__nd") >= min_docs)
         .select("line")
     )

@@ -382,5 +382,29 @@ def ingest_audit_row(spark, report: IngestReport) -> DataFrame:
 
 
 def write_ingest_audit(spark, audit_path: str, report: IngestReport) -> None:
-    """Append ``ingest_audit_row`` to the audit table (batch runner path)."""
-    ingest_audit_row(spark, report).write.mode("append").parquet(audit_path)
+    """Append ``ingest_audit_row`` to the audit table (batch runner path).
+    Guards mirror the store writers (round-6 review): a streaming-layout
+    audit dir (``__batch_id`` partitions from ``stream_ingest``) rejects a
+    flat append — the mixed layout would break partition discovery — and
+    a column-set drift between the existing table and the current row
+    schema raises instead of leaving mixed-schema parquet whose capped
+    columns appear or vanish per read."""
+    from ..streaming.pipeline import _read_store_or_none
+
+    row = ingest_audit_row(spark, report)
+    existing = _read_store_or_none(spark, audit_path)
+    if existing is not None:
+        if "__batch_id" in existing.columns:
+            raise ValueError(
+                f"audit table at {audit_path} has the streaming (__batch_id) "
+                "layout; route this pipeline's audit through stream_ingest, "
+                "or use a separate audit path for batch runs"
+            )
+        if set(existing.columns) != set(row.columns):
+            raise ValueError(
+                f"audit table at {audit_path} has columns "
+                f"{sorted(existing.columns)} but the current audit row has "
+                f"{sorted(row.columns)} — migrate the table (one-time "
+                "rewrite with the new columns) rather than mixing schemas"
+            )
+    row.write.mode("append").parquet(audit_path)

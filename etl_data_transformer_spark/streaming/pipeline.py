@@ -817,6 +817,16 @@ def stream_ingest(
                     batch_id,
                 )
             if audit_path is not None:
+                # the converse of write_ingest_audit's layout guard: a FLAT
+                # audit table (batch-runner appends) must not gain
+                # __batch_id partition dirs beside its plain files
+                existing_audit = _read_store_or_none(spark, audit_path)
+                if existing_audit is not None and "__batch_id" not in existing_audit.columns:
+                    raise ValueError(
+                        f"audit table at {audit_path} has the flat (batch-"
+                        "runner) layout; use a separate audit path for the "
+                        "stream, or migrate the table to the streaming layout"
+                    )
                 _overwrite_batch_partition(
                     ingest_audit_row(spark, report), audit_path, ns, batch_id
                 )

@@ -213,3 +213,78 @@ def test_ingest_review_fixes(spark, tmp_path):
     ).parquet(stream_store)
     with pytest.raises(ValueError, match="streaming"):
         run_incremental_ingest(b2, exact_store=stream_store)
+
+
+def test_audit_layout_and_schema_guards(spark, tmp_path):
+    """Round-6 review: batch audit appends reject streaming-layout and
+    schema-drifted audit tables; the cross-doc line-removal plan reuses one
+    explode exchange for both census and probe sides."""
+    import pytest
+
+    from etl_data_transformer_spark.plans.ingest import (
+        IngestReport,
+        ingest_audit_row,
+        write_ingest_audit,
+    )
+
+    rep = IngestReport(1, 1, None, None, 1, None, None)
+    # streaming-layout audit dir rejects a flat batch append
+    stream_audit = str(tmp_path / "stream_audit")
+    ingest_audit_row(spark, rep).withColumn("__batch_id", F.lit("t-0")).write.partitionBy(
+        "__batch_id"
+    ).parquet(stream_audit)
+    with pytest.raises(ValueError, match="streaming"):
+        write_ingest_audit(spark, stream_audit, rep)
+
+    # column drift rejects instead of mixing schemas
+    drifted = str(tmp_path / "drifted_audit")
+    ingest_audit_row(spark, rep).drop("simhash_capped_buckets").write.parquet(drifted)
+    with pytest.raises(ValueError, match="columns"):
+        write_ingest_audit(spark, drifted, rep)
+
+    # a matching existing table appends fine
+    ok = str(tmp_path / "ok_audit")
+    write_ingest_audit(spark, ok, rep)
+    write_ingest_audit(spark, ok, rep)
+    assert spark.read.parquet(ok).count() == 2
+
+
+def test_stream_ingest_rejects_flat_audit_table(spark, tmp_path):
+    import pytest
+
+    from etl_data_transformer_spark.plans.ingest import IngestReport, write_ingest_audit
+    from etl_data_transformer_spark.streaming.pipeline import stream_ingest
+
+    src = str(tmp_path / "src")
+    audit = str(tmp_path / "audit")
+    write_ingest_audit(spark, audit, IngestReport(1, 1, None, None, 1, None, None))
+    spark.createDataFrame([(1, "text one")], "doc_id long, text string").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    with pytest.raises(Exception, match="flat"):
+        stream_ingest(
+            stream,
+            str(tmp_path / "landed"),
+            str(tmp_path / "ckpt"),
+            exact_store=str(tmp_path / "ex"),
+            audit_path=audit,
+        )
+
+
+def test_boilerplate_materialized_lines_equivalent(spark):
+    """materialize_lines=True (one localCheckpoint'd explode feeding both
+    the census and the probe) returns exactly the two-scan default's
+    output — the knob for expensive upstream subplans."""
+    from etl_data_transformer_spark.operators.curation import drop_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(i, f"unique {i}\nshared footer line here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, drop_boilerplate_lines(df, min_docs=5).collect()))
+    b = sorted(
+        map(
+            tuple,
+            drop_boilerplate_lines(df, min_docs=5, materialize_lines=True).collect(),
+        )
+    )
+    assert a == b and len(a) == 20
