@@ -33,6 +33,7 @@ import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import functions as F
 
 from ..operators.aggregates import scalar_max
@@ -85,13 +86,24 @@ def compute_watermark(
     when the target is empty/missing (the IFNULL branch, I:17)."""
     if params.load_type == "FULL_LOAD":
         return params.minimum_date
-    try:
-        if use_manifest:
-            target = manifest_store.read_table(spark, target_path)
-        else:
+    # only a genuinely-absent target falls back to minimum_date: a blind
+    # except here silently turned ANY read failure (corrupt footer,
+    # permissions, transient FS error) on a healthy multi-year table into
+    # a watermark of 1970 — i.e. a full-history delete-insert — instead of
+    # failing the run (the same footgun class as round-5's
+    # stream_incremental_upsert finding)
+    if use_manifest:
+        if manifest_store.current_version(target_path) is None:
+            return params.minimum_date
+        target = manifest_store.read_table(spark, target_path)
+    else:
+        try:
             target = spark.read.parquet(target_path)
-    except Exception:  # noqa: BLE001 — target does not exist yet
-        return params.minimum_date
+        except AnalysisException as e:
+            cond = e.getCondition() or ""
+            if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                return params.minimum_date
+            raise
     hwm = scalar_max(target, params.cdc_column)
     if hwm is None:
         return params.minimum_date
@@ -131,83 +143,104 @@ def run_incremental_load(
     # @@row_count capture (I:37,317): persist so count + write don't
     # recompute the 3-branch union twice (SURVEY.md §7.4.5).
     rebuilt = rebuilt.persist()
-    inserted = rebuilt.count()
+    try:
+        inserted = rebuilt.count()
 
-    deleted = 0
-    if use_manifest:
-        target_exists = manifest_store.current_version(target_path) is not None
-    else:
-        target_exists = os.path.isdir(target_path)
-    if params.load_type == "FULL_LOAD" or not target_exists:
-        # TRUNCATE path (I:30) / first load: whole table replaced atomically.
+        deleted = 0
         if use_manifest:
-            if target_exists:
-                deleted = manifest_store.read_table(spark, target_path).count()
-            manifest_store.commit_write(
-                rebuilt, target_path, mode="overwrite", partition_by=["cdc_date"]
+            base_version = manifest_store.current_version(target_path)
+            target_exists = base_version is not None
+        else:
+            target_exists = os.path.isdir(target_path)
+        if params.load_type == "FULL_LOAD" or not target_exists:
+            # TRUNCATE path (I:30) / first load: whole table replaced atomically.
+            if use_manifest:
+                if target_exists:
+                    deleted = manifest_store.read_table(spark, target_path).count()
+                manifest_store.commit_write(
+                    rebuilt, target_path, mode="overwrite", partition_by=["cdc_date"]
+                )
+            else:
+                if target_exists:
+                    deleted = spark.read.parquet(target_path).count()
+                atomic_swap_write(rebuilt, target_path, partition_by=["cdc_date"])
+        elif use_manifest:
+            old = manifest_store.read_table(spark, target_path)
+            wm_date = watermark.date()
+            # the cdc_date conjunct is implied by cdc_ts >= watermark but is
+            # what actually PRUNES: without it this count lists and scans
+            # every partition of the table each run, breaking the module's
+            # cost ∝ lookback-window contract (round-6 review)
+            deleted = old.filter(
+                (F.col("cdc_date") >= F.lit(wm_date))
+                & (F.col(params.cdc_column) >= F.lit(watermark))
+            ).count()
+            kept_in_window = old.filter(
+                (F.col("cdc_date") >= F.lit(wm_date))
+                & (F.col(params.cdc_column) < F.lit(watermark))
+            )
+            out = kept_in_window.unionByName(rebuilt)
+            # partitions in the rewrite window that `out` doesn't re-populate are
+            # fully-deleted; the commit derives the written set from the data dir
+            # it just wrote, so `out` is evaluated exactly once (in the write)
+            old_dates = {
+                r["cdc_date"]
+                for r in old.filter(F.col("cdc_date") >= F.lit(wm_date)).select("cdc_date").distinct().collect()
+            }
+            # expected_base pins the CAS to the version THIS load read: a
+            # commit landing between our read_table and the publish would
+            # otherwise pass the commit's own fresh CAS while our rewrite
+            # (derived from the stale snapshot) silently drops its rows
+            manifest_store.commit_replace_partitions(
+                out,
+                target_path,
+                partition_by="cdc_date",
+                drop_unless_written={f"cdc_date={d.isoformat()}" for d in old_dates},
+                expected_base=base_version,
             )
         else:
-            if target_exists:
-                deleted = spark.read.parquet(target_path).count()
-            atomic_swap_write(rebuilt, target_path, partition_by=["cdc_date"])
-    elif use_manifest:
-        old = manifest_store.read_table(spark, target_path)
-        wm_date = watermark.date()
-        deleted = old.filter(F.col(params.cdc_column) >= F.lit(watermark)).count()
-        kept_in_window = old.filter(
-            (F.col("cdc_date") >= F.lit(wm_date))
-            & (F.col(params.cdc_column) < F.lit(watermark))
-        )
-        out = kept_in_window.unionByName(rebuilt)
-        # partitions in the rewrite window that `out` doesn't re-populate are
-        # fully-deleted; the commit derives the written set from the data dir
-        # it just wrote, so `out` is evaluated exactly once (in the write)
-        old_dates = {
-            r["cdc_date"]
-            for r in old.filter(F.col("cdc_date") >= F.lit(wm_date)).select("cdc_date").distinct().collect()
-        }
-        manifest_store.commit_replace_partitions(
-            out,
-            target_path,
-            partition_by="cdc_date",
-            drop_unless_written={f"cdc_date={d.isoformat()}" for d in old_dates},
-        )
-    else:
-        old = spark.read.parquet(target_path)
-        wm_date = watermark.date()
-        deleted = old.filter(F.col(params.cdc_column) >= F.lit(watermark)).count()
-        # DELETE + INSERT (I:32-34, I:40) as a dynamic partition overwrite of
-        # the lookback partitions only: each touched partition is rewritten
-        # as its kept (< watermark) rows plus the rebuilt window. Cost ∝
-        # lookback window, not table size — this is why the reference's
-        # full-table COPY trick (I:23-26) is unnecessary on Spark.
-        kept_in_window = old.filter(
-            (F.col("cdc_date") >= F.lit(wm_date))
-            & (F.col(params.cdc_column) < F.lit(watermark))
-        )
-        # materialize before overwriting: the plan reads the same files the
-        # write replaces (a table format with replaceWhere commits this as
-        # metadata instead and needs no checkpoint)
-        out = kept_in_window.unionByName(rebuilt).localCheckpoint(eager=True)
-        old_dates = {
-            r["cdc_date"]
-            for r in old.filter(F.col("cdc_date") >= F.lit(wm_date)).select("cdc_date").distinct().collect()
-        }
-        # dynamic overwrite set PER-WRITE, not via the session conf: with
-        # Spark's default 'static' mode this statement would truncate every
-        # partition outside the lookback window for callers whose session
-        # doesn't carry spark.sql.sources.partitionOverwriteMode.
-        out.write.option("partitionOverwriteMode", "dynamic").mode("overwrite").partitionBy(
-            "cdc_date"
-        ).parquet(target_path)
-        # Dynamic overwrite leaves a partition untouched when the new data
-        # has no rows for it — drop partitions that were fully deleted and
-        # not re-inserted (Delta's replaceWhere does this as one metadata
-        # commit; this is the plain-parquet emulation).
-        written_dates = {r["cdc_date"] for r in out.select("cdc_date").distinct().collect()}
-        for d in old_dates - written_dates:
-            shutil.rmtree(f"{target_path}/cdc_date={d.isoformat()}", ignore_errors=True)
-    rebuilt.unpersist()
+            old = spark.read.parquet(target_path)
+            wm_date = watermark.date()
+            deleted = old.filter(
+                (F.col("cdc_date") >= F.lit(wm_date))
+                & (F.col(params.cdc_column) >= F.lit(watermark))
+            ).count()
+            # DELETE + INSERT (I:32-34, I:40) as a dynamic partition overwrite of
+            # the lookback partitions only: each touched partition is rewritten
+            # as its kept (< watermark) rows plus the rebuilt window. Cost ∝
+            # lookback window, not table size — this is why the reference's
+            # full-table COPY trick (I:23-26) is unnecessary on Spark.
+            kept_in_window = old.filter(
+                (F.col("cdc_date") >= F.lit(wm_date))
+                & (F.col(params.cdc_column) < F.lit(watermark))
+            )
+            # materialize before overwriting: the plan reads the same files the
+            # write replaces (a table format with replaceWhere commits this as
+            # metadata instead and needs no checkpoint)
+            out = kept_in_window.unionByName(rebuilt).localCheckpoint(eager=True)
+            old_dates = {
+                r["cdc_date"]
+                for r in old.filter(F.col("cdc_date") >= F.lit(wm_date)).select("cdc_date").distinct().collect()
+            }
+            # dynamic overwrite set PER-WRITE, not via the session conf: with
+            # Spark's default 'static' mode this statement would truncate every
+            # partition outside the lookback window for callers whose session
+            # doesn't carry spark.sql.sources.partitionOverwriteMode.
+            out.write.option("partitionOverwriteMode", "dynamic").mode("overwrite").partitionBy(
+                "cdc_date"
+            ).parquet(target_path)
+            # Dynamic overwrite leaves a partition untouched when the new data
+            # has no rows for it — drop partitions that were fully deleted and
+            # not re-inserted (Delta's replaceWhere does this as one metadata
+            # commit; this is the plain-parquet emulation).
+            written_dates = {r["cdc_date"] for r in out.select("cdc_date").distinct().collect()}
+            for d in old_dates - written_dates:
+                shutil.rmtree(f"{target_path}/cdc_date={d.isoformat()}", ignore_errors=True)
+    finally:
+        # unpersist on EVERY exit — the expected-retryable ConcurrentWriteError
+        # would otherwise leak the cached window for the session lifetime,
+        # once per retry (round-6 review)
+        rebuilt.unpersist()
 
     if use_manifest:
         total = manifest_store.read_table(spark, target_path).count()

@@ -102,11 +102,17 @@ def _acquire_lock(table_dir: str) -> int:
     fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
     try:
         fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-    except (BlockingIOError, OSError):
+    except BlockingIOError:
         os.close(fd)
         raise ConcurrentWriteError(
             f"commit lock held by another writer on {table_dir}"
         ) from None
+    except OSError:
+        # NOT a concurrency conflict: ENOLCK / EIO etc. (e.g. a filesystem
+        # without lock support) — retrying "until the other writer
+        # finishes" would loop forever, so let the real error surface
+        os.close(fd)
+        raise
     os.write(fd, f"pid={os.getpid()}".encode())
     return fd
 
@@ -189,10 +195,12 @@ def _publish(
     check_base: bool,
 ) -> None:
     """The commit: serialize on the lock, CAS-check the base version, write
-    the manifest, atomically replace the pointer. ``build_manifest()`` may
-    safely close over the caller's pre-lock base manifest: the CAS check
-    guarantees it still equals the live one (overwrites don't depend on
-    the base at all)."""
+    the manifest, atomically replace the pointer. ``build_manifest(latest)``
+    receives the manifest read UNDER the lock; append/replace closures may
+    still use their pre-lock base (the CAS guarantees it equals ``latest``),
+    but the parent link must come from ``latest`` so an un-CAS'd overwrite
+    racing another commit records the true predecessor, keeping every
+    published version on the time-travel chain."""
     lock_fd = _acquire_lock(table_dir)
     try:
         latest = _read_current(table_dir)
@@ -201,7 +209,7 @@ def _publish(
                 f"base version moved on {table_dir}: read {expected_base}, "
                 f"now {latest['version'] if latest else None}"
             )
-        manifest = build_manifest()
+        manifest = build_manifest(latest)
         # tmp + os.replace, mirroring the pointer publish: a crash mid-write
         # must never leave a truncated <version>.json that breaks
         # list_versions()/read_version() until vacuum's grace window expires
@@ -284,14 +292,22 @@ def commit_write(
         # sets differ — column order alone is irrelevant to by-name reads)
         if prev.get("schema") is not None:
             evolved = evolved or {n for n, _ in fields} != {n for n, _ in prev["schema"]}
+        else:
+            # pre-schema manifest: the existing dirs' schema is unknown, so
+            # drift cannot be validated at commit time — conservatively mark
+            # the table evolved so reads mergeSchema across dirs (a true
+            # type conflict then fails LOUDLY at read instead of resolving
+            # from whichever footer gets sampled; round-6 review)
+            evolved = True
 
     new_subdirs = _write_data_dir(df, data_dir, part_by)
     rel_dir = os.path.join(_DATA_DIR, version)
 
-    def build_manifest() -> dict:
+    def build_manifest(latest: dict | None) -> dict:
         dirs = ([*prev["dirs"]] if prev else []) + [rel_dir]
         manifest = {
             "version": version,
+            "parent": latest["version"] if latest else None,
             "dirs": dirs,
             "schema": record_schema,
             "partition_by": part_by,
@@ -306,9 +322,26 @@ def commit_write(
         # an empty CDC-window append can't silently demote the table to the
         # wholesale-dirs layout and resurrect replaced partitions
         if len(part_by) == 1:
-            parts: dict[str, list[str]] = (
-                {k: list(v) for k, v in prev.get("partitions", {}).items()} if prev else {}
-            )
+            if prev is not None and prev.get("partitions") is None and prev.get("dirs"):
+                # pre-partition-map manifest (legacy layout): build the map
+                # from the existing version dirs by listing their partition
+                # subdirs — starting the map from {} would make every
+                # pre-existing row invisible to _read_manifest_df, which
+                # reads ONLY map-owned paths once a map exists (round-6
+                # review; commit_replace_partitions rejects this case, the
+                # append path can migrate it losslessly)
+                parts = {}
+                for d in prev["dirs"]:
+                    full = os.path.join(table_dir, d)
+                    if os.path.isdir(full):
+                        for sub in sorted(x for x in os.listdir(full) if "=" in x):
+                            parts.setdefault(sub, []).append(d)
+            else:
+                parts = (
+                    {k: list(v) for k, v in prev.get("partitions", {}).items()}
+                    if prev
+                    else {}
+                )
             for p in new_subdirs:
                 parts[p] = [*parts.get(p, []), rel_dir]
             manifest["partitions"] = parts
@@ -334,6 +367,7 @@ def commit_replace_partitions(
     table_dir: str,
     partition_by: str,
     drop_unless_written: set[str] | None = None,
+    expected_base: "str | None | object" = _UNSET,
 ) -> str:
     """Delta ``replaceWhere``-shaped commit: atomically make ``df``'s rows
     the ONLY contents of the partitions it touches, leaving all other
@@ -348,7 +382,16 @@ def commit_replace_partitions(
     never table size, and the swap is one pointer replace — a crash
     mid-load leaves the previous version fully readable. First commit on
     an empty table behaves like ``overwrite``. Conflicting concurrent
-    commits raise ``ConcurrentWriteError``."""
+    commits raise ``ConcurrentWriteError``.
+
+    ``expected_base``: the version the CALLER's table snapshot came from.
+    A replace whose content derives from reading the live table (the
+    delete-insert load: kept-rows ∪ rebuilt window) is a lost update if
+    another commit lands between that read and this publish — pinning the
+    CAS to the version actually read closes the window (the same shape
+    ``commit_write`` grew ``expected_base`` for, round-6 review). Without
+    it the CAS only covers the interval from this function's own manifest
+    read."""
     version = uuid.uuid4().hex
     os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
     data_dir = os.path.join(table_dir, _DATA_DIR, version)
@@ -356,8 +399,11 @@ def commit_replace_partitions(
     fields = _schema_fields(df)
     part_by = [partition_by]
     prev = _read_current(table_dir)
+    record_schema = fields
     if prev is not None:
-        _check_compat(prev, table_dir, fields, part_by, "replace-partitions")
+        record_schema = _check_compat(
+            prev, table_dir, fields, part_by, "replace-partitions"
+        )
         if prev.get("partitions") is None:
             raise ValueError(
                 f"{table_dir} was not committed with a single-level "
@@ -367,7 +413,7 @@ def commit_replace_partitions(
     new_subdirs = _write_data_dir(df, data_dir, part_by)
     rel_dir = os.path.join(_DATA_DIR, version)
 
-    def build_manifest() -> dict:
+    def build_manifest(latest: dict | None) -> dict:
         parts: dict[str, list[str]] = (
             {k: list(v) for k, v in prev.get("partitions", {}).items()} if prev else {}
         )
@@ -378,9 +424,10 @@ def commit_replace_partitions(
         dirs = sorted({d for owners in parts.values() for d in owners})
         manifest = {
             "version": version,
+            "parent": latest["version"] if latest else None,
             "dirs": dirs,
             "partitions": parts,
-            "schema": fields,
+            "schema": record_schema,
             "partition_by": part_by,
             "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
         }
@@ -392,7 +439,11 @@ def commit_replace_partitions(
         table_dir,
         version,
         build_manifest,
-        expected_base=prev["version"] if prev else None,
+        expected_base=(
+            (prev["version"] if prev else None)
+            if expected_base is _UNSET
+            else expected_base
+        ),
         check_base=True,
     )
     return version
@@ -458,25 +509,63 @@ def current_version(table_dir: str) -> str | None:
     return m["version"] if m else None
 
 
+def _committed_chain(table_dir: str) -> set | None:
+    """Version ids reachable from ``_CURRENT`` via the ``parent`` links —
+    the set of versions that were actually PUBLISHED. A crash between the
+    manifest-file write and the pointer replace leaves an orphan
+    ``<version>.json`` that was never visible to any reader; walking the
+    chain excludes it (round-6 review). Returns None when the table
+    predates parent links (legacy manifests: no chain to walk — every
+    retained manifest is then presented, as before)."""
+    current = _read_current(table_dir)
+    if current is None or "parent" not in current:
+        return None
+    chain, node = set(), current
+    while node is not None and node["version"] not in chain:
+        chain.add(node["version"])
+        parent = node.get("parent")
+        if parent is None:
+            break
+        try:
+            with open(_manifest_path(table_dir, parent), encoding="utf-8") as f:
+                node = json.load(f)
+        except FileNotFoundError:
+            break  # vacuumed past this point
+    return chain
+
+
 def list_versions(table_dir: str) -> list[dict]:
-    """All retained manifests, oldest first by commit timestamp (time-travel
-    index; retention is governed by ``vacuum``)."""
+    """Retained COMMITTED manifests, oldest first by commit timestamp
+    (time-travel index; retention is governed by ``vacuum``). Orphan
+    manifests from a crash before the pointer publish are excluded via the
+    parent chain; manifests predating parent links are all included."""
     mdir = os.path.join(table_dir, _MANIFEST_DIR)
     if not os.path.isdir(mdir):
         return []
+    chain = _committed_chain(table_dir)
     out = []
     for m in os.listdir(mdir):
         if m.endswith(".json"):
             with open(os.path.join(mdir, m), encoding="utf-8") as f:
-                out.append(json.load(f))
+                mf = json.load(f)
+            if chain is None or mf["version"] in chain or "parent" not in mf:
+                out.append(mf)
     return sorted(out, key=lambda x: x["ts"])
 
 
 def read_version(spark: SparkSession, table_dir: str, version: str) -> DataFrame:
     """Time travel: read a specific retained version (manifests are immutable
-    until ``vacuum`` removes the unreferenced ones)."""
+    until ``vacuum`` removes the unreferenced ones). Versions that never
+    published (crash-orphaned manifests off the parent chain) raise — they
+    were never any reader's table state."""
     with open(_manifest_path(table_dir, version), encoding="utf-8") as f:
         manifest = json.load(f)
+    chain = _committed_chain(table_dir)
+    if chain is not None and "parent" in manifest and manifest["version"] not in chain:
+        raise FileNotFoundError(
+            f"version {version} of {table_dir} was never published "
+            "(crash-orphaned commit); it is not part of the table history"
+        )
     return _read_manifest_df(spark, table_dir, manifest)
 
 

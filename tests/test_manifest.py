@@ -455,3 +455,158 @@ def test_concurrent_append_race_one_winner_loser_retries(spark, tmp_path):
     # the loser's orphaned first-attempt data dir is vacuum-able, not live
     live = set(M.list_versions(table)[-1]["dirs"])
     assert len(live) == 3
+
+
+def test_replace_partitions_expected_base_pins_reader_snapshot(spark, tmp_path):
+    """Round-6 review: a replace whose content derives from a table read
+    must CAS against the version READ, not against whatever is current at
+    publish time — otherwise a commit landing in between is silently
+    dropped by the rewrite."""
+    import pytest
+
+    from etl_data_transformer_spark.sources import manifest as M
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k long, pt string")
+    M.commit_write(df, t, partition_by=["pt"])
+    base = M.current_version(t)
+
+    # an interleaving append moves the table past the reader's snapshot
+    M.commit_write(
+        spark.createDataFrame([(2, "a")], "k long, pt string"),
+        t,
+        mode="append",
+        partition_by=["pt"],
+    )
+    with pytest.raises(M.ConcurrentWriteError, match="base version moved"):
+        M.commit_replace_partitions(
+            spark.createDataFrame([(9, "a")], "k long, pt string"),
+            t,
+            partition_by="pt",
+            expected_base=base,
+        )
+    # pinning to the LIVE version succeeds
+    M.commit_replace_partitions(
+        spark.createDataFrame([(9, "a")], "k long, pt string"),
+        t,
+        partition_by="pt",
+        expected_base=M.current_version(t),
+    )
+    assert {r["k"] for r in M.read_table(spark, t).collect()} == {9}
+
+
+def test_append_migrates_legacy_manifest_without_partition_map(spark, tmp_path):
+    """An append onto a manifest predating the partition-ownership map (and
+    the schema record) must rebuild the map from the existing dirs — not
+    silently hide every pre-existing row — and mark the table evolved so
+    reads merge schemas."""
+    import json
+    import os
+
+    from etl_data_transformer_spark.sources import manifest as M
+
+    t = str(tmp_path / "t")
+    M.commit_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, pt string"),
+        t,
+        partition_by=["pt"],
+    )
+    # simulate the legacy layout: strip the map + schema from the manifest
+    cur = M._read_current(t)
+    for key in ("partitions", "schema"):
+        cur.pop(key, None)
+    with open(M._manifest_path(t, cur["version"]), "w", encoding="utf-8") as f:
+        json.dump(cur, f)
+
+    M.commit_write(
+        spark.createDataFrame([(3, "c")], "k long, pt string"),
+        t,
+        mode="append",
+        partition_by=["pt"],
+    )
+    got = {r["k"] for r in M.read_table(spark, t).collect()}
+    assert got == {1, 2, 3}  # pre-map rows still visible
+    assert M._read_current(t).get("schema_evolved") is True
+
+
+def test_orphan_version_excluded_from_time_travel(spark, tmp_path):
+    """A manifest written but never pointer-published (crash window) must
+    not appear in list_versions or be readable as table history."""
+    import json
+    import os
+
+    import pytest
+
+    from etl_data_transformer_spark.sources import manifest as M
+
+    t = str(tmp_path / "t")
+    M.commit_write(spark.createDataFrame([(1,)], "k long"), t)
+    v2 = M.commit_write(
+        spark.createDataFrame([(2,)], "k long"), t, mode="append"
+    )
+    orphan = {
+        "version": "deadbeef",
+        "parent": v2,
+        "dirs": [],
+        "schema": [["k", "bigint"]],
+        "partition_by": [],
+        "ts": "2999-01-01T00:00:00+00:00",
+    }
+    with open(M._manifest_path(t, "deadbeef"), "w", encoding="utf-8") as f:
+        json.dump(orphan, f)
+
+    versions = [m["version"] for m in M.list_versions(t)]
+    assert "deadbeef" not in versions and v2 in versions and len(versions) == 2
+    with pytest.raises(FileNotFoundError, match="never published"):
+        M.read_version(spark, t, "deadbeef")
+
+
+def test_lock_io_errors_are_not_concurrency_conflicts(spark, tmp_path, monkeypatch):
+    """ENOLCK (filesystem without lock support) must surface as the real
+    OSError, not masquerade as a retryable 'held by another writer'."""
+    import errno
+
+    import fcntl
+    import pytest
+
+    from etl_data_transformer_spark.sources import manifest as M
+
+    def broken_flock(fd, op):
+        raise OSError(errno.ENOLCK, "No locks available")
+
+    monkeypatch.setattr(fcntl, "flock", broken_flock)
+    with pytest.raises(OSError, match="No locks available"):
+        M.commit_write(spark.createDataFrame([(1,)], "k long"), str(tmp_path / "t"))
+
+
+def test_compute_watermark_corrupt_target_fails_loudly(spark, tmp_path):
+    """Round-6 review: a read failure on an EXISTING target must fail the
+    run, not silently degrade the watermark to 1970 (= full-history
+    delete-insert)."""
+    import os
+
+    import pytest
+
+    from etl_data_transformer_spark.plans.incremental import (
+        LoadParams,
+        compute_watermark,
+    )
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1))], "k long, cdc_ts timestamp"
+    ).write.parquet(target)
+    params = LoadParams(load_type="DELTA_LOAD")
+    assert compute_watermark(spark, target, params).year == 2023  # 60d lookback
+
+    for f in os.listdir(target):
+        if f.endswith(".parquet"):
+            with open(os.path.join(target, f), "wb") as fh:
+                fh.write(b"junk")
+    with pytest.raises(Exception, match="[Pp]arquet|FOOTER|footer"):
+        compute_watermark(spark, target, params)
+    # a genuinely absent target still falls back
+    assert (
+        compute_watermark(spark, str(tmp_path / "missing"), params)
+        == params.minimum_date
+    )
