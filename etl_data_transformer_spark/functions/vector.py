@@ -33,9 +33,23 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 
 
 def unit_normalize(a: Column | str) -> Column:
-    """Scale to unit L2 norm (pre-normalize once → cosine becomes dot)."""
+    """Scale to unit L2 norm (pre-normalize once → cosine becomes dot).
+
+    The norm is computed ONCE and carried via ``array_repeat`` — naming it
+    inside a per-element lambda would re-run the O(dim) dot fold per
+    element (O(dim²)/row; Spark doesn't hoist loop invariants out of
+    higher-order-function lambdas — the ``matryoshka_truncate`` lesson).
+    Zero-norm vectors pass through as zeros rather than NULL elements
+    (division by zero is NULL non-ANSI, which poisons ``array_to_vector``
+    consumers downstream — round-6 review)."""
+    c = _c(a)
     n = l2_norm(a)
-    return F.transform(_c(a), lambda x: x.cast("double") / n)
+    unit = F.zip_with(
+        c, F.array_repeat(n, F.size(c)), lambda x, nn: x.cast("double") / nn
+    )
+    return F.when(n > 0, unit).otherwise(
+        F.transform(c, lambda x: x.cast("double") * F.lit(0.0))
+    )
 
 
 def quant_scale(a: Column | str) -> Column:

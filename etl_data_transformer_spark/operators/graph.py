@@ -11,9 +11,16 @@ Pregel/GraphFrames runs):
   rounds;
 - ``localCheckpoint`` per round truncates the lineage so the plan doesn't
   grow with iterations (the classic iterative-algorithm failure mode);
-- convergence is detected by the label-sum: min-propagation only ever
-  lowers labels, so an unchanged sum IS the fixpoint — one cheap scalar
-  action per round instead of a full diff join.
+- convergence is an exact changed-label count per round (a self-join on the
+  stable id set). The earlier label-SUM check was subtly wrong twice over
+  (round-6 review): an edge endpoint absent from ``nodes`` ADDS a label
+  row mid-loop, letting a sum coincidence fake a fixpoint with a split
+  cluster; and non-numeric ids cast to NULL made the sum None on both
+  sides, "converging" instantly with all-NULL output. Labels now keep the
+  id's own type (strings work), the seed set is nodes ∪ edge endpoints
+  (stable row count, and connectivity THROUGH a filtered-out doc still
+  links its neighbors), and exhausting ``max_iter`` without convergence
+  RAISES instead of returning partially-propagated clusters.
 
 Near-dup blocking bounds component diameter in practice (dup clusters are
 dense), so rounds stay in the low single digits at any corpus size.
@@ -33,30 +40,53 @@ def connected_components(
     dst_col: str = "dst",
     max_iter: int = 25,
 ) -> DataFrame:
-    """(id, cluster_id) with cluster_id = min node id reachable over the
-    undirected edge set. Deterministic regardless of iteration order."""
+    """(id, cluster_id) with cluster_id = min id reachable over the
+    undirected edge set (ids compare in their own type's order — longs
+    numerically, strings lexicographically). Deterministic regardless of
+    iteration order. One row per ``nodes`` id; edge endpoints missing from
+    ``nodes`` participate in propagation (connectivity through them is
+    preserved) but are not emitted. Raises ``RuntimeError`` if ``max_iter``
+    rounds don't converge — a silent partial result would split clusters."""
     sym = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).unionByName(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     )
     sym = sym.localCheckpoint(eager=False)
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("lbl"))
-    labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    node_ids = nodes.select(F.col(id_col).alias("id"))
+    all_ids = (
+        node_ids.unionByName(sym.select(F.col("src").alias("id")))
+        .distinct()
+    )
+    labels = all_ids.select("id", F.col("id").alias("lbl")).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         prop = sym.join(labels, sym["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("lbl")
         )
-        labels = (
+        new_labels = (
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if cur_sum == prev_sum:
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("p"), "id")
+            .filter(F.col("n.lbl") != F.col("p.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
             break
-        prev_sum = cur_sum
-    return labels.select(F.col("id"), F.col("lbl").alias("cluster_id"))
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter) — raise max_iter"
+        )
+    return (
+        labels.join(node_ids.distinct(), "id", "left_semi")
+        .select(F.col("id"), F.col("lbl").alias("cluster_id"))
+    )
 
 
 def dedup_clusters(

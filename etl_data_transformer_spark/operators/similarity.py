@@ -67,21 +67,29 @@ def lsh_topk(
     bucket_length: float = 2.0,
     num_hash_tables: int = 3,
     seed: int = 42,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k via MLlib BucketedRandomProjectionLSH (the 100 TB
     path: candidate generation is a bucket equi join, not a cross join).
 
     Euclidean-distance LSH; on unit-normalized vectors Euclidean ranking ==
-    cosine ranking (d² = 2 - 2·cos).
-    """
+    cosine ranking (d² = 2 - 2·cos). Normalization is the shared
+    ``vector.unit_normalize`` (hoisted norm, zero-norm vectors stay zeros
+    instead of producing NULL elements that crash ``array_to_vector``).
+    ``exclude_self`` drops id-equal pairs — turn OFF when query and corpus
+    id spaces are unrelated but overlap (a coinciding id would otherwise
+    silently delete a genuine neighbor; round-6 review)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
     from pyspark.ml.linalg import VectorUDT  # noqa: F401 — documents the dependency
 
+    from ..functions.vector import unit_normalize
+
     def prep(df: DataFrame, id_alias: str) -> DataFrame:
-        norm = F.sqrt(dot("embedding", "embedding"))
-        unit = F.transform("embedding", lambda x: x.cast("double") / norm)
-        return df.select(F.col("id").alias(id_alias), array_to_vector(unit).alias("features"))
+        return df.select(
+            F.col("id").alias(id_alias),
+            array_to_vector(unit_normalize("embedding")).alias("features"),
+        )
 
     qdf = prep(queries, "query_id")
     cdf = prep(corpus, "neighbor_id")
@@ -98,7 +106,9 @@ def lsh_topk(
         F.col("datasetA.query_id").alias("query_id"),
         F.col("datasetB.neighbor_id").alias("neighbor_id"),
         F.col("dist"),
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    if exclude_self:
+        flat = flat.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
     return (
         flat.withColumn("rank", F.row_number().over(w))
@@ -128,8 +138,13 @@ def train_ivf_centroids(
     step = max(1, n // sample_cap)
     sampled = (
         corpus.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(step)) == 0)
-        .select("id", "embedding")
-        .orderBy("id")  # driver-side order stability for bit-identical kmeans
+        .select("id", "embedding", F.xxhash64(F.col("id")).alias("__h"))
+        # order by the HASH for the truncating limit: ordering by id kept
+        # only the lowest ids once the filter passed > sample_cap rows,
+        # systematically excluding recent (high-id) vectors from training
+        # (round-6 review); the hash order is deterministic AND unbiased,
+        # and stable for bit-identical kmeans (id tiebreak)
+        .orderBy("__h", "id")
         .limit(sample_cap)
         .collect()
     )
@@ -159,50 +174,30 @@ def ivf_topk(
     n_probes: int = 3,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF ANN: bucket corpus by nearest trained centroid (L2); each query
     probes its ``n_probes`` closest lists (multi-probe recovers recall on
-    weakly-clustered data). Assignment is pure DataFrame ops — the corpus is
-    never cross-joined; per-bucket search is an equi join on ``list_id``."""
+    weakly-clustered data). Assignment and probe selection are the SHARED
+    ``ivf_assign`` / ``_ivf_probes_*`` kernels, so this one-shot form
+    inherits the >= 32-list Arrow BLAS auto-switch (it previously inlined
+    a third copy of the interpreted fold that never got the fast path —
+    round-6 review). ``exclude_self`` as in ``lsh_topk``."""
     if centroids is None:
         centroids = train_ivf_centroids(corpus, n_lists=n_lists, seed=seed)
 
-    def neg_d2(c: list[float]) -> Column:
-        # -||x - c||² as a JVM-side fold (higher = closer, so argmax works)
-        return F.aggregate(
-            F.zip_with("embedding", F.array(*[F.lit(v) for v in c]), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc - v,
-        )
-
-    def scores() -> Column:
-        return F.array(*[neg_d2(c) for c in centroids])
-
-    def assign_one(df: DataFrame, id_alias: str) -> DataFrame:
-        arr = scores()
-        return df.select(
-            F.col("id").alias(id_alias),
-            F.col("embedding").alias(f"{id_alias}_emb"),
-            F.array_position(arr, F.array_max(arr)).alias("list_id"),
-        )
-
-    def assign_probes(df: DataFrame, id_alias: str) -> DataFrame:
-        arr = scores()
-        zipped = F.arrays_zip(arr.alias("s"), F.sequence(F.lit(1), F.lit(len(centroids))).cast("array<long>").alias("i"))
-        by_score_desc = F.array_sort(
-            zipped,
-            lambda l, r: F.when(l["s"] > r["s"], -1).when(l["s"] < r["s"], 1).otherwise(0),
-        )
-        probes = F.transform(F.slice(by_score_desc, 1, n_probes), lambda x: x["i"])
-        return df.select(
-            F.col("id").alias(id_alias),
-            F.col("embedding").alias(f"{id_alias}_emb"),
-            F.explode(probes).alias("list_id"),
-        )
-
-    q = assign_probes(queries, "query_id")
-    c = assign_one(corpus, "neighbor_id")
-    pairs = q.join(c, "list_id").filter(F.col("query_id") != F.col("neighbor_id"))
+    c = ivf_assign(corpus, centroids).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("embedding").alias("neighbor_id_emb"),
+        F.col("list_id").cast("long").alias("list_id"),
+    )
+    use_arrow = len(centroids) >= 32
+    q = (_ivf_probes_arrow if use_arrow else _ivf_probes_expr)(
+        queries, centroids, n_probes
+    )
+    pairs = q.join(c, "list_id")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
@@ -427,6 +422,40 @@ def ivf_index(
     return centroids, ivf_assign(corpus, centroids, quantize=quantize)
 
 
+def _ivf_coarse_candidates(
+    q: DataFrame, pruned: DataFrame, n_cand: int, exclude_self: bool
+) -> DataFrame:
+    """Phase 1 of the quantized search: coarse-score every probed-list
+    vector by cosine against its int8 ``codes`` (scale-invariant, so the
+    per-vector scale cancels) and keep the top ``n_cand`` per query.
+    Reads ONLY (id, codes, list_id) — the embedding column never appears
+    in this subplan (plan-asserted in ``tests/test_similarity.py``). The
+    window shuffles (query_id, neighbor_id, qsim) only — carrying the
+    query embedding per coarse row would move embedding-width bytes for
+    EVERY candidate and undo the IO savings (round-5 review)."""
+    coarse_c = pruned.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("codes").alias("neighbor_codes"),
+        F.col("list_id").cast("long").alias("list_id"),
+    )
+    coarse_pairs = q.join(coarse_c, "list_id")
+    if exclude_self:
+        coarse_pairs = coarse_pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        coarse_pairs.select(
+            "query_id",
+            "neighbor_id",
+            cosine("query_id_emb", "neighbor_codes").alias("qsim"),
+        )
+        .withColumn("qrank", F.row_number().over(wq))
+        .filter(F.col("qrank") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
+
+
 def ivf_search(
     queries: DataFrame,
     index: DataFrame,
@@ -436,6 +465,7 @@ def ivf_search(
     rerank_quantized: bool = False,
     rerank_k: int | None = None,
     arrow: bool | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k search against a persisted IVF index (``ivf_index`` /
     ``ivf_assign`` output, any storage): each query probes its ``n_probes``
@@ -454,10 +484,17 @@ def ivf_search(
        top ``rerank_k`` (default ``4*k``) candidates per query. The probed
        scan reads only (id, codes, list_id) — parquet column pruning cuts
        probed-partition IO ~4x at corpus scale.
-    2. **rerank** — join the surviving candidate ids back to the index for
-       their full-precision ``embedding`` (an id equi-join against the same
-       pruned partitions, now reading the embedding column for ~rerank_k
-       rows per query instead of whole lists) and rank exactly.
+    2. **rerank** — the surviving candidate ids (a bounded driver set:
+       queries × rerank_k, same discipline as the probed-list collect) are
+       pushed as an ``isin`` PREDICATE into the pruned index scan before
+       the embedding column is read, then joined for exact ranking. The
+       predicate reaches the parquet reader (PushedFilters), so row-group
+       stats on ``id`` skip non-candidate row groups where the layout
+       allows (e.g. ``write_sorted`` on id within lists); at worst it
+       row-filters at scan and avoids shuffling non-candidates. Without
+       the pushdown the plain id join scanned the embedding column of
+       EVERY probed-partition row, erasing phase 1's IO win (round-6
+       review).
 
     Probe selection auto-switches (``arrow=None``) to the Arrow BLAS matmul
     at ``>= 32`` lists — the same crossover as ``ivf_assign`` — so a
@@ -488,40 +525,19 @@ def ivf_search(
         n_cand = rerank_k if rerank_k is not None else 4 * k
         if n_cand < k:
             raise ValueError(f"rerank_k={n_cand} must be >= k={k}")
-        # phase 1: coarse score on int8 codes only — the embedding column is
-        # never read for non-candidates (parquet column pruning)
-        coarse_c = pruned.select(
-            F.col("id").alias("neighbor_id"),
-            F.col("codes").alias("neighbor_codes"),
-            F.col("list_id").cast("long").alias("list_id"),
-        )
-        coarse_pairs = q.join(coarse_c, "list_id").filter(
-            F.col("query_id") != F.col("neighbor_id")
-        )
-        wq = Window.partitionBy("query_id").orderBy(
-            F.col("qsim").desc(), F.col("neighbor_id").asc()
-        )
-        # the window shuffles (query_id, neighbor_id, qsim) ONLY — carrying
-        # the query embedding per coarse row would move embedding-width
-        # bytes for EVERY probed-list candidate and undo the quantized
-        # path's IO savings (round-5 review); survivors rejoin the tiny
-        # broadcast query frame instead
-        cands = (
-            coarse_pairs.select(
-                "query_id",
-                "neighbor_id",
-                cosine("query_id_emb", "neighbor_codes").alias("qsim"),
-            )
-            .withColumn("qrank", F.row_number().over(wq))
-            .filter(F.col("qrank") <= n_cand)
-            .select("query_id", "neighbor_id")
-        )
+        cands = _ivf_coarse_candidates(q, pruned, n_cand, exclude_self)
+        # consumed twice (candidate-id collect + the rerank join):
+        # materialize so the coarse phase runs once
+        cands = cands.localCheckpoint(eager=True)
         # phase 2: full-precision embeddings for candidates only — query
-        # side re-broadcast (bounded), index side an id equi-join
+        # side re-broadcast (bounded), index side scanned WITH the
+        # candidate-id predicate so non-candidates never read the
+        # embedding column (see docstring)
+        cand_ids = [r["neighbor_id"] for r in cands.select("neighbor_id").distinct().collect()]
         q_emb = queries.select(
             F.col("id").alias("query_id"), F.col("embedding").alias("query_id_emb")
         )
-        full = pruned.select(
+        full = pruned.filter(F.col("id").isin(cand_ids)).select(
             F.col("id").alias("neighbor_id"),
             F.col("embedding").alias("neighbor_id_emb"),
         )
@@ -540,7 +556,9 @@ def ivf_search(
             F.col("embedding").alias("neighbor_id_emb"),
             F.col("list_id").cast("long").alias("list_id"),
         )
-        pairs = q.join(c, "list_id").filter(F.col("query_id") != F.col("neighbor_id"))
+        pairs = q.join(c, "list_id")
+        if exclude_self:
+            pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
         scored = pairs.select(
             "query_id",
             "neighbor_id",

@@ -730,3 +730,47 @@ def test_drop_boilerplate_lines_semantics(spark):
     assert out[102]["clean_text"] == "" and out[102]["n_lines_out"] == 0
     assert out[103]["clean_text"] == ""                           # null text → empty
     assert out[5]["source"] == "web"                              # metadata preserved
+
+
+def test_connected_components_edge_endpoints_outside_nodes(spark):
+    """The reviewer's hand trace: nodes={0,9}, edges={(9,0),(9,77)} — the
+    old label-sum convergence faked a fixpoint after one round (77's new
+    row offset 9's decrease), splitting one component. 9 and 0 must share
+    a cluster, and connectivity THROUGH an absent doc must still link
+    present docs."""
+    from etl_data_transformer_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(0,), (9,)], "id long")
+    edges = spark.createDataFrame([(9, 0), (9, 77)], "src long, dst long")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 9: 0}  # one cluster, 77 not emitted
+
+    # transitive link through a filtered-out doc: 1 - 50 - 2 with 50 absent
+    nodes2 = spark.createDataFrame([(1,), (2,)], "id long")
+    edges2 = spark.createDataFrame([(1, 50), (50, 2)], "src long, dst long")
+    got2 = {r["id"]: r["cluster_id"] for r in connected_components(nodes2, edges2).collect()}
+    assert got2 == {1: 1, 2: 1}
+
+
+def test_connected_components_string_ids_and_nonconvergence(spark):
+    """String ids cluster by lexicographic min (the old long-cast produced
+    all-NULL output); exhausting max_iter raises instead of returning a
+    partially-propagated split."""
+    import pytest
+
+    from etl_data_transformer_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([("b",), ("a",), ("c",), ("z",)], "id string")
+    edges = spark.createDataFrame([("b", "a"), ("b", "c")], "src string, dst string")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(nodes, edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "z": "z"}
+
+    # a 7-node chain has diameter 6: max_iter=2 cannot converge
+    chain_nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    chain_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain_nodes, chain_edges, max_iter=2)
+    full = connected_components(chain_nodes, chain_edges, max_iter=10)
+    assert {r["cluster_id"] for r in full.collect()} == {0}

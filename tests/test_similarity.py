@@ -142,16 +142,30 @@ def test_ivf_quantized_rerank_matches_full_precision(spark, star, tmp_path):
     reranked = sorted(map(tuple, rq.collect()))
     assert reranked == full
 
-    # the IO contract: the coarse scan reads codes WITHOUT the embedding
-    # column (the ~4x probed-IO cut), the rerank scan reads the embedding —
-    # both under list_id partition filters
-    plan = rq._jdf.queryExecution().executedPlan().toString()
-    scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "list_id" in ln]
-    coarse = [ln for ln in scans if "codes" in ln]
-    rerank = [ln for ln in scans if "codes" not in ln]
+    # the IO contract, phase by phase (the coarse phase materializes via
+    # localCheckpoint inside ivf_search, so its scan isn't in rq's plan):
+    # 1. coarse subplan reads codes WITHOUT the embedding column under the
+    #    list_id partition filter (the ~4x probed-IO cut)
+    probes = SIM._ivf_probes_expr(q, cents, 3)
+    pruned = index.filter(F.col("list_id").isin([1, 2, 3]))
+    coarse_plan = (
+        SIM._ivf_coarse_candidates(probes, pruned, 20, True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    coarse = [ln for ln in coarse_plan.splitlines() if "FileScan" in ln and "list_id" in ln]
     assert coarse and all("embedding" not in ln.split("ReadSchema")[-1] for ln in coarse)
-    assert rerank and all("embedding" in ln.split("ReadSchema")[-1] for ln in rerank)
-    assert all("list_id" in ln.split("PartitionFilters")[1].split("PushedFilters")[0] for ln in scans)
+    assert all("list_id" in ln.split("PartitionFilters")[1].split("PushedFilters")[0] for ln in coarse)
+    # 2. the final (rerank) plan's embedding scan carries the candidate-id
+    #    predicate as a PUSHED filter — non-candidates never read the
+    #    embedding column beyond row-group granularity — plus the partition
+    #    filter, and never reads codes
+    plan = rq._jdf.queryExecution().executedPlan().toString()
+    rerank = [ln for ln in plan.splitlines() if "FileScan" in ln and "list_id" in ln]
+    assert rerank and all("codes" not in ln.split("ReadSchema")[-1] for ln in rerank)
+    assert all("embedding" in ln.split("ReadSchema")[-1] for ln in rerank)
+    assert any("id" in ln.split("PushedFilters")[-1].split("ReadSchema")[0] and "In(" in ln for ln in rerank)
 
 
 def test_ivf_quantized_rerank_guards(spark, star):
