@@ -176,7 +176,7 @@ EXTENSION_ORACLES: dict[str, str] = {
                len({_TOKENS}) AS n_tokens,
                len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
                round(CASE WHEN length(text) > 0
-                          THEN len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) / length(text)
+                          THEN len(regexp_extract_all(text, '[^\\s\\p{{L}}\\p{{N}}]')) / length(text)
                           ELSE 0.0 END, 6) AS punct_ratio
         FROM documents
     """,
@@ -204,12 +204,13 @@ EXTENSION_ORACLES: dict[str, str] = {
                round(max(q), 6) AS max_quality
         FROM (
             SELECT source,
+                   CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
                    round(0.5 * least(1.0, len({_TOKENS}) / 100.0)
                        + 0.3 * coalesce(len(list_distinct({_TOKENS}))
                                         / nullif(len({_TOKENS}), 0), 0.0)
                        + 0.2 * (1.0 - round(CASE WHEN length(text) > 0
-                                    THEN len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) / length(text)
-                                    ELSE 0.0 END, 6)), 6) AS q
+                                    THEN len(regexp_extract_all(text, '[^\\s\\p{{L}}\\p{{N}}]')) / length(text)
+                                    ELSE 0.0 END, 6)), 6) END AS q
             FROM documents
         )
         GROUP BY source
@@ -274,12 +275,13 @@ EXTENSION_ORACLES: dict[str, str] = {
     "curation_pipeline": f"""
         WITH scored AS (
             SELECT doc_id, lang,
+                   CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
                    round(0.5 * least(1.0, len({_TOKENS}) / 100.0)
                        + 0.3 * coalesce(len(list_distinct({_TOKENS}))
                                         / nullif(len({_TOKENS}), 0), 0.0)
                        + 0.2 * (1.0 - round(CASE WHEN length(text) > 0
-                                    THEN len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) / length(text)
-                                    ELSE 0.0 END, 6)), 6) AS q,
+                                    THEN len(regexp_extract_all(text, '[^\\s\\p{{L}}\\p{{N}}]')) / length(text)
+                                    ELSE 0.0 END, 6)), 6) END AS q,
                    sha256({_NORM_TEXT}) AS fp,
                    len({_TOKENS}) AS n_toks
             FROM documents WHERE lang IN ('en', 'de', 'fr')

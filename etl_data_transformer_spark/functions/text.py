@@ -46,10 +46,17 @@ def char_count(col: Column | str) -> Column:
 
 
 def punct_ratio(col: Column | str) -> Column:
-    """Punctuation chars / total chars (0 when empty)."""
+    """Punctuation chars / total chars (0 when empty). The character class
+    is Unicode-aware (``\p{L}\p{N}``): the earlier ASCII-only
+    ``A-Za-z0-9`` scored every accented or CJK character as punctuation,
+    so clean multilingual prose was docked the full punctuation penalty
+    (round-6 review; the DuckDB oracles carry the same RE2 class)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(
-        F.when(F.length(c) > 0, F.regexp_count(c, F.lit(r"[^\sA-Za-z0-9]")) / F.length(c)).otherwise(0.0),
+        F.when(
+            F.length(c) > 0,
+            F.regexp_count(c, F.lit(r"[^\s\p{L}\p{N}]")) / F.length(c),
+        ).otherwise(0.0),
         6,
     )
 
@@ -57,7 +64,10 @@ def punct_ratio(col: Column | str) -> Column:
 def stopword_count(col: Column | str, words: list[str]) -> Column:
     """Occurrences of any marker word (word-bounded)."""
     c = F.col(col) if isinstance(col, str) else col
-    pattern = r"\b(" + "|".join(words) + r")\b"
+    # \Q...\E literal-quotes each word: an unescaped metacharacter in a
+    # caller-supplied word ("c++", "a(b") would otherwise crash the stage
+    # or silently match unintended text (round-6 review)
+    pattern = r"\b(" + "|".join(f"\\Q{w}\\E" for w in words) + r")\b"
     return F.regexp_count(F.lower(c), F.lit(pattern))
 
 
@@ -70,17 +80,21 @@ def lang_id(col: Column | str, markers: dict[str, list[str]] = LANG_MARKERS) -> 
     """Language-ID heuristic: argmax over per-language marker-word hit counts
     (ties broken by language order; 'und' when nothing matches)."""
     c = F.col(col) if isinstance(col, str) else col
-    scores = [(lang, stopword_count(c, ws)) for lang, ws in markers.items()]
-    best = None
-    # fold to argmax via chained CASE comparisons — stays one codegen'd expr
-    expr = F.lit("und")
-    best_score = F.lit(0)
-    for lang, score in scores:
-        is_better = score > best_score
-        expr = F.when(is_better, F.lit(lang)).otherwise(expr)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    del best
-    return expr
+    # linear argmax: array_max over (score, -index, lang) structs — struct
+    # ordering compares score first, then -index, so ties go to the
+    # EARLIEST language in marker order (the chained-CASE semantics). The
+    # earlier fold nested best_score into itself twice per language —
+    # O(2^L) expression-tree growth in the language count (round-6 review).
+    entries = [
+        F.struct(
+            stopword_count(c, ws).alias("s"),
+            F.lit(-i).alias("p"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, (lang, ws) in enumerate(markers.items())
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def quality_score(col: Column | str) -> Column:
@@ -94,9 +108,14 @@ def quality_score(col: Column | str) -> Column:
     n = F.size(toks)
     distinct_ratio = F.try_divide(F.size(F.array_distinct(toks)), n)
     length_term = F.least(F.lit(1.0), n / F.lit(100.0))
-    return F.round(
-        0.5 * length_term + 0.3 * F.coalesce(distinct_ratio, F.lit(0.0)) + 0.2 * (1.0 - punct_ratio(c)),
-        6,
+    # empty/whitespace docs score 0, not 0.505: tokens('') is [''] (count
+    # 1, distinct ratio 1.0, punct 0), which out-scored genuine short
+    # prose under any threshold filter (round-6 review)
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0.0)).otherwise(
+        F.round(
+            0.5 * length_term + 0.3 * F.coalesce(distinct_ratio, F.lit(0.0)) + 0.2 * (1.0 - punct_ratio(c)),
+            6,
+        )
     )
 
 
@@ -116,14 +135,25 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """Distinct character n-gram set (callers should pre-filter
     ``length(text) >= n``). JVM-side: sequence + transform + substr."""
     c = F.col(col) if isinstance(col, str) else col
-    idx = F.sequence(F.lit(1), F.length(c) - F.lit(n - 1))
+    idx = F.when(
+        F.length(c) >= n, F.sequence(F.lit(1), F.length(c) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    # the guard matters: an un-guarded sequence(1, len-n+1) DESCENDS for
+    # short strings and emitted a truncated partial gram (round-6 review)
     return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle set (distinct), the MinHash/Jaccard input."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    idx = F.when(
+        F.length(F.trim(c)) == 0, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))))
+    # empty/whitespace docs yield NO shingles: tokens('') is [''] and the
+    # un-guarded path emitted the '' shingle, making every pair of empty
+    # docs Jaccard-1.0 near-dups (round-6 review). Docs with 1..n-1 tokens
+    # keep their single partial shingle (the documented oracle shape).
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
@@ -266,6 +296,10 @@ def unigram_logprob_scores(
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("t")
     ).filter(F.length("t") > 0)
+    # the tokenize+explode lineage feeds the vocab build AND the scoring
+    # join: checkpoint it lazily so the corpus scan runs once, not per
+    # action (the heavy_hitters/build_vocab persist lesson; round-6 review)
+    tok = tok.localCheckpoint(eager=False)
     vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     totals = vocab.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("n_vocab")
@@ -292,6 +326,7 @@ def bigram_logprob_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     quantize_micros: bool = False,
+    broadcast_counts: bool = True,
 ):
     """Conditional bigram LM quality score (the next rung up from
     ``unigram_logprob_scores`` toward the published perplexity filters):
@@ -303,9 +338,13 @@ def bigram_logprob_scores(
     Distributed shape mirrors the unigram scorer: one pass builds bigrams
     per document JVM-side (``zip_with`` over two array slices — no explode
     of pairs until counting), two narrow groupBys build the bigram and
-    unigram-context tables, and scoring is an equi join from exploded
-    document bigrams back to the (broadcastable, vocabulary-bounded)
-    count tables. Documents with fewer than two tokens get no score row.
+    unigram-context tables, and scoring is an equi join back to the count
+    tables. The unigram-context table is vocabulary-bounded, but the
+    DISTINCT-BIGRAM table grows roughly with the corpus — at a scale where
+    it exceeds the broadcast limit pass ``broadcast_counts=False`` for a
+    shuffled join (round-6 review; the earlier docstring overclaimed both
+    tables as vocabulary-bounded). Documents with fewer than two tokens
+    get no score row.
     ``quantize_micros`` — same engine-exact integer-micro-nat contract as
     the unigram scorer.
     """
@@ -322,6 +361,10 @@ def bigram_logprob_scores(
             )
         ).alias("p"),
     ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+    # the bigram-build lineage feeds four consumers (both count tables, the
+    # vocab census, the scoring join): checkpoint it lazily so the corpus
+    # tokenization runs once (round-6 review)
+    big = big.localCheckpoint(eager=False)
     bg_counts = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
     w1_counts = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
     n_vocab = big.select(F.split("bg", " ").getItem(1).alias("w2")).union(
@@ -333,7 +376,8 @@ def bigram_logprob_scores(
             (F.lit(0).cast("long").alias("logprob_micros") if quantize_micros else F.lit(0.0).alias("mean_logprob")),
         )
     logprob = F.log((F.col("c_bg") + 1) / (F.col("c_w1") + F.lit(float(n_vocab))))
-    scored = big.join(F.broadcast(bg_counts), "bg").join(F.broadcast(w1_counts), "w1")
+    bg_side = F.broadcast(bg_counts) if broadcast_counts else bg_counts
+    scored = big.join(bg_side, "bg").join(F.broadcast(w1_counts), "w1")
     if quantize_micros:
         scored = scored.withColumn("lp_micros", F.round(logprob * 1_000_000, 0).cast("long"))
         score = F.sum("lp_micros").cast("long").alias("logprob_micros")
@@ -480,7 +524,13 @@ def dedup_lines(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     lines = F.split(c, r"\n")
-    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + 1)
+    # blank lines are paragraph STRUCTURE, not repeated content — deduping
+    # them merged every paragraph after the second (round-6 review)
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.length(F.trim(x)) == 0)
+        | (F.array_position(lines, x) == i + 1),
+    )
     return F.array_join(kept, "\n")
 
 

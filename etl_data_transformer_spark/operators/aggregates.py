@@ -93,19 +93,32 @@ def heavy_hitters(df: DataFrame, col: str, support: float = 0.01) -> DataFrame:
     try:
         n = df.count()
         cands = df.stat.freqItems([col], support).collect()[0][0]
-        if n == 0 or not cands:
+        # NULL handling (round-6 review): freqItems' sketch doesn't track
+        # NULL and isin() never matches it, so a NULL heavy hitter was
+        # silently dropped even at 50% frequency. Count nulls explicitly
+        # against the cached scan and union the NULL row when it qualifies.
+        null_cnt = df.filter(F.col(col).isNull()).count()
+        if n == 0 or (not cands and null_cnt <= support * n):
             return (
                 df.select(col)
                 .limit(0)
                 .withColumn("cnt", F.lit(0).cast("long"))
                 .withColumn("frequency", F.lit(0.0))
             )
-        return (
-            df.filter(F.col(col).isin(list(cands)))
+        out = (
+            df.filter(F.col(col).isin([c for c in cands if c is not None]))
             .groupBy(col)
             .agg(F.count(F.lit(1)).alias("cnt"))
             .filter(F.col("cnt") > support * n)
-            .withColumn("frequency", F.round(F.col("cnt") / F.lit(n), 6))
+        )
+        if null_cnt > support * n:
+            spark = df.sparkSession
+            null_row = spark.createDataFrame(
+                [(null_cnt,)], f"cnt long"
+            ).withColumn(col, F.lit(None).cast(dict(df.dtypes)[col])).select(col, "cnt")
+            out = out.unionByName(null_row)
+        return (
+            out.withColumn("frequency", F.round(F.col("cnt") / F.lit(n), 6))
             .localCheckpoint(eager=True)  # materialize off the cache now
         )
     finally:
@@ -138,19 +151,22 @@ def profile_table(df: DataFrame, approx_distinct: bool = True) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("__n")]
     for f in df.schema.fields:
         c = f.name
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+        qc = f"`{c}`"  # backtick-quoted: dotted names otherwise parse as
+        # nested-field access and the profiler crashes on raw CSV/JSON
+        # loads with names like "a.b" (round-6 review)
+        aggs.append(F.sum(F.col(qc).isNull().cast("long")).alias(f"__nulls_{c}"))
         if approx_distinct:
-            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
+            aggs.append(F.approx_count_distinct(qc).alias(f"__nd_{c}"))
         elif orderable(f.dataType):
-            aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+            aggs.append(F.countDistinct(qc).alias(f"__nd_{c}"))
         else:
             # exact countDistinct rejects map types (no ordering/equality
             # for hashing groups) — NULL n_distinct, same fallback as
             # min/max (round-5 advice)
             aggs.append(F.lit(None).cast("long").alias(f"__nd_{c}"))
         if orderable(f.dataType):
-            aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
-            aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+            aggs.append(F.min(qc).cast("string").alias(f"__min_{c}"))
+            aggs.append(F.max(qc).cast("string").alias(f"__max_{c}"))
         else:
             aggs.append(F.lit(None).cast("string").alias(f"__min_{c}"))
             aggs.append(F.lit(None).cast("string").alias(f"__max_{c}"))
@@ -160,13 +176,13 @@ def profile_table(df: DataFrame, approx_distinct: bool = True) -> DataFrame:
             F.lit(f.name).alias("column"),
             F.lit(f.dataType.simpleString()).alias("dtype"),
             F.col("__n").alias("n_rows"),
-            F.col(f"__nulls_{f.name}").alias("n_nulls"),
-            F.round(F.try_divide(F.col(f"__nulls_{f.name}"), F.col("__n")), 6).alias(
-                "null_frac"
-            ),
-            F.col(f"__nd_{f.name}").alias("n_distinct"),
-            F.col(f"__min_{f.name}").alias("min_str"),
-            F.col(f"__max_{f.name}").alias("max_str"),
+            F.col(f"`__nulls_{f.name}`").alias("n_nulls"),
+            F.round(
+                F.try_divide(F.col(f"`__nulls_{f.name}`"), F.col("__n")), 6
+            ).alias("null_frac"),
+            F.col(f"`__nd_{f.name}`").alias("n_distinct"),
+            F.col(f"`__min_{f.name}`").alias("min_str"),
+            F.col(f"`__max_{f.name}`").alias("max_str"),
         )
         for f in df.schema.fields
     ]

@@ -141,3 +141,24 @@ def test_profile_table_map_column_both_modes(spark):
     assert exact["s"]["n_distinct"] == 4  # orderable columns unaffected
     approx = {r["column"]: r for r in profile_table(df).collect()}
     assert approx["m"]["n_distinct"] == 4  # HLL path handles maps
+
+
+def test_heavy_hitters_null_and_profile_dotted_columns(spark):
+    """Round-6 review: a NULL heavy hitter is reported (freqItems' sketch
+    ignores NULL and isin never matches it); the profiler handles dotted
+    column names via backtick quoting."""
+    from etl_data_transformer_spark.operators.aggregates import (
+        heavy_hitters,
+        profile_table,
+    )
+
+    rows = [(None,)] * 50 + [("x",)] * 40 + [(f"r{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "v string")
+    got = {r["v"]: r["cnt"] for r in heavy_hitters(df, "v", support=0.2).collect()}
+    assert got.get(None) == 50 and got.get("x") == 40
+
+    dotted = spark.range(5).withColumnRenamed("id", "a.b")
+    prof = {r["column"]: r for r in profile_table(dotted).collect()}
+    assert prof["a.b"]["n_rows"] == 5 and prof["a.b"]["n_nulls"] == 0
+    prof_exact = {r["column"]: r for r in profile_table(dotted, approx_distinct=False).collect()}
+    assert prof_exact["a.b"]["n_distinct"] == 5

@@ -316,3 +316,85 @@ def test_encode_docs_keeps_zero_token_docs(spark):
     for empty_id in (2, 3, 4):
         assert enc[empty_id]["n_tokens"] == 0
         assert list(enc[empty_id]["token_ids"]) == []
+
+
+def test_punct_ratio_unicode_and_quality_empty_docs(spark):
+    """Round-6 review: accented/CJK letters are NOT punctuation, and
+    empty/whitespace documents score 0.0 (not the degenerate 0.505)."""
+    from etl_data_transformer_spark.functions.text import punct_ratio, quality_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "café straße niño"),
+            (2, "日本語のテキストです"),
+            (3, "!!! ??? ***"),
+            (4, ""),
+            (5, "   "),
+            (6, "hello"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["p"], r["q"])
+        for r in df.select(
+            "doc_id",
+            punct_ratio("text").alias("p"),
+            quality_score("text").alias("q"),
+        ).collect()
+    }
+    assert got[1][0] == 0.0 and got[2][0] == 0.0       # letters, not punct
+    assert got[3][0] > 0.8                             # real punctuation soup
+    assert got[4][1] == 0.0 and got[5][1] == 0.0       # degenerate docs → 0
+    assert got[6][1] > 0.5                             # real prose outranks them
+
+
+def test_stopword_escaping_lang_argmax_and_line_structure(spark):
+    """Regex metacharacters in marker words are literal-quoted; lang_id's
+    linear argmax keeps earliest-wins ties; dedup_lines preserves blank
+    paragraph separators; shingles/char_ngrams guard degenerate inputs."""
+    from etl_data_transformer_spark.functions.text import (
+        char_ngrams,
+        dedup_lines,
+        lang_id,
+        shingles,
+        stopword_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "don.t donut don.t c++")], "doc_id long, text string"
+    )
+    # unescaped, "don.t" would crash nothing but match "donut" via the dot
+    # wildcard (count 3) and "c++" ("unclosed group") would crash the stage
+    n = df.select(stopword_count("text", ["don.t", "c++"]).alias("n")).first()["n"]
+    assert n == 2  # the two literal don.t hits; donut not matched, no crash
+
+    d2 = spark.createDataFrame(
+        [
+            (1, "the der le el"),            # every language scores 1 → tie → en
+            (2, "zzz qqq"),                  # nothing matches → und
+            (3, "der die das und der ist"),  # german wins
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["l"] for r in d2.select("doc_id", lang_id("text").alias("l")).collect()}
+    assert got == {1: "en", 2: "und", 3: "de"}
+
+    d3 = spark.createDataFrame(
+        [(1, "para one\n\npara two\n\npara three\npara one")],
+        "doc_id long, text string",
+    )
+    cleaned = d3.select(dedup_lines("text").alias("c")).first()["c"]
+    assert cleaned == "para one\n\npara two\n\npara three"  # blanks kept, dup line gone
+
+    d4 = spark.createDataFrame([(1, ""), (2, "  "), (3, "ab"), (4, "a b")], "doc_id long, text string")
+    rows = {
+        r["doc_id"]: (r["s"], r["g"])
+        for r in d4.select(
+            "doc_id",
+            shingles("text", 3).alias("s"),
+            char_ngrams("text", 3).alias("g"),
+        ).collect()
+    }
+    assert rows[1][0] == [] and rows[2][0] == []   # no '' shingle for empty docs
+    assert rows[3][1] == []                        # no truncated char gram
+    assert rows[4][0] == ["a b"]                   # partial word shingle kept (documented)
