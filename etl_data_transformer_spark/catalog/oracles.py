@@ -204,7 +204,7 @@ EXTENSION_ORACLES: dict[str, str] = {
                round(max(q), 6) AS max_quality
         FROM (
             SELECT source,
-                   CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+                   CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) = 0 THEN 0.0 ELSE
                    round(0.5 * least(1.0, len({_TOKENS}) / 100.0)
                        + 0.3 * coalesce(len(list_distinct({_TOKENS}))
                                         / nullif(len({_TOKENS}), 0), 0.0)
@@ -275,7 +275,7 @@ EXTENSION_ORACLES: dict[str, str] = {
     "curation_pipeline": f"""
         WITH scored AS (
             SELECT doc_id, lang,
-                   CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+                   CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) = 0 THEN 0.0 ELSE
                    round(0.5 * least(1.0, len({_TOKENS}) / 100.0)
                        + 0.3 * coalesce(len(list_distinct({_TOKENS}))
                                         / nullif(len({_TOKENS}), 0), 0.0)

@@ -111,7 +111,9 @@ def quality_score(col: Column | str) -> Column:
     # empty/whitespace docs score 0, not 0.505: tokens('') is [''] (count
     # 1, distinct ratio 1.0, punct 0), which out-scored genuine short
     # prose under any threshold filter (round-6 review)
-    return F.when(F.length(F.trim(c)) == 0, F.lit(0.0)).otherwise(
+    return F.when(
+        F.length(F.regexp_replace(c, r"\s", "")) == 0, F.lit(0.0)
+    ).otherwise(
         F.round(
             0.5 * length_term + 0.3 * F.coalesce(distinct_ratio, F.lit(0.0)) + 0.2 * (1.0 - punct_ratio(c)),
             6,
@@ -147,8 +149,10 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle set (distinct), the MinHash/Jaccard input."""
     c = F.col(col) if isinstance(col, str) else col
     toks = tokens(c)
+    # whitespace-ONLY means the \s class, not F.trim (which strips ASCII
+    # spaces but not tabs/newlines — a '\t' doc slipped the guard)
     idx = F.when(
-        F.length(F.trim(c)) == 0, F.array().cast("array<int>")
+        F.length(F.regexp_replace(c, r"\s", "")) == 0, F.array().cast("array<int>")
     ).otherwise(F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))))
     # empty/whitespace docs yield NO shingles: tokens('') is [''] and the
     # un-guarded path emitted the '' shingle, making every pair of empty

@@ -197,9 +197,12 @@ def test_minhash_candidates_superset_of_high_jaccard_pairs(spark, texts):
 def test_dedup_family_degenerate_corpora_invariants(spark, texts):
     """minhash_dedup / simhash_near_dups over corpora of empty, whitespace,
     and single-char docs: no crash, pair ids are ordered and within range,
-    similarity metrics stay in bounds, and IDENTICAL texts always pair
-    (equal shingle sets → equal signatures → same buckets; equal simhash →
-    hamming 0 → pigeonhole guarantees a shared band)."""
+    similarity metrics stay in bounds, and IDENTICAL NON-EMPTY texts always
+    pair (equal shingle sets → equal signatures → same buckets; equal
+    simhash → hamming 0 → pigeonhole guarantees a shared band). Empty and
+    whitespace-only docs deliberately produce NO shingles since the
+    round-6 '' -shingle fix — byte-identical empties are the EXACT tier's
+    job (equal fingerprints), not similarity's."""
     from etl_data_transformer_spark.operators.dedup import minhash_dedup, simhash_near_dups
 
     docs = [(i, t) for i, t in enumerate(texts)]
@@ -220,9 +223,12 @@ def test_dedup_family_degenerate_corpora_invariants(spark, texts):
     from itertools import combinations as _comb
 
     for (ia, ta), (ib, tb) in _comb(docs, 2):
-        if ta == tb:
+        if ta == tb and ta.strip():
             assert (ia, ib) in mh_pairs  # identical → jaccard 1.0 ≥ threshold
             assert (ia, ib) in sh_pairs  # identical → hamming 0
+        elif not ta.strip() and not tb.strip():
+            # degenerate docs never minhash-pair (no shingles to share)
+            assert (ia, ib) not in mh_pairs
 
 
 def test_dedup_all_identical_corpus_yields_all_pairs(spark):
