@@ -466,6 +466,8 @@ def ivf_search(
     rerank_k: int | None = None,
     arrow: bool | None = None,
     exclude_self: bool = True,
+    candidate_pushdown: str = "auto",
+    candidate_isin_max: int = 100_000,
 ) -> DataFrame:
     """Top-k search against a persisted IVF index (``ivf_index`` /
     ``ivf_assign`` output, any storage): each query probes its ``n_probes``
@@ -484,17 +486,23 @@ def ivf_search(
        top ``rerank_k`` (default ``4*k``) candidates per query. The probed
        scan reads only (id, codes, list_id) — parquet column pruning cuts
        probed-partition IO ~4x at corpus scale.
-    2. **rerank** — the surviving candidate ids (a bounded driver set:
-       queries × rerank_k, same discipline as the probed-list collect) are
-       pushed as an ``isin`` PREDICATE into the pruned index scan before
-       the embedding column is read, then joined for exact ranking. The
-       predicate reaches the parquet reader (PushedFilters), so row-group
-       stats on ``id`` skip non-candidate row groups where the layout
-       allows (e.g. ``write_sorted`` on id within lists); at worst it
-       row-filters at scan and avoids shuffling non-candidates. Without
-       the pushdown the plain id join scanned the embedding column of
-       EVERY probed-partition row, erasing phase 1's IO win (round-6
-       review).
+    2. **rerank** — full-precision scoring of the surviving candidates
+       only. HOW the candidate set reaches the index scan is size-gated
+       (``candidate_pushdown``): for small candidate sets (index-probe
+       workloads — the FAISS shape) the ids are collected to the driver
+       and pushed as an ``isin`` PREDICATE, which reaches the parquet
+       reader (PushedFilters) so row-group stats on ``id`` skip
+       non-candidate row groups before the embedding column is read; for
+       large sweeps (the million-query batch the Arrow probe path courts)
+       a driver list of Q × rerank_k ids would be a megabyte-scale
+       predicate materialized on the driver, so the candidate frame is
+       instead SEMI-JOINED into the index scan (Catalyst's runtime bloom
+       filter, when enabled, recovers most of the scan-side skipping) and
+       the query embeddings arrive by a plain shuffled join rather than an
+       unconditional broadcast. ``candidate_pushdown='auto'`` (default)
+       counts the checkpointed candidate frame — a metadata-cheap count —
+       and picks ``isin`` iff it is ≤ ``candidate_isin_max``; ``'isin'`` /
+       ``'join'`` force a side (equivalence is pytest-pinned).
 
     Probe selection auto-switches (``arrow=None``) to the Arrow BLAS matmul
     at ``>= 32`` lists — the same crossover as ``ivf_assign`` — so a
@@ -525,31 +533,58 @@ def ivf_search(
         n_cand = rerank_k if rerank_k is not None else 4 * k
         if n_cand < k:
             raise ValueError(f"rerank_k={n_cand} must be >= k={k}")
+        if candidate_pushdown not in ("auto", "isin", "join"):
+            raise ValueError(
+                f"candidate_pushdown must be 'auto', 'isin' or 'join', got {candidate_pushdown!r}"
+            )
         cands = _ivf_coarse_candidates(q, pruned, n_cand, exclude_self)
-        # consumed twice (candidate-id collect + the rerank join):
-        # materialize so the coarse phase runs once
+        # consumed twice (candidate push + the rerank join): materialize so
+        # the coarse phase runs once; the count below is then metadata-cheap
         cands = cands.localCheckpoint(eager=True)
-        # phase 2: full-precision embeddings for candidates only — query
-        # side re-broadcast (bounded), index side scanned WITH the
-        # candidate-id predicate so non-candidates never read the
-        # embedding column (see docstring)
-        cand_ids = [r["neighbor_id"] for r in cands.select("neighbor_id").distinct().collect()]
+        use_isin = candidate_pushdown == "isin" or (
+            candidate_pushdown == "auto" and cands.count() <= candidate_isin_max
+        )
         q_emb = queries.select(
             F.col("id").alias("query_id"), F.col("embedding").alias("query_id_emb")
         )
-        full = pruned.filter(F.col("id").isin(cand_ids)).select(
-            F.col("id").alias("neighbor_id"),
-            F.col("embedding").alias("neighbor_id_emb"),
-        )
-        scored = (
-            cands.join(F.broadcast(q_emb), "query_id")
-            .join(full, "neighbor_id")
-            .select(
-                "query_id",
-                "neighbor_id",
-                cosine("query_id_emb", "neighbor_id_emb").alias("sim"),
+        if use_isin:
+            # phase 2, small-Q shape: candidate ids are a bounded driver set
+            # pushed as a scan predicate so non-candidates never read the
+            # embedding column, and the query frame broadcasts (see docstring)
+            cand_ids = [
+                r["neighbor_id"] for r in cands.select("neighbor_id").distinct().collect()
+            ]
+            full = pruned.filter(F.col("id").isin(cand_ids)).select(
+                F.col("id").alias("neighbor_id"),
+                F.col("embedding").alias("neighbor_id_emb"),
             )
-        )
+            scored = (
+                cands.join(F.broadcast(q_emb), "query_id")
+                .join(full, "neighbor_id")
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    cosine("query_id_emb", "neighbor_id_emb").alias("sim"),
+                )
+            )
+        else:
+            # phase 2, large-Q shape: nothing touches the driver — the
+            # candidate frame semi-joins the index scan (runtime bloom
+            # filter eligible: inner probe side, key traceable to the
+            # scan) and query embeddings arrive by a shuffled join
+            full = pruned.select(
+                F.col("id").alias("neighbor_id"),
+                F.col("embedding").alias("neighbor_id_emb"),
+            )
+            scored = (
+                cands.join(full, "neighbor_id")
+                .join(q_emb, "query_id")
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    cosine("query_id_emb", "neighbor_id_emb").alias("sim"),
+                )
+            )
     else:
         c = pruned.select(
             F.col("id").alias("neighbor_id"),

@@ -179,6 +179,56 @@ def test_ivf_quantized_rerank_guards(spark, star):
     cents2, quant = SIM.ivf_index(emb, n_lists=4, quantize=True)
     with pytest.raises(ValueError, match="must be >= k"):
         SIM.ivf_search(q, quant, cents2, k=5, rerank_quantized=True, rerank_k=2)
+    with pytest.raises(ValueError, match="candidate_pushdown"):
+        SIM.ivf_search(
+            q, quant, cents2, k=3, rerank_quantized=True, candidate_pushdown="bloom"
+        )
+
+
+def test_ivf_quantized_rerank_pushdown_modes_equivalent(spark, star, tmp_path):
+    """The size-gated candidate push must be a pure execution-strategy
+    choice: forcing 'isin' (small-Q driver predicate), forcing 'join'
+    (large-Q semi-join, nothing on the driver), and 'auto' tipped to the
+    join side by candidate_isin_max=0 all return IDENTICAL rankings. The
+    join plan must NOT carry a candidate-id In(...) scan predicate — that
+    is the driver-materialized artifact the gate exists to avoid."""
+    emb = star["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
+    q = emb.filter(F.col("id") < 10)
+    cents, assignments = SIM.ivf_index(emb, n_lists=8, quantize=True)
+    path = str(tmp_path / "ivf_q_index_modes")
+    assignments.write.partitionBy("list_id").parquet(path)
+    index = spark.read.parquet(path)
+
+    kw = dict(k=5, n_probes=3, rerank_quantized=True, rerank_k=20)
+    isin_res = SIM.ivf_search(q, index, cents, candidate_pushdown="isin", **kw)
+    got_isin = sorted(map(tuple, isin_res.collect()))
+    join_res = SIM.ivf_search(q, index, cents, candidate_pushdown="join", **kw)
+    got_join = sorted(map(tuple, join_res.collect()))
+    auto_join = SIM.ivf_search(
+        q, index, cents, candidate_pushdown="auto", candidate_isin_max=0, **kw
+    )
+    got_auto = sorted(map(tuple, auto_join.collect()))
+    assert got_isin == got_join == got_auto
+    # full-precision ground truth for good measure
+    full = sorted(map(tuple, SIM.ivf_search(q, index, cents, k=5, n_probes=3).collect()))
+    assert got_join == full
+
+    join_plan = join_res._jdf.queryExecution().executedPlan().toString()
+    emb_scans = [
+        ln
+        for ln in join_plan.splitlines()
+        if "FileScan" in ln and "embedding" in ln.split("ReadSchema")[-1]
+    ]
+    assert emb_scans and all(
+        "In(" not in ln.split("PushedFilters")[-1].split("ReadSchema")[0]
+        for ln in emb_scans
+    )
+    isin_plan = isin_res._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "FileScan" in ln
+        and "In(" in ln.split("PushedFilters")[-1].split("ReadSchema")[0]
+        for ln in isin_plan.splitlines()
+    )
 
 
 def test_ivf_assign_arrow_matches_expr_path(spark, star):

@@ -9,6 +9,12 @@ paths end-to-end through ``ivf_search`` on a large query batch at 80
 lists (result sets asserted identical), the evidence behind the same
 auto-switch now applied in ``_ivf_probes_arrow``.
 
+Round 7 adds the quantized-rerank candidate-push comparison (round-6
+verdict item 1): at the same >= 10k-query batch, the driver ``isin``
+candidate push vs the shuffled semi-join path behind
+``candidate_pushdown`` — the measured evidence for the size gate's
+default threshold.
+
 Usage: python tools/bench_ivf_probes.py [n_queries] [n_lists]
 """
 
@@ -66,6 +72,24 @@ def main() -> None:
         res[label] = n
     assert res["expr_fold"] == res["arrow_matmul"], res
     out["speedup"] = round(out["expr_fold"]["sec"] / out["arrow_matmul"]["sec"], 2)
+
+    # quantized rerank: isin driver-push vs semi-join candidate push at the
+    # same large-Q batch (candidate set = n_queries * rerank_k rows)
+    qindex = SIM.ivf_assign(emb, cents, quantize=True).localCheckpoint(eager=True)
+    rr = {}
+    for label, mode in (("rerank_isin", "isin"), ("rerank_join", "join")):
+        t, n = _timed(
+            lambda m=mode: SIM.ivf_search(
+                q, qindex, cents, k=5, n_probes=4,
+                rerank_quantized=True, candidate_pushdown=m,
+            ).count()
+        )
+        out[label] = {"sec": t, "rows": n}
+        rr[label] = n
+    assert rr["rerank_isin"] == rr["rerank_join"], rr
+    out["rerank_join_speedup"] = round(
+        out["rerank_isin"]["sec"] / out["rerank_join"]["sec"], 2
+    )
     print(json.dumps(out))
 
 
