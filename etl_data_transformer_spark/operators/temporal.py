@@ -268,13 +268,37 @@ def resample_ffill(
     )
 
 
+def _broadcast_threshold_bytes(spark) -> int:
+    """spark.sql.autoBroadcastJoinThreshold as bytes (-1 = disabled).
+    Accepts the bare-int and size-suffixed ('10MB', '512k') spellings."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    s = raw.strip().lower()
+    if s.startswith("-"):
+        return -1
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s.endswith("b"):
+        s = s[:-1]
+    if s and s[-1] in units:
+        return int(s[:-1]) * units[s[-1]]
+    raise ValueError(f"unparseable spark.sql.autoBroadcastJoinThreshold: {raw!r}")
+
+
+# conservative per-row estimate for a (key, timestamp) step-table row inside
+# a broadcast relation: 8 B ts + key bytes + object/hash-map overhead
+_STEP_ROW_BYTES = 64
+
+
 def funnel(
     df: DataFrame,
     steps: Sequence[str],
     key: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
-    broadcast_steps: bool = False,
+    broadcast_steps: bool | None = None,
 ) -> DataFrame:
     """Ordered funnel: per key, the earliest time of step 1, then the
     earliest step-2 event STRICTLY AFTER it, and so on — the classic
@@ -287,15 +311,27 @@ def funnel(
     previous step) back against the event stream.
 
     That step table is O(#keys) — UNBOUNDED at funnel scale (every user is
-    a key), so the default joins it with a plain key-partitioned shuffle
+    a key), so the shuffle mode joins it with a plain key-partitioned
     join: the event stream is pre-repartitioned on ``key`` once, every
     step's filter+join reuses that single Exchange (ReusedExchange,
     plan-asserted), and the step table arrives already hash-partitioned on
     ``key`` from its groupBy — no forced driver-side materialization, no
     broadcast-size cliff at 100× key cardinality (round-5 verdict #2).
-    Pass ``broadcast_steps=True`` only when the key domain is known-small
-    (e.g. a funnel over accounts, not users): each refinement then joins
-    broadcast and the event scan never shuffles at all.
+
+    ``broadcast_steps`` picks the join strategy for the step tables:
+
+    - ``None`` (default, AUTO): count the distinct step-1 keys — a
+      superset of every later step table — with one narrow
+      map-side-combinable job, and broadcast iff their estimated bytes
+      (``_STEP_ROW_BYTES`` per key) fit under the session's
+      ``spark.sql.autoBroadcastJoinThreshold``. Small key domains (a
+      funnel over accounts, nations) get the broadcast plan without
+      reading this docstring; user-scale domains or a disabled threshold
+      (-1) get the shuffle plan. The estimate is one extra pass over the
+      step-1 events — pass an explicit bool to skip it.
+    - ``True``: force broadcast (key domain known-small); each refinement
+      joins broadcast and the event scan never shuffles at all.
+    - ``False``: force the scale-safe shuffle plan (no estimation job).
 
     len(steps) is small and fixed; no window over the full event stream,
     no N² self-join either way.
@@ -306,6 +342,15 @@ def funnel(
     if len(steps) < 2:
         raise ValueError("funnel needs at least two steps")
     events = df.filter(F.col(type_col).isin(list(steps))).select(key, ts_col, type_col)
+    if broadcast_steps is None:
+        thresh = _broadcast_threshold_bytes(df.sparkSession)
+        if thresh <= 0:
+            broadcast_steps = False
+        else:
+            n_keys = (
+                events.filter(F.col(type_col) == steps[0]).select(key).distinct().count()
+            )
+            broadcast_steps = n_keys * _STEP_ROW_BYTES <= thresh
     if not broadcast_steps:
         # one Exchange, reused by every step's filter+join AND step 1's agg
         events = events.repartition(key)

@@ -214,6 +214,61 @@ def test_funnel_default_mode_no_forced_broadcast(spark, star):
                 spark.conf.set(k, v)
 
 
+def test_funnel_auto_gate_picks_strategy_by_key_estimate(spark, star):
+    """broadcast_steps=None (default) auto-gates on the step-1 key-domain
+    estimate vs autoBroadcastJoinThreshold: a generous threshold over the
+    small fixture domain yields the broadcast plan (hinted BroadcastHashJoin
+    on the step tables, no event repartition); a 1-byte threshold yields
+    the scale-safe shuffle plan (zero BroadcastExchange once Spark's own
+    auto-broadcast is also out of the picture at that size). Results are
+    strategy-independent."""
+    from etl_data_transformer_spark.operators.temporal import funnel
+
+    ev = star["events"]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        df_b = funnel(ev, steps=["view", "click", "purchase"])
+        got_b = {tuple(r) for r in df_b.collect()}
+        plan_b = df_b._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_b
+        assert "REPARTITION_BY_COL" not in plan_b  # no event-stream shuffle
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        df_s = funnel(ev, steps=["view", "click", "purchase"])
+        got_s = {tuple(r) for r in df_s.collect()}
+        plan_s = df_s._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan_s
+        assert "ReusedExchange" in plan_s  # shuffle mode's shared event exchange
+        assert got_b == got_s
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_funnel_threshold_parsing(spark):
+    from etl_data_transformer_spark.operators.temporal import _broadcast_threshold_bytes
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        for raw, want in (
+            ("-1", -1),
+            ("10485760", 10485760),
+            ("10MB", 10 << 20),
+            ("512k", 512 << 10),
+            ("1g", 1 << 30),
+        ):
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", raw)
+            assert _broadcast_threshold_bytes(spark) == want, raw
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_funnel_broadcast_mode_pins_hint(spark, star):
     """broadcast_steps=True (small known key domains only): the step tables
     join broadcast even with auto-broadcast disabled — the event scan is the
