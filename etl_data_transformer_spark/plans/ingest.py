@@ -89,6 +89,23 @@ def _near_losers(pairs: DataFrame, survivors: DataFrame, id_col: str) -> DataFra
     )
 
 
+def _except_already_landed(rows: DataFrame, path: str, id_col: str) -> DataFrame:
+    """Idempotent-append guard: drop rows whose id the sink already holds,
+    so a rerun of a crashed batch re-appends ONLY what the crashed attempt
+    missed. Ids across batches are contractually disjoint (the shared
+    incremental-dedup precondition), so any overlap can only be this
+    batch's own prior partial write. ``None``-returning first-batch states
+    (absent path / sidecar-only store) append everything; genuine read
+    failures on an existing sink propagate (``_read_store_or_none``
+    discipline — a blind fallback here would double-append on an FS blip)."""
+    from ..streaming.pipeline import _read_store_or_none
+
+    existing = _read_store_or_none(rows.sparkSession, path)
+    if existing is None:
+        return rows
+    return rows.join(existing.select(id_col).distinct(), id_col, "left_anti")
+
+
 def run_incremental_ingest(
     batch: DataFrame,
     *,
@@ -202,15 +219,45 @@ def run_incremental_ingest(
     # sinks: survivors first, then each store's rows FOR THE SURVIVORS —
     # future batches dedup against the kept corpus (a dropped exact dup
     # shares its keeper's fingerprint anyway; a dropped near-dup's
-    # signature is intentionally not retained)
+    # signature is intentionally not retained).
+    #
+    # Every sink append is IDEMPOTENT PER BATCH (round-6 verdict item 6):
+    # the rows are anti-joined against the sink's existing ids before the
+    # append, so the documented recovery for a crash anywhere in this
+    # block is simply "rerun the same batch" — the store READS above
+    # already heal (_drop_replayed_batch_rows recomputes identical
+    # survivors), and the healed appends then land exactly the rows the
+    # crashed attempt missed, converging every sink to exactly-once state
+    # (crash-injection pytest in tests/test_ingest.py). The heal costs one
+    # column-pruned id scan per sink; the store sinks were scanned this
+    # run anyway, the landed corpus pays one extra id-column read. Sink
+    # ORDER still matters for a crash that is never rerun: survivors land
+    # first, so an unrepaired crash leaves the stores BEHIND the corpus —
+    # future batches may land a near-dup of an unindexed doc (duplicates,
+    # later dedup-able) rather than ghost store entries dropping documents
+    # that never landed (silent data loss). The audit sink is a log, not
+    # keyed state: a rerun after a crash between the last store and the
+    # audit write appends a second row for the batch (both attempts are
+    # real events; consumers aggregate by batch fingerprint).
     if survivors_path is not None:
-        append_parquet(survivors, survivors_path)
+        append_parquet(
+            _except_already_landed(survivors, survivors_path, id_col), survivors_path
+        )
     DD.write_exact_store(
-        DD.exact_fingerprint_store(survivors, text_col, id_col), exact_store
+        _except_already_landed(
+            DD.exact_fingerprint_store(survivors, text_col, id_col), exact_store, id_col
+        ),
+        exact_store,
     )
     if minhash_store is not None:
         DD.write_minhash_store(
-            DD.minhash_signature_store(survivors, text_col, id_col, shingle_n, num_hashes, bands),
+            _except_already_landed(
+                DD.minhash_signature_store(
+                    survivors, text_col, id_col, shingle_n, num_hashes, bands
+                ),
+                minhash_store,
+                id_col,
+            ),
             minhash_store,
             shingle_n=shingle_n,
             num_hashes=num_hashes,
@@ -218,7 +265,10 @@ def run_incremental_ingest(
         )
     if simhash_store is not None:
         DD.write_simhash_store(
-            DD.simhash_store_rows(survivors, text_col, id_col), simhash_store
+            _except_already_landed(
+                DD.simhash_store_rows(survivors, text_col, id_col), simhash_store, id_col
+            ),
+            simhash_store,
         )
 
     if audit_path is not None:

@@ -209,35 +209,41 @@ def _publish(
                 f"base version moved on {table_dir}: read {expected_base}, "
                 f"now {latest['version'] if latest else None}"
             )
-        manifest = build_manifest(latest)
-        # tmp + os.replace, mirroring the pointer publish: a crash mid-write
-        # must never leave a truncated <version>.json that breaks
-        # list_versions()/read_version() until vacuum's grace window expires
-        mpath = _manifest_path(table_dir, version)
-        tmp_manifest = f"{mpath}.tmp"
-        try:
-            with open(tmp_manifest, "w", encoding="utf-8") as f:
-                f.write(json.dumps(manifest))
-            os.replace(tmp_manifest, mpath)
-        except BaseException:
-            if os.path.exists(tmp_manifest):
-                os.unlink(tmp_manifest)
-            raise
-
-        # atomic pointer replace (same-filesystem, POSIX-atomic); unlink the
-        # tmp pointer on any failure so aborted commits don't accumulate
-        # `._CURRENT.*.tmp` litter
-        tmp_pointer = os.path.join(table_dir, f".{_CURRENT}.{version}.tmp")
-        try:
-            with open(tmp_pointer, "w", encoding="utf-8") as f:
-                f.write(version)
-            os.replace(tmp_pointer, os.path.join(table_dir, _CURRENT))
-        except BaseException:
-            if os.path.exists(tmp_pointer):
-                os.unlink(tmp_pointer)
-            raise
+        _write_manifest_file(table_dir, version, build_manifest(latest))
+        _flip_pointer(table_dir, version)
     finally:
         _release_lock(lock_fd)
+
+
+def _write_manifest_file(table_dir: str, version: str, manifest: dict) -> None:
+    """tmp + os.replace, mirroring the pointer publish: a crash mid-write
+    must never leave a truncated <version>.json that breaks
+    list_versions()/read_version() until vacuum's grace window expires."""
+    mpath = _manifest_path(table_dir, version)
+    tmp_manifest = f"{mpath}.tmp"
+    try:
+        with open(tmp_manifest, "w", encoding="utf-8") as f:
+            f.write(json.dumps(manifest))
+        os.replace(tmp_manifest, mpath)
+    except BaseException:
+        if os.path.exists(tmp_manifest):
+            os.unlink(tmp_manifest)
+        raise
+
+
+def _flip_pointer(table_dir: str, version: str) -> None:
+    """Atomic pointer replace (same-filesystem, POSIX-atomic); unlink the
+    tmp pointer on any failure so aborted commits don't accumulate
+    `._CURRENT.*.tmp` litter."""
+    tmp_pointer = os.path.join(table_dir, f".{_CURRENT}.{version}.tmp")
+    try:
+        with open(tmp_pointer, "w", encoding="utf-8") as f:
+            f.write(version)
+        os.replace(tmp_pointer, os.path.join(table_dir, _CURRENT))
+    except BaseException:
+        if os.path.exists(tmp_pointer):
+            os.unlink(tmp_pointer)
+        raise
 
 
 _UNSET = object()
@@ -273,6 +279,45 @@ def commit_write(
     plain overwrites, whose content is caller-supplied, intentionally skip
     the check.
     """
+    prep = _prepare_commit(
+        df, table_dir, mode, partition_by, allow_schema_evolution, expected_base
+    )
+    _publish(
+        table_dir,
+        prep.version,
+        prep.build_manifest,
+        expected_base=prep.expected_base,
+        check_base=prep.check_base,
+    )
+    return prep.version
+
+
+class _PreparedCommit:
+    """A staged (data written, unpublished) commit: everything ``_publish``
+    or ``multi_commit`` needs to make it visible."""
+
+    __slots__ = ("table_dir", "version", "build_manifest", "expected_base", "check_base")
+
+    def __init__(self, table_dir, version, build_manifest, expected_base, check_base):
+        self.table_dir = table_dir
+        self.version = version
+        self.build_manifest = build_manifest
+        self.expected_base = expected_base
+        self.check_base = check_base
+
+
+def _prepare_commit(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    allow_schema_evolution: bool = False,
+    expected_base: "str | None | object" = _UNSET,
+) -> _PreparedCommit:
+    """The pre-publish phase of ``commit_write``: validate compatibility,
+    write the immutable data directory, and close over the manifest builder.
+    Nothing staged here is visible to readers until ``_publish`` (or
+    ``multi_commit``'s journaled pointer flip) runs."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode: {mode}")
     version = uuid.uuid4().hex
@@ -352,14 +397,143 @@ def commit_write(
         publish_check = mode == "append"
     else:
         publish_expected, publish_check = expected_base, True
-    _publish(
-        table_dir,
-        version,
-        build_manifest,
-        expected_base=publish_expected,
-        check_base=publish_check,
-    )
-    return version
+    return _PreparedCommit(table_dir, version, build_manifest, publish_expected, publish_check)
+
+
+_TXN_PREFIX = "txn_"
+
+
+def multi_commit(writes: list[dict], txn_dir: str) -> dict[str, str]:
+    """Atomically publish commits to N manifest tables — the multi-table
+    transaction the composed ingest needs (landed corpus + dedup stores +
+    audit move together or not at all; round-6 verdict item 6).
+
+    ``writes``: one dict per table with the ``commit_write`` keywords —
+    ``{"df", "table_dir", "mode"?, "partition_by"?,
+    "allow_schema_evolution"?, "expected_base"?}``. Returns
+    ``{table_dir: version}``.
+
+    Protocol (two-phase, write-ahead journaled):
+
+    1. **prepare** — every table's immutable data directory is written and
+       its manifest builder staged; nothing is reader-visible. A failure
+       here aborts with zero tables changed (orphans are ``vacuum``-able).
+    2. **lock + validate** — all commit locks are taken in sorted
+       table_dir order (no deadlock between concurrent multi-writers);
+       every table's CAS base is re-checked and every manifest file
+       written, still unpublished. Any conflict aborts the WHOLE
+       transaction before any pointer moves.
+    3. **journal** — one atomic write of ``txn_dir/txn_<id>.json`` listing
+       ``(table_dir, version, parent)`` per table. THIS is the commit
+       point: before it, a crash publishes nothing; after it, the
+       transaction is redoable.
+    4. **flip** — each table's ``_CURRENT`` pointer is replaced (each flip
+       individually atomic); the journal is then deleted.
+
+    A crash between 3 and the end leaves some pointers old — run
+    ``recover_multi_commits(txn_dir)`` (idempotent roll-forward) BEFORE
+    admitting new writers, the same recovery-first discipline a Delta
+    deployment applies to its log. Readers of any SINGLE table are never
+    torn (each pointer flip is atomic); cross-table consistency during the
+    crash window is exactly what the journal + recovery close."""
+    if not writes:
+        raise ValueError("multi_commit needs at least one write")
+    dirs = [w["table_dir"] for w in writes]
+    if len(set(dirs)) != len(dirs):
+        raise ValueError(f"duplicate table_dir in multi_commit: {dirs}")
+    preps = [
+        _prepare_commit(
+            w["df"],
+            w["table_dir"],
+            w.get("mode", "overwrite"),
+            w.get("partition_by"),
+            w.get("allow_schema_evolution", False),
+            w.get("expected_base", _UNSET),
+        )
+        for w in writes
+    ]
+    preps.sort(key=lambda p: p.table_dir)
+    os.makedirs(txn_dir, exist_ok=True)
+
+    locks: list[int] = []
+    try:
+        for p in preps:
+            locks.append(_acquire_lock(p.table_dir))
+        entries = []
+        for p in preps:
+            latest = _read_current(p.table_dir)
+            latest_v = latest["version"] if latest else None
+            if p.check_base and latest_v != p.expected_base:
+                raise ConcurrentWriteError(
+                    f"base version moved on {p.table_dir}: read "
+                    f"{p.expected_base}, now {latest_v}"
+                )
+            _write_manifest_file(p.table_dir, p.version, p.build_manifest(latest))
+            entries.append(
+                {"table_dir": p.table_dir, "version": p.version, "parent": latest_v}
+            )
+
+        # the commit point: one atomic journal write
+        txn_path = os.path.join(txn_dir, f"{_TXN_PREFIX}{uuid.uuid4().hex}.json")
+        tmp = f"{txn_path}.tmp"
+        try:
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(json.dumps({"tables": entries}))
+            os.replace(tmp, txn_path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
+        for p in preps:
+            _flip_pointer(p.table_dir, p.version)
+        os.unlink(txn_path)
+    finally:
+        for fd in locks:
+            _release_lock(fd)
+    return {p.table_dir: p.version for p in preps}
+
+
+def recover_multi_commits(txn_dir: str) -> list[str]:
+    """Roll forward interrupted ``multi_commit`` transactions (idempotent;
+    run before admitting new writers). For every journaled table: pointer
+    already at the transaction's version → done; still at the recorded
+    parent → flip it (the manifest file was durably written before the
+    journal). Any OTHER current version means a writer committed during
+    the crash window in violation of the recovery-first discipline — that
+    transaction cannot be rolled forward consistently, so it raises with
+    the journal left in place for inspection. Returns the table_dirs whose
+    pointers were flipped."""
+    if not os.path.isdir(txn_dir):
+        return []
+    healed: list[str] = []
+    for name in sorted(os.listdir(txn_dir)):
+        if not (name.startswith(_TXN_PREFIX) and name.endswith(".json")):
+            continue
+        path = os.path.join(txn_dir, name)
+        with open(path, encoding="utf-8") as f:
+            txn = json.load(f)
+        flips = []
+        for e in txn["tables"]:
+            cur = current_version(e["table_dir"])
+            if cur == e["version"]:
+                continue
+            if cur != e["parent"]:
+                raise ConcurrentWriteError(
+                    f"cannot recover {path}: {e['table_dir']} is at {cur}, "
+                    f"expected {e['parent']} (pre-flip) or {e['version']} "
+                    "(flipped) — a writer committed during the crash window"
+                )
+            flips.append(e)
+        for e in flips:
+            lock_fd = _acquire_lock(e["table_dir"])
+            try:
+                _flip_pointer(e["table_dir"], e["version"])
+            finally:
+                _release_lock(lock_fd)
+            healed.append(e["table_dir"])
+        os.unlink(path)
+    return healed
 
 
 def commit_replace_partitions(

@@ -288,3 +288,71 @@ def test_boilerplate_materialized_lines_equivalent(spark):
         )
     )
     assert a == b and len(a) == 20
+
+
+def test_ingest_crash_between_sinks_rerun_heals(spark, tmp_path, monkeypatch):
+    """Round-6 verdict item 6 (crash-injection): kill the ingest between the
+    corpus commit and a store commit; rerunning the SAME batch must converge
+    every sink to exactly-once state — survivors landed once, each store
+    holding exactly the landed ids, no ghost or duplicate rows. A rerun of a
+    FULLY successful batch is likewise a sink no-op."""
+    import pytest
+
+    from etl_data_transformer_spark.plans import ingest as ING
+
+    p = _paths(tmp_path)
+    kw = dict(
+        exact_store=p["ex"],
+        minhash_store=p["mh"],
+        simhash_store=p["sh"],
+        survivors_path=p["landed"],
+        audit_path=str(tmp_path / "audit"),
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different content about maritime chronometers"),
+            (3, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+
+    # crash AFTER survivors + exact store committed, BEFORE the minhash
+    # store commit (the torn multi-sink state the verdict describes)
+    real_write_minhash = DD.write_minhash_store
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected crash between sink commits")
+
+    monkeypatch.setattr(DD, "write_minhash_store", _boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_incremental_ingest(batch, **kw)
+    monkeypatch.setattr(DD, "write_minhash_store", real_write_minhash)
+
+    # torn state: corpus + exact store ahead, minhash/simhash stores absent
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(p["landed"]).collect()
+    ) == [1, 2]
+    assert spark.read.parquet(p["ex"]).count() == 2
+    assert not os.path.exists(os.path.join(p["mh"], "_SUCCESS"))
+
+    # documented recovery: rerun the same batch
+    r = run_incremental_ingest(batch, **kw)
+    assert r.n_landed == 2
+
+    landed = spark.read.parquet(p["landed"])
+    assert sorted(r["doc_id"] for r in landed.collect()) == [1, 2]  # no dup append
+    assert spark.read.parquet(p["ex"]).count() == 2  # exact store healed, not doubled
+    assert sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(p["mh"]).select("doc_id").distinct().collect()
+    ) == [1, 2]
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(p["sh"]).collect()
+    ) == [1, 2]
+
+    # rerunning the fully successful batch is a sink no-op everywhere
+    counts = {k: spark.read.parquet(p[k]).count() for k in p}
+    r2 = run_incremental_ingest(batch, **kw)
+    assert r2.n_landed == 2
+    assert {k: spark.read.parquet(p[k]).count() for k in p} == counts

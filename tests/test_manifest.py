@@ -610,3 +610,153 @@ def test_compute_watermark_corrupt_target_fails_loudly(spark, tmp_path):
         compute_watermark(spark, str(tmp_path / "missing"), params)
         == params.minimum_date
     )
+
+
+def test_multi_commit_publishes_all_tables(spark, tmp_path):
+    """Happy path: one transaction lands an overwrite + an append across two
+    tables; both pointers flip, the journal is gone, versions read back."""
+    corpus, store = str(tmp_path / "corpus"), str(tmp_path / "store")
+    txn = str(tmp_path / "_txn")
+    base = _write(spark, store, [(1, "sig-a")])
+    got = M.multi_commit(
+        [
+            {
+                "df": spark.createDataFrame([(10, "doc")], "id long, v string"),
+                "table_dir": corpus,
+            },
+            {
+                "df": spark.createDataFrame([(2, "sig-b")], "id long, v string"),
+                "table_dir": store,
+                "mode": "append",
+                "expected_base": base,
+            },
+        ],
+        txn,
+    )
+    assert set(got) == {corpus, store}
+    assert M.current_version(corpus) == got[corpus]
+    assert M.current_version(store) == got[store]
+    assert sorted(r["v"] for r in M.read_table(spark, store).collect()) == [
+        "sig-a",
+        "sig-b",
+    ]
+    assert [r["v"] for r in M.read_table(spark, corpus).collect()] == ["doc"]
+    assert os.listdir(txn) == []  # journal consumed
+    assert M.recover_multi_commits(txn) == []  # nothing pending
+
+
+def test_multi_commit_cas_conflict_aborts_whole_txn(spark, tmp_path):
+    """A lost-update conflict on ANY table aborts the transaction before a
+    single pointer moves — no torn cross-table state, no journal left."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    txn = str(tmp_path / "_txn")
+    va = _write(spark, a, [(1, "a1")])
+    vb = _write(spark, b, [(1, "b1")])
+    vb2 = _write(spark, b, [(2, "b2")], mode="append")  # b moved past vb
+    with pytest.raises(M.ConcurrentWriteError, match="base version moved"):
+        M.multi_commit(
+            [
+                {
+                    "df": spark.createDataFrame([(9, "a2")], "id long, v string"),
+                    "table_dir": a,
+                    "mode": "append",
+                    "expected_base": va,
+                },
+                {
+                    "df": spark.createDataFrame([(9, "b3")], "id long, v string"),
+                    "table_dir": b,
+                    "mode": "append",
+                    "expected_base": vb,  # stale: vb2 landed since
+                },
+            ],
+            txn,
+        )
+    assert M.current_version(a) == va  # untouched despite its own CAS passing
+    assert M.current_version(b) == vb2
+    assert not os.path.isdir(txn) or os.listdir(txn) == []
+
+
+def test_multi_commit_crash_between_flips_recovers(spark, tmp_path, monkeypatch):
+    """THE crash-injection gate (round-6 verdict item 6): kill the writer
+    after the journal + first pointer flip, before the second. The torn
+    window is observable (corpus new, store old); recover_multi_commits
+    rolls the store forward, deletes the journal, and is idempotent."""
+    corpus, store = str(tmp_path / "corpus"), str(tmp_path / "store")
+    txn = str(tmp_path / "_txn")
+    v_corpus0 = _write(spark, corpus, [(1, "old-doc")])
+    v_store0 = _write(spark, store, [(1, "old-sig")])
+
+    real_flip = M._flip_pointer
+    flips = {"n": 0}
+
+    def crash_on_second(table_dir, version):
+        flips["n"] += 1
+        if flips["n"] == 2:
+            raise RuntimeError("injected crash between pointer flips")
+        real_flip(table_dir, version)
+
+    monkeypatch.setattr(M, "_flip_pointer", crash_on_second)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        M.multi_commit(
+            [
+                {
+                    "df": spark.createDataFrame([(2, "new-doc")], "id long, v string"),
+                    "table_dir": corpus,
+                },
+                {
+                    "df": spark.createDataFrame([(2, "new-sig")], "id long, v string"),
+                    "table_dir": store,
+                },
+            ],
+            txn,
+        )
+    monkeypatch.setattr(M, "_flip_pointer", real_flip)
+
+    # torn: sorted(table_dir) order flips corpus first → corpus new, store old
+    assert M.current_version(corpus) != v_corpus0
+    assert M.current_version(store) == v_store0
+    assert len(os.listdir(txn)) == 1  # journal survived the crash
+
+    healed = M.recover_multi_commits(txn)
+    assert healed == [store]
+    assert M.current_version(store) != v_store0
+    assert [r["v"] for r in M.read_table(spark, store).collect()] == ["new-sig"]
+    assert [r["v"] for r in M.read_table(spark, corpus).collect()] == ["new-doc"]
+    assert os.listdir(txn) == []
+    assert M.recover_multi_commits(txn) == []  # idempotent
+
+
+def test_recover_multi_commits_rejects_diverged_table(spark, tmp_path, monkeypatch):
+    """If a writer committed to a journaled table during the crash window
+    (recovery-first discipline broken), roll-forward would clobber it —
+    recovery must raise and leave the journal for inspection."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    txn = str(tmp_path / "_txn")
+    _write(spark, a, [(1, "a1")])
+    _write(spark, b, [(1, "b1")])
+
+    real_flip = M._flip_pointer
+    flips = {"n": 0}
+
+    def crash_on_second(table_dir, version):
+        flips["n"] += 1
+        if flips["n"] == 2:
+            raise RuntimeError("injected crash")
+        real_flip(table_dir, version)
+
+    monkeypatch.setattr(M, "_flip_pointer", crash_on_second)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        M.multi_commit(
+            [
+                {"df": spark.createDataFrame([(2, "a2")], "id long, v string"), "table_dir": a},
+                {"df": spark.createDataFrame([(2, "b2")], "id long, v string"), "table_dir": b},
+            ],
+            txn,
+        )
+    monkeypatch.setattr(M, "_flip_pointer", real_flip)
+
+    # discipline violation: an independent commit lands on the un-flipped b
+    _write(spark, b, [(3, "b-interloper")])
+    with pytest.raises(M.ConcurrentWriteError, match="crash window"):
+        M.recover_multi_commits(txn)
+    assert len(os.listdir(txn)) == 1  # journal kept for inspection
