@@ -698,6 +698,17 @@ def stream_ingest(
     the batch runner's append-only ``survivors_path`` cannot avoid).
     Sidecars are written-or-validated before any data; replayed store rows
     are healed on read; a corrupt store read fails the batch and retries.
+
+    Cluster-deployment posture: the pipeline composes with the round-5
+    state knobs — call ``use_rocksdb_state_store(spark)`` before the first
+    run to put any stateful stage's working state off-heap with
+    incremental checkpointing (this pipeline's ``foreachBatch`` body is
+    itself stateless, so the provider choice changes memory behavior, not
+    results — parametrized e2e pytest runs the full ingest under BOTH
+    providers), and pair the landed corpus with ``session_agg_native`` /
+    ``stream_sessionize`` consumers for downstream stateful aggregation.
+    The provider is read at query start and is checkpoint-sticky: set it
+    before the first run, never flip it on an existing checkpoint.
     """
     from ..operators.dedup import (
         _SIMHASH_ALGO,
