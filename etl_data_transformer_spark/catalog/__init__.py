@@ -82,25 +82,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stays driver-live via percentile_prices / approx_percentile_prices /
     # profile_orders).
     "winnow_overlap_docs": EXT.q_winnow_overlap_docs,
-    # round-6 rotation (round-5 verdict item 6): the four longest-rotated
-    # queries return to the driver's 50 slots for a fresh driver-strength
-    # sf0.01 row; their overlapping, longer-driver-tenured twins rotate out
-    # (pairings: cube_agg <-> rollup_nation_status, anti_join_customers <->
-    # semi_join_customers, running_totals <-> rolling_user_stats,
-    # topk_orders_per_nation <-> tfidf_top_terms' window top-k). Every
+    # round-7 rotation (round-6 verdict item 3): the next batch of
+    # longest-rotated queries takes the driver's 50 slots for a fresh
+    # driver-strength sf0.01 row — heavy_hitter_terms, encode_docs_ids and
+    # boilerplate_lines_docs get their FIRST driver rows (added after the
+    # cap filled in rounds 5-6); resample_events and funnel_events return
+    # from the temporal family. The round-6 promotions rotate back out now
+    # they have fresh r6 rows (cube_agg, anti_join_customers,
+    # running_totals, topk_orders_per_nation — overlaps documented at
+    # their ROTATED_QUERIES entries), plus percentile_prices (the exact
+    # percentile; the family stays driver-live via
+    # approx_percentile_prices and rotated via price_histogram). Every
     # rotated-out query keeps the IDENTICAL DuckDB value-hash compare in
     # tests/test_rotated_oracle.py; see COVERAGE.md for the rotation log.
-    "cube_agg": PAR.q_cube_agg,
-    "anti_join_customers": PAR.q_anti_join_customers,
-    "running_totals": PAR.q_running_totals,
-    "topk_orders_per_nation": PAR.q_topk_orders_per_nation,
+    "heavy_hitter_terms": EXT.q_heavy_hitter_terms,
+    "encode_docs_ids": EXT.q_encode_docs,
+    "boilerplate_lines_docs": EXT.q_boilerplate_lines_docs,
+    "resample_events": TQ.q_resample_events,
+    "funnel_events": TQ.q_funnel_events,
     # temporal + profiling surface (as-of, range join, sessions, rollup)
     **TEMPORAL_QUERIES,
 }
 # rotated out this round (overlap documented above); the pop keeps the
 # TEMPORAL_QUERIES spread intact for its other entries
-for _out in ("rollup_nation_status", "rolling_user_stats"):
-    QUERIES.pop(_out)
+for _out in ("rollup_nation_status", "rolling_user_stats", "percentile_prices"):
+    QUERIES.pop(_out, None)
 
 # Outside the 50-slot driver contract but verified at DRIVER STRENGTH by
 # tests/test_rotated_oracle.py (identical DuckDB value-hash compare):
@@ -127,17 +133,22 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_gate": EXT.q_semantic_dedup_gate,
     "leakage_safe_split_gate": EXT.q_leakage_safe_split_gate,
     "price_histogram": PAR.q_price_histogram,
-    "heavy_hitter_terms": EXT.q_heavy_hitter_terms,
-    "encode_docs_ids": EXT.q_encode_docs,
     "dedup_lines_docs": EXT.q_dedup_lines_docs,
     "top_ngram_docs": EXT.q_top_ngram_docs,
-    "resample_events": TQ.q_resample_events,
-    "funnel_events": TQ.q_funnel_events,
     "sequence_packing_gate": EXT.q_sequence_packing_gate,
     "semantic_incremental_gate": EXT.q_semantic_incremental_gate,
     "mixture_sample_docs": EXT.q_mixture_sample_docs,
     "mixture_quality_docs": EXT.q_mixture_quality_docs,
-    "boilerplate_lines_docs": EXT.q_boilerplate_lines_docs,
+    # round-7 rotate-outs (fresh r6 driver rows; overlaps: cube_agg <->
+    # rollup_nation_status, anti_join_customers <-> semi_join_customers,
+    # running_totals <-> rolling_user_stats, topk_orders_per_nation <->
+    # tfidf_top_terms' window top-k, percentile_prices <->
+    # approx_percentile_prices (driver-live) + price_histogram)
+    "cube_agg": PAR.q_cube_agg,
+    "anti_join_customers": PAR.q_anti_join_customers,
+    "running_totals": PAR.q_running_totals,
+    "topk_orders_per_nation": PAR.q_topk_orders_per_nation,
+    "percentile_prices": PAR.q_percentile_prices,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}
