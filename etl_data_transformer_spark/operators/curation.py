@@ -141,6 +141,8 @@ def contamination_check(
 
 
 PACKED_SCHEMA = "bin_id long, doc_ids array<long>, n_docs int, n_tokens long"
+# first-fit scans at most this many open bins per doc (see pack_sequences)
+_PACK_OPEN_BINS = 64
 
 
 def pack_sequences(
@@ -163,10 +165,23 @@ def pack_sequences(
     bits. ``colocate_by_length`` range-partitions on the token count first
     so similar-length docs share partitions — tighter bins at the price of
     one extra shuffle (of (id, count) pairs only, never text).
+
+    The first-fit scan is over a BOUNDED window of open bins (the oldest
+    open bin closes when the window exceeds ``_PACK_OPEN_BINS``): pure
+    first-fit keeps every bin open forever, which is O(docs × bins) of
+    pure-Python probes per partition — quadratic when most docs don't
+    co-pack (round-7 review). The window keeps it O(docs × window) with
+    near-identical packing density; every budget/conservation invariant
+    is unchanged (pytest + the ``sequence_packing_gate`` oracle recompute
+    them from the raw table). Null/absent text counts as 0 tokens (same
+    coalesce discipline as ``_mixture_tok`` — a null-text doc must not
+    kill the job).
     """
     import pandas as pd
 
-    counts = df.select(F.col(id_col), F.size(tokens(text_col)).alias("n_tok"))
+    counts = df.select(
+        F.col(id_col), F.coalesce(F.size(tokens(text_col)), F.lit(0)).alias("n_tok")
+    )
     if colocate_by_length:
         counts = counts.repartitionByRange(F.col("n_tok"), F.col(id_col))
 
@@ -174,7 +189,8 @@ def pack_sequences(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        bins: list[list] = []  # [doc_ids, token_sum]
+        closed: list[list] = []  # [doc_ids, token_sum]
+        open_bins: list[list] = []
         rows = []
         for pdf in batches:
             rows.append(pdf)
@@ -183,13 +199,16 @@ def pack_sequences(
         allr = pd.concat(rows).sort_values(id_col)
         for doc_id, n_tok in zip(allr[id_col], allr["n_tok"]):
             n_tok = int(n_tok)
-            for b in bins:
+            for b in open_bins:
                 if b[1] + n_tok <= max_tokens:
                     b[0].append(int(doc_id))
                     b[1] += n_tok
                     break
             else:
-                bins.append([[int(doc_id)], n_tok])
+                open_bins.append([[int(doc_id)], n_tok])
+                if len(open_bins) > _PACK_OPEN_BINS:
+                    closed.append(open_bins.pop(0))
+        bins = closed + open_bins
         yield pd.DataFrame(
             {
                 "bin_id": [(pid << 32) | i for i in range(len(bins))],
@@ -537,16 +556,11 @@ def write_semantic_store(
 
 def _store_columns_or_none(spark, path: str) -> list[str] | None:
     """Column names of an existing parquet store, ``None`` if absent/empty
-    (same first-batch gating as ``streaming.pipeline._read_store_or_none``)."""
-    from pyspark.errors.exceptions.captured import AnalysisException
+    (delegates to the canonical ``sources.readers.read_parquet_or_none``)."""
+    from ..sources.readers import read_parquet_or_none
 
-    try:
-        return spark.read.parquet(path).columns
-    except AnalysisException as e:
-        cond = e.getCondition() or ""
-        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-            return None
-        raise
+    df = read_parquet_or_none(spark, path)
+    return None if df is None else df.columns
 
 
 def _write_semantic_sidecar(path: str, centroids: list[list[float]]) -> None:
@@ -798,7 +812,13 @@ def hyperplane_lsh_pairs(
 
     signed = hyperplane_signatures(df, id_col=id_col, emb_col=emb_col, n_bits=n_bits, seed=seed)
     if signed is None:
-        return df.sparkSession.createDataFrame([], "id_a long, id_b long, hamming int")
+        # empty-frame schema must match the non-empty path, which types
+        # id_a/id_b from the INPUT id column (round-7 review: a hardcoded
+        # long here changed the output schema with emptiness)
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, hamming int"
+        )
     return hamming_band_pairs(
         signed, id_col, "s", n_bits=n_bits, max_hamming=max_hamming, max_bucket_size=max_bucket_size
     )
@@ -814,12 +834,19 @@ def hyperplane_signatures(
     """(id, s): the ``n_bits``-bit random-hyperplane sign signature used by
     ``hyperplane_lsh_pairs`` — exposed so callers can compare the blocked
     join against an unblocked all-pairs Hamming scan (the recall gate in
-    the catalog). One codegen'd projection; returns ``None`` on an empty
-    frame (no dimension to probe)."""
+    the catalog). One codegen'd projection; returns ``None`` on a frame
+    with no non-null embedding (no dimension to probe). The dimension
+    probe skips null embeddings (round-7 review: a null FIRST row made
+    ``dim`` None and crashed the driver); null-embedding ROWS themselves
+    sign to an all-zero signature (dot of null is null → every ``when``
+    falls to 0), the same every-null-in-one-bucket behavior the banded
+    joins already cap via ``max_bucket_size``."""
     import random as _random
 
     rng = _random.Random(seed)
-    dim_probe = df.select(F.size(emb_col).alias("d")).first()
+    dim_probe = (
+        df.filter(F.col(emb_col).isNotNull()).select(F.size(emb_col).alias("d")).first()
+    )
     if dim_probe is None:
         return None
     dim = dim_probe["d"]
@@ -1075,13 +1102,23 @@ def sample_token_mixture_ordered(
         .withColumn("__h", _mixture_hash(id_col, salt))
         .withColumn("__ok", F.col(order_col).cast("double"))
     )
-    r = pre.agg(F.min("__ok").alias("lo"), F.max("__ok").alias("hi")).first()
+    # NaN order values route to the null bucket, and the range aggregate
+    # skips them: Spark's max() treats NaN as the largest double, so one
+    # NaN (e.g. 0/0 from a degenerate doc) made hi=NaN -> span=NaN and
+    # silently collapsed EVERY row into one boundary bucket — correct
+    # output, but the whole domain then ran the single window the bucket
+    # census exists to avoid (round-7 review). NaN sorts after every real
+    # value and before nulls in asc_nulls_last order, so sharing the null
+    # bucket keeps the census prefix-sum classification exact.
+    not_nan = ~F.isnan("__ok") & F.col("__ok").isNotNull()
+    clean = F.when(not_nan, F.col("__ok"))
+    r = pre.agg(F.min(clean).alias("lo"), F.max(clean).alias("hi")).first()
     lo, hi = (r["lo"], r["hi"]) if r is not None else (None, None)
     if lo is None or hi is None or lo == hi:
-        bucket = F.when(F.col("__ok").isNull(), F.lit(n_buckets)).otherwise(F.lit(0))
+        bucket = F.when(~not_nan, F.lit(n_buckets)).otherwise(F.lit(0))
     else:
         span = hi - lo
-        bucket = F.when(F.col("__ok").isNull(), F.lit(n_buckets)).otherwise(
+        bucket = F.when(~not_nan, F.lit(n_buckets)).otherwise(
             F.least(
                 F.lit(n_buckets - 1),
                 F.floor((F.col("__ok") - F.lit(lo)) / F.lit(span) * n_buckets),

@@ -393,16 +393,12 @@ def _reject_streaming_layout_append(store_df: DataFrame, path: str, what: str) -
     cannot read (round-6 review, found first on the semantic twin). A
     streaming store grows through its stream; batch backfills rebuild with
     mode='overwrite' or use their own store."""
-    from pyspark.errors.exceptions.captured import AnalysisException
+    from ..sources.readers import read_parquet_or_none
 
-    try:
-        cols = store_df.sparkSession.read.parquet(path).columns
-    except AnalysisException as e:
-        cond = e.getCondition() or ""
-        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-            return
-        raise
-    if "__batch_id" in cols:
+    existing = read_parquet_or_none(store_df.sparkSession, path)
+    if existing is None:
+        return
+    if "__batch_id" in existing.columns:
         raise ValueError(
             f"{what} store at {path} has the streaming (__batch_id) layout; "
             "a flat batch append would corrupt partition discovery — append "

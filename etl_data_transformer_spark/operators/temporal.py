@@ -281,7 +281,12 @@ def _broadcast_threshold_bytes(spark) -> int:
         pass
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     if s.endswith("b"):
+        # Spark normalizes numeric byte confs to a 'b' suffix ('10485760b')
         s = s[:-1]
+        try:
+            return int(s)
+        except ValueError:
+            pass
     if s and s[-1] in units:
         return int(s[:-1]) * units[s[-1]]
     raise ValueError(f"unparseable spark.sql.autoBroadcastJoinThreshold: {raw!r}")

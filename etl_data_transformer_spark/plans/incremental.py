@@ -97,13 +97,11 @@ def compute_watermark(
             return params.minimum_date
         target = manifest_store.read_table(spark, target_path)
     else:
-        try:
-            target = spark.read.parquet(target_path)
-        except AnalysisException as e:
-            cond = e.getCondition() or ""
-            if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-                return params.minimum_date
-            raise
+        from ..sources.readers import read_parquet_or_none
+
+        target = read_parquet_or_none(spark, target_path)
+        if target is None:
+            return params.minimum_date
     hwm = scalar_max(target, params.cdc_column)
     if hwm is None:
         return params.minimum_date

@@ -195,12 +195,18 @@ def _estimated_scan_tasks(spark: SparkSession, path: str) -> int:
     return max(1, size // max_bytes)
 
 
-# (session, path, auto_spread) → DataFrame. A DataFrame is an immutable lazy
-# plan, so sharing one per table is safe; without this every query pays a
-# parquet footer/schema-inference JOB per table it loads (measured: 14 of 25
-# jobs in one branch query were footer reads — several seconds of fixed cost).
-# Fixture directories are read-only, so no invalidation is needed.
-_TABLE_CACHE: dict[tuple[int, str, bool], DataFrame] = {}
+# session → {(path, auto_spread) → DataFrame}. A DataFrame is an immutable
+# lazy plan, so sharing one per table is safe; without this every query pays
+# a parquet footer/schema-inference JOB per table it loads (measured: 14 of
+# 25 jobs in one branch query were footer reads — several seconds of fixed
+# cost). Fixture directories are read-only, so no path invalidation is
+# needed. Keyed WEAKLY on the session object (round-7 review: the old
+# process-lifetime dict keyed by id(spark) pinned every stopped session —
+# and its cached plans — forever, and a recycled id() could even alias a
+# new session onto a dead one's frames); entries die with their session.
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str, auto_spread: bool = False) -> DataFrame:
@@ -212,8 +218,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str, auto_spread: bool = 
     session (see ``_TABLE_CACHE``).
     """
     path = f"{sf_dir}/{name}.parquet"
-    cache_key = (id(spark), path, auto_spread)
-    cached = _TABLE_CACHE.get(cache_key)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    cache_key = (path, auto_spread)
+    cached = per_session.get(cache_key)
     if cached is not None:
         return cached
     # Runtime-set (not session-build-time): callers hand us arbitrary
@@ -259,8 +266,30 @@ def read_table(spark: SparkSession, sf_dir: str, name: str, auto_spread: bool = 
                 df = df.repartition(target, F.col(_SPREAD_TABLES[name]))
         except OSError:
             pass  # non-local path (object store) — cluster-scale, no spread
-    _TABLE_CACHE[cache_key] = df
+    per_session[cache_key] = df
     return df
+
+
+def read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """THE canonical absent-store probe (round-7 review consolidated four
+    drifting copies onto this one): read a parquet store, returning ``None``
+    ONLY for the legitimate first-batch states — path absent, or present
+    with no data files yet (e.g. a params sidecar written before the first
+    data batch). Every other failure — corrupt files, permissions,
+    transient FS errors on an EXISTING store — propagates, so callers retry
+    instead of silently treating a populated store as empty (the round-5
+    data-loss pattern: a blind fallback here once truncated a live table
+    with a static overwrite). If a Spark upgrade renames or adds an error
+    condition, fix it HERE and every store probe inherits it."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cond = e.getCondition() or ""
+        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            return None
+        raise
 
 
 def load_star(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = FIXTURE_TABLES) -> dict[str, DataFrame]:

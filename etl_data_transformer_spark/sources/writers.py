@@ -45,6 +45,15 @@ def atomic_swap_write(
     — ``sources/manifest.py`` (manifest + atomic pointer replace, the
     Delta/Iceberg shape) removes it and is preferred for new tables.
 
+    The in-process ``except`` below restores the backup on any raised
+    failure, but a HARD crash (SIGKILL/OOM-kill/power loss) between the two
+    renames leaves the target missing with the only copy stranded in the
+    backup dir (round-7 review) — the backup is therefore named after the
+    target so ``recover_interrupted_swap(target_dir)`` can heal it on the
+    next startup (the in-flight write is simply lost; the caller reruns
+    it). The same recovery-before-writers discipline as
+    ``manifest.recover_multi_commits``.
+
     ``finalize_staging(staging_dir)``: optional hook run after the data
     write but BEFORE the swap — sidecars/metadata dropped here become
     visible atomically with the data (no labeled-without-data or
@@ -52,8 +61,9 @@ def atomic_swap_write(
     """
     parent = os.path.dirname(os.path.abspath(target_dir))
     os.makedirs(parent, exist_ok=True)
+    base = os.path.basename(os.path.abspath(target_dir))
     staging = os.path.join(parent, f".staging-{uuid.uuid4().hex}")
-    backup = os.path.join(parent, f".backup-{uuid.uuid4().hex}")
+    backup = os.path.join(parent, f".backup-{base}-{uuid.uuid4().hex}")
     write_parquet(df, staging, mode="overwrite", partition_by=partition_by)
     if finalize_staging is not None:
         finalize_staging(staging)
@@ -74,6 +84,37 @@ def atomic_swap_write(
             shutil.rmtree(backup, ignore_errors=True)
         if os.path.exists(staging):
             shutil.rmtree(staging, ignore_errors=True)
+
+
+def recover_interrupted_swap(target_dir: str) -> bool:
+    """Heal a hard-crashed ``atomic_swap_write`` (run before admitting
+    writers): if the target is MISSING but a ``.backup-<name>-*`` sibling
+    survives, restore the newest backup — the table reappears at its path
+    with its pre-swap contents and the interrupted write is simply lost
+    (rerun it). If the target exists, surviving backups are crash litter
+    from after the second rename; remove them. Returns True iff a restore
+    happened. Backups predating the name-tagged scheme (bare
+    ``.backup-<uuid>``) are not associated with any target and are left
+    alone."""
+    target = os.path.abspath(target_dir)
+    parent, base = os.path.dirname(target), os.path.basename(target)
+    if not os.path.isdir(parent):
+        return False
+    backups = sorted(
+        (os.path.join(parent, d) for d in os.listdir(parent)
+         if d.startswith(f".backup-{base}-")),
+        key=os.path.getmtime,
+    )
+    if os.path.exists(target):
+        for b in backups:
+            shutil.rmtree(b, ignore_errors=True)
+        return False
+    if not backups:
+        return False
+    os.rename(backups[-1], target)
+    for b in backups[:-1]:
+        shutil.rmtree(b, ignore_errors=True)
+    return True
 
 
 def drop_table(path: str) -> None:

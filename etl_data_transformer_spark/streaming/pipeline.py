@@ -1049,21 +1049,14 @@ def _partitioned_store_or_convert(
 
 
 def _read_store_or_none(spark: SparkSession, path: str):
-    """Read a parquet store, returning ``None`` ONLY for the legitimate
-    first-batch states: path absent, or present with no data files yet (the
-    sidecar is written before the first data batch). Every other failure —
-    corrupt files, permissions, transient FS errors on an existing store —
-    propagates, so ``foreachBatch`` retries instead of silently treating a
+    """Alias of the canonical absent-store probe (round-7 consolidation —
+    the condition list lives in ONE place now): ``None`` only for the
+    legitimate first-batch states; any failure on an existing store
+    propagates so ``foreachBatch`` retries instead of silently treating a
     populated store as empty (which would drop all cross-batch pairs)."""
-    from pyspark.errors.exceptions.captured import AnalysisException
+    from ..sources.readers import read_parquet_or_none
 
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException as e:
-        cond = e.getCondition() or ""
-        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-            return None
-        raise
+    return read_parquet_or_none(spark, path)
 
 
 def _drop_replayed_batch_rows(store: DataFrame, batch: DataFrame, id_col: str) -> DataFrame:

@@ -774,3 +774,63 @@ def test_connected_components_string_ids_and_nonconvergence(spark):
         connected_components(chain_nodes, chain_edges, max_iter=2)
     full = connected_components(chain_nodes, chain_edges, max_iter=10)
     assert {r["cluster_id"] for r in full.collect()} == {0}
+
+
+def test_pack_sequences_null_text_and_bounded_open_bins(spark):
+    """Round-7 review: a null-text document must pack as 0 tokens instead of
+    killing the job with a NaN cast, and the bounded open-bin window must
+    preserve every invariant (budget respected, all docs covered exactly
+    once) even when the doc count far exceeds the window."""
+    import etl_data_transformer_spark.operators.curation as C
+
+    rows = [(0, None)] + [(i, "tok " * 60) for i in range(1, 301)]  # 60 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bins = C.pack_sequences(df, max_tokens=100).collect()
+    packed = sorted(d for b in bins for d in b["doc_ids"])
+    assert packed == list(range(301))  # every doc exactly once, null included
+    assert all(b["n_tokens"] <= 100 for b in bins)
+    # 60-token docs can't pair up under 100: one bin per doc, far more bins
+    # than the open window — the window must not drop or double-pack any
+    assert len(bins) >= 300
+
+
+def test_hyperplane_null_embedding_rows(spark):
+    """Round-7 review: a null embedding in the FIRST row must not crash the
+    dimension probe, and the empty-frame fallback must type ids from the
+    input column."""
+    import etl_data_transformer_spark.operators.curation as C
+
+    df = spark.createDataFrame(
+        [(0, None), (1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.001, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = C.hyperplane_lsh_pairs(df, n_bits=8, max_hamming=1)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # the near-identical real vectors still pair
+
+    empty_str = spark.createDataFrame([], "vec_id string, embedding array<float>")
+    out = C.hyperplane_lsh_pairs(empty_str, n_bits=8)
+    assert dict(out.dtypes)["id_a"] == "string"  # typed from input, not long
+    assert out.count() == 0
+
+
+def test_ordered_mixture_nan_order_values(spark):
+    """Round-7 review: NaN order values must route to the null bucket (the
+    census keeps its multi-bucket classification) and the selection must
+    still equal the one-window reference, NaN-last like nulls."""
+    import etl_data_transformer_spark.operators.curation as C
+
+    rows = [(i, "w " * 10, "web", float(i)) for i in range(40)]
+    rows.append((100, "w " * 10, "web", float("nan")))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, q double")
+    got = C.sample_token_mixture_ordered(
+        df, {"web": 1.0}, token_budget=100, order_col="q", n_buckets=8
+    )
+    want = C.sample_token_mixture_window(
+        df, {"web": 1.0}, token_budget=100, order_col="q"
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+    # best-10-by-q fills the budget; the NaN doc must not be selected
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(10))

@@ -256,6 +256,7 @@ def test_funnel_threshold_parsing(spark):
         for raw, want in (
             ("-1", -1),
             ("10485760", 10485760),
+            ("10485760b", 10485760),  # Spark's normalized byte spelling
             ("10MB", 10 << 20),
             ("512k", 512 << 10),
             ("1g", 1 << 30),

@@ -44,13 +44,21 @@ SHIFT = {
 }
 
 
-def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--skew"]
-    skew = "--skew" in sys.argv[1:]
-    factor = int(args[0]) if len(args) > 0 else 10
-    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
-    out = args[2] if len(args) > 2 else "/root/repo/.scratch/sf1_scaled"
-    spark = get_spark("scale_fixtures")
+def scale_fixture_dir(spark, factor: int, src: str, out: str, distinct: bool = False) -> None:
+    """Write the N×-scaled fixture set (facts key-shifted + text-perturbed,
+    dims copied) — importable so bench.py can self-provision its sf1 tier.
+
+    ``distinct=False`` (the original mode) appends a per-replica suffix
+    token to document text, which makes every replica a NEAR-DUP of its
+    source — near-dup/semantic pair output then grows ~quadratically with
+    the replication factor (measured: simhash pairs 4.17M -> 409M at 10x),
+    which measures output explosion, not engine scaling, and OOMs the
+    near-dup tiers at 30x. ``distinct=True`` is the engine-scaling mode:
+    replica documents get EVERY token suffixed (bijective token remap — no
+    shingle/feature collides across replicas, intra-replica near-dup
+    structure preserved), and replica embeddings are regenerated as
+    deterministic pseudo-random vectors keyed by the shifted vec_id — so
+    dedup/ANN output grows ~linearly and wall-clock measures compute."""
     os.makedirs(out, exist_ok=True)
 
     for t in DIM_TABLES:
@@ -77,14 +85,50 @@ def main() -> None:
             for k in keys:
                 r = r.withColumn(k, F.col(k) + F.lit(i * strides[k]))
             if t == "documents" and i > 0:
-                # perturb text so near-dup workloads see near-dups, not copies
-                r = r.withColumn("text", F.concat_ws(" ", F.col("text"), F.lit(f"rep{i}")))
+                if distinct:
+                    # bijective per-replica token remap: no shingle/simhash
+                    # feature collides across replicas, intra-replica
+                    # near-dup structure preserved
+                    r = r.withColumn(
+                        "text", F.regexp_replace("text", r"(\S+)", rf"$1r{i}")
+                    )
+                else:
+                    # perturb text so near-dup workloads see near-dups, not copies
+                    r = r.withColumn(
+                        "text", F.concat_ws(" ", F.col("text"), F.lit(f"rep{i}"))
+                    )
+            if t == "embeddings" and i > 0 and distinct:
+                # deterministic pseudo-random replacement keyed by the
+                # (already replica-shifted) vec_id: replicas occupy their
+                # own regions of embedding space instead of being exact
+                # copies of the base corpus
+                dim = len(df.first()["embedding"])
+                r = r.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"transform(sequence(0, {dim - 1}), "
+                        "j -> cast(pmod(xxhash64(vec_id * 131071 + j), 1999) "
+                        "as float) / 1000.0 - 1.0)"
+                    ),
+                )
             reps.append(r)
         scaled = reps[0]
         for r in reps[1:]:
             scaled = scaled.unionByName(r)
         scaled.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
         print(f"# {t}: x{factor} -> {out}")
+
+
+def main() -> None:
+    flags = {"--skew", "--distinct"}
+    args = [a for a in sys.argv[1:] if a not in flags]
+    skew = "--skew" in sys.argv[1:]
+    distinct = "--distinct" in sys.argv[1:]
+    factor = int(args[0]) if len(args) > 0 else 10
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    out = args[2] if len(args) > 2 else "/root/repo/.scratch/sf1_scaled"
+    spark = get_spark("scale_fixtures")
+    scale_fixture_dir(spark, factor, src, out, distinct=distinct)
 
     if skew:
         out_skew = f"{out.rstrip('/')}_skew"
