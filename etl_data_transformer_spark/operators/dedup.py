@@ -1004,22 +1004,51 @@ def _winnow_arrow_udf(k: int, w: int):
 
     @F.pandas_udf("array<long>")
     def fps(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if t is None or len(t) < k:
-                out.append([])
-                continue
-            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-            n = len(codes) - k + 1
-            h = np.zeros(n, dtype=np.int64)
-            for j in range(k):
-                h = (h * WINNOW_BASE + codes[j : j + n]) % WINNOW_MOD
-            if len(h) < w:
-                out.append([])
-                continue
-            mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
-            out.append(np.unique(mins).tolist())
-        return pd.Series(out)
+        # Whole-batch vectorization: the per-doc loop paid ~80 µs/doc of
+        # numpy small-array overhead (k passes over ~300-elem vectors).
+        # Concatenate the batch's codepoints once, roll the hash globally
+        # (k passes over the whole batch), and mask out windows that
+        # straddle document boundaries — values at valid positions only
+        # involve in-document codepoints, so they are bit-identical to the
+        # per-doc fold.
+        vals = texts.fillna("")
+        ndocs = len(vals)
+        lens = vals.str.len().to_numpy(dtype=np.int64)
+        empty = pd.Series([[]] * ndocs, index=texts.index)
+        total = int(lens.sum())
+        if ndocs == 0 or total < k:
+            return empty
+        codes = np.frombuffer(
+            "".join(vals.tolist()).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        nh = total - k + 1
+        h = np.zeros(nh, dtype=np.int64)
+        for j in range(k):
+            h = (h * WINNOW_BASE + codes[j : j + nh]) % WINNOW_MOD
+        if nh < w:
+            return empty
+        wmin = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+        # doc i's grams start at char offset g_i and number n_i = len_i-k+1;
+        # its valid window starts are [g_i, g_i + n_i - w] (none if n_i < w)
+        g = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        n_grams = np.maximum(lens - k + 1, 0)
+        c = np.maximum(n_grams - w + 1, 0)
+        doc_label = np.repeat(np.arange(ndocs), c)
+        # grouped arange: for each doc, g_i + 0..c_i-1
+        offs = np.concatenate(([0], np.cumsum(c)))
+        win_starts = np.arange(offs[-1]) - np.repeat(offs[:-1], c) + np.repeat(g, c)
+        mins = wmin[win_starts]
+        # per-doc unique (ascending, matching np.unique): lexsort by
+        # (doc, value), drop adjacent duplicates within a doc
+        order = np.lexsort((mins, doc_label))
+        sv, sd = mins[order], doc_label[order]
+        keep = np.ones(len(sv), dtype=bool)
+        keep[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+        uv, ud = sv[keep], sd[keep]
+        counts = np.bincount(ud, minlength=ndocs)
+        return pd.Series(
+            np.split(uv, np.cumsum(counts)[:-1]), index=texts.index
+        )
 
     return fps
 
