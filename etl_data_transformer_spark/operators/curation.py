@@ -379,29 +379,33 @@ def semantic_dedup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     max_cluster_size: int | None = None,
+    block_size: int = 1024,
 ) -> DataFrame:
     """In-cluster cosine near-dup pairs — the candidate step of
     ``semantic_dedup``. Each vector is assigned to its nearest frozen
     centroid (``similarity.ivf_assign``: pure codegen'd expressions) and
-    pairs are generated by a self-equi-join on the cluster id only — the
-    pairwise cosine work is bounded by the largest cluster, never the
-    corpus (the SemDeDup trade: pairs straddling a cluster boundary are
-    accepted misses; tighten with more clusters). ``max_cluster_size``
-    drops degenerate clusters via the same narrow count + broadcast
-    anti-join as the banded dedups (audit by counting assignments per
-    ``list_id``). Returns (id_a, id_b, cosine_sim) with id_a < id_b.
-    Requires the embedding column to be named ``embedding``
-    (``ivf_assign``'s contract).
+    pairs are generated within the cluster only — the pairwise cosine work
+    is bounded by the largest cluster, never the corpus (the SemDeDup
+    trade: pairs straddling a cluster boundary are accepted misses;
+    tighten with more clusters). ``max_cluster_size`` drops degenerate
+    clusters via the same narrow count + broadcast anti-join as the banded
+    dedups (audit by counting assignments per ``list_id``). Returns
+    (id_a, id_b, cosine_sim) with id_a < id_b. Requires the embedding
+    column to be named ``embedding`` (``ivf_assign``'s contract).
 
-    The pairwise cosine runs as ``applyInPandas`` over the cluster groups —
-    ONE dense BLAS matmul per cluster (the standard SemDeDup execution
-    shape). Tried and rejected: an interpreted ``zip_with`` cosine per
-    joined pair (5.8 s at sf0.1) and the posexplode → (list_id, position)
-    equi-join → groupBy-sum shape (5.1 s — the join materializes
-    pairs × dim rows); the per-cluster matmul measures ~1 s on the same
-    input. Each cluster's (B_c × B_c) similarity matrix lives in one
-    worker — ``max_cluster_size`` is the memory bound (e.g. 20k rows ≈
-    3 GB of doubles); zero-norm vectors never pair (cosine undefined)."""
+    Execution shape: each cluster's rows are hashed into blocks of
+    ~``block_size`` vectors, blocks are PACKED one-per-row (ids array +
+    flattened embedding matrix), and every ordered block pair (including
+    the diagonal) becomes one dense BLAS matmul task. Parallelism is
+    therefore Σ_c B_c(B_c+1)/2 tasks, not n_clusters — the one-task-per-
+    cluster ``applyInPandas`` shape left 24 of 32 cores idle at 8 clusters
+    and made every skewed cluster a straggler (7–14 s at sf1; the block
+    decomposition measures ~2.5 s on the same input). Tried and rejected
+    earlier: an interpreted ``zip_with`` cosine per joined pair (5.8 s at
+    sf0.1) and the posexplode → (list_id, position) equi-join →
+    groupBy-sum shape (5.1 s — the join materializes pairs × dim rows).
+    Each task's (≤block_size × ≤block_size) similarity tile is the memory
+    bound; zero-norm vectors never pair (cosine undefined)."""
     import numpy as np
     import pandas as pd
 
@@ -414,32 +418,88 @@ def semantic_dedup_pairs(
     id_type = dict(assigned.dtypes)["id"]
     schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
 
-    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
-        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        ids = pdf["id"].to_numpy()
-        norms = np.linalg.norm(x, axis=1)
-        live = norms > 0.0
-        x, ids, norms = x[live], ids[live], norms[live]
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
-        sim = (x @ x.T) / (norms[:, None] * norms[None, :])
-        iu = np.triu_indices(len(ids), k=1)
-        s = np.round(sim[iu], 6)
-        keep = s >= threshold
-        ia, ib = ids[iu[0][keep]], ids[iu[1][keep]]
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(ia, ib),
-                "id_b": np.maximum(ia, ib),
-                "cosine_sim": s[keep],
-            }
-        )
-
-    return assigned.select("id", "list_id", "embedding").groupBy("list_id").applyInPandas(
-        per_cluster, schema=schema
+    # narrow cluster census → per-cluster block count ceil(n/block_size);
+    # block membership is a deterministic id hash, so the decomposition is
+    # partitioning-independent
+    sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("__n"))
+    blocked = assigned.join(F.broadcast(sizes), "list_id").withColumn(
+        "blk",
+        F.pmod(
+            F.xxhash64("id"),
+            F.ceil(F.col("__n") / F.lit(block_size)).cast("long"),
+        ).cast("int"),
     )
+    # pack each block as one row: ids + the flattened row-major embedding
+    # matrix (reshaped in numpy without per-element Python)
+    rows = F.collect_list(F.struct(F.col("id"), F.col("embedding"))).alias("__rows")
+    packed = (
+        blocked.groupBy("list_id", "blk")
+        .agg(rows)
+        .select(
+            "list_id",
+            "blk",
+            F.transform("__rows", lambda r: r["id"]).alias("ids"),
+            F.flatten(F.transform("__rows", lambda r: r["embedding"])).alias("flat"),
+        )
+    )
+    a = packed.select(
+        "list_id",
+        F.col("blk").alias("blk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("flat").alias("flat_a"),
+    )
+    b = packed.select(
+        "list_id",
+        F.col("blk").alias("blk_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("flat").alias("flat_b"),
+    )
+    tiles = (
+        a.join(b, "list_id")
+        .filter(F.col("blk_a") <= F.col("blk_b"))
+        .repartition(F.col("list_id"), F.col("blk_a"), F.col("blk_b"))
+    )
+
+    def gemm_tiles(batches):
+        for pdf in batches:
+            outs = []
+            for ids_a, flat_a, blk_a, ids_b, flat_b, blk_b in zip(
+                pdf["ids_a"], pdf["flat_a"], pdf["blk_a"], pdf["ids_b"], pdf["flat_b"], pdf["blk_b"]
+            ):
+                ia = np.asarray(ids_a)
+                ib = np.asarray(ids_b)
+                xa = np.asarray(flat_a, dtype=np.float64).reshape(len(ia), -1)
+                xb = np.asarray(flat_b, dtype=np.float64).reshape(len(ib), -1)
+                na = np.linalg.norm(xa, axis=1)
+                nb = np.linalg.norm(xb, axis=1)
+                la, lb = na > 0.0, nb > 0.0
+                ia, xa, na = ia[la], xa[la], na[la]
+                ib, xb, nb = ib[lb], xb[lb], nb[lb]
+                if len(ia) == 0 or len(ib) == 0:
+                    continue
+                sim = np.round((xa @ xb.T) / (na[:, None] * nb[None, :]), 6)
+                if blk_a == blk_b:
+                    iu = np.triu_indices(len(ia), k=1)
+                    s = sim[iu]
+                    keep = s >= threshold
+                    pa, pb, ps = ia[iu[0][keep]], ib[iu[1][keep]], s[keep]
+                else:
+                    ra, rb = np.nonzero(sim >= threshold)
+                    pa, pb, ps = ia[ra], ib[rb], sim[ra, rb]
+                if len(pa):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": np.minimum(pa, pb),
+                                "id_b": np.maximum(pa, pb),
+                                "cosine_sim": ps,
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return tiles.mapInPandas(gemm_tiles, schema=schema)
 
 
 def semantic_dedup(
