@@ -171,10 +171,31 @@ def _signatures(df: DataFrame, text_col: str, id_col: str, shingle_n: int, num_h
     no-op when the scan is already parallel (cluster-scale inputs)."""
     from ..sources.readers import spread
 
+    # Shingles are built EXPLODED with plain codegen expressions (explode
+    # the start indices, slice+concat per row) rather than exploding
+    # ``functions.text.shingles``'s array: that array comes from a
+    # higher-order ``transform`` lambda, which Spark evaluates INTERPRETED
+    # per element (~5 s of the sf1 pipeline; this shape measures ~2 s).
+    # Duplicate shingles now emit multiple rows — harmless, since ``min``
+    # is duplicate-insensitive and ``collect_set`` dedups ``hs``; the
+    # shingle VALUES (incl. the whitespace-only guard and the single
+    # partial shingle of 1..n-1-token docs) match ``shingles()`` exactly.
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    idx = F.when(
+        F.length(F.regexp_replace(F.col(text_col), r"\s", "")) == 0,
+        F.array().cast("array<int>"),
+    ).otherwise(F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0))))
     ex = (
         spread(df.select(F.col(id_col), F.col(text_col)), key=id_col)
-        .select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
-        .select(F.col(id_col), F.xxhash64("s").alias("h"))
+        .select(F.col(id_col), toks.alias("__toks"), F.explode(idx).alias("__i"))
+        .select(
+            F.col(id_col),
+            F.xxhash64(
+                F.concat_ws(" ", F.slice("__toks", F.col("__i") + 1, F.lit(shingle_n)))
+            ).alias("h"),
+        )
         .withColumn("hm", F.pmod(F.col("h"), F.lit(_P)))
     )
     mins = [
