@@ -798,6 +798,127 @@ def _drop_hot_buckets(banded: DataFrame, keys: list[str], max_bucket_size: int) 
     return banded.join(F.broadcast(hot), keys, "left_anti")
 
 
+def _hamming_tile_pairs(
+    banded: DataFrame,
+    n_bits: int,
+    n_bands: int,
+    max_hamming: int,
+    block_size: int = 2048,
+) -> DataFrame:
+    """Vectorized tile engine for the uncapped pigeonhole Hamming join.
+
+    The row-based band self-join streams every candidate through the
+    sort-merge join's buffered-row inner loop at ~200 ns/candidate; at
+    loose thresholds (narrow bands → weak blocking) that iteration IS the
+    query (2.1e9 candidates ≈ 14 s at sf1). Here each (band, bv) bucket's
+    rows are hashed into blocks of ~``block_size`` signatures, each block
+    is PACKED into one row (ids + sigs arrays), and every ordered block
+    pair becomes one numpy tile task: one ``bitwise_xor.outer``, a 16-bit
+    LUT popcount, the Hamming filter, then the canonical-first-band filter
+    (pair uniqueness without any pair shuffle — same rule as the SQL
+    shape). Candidate volume is unchanged; the per-candidate cost drops to
+    a few vectorized ops.
+
+    Input: (__id, __sig, band, bv); output (id_a, id_b, hamming),
+    id_a < id_b, each qualifying pair exactly once."""
+    import numpy as np
+
+    slices = band_slices(n_bits, n_bands)
+    sizes = banded.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("__n"))
+    blocked = banded.join(F.broadcast(sizes), ["band", "bv"]).withColumn(
+        "blk",
+        F.pmod(
+            F.xxhash64("__id"), F.ceil(F.col("__n") / F.lit(block_size)).cast("long")
+        ).cast("int"),
+    )
+    packed = (
+        blocked.groupBy("band", "bv", "blk")
+        .agg(F.collect_list(F.struct("__id", "__sig")).alias("__rows"))
+        .select(
+            "band",
+            "bv",
+            "blk",
+            F.transform("__rows", lambda r: r["__id"]).alias("ids"),
+            F.transform("__rows", lambda r: r["__sig"]).alias("sigs"),
+        )
+    )
+    a = packed.select(
+        "band",
+        "bv",
+        F.col("blk").alias("blk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("sigs").alias("sigs_a"),
+    )
+    b = packed.select(
+        "band",
+        "bv",
+        F.col("blk").alias("blk_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("sigs").alias("sigs_b"),
+    )
+    tiles = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("blk_a") <= F.col("blk_b"))
+        .repartition(F.col("band"), F.col("bv"), F.col("blk_a"), F.col("blk_b"))
+    )
+
+    def popcount_tiles(batches):
+        lut = np.zeros(65536, dtype=np.uint8)
+        idx = np.arange(65536)
+        for i in range(16):
+            lut += ((idx >> i) & 1).astype(np.uint8)
+        for pdf in batches:
+            outs = []
+            for band, ids_a, sigs_a, blk_a, ids_b, sigs_b, blk_b in zip(
+                pdf["band"],
+                pdf["ids_a"],
+                pdf["sigs_a"],
+                pdf["blk_a"],
+                pdf["ids_b"],
+                pdf["sigs_b"],
+                pdf["blk_b"],
+            ):
+                ia = np.asarray(ids_a, dtype=np.int64)
+                sa = np.asarray(sigs_a, dtype=np.int64)
+                ib = np.asarray(ids_b, dtype=np.int64)
+                sb = np.asarray(sigs_b, dtype=np.int64)
+                xor = np.bitwise_xor.outer(sa, sb)
+                ham = lut[xor.view(np.uint16).reshape(len(ia), len(ib), 4)].sum(
+                    axis=2, dtype=np.int16
+                )
+                mask = ham <= max_hamming
+                if blk_a == blk_b:
+                    # strict upper triangle: each in-bucket unordered pair
+                    # from exactly one position pair (a doc appears once
+                    # per bucket, so the diagonal is the self-pair)
+                    mask &= np.triu(np.ones(mask.shape, dtype=bool), k=1)
+                ra, rb = np.nonzero(mask)
+                if not len(ra):
+                    continue
+                x = xor[ra, rb]
+                first_band = np.full(len(ra), -1, dtype=np.int16)
+                for k, (off, width) in enumerate(slices):
+                    hit = (first_band < 0) & (((x >> off) & ((1 << width) - 1)) == 0)
+                    first_band[hit] = k
+                keep = first_band == band
+                if not keep.any():
+                    continue
+                pa, pb = ia[ra[keep]], ib[rb[keep]]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.minimum(pa, pb),
+                            "id_b": np.maximum(pa, pb),
+                            "hamming": ham[ra[keep], rb[keep]].astype(np.int32),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return tiles.mapInPandas(popcount_tiles, schema="id_a long, id_b long, hamming int")
+
+
 def hamming_band_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -805,6 +926,8 @@ def hamming_band_pairs(
     n_bits: int,
     max_hamming: int,
     max_bucket_size: int | None = None,
+    engine: str = "auto",
+    block_size: int = 2048,
 ) -> DataFrame:
     """EXACT Hamming-threshold self-join via pigeonhole multi-band blocking:
     split the ``n_bits`` signature into ``max_hamming + 1`` disjoint bands —
@@ -845,6 +968,19 @@ def hamming_band_pairs(
     ).select("__id", "__sig", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
     if max_bucket_size is not None:
         banded = _drop_hot_buckets(banded, ["band", "bv"], max_bucket_size)
+    # engine dispatch: the vectorized tile engine wins whenever candidate
+    # volume is large (narrow bands / loose thresholds) — it evaluates the
+    # same candidates at a few numpy ops each instead of ~200 ns of SMJ
+    # buffered-row iteration. It relies on the canonical-first-band rule
+    # for pair uniqueness, so (like the SQL canonical filter below) it
+    # only applies when no bucket cap dropped rows; the capped path keeps
+    # the row-based join + dropDuplicates.
+    if engine not in ("auto", "tile", "sql"):
+        raise ValueError(f"unknown engine {engine!r} (auto|tile|sql)")
+    if engine == "tile" and max_bucket_size is not None:
+        raise ValueError("engine='tile' requires max_bucket_size=None (canonical-band rule)")
+    if max_bucket_size is None and engine in ("auto", "tile"):
+        return _hamming_tile_pairs(banded, n_bits, n_bands, max_hamming, block_size)
     a = banded.select(F.col("__id").alias("id_a"), F.col("__sig").alias("h_a"), "band", "bv")
     b = banded.select(F.col("__id").alias("id_b"), F.col("__sig").alias("h_b"), "band", "bv")
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
