@@ -412,7 +412,12 @@ def semantic_dedup_pairs(
     from .dedup import _drop_hot_buckets
     from .similarity import ivf_assign
 
-    assigned = ivf_assign(vectors, centroids, id_col=id_col)
+    # materialize the assignment ONCE: the cluster census, the block join,
+    # and the packed self-join are independent consumers, and an
+    # unmaterialized frame would re-run the Arrow argmin-over-centroids
+    # matmul per consumer (same fix as semantic_dedup_pairs_incremental,
+    # round-6 review)
+    assigned = ivf_assign(vectors, centroids, id_col=id_col).localCheckpoint(eager=True)
     if max_cluster_size is not None:
         assigned = _drop_hot_buckets(assigned, ["list_id"], max_cluster_size)
     id_type = dict(assigned.dtypes)["id"]
@@ -478,14 +483,17 @@ def semantic_dedup_pairs(
                 if len(ia) == 0 or len(ib) == 0:
                     continue
                 sim = np.round((xa @ xb.T) / (na[:, None] * nb[None, :]), 6)
+                mask = sim >= threshold
                 if blk_a == blk_b:
-                    iu = np.triu_indices(len(ia), k=1)
-                    s = sim[iu]
-                    keep = s >= threshold
-                    pa, pb, ps = ia[iu[0][keep]], ib[iu[1][keep]], s[keep]
-                else:
-                    ra, rb = np.nonzero(sim >= threshold)
-                    pa, pb, ps = ia[ra], ib[rb], sim[ra, rb]
+                    # id-VALUE upper triangle, not a positional one: the
+                    # two sides are independent evaluations of the packed
+                    # collect_list and nothing guarantees their element
+                    # orders agree — comparing id values keeps each
+                    # unordered pair exactly once and drops the self-pair
+                    # under ANY permutation (review round-7)
+                    mask &= ia[:, None] < ib[None, :]
+                ra, rb = np.nonzero(mask)
+                pa, pb, ps = ia[ra], ib[rb], sim[ra, rb]
                 if len(pa):
                     outs.append(
                         pd.DataFrame(

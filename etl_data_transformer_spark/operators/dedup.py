@@ -819,10 +819,15 @@ def _hamming_tile_pairs(
     shape). Candidate volume is unchanged; the per-candidate cost drops to
     a few vectorized ops.
 
-    Input: (__id, __sig, band, bv); output (id_a, id_b, hamming),
+    Input: (__id, __sig, band, bv) — callers should pass an already
+    MATERIALIZED frame (``hamming_band_pairs`` localCheckpoints it): the
+    census, the block join, and the packed self-join are independent
+    consumers, and an unmaterialized signature subtree would recompute per
+    consumer. Output (id_a, id_b, hamming) typed from the input id column,
     id_a < id_b, each qualifying pair exactly once."""
     import numpy as np
 
+    id_type = dict(banded.dtypes)["__id"]
     slices = band_slices(n_bits, n_bands)
     sizes = banded.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("__n"))
     blocked = banded.join(F.broadcast(sizes), ["band", "bv"]).withColumn(
@@ -878,9 +883,9 @@ def _hamming_tile_pairs(
                 pdf["sigs_b"],
                 pdf["blk_b"],
             ):
-                ia = np.asarray(ids_a, dtype=np.int64)
+                ia = np.asarray(ids_a)
                 sa = np.asarray(sigs_a, dtype=np.int64)
-                ib = np.asarray(ids_b, dtype=np.int64)
+                ib = np.asarray(ids_b)
                 sb = np.asarray(sigs_b, dtype=np.int64)
                 xor = np.bitwise_xor.outer(sa, sb)
                 ham = lut[xor.view(np.uint16).reshape(len(ia), len(ib), 4)].sum(
@@ -888,10 +893,14 @@ def _hamming_tile_pairs(
                 )
                 mask = ham <= max_hamming
                 if blk_a == blk_b:
-                    # strict upper triangle: each in-bucket unordered pair
-                    # from exactly one position pair (a doc appears once
-                    # per bucket, so the diagonal is the self-pair)
-                    mask &= np.triu(np.ones(mask.shape, dtype=bool), k=1)
+                    # id-VALUE upper triangle, not a positional one: the
+                    # two sides are independent evaluations of the packed
+                    # collect_list, and nothing guarantees their element
+                    # orders agree (exchange reuse is a physical-plan
+                    # accident, not a semantic) — comparing the id values
+                    # keeps each unordered pair exactly once and drops the
+                    # self-pair under ANY permutation (review round-7)
+                    mask &= ia[:, None] < ib[None, :]
                 ra, rb = np.nonzero(mask)
                 if not len(ra):
                     continue
@@ -916,7 +925,9 @@ def _hamming_tile_pairs(
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return tiles.mapInPandas(popcount_tiles, schema="id_a long, id_b long, hamming int")
+    return tiles.mapInPandas(
+        popcount_tiles, schema=f"id_a {id_type}, id_b {id_type}, hamming int"
+    )
 
 
 def hamming_band_pairs(
@@ -968,19 +979,51 @@ def hamming_band_pairs(
     ).select("__id", "__sig", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
     if max_bucket_size is not None:
         banded = _drop_hot_buckets(banded, ["band", "bv"], max_bucket_size)
-    # engine dispatch: the vectorized tile engine wins whenever candidate
-    # volume is large (narrow bands / loose thresholds) — it evaluates the
-    # same candidates at a few numpy ops each instead of ~200 ns of SMJ
-    # buffered-row iteration. It relies on the canonical-first-band rule
-    # for pair uniqueness, so (like the SQL canonical filter below) it
-    # only applies when no bucket cap dropped rows; the capped path keeps
-    # the row-based join + dropDuplicates.
+    # engine dispatch: the vectorized tile engine wins when candidate
+    # volume (Σ bucket²) is large — narrow bands / loose thresholds — by
+    # evaluating the same candidates at a few numpy ops each instead of
+    # ~200 ns of SMJ buffered-row iteration; below that it LOSES to the
+    # pure-JVM join (Python round-trips + packing overhead: measured 2×
+    # slower at sf0.1, 2× faster at sf1). engine='auto' therefore
+    # MATERIALIZES the banded rows (narrow id+sig+band rows; also needed
+    # so the census, block join, and self-join don't each recompute the
+    # signature subtree) and reads the actual candidate count from a
+    # driver census before choosing. Both engines rely on the
+    # canonical-first-band rule for pair uniqueness, so tiles only apply
+    # when no bucket cap dropped rows; the capped path keeps the
+    # row-based join + dropDuplicates.
     if engine not in ("auto", "tile", "sql"):
         raise ValueError(f"unknown engine {engine!r} (auto|tile|sql)")
     if engine == "tile" and max_bucket_size is not None:
         raise ValueError("engine='tile' requires max_bucket_size=None (canonical-band rule)")
     if max_bucket_size is None and engine in ("auto", "tile"):
+        if engine == "auto":
+            banded = banded.localCheckpoint(eager=True)
+            n_cand = (
+                banded.groupBy("band", "bv")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .agg(F.sum(F.col("__n") * F.col("__n")).alias("__c"))
+                .collect()[0]["__c"]
+            )
+            if n_cand is None or n_cand < _TILE_MIN_CANDIDATES:
+                return _hamming_sql_pairs(banded, n_bits, n_bands, max_hamming, capped=False)
         return _hamming_tile_pairs(banded, n_bits, n_bands, max_hamming, block_size)
+    return _hamming_sql_pairs(
+        banded, n_bits, n_bands, max_hamming, capped=max_bucket_size is not None
+    )
+
+
+# below this candidate count (Σ bucket², from hamming_band_pairs' auto
+# census) the pure-JVM row join beats the tile engine's Python round-trips
+# and packing overhead — crossover measured between sf0.1 (~21M, SQL 2×
+# faster) and sf1 (~2.1B, tiles 2× faster)
+_TILE_MIN_CANDIDATES = 200_000_000
+
+
+def _hamming_sql_pairs(
+    banded: DataFrame, n_bits: int, n_bands: int, max_hamming: int, capped: bool
+) -> DataFrame:
+    """Row-based band self-join over (__id, __sig, band, bv) rows."""
     a = banded.select(F.col("__id").alias("id_a"), F.col("__sig").alias("h_a"), "band", "bv")
     b = banded.select(F.col("__id").alias("id_b"), F.col("__sig").alias("h_b"), "band", "bv")
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
@@ -989,7 +1032,7 @@ def hamming_band_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("band", "id_a", "id_b", "h_a", "h_b")
     )
-    if max_bucket_size is None:
+    if not capped:
         # Canonical-band dedup: a qualifying pair collides in EVERY band
         # where its slices agree (avg >1 at loose thresholds — measured
         # 2.09e9 candidates → 2.7e8 surviving band-rows for 3.9e7 unique
