@@ -650,6 +650,14 @@ def ensure_semantic_params_sidecar(path: str, *, centroids: list[list[float]]) -
     import json
     import os
 
+    from ..sources.writers import recover_interrupted_swap
+
+    # heal a hard-crashed atomic_swap_write FIRST: in the window between
+    # its two renames the store dir is missing (its contents — including
+    # this sidecar — sit in a .backup sibling), and recreating the dir
+    # with a fresh sidecar here would make the later recovery pass treat
+    # the backup as post-swap litter and DELETE it (round-7 review).
+    recover_interrupted_swap(path)
     sidecar = os.path.join(path, "_semantic_params.json")
     if os.path.exists(sidecar):
         with open(sidecar, encoding="utf-8") as f:
@@ -672,6 +680,14 @@ def read_semantic_store(spark, path: str) -> tuple[list[list[float]], DataFrame]
     import json
     import os
 
+    from ..sources.writers import recover_interrupted_swap
+
+    # heal a hard-crashed atomic_swap_write FIRST: in the window between
+    # its two renames the store dir is missing (its contents — including
+    # this sidecar — sit in a .backup sibling), and recreating the dir
+    # with a fresh sidecar here would make the later recovery pass treat
+    # the backup as post-swap litter and DELETE it (round-7 review).
+    recover_interrupted_swap(path)
     sidecar = os.path.join(path, "_semantic_params.json")
     with open(sidecar, encoding="utf-8") as f:
         centroids = json.load(f)["centroids"]

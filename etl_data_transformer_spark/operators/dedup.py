@@ -104,6 +104,14 @@ def ensure_exact_params_sidecar(path: str) -> None:
     ``write_exact_store``)."""
     import os
 
+    from ..sources.writers import recover_interrupted_swap
+
+    # heal a hard-crashed atomic_swap_write FIRST: in the window between
+    # its two renames the store dir is missing (its contents — including
+    # this sidecar — sit in a .backup sibling), and recreating the dir
+    # with a fresh sidecar here would make the later recovery pass treat
+    # the backup as post-swap litter and DELETE it (round-7 review).
+    recover_interrupted_swap(path)
     params = {"algo": _EXACT_FP_ALGO}
     sidecar = os.path.join(path, "_exact_params.json")
     if os.path.exists(sidecar):
@@ -286,6 +294,7 @@ def minhash_dedup(
     num_hashes: int = 12,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact shingle-hash Jaccard
     ≥ threshold. Returns (id_a, id_b, jaccard_sim).
@@ -307,8 +316,14 @@ def minhash_dedup(
     real near-dups. The drop is a narrow count-agg + broadcast anti-join on
     the bucket key only (the carried hs arrays never shuffle for it), and is
     NEVER silent: audit with ``minhash_oversized_buckets`` on the same
-    parameters."""
-    banded = minhash_signature_store(df, text_col, id_col, shingle_n, num_hashes, bands)
+    parameters.
+
+    ``banded`` lets a caller that ALSO needs the signature rows (e.g. the
+    ingest runner's cap audit + store sink) pass a precomputed — ideally
+    materialized — ``minhash_signature_store(df, ...)`` frame instead of
+    paying the shingling stage twice (round-7 review)."""
+    if banded is None:
+        banded = minhash_signature_store(df, text_col, id_col, shingle_n, num_hashes, bands)
     if max_bucket_size is not None:
         banded = _drop_hot_buckets(banded, ["sig"], max_bucket_size)
     a = banded.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"), "sig")
@@ -443,6 +458,14 @@ def ensure_minhash_params_sidecar(
     parameters."""
     import os
 
+    from ..sources.writers import recover_interrupted_swap
+
+    # heal a hard-crashed atomic_swap_write FIRST: in the window between
+    # its two renames the store dir is missing (its contents — including
+    # this sidecar — sit in a .backup sibling), and recreating the dir
+    # with a fresh sidecar here would make the later recovery pass treat
+    # the backup as post-swap litter and DELETE it (round-7 review).
+    recover_interrupted_swap(path)
     params = {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}
     sidecar = os.path.join(path, "_minhash_params.json")
     if os.path.exists(sidecar):
@@ -560,6 +583,7 @@ def minhash_dedup_incremental(
     bands: int = 4,
     max_bucket_size: int | None = None,
     include_batch_pairs: bool = True,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs for an INCREMENTAL ingest batch: every pair with
     Jaccard >= ``threshold`` where at least one side is a new document —
@@ -587,8 +611,14 @@ def minhash_dedup_incremental(
     near-dup tier of benchmark decontamination: store the eval set's
     signatures once, screen every ingest batch against them (complements
     ``curation.contamination_check``'s n-gram-overlap tier).
+    ``new_banded`` accepts a precomputed ``minhash_signature_store(new_df)``
+    so callers needing those rows anyway (cap audit, store sink) don't pay
+    the shingling twice (round-7 review).
     """
-    new_banded = minhash_signature_store(new_df, text_col, id_col, shingle_n, num_hashes, bands)
+    if new_banded is None:
+        new_banded = minhash_signature_store(
+            new_df, text_col, id_col, shingle_n, num_hashes, bands
+        )
     store_banded = store.select(id_col, "hs", "sig")
     combined = store_banded.unionByName(new_banded)
     # pair GENERATION excludes batch-internal pairs when asked; the bucket
@@ -1092,6 +1122,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance ≤ ``max_hamming``.
 
@@ -1101,8 +1132,10 @@ def simhash_near_dups(
     N×N. (Replaces the round-3 top-16-bit prefix block, which silently lost
     ~58% of hamming-3 pairs: C(48,3)/C(64,3) recall under uniform bit
     positions.) ``max_bucket_size`` caps degenerate buckets at corpus scale;
-    audit the exclusions with ``oversized_buckets`` when set."""
-    hashed = simhash_signatures(df, text_col, id_col)
+    audit the exclusions with ``oversized_buckets`` when set. ``sigs``
+    accepts a precomputed ``simhash_signatures(df)`` frame (callers that
+    also audit or persist the signatures skip the recompute)."""
+    hashed = sigs if sigs is not None else simhash_signatures(df, text_col, id_col)
     return hamming_band_pairs(
         hashed, id_col, "simhash64", n_bits=64, max_hamming=max_hamming, max_bucket_size=max_bucket_size
     )
@@ -1602,6 +1635,14 @@ def ensure_simhash_params_sidecar(path: str) -> None:
     ``write_simhash_store``)."""
     import os
 
+    from ..sources.writers import recover_interrupted_swap
+
+    # heal a hard-crashed atomic_swap_write FIRST: in the window between
+    # its two renames the store dir is missing (its contents — including
+    # this sidecar — sit in a .backup sibling), and recreating the dir
+    # with a fresh sidecar here would make the later recovery pass treat
+    # the backup as post-swap litter and DELETE it (round-7 review).
+    recover_interrupted_swap(path)
     params = {"algo": _SIMHASH_ALGO, "n_bits": 64}
     sidecar = os.path.join(path, "_simhash_params.json")
     if os.path.exists(sidecar):
@@ -1632,6 +1673,7 @@ def simhash_near_dups_incremental(
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
     include_batch_pairs: bool = True,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Simhash near-dup pairs for an INCREMENTAL ingest batch: every pair
     with Hamming distance <= ``max_hamming`` where at least one side is a
@@ -1665,10 +1707,10 @@ def simhash_near_dups_incremental(
     # (measured 2x slower at a 49.5k-row store). The fold recomputing per
     # side costs only |batch|.
     new_rows = (
-        simhash(new_df, text_col)
-        .select(id_col, "simhash64")
-        .withColumn("__new", F.lit(1))
-    )
+        new_sigs.select(id_col, "simhash64")
+        if new_sigs is not None
+        else simhash(new_df, text_col).select(id_col, "simhash64")
+    ).withColumn("__new", F.lit(1))
     store_rows = store.select(F.col(id_col), "simhash64").withColumn("__new", F.lit(0))
     banded = (
         store_rows.unionByName(new_rows)

@@ -157,10 +157,14 @@ def run_incremental_ingest(
             write_ingest_audit(spark, audit_path, report)
         return report
 
-    # read + validate every enabled store UP FRONT: sidecar mismatches and
-    # streaming (__batch_id) layouts fail here, before any compute or sink;
-    # rows from a crashed prior attempt of THIS batch are healed away so a
-    # rerun recomputes identical survivors
+    # read + validate every enabled sink UP FRONT (incl. the audit table's
+    # layout/schema): mismatches and streaming (__batch_id) layouts fail
+    # here, before any compute or sink; rows from a crashed prior attempt
+    # of THIS batch are healed away so a rerun recomputes identical
+    # survivors
+    if audit_path is not None:
+        validate_batch_audit_layout(spark, audit_path)
+
     def _load(path, ensure, cols):
         ensure()
         store = _read_store_or_none(spark, path)
@@ -320,16 +324,27 @@ def _run_tiers(
             bands=bands,
             max_bucket_size=max_bucket_size,
         )
+        # a capped run needs the batch's signature rows twice (the dedup
+        # join AND the cap-audit census) — compute them ONCE, materialized,
+        # instead of re-running the shingling stage per consumer (round-7
+        # review)
+        new_rows = (
+            DD.minhash_signature_store(
+                survivors, text_col, id_col, shingle_n, num_hashes, bands
+            ).localCheckpoint(eager=True)
+            if max_bucket_size is not None
+            else None
+        )
         if mh_store is None:
-            pairs = DD.minhash_dedup(survivors, **mh_kw)
+            pairs = DD.minhash_dedup(survivors, **mh_kw, banded=new_rows)
         else:
-            pairs = DD.minhash_dedup_incremental(survivors, mh_store, **mh_kw)
+            pairs = DD.minhash_dedup_incremental(
+                survivors, mh_store, **mh_kw, new_banded=new_rows
+            )
         if max_bucket_size is not None:
             # cap-audit twin (never a silent cap): degenerate band buckets
             # over the COMBINED batch+store corpus, same census as the cap
-            sigs = DD.minhash_signature_store(
-                survivors, text_col, id_col, shingle_n, num_hashes, bands
-            ).select("sig")
+            sigs = new_rows.select("sig")
             if mh_store is not None:
                 sigs = sigs.unionByName(mh_store.select("sig"))
             mh_capped = (
@@ -349,9 +364,18 @@ def _run_tiers(
     # tier 3: SimHash near-dup
     n_after_simhash = sh_pairs_n = sh_capped = None
     if sh_on:
+        # same single-compute discipline as the minhash tier: capped runs
+        # share one materialized signature frame between the dedup join and
+        # the cap audit
+        new_sigs = (
+            DD.simhash_store_rows(survivors, text_col, id_col).localCheckpoint(eager=True)
+            if max_bucket_size is not None
+            else None
+        )
         if sh_store is None:
             pairs = DD.simhash_near_dups(
-                survivors, text_col, id_col, simhash_max_hamming, max_bucket_size
+                survivors, text_col, id_col, simhash_max_hamming, max_bucket_size,
+                sigs=new_sigs,
             )
         else:
             pairs = DD.simhash_near_dups_incremental(
@@ -361,22 +385,18 @@ def _run_tiers(
                 id_col,
                 simhash_max_hamming,
                 max_bucket_size,
+                new_sigs=new_sigs,
             )
         if max_bucket_size is not None:
-            sigs = DD.simhash_store_rows(survivors, text_col, id_col)
+            sigs = new_sigs
             if sh_store is not None:
                 sigs = sigs.unionByName(sh_store)
-            banded = sigs.select(
-                F.explode(
-                    DD._hamming_bands_expr("simhash64", 64, simhash_max_hamming + 1)
-                ).alias("bk")
-            )
-            sh_capped = (
-                banded.groupBy("bk.band", "bk.bv")
-                .agg(F.count(F.lit(1)).alias("__bn"))
-                .filter(F.col("__bn") > max_bucket_size)
-                .count()
-            )
+            # the canonical census helper, not an inline re-implementation
+            # that could drift from the cap actually applied (round-7
+            # review)
+            sh_capped = DD.oversized_buckets(
+                sigs, "simhash64", 64, simhash_max_hamming, max_bucket_size
+            ).count()
         pairs = pairs.localCheckpoint(eager=True)
         sh_pairs_n = pairs.count()
         if sh_pairs_n:
@@ -422,39 +442,51 @@ def ingest_audit_row(spark, report: IngestReport) -> DataFrame:
             dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
         )
     ]
-    cols = (
-        "n_batch long, n_after_exact long, n_after_minhash long, "
-        "n_after_simhash long, n_landed long, minhash_pairs long, "
-        "simhash_pairs long, minhash_capped_buckets long, "
-        "simhash_capped_buckets long, ingest_ts timestamp"
-    )
-    return spark.createDataFrame(row, cols)
+    return spark.createDataFrame(row, _AUDIT_COLS_DDL)
 
 
-def write_ingest_audit(spark, audit_path: str, report: IngestReport) -> None:
-    """Append ``ingest_audit_row`` to the audit table (batch runner path).
-    Guards mirror the store writers (round-6 review): a streaming-layout
-    audit dir (``__batch_id`` partitions from ``stream_ingest``) rejects a
-    flat append — the mixed layout would break partition discovery — and
-    a column-set drift between the existing table and the current row
+_AUDIT_COLS_DDL = (
+    "n_batch long, n_after_exact long, n_after_minhash long, "
+    "n_after_simhash long, n_landed long, minhash_pairs long, "
+    "simhash_pairs long, minhash_capped_buckets long, "
+    "simhash_capped_buckets long, ingest_ts timestamp"
+)
+_AUDIT_COL_NAMES = {c.strip().split()[0] for c in _AUDIT_COLS_DDL.split(",")}
+
+
+def validate_batch_audit_layout(spark, audit_path: str) -> None:
+    """Layout/schema guards for the batch audit table (round-6 review),
+    callable UP FRONT — ``run_incremental_ingest`` validates before any
+    sink commits (round-7 review: failing only inside the end-of-run
+    ``write_ingest_audit`` meant the mismatch surfaced after the corpus
+    and store appends had already landed). A streaming-layout audit dir
+    (``__batch_id`` partitions from ``stream_ingest``) rejects a flat
+    append — the mixed layout would break partition discovery — and a
+    column-set drift between the existing table and the current row
     schema raises instead of leaving mixed-schema parquet whose capped
     columns appear or vanish per read."""
     from ..streaming.pipeline import _read_store_or_none
 
-    row = ingest_audit_row(spark, report)
     existing = _read_store_or_none(spark, audit_path)
-    if existing is not None:
-        if "__batch_id" in existing.columns:
-            raise ValueError(
-                f"audit table at {audit_path} has the streaming (__batch_id) "
-                "layout; route this pipeline's audit through stream_ingest, "
-                "or use a separate audit path for batch runs"
-            )
-        if set(existing.columns) != set(row.columns):
-            raise ValueError(
-                f"audit table at {audit_path} has columns "
-                f"{sorted(existing.columns)} but the current audit row has "
-                f"{sorted(row.columns)} — migrate the table (one-time "
-                "rewrite with the new columns) rather than mixing schemas"
-            )
-    row.write.mode("append").parquet(audit_path)
+    if existing is None:
+        return
+    if "__batch_id" in existing.columns:
+        raise ValueError(
+            f"audit table at {audit_path} has the streaming (__batch_id) "
+            "layout; route this pipeline's audit through stream_ingest, "
+            "or use a separate audit path for batch runs"
+        )
+    if set(existing.columns) != _AUDIT_COL_NAMES:
+        raise ValueError(
+            f"audit table at {audit_path} has columns "
+            f"{sorted(existing.columns)} but the current audit row has "
+            f"{sorted(_AUDIT_COL_NAMES)} — migrate the table (one-time "
+            "rewrite with the new columns) rather than mixing schemas"
+        )
+
+
+def write_ingest_audit(spark, audit_path: str, report: IngestReport) -> None:
+    """Append ``ingest_audit_row`` to the audit table (batch runner path),
+    re-running ``validate_batch_audit_layout`` for direct callers."""
+    validate_batch_audit_layout(spark, audit_path)
+    ingest_audit_row(spark, report).write.mode("append").parquet(audit_path)

@@ -69,6 +69,8 @@ def stream_tumbling_agg(
     )
 
 
+# the DEFAULT-key output shape (kept for consumers/tests that pin it);
+# stream_sessionize derives the actual schema from its key_col at runtime
 SESSION_OUTPUT_SCHEMA = (
     "user_id long, sess_start timestamp, sess_end timestamp, n_events long, sum_value double"
 )
@@ -106,12 +108,21 @@ def stream_sessionize(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
+    # output schema follows the caller's key column (name AND type):
+    # SESSION_OUTPUT_SCHEMA hardcoded 'user_id long', so any renamed or
+    # non-long key either crashed the Arrow conversion mid-query or
+    # silently mislabeled the output column (round-7 review)
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, sess_start timestamp, sess_end timestamp, "
+        "n_events long, sum_value double"
+    )
 
     def fn(key, pdf_iter, state):
         def emit(rows):
             return pd.DataFrame(
                 {
-                    "user_id": [key[0]] * len(rows),
+                    key_col: [key[0]] * len(rows),
                     "sess_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in rows],
                     "sess_end": [pd.Timestamp(l, unit="us") for _, l, _, _ in rows],
                     "n_events": [n for _, _, n, _ in rows],
@@ -160,7 +171,7 @@ def stream_sessionize(
 
     return events.groupBy(key_col).applyInPandasWithState(
         fn,
-        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=(
@@ -214,13 +225,15 @@ def stream_incremental_upsert(
     UPSERTS by ``key_cols`` — rows already in the target with a matching key
     are replaced, new keys append.
 
-    ``foreachBatch`` + dynamic partition overwrite: only the date partitions
-    the batch touches are rewritten (read back, anti-join out replaced keys,
-    union the batch, overwrite those partitions). Cost per batch ∝ touched
-    partitions, not table size — the same property the batch loader
-    (plans/incremental.py) has, with the checkpoint as the high-water mark.
-    Batch-local dedup keeps the LAST row per key by ``cdc_column`` (CDC
-    ordering).
+    ``foreachBatch`` + dynamic partition overwrite: the rewritten set is
+    the batch's date partitions plus every target partition holding a
+    batch key (so a key whose cdc date moves never leaves a stale row
+    behind; a partition fully emptied by the replacement is dropped).
+    Rewrite cost per batch ∝ touched partitions; locating stale keys adds
+    one broadcast semi-join scan of the target per batch — the price of
+    true key-upsert semantics over plain parquet (a table format does the
+    same scan against its file statistics). Batch-local dedup keeps the
+    LAST row per key by ``cdc_column`` (CDC ordering).
     """
     from pyspark.sql import Window
 
@@ -251,12 +264,38 @@ def stream_incremental_upsert(
                     "overwrite"
                 ).partitionBy(partition_col).parquet(target_path)
                 return
-            dates = [r[partition_col] for r in batch.select(partition_col).distinct().collect()]
-            touched = old.filter(F.col(partition_col).isin(dates))
+            bkeys = batch.select(*key_cols).distinct()
+            # the touched set is the batch's own date partitions PLUS every
+            # target partition holding a batch key: a key whose cdc date
+            # moved would otherwise leave its stale row behind in an
+            # unrewritten partition — permanent duplicates per key, while
+            # the contract promises unconditional key replacement (round-7
+            # review). Locating those partitions costs one semi-join scan
+            # of the target per batch (map-side, broadcast keys, no wide
+            # shuffle) — the price of key-upsert semantics over plain
+            # parquet; date-stable workloads pay only the scan.
+            cond_old = [old[k].eqNullSafe(bkeys[k]) for k in key_cols]
+            key_parts = {
+                r[partition_col]
+                for r in old.join(F.broadcast(bkeys), cond_old, "left_semi")
+                .select(partition_col)
+                .distinct()
+                .collect()
+            }
+            dates = {r[partition_col] for r in batch.select(partition_col).distinct().collect()}
+            parts = dates | key_parts
+            # NULL-safe partition membership: isin never matches NULL, and
+            # a NULL cdc date lands in the null partition — matching it
+            # explicitly keeps existing null-partition rows in the rewrite
+            # instead of silently dropping them (round-7 review).
+            non_null = [d for d in parts if d is not None]
+            part_match = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+            if None in parts:
+                part_match = part_match | F.col(partition_col).isNull()
+            touched = old.filter(part_match)
             # null-safe anti join: plain equality never matches NULL key
             # values, so NULL-key rows would both survive the anti join AND
             # re-append from the batch — duplicating every micro-batch.
-            bkeys = batch.select(*key_cols).distinct()
             cond = [touched[k].eqNullSafe(bkeys[k]) for k in key_cols]
             kept = touched.join(F.broadcast(bkeys), cond, "left_anti")
             out = kept.unionByName(batch).localCheckpoint(eager=True)
@@ -267,6 +306,20 @@ def stream_incremental_upsert(
             out.write.option("partitionOverwriteMode", "dynamic").mode("overwrite").partitionBy(
                 partition_col
             ).parquet(target_path)
+            # dynamic overwrite leaves a partition untouched when `out` has
+            # no rows for it: a stale-key partition fully emptied by the
+            # anti join must be dropped explicitly (same plain-parquet
+            # emulation of replaceWhere as plans/incremental.py).
+            import shutil
+
+            written = {r[partition_col] for r in out.select(partition_col).distinct().collect()}
+            for d in parts - written:
+                sub = (
+                    f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+                    if d is None
+                    else f"{partition_col}={d.isoformat() if hasattr(d, 'isoformat') else d}"
+                )
+                shutil.rmtree(f"{target_path}/{sub}", ignore_errors=True)
         finally:
             batch.unpersist()
 
@@ -733,7 +786,40 @@ def stream_ingest(
         spark = batch_df.sparkSession
         batch = batch_df.persist()
         try:
+            if audit_path is not None:
+                # validate the audit layout BEFORE any sink commits (the
+                # module's validate-before-any-data rule): a FLAT audit
+                # table (batch-runner appends) must not gain __batch_id
+                # partition dirs beside its plain files — and failing
+                # after the corpus/store writes would wedge the stream
+                # with uncommitted-but-visible batch rows (round-7 review)
+                existing_audit = _read_store_or_none(spark, audit_path)
+                if existing_audit is not None and "__batch_id" not in existing_audit.columns:
+                    raise ValueError(
+                        f"audit table at {audit_path} has the flat (batch-"
+                        "runner) layout; use a separate audit path for the "
+                        "stream, or migrate the table to the streaming layout"
+                    )
             if batch.isEmpty():
+                if audit_path is not None:
+                    # same never-silent discipline as the batch runner: an
+                    # empty ingest writes an all-zero audit row (through
+                    # the idempotent batch partition), so audit consumers
+                    # can tell an empty batch from a batch that never ran
+                    from ..plans.ingest import IngestReport
+
+                    zero = IngestReport(
+                        0,
+                        0,
+                        0 if mh_on else None,
+                        0 if sh_on else None,
+                        0,
+                        0 if mh_on else None,
+                        0 if sh_on else None,
+                    )
+                    _overwrite_batch_partition(
+                        ingest_audit_row(spark, zero), audit_path, ns, batch_id
+                    )
                 return
 
             def load(path, ensure, sidecar, params, cols):
@@ -828,16 +914,8 @@ def stream_ingest(
                     batch_id,
                 )
             if audit_path is not None:
-                # the converse of write_ingest_audit's layout guard: a FLAT
-                # audit table (batch-runner appends) must not gain
-                # __batch_id partition dirs beside its plain files
-                existing_audit = _read_store_or_none(spark, audit_path)
-                if existing_audit is not None and "__batch_id" not in existing_audit.columns:
-                    raise ValueError(
-                        f"audit table at {audit_path} has the flat (batch-"
-                        "runner) layout; use a separate audit path for the "
-                        "stream, or migrate the table to the streaming layout"
-                    )
+                # layout already validated at the top of process(), before
+                # any sink committed
                 _overwrite_batch_partition(
                     ingest_audit_row(spark, report), audit_path, ns, batch_id
                 )
@@ -1020,8 +1098,17 @@ def _partitioned_store_or_convert(
       ``legacy-`` namespace instead (preserved, never collided with)."""
     import os
 
-    from ..sources.writers import atomic_swap_write
+    from ..sources.writers import atomic_swap_write, recover_interrupted_swap
 
+    # heal a hard crash landed between atomic_swap_write's two renames
+    # BEFORE probing: in that window the store path is missing and the
+    # probe would legitimately return None — the next batch would then
+    # take the first-batch path against a populated-but-sidelined store
+    # (silently dropping every cross-batch pair) and the overwrite would
+    # strand the prior corpus in the .backup dir permanently (round-7
+    # review: writers.recover_interrupted_swap existed for exactly this
+    # but only tests invoked it).
+    recover_interrupted_swap(store_path)
     store = _read_store_or_none(spark, store_path)
     if store is None:
         return None

@@ -356,3 +356,59 @@ def test_ingest_crash_between_sinks_rerun_heals(spark, tmp_path, monkeypatch):
     r2 = run_incremental_ingest(batch, **kw)
     assert r2.n_landed == 2
     assert {k: spark.read.parquet(p[k]).count() for k in p} == counts
+
+
+def test_stream_ingest_flat_audit_fails_before_any_sink(spark, tmp_path):
+    """The flat-audit-layout guard runs BEFORE any sink commits (round-7
+    review): the failed batch must leave no landed corpus and no store
+    partitions behind."""
+    import os
+
+    import pytest
+
+    from etl_data_transformer_spark.plans.ingest import IngestReport, write_ingest_audit
+    from etl_data_transformer_spark.streaming.pipeline import stream_ingest
+
+    src = str(tmp_path / "src")
+    audit = str(tmp_path / "audit")
+    landed = str(tmp_path / "landed")
+    ex = str(tmp_path / "ex")
+    write_ingest_audit(spark, audit, IngestReport(1, 1, None, None, 1, None, None))
+    spark.createDataFrame([(1, "text one")], "doc_id long, text string").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    with pytest.raises(Exception, match="flat"):
+        stream_ingest(
+            stream,
+            landed,
+            str(tmp_path / "ckpt"),
+            exact_store=ex,
+            audit_path=audit,
+        )
+    assert not os.path.isdir(landed)
+    # the exact store dir may hold only its sidecar (written-or-validated
+    # up front by design) but no data partitions
+    if os.path.isdir(ex):
+        assert all(e.startswith("_") for e in os.listdir(ex))
+
+
+def test_stream_ingest_empty_batch_writes_zero_audit_row(spark, tmp_path):
+    """An empty micro-batch writes an all-zero audit row (the batch
+    runner's never-silent contract) so audit consumers can tell an empty
+    ingest from one that never ran (round-7 review)."""
+    from etl_data_transformer_spark.streaming.pipeline import stream_ingest
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    audit = str(tmp_path / "audit")
+    # an empty parquet source -> one empty micro-batch under AvailableNow
+    spark.createDataFrame([], schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_ingest(
+        stream,
+        str(tmp_path / "landed"),
+        str(tmp_path / "ckpt"),
+        exact_store=str(tmp_path / "ex"),
+        audit_path=audit,
+    )
+    rows = spark.read.parquet(audit).collect()
+    assert len(rows) == 1 and rows[0]["n_batch"] == 0 and rows[0]["n_landed"] == 0

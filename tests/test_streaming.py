@@ -1175,3 +1175,152 @@ def test_stream_ingest_e2e_under_both_state_store_providers(spark, tmp_path, roc
             spark.conf.unset(_STATE_STORE_KEY)
         else:
             spark.conf.set(_STATE_STORE_KEY, old)
+
+
+def test_stream_incremental_upsert_key_moves_partition(spark, tmp_path):
+    """A key whose cdc date moves to a NEW partition must not leave its
+    stale row behind in the old one (round-7 review): the touched set
+    includes every target partition holding a batch key, and a partition
+    fully emptied by the replacement is dropped."""
+    import datetime as dt
+    import os
+
+    from etl_data_transformer_spark.streaming.pipeline import stream_incremental_upsert
+
+    schema = "k long, ts timestamp, v double"
+    src = str(tmp_path / "mv_src")
+    target = str(tmp_path / "mv_target")
+    ckpt = str(tmp_path / "mv_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_incremental_upsert(stream, target, ckpt, key_cols=["k"], cdc_column="ts")
+
+    d1 = dt.datetime(2024, 1, 1, 10)
+    d2 = dt.datetime(2024, 1, 2, 10)
+    spark.createDataFrame([(1, d1, 1.0), (2, d1, 2.0)], schema).write.mode("overwrite").parquet(src)
+    drain()
+    # k=2 moves to d2; k=1 stays put untouched
+    spark.createDataFrame([(2, d2, 22.0)], schema).write.mode("append").parquet(src)
+    drain()
+    got = {(r["k"], r["v"], r["cdc_date"].isoformat()) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, 1.0, "2024-01-01"), (2, 22.0, "2024-01-02")}
+    # now move k=1 too: the 2024-01-01 partition empties entirely and must
+    # be dropped, not survive as a stale dir
+    spark.createDataFrame([(1, d2, 11.0)], schema).write.mode("append").parquet(src)
+    drain()
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, 11.0), (2, 22.0)}
+    assert not os.path.isdir(os.path.join(target, "cdc_date=2024-01-01"))
+
+
+def test_stream_incremental_upsert_null_partition_rows_survive(spark, tmp_path):
+    """Existing NULL-cdc-date rows live in the null partition; a later batch
+    touching that partition must carry the unreplaced ones through the
+    dynamic overwrite instead of silently dropping them (round-7 review:
+    isin() never matches NULL)."""
+    import datetime as dt
+
+    from etl_data_transformer_spark.streaming.pipeline import stream_incremental_upsert
+
+    schema = "k long, ts timestamp, v double"
+    src = str(tmp_path / "np_src")
+    target = str(tmp_path / "np_target")
+    ckpt = str(tmp_path / "np_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_incremental_upsert(stream, target, ckpt, key_cols=["k"], cdc_column="ts")
+
+    spark.createDataFrame([(1, None, 1.0), (2, None, 2.0)], schema).write.mode(
+        "overwrite"
+    ).parquet(src)
+    drain()
+    # batch with a NULL-ts row for a different key: rewrites the null
+    # partition; k=1 must survive, k=2 is replaced
+    spark.createDataFrame([(2, None, 22.0)], schema).write.mode("append").parquet(src)
+    drain()
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, 1.0), (2, 22.0)}
+    # and a dated batch must not disturb the null partition at all
+    spark.createDataFrame([(3, dt.datetime(2024, 1, 5), 3.0)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, 1.0), (2, 22.0), (3, 3.0)}
+
+
+def test_stream_sessionize_custom_key_column(spark, tmp_path):
+    """The output schema follows key_col's name and type (round-7 review:
+    the hardcoded 'user_id long' schema crashed string keys mid-query)."""
+    import datetime as dt
+
+    from etl_data_transformer_spark.streaming.pipeline import run_available_now, stream_sessionize
+
+    schema = "event_id long, ts timestamp, device string, event_type string, value double"
+    src = str(tmp_path / "sk_src")
+    base = dt.datetime(2024, 3, 1, 12)
+    rows = [
+        (1, base, "a", "x", 1.0),
+        (2, base + dt.timedelta(minutes=5), "a", "x", 2.0),
+        # > gap later: closes the first session for device 'a'
+        (3, base + dt.timedelta(hours=3), "a", "x", 4.0),
+        (4, base + dt.timedelta(minutes=1), "b", "x", 8.0),
+    ]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = run_available_now(
+        stream_sessionize(stream, gap_minutes=30, key_col="device"),
+        str(tmp_path / "sk_ckpt"),
+        "sk_q",
+    )
+    assert "device" in out.columns and "user_id" not in out.columns
+    closed = {(r["device"], r["n_events"], r["sum_value"]) for r in out.collect()}
+    # only device a's first session closed within the drained data
+    assert closed == {("a", 2, 3.0)}
+
+
+def test_stream_near_dedup_heals_interrupted_store_swap(spark, tmp_path):
+    """A hard crash between atomic_swap_write's two renames leaves the store
+    path missing with a .backup sibling; the next micro-batch must RESTORE
+    it before probing (round-7 review) — not take the first-batch path,
+    miss every cross-batch pair, and strand the prior corpus's signatures
+    in the backup dir."""
+    import datetime as dt
+    import os
+
+    from etl_data_transformer_spark.streaming.pipeline import stream_near_dedup
+
+    schema = "doc_id long, text string, ts timestamp"
+    src = str(tmp_path / "heal_src")
+    store = str(tmp_path / "heal_store")
+    pairs = str(tmp_path / "heal_pairs")
+    ckpt = str(tmp_path / "heal_ckpt")
+    t0 = dt.datetime(2024, 2, 1)
+
+    def drain():
+        stream_near_dedup(
+            spark.readStream.schema(schema).parquet(src), store, pairs, ckpt
+        )
+
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", t0)], schema
+    ).write.mode("overwrite").parquet(src)
+    drain()
+    assert os.path.isdir(store)
+    # simulate the crash window: target renamed away, backup left behind
+    backup = os.path.join(
+        os.path.dirname(store), f".backup-{os.path.basename(store)}-crashwindow"
+    )
+    os.rename(store, backup)
+    assert not os.path.exists(store)
+    # a duplicate of doc 1 arrives; without the heal the store probe
+    # returns None, the batch takes the first-batch path, and the (1, 2)
+    # cross-batch pair is silently lost
+    spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the lazy dog", t0)], schema
+    ).write.mode("append").parquet(src)
+    drain()
+    got = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs).collect()}
+    assert (1, 2) in got
