@@ -834,3 +834,41 @@ def test_ordered_mixture_nan_order_values(spark):
     )
     # best-10-by-q fills the budget; the NaN doc must not be selected
     assert sorted(r["doc_id"] for r in got.collect()) == list(range(10))
+
+
+def test_semantic_dedup_pairs_block_decomposition_equivalent(spark):
+    """The block-pair GEMM tiles (tiny block_size -> multi-block diagonal
+    and cross tiles) return exactly the single-tile path's pairs, with no
+    self-pairs under any collect_list ordering (round-7 review: the
+    positional triangle was replaced by an id-value one)."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, base))
+        if i % 7 == 0:  # plant a near-dup
+            rows.append((1000 + i, [x * 1.001 for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from etl_data_transformer_spark.operators.similarity import train_ivf_centroids
+
+    cents = train_ivf_centroids(
+        df.selectExpr("vec_id as id", "embedding"), n_lists=4, seed=42
+    )
+    for bs in (5, 16):
+        blocked = {
+            (r["id_a"], r["id_b"], r["cosine_sim"])
+            for r in C.semantic_dedup_pairs(
+                df, cents, threshold=0.9, block_size=bs
+            ).collect()
+        }
+        mono = {
+            (r["id_a"], r["id_b"], r["cosine_sim"])
+            for r in C.semantic_dedup_pairs(
+                df, cents, threshold=0.9, block_size=10**9
+            ).collect()
+        }
+        assert blocked == mono, bs
+        assert all(a < b for a, b, _ in blocked)
+        assert len(blocked) >= 9  # the planted near-dups are found

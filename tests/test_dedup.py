@@ -732,3 +732,73 @@ def test_hamming_band_pairs_reuses_signature_exchange(spark):
     pairs.collect()  # finalize AQE
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_hamming_tile_engine_matches_sql_engine(spark):
+    """The vectorized tile engine (forced via engine='tile' with a tiny
+    block size so multi-block diagonal AND cross tiles are exercised)
+    returns exactly the SQL band join's pairs — including the canonical-
+    band uniqueness and the id-value triangle that replaced the positional
+    one (round-7 review)."""
+    import random
+
+    rng = random.Random(11)
+    sigs = {i: rng.getrandbits(63) for i in range(60)}
+    sigs[100] = sigs[0] ^ 0b111
+    sigs[101] = sigs[1] ^ (0b101 << 61)
+    sigs[102] = sigs[2] ^ (1 << 15) ^ (1 << 16) ^ (1 << 47)
+    signed = {i: (v - 2**64 if v >= 2**63 else v) for i, v in sigs.items()}
+    df = spark.createDataFrame(list(signed.items()), "doc_id long, sig long")
+    for h in (3, 8):
+        for bs in (4, 16):
+            tile = {
+                (r["id_a"], r["id_b"], r["hamming"])
+                for r in DD.hamming_band_pairs(
+                    df, "doc_id", "sig", n_bits=64, max_hamming=h,
+                    engine="tile", block_size=bs,
+                ).collect()
+            }
+            sql = {
+                (r["id_a"], r["id_b"], r["hamming"])
+                for r in DD.hamming_band_pairs(
+                    df, "doc_id", "sig", n_bits=64, max_hamming=h, engine="sql"
+                ).collect()
+            }
+            assert tile == sql, (h, bs)
+            # no self-pairs, every pair ordered
+            assert all(a < b for a, b, _ in tile)
+
+
+def test_hamming_tile_engine_string_ids(spark):
+    """Tile output schema and values follow a non-long id column (round-7
+    review: the hardcoded 'id_a long' schema broke string ids)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(f"doc-{i:03d}", rng.getrandbits(63) - 2**62) for i in range(30)]
+    rows.append(("doc-999", rows[0][1] ^ 0b11))
+    df = spark.createDataFrame(rows, "doc_id string, sig long")
+    tile = {
+        (r["id_a"], r["id_b"])
+        for r in DD.hamming_band_pairs(
+            df, "doc_id", "sig", n_bits=64, max_hamming=3, engine="tile", block_size=8
+        ).collect()
+    }
+    sql = {
+        (r["id_a"], r["id_b"])
+        for r in DD.hamming_band_pairs(
+            df, "doc_id", "sig", n_bits=64, max_hamming=3, engine="sql"
+        ).collect()
+    }
+    assert tile == sql and ("doc-000", "doc-999") in tile
+
+
+def test_hamming_tile_engine_rejects_capped(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, sig long")
+    with pytest.raises(ValueError, match="tile"):
+        DD.hamming_band_pairs(
+            df, "doc_id", "sig", n_bits=64, max_hamming=3,
+            engine="tile", max_bucket_size=10,
+        )
