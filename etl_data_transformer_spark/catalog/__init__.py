@@ -13,6 +13,7 @@ from . import branch_sql as BSQL
 from . import extensions as EXT
 from . import parity as PAR
 from . import temporal_queries as TQ
+from . import warehouse_queries as WQ
 from .branch_queries import BRANCH_ORACLES
 from .oracles import ALL_ORACLES
 from .temporal_queries import TEMPORAL_QUERIES
@@ -149,6 +150,11 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_totals": PAR.q_running_totals,
     "topk_orders_per_nation": PAR.q_topk_orders_per_nation,
     "percentile_prices": PAR.q_percentile_prices,
+    # round-7 in-session additions (warehouse lifecycle — added after the
+    # 50-slot cap filled, same driver-strength oracle in
+    # tests/test_rotated_oracle.py): SCD2 dimension history, snapshot CDC
+    # diff, declarative data-quality gate
+    **WQ.WAREHOUSE_QUERIES,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

@@ -916,4 +916,119 @@ TEMPORAL_ORACLES["boilerplate_lines_docs"] = """
     FROM s LEFT JOIN a USING (doc_id)
 """
 
-ALL_ORACLES: dict[str, str] = {**PARITY_ORACLES, **EXTENSION_ORACLES, **TEMPORAL_ORACLES}
+# ------------------------------------------------------------ warehouse ----
+# Round-7 warehouse-lifecycle rows (catalog/warehouse_queries.py): SCD2
+# history build, snapshot CDC diff, declarative data-quality gate. Every
+# aggregate is CAST to BIGINT because DuckDB's SUM(int) yields HUGEINT,
+# which pandas coerces to float64 and the value hash would see "123.0".
+WAREHOUSE_ORACLES: dict[str, str] = {
+    # scd2_history semantics verbatim: per user ordered by (ts, event_id),
+    # keep rows whose event_type differs (IS DISTINCT FROM — null-safe,
+    # matching Spark's eqNullSafe) from the previous observation, then
+    # interval-ize with lead/row_number over the SAME ordering (change
+    # rows can share a timestamp).
+    "scd2_user_state": """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER w2 AS valid_to,
+           CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
+           (LEAD(ts) OVER w2 IS NULL) AS is_current
+    FROM runs
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    # both snapshots rebuilt bit-exact from the fixture, diffed with a
+    # full outer join; comparison is column-wise IS DISTINCT FROM (the
+    # SQL spelling of the struct <=> the Spark side uses)
+    "snapshot_diff_orders": """
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN ROUND(o_totalprice + 1.0, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), new AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                WHEN n.o_orderkey IS NULL THEN 'deleted'
+                WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                  OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                THEN 'updated' END AS change_type
+    FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    WHERE CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+               WHEN n.o_orderkey IS NULL THEN 'deleted'
+               WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                 OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+               THEN 'updated' END IS NOT NULL
+    """,
+    # one SELECT per rule; row-level rules count "condition IS FALSE"
+    # (NULL passes everywhere except not_null), unique counts duplicate
+    # KEYS, references counts orphaned non-null foreign keys — the exact
+    # NULL contract documented in plans/quality.py
+    "validate_orders": """
+    WITH r AS (
+        SELECT 'o_orderkey_not_null' AS rule, 'not_null' AS kind,
+               CAST(COUNT_IF(o_orderkey IS NULL) AS BIGINT) AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey_unique', 'unique',
+               CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL
+              GROUP BY o_orderkey HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'o_custkey_unique', 'unique',
+               CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL
+              GROUP BY o_custkey HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'status_open_finished', 'accepted_values',
+               CAST(COUNT_IF((o_orderstatus IN ('O','F')) IS FALSE) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'price_under_400k', 'in_range',
+               CAST(COUNT_IF((o_totalprice BETWEEN 0.0 AND 400000.0) IS FALSE) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'priority_1_to_4', 'matches',
+               CAST(COUNT_IF(regexp_matches(o_orderpriority, '^[1-4]-') IS FALSE) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'price_positive', 'expression',
+               CAST(COUNT_IF((o_totalprice > 0) IS FALSE) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'custkey_fk', 'references',
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'custkey_fk_truncated', 'references',
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey AND c.c_custkey < 50)
+    )
+    SELECT rule, kind, violations, (violations = 0) AS passed FROM r
+    """,
+}
+
+ALL_ORACLES: dict[str, str] = {
+    **PARITY_ORACLES,
+    **EXTENSION_ORACLES,
+    **TEMPORAL_ORACLES,
+    **WAREHOUSE_ORACLES,
+}

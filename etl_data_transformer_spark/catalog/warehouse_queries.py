@@ -1,0 +1,97 @@
+"""Warehouse-lifecycle catalog queries (round 7): SCD2 dimension history,
+snapshot CDC diff, and the declarative data-quality gate — the load/publish
+surface around the reference's incremental contract
+(``Incremental_load_fact_item_status.sql``: truncate-reloaded config dims,
+delete-insert facts, row-count audit) re-expressed as first-class,
+oracle-checked operators.
+
+Each query here has a DuckDB oracle twin in
+``oracles.WAREHOUSE_ORACLES`` running the identical semantics in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.temporal import scd2_history
+from ..plans.merge import snapshot_diff
+from ..plans.quality import Expectation, validate_expectations
+from ..sources.readers import load_star
+
+
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history of each user's event_type "state" from the events
+    change feed: consecutive same-type observations collapse into one
+    validity interval; each type change opens a new version. One shuffle
+    on user_id, two window passes (see ``operators.temporal.scd2_history``).
+    """
+    e = load_star(spark, sf_dir, ("events",))["events"]
+    return scd2_history(
+        e,
+        key_cols=["user_id"],
+        state_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+
+
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff between two synthetic orders snapshots built from the same
+    fixture (deterministic, so the oracle rebuilds both sides bit-exact):
+
+    - old = even orderkeys, with totalprice bumped +1.00 on keys % 10 == 0
+    - new = orderkeys not divisible by 3, as stored
+
+    yielding all three change types: odd keys not divisible by 3 are
+    'inserted', even keys divisible by 3 are 'deleted', and even keys
+    % 10 == 0 (not divisible by 3) are 'updated'. ONE full-outer shuffle
+    join on the key; payload compared as a single null-safe struct."""
+    o = load_star(spark, sf_dir, ("orders",))["orders"]
+    old = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.round(F.col("o_totalprice") + 1.0, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    new = o.filter(F.col("o_orderkey") % 3 != 0)
+    return snapshot_diff(
+        old, new, key_cols=["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
+    )
+
+
+def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over orders: the whole row-level suite runs as ONE
+    scan + aggregate pass (one accumulator per rule); `unique` adds one
+    key shuffle; each `references` is a left-anti join (broadcast-sized
+    dimension here). Rules are chosen so both outcomes appear: passing
+    (orderkey not-null/unique, full-range price, FK to customer) and
+    failing (status restricted to O/F so 'P' rows violate, price capped at
+    400k, priority regex excluding 5-LOW, FK to a truncated customer set).
+    """
+    star = load_star(spark, sf_dir, ("orders", "customer"))
+    o, c = star["orders"], star["customer"]
+    rules = [
+        Expectation.not_null("o_orderkey"),
+        Expectation.unique("o_orderkey"),
+        Expectation.unique("o_custkey", name="o_custkey_unique"),
+        Expectation.accepted_values("o_orderstatus", "O", "F", name="status_open_finished"),
+        Expectation.in_range("o_totalprice", 0.0, 400000.0, name="price_under_400k"),
+        Expectation.matches("o_orderpriority", "^[1-4]-", name="priority_1_to_4"),
+        Expectation.expression("price_positive", "o_totalprice > 0"),
+        Expectation.references("o_custkey", c, "c_custkey", name="custkey_fk"),
+        Expectation.references(
+            "o_custkey",
+            c.filter(F.col("c_custkey") < 50),
+            "c_custkey",
+            name="custkey_fk_truncated",
+        ),
+    ]
+    return validate_expectations(o, rules)
+
+
+WAREHOUSE_QUERIES = {
+    "scd2_user_state": q_scd2_user_state,
+    "snapshot_diff_orders": q_snapshot_diff_orders,
+    "validate_orders": q_validate_orders,
+}

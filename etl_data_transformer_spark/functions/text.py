@@ -46,7 +46,7 @@ def char_count(col: Column | str) -> Column:
 
 
 def punct_ratio(col: Column | str) -> Column:
-    """Punctuation chars / total chars (0 when empty). The character class
+    r"""Punctuation chars / total chars (0 when empty). The character class
     is Unicode-aware (``\p{L}\p{N}``): the earlier ASCII-only
     ``A-Za-z0-9`` scored every accented or CJK character as punctuation,
     so clean multilingual prose was docked the full punctuation penalty

@@ -381,3 +381,64 @@ def funnel(
     for i in range(2, len(steps) + 1):
         completed = completed + F.col(f"step_{i}_ts").isNotNull().cast("int")
     return cur.withColumn("steps_completed", completed)
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    state_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history build: collapse a change
+    feed (one row per observation of an entity's state) into versioned
+    validity intervals — the warehouse-dimension sibling of the reference's
+    truncate-and-reload dimension handling (``Incremental_load_fact_item_
+    status.sql`` reloads config dims wholesale; SCD2 is what replaces that
+    pattern when history must be kept).
+
+    Per key (ordered by ``ts_col`` then ``tiebreak_cols``), consecutive
+    observations with an identical state tuple merge into one interval;
+    each state CHANGE opens a new version. Returns the key and state
+    columns plus:
+
+    - ``valid_from``  — first observation timestamp of the run
+    - ``valid_to``    — next version's ``valid_from`` (NULL while current)
+    - ``version``     — 1-based change ordinal per key
+    - ``is_current``  — ``valid_to IS NULL``
+
+    Scale shape: everything is two window passes over the SAME
+    (partitionBy key, orderBy ts) spec — lag to flag changes, then
+    lead/row_number over the filtered change rows — so the whole build is
+    ONE shuffle on the key columns and a per-partition sort, no joins, no
+    state explosion. Hot keys cost their own event count, nothing more
+    (a key's history never leaves its partition). State comparison is
+    null-safe (``eqNullSafe`` per column), so NULL-valued states form
+    runs instead of opening a version per row; the same IS NOT DISTINCT
+    FROM semantics are what the SQL oracle uses.
+    """
+    if not key_cols or not state_cols:
+        raise ValueError("scd2_history needs at least one key and one state column")
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    changed = F.lit(False)
+    for c in state_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    first = F.row_number().over(w) == 1
+    extra_ties = [c for c in tiebreak_cols if c not in (*key_cols, *state_cols, ts_col)]
+    runs = df.select(*key_cols, *state_cols, ts_col, *extra_ties).withColumn(
+        "__chg", first | changed
+    ).filter("__chg")
+    # same (key, ts, tiebreak) ordering as the change scan — two change rows
+    # CAN share a timestamp (distinct states observed at the same instant),
+    # so the version/lead pass needs the tiebreakers too to stay
+    # hash-oracle deterministic
+    w2 = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    return runs.select(
+        *key_cols,
+        *state_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("int").alias("version"),
+        F.lead(F.col(ts_col)).over(w2).isNull().alias("is_current"),
+    )

@@ -112,3 +112,62 @@ def merge_into(
         inserted=n_s_only if when_not_matched == "insert" else 0,
         untouched=n_t_only,
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture diff of two table snapshots: one row per key
+    whose presence or compared values changed — (key..., change_type in
+    'inserted' | 'deleted' | 'updated'). Keys present in both snapshots
+    with identical compared values are omitted. This is the read-side
+    complement of ``merge_into`` (diff two snapshots → feed the result to a
+    merge / audit), and pairs with the manifest store's time travel: diff
+    ``read_table_version(v1)`` against ``read_table_version(v2)`` to
+    recover the CDC stream a real table format would emit.
+
+    Scale shape: ONE full-outer shuffle join on the key columns; the
+    compared payload rides as a single struct per side so the comparison
+    is one null-safe struct equality (``<=>``), not N column scans of a
+    wide join output. At 100 TB both snapshots shuffle once — co-locating
+    them (bucketed layout on the keys, ``sources.writers.write_bucketed``)
+    removes even that. Duplicate keys within a snapshot violate the
+    contract (the join would explode pairwise); they are the caller's
+    invariant exactly as in ``merge_into``, which enforces it on its
+    source — use ``assert_unique`` to pay one extra aggregate for the
+    check when the input is untrusted.
+
+    NULL semantics: comparison is null-safe per the struct ``<=>`` —
+    a value changing to/from NULL IS an update; two NULLs are equal.
+    """
+    if not key_cols:
+        raise ValueError("snapshot_diff needs at least one key column")
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in key_cols and c in old.columns]
+    o = old.select(*key_cols, F.struct(*compare_cols).alias("__o") if compare_cols else F.lit(1).alias("__o"))
+    n = new.select(*key_cols, F.struct(*compare_cols).alias("__n") if compare_cols else F.lit(1).alias("__n"))
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("__o").isNull(), F.lit("inserted"))
+        .when(F.col("__n").isNull(), F.lit("deleted"))
+        .when(~F.col("__o").eqNullSafe(F.col("__n")), F.lit("updated"))
+    )
+    return (
+        j.select(*key_cols, change.alias("change_type"))
+        .filter(F.col("change_type").isNotNull())
+    )
+
+
+def assert_unique(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Raise if ``key_cols`` are not unique in ``df``; returns ``df`` for
+    chaining. One narrow count aggregate over the keys — the same eager
+    check ``merge_into`` runs on its source, factored out for callers
+    (``snapshot_diff``) whose contract documents uniqueness but whose
+    inputs may be untrusted."""
+    dup = df.groupBy(*key_cols).count().filter(F.col("count") > 1)
+    if dup.limit(1).count() > 0:
+        raise ValueError(f"keys {key_cols} are not unique")
+    return df

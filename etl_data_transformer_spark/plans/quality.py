@@ -1,0 +1,179 @@
+"""Declarative data-quality expectations — the validation pass an ETL
+engine runs before publishing a load (dbt-test / Deequ-style), absent from
+the reference (its only guard is the row-count audit insert,
+``Incremental_load_fact_item_status.sql:332-342``; C5/A6) but a core
+warehouse-contract feature.
+
+``validate_expectations`` evaluates a rule list against one DataFrame and
+returns (rule, kind, violations, passed) — one row per rule.
+
+Scale shape (the point of the design):
+
+- Every ROW-LEVEL rule (not_null / accepted_values / in_range / matches /
+  expression) compiles to one ``sum(CASE)`` aggregate, and ALL of them run
+  in a SINGLE scan + partial-agg pass — adding a rule adds one codegen'd
+  accumulator, not a pass. At 100 TB the whole row-level suite costs one
+  map-side-combined aggregation of the table.
+- ``unique`` needs a shuffle by its key (count per key) — one exchange per
+  distinct key set, shared when several rules use the same keys.
+- ``references`` (foreign key ⊆ dimension) is a LEFT ANTI join against the
+  distinct reference keys — broadcast when the dimension is small, shuffle
+  otherwise; Spark's planner picks via ``autoBroadcastJoinThreshold``.
+
+NULL contract (explicit, dbt-compatible): ``not_null`` is the ONLY rule
+that counts NULLs as violations. Every other row-level rule PASSES null
+inputs (a null can't fail a range/set/regex check — compose with
+``not_null`` to forbid them); ``unique`` ignores rows with any null key
+part; ``references`` ignores null foreign keys. This keeps each rule
+single-purpose and the violation counts non-overlapping.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One named rule. Build with the factory classmethods, not directly."""
+
+    name: str
+    kind: str
+    columns: tuple[str, ...] = ()
+    params: tuple = field(default=())
+
+    @classmethod
+    def not_null(cls, column: str, name: str | None = None) -> "Expectation":
+        return cls(name or f"{column}_not_null", "not_null", (column,))
+
+    @classmethod
+    def unique(cls, *columns: str, name: str | None = None) -> "Expectation":
+        return cls(name or "_".join(columns) + "_unique", "unique", tuple(columns))
+
+    @classmethod
+    def accepted_values(cls, column: str, *values, name: str | None = None) -> "Expectation":
+        return cls(name or f"{column}_accepted_values", "accepted_values", (column,), tuple(values))
+
+    @classmethod
+    def in_range(cls, column: str, lo, hi, name: str | None = None) -> "Expectation":
+        return cls(name or f"{column}_in_range", "in_range", (column,), (lo, hi))
+
+    @classmethod
+    def matches(cls, column: str, pattern: str, name: str | None = None) -> "Expectation":
+        return cls(name or f"{column}_matches", "matches", (column,), (pattern,))
+
+    @classmethod
+    def expression(cls, name: str, sql_bool_expr: str) -> "Expectation":
+        """Arbitrary boolean SQL over the row; NULL result passes."""
+        return cls(name, "expression", (), (sql_bool_expr,))
+
+    @classmethod
+    def references(
+        cls, column: str, ref: DataFrame, ref_column: str, name: str | None = None
+    ) -> "Expectation":
+        return cls(name or f"{column}_references", "references", (column,), (ref, ref_column))
+
+
+def _row_condition(rule: Expectation) -> Column:
+    c = F.col(rule.columns[0]) if rule.columns else None
+    if rule.kind == "not_null":
+        return c.isNotNull()
+    if rule.kind == "accepted_values":
+        return c.isin(list(rule.params))
+    if rule.kind == "in_range":
+        lo, hi = rule.params
+        return (c >= F.lit(lo)) & (c <= F.lit(hi))
+    if rule.kind == "matches":
+        return c.rlike(rule.params[0])
+    if rule.kind == "expression":
+        return F.expr(rule.params[0])
+    raise ValueError(f"not a row-level rule: {rule.kind}")
+
+
+_ROW_KINDS = ("not_null", "accepted_values", "in_range", "matches", "expression")
+
+
+def validate_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
+    """(rule, kind, violations, passed) — one row per rule, see module doc
+    for the per-kind pass structure and NULL contract."""
+    if not rules:
+        raise ValueError("no rules given")
+    if len({r.name for r in rules}) != len(rules):
+        raise ValueError("rule names must be unique")
+    parts: list[DataFrame] = []
+
+    row_rules = [r for r in rules if r.kind in _ROW_KINDS]
+    if row_rules:
+        # one scan, one partial-aggregated pass for the whole row-level
+        # suite; "cond IS FALSE" counting makes NULL results pass for
+        # every kind except not_null (whose condition is never NULL)
+        aggs = [
+            F.sum(F.coalesce((~_row_condition(r)).cast("long"), F.lit(0))).alias(f"__v{i}")
+            for i, r in enumerate(row_rules)
+        ]
+        one = df.agg(*aggs)
+        stacked = one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r.name).alias("rule"),
+                            F.lit(r.kind).alias("kind"),
+                            F.coalesce(F.col(f"__v{i}"), F.lit(0)).alias("violations"),
+                        )
+                        for i, r in enumerate(row_rules)
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
+        parts.append(stacked)
+
+    for r in rules:
+        if r.kind == "unique":
+            keys = [F.col(c) for c in r.columns]
+            nn = reduce(lambda a, b: a & b, [k.isNotNull() for k in keys])
+            dup_keys = (
+                df.filter(nn)
+                .groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .agg(F.count(F.lit(1)).alias("violations"))
+            )
+            parts.append(
+                dup_keys.select(
+                    F.lit(r.name).alias("rule"),
+                    F.lit(r.kind).alias("kind"),
+                    F.col("violations"),
+                )
+            )
+        elif r.kind == "references":
+            ref, ref_col = r.params
+            fk = r.columns[0]
+            orphans = (
+                df.filter(F.col(fk).isNotNull())
+                .select(F.col(fk).alias("__fk"))
+                .join(
+                    ref.select(F.col(ref_col).alias("__fk")).distinct(),
+                    "__fk",
+                    "left_anti",
+                )
+                .agg(F.count(F.lit(1)).alias("violations"))
+            )
+            parts.append(
+                orphans.select(
+                    F.lit(r.name).alias("rule"),
+                    F.lit(r.kind).alias("kind"),
+                    F.col("violations"),
+                )
+            )
+        elif r.kind not in _ROW_KINDS:
+            raise ValueError(f"unknown rule kind: {r.kind}")
+
+    out = reduce(lambda a, b: a.unionByName(b), parts)
+    return out.select(
+        "rule", "kind", "violations", (F.col("violations") == 0).alias("passed")
+    )

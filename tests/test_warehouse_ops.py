@@ -1,0 +1,215 @@
+"""Unit tests for the round-7 warehouse-lifecycle operators: SCD2 history
+build (operators/temporal.scd2_history), snapshot CDC diff
+(plans/merge.snapshot_diff) and the data-quality gate
+(plans/quality.validate_expectations). The fixture-scale DuckDB value-hash
+checks live in tests/test_rotated_oracle.py (scd2_user_state,
+snapshot_diff_orders, validate_orders); these pin the semantic corners —
+run collapsing, NULL contracts, tie determinism — on handcrafted frames.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from etl_data_transformer_spark.operators.temporal import scd2_history
+from etl_data_transformer_spark.plans.merge import assert_unique, snapshot_diff
+from etl_data_transformer_spark.plans.quality import Expectation, validate_expectations
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# ------------------------------------------------------------------ scd2 ----
+
+
+def test_scd2_collapses_consecutive_runs_and_versions(spark):
+    rows = [
+        (1, "A", _ts("2024-01-01 00:00:00"), 1),
+        (1, "A", _ts("2024-01-02 00:00:00"), 2),  # same state: merged
+        (1, "B", _ts("2024-01-03 00:00:00"), 3),  # change -> v2
+        (1, "A", _ts("2024-01-04 00:00:00"), 4),  # back to A -> v3 (not merged with v1)
+        (2, "X", _ts("2024-01-01 00:00:00"), 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, state string, ts timestamp, eid int")
+    out = scd2_history(df, ["user_id"], ["state"], "ts", ["eid"])
+    got = {(r.user_id, r.version): r for r in out.collect()}
+    assert len(got) == 4
+    v1, v2, v3 = got[(1, 1)], got[(1, 2)], got[(1, 3)]
+    assert (v1.state, v2.state, v3.state) == ("A", "B", "A")
+    assert v1.valid_from == _ts("2024-01-01 00:00:00")
+    assert v1.valid_to == v2.valid_from == _ts("2024-01-03 00:00:00")
+    assert v2.valid_to == v3.valid_from == _ts("2024-01-04 00:00:00")
+    assert v3.valid_to is None and v3.is_current
+    assert not v1.is_current and not v2.is_current
+    assert got[(2, 1)].is_current
+
+
+def test_scd2_null_states_form_runs_not_versions(spark):
+    rows = [
+        (1, None, _ts("2024-01-01 00:00:00"), 1),
+        (1, None, _ts("2024-01-02 00:00:00"), 2),  # NULL == NULL: merged
+        (1, "A", _ts("2024-01-03 00:00:00"), 3),
+        (1, None, _ts("2024-01-04 00:00:00"), 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, state string, ts timestamp, eid int")
+    out = scd2_history(df, ["user_id"], ["state"], "ts", ["eid"]).orderBy("version")
+    states = [r.state for r in out.collect()]
+    assert states == [None, "A", None]
+
+
+def test_scd2_equal_ts_ties_break_on_tiebreaker(spark):
+    # two different states observed at the SAME instant: the tiebreaker
+    # column decides the version order deterministically
+    rows = [
+        (1, "B", _ts("2024-01-01 00:00:00"), 2),
+        (1, "A", _ts("2024-01-01 00:00:00"), 1),
+        (1, "C", _ts("2024-01-02 00:00:00"), 3),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, state string, ts timestamp, eid int")
+    out = scd2_history(df, ["user_id"], ["state"], "ts", ["eid"]).orderBy("version")
+    rs = out.collect()
+    assert [r.state for r in rs] == ["A", "B", "C"]
+    # v1's interval is zero-length (closed at the same instant by v2)
+    assert rs[0].valid_to == rs[0].valid_from == rs[1].valid_from
+
+
+def test_scd2_multi_state_columns_change_on_any_field(spark):
+    rows = [
+        (1, "A", 10, _ts("2024-01-01 00:00:00"), 1),
+        (1, "A", 11, _ts("2024-01-02 00:00:00"), 2),  # second field changed
+        (1, "A", 11, _ts("2024-01-03 00:00:00"), 3),  # identical: merged
+    ]
+    df = spark.createDataFrame(rows, "k int, s1 string, s2 int, ts timestamp, eid int")
+    out = scd2_history(df, ["k"], ["s1", "s2"], "ts", ["eid"])
+    assert out.count() == 2
+
+
+def test_scd2_requires_key_and_state():
+    with pytest.raises(ValueError):
+        scd2_history(None, [], ["s"], "ts")
+    with pytest.raises(ValueError):
+        scd2_history(None, ["k"], [], "ts")
+
+
+# --------------------------------------------------------- snapshot_diff ----
+
+
+def test_snapshot_diff_all_change_types(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.5), (3, "c", None), (4, "d", 4.0)],
+        "k int, s string, v double",
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 deleted, 2 updated (2.0 -> 2.5), 3 unchanged (NULL <=> NULL), 4 inserted
+    assert got == {1: "deleted", 2: "updated", 4: "inserted"}
+
+
+def test_snapshot_diff_null_transitions_are_updates(spark):
+    old = spark.createDataFrame([(1, None), (2, "x")], "k int, v string")
+    new = spark.createDataFrame([(1, "y"), (2, None)], "k int, v string")
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "updated", 2: "updated"}
+
+
+def test_snapshot_diff_keys_only_presence_changes(spark):
+    # no compare columns: only inserted/deleted can appear
+    old = spark.createDataFrame([(1,), (2,)], "k int")
+    new = spark.createDataFrame([(2,), (3,)], "k int")
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "deleted", 3: "inserted"}
+
+
+def test_snapshot_diff_requires_keys(spark):
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError):
+        snapshot_diff(df, df, [])
+
+
+def test_assert_unique(spark):
+    ok = spark.createDataFrame([(1,), (2,)], "k int")
+    assert assert_unique(ok, ["k"]) is ok
+    dup = spark.createDataFrame([(1,), (1,)], "k int")
+    with pytest.raises(ValueError, match="not unique"):
+        assert_unique(dup, ["k"])
+
+
+# ------------------------------------------------------------ quality -------
+
+
+@pytest.fixture(scope="module")
+def quality_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "O", 10.0, "1-URGENT", 100),
+            (2, "F", -5.0, "5-LOW", 100),      # in_range + matches violations
+            (3, "P", 20.0, "2-HIGH", None),    # accepted_values violation, null fk
+            (4, None, None, "3-MEDIUM", 999),  # null status/price PASS non-not_null rules
+            (4, "O", 30.0, "4-NOT SPECIFIED", 100),  # dup key 4
+            (None, "O", 40.0, "1-URGENT", 100),      # null key: not_null fails, unique ignores
+        ],
+        "k int, status string, price double, prio string, fk int",
+    )
+
+
+def test_validate_expectations_row_rules_null_contract(spark, quality_df):
+    ref = spark.createDataFrame([(100,), (200,)], "ck int")
+    rules = [
+        Expectation.not_null("k"),
+        Expectation.unique("k"),
+        Expectation.accepted_values("status", "O", "F"),
+        Expectation.in_range("price", 0.0, 100.0),
+        Expectation.matches("prio", "^[1-4]-"),
+        Expectation.expression("price_pos", "price > 0"),
+        Expectation.references("fk", ref, "ck"),
+    ]
+    got = {r.rule: (r.violations, r.passed) for r in validate_expectations(quality_df, rules).collect()}
+    assert got["k_not_null"] == (1, False)
+    # one duplicated KEY (k=4); the NULL key row is ignored by unique
+    assert got["k_unique"] == (1, False)
+    # 'P' violates; NULL status passes (null contract)
+    assert got["status_accepted_values"] == (1, False)
+    # -5.0 violates; NULL price passes
+    assert got["price_in_range"] == (1, False)
+    assert got["prio_matches"] == (1, False)
+    assert got["price_pos"] == (1, False)
+    # fk=999 is orphaned; NULL fk ignored
+    assert got["fk_references"] == (1, False)
+
+
+def test_validate_expectations_passing_rules(spark, quality_df):
+    rules = [
+        Expectation.not_null("prio"),
+        Expectation.in_range("price", -10.0, 100.0, name="wide_range"),
+    ]
+    got = {r.rule: (r.violations, r.passed) for r in validate_expectations(quality_df, rules).collect()}
+    assert got == {"prio_not_null": (0, True), "wide_range": (0, True)}
+
+
+def test_validate_expectations_rejects_bad_input(spark, quality_df):
+    with pytest.raises(ValueError, match="no rules"):
+        validate_expectations(quality_df, [])
+    with pytest.raises(ValueError, match="unique"):
+        validate_expectations(
+            quality_df,
+            [Expectation.not_null("k", name="r"), Expectation.not_null("prio", name="r")],
+        )
+    with pytest.raises(ValueError, match="unknown rule kind"):
+        validate_expectations(quality_df, [Expectation("x", "bogus", ("k",))])
+
+
+def test_validate_expectations_schema_types(spark, quality_df):
+    out = validate_expectations(quality_df, [Expectation.not_null("k")])
+    schema = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert schema == {
+        "rule": "string",
+        "kind": "string",
+        "violations": "bigint",
+        "passed": "boolean",
+    }
