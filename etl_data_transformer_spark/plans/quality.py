@@ -45,6 +45,10 @@ class Expectation:
     kind: str
     columns: tuple[str, ...] = ()
     params: tuple = field(default=())
+    # live objects (the `references` dimension DataFrame) sit here, NOT in
+    # params: excluded from eq/hash/repr so rules stay comparable,
+    # hashable-by-value, and safe to dedupe or cache.
+    ref: object = field(default=None, compare=False, repr=False)
 
     @classmethod
     def not_null(cls, column: str, name: str | None = None) -> "Expectation":
@@ -52,6 +56,8 @@ class Expectation:
 
     @classmethod
     def unique(cls, *columns: str, name: str | None = None) -> "Expectation":
+        if not columns:
+            raise ValueError("unique requires at least one column")
         return cls(name or "_".join(columns) + "_unique", "unique", tuple(columns))
 
     @classmethod
@@ -75,7 +81,13 @@ class Expectation:
     def references(
         cls, column: str, ref: DataFrame, ref_column: str, name: str | None = None
     ) -> "Expectation":
-        return cls(name or f"{column}_references", "references", (column,), (ref, ref_column))
+        return cls(
+            name or f"{column}_references",
+            "references",
+            (column,),
+            (ref_column,),
+            ref=ref,
+        )
 
 
 def _row_condition(rule: Expectation) -> Column:
@@ -151,7 +163,7 @@ def validate_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
                 )
             )
         elif r.kind == "references":
-            ref, ref_col = r.params
+            ref, ref_col = r.ref, r.params[0]
             fk = r.columns[0]
             orphans = (
                 df.filter(F.col(fk).isNotNull())

@@ -204,6 +204,45 @@ def test_validate_expectations_rejects_bad_input(spark, quality_df):
         validate_expectations(quality_df, [Expectation("x", "bogus", ("k",))])
 
 
+def test_unique_requires_columns():
+    # round-8 ADVICE fix: zero-column unique() used to surface as an opaque
+    # "reduce() of empty iterable" TypeError deep inside validate_expectations
+    with pytest.raises(ValueError, match="at least one column"):
+        Expectation.unique()
+
+
+def test_references_rule_is_hashable_and_comparable(spark):
+    # round-8 ADVICE fix: the live dimension DataFrame lives in a
+    # compare=False field, so generated eq/hash work by VALUE and the rule
+    # can be deduped/cached; two rules over different frames still compare
+    # equal on their declarative content (name/kind/columns/ref_column)
+    ref_a = spark.createDataFrame([(1,)], "ck int")
+    ref_b = spark.createDataFrame([(2,)], "ck int")
+    r1 = Expectation.references("fk", ref_a, "ck")
+    r2 = Expectation.references("fk", ref_b, "ck")
+    assert r1 == r2 and hash(r1) == hash(r2)
+    assert len({r1, r2}) == 1
+    assert r1.ref is ref_a  # the live object is still reachable
+
+
+def test_row_level_suite_is_one_scan_one_exchange(spark, quality_df):
+    """Pin the module-doc scale claim: the WHOLE row-level suite — here 20
+    rules — compiles to ONE table scan and ONE exchange (the single-partition
+    final agg). Adding a rule adds a codegen'd accumulator, not a pass."""
+    rules = [Expectation.in_range("price", float(i), 100.0 + i, name=f"r{i}") for i in range(18)]
+    rules += [Expectation.not_null("k"), Expectation.matches("prio", "^[1-5]-")]
+    plan = (
+        validate_expectations(quality_df, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan[:3000]
+    # exactly one source scan feeds all 20 accumulators
+    n_scans = plan.count("Scan ExistingRDD") + plan.count("LocalTableScan")
+    assert n_scans == 1, plan[:3000]
+
+
 def test_validate_expectations_schema_types(spark, quality_df):
     out = validate_expectations(quality_df, [Expectation.not_null("k")])
     schema = {f.name: f.dataType.simpleString() for f in out.schema.fields}
