@@ -380,6 +380,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     max_cluster_size: int | None = None,
     block_size: int = 1024,
+    engine: str = "auto",
 ) -> DataFrame:
     """In-cluster cosine near-dup pairs — the candidate step of
     ``semantic_dedup``. Each vector is assigned to its nearest frozen
@@ -393,35 +394,117 @@ def semantic_dedup_pairs(
     (id_a, id_b, cosine_sim) with id_a < id_b. Requires the embedding
     column to be named ``embedding`` (``ivf_assign``'s contract).
 
-    Execution shape: each cluster's rows are hashed into blocks of
-    ~``block_size`` vectors, blocks are PACKED one-per-row (ids array +
-    flattened embedding matrix), and every ordered block pair (including
-    the diagonal) becomes one dense BLAS matmul task. Parallelism is
-    therefore Σ_c B_c(B_c+1)/2 tasks, not n_clusters — the one-task-per-
-    cluster ``applyInPandas`` shape left 24 of 32 cores idle at 8 clusters
-    and made every skewed cluster a straggler (7–14 s at sf1; the block
-    decomposition measures ~2.5 s on the same input). Tried and rejected
-    earlier: an interpreted ``zip_with`` cosine per joined pair (5.8 s at
-    sf0.1) and the posexplode → (list_id, position) equi-join →
-    groupBy-sum shape (5.1 s — the join materializes pairs × dim rows).
-    Each task's (≤block_size × ≤block_size) similarity tile is the memory
-    bound; zero-norm vectors never pair (cosine undefined)."""
-    import numpy as np
-    import pandas as pd
+    Engine dispatch (mirrors ``dedup.hamming_band_pairs``' census gate —
+    round-7 verdict item 1): ``'grouped'`` runs ONE dense BLAS matmul per
+    cluster via ``applyInPandas`` — cheapest when the whole corpus fits a
+    few tasks (no census, no block join, no packing); ``'blocks'`` hashes
+    each cluster into ~``block_size``-vector blocks, packs each block
+    one-per-row (ids array + flattened embedding matrix) and makes every
+    ordered block pair (incl. the diagonal) one GEMM tile task —
+    parallelism Σ_c B_c(B_c+1)/2 instead of n_clusters, which un-straggles
+    skewed clusters (7–14 s → ~2.5 s at sf1) but pays a census + block
+    join + eager materialization that LOSE at small scale (~1.5 s grouped
+    vs ~2.4 s blocks at sf0.1). ``'auto'`` reads Σ_c n_c² (the exact
+    pairwise-cosine work) from a narrow driver census and picks grouped
+    below ``_GEMM_MIN_WORK``, blocks above.
 
+    Tried and rejected earlier: an interpreted ``zip_with`` cosine per
+    joined pair (5.8 s at sf0.1) and the posexplode → (list_id, position)
+    equi-join → groupBy-sum shape (5.1 s — the join materializes
+    pairs × dim rows). Grouped's per-task memory bound is the largest
+    cluster's (B_c × B_c) similarity matrix (cap with
+    ``max_cluster_size``); blocks' is the (≤block_size × ≤block_size)
+    tile. Zero-norm vectors never pair (cosine undefined)."""
     from .dedup import _drop_hot_buckets
     from .similarity import ivf_assign
 
-    # materialize the assignment ONCE: the cluster census, the block join,
-    # and the packed self-join are independent consumers, and an
-    # unmaterialized frame would re-run the Arrow argmin-over-centroids
-    # matmul per consumer (same fix as semantic_dedup_pairs_incremental,
-    # round-6 review)
-    assigned = ivf_assign(vectors, centroids, id_col=id_col).localCheckpoint(eager=True)
+    if engine not in ("auto", "blocks", "grouped"):
+        raise ValueError(f"unknown engine {engine!r} (auto|blocks|grouped)")
+    if engine == "auto":
+        # cheap pre-gate: Σ_c n_c² ≤ N², so a corpus whose FULL pairwise
+        # work is under the threshold can never need tiles — decide from a
+        # columnless count and skip the materialization + census entirely
+        # (the census path alone cost ~0.6 s at sf0.1, pushing the grouped
+        # 1.5 s to 2.1 s)
+        n = vectors.count()
+        if n * n < _GEMM_MIN_WORK:
+            engine = "grouped"
+    assigned = ivf_assign(vectors, centroids, id_col=id_col)
+    if engine != "grouped":
+        # materialize the assignment ONCE: the work census, the block
+        # join, and the packed self-join are independent consumers, and an
+        # unmaterialized frame would re-run the Arrow argmin-over-centroids
+        # matmul per consumer (same fix as semantic_dedup_pairs_incremental,
+        # round-6 review); the grouped engine has a single consumer and
+        # skips the materialization pass
+        assigned = assigned.localCheckpoint(eager=True)
     if max_cluster_size is not None:
         assigned = _drop_hot_buckets(assigned, ["list_id"], max_cluster_size)
     id_type = dict(assigned.dtypes)["id"]
     schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+
+    if engine == "auto":
+        work = (
+            assigned.groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.sum(F.col("__n") * F.col("__n")).alias("__w"))
+            .collect()[0]["__w"]
+        )
+        engine = "grouped" if (work is None or work < _GEMM_MIN_WORK) else "blocks"
+    if engine == "grouped":
+        return _semantic_pairs_grouped(assigned, threshold, schema)
+    return _semantic_pairs_blocks(assigned, threshold, schema, block_size)
+
+
+# below this pairwise-cosine work (Σ cluster², from semantic_dedup_pairs'
+# auto census) the one-task-per-cluster GEMM beats the block tiles' census
+# + block-join + packing overhead — measured Σ n_c²: sf0.1 = 0.5M (grouped
+# 1.5 s vs blocks 2.7 s) vs the 10× distinct fixture = 143M (grouped
+# 7–14 s straggler vs blocks ~2.5 s); see SCALING.md
+_GEMM_MIN_WORK = 50_000_000
+
+
+def _semantic_pairs_grouped(assigned: DataFrame, threshold: float, schema: str) -> DataFrame:
+    """One dense BLAS matmul per cluster (the standard SemDeDup shape)."""
+    import numpy as np
+    import pandas as pd
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["id"].to_numpy()
+        norms = np.linalg.norm(x, axis=1)
+        live = norms > 0.0
+        x, ids, norms = x[live], ids[live], norms[live]
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        sim = (x @ x.T) / (norms[:, None] * norms[None, :])
+        iu = np.triu_indices(len(ids), k=1)
+        s = np.round(sim[iu], 6)
+        keep = s >= threshold
+        ia, ib = ids[iu[0][keep]], ids[iu[1][keep]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cosine_sim": s[keep],
+            }
+        )
+
+    return (
+        assigned.select("id", "list_id", "embedding")
+        .groupBy("list_id")
+        .applyInPandas(per_cluster, schema=schema)
+    )
+
+
+def _semantic_pairs_blocks(
+    assigned: DataFrame, threshold: float, schema: str, block_size: int
+) -> DataFrame:
+    """Block-pair GEMM tiles over a materialized assignment frame."""
+    import numpy as np
+    import pandas as pd
 
     # narrow cluster census → per-cluster block count ceil(n/block_size);
     # block membership is a deterministic id hash, so the decomposition is
@@ -518,6 +601,7 @@ def semantic_dedup(
     seed: int = 42,
     centroids: list[list[float]] | None = None,
     max_cluster_size: int | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023, public):
     cluster the embedding space with seeded k-means (bounded driver-side
@@ -549,7 +633,12 @@ def semantic_dedup(
             seed=seed,
         )
     pairs = semantic_dedup_pairs(
-        vectors, centroids, threshold=threshold, id_col=id_col, max_cluster_size=max_cluster_size
+        vectors,
+        centroids,
+        threshold=threshold,
+        id_col=id_col,
+        max_cluster_size=max_cluster_size,
+        engine=engine,
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return vectors.join(dropped, id_col, "left_anti")

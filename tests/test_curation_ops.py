@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_data_transformer_spark.operators import curation as C
@@ -860,15 +861,58 @@ def test_semantic_dedup_pairs_block_decomposition_equivalent(spark):
         blocked = {
             (r["id_a"], r["id_b"], r["cosine_sim"])
             for r in C.semantic_dedup_pairs(
-                df, cents, threshold=0.9, block_size=bs
+                df, cents, threshold=0.9, block_size=bs, engine="blocks"
             ).collect()
         }
         mono = {
             (r["id_a"], r["id_b"], r["cosine_sim"])
             for r in C.semantic_dedup_pairs(
-                df, cents, threshold=0.9, block_size=10**9
+                df, cents, threshold=0.9, block_size=10**9, engine="blocks"
             ).collect()
         }
         assert blocked == mono, bs
         assert all(a < b for a, b, _ in blocked)
         assert len(blocked) >= 9  # the planted near-dups are found
+    # engine equivalence (round-8: census-gated dispatch): grouped ==
+    # blocks == auto (which picks grouped at this scale), and bad names
+    # reject
+    grouped = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in C.semantic_dedup_pairs(df, cents, threshold=0.9, engine="grouped").collect()
+    }
+    auto = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in C.semantic_dedup_pairs(df, cents, threshold=0.9, engine="auto").collect()
+    }
+    assert grouped == auto == mono
+    with pytest.raises(ValueError, match="unknown engine"):
+        C.semantic_dedup_pairs(df, cents, engine="bogus")
+
+
+def test_semantic_pairs_engine_dispatch_plans(spark):
+    """The census gate picks the right physical shape: 'grouped' plans a
+    FlatMapGroupsInPandas with NO localCheckpoint scan of a materialized
+    assignment, 'blocks' plans the packed tile mapInPandas; 'auto' at tiny
+    scale resolves to the grouped shape (Σ n² « _GEMM_MIN_WORK)."""
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    from etl_data_transformer_spark.operators.similarity import train_ivf_centroids
+
+    cents = train_ivf_centroids(df.selectExpr("vec_id as id", "embedding"), n_lists=2, seed=1)
+    grouped_plan = (
+        C.semantic_dedup_pairs(df, cents, engine="grouped")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    auto_plan = (
+        C.semantic_dedup_pairs(df, cents, engine="auto")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    blocks_plan = (
+        C.semantic_dedup_pairs(df, cents, engine="blocks")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" in grouped_plan
+    assert "FlatMapGroupsInPandas" in auto_plan  # auto -> grouped here
+    assert "MapInPandas" in blocks_plan
+    assert "FlatMapGroupsInPandas" not in blocks_plan
