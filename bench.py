@@ -178,9 +178,15 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # ---- sf1 tier (round-6 verdict item 5): real work for the perf gate
+    # ---- sf1 tier (round-6 verdict item 5): real work for the perf gate.
+    # Round 8 (verdict r7 item 2): the committed r7 tier ran min-of-2 and
+    # carried 2.6-3x per-query spread in a contended window — too dispersed
+    # to gate on. Protocol now: min-of-3 after the untimed warmup pass, and
+    # a DuckDB control timed AT THIS TIER (sf1_duckdb below) so host
+    # contention is diagnosable per tier, not inferred from the sf0.1
+    # control.
     sf1_times: dict[str, float] = {}
-    sf1_reps = max(1, int(os.environ.get("SPARK_GRAFT_SF1_REPS", "2")))
+    sf1_reps = max(1, int(os.environ.get("SPARK_GRAFT_SF1_REPS", "3")))
     run_sf1 = (
         os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
         and SF_DIR.rstrip("/") == "/root/testdata/sf0.1"
@@ -211,9 +217,10 @@ def main() -> None:
                     sf1_rep_times[name].append(round(time.time() - t0, 3))
             sf1_times = {n: min(ts) for n, ts in sf1_rep_times.items()}
             for name in SF1_HEADLINE:
+                spread = max(sf1_rep_times[name]) / max(sf1_times[name], 1e-9)
                 print(
                     f"# sf1 {name}: {sf1_times[name]}s min-of-{sf1_reps} "
-                    f"{sf1_rep_times[name]}",
+                    f"{sf1_rep_times[name]} spread x{spread:.2f}",
                     file=sys.stderr,
                 )
         except Exception as e:  # noqa: BLE001 — the new tier must not kill the contract line
@@ -228,26 +235,38 @@ def main() -> None:
     # time. winnow's oracle is O(N) but its per-char list comprehensions
     # measured 17.8 s at sf0.1 (vs ~3 s for the Spark side) — same skip.
     duck_quadratic = {"minhash_pairs", "winnow_overlap_docs"}
-    duck_times: dict[str, float] = {}
-    try:
-        import duckdb
 
-        con = duckdb.connect()
-        for t in ("region nation customer supplier part orders lineitem events "
-                  "documents embeddings").split():
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
-        for name in HEADLINE:
-            if name not in oracles:
-                continue
-            if name in duck_quadratic and float(sf) > 0.01:
-                print(f"# duckdb {name}: skipped (O(N^2) oracle at sf{sf})",
-                      file=sys.stderr)
-                continue
-            t0 = time.time()
-            con.sql(oracles[name]).fetchall()
-            duck_times[name] = round(time.time() - t0, 3)
-    except Exception as e:  # noqa: BLE001 — comparison timing is best-effort
-        print(f"# duckdb timing skipped: {e}", file=sys.stderr)
+    def _duck_tier(data_dir: str, names: list[str], skip_quadratic: bool, tag: str) -> dict:
+        out: dict[str, float] = {}
+        try:
+            import duckdb
+
+            con = duckdb.connect()
+            for t in ("region nation customer supplier part orders lineitem events "
+                      "documents embeddings").split():
+                con.sql(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{data_dir}/{t}.parquet')"
+                )
+            for name in names:
+                if name not in oracles:
+                    continue
+                if skip_quadratic and name in duck_quadratic:
+                    print(f"# {tag} {name}: skipped (O(N^2) oracle)", file=sys.stderr)
+                    continue
+                t0 = time.time()
+                con.sql(oracles[name]).fetchall()
+                out[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — comparison timing is best-effort
+            print(f"# {tag} timing skipped: {e}", file=sys.stderr)
+        return out
+
+    duck_times = _duck_tier(SF_DIR, HEADLINE, float(sf) > 0.01, "duckdb")
+    # per-tier contention control (round-8): the same engine-constant SQL
+    # timed against the sf1 fixture — a slow window moves this control in
+    # lockstep with the Spark sf1 numbers, so regressions are attributable
+    duck_sf1_times = (
+        _duck_tier(SF1_DIR, SF1_HEADLINE, True, "duckdb-sf1") if sf1_times else {}
+    )
 
     # Detail (per-rep spread + DuckDB reference) goes to a sidecar file and
     # a stderr line: the round-5 driver's tail capture truncated the single
@@ -257,6 +276,7 @@ def main() -> None:
     detail = {"spread": rep_times, "duckdb": duck_times, "reps": reps}
     if sf1_times:
         detail["sf1_spread"] = sf1_rep_times
+        detail["sf1_duckdb"] = duck_sf1_times
     try:
         with open("BENCH_DETAIL.json", "w") as f:
             json.dump(detail, f)

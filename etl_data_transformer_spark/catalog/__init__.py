@@ -96,17 +96,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # approx_percentile_prices and rotated via price_histogram). Every
     # rotated-out query keeps the IDENTICAL DuckDB value-hash compare in
     # tests/test_rotated_oracle.py; see COVERAGE.md for the rotation log.
-    "heavy_hitter_terms": EXT.q_heavy_hitter_terms,
     "encode_docs_ids": EXT.q_encode_docs,
     "boilerplate_lines_docs": EXT.q_boilerplate_lines_docs,
-    "resample_events": TQ.q_resample_events,
-    "funnel_events": TQ.q_funnel_events,
+    # round-8 rotation (round-7 verdict item 3): the round-7 warehouse-
+    # lifecycle trio (SCD2 dimension history, snapshot CDC diff, the
+    # declarative data-quality gate) gets its FIRST driver-strength rows —
+    # added after the 50-slot cap filled, rotated-oracle-only until now.
+    # Rotating out, each with a fresh r7 driver row and a surviving
+    # family overlap: heavy_hitter_terms (term-frequency family stays
+    # driver-live via encode_docs_ids and rotated via top_ngram_docs),
+    # resample_events (time-bucketing family stays via tumbling_events),
+    # funnel_events (sequential-event family stays via
+    # session_agg_events). All three keep the IDENTICAL DuckDB value-hash
+    # compare in tests/test_rotated_oracle.py.
+    **WQ.WAREHOUSE_QUERIES,
     # temporal + profiling surface (as-of, range join, sessions, rollup)
     **TEMPORAL_QUERIES,
 }
-# rotated out this round (overlap documented above); the pop keeps the
+# rotated out (overlap documented above); the pop keeps the
 # TEMPORAL_QUERIES spread intact for its other entries
-for _out in ("rollup_nation_status", "rolling_user_stats", "percentile_prices"):
+for _out in (
+    "rollup_nation_status",
+    "rolling_user_stats",
+    "percentile_prices",
+    "resample_events",
+    "funnel_events",
+):
     QUERIES.pop(_out, None)
 
 # Outside the 50-slot driver contract but verified at DRIVER STRENGTH by
@@ -150,11 +165,13 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_totals": PAR.q_running_totals,
     "topk_orders_per_nation": PAR.q_topk_orders_per_nation,
     "percentile_prices": PAR.q_percentile_prices,
-    # round-7 in-session additions (warehouse lifecycle — added after the
-    # 50-slot cap filled, same driver-strength oracle in
-    # tests/test_rotated_oracle.py): SCD2 dimension history, snapshot CDC
-    # diff, declarative data-quality gate
-    **WQ.WAREHOUSE_QUERIES,
+    # round-8 rotate-outs (fresh r7 driver rows; overlaps: heavy hitters <->
+    # encode_docs_ids/top_ngram_docs, resample <-> tumbling_events,
+    # funnel <-> session_agg_events) — made room for the warehouse trio's
+    # first driver rows
+    "heavy_hitter_terms": EXT.q_heavy_hitter_terms,
+    "resample_events": TQ.q_resample_events,
+    "funnel_events": TQ.q_funnel_events,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}
