@@ -34,7 +34,9 @@ them). The one non-idempotent sink is ``survivors_path``: a rerun after a
 crash between its write and the last store append double-appends there —
 callers needing exactly-once landed output use the streaming twins
 (``streaming/pipeline.stream_*_dedup``), whose batch-partitioned sinks
-exist for exactly that. Store sidecars and layouts are validated UP FRONT
+exist for exactly that — or ``run_incremental_ingest_txn``, which
+publishes all five sinks through one journaled ``manifest.multi_commit``
+(no torn state at all). Store sidecars and layouts are validated UP FRONT
 (before any tier computes or sink writes), so a parameter mismatch or a
 streaming-layout store fails the batch cleanly rather than after partial
 appends. Single-writer by design (the ingest owner).
@@ -490,3 +492,184 @@ def write_ingest_audit(spark, audit_path: str, report: IngestReport) -> None:
     re-running ``validate_batch_audit_layout`` for direct callers."""
     validate_batch_audit_layout(spark, audit_path)
     ingest_audit_row(spark, report).write.mode("append").parquet(audit_path)
+
+
+# ----------------------------------------------- atomic (manifest) mode ----
+
+
+def _read_manifest_table_or_none(spark, table_dir: str) -> DataFrame | None:
+    from ..sources import manifest as MF
+
+    if MF.current_version(table_dir) is None:
+        return None
+    return MF.read_table(spark, table_dir)
+
+
+def run_incremental_ingest_txn(
+    batch: DataFrame,
+    *,
+    corpus_table: str,
+    exact_table: str,
+    txn_dir: str,
+    minhash_table: str | None = None,
+    simhash_table: str | None = None,
+    audit_table: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    minhash_threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    simhash_max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> IngestReport:
+    """``run_incremental_ingest`` with ATOMIC publication (round-7 verdict
+    item 4): every sink is a ``sources/manifest`` table and the landed
+    corpus + enabled dedup stores + audit flip together through ONE
+    journaled ``multi_commit`` — the all-or-nothing alternative to the
+    batch runner's ordered idempotent appends. A crash anywhere before the
+    journal write publishes NOTHING (rerun recomputes and lands everything
+    exactly once); a crash after it is healed by the recovery-first call
+    below, after which the rerun's anti-join guards find every row already
+    landed and the transaction appends nothing. There is no torn state in
+    between — the corpus can never run ahead of its stores, which is the
+    seam the plain-parquet mode documents and tolerates.
+
+    Same tier semantics, drop policy, validation-up-front and audit
+    contract as ``run_incremental_ingest`` (the tier body is shared);
+    batch ids must be disjoint from landed ids. Reruns of an already-
+    committed batch append a second audit row (both attempts are real
+    events — the same log semantics as the batch runner). Store parameter
+    sidecars live in the manifest table dir alongside ``_manifests/``.
+    Single-writer per pipeline, like the batch runner; concurrent writers
+    on the SAME tables are detected by ``multi_commit``'s CAS and fail the
+    whole transaction."""
+    from ..operators import dedup as DD
+    from ..sources import manifest as MF
+
+    spark = batch.sparkSession
+    # recovery-first discipline: roll forward any transaction a previous
+    # run journaled but did not finish flipping, BEFORE reading any table
+    MF.recover_multi_commits(txn_dir)
+
+    n_batch = batch.count()
+    mh_on = minhash_table is not None
+    sh_on = simhash_table is not None
+
+    # validate every enabled store's parameter sidecar up front (same
+    # helpers as the parquet mode — the sidecar is a plain file next to
+    # the table's _manifests dir)
+    DD.ensure_exact_params_sidecar(exact_table)
+    if mh_on:
+        DD.ensure_minhash_params_sidecar(
+            minhash_table, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
+        )
+    if sh_on:
+        DD.ensure_simhash_params_sidecar(simhash_table)
+
+    if n_batch == 0:
+        report = IngestReport(
+            0,
+            0,
+            0 if mh_on else None,
+            0 if sh_on else None,
+            0,
+            0 if mh_on else None,
+            0 if sh_on else None,
+        )
+        if audit_table is not None:
+            MF.multi_commit(
+                [{"df": ingest_audit_row(spark, report), "table_dir": audit_table,
+                  "mode": "append"}],
+                txn_dir,
+            )
+        return report
+
+    # store views: raw manifest reads, healed of any rows carrying THIS
+    # batch's ids (after recovery those can only come from a fully
+    # committed prior attempt — the heal makes the rerun recompute
+    # identical survivors, and the append guards below then land nothing)
+    from ..streaming.pipeline import _drop_replayed_batch_rows
+
+    raw_exact = _read_manifest_table_or_none(spark, exact_table)
+    raw_mh = _read_manifest_table_or_none(spark, minhash_table) if mh_on else None
+    raw_sh = _read_manifest_table_or_none(spark, simhash_table) if sh_on else None
+    ex_store = (
+        _drop_replayed_batch_rows(raw_exact, batch, id_col).select(id_col, "fp")
+        if raw_exact is not None
+        else None
+    )
+    mh_store = (
+        _drop_replayed_batch_rows(raw_mh, batch, id_col).select(id_col, "hs", "sig")
+        if raw_mh is not None
+        else None
+    )
+    sh_store = (
+        _drop_replayed_batch_rows(raw_sh, batch, id_col).select(id_col, "simhash64")
+        if raw_sh is not None
+        else None
+    )
+
+    survivors, report = _run_tiers(
+        batch,
+        ex_store,
+        mh_store,
+        sh_store,
+        mh_on=mh_on,
+        sh_on=sh_on,
+        text_col=text_col,
+        id_col=id_col,
+        minhash_threshold=minhash_threshold,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        simhash_max_hamming=simhash_max_hamming,
+        max_bucket_size=max_bucket_size,
+        n_batch=n_batch,
+    )
+
+    def _guard(rows: DataFrame, raw: DataFrame | None) -> DataFrame:
+        # after a fully committed prior attempt every row is already
+        # landed — the anti-join empties the append so the rerun's
+        # transaction is a no-op on data (only the audit log grows)
+        if raw is None:
+            return rows
+        return rows.join(raw.select(id_col).distinct(), id_col, "left_anti")
+
+    raw_corpus = _read_manifest_table_or_none(spark, corpus_table)
+    writes = [
+        {"df": _guard(survivors, raw_corpus), "table_dir": corpus_table, "mode": "append"},
+        {
+            "df": _guard(DD.exact_fingerprint_store(survivors, text_col, id_col), raw_exact),
+            "table_dir": exact_table,
+            "mode": "append",
+        },
+    ]
+    if mh_on:
+        writes.append(
+            {
+                "df": _guard(
+                    DD.minhash_signature_store(
+                        survivors, text_col, id_col, shingle_n, num_hashes, bands
+                    ),
+                    raw_mh,
+                ),
+                "table_dir": minhash_table,
+                "mode": "append",
+            }
+        )
+    if sh_on:
+        writes.append(
+            {
+                "df": _guard(DD.simhash_store_rows(survivors, text_col, id_col), raw_sh),
+                "table_dir": simhash_table,
+                "mode": "append",
+            }
+        )
+    if audit_table is not None:
+        writes.append(
+            {"df": ingest_audit_row(spark, report), "table_dir": audit_table,
+             "mode": "append"}
+        )
+    MF.multi_commit(writes, txn_dir)
+    return report

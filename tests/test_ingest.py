@@ -412,3 +412,211 @@ def test_stream_ingest_empty_batch_writes_zero_audit_row(spark, tmp_path):
     )
     rows = spark.read.parquet(audit).collect()
     assert len(rows) == 1 and rows[0]["n_batch"] == 0 and rows[0]["n_landed"] == 0
+
+
+# ------------------------------------------------- atomic (manifest) mode ----
+
+
+def _txn_kw(tmp_path):
+    return dict(
+        corpus_table=str(tmp_path / "corpus"),
+        exact_table=str(tmp_path / "ex"),
+        minhash_table=str(tmp_path / "mh"),
+        simhash_table=str(tmp_path / "sh"),
+        audit_table=str(tmp_path / "audit"),
+        txn_dir=str(tmp_path / "_txns"),
+        minhash_threshold=0.3,
+        simhash_max_hamming=10,
+    )
+
+
+def _b1(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different content about maritime chronometers"),
+            (3, "the quick brown fox jumps over the lazy dog today"),      # exact dup of 1
+            (4, "the quick brown fox jumps over the lazy dog yesterday"),  # near dup of 1
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _b2(spark):
+    return spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # exact dup of landed 1
+            (11, "the quick brown fox leaps over the lazy dog today"),  # near dup of landed 1
+            (12, "an entirely novel new document about fresh things"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_ingest_txn_two_batches_matches_parquet_mode(spark, tmp_path):
+    """The atomic mode lands the same survivors / store rows / audit counts
+    as the plain-parquet runner on the same two batches (tier body is
+    shared; only the publication protocol differs)."""
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest_txn
+    from etl_data_transformer_spark.sources import manifest as MF
+
+    kw = _txn_kw(tmp_path)
+    r1 = run_incremental_ingest_txn(_b1(spark), **kw)
+    assert (r1.n_batch, r1.n_after_exact, r1.n_landed) == (4, 3, 2)
+    r2 = run_incremental_ingest_txn(_b2(spark), **kw)
+    assert (r2.n_batch, r2.n_after_exact, r2.n_landed) == (3, 2, 1)
+
+    corpus = MF.read_table(spark, kw["corpus_table"])
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 2, 12]
+    assert sorted(
+        r["doc_id"] for r in MF.read_table(spark, kw["exact_table"]).collect()
+    ) == [1, 2, 12]
+    assert {
+        r["doc_id"]
+        for r in MF.read_table(spark, kw["simhash_table"]).select("doc_id").collect()
+    } == {1, 2, 12}
+    audit = MF.read_table(spark, kw["audit_table"]).orderBy("ingest_ts").collect()
+    assert [r["n_landed"] for r in audit] == [2, 1]
+    # no leftover journal: both transactions completed
+    assert not [
+        f for f in os.listdir(kw["txn_dir"]) if f.startswith("txn_")
+    ]
+
+    # empty batch: zeroed report, one audit row, no data movement
+    r3 = run_incremental_ingest_txn(
+        spark.createDataFrame([], "doc_id long, text string"), **kw
+    )
+    assert (r3.n_batch, r3.n_landed) == (0, 0)
+    assert MF.read_table(spark, kw["corpus_table"]).count() == 3
+    assert MF.read_table(spark, kw["audit_table"]).count() == 3
+
+
+def test_ingest_txn_crash_before_journal_publishes_nothing(spark, tmp_path, monkeypatch):
+    """Kill the transaction in phase 2 (manifest files staged, journal not
+    yet written): NO table publishes — the corpus cannot run ahead of its
+    stores — and the rerun lands everything exactly once."""
+    import pytest
+
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest_txn
+    from etl_data_transformer_spark.sources import manifest as MF
+
+    kw = _txn_kw(tmp_path)
+    run_incremental_ingest_txn(_b1(spark), **kw)
+
+    real = MF._write_manifest_file
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:  # die mid-validate, some manifests staged
+            raise RuntimeError("injected crash before journal")
+        return real(*a, **k)
+
+    monkeypatch.setattr(MF, "_write_manifest_file", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_incremental_ingest_txn(_b2(spark), **kw)
+    monkeypatch.setattr(MF, "_write_manifest_file", real)
+
+    # nothing from batch 2 is visible anywhere
+    assert sorted(
+        r["doc_id"] for r in MF.read_table(spark, kw["corpus_table"]).collect()
+    ) == [1, 2]
+    assert sorted(
+        r["doc_id"] for r in MF.read_table(spark, kw["exact_table"]).collect()
+    ) == [1, 2]
+    assert MF.read_table(spark, kw["audit_table"]).count() == 1
+
+    # rerun: same survivors, landed exactly once
+    r2 = run_incremental_ingest_txn(_b2(spark), **kw)
+    assert r2.n_landed == 1
+    assert sorted(
+        r["doc_id"] for r in MF.read_table(spark, kw["corpus_table"]).collect()
+    ) == [1, 2, 12]
+
+
+def test_ingest_txn_crash_between_journal_and_flip_recovers(spark, tmp_path, monkeypatch):
+    """Kill the transaction AFTER the journal write, BEFORE any pointer
+    flip: the journal makes it redoable — the next run's recovery-first
+    pass rolls every table forward, and the rerun's guards then append
+    nothing (idempotent convergence)."""
+    import pytest
+
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest_txn
+    from etl_data_transformer_spark.sources import manifest as MF
+
+    kw = _txn_kw(tmp_path)
+    run_incremental_ingest_txn(_b1(spark), **kw)
+
+    real_flip = MF._flip_pointer
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before flip")
+
+    monkeypatch.setattr(MF, "_flip_pointer", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_incremental_ingest_txn(_b2(spark), **kw)
+    monkeypatch.setattr(MF, "_flip_pointer", real_flip)
+
+    # the journal survived the crash; pointers are stale (batch 2 invisible)
+    assert [f for f in os.listdir(kw["txn_dir"]) if f.startswith("txn_")]
+    assert sorted(
+        r["doc_id"] for r in MF.read_table(spark, kw["corpus_table"]).collect()
+    ) == [1, 2]
+
+    # explicit recovery heals every table to the journaled versions
+    healed = MF.recover_multi_commits(kw["txn_dir"])
+    assert len(healed) == 5
+    assert sorted(
+        r["doc_id"] for r in MF.read_table(spark, kw["corpus_table"]).collect()
+    ) == [1, 2, 12]
+    assert sorted(
+        r["doc_id"] for r in MF.read_table(spark, kw["exact_table"]).collect()
+    ) == [1, 2, 12]
+    assert MF.read_table(spark, kw["audit_table"]).count() == 2
+
+    # rerunning the recovered batch appends NO data anywhere (one more
+    # audit row — log semantics), and store rows stay unique per id
+    r2 = run_incremental_ingest_txn(_b2(spark), **kw)
+    assert r2.n_landed == 1
+    assert sorted(
+        r["doc_id"] for r in MF.read_table(spark, kw["corpus_table"]).collect()
+    ) == [1, 2, 12]
+    ex = MF.read_table(spark, kw["exact_table"])
+    assert ex.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    assert MF.read_table(spark, kw["audit_table"]).count() == 3
+
+
+def test_ingest_txn_recovery_first_heals_implicitly(spark, tmp_path, monkeypatch):
+    """The rerun itself (not an explicit recover call) heals a journaled
+    half-flipped transaction: run_incremental_ingest_txn recovers before
+    reading any table, so the rerun sees the COMMITTED state."""
+    import pytest
+
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest_txn
+    from etl_data_transformer_spark.sources import manifest as MF
+
+    kw = _txn_kw(tmp_path)
+    real_flip = MF._flip_pointer
+    flips = {"n": 0}
+
+    def boom(*a, **k):
+        flips["n"] += 1
+        if flips["n"] == 2:  # first table flipped, rest stale: TORN state
+            raise RuntimeError("injected crash mid-flip")
+        return real_flip(*a, **k)
+
+    monkeypatch.setattr(MF, "_flip_pointer", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_incremental_ingest_txn(_b1(spark), **kw)
+    monkeypatch.setattr(MF, "_flip_pointer", real_flip)
+
+    # rerun: recovery-first rolls the torn transaction forward, then the
+    # healed reads + guards make the rerun a data no-op
+    r = run_incremental_ingest_txn(_b1(spark), **kw)
+    assert r.n_batch == 4 and r.n_landed == 2
+    assert sorted(
+        r["doc_id"] for r in MF.read_table(spark, kw["corpus_table"]).collect()
+    ) == [1, 2]
+    ex = MF.read_table(spark, kw["exact_table"])
+    assert ex.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    assert not [f for f in os.listdir(kw["txn_dir"]) if f.startswith("txn_")]
