@@ -947,6 +947,30 @@ WAREHOUSE_ORACLES: dict[str, str] = {
     FROM runs
     WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
+    # scd2_apply's contract IS full-feed equivalence: the oracle for the
+    # split-build-then-apply query is scd2_history's SQL over the whole
+    # feed, verbatim — any drift in the incremental path (wrong close,
+    # wrong version offset, dropped closed history) hash-mismatches here
+    "scd2_apply_user_state": """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER w2 AS valid_to,
+           CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
+           (LEAD(ts) OVER w2 IS NULL) AS is_current
+    FROM runs
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
     # both snapshots rebuilt bit-exact from the fixture, diffed with a
     # full outer join; comparison is column-wise IS DISTINCT FROM (the
     # SQL spelling of the struct <=> the Spark side uses)

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.temporal import scd2_history
+from ..operators.temporal import scd2_apply, scd2_history
 from ..plans.merge import snapshot_diff
 from ..plans.quality import Expectation, validate_expectations
 from ..sources.readers import load_star
@@ -29,6 +29,33 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_star(spark, sf_dir, ("events",))["events"]
     return scd2_history(
         e,
+        key_cols=["user_id"],
+        state_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+
+
+def q_scd2_apply_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 SCD2 lifecycle closure (round-7 verdict item 7): build the
+    dimension from the feed BEFORE the cutoff, then incrementally apply
+    the rest as the nightly batch — the result must equal the full-feed
+    ``scd2_history`` (the oracle runs exactly that SQL), covering the
+    continuation, new-version, and unseen-key paths at fixture scale.
+    The apply's window pass costs ∝ batch + touched keys, never ∝ the
+    accumulated dimension (see ``operators.temporal.scd2_apply``)."""
+    e = load_star(spark, sf_dir, ("events",))["events"]
+    cutoff = "2024-01-20 00:00:00"
+    dim = scd2_history(
+        e.filter(F.col("ts") < cutoff),
+        key_cols=["user_id"],
+        state_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    return scd2_apply(
+        dim,
+        e.filter(F.col("ts") >= cutoff),
         key_cols=["user_id"],
         state_cols=["event_type"],
         ts_col="ts",

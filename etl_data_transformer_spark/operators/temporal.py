@@ -442,3 +442,103 @@ def scd2_history(
         F.row_number().over(w2).cast("int").alias("version"),
         F.lead(F.col(ts_col)).over(w2).isNull().alias("is_current"),
     )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    state_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    validate: bool = True,
+) -> DataFrame:
+    """Incrementally apply a new change batch to an EXISTING SCD2 dimension
+    (the operation a warehouse runs nightly): close the current version of
+    every key whose state changed, open new versions, and leave all closed
+    history — and every untouched key — byte-identical. Completes the SCD2
+    lifecycle next to the full rebuild (``scd2_history``) and the snapshot
+    diff (``plans/merge.snapshot_diff``, whose 'updated'/'inserted' rows
+    are a natural ``changes`` source).
+
+    Semantics contract: ``scd2_apply(scd2_history(f1), f2)`` equals
+    ``scd2_history(f1 UNION f2)`` whenever each key's batch observations
+    are at-or-after ALL of its prior observations — the normal ordered-
+    feed discipline. ``validate=True`` enforces the checkable part (no
+    batch row earlier than its key's current ``valid_from``) with one
+    narrow broadcast join + count over the BATCH only; truly late rows
+    need the full feed — rebuild with ``scd2_history``. Re-observations
+    of the current state merge into the open interval (no new version);
+    unseen keys start their history at version 1. When a batch row shares
+    its timestamp with the key's current ``valid_from``, the established
+    version orders first (its tiebreak slots are NULL, which the ascending
+    Spark sort places first).
+
+    Scale shape (the reason this exists instead of rebuild-every-night):
+    the window pass runs over ``changes`` plus ONE pseudo-observation per
+    TOUCHED key — cost ∝ batch, never ∝ dimension. The dimension is read
+    twice, both times with key-only semi/anti joins against the batch's
+    distinct keys (broadcastable for any sane nightly batch); closed
+    history flows through a union with no shuffle and no rewrite. At
+    100 TB of accumulated history with a GB-scale nightly feed, the apply
+    touches GBs.
+    """
+    if not key_cols or not state_cols:
+        raise ValueError("scd2_apply needs at least one key and one state column")
+    keys = list(key_cols)
+    change_types = dict(changes.dtypes)
+    extra_ties = [c for c in tiebreak_cols if c not in (*keys, *state_cols, ts_col)]
+
+    touched = changes.select(*keys).distinct()
+    current = dim.filter(F.col("is_current"))
+    cur_touched = current.join(F.broadcast(touched), keys, "left_semi")
+
+    if validate:
+        n_late = (
+            changes.join(
+                F.broadcast(cur_touched.select(*keys, F.col("valid_from").alias("__vf"))),
+                keys,
+            )
+            .filter(F.col(ts_col) < F.col("__vf"))
+            .count()
+        )
+        if n_late:
+            raise ValueError(
+                f"{n_late} change rows predate their key's current valid_from — "
+                "late-arriving data needs a scd2_history rebuild over the full "
+                "feed (or pass validate=False to accept best-effort ordering)"
+            )
+
+    # the open version, replayed as one pseudo-observation at its
+    # valid_from: collapsing is idempotent, so re-running the change scan
+    # over (pseudo ∪ batch) continues the interval exactly — same state
+    # merges, a change closes it at the first differing timestamp
+    pseudo = cur_touched.select(
+        *keys,
+        *state_cols,
+        F.col("valid_from").alias(ts_col),
+        *[F.lit(None).cast(change_types[c]).alias(c) for c in extra_ties],
+    )
+    feed = pseudo.unionByName(changes.select(*keys, *state_cols, ts_col, *extra_ties))
+    rebuilt = scd2_history(feed, keys, state_cols, ts_col, tiebreak_cols)
+    # version numbers continue from the key's current ordinal (the rebuilt
+    # slice restarts at 1; its first version IS the old current version)
+    offsets = cur_touched.select(*keys, (F.col("version") - 1).alias("__off"))
+    adjusted = (
+        rebuilt.join(F.broadcast(offsets), keys, "left")
+        .withColumn(
+            "version", (F.col("version") + F.coalesce(F.col("__off"), F.lit(0))).cast("int")
+        )
+        .drop("__off")
+    )
+
+    out_cols = [*keys, *state_cols, "valid_from", "valid_to", "version", "is_current"]
+    untouched = dim.join(F.broadcast(touched), keys, "left_anti")
+    closed_touched = dim.filter(~F.col("is_current")).join(
+        F.broadcast(touched), keys, "left_semi"
+    )
+    return (
+        untouched.select(*out_cols)
+        .unionByName(closed_touched.select(*out_cols))
+        .unionByName(adjusted.select(*out_cols))
+    )

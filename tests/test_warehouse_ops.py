@@ -13,7 +13,7 @@ import datetime as dt
 
 import pytest
 
-from etl_data_transformer_spark.operators.temporal import scd2_history
+from etl_data_transformer_spark.operators.temporal import scd2_apply, scd2_history
 from etl_data_transformer_spark.plans.merge import assert_unique, snapshot_diff
 from etl_data_transformer_spark.plans.quality import Expectation, validate_expectations
 
@@ -92,6 +92,83 @@ def test_scd2_requires_key_and_state():
         scd2_history(None, [], ["s"], "ts")
     with pytest.raises(ValueError):
         scd2_history(None, ["k"], [], "ts")
+
+
+# ----------------------------------------------------------- scd2_apply ----
+
+
+_SCD2_ARGS = (["user_id"], ["state"], "ts", ["eid"])
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(rows, "user_id int, state string, ts timestamp, eid int")
+
+
+def _rows(df):
+    return sorted(
+        (repr(r.user_id), repr(r.state), repr(r.valid_from), repr(r.valid_to),
+         r.version, r.is_current)
+        for r in df.collect()
+    )
+
+
+def test_scd2_apply_equals_full_rebuild(spark):
+    """The contract itself: apply(history(f1), f2) == history(f1 ∪ f2) on a
+    feed exercising continuation, change, flip-back, same-instant ties in
+    the batch, a key untouched by the batch, and a brand-new key."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for uid in range(6):
+        t = dt.datetime(2024, 1, 1)
+        for _ in range(rng.randint(2, 9)):
+            eid += 1
+            rows.append((uid, rng.choice(["A", "B", None]), t, eid))
+            t += dt.timedelta(hours=rng.randint(0, 6))  # 0 => same-instant tie
+    cutoff = dt.datetime(2024, 1, 2)
+    f1 = [r for r in rows if r[2] < cutoff] + [(99, "X", dt.datetime(2024, 1, 1), 900)]
+    f2 = [r for r in rows if r[2] >= cutoff] + [(77, "N", dt.datetime(2024, 1, 3), 901)]
+    dim = scd2_history(_feed(spark, f1), *_SCD2_ARGS)
+    applied = scd2_apply(dim, _feed(spark, f2), *_SCD2_ARGS)
+    full = scd2_history(_feed(spark, f1 + f2), *_SCD2_ARGS)
+    assert _rows(applied) == _rows(full)
+
+
+def test_scd2_apply_continuation_and_new_key_paths(spark):
+    f1 = [(1, "A", _ts("2024-01-01 00:00:00"), 1), (2, "Z", _ts("2024-01-01 00:00:00"), 2)]
+    dim = scd2_history(_feed(spark, f1), *_SCD2_ARGS)
+    f2 = [
+        (1, "A", _ts("2024-01-02 00:00:00"), 3),  # re-observation: merges, no new version
+        (1, "B", _ts("2024-01-03 00:00:00"), 4),  # change: closes v1, opens v2
+        (9, "N", _ts("2024-01-02 00:00:00"), 5),  # unseen key: starts at v1
+    ]
+    got = {(r.user_id, r.version): r for r in scd2_apply(dim, _feed(spark, f2), *_SCD2_ARGS).collect()}
+    assert len(got) == 4
+    assert got[(1, 1)].valid_to == got[(1, 2)].valid_from == _ts("2024-01-03 00:00:00")
+    assert got[(1, 2)].is_current and got[(1, 2)].state == "B"
+    # key 2 untouched by the batch: byte-identical pass-through
+    assert got[(2, 1)].is_current and got[(2, 1)].valid_to is None
+    assert got[(9, 1)].state == "N" and got[(9, 1)].is_current
+
+
+def test_scd2_apply_rejects_late_rows_unless_opted_out(spark):
+    f1 = [(1, "A", _ts("2024-01-05 00:00:00"), 1)]
+    dim = scd2_history(_feed(spark, f1), *_SCD2_ARGS)
+    late = _feed(spark, [(1, "B", _ts("2024-01-01 00:00:00"), 2)])
+    with pytest.raises(ValueError, match="predate"):
+        scd2_apply(dim, late, *_SCD2_ARGS)
+    # opt-out: best-effort ordering (the late row sorts first)
+    got = scd2_apply(dim, late, *_SCD2_ARGS, validate=False).orderBy("version").collect()
+    assert [r.state for r in got] == ["B", "A"]
+
+
+def test_scd2_apply_empty_batch_is_identity(spark):
+    f1 = [(1, "A", _ts("2024-01-01 00:00:00"), 1), (1, "B", _ts("2024-01-02 00:00:00"), 2)]
+    dim = scd2_history(_feed(spark, f1), *_SCD2_ARGS)
+    empty = _feed(spark, [])
+    assert _rows(scd2_apply(dim, empty, *_SCD2_ARGS)) == _rows(dim)
 
 
 # --------------------------------------------------------- snapshot_diff ----
