@@ -209,18 +209,26 @@ def main() -> None:
             sf1_rep_times: dict[str, list[float]] = {n: [] for n in SF1_HEADLINE}
             for name in SF1_HEADLINE:  # untimed warmup, as above
                 qs[name](spark, SF1_DIR).count()
-            for _ in range(sf1_reps):
+            # one untimed pass is NOT enough at this tier: measured, the
+            # first TIMED rep still runs 1.5-3x the later reps (residual
+            # JIT/warm-in on the heavy plans), which is exactly the 2.6-3x
+            # committed spread round 7 flagged. Run reps+1 passes and
+            # discard the first from the recorded stats.
+            for rep in range(sf1_reps + 1):
                 spark.sparkContext._jvm.System.gc()
                 for name in SF1_HEADLINE:
                     t0 = time.time()
                     qs[name](spark, SF1_DIR).count()
-                    sf1_rep_times[name].append(round(time.time() - t0, 3))
+                    dt = round(time.time() - t0, 3)
+                    if rep > 0:
+                        sf1_rep_times[name].append(dt)
             sf1_times = {n: min(ts) for n, ts in sf1_rep_times.items()}
             for name in SF1_HEADLINE:
                 spread = max(sf1_rep_times[name]) / max(sf1_times[name], 1e-9)
                 print(
                     f"# sf1 {name}: {sf1_times[name]}s min-of-{sf1_reps} "
-                    f"{sf1_rep_times[name]} spread x{spread:.2f}",
+                    f"(first timed rep discarded) {sf1_rep_times[name]} "
+                    f"spread x{spread:.2f}",
                     file=sys.stderr,
                 )
         except Exception as e:  # noqa: BLE001 — the new tier must not kill the contract line
@@ -244,9 +252,12 @@ def main() -> None:
             con = duckdb.connect()
             for t in ("region nation customer supplier part orders lineitem events "
                       "documents embeddings").split():
-                con.sql(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{data_dir}/{t}.parquet')"
-                )
+                # driver fixtures are single files; self-provisioned scaled
+                # fixtures are Spark part-file directories — DuckDB needs an
+                # explicit glob for the latter
+                src = f"{data_dir}/{t}.parquet"
+                pat = f"{src}/*.parquet" if os.path.isdir(src) else src
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
             for name in names:
                 if name not in oracles:
                     continue
