@@ -19,6 +19,7 @@ scaling. Distinct replicas keep near-dup output ~linear; rows are still
 reported next to wall so any residual output growth stays separable.
 
 Usage: python tools/bench_scaling_deep.py [scaled10_dir] [scaled30_dir]
+       [--only name1,name2]
 """
 
 from __future__ import annotations
@@ -34,7 +35,16 @@ from etl_data_transformer_spark.session import get_spark  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 
-QUERIES = ["fact_union", "minhash_pairs", "simhash_near_dups", "semantic_dedup"]
+# winnow_overlap_docs joined in round 8 (round-7 verdict item 5): the other
+# super-linear-output candidate — its fingerprint count grows with corpus
+# tokens and the overlap join with shared fingerprints
+QUERIES = [
+    "fact_union",
+    "minhash_pairs",
+    "simhash_near_dups",
+    "semantic_dedup",
+    "winnow_overlap_docs",
+]
 
 
 def _queries():
@@ -87,8 +97,14 @@ def _run_tracked(spark, fn, sf_dir, group):
 
 
 def main() -> None:
-    scaled10 = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1_distinct"
-    scaled30 = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf3_distinct"
+    only = None
+    argv = list(sys.argv[1:])
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    scaled10 = argv[0] if len(argv) > 0 else "/root/repo/.scratch/sf1_distinct"
+    scaled30 = argv[1] if len(argv) > 1 else "/root/repo/.scratch/sf3_distinct"
     spark = get_spark("bench_scaling_deep")
     qs = _queries()
     tiers = [("base", BASE, 1), ("x10", scaled10, 10), ("x30", scaled30, 30)]
@@ -97,6 +113,8 @@ def main() -> None:
 
     out: dict[str, dict] = {}
     for name in QUERIES:
+        if only and name not in only:
+            continue
         fn = qs[name]
         row: dict = {}
         for label, d, _ in tiers:
