@@ -467,7 +467,7 @@ def ivf_search(
     arrow: bool | None = None,
     exclude_self: bool = True,
     candidate_pushdown: str = "auto",
-    candidate_isin_max: int = 100_000,
+    candidate_isin_max: int = 0,
 ) -> DataFrame:
     """Top-k search against a persisted IVF index (``ivf_index`` /
     ``ivf_assign`` output, any storage): each query probes its ``n_probes``
@@ -500,9 +500,19 @@ def ivf_search(
        filter, when enabled, recovers most of the scan-side skipping) and
        the query embeddings arrive by a plain shuffled join rather than an
        unconditional broadcast. ``candidate_pushdown='auto'`` (default)
-       counts the checkpointed candidate frame — a metadata-cheap count —
-       and picks ``isin`` iff it is ≤ ``candidate_isin_max``; ``'isin'`` /
-       ``'join'`` force a side (equivalence is pytest-pinned).
+       picks ``isin`` iff the checkpointed candidate frame's count is
+       ≤ ``candidate_isin_max``; ``'isin'`` / ``'join'`` force a side
+       (equivalence is pytest-pinned). The DEFAULT ``candidate_isin_max``
+       is 0 — auto takes the join path without even counting — because
+       the round-8 crossover sweep (``tools/bench_ivf_probes.py``,
+       SCALING.md) found the join faster at EVERY measured batch size
+       from 20 to 20k queries on warm local data (1.1–1.9×): a large
+       IN-list is expensive to plan/codegen, and the candidate count is
+       Q × rerank_k, never small per-candidate work. ``isin``'s remaining
+       value is COLD id-sorted stores at corpus scale, where the pushed
+       predicate's row-group pruning skips IO a semi-join cannot — opt in
+       by raising ``candidate_isin_max`` (or forcing ``'isin'``) when the
+       scan, not compute, dominates.
 
     Probe selection auto-switches (``arrow=None``) to the Arrow BLAS matmul
     at ``>= 32`` lists — the same crossover as ``ivf_assign`` — so a
@@ -539,10 +549,13 @@ def ivf_search(
             )
         cands = _ivf_coarse_candidates(q, pruned, n_cand, exclude_self)
         # consumed twice (candidate push + the rerank join): materialize so
-        # the coarse phase runs once; the count below is then metadata-cheap
+        # the coarse phase runs once; any auto-count below is then
+        # metadata-cheap
         cands = cands.localCheckpoint(eager=True)
         use_isin = candidate_pushdown == "isin" or (
-            candidate_pushdown == "auto" and cands.count() <= candidate_isin_max
+            candidate_pushdown == "auto"
+            and candidate_isin_max > 0
+            and cands.count() <= candidate_isin_max
         )
         q_emb = queries.select(
             F.col("id").alias("query_id"), F.col("embedding").alias("query_id_emb")

@@ -136,8 +136,13 @@ def test_ivf_quantized_rerank_matches_full_precision(spark, star, tmp_path):
     assert dict(index.dtypes)["codes"] == "array<tinyint>"
 
     full = sorted(map(tuple, SIM.ivf_search(q, index, cents, k=5, n_probes=3).collect()))
+    # candidate_pushdown='isin' forced: this test pins the ISIN branch's IO
+    # contract (pushed In(...) row-group predicate) — since round 8 the
+    # auto default takes the join path (measured faster at every batch
+    # size; SCALING.md), so the isin shape must be requested explicitly
     rq = SIM.ivf_search(
-        q, index, cents, k=5, n_probes=3, rerank_quantized=True, rerank_k=20
+        q, index, cents, k=5, n_probes=3, rerank_quantized=True, rerank_k=20,
+        candidate_pushdown="isin",
     )
     reranked = sorted(map(tuple, rq.collect()))
     assert reranked == full
