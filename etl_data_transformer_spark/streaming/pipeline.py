@@ -1022,6 +1022,82 @@ def stream_semantic_dedup(
     q.awaitTermination()
 
 
+def stream_scd2_apply(
+    stream_df: DataFrame,
+    dim_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    state_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_cols: tuple = (),
+) -> None:
+    """Streaming twin of ``operators/temporal.scd2_apply`` (round 8): a CDC
+    observation stream continuously maintains a type-2 dimension at
+    ``dim_path``. The first micro-batch builds the dimension with
+    ``scd2_history``; every later batch runs the incremental apply — close
+    changed keys' current versions, open new ones, pass closed history and
+    untouched keys through — so per-batch cost ∝ batch + touched keys,
+    never the accumulated dimension (the whole point of the batch
+    operator, kept live here).
+
+    Exactly-once: the dimension is a single keyed artifact, not an
+    append log, so the ``__batch_id``-partition idempotent-sink pattern of
+    the dedup twins does not apply. Instead every swap embeds the writing
+    (namespace, batch_id) as constant metadata columns, and a REPLAYED
+    batch (same checkpoint namespace, batch_id <= stored) is skipped
+    before any work — the one-atomic-artifact equivalent of a
+    transactional sink's txn-id check. A crash before the swap leaves the
+    old dimension intact and the replay applies cleanly; a crash DURING
+    the swap's rename window is healed by ``recover_interrupted_swap``
+    at the next batch. Batches must respect the ordered-feed contract of
+    ``scd2_apply`` (each key's new observations at-or-after its prior
+    ones — micro-batch order gives this for any time-ordered CDC feed).
+    Checkpoint and dimension belong TOGETHER (the standard Structured
+    Streaming sink contract): starting a FRESH checkpoint against an
+    already-maintained dimension re-delivers the whole source, whose
+    early observations now predate the dimension's current versions —
+    the apply-side validation rejects that loudly (pytest-pinned) instead
+    of silently rewriting history; pair a fresh checkpoint with a fresh
+    ``dim_path``."""
+    from ..operators.temporal import scd2_apply, scd2_history
+    from ..sources.writers import atomic_swap_write, recover_interrupted_swap
+
+    ns = _stream_store_namespace(checkpoint_dir)
+    meta = ("__scd2_ns", "__scd2_batch_id")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.persist()
+        try:
+            if batch.isEmpty():
+                return
+            recover_interrupted_swap(dim_path)
+            dim = _read_store_or_none(spark, dim_path)
+            if dim is not None and set(meta) <= set(dim.columns):
+                head = dim.select(*meta).limit(1).collect()
+                if head and head[0][0] == ns and head[0][1] >= batch_id:
+                    return  # replay of an already-swapped batch
+                dim = dim.drop(*meta)
+            if dim is None:
+                out = scd2_history(batch, key_cols, state_cols, ts_col, tiebreak_cols)
+            else:
+                out = scd2_apply(dim, batch, key_cols, state_cols, ts_col, tiebreak_cols)
+            atomic_swap_write(
+                out.withColumn(meta[0], F.lit(ns)).withColumn(meta[1], F.lit(batch_id)),
+                dim_path,
+            )
+        finally:
+            batch.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _stream_store_namespace(checkpoint_dir: str) -> str:
     """Stable per-CHECKPOINT token namespacing the ``__batch_id`` partition
     values of foreachBatch store/pairs sinks (round-5 advice, medium):

@@ -1324,3 +1324,69 @@ def test_stream_near_dedup_heals_interrupted_store_swap(spark, tmp_path):
     drain()
     got = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs).collect()}
     assert (1, 2) in got
+
+
+def test_stream_scd2_apply_matches_full_rebuild(spark, tmp_path):
+    """Streaming SCD2 maintenance: two drained batches of a time-ordered CDC
+    feed leave the dimension EQUAL to scd2_history over the full feed;
+    a no-new-data drain changes nothing; a FRESH checkpoint against the
+    maintained dimension (re-delivering the whole source) rejects loudly —
+    checkpoint and sink state belong together."""
+    import datetime as dt
+
+    from etl_data_transformer_spark.operators.temporal import scd2_history
+    from etl_data_transformer_spark.streaming.pipeline import stream_scd2_apply
+
+    src = str(tmp_path / "scd2_src")
+    dim = str(tmp_path / "scd2_dim")
+    ckpt = str(tmp_path / "scd2_ckpt")
+    schema = "user_id long, state string, ts timestamp, eid long"
+
+    def drain(cp=ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_scd2_apply(
+            stream, dim, cp, ["user_id"], ["state"], "ts", ("eid",)
+        )
+
+    t = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    f1 = [(1, "A", t, 1), (1, "A", t + h, 2), (2, "X", t, 3)]
+    f2 = [
+        (1, "B", t + 3 * h, 4),   # change -> v2
+        (1, "B", t + 4 * h, 5),   # merge
+        (2, "X", t + 3 * h, 6),   # same state: open interval continues
+        (9, "N", t + 3 * h, 7),   # unseen key
+    ]
+    spark.createDataFrame(f1, schema).write.mode("append").parquet(src)
+    drain()
+    spark.createDataFrame(f2, schema).write.mode("append").parquet(src)
+    drain()
+
+    def rows(df):
+        return sorted(
+            (r.user_id, repr(r.state), repr(r.valid_from), repr(r.valid_to),
+             r.version, r.is_current)
+            for r in df.collect()
+        )
+
+    want = scd2_history(
+        spark.createDataFrame(f1 + f2, schema), ["user_id"], ["state"], "ts", ("eid",)
+    )
+    got = spark.read.parquet(dim).drop("__scd2_ns", "__scd2_batch_id")
+    assert rows(got) == rows(want)
+
+    # no-new-data drain: dimension byte-stable
+    before = rows(spark.read.parquet(dim).drop("__scd2_ns", "__scd2_batch_id"))
+    drain()
+    assert rows(spark.read.parquet(dim).drop("__scd2_ns", "__scd2_batch_id")) == before
+
+    # fresh checkpoint re-delivers EVERYTHING; the earliest observations now
+    # predate the dimension's current versions, and the apply-side validator
+    # rejects the batch instead of silently rewriting history — pair a fresh
+    # checkpoint with a fresh dim_path
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="predate"):
+        drain(cp=str(tmp_path / "scd2_ckpt2"))
+    assert rows(spark.read.parquet(dim).drop("__scd2_ns", "__scd2_batch_id")) == before
