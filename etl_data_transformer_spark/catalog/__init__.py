@@ -172,10 +172,13 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitter_terms": EXT.q_heavy_hitter_terms,
     "resample_events": TQ.q_resample_events,
     "funnel_events": TQ.q_funnel_events,
-    # round-8 addition (round-7 verdict item 7): incremental SCD2 apply,
-    # oracle = full-feed scd2_history SQL (the operator's equivalence
-    # contract); added after the 50-slot cap, so rotated-oracle strength
+    # round-8 additions (round-7 verdict item 7 + the snapshot lifecycle):
+    # incremental SCD2 apply (oracle = full-feed scd2_history SQL, the
+    # operator's equivalence contract) and snapshot-driven SCD2 with
+    # deletion-closing (oracle = direct 2-snapshot version rows); added
+    # after the 50-slot cap, so rotated-oracle strength
     "scd2_apply_user_state": WQ.q_scd2_apply_user_state,
+    "scd2_snapshot_orders": WQ.q_scd2_snapshot_orders,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

@@ -971,6 +971,47 @@ WAREHOUSE_ORACLES: dict[str, str] = {
     FROM runs
     WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
+    # snapshot-driven SCD2 over the same deterministic snapshot pair as
+    # snapshot_diff_orders: with exactly two snapshots the expected version
+    # rows can be written DIRECTLY — v1 for every old key (closed at t2
+    # iff the key was deleted or updated), v2 at t2 for updated keys, v1
+    # at t2 for inserted keys. Deleted keys keep their single closed
+    # version with no successor — the transition a change feed can't say.
+    "scd2_snapshot_orders": """
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN ROUND(o_totalprice + 1.0, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), new AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ), j AS (
+        SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+               o.o_orderstatus AS os, o.o_totalprice AS op,
+               n.o_orderstatus AS ns, n.o_totalprice AS np,
+               ((o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)) AS differ
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT ok AS o_orderkey, os AS o_orderstatus, op AS o_totalprice,
+           TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+           CASE WHEN nk IS NULL OR differ
+                THEN TIMESTAMP '2024-02-01 00:00:00' END AS valid_to,
+           CAST(1 AS INT) AS version,
+           (nk IS NOT NULL AND NOT differ) AS is_current
+    FROM j WHERE ok IS NOT NULL
+    UNION ALL
+    SELECT ok, ns, np,
+           TIMESTAMP '2024-02-01 00:00:00', CAST(NULL AS TIMESTAMP),
+           CAST(2 AS INT), TRUE
+    FROM j WHERE ok IS NOT NULL AND nk IS NOT NULL AND differ
+    UNION ALL
+    SELECT nk, ns, np,
+           TIMESTAMP '2024-02-01 00:00:00', CAST(NULL AS TIMESTAMP),
+           CAST(1 AS INT), TRUE
+    FROM j WHERE ok IS NULL
+    """,
     # both snapshots rebuilt bit-exact from the fixture, diffed with a
     # full outer join; comparison is column-wise IS DISTINCT FROM (the
     # SQL spelling of the struct <=> the Spark side uses)

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.temporal import scd2_apply, scd2_history
+from ..operators.temporal import scd2_apply, scd2_apply_snapshot, scd2_history
 from ..plans.merge import snapshot_diff
 from ..plans.quality import Expectation, validate_expectations
 from ..sources.readers import load_star
@@ -61,6 +61,39 @@ def q_scd2_apply_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         tiebreak_cols=["event_id"],
     )
+
+
+def q_scd2_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 snapshot-driven SCD2 (deletion-closing): build the dimension
+    from the 'old' orders snapshot at t1, then apply the 'new' snapshot at
+    t2 — the same deterministic snapshot pair as ``snapshot_diff_orders``,
+    so the oracle rebuilds both sides and writes the expected version rows
+    directly (v1 for old keys closed iff deleted-or-updated, v2 for
+    updated keys, v1@t2 for inserted keys). Exercises every snapshot
+    transition at fixture scale including deletions, which a change-feed
+    SCD2 cannot express."""
+    o = load_star(spark, sf_dir, ("orders",))["orders"]
+    old = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.round(F.col("o_totalprice") + 1.0, 2)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    new = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    empty = spark.createDataFrame(
+        [],
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double, "
+        "valid_from timestamp, valid_to timestamp, version int, is_current boolean",
+    )
+    keys, states = ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    dim = scd2_apply_snapshot(empty, old, keys, states, "2024-01-01 00:00:00")
+    return scd2_apply_snapshot(dim, new, keys, states, "2024-02-01 00:00:00")
 
 
 def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

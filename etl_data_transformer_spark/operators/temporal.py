@@ -521,9 +521,23 @@ def scd2_apply(
     )
     feed = pseudo.unionByName(changes.select(*keys, *state_cols, ts_col, *extra_ties))
     rebuilt = scd2_history(feed, keys, state_cols, ts_col, tiebreak_cols)
-    # version numbers continue from the key's current ordinal (the rebuilt
-    # slice restarts at 1; its first version IS the old current version)
-    offsets = cur_touched.select(*keys, (F.col("version") - 1).alias("__off"))
+    # version numbers continue from the key's HIGHEST existing ordinal (the
+    # rebuilt slice restarts at 1). For a key with an open version that max
+    # IS the current version (its first rebuilt row continues it); for a
+    # key whose history was fully CLOSED (deleted via scd2_apply_snapshot)
+    # there is no current row, no pseudo-observation, and the batch's first
+    # observation opens version max+1 — re-insertion continues the
+    # numbering instead of colliding with closed versions. Aggregated over
+    # the touched keys' rows only, never the whole dimension.
+    offsets = (
+        dim.join(F.broadcast(touched), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(
+            F.max("version").alias("__mv"),
+            F.max(F.col("is_current").cast("int")).alias("__cur"),
+        )
+        .select(*keys, (F.col("__mv") - F.col("__cur")).alias("__off"))
+    )
     adjusted = (
         rebuilt.join(F.broadcast(offsets), keys, "left")
         .withColumn(
@@ -541,4 +555,63 @@ def scd2_apply(
         untouched.select(*out_cols)
         .unionByName(closed_touched.select(*out_cols))
         .unionByName(adjusted.select(*out_cols))
+    )
+
+
+def scd2_apply_snapshot(
+    dim: DataFrame,
+    snapshot: DataFrame,
+    key_cols: Sequence[str],
+    state_cols: Sequence[str],
+    as_of,
+    validate: bool = True,
+) -> DataFrame:
+    """Apply a FULL source snapshot (one row per currently-existing key,
+    taken at ``as_of``) to an SCD2 dimension — the nightly shape when the
+    source exposes table dumps instead of a change feed, and the one SCD2
+    transition a change feed cannot express: KEY DELETION. Keys present in
+    the snapshot upsert exactly like a ``scd2_apply`` change batch (same
+    state merges into the open interval, a change closes it and opens the
+    next version); keys with an open version but ABSENT from the snapshot
+    are CLOSED at ``as_of`` (``valid_to`` set, ``is_current`` false) with
+    no new version opened. A key that later reappears continues its
+    version numbering (``scd2_apply`` offsets by the key's highest
+    existing ordinal, current or closed).
+
+    Diff-then-apply: the snapshot is compared against the dimension's
+    CURRENT states with ``plans/merge.snapshot_diff`` semantics (null-safe
+    struct compare, one full-outer join on the key), so unchanged keys
+    never enter the window pass — per-run cost ∝ snapshot + touched keys,
+    and closed history still passes through untouched. ``as_of`` must be
+    at-or-after every current ``valid_from`` (enforced by ``scd2_apply``'s
+    validation when ``validate=True``)."""
+    from ..plans.merge import snapshot_diff
+
+    keys = list(key_cols)
+    current = dim.filter(F.col("is_current"))
+    diff = snapshot_diff(
+        current.select(*keys, *state_cols),
+        snapshot.select(*keys, *state_cols),
+        keys,
+        list(state_cols),
+    )
+    ts = F.lit(as_of).cast("timestamp")
+    changes = (
+        diff.filter(F.col("change_type").isin("inserted", "updated"))
+        .select(*keys)
+        .join(snapshot.select(*keys, *state_cols), keys)
+        .withColumn("__snap_ts", ts)
+    )
+    upserted = scd2_apply(
+        dim, changes, keys, list(state_cols), "__snap_ts", validate=validate
+    )
+    deleted = diff.filter(F.col("change_type") == "deleted").select(
+        *keys, F.lit(1).alias("__del")
+    )
+    closing = F.col("__del").isNotNull() & F.col("is_current")
+    return (
+        upserted.join(F.broadcast(deleted), keys, "left")
+        .withColumn("valid_to", F.when(closing, ts).otherwise(F.col("valid_to")))
+        .withColumn("is_current", F.when(closing, F.lit(False)).otherwise(F.col("is_current")))
+        .drop("__del")
     )

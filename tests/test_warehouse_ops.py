@@ -13,7 +13,11 @@ import datetime as dt
 
 import pytest
 
-from etl_data_transformer_spark.operators.temporal import scd2_apply, scd2_history
+from etl_data_transformer_spark.operators.temporal import (
+    scd2_apply,
+    scd2_apply_snapshot,
+    scd2_history,
+)
 from etl_data_transformer_spark.plans.merge import assert_unique, snapshot_diff
 from etl_data_transformer_spark.plans.quality import Expectation, validate_expectations
 
@@ -162,6 +166,63 @@ def test_scd2_apply_rejects_late_rows_unless_opted_out(spark):
     # opt-out: best-effort ordering (the late row sorts first)
     got = scd2_apply(dim, late, *_SCD2_ARGS, validate=False).orderBy("version").collect()
     assert [r.state for r in got] == ["B", "A"]
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "user_id int, state string")
+
+
+_EMPTY_DIM_DDL = (
+    "user_id int, state string, valid_from timestamp, valid_to timestamp, "
+    "version int, is_current boolean"
+)
+
+
+def test_scd2_apply_snapshot_full_lifecycle(spark):
+    """Three snapshots exercise every transition: initial build, update,
+    DELETION (version closed at the snapshot ts, none opened), unchanged
+    carry-through, and RE-INSERTION (version numbering continues past the
+    closed history instead of colliding)."""
+    t1, t2, t3 = (_ts(f"2024-01-0{i} 00:00:00") for i in (1, 2, 3))
+    dim = spark.createDataFrame([], _EMPTY_DIM_DDL)
+    dim = scd2_apply_snapshot(dim, _snap(spark, [(1, "A"), (2, "X")]),
+                              ["user_id"], ["state"], t1)
+    dim = scd2_apply_snapshot(dim, _snap(spark, [(1, "B"), (3, "N")]),
+                              ["user_id"], ["state"], t2)  # 2 deleted
+    dim = scd2_apply_snapshot(dim, _snap(spark, [(1, "B"), (2, "Y")]),
+                              ["user_id"], ["state"], t3)  # 3 deleted, 2 back
+    got = {(r.user_id, r.version): r for r in dim.collect()}
+    assert len(got) == 5
+    # key 1: A then B, B unchanged in s3 -> interval stays open
+    assert got[(1, 1)].valid_to == t2 and not got[(1, 1)].is_current
+    assert got[(1, 2)].state == "B" and got[(1, 2)].is_current
+    assert got[(1, 2)].valid_from == t2 and got[(1, 2)].valid_to is None
+    # key 2: deleted at t2 (closed, NO new version), re-inserted at t3 as v2
+    assert got[(2, 1)].state == "X" and got[(2, 1)].valid_to == t2
+    assert not got[(2, 1)].is_current
+    assert got[(2, 2)].state == "Y" and got[(2, 2)].valid_from == t3
+    assert got[(2, 2)].is_current
+    # key 3: inserted at t2, deleted at t3
+    assert got[(3, 1)].valid_from == t2 and got[(3, 1)].valid_to == t3
+    assert not got[(3, 1)].is_current
+    # no key has any open version besides 1 and 2
+    assert sorted(k for (k, _), r in got.items() if r.is_current) == [1, 2]
+
+
+def test_scd2_apply_snapshot_without_deletes_equals_change_apply(spark):
+    t1, t2 = _ts("2024-01-01 00:00:00"), _ts("2024-01-02 00:00:00")
+    dim = spark.createDataFrame([], _EMPTY_DIM_DDL)
+    dim = scd2_apply_snapshot(dim, _snap(spark, [(1, "A"), (2, "X")]),
+                              ["user_id"], ["state"], t1)
+    via_snapshot = scd2_apply_snapshot(
+        dim, _snap(spark, [(1, "B"), (2, "X"), (3, "N")]), ["user_id"], ["state"], t2
+    )
+    changes = spark.createDataFrame(
+        [(1, "B", t2, 1), (2, "X", t2, 2), (3, "N", t2, 3)],
+        "user_id int, state string, ts timestamp, eid int",
+    )
+    via_changes = scd2_apply(dim, changes, ["user_id"], ["state"], "ts", ["eid"])
+    assert _rows(via_snapshot) == _rows(via_changes)
 
 
 def test_scd2_apply_empty_batch_is_identity(spark):
