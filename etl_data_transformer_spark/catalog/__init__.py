@@ -179,6 +179,10 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # after the 50-slot cap, so rotated-oracle strength
     "scd2_apply_user_state": WQ.q_scd2_apply_user_state,
     "scd2_snapshot_orders": WQ.q_scd2_snapshot_orders,
+    # round-8 ExactSubstr passage dedup (window mask over >=2-count token
+    # windows) — the document-REWRITING dedup tier next to the
+    # document-dropping ones
+    "dedup_passages_docs": EXT.q_dedup_passages_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

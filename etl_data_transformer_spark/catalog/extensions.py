@@ -521,6 +521,20 @@ def q_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 ExactSubstr-style passage dedup: every 10-token window whose
+    exact sequence occurs >= 2 times across the capped corpus is masked
+    out of every document (union of covered positions; kept tokens
+    re-joined with single spaces). The oracle classifies windows by their
+    RAW token string where the Spark side uses xxhash64 — identical
+    outcomes absent a 64-bit collision. Pure codegen: window explode is
+    the shingle pattern, the dup census one narrow shuffle."""
+    from ..operators.curation import dedup_passages
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return dedup_passages(d, window=10, min_count=2)
+
+
 def q_dedup_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition removal over a synthetic repeated-line
     payload (built deterministically from each doc's text: prefix, repeated

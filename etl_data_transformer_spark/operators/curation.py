@@ -1449,3 +1449,101 @@ def drop_boilerplate_lines(
         .withColumn(clean_col, F.coalesce(F.col(clean_col), F.lit("")))
         .withColumn("n_lines_out", F.coalesce("n_lines_out", F.lit(0)).cast("long"))
     )
+
+
+def dedup_passages(
+    df: DataFrame,
+    window: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus duplicated-PASSAGE removal (the ExactSubstr discipline
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", public): any run of ``window`` consecutive whitespace tokens
+    whose exact sequence occurs >= ``min_count`` times across the corpus
+    (cross-doc or within-doc) is masked out of EVERY document — boilerplate
+    paragraphs, license blocks, and templated passages vanish while the
+    surrounding unique prose survives. Complements the whole-doc tiers
+    (exact/MinHash/SimHash drop documents; this rewrites them), winnowing
+    (which DETECTS overlap; this removes it) and line-level boilerplate
+    (``dedup_lines`` needs newline structure; this does not).
+
+    Semantics (pinned by the ``dedup_passages_docs`` rotated oracle):
+    tokens are the ``\\s+`` split; a token is removed iff SOME duplicated
+    window covers it (the union of covered positions, so overlapping
+    duplicated windows merge into one excised span); the cleaned text is
+    the kept tokens joined by single spaces (canonical whitespace — same
+    normalization the tokenization implies). Docs shorter than ``window``
+    tokens have no windows and pass through (canonicalized). Removal is
+    symmetric — every occurrence goes, including the first: at >=
+    ``min_count`` occurrences the passage is template mass, not content
+    (keep-one-occurrence variants need a global argmin per window chain,
+    which buys little for training corpora).
+
+    Scale shape: pure codegen end-to-end (PLANS.md: rowwise-py 0). The
+    window explode reuses the codegen shingle pattern (posexplode over a
+    sequence, slice + concat_ws + xxhash64 — no interpreted lambda); the
+    duplicate census is ONE narrow (hash, count) shuffle with map-side
+    combine; marked positions explode only DUPLICATED windows (bounded by
+    dup occurrences x window, not corpus x window); the rebuild is a
+    doc_id-partitioned sort_array over kept (pos, token) structs. Three
+    shuffles total at any corpus size; nothing quadratic."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col), toks.alias("__t")).withColumn(
+        "__n", F.size("__t")
+    )
+    # (doc, pos, window-hash): positions are 0-based over the token array
+    # NB: sequence(0, -1) DESCENDS in Spark — docs shorter than the window
+    # must take the empty-array branch, not a negative stop
+    starts = F.when(
+        F.col("__n") >= window, F.sequence(F.lit(0), F.col("__n") - window)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__t", i + 1, window))),
+            )
+        ).alias("pos", "h"),
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("h")
+    )
+    removed = (
+        wins.join(dup, "h", "left_semi")
+        .select(id_col, F.explode(F.sequence("pos", F.col("pos") + window - 1)).alias("p"))
+        .distinct()
+    )
+    tokens = base.select(
+        id_col, "__n", F.posexplode("__t").alias("p", "tok")
+    )
+    kept = tokens.join(removed, [id_col, "p"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.first("__n").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    # docs whose every token was removed (or that had no tokens) still get
+    # a row: left-join from the full doc list
+    return (
+        base.select(id_col, F.col("__n").alias("n_tokens"))
+        .join(rebuilt.drop("n_tokens"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("__kept", F.lit(0))).cast("long").alias(
+                "n_removed"
+            ),
+        )
+    )

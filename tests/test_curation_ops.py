@@ -916,3 +916,53 @@ def test_semantic_pairs_engine_dispatch_plans(spark):
     assert "FlatMapGroupsInPandas" in auto_plan  # auto -> grouped here
     assert "MapInPandas" in blocks_plan
     assert "FlatMapGroupsInPandas" not in blocks_plan
+
+
+def test_dedup_passages_semantics(spark):
+    """ExactSubstr corners: cross-doc repeats removed from EVERY occurrence,
+    overlapping duplicated windows merge into one excised span, within-doc
+    repetition triggers at min_count=2, short docs pass through
+    canonicalized, and a fully-duplicated doc empties."""
+    boiler = "alpha beta gamma delta"  # 4 tokens; window=4 -> one window
+    rows = [
+        (1, f"unique one {boiler} tail1"),
+        (2, f"unique two {boiler} tail2"),
+        (3, f"{boiler} {boiler} solo3"),       # within-doc repeat
+        (4, "tiny doc"),                        # < window: untouched
+        (5, boiler),                            # exactly the window: empties
+        (6, "entirely unique content here six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in C.dedup_passages(df, window=4).collect()}
+    assert got[1].clean_text == "unique one tail1" and got[1].n_removed == 4
+    assert got[2].clean_text == "unique two tail2" and got[2].n_removed == 4
+    # doc 3: both boiler occurrences covered (positions 0..7), solo3 kept
+    assert got[3].clean_text == "solo3" and got[3].n_removed == 8
+    assert got[4].clean_text == "tiny doc" and got[4].n_removed == 0
+    assert got[5].clean_text == "" and got[5].n_removed == 4
+    assert got[6].n_removed == 0
+    # n_tokens audits the pre-removal count
+    assert got[3].n_tokens == 9
+
+
+def test_dedup_passages_overlap_merge_and_min_count(spark):
+    # overlapping duplicated windows: 'a b c d e' shared by docs 1 and 2
+    # with window=3 yields windows at 0,1,2 — the union covers all 5 tokens
+    rows = [(1, "a b c d e x1"), (2, "a b c d e x2"), (3, "c d e only here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in C.dedup_passages(df, window=3).collect()}
+    assert got[1].clean_text == "x1" and got[1].n_removed == 5
+    assert got[2].clean_text == "x2"
+    # doc 3 shares the 'c d e' window (3 occurrences) -> masked there too
+    assert got[3].clean_text == "only here" and got[3].n_removed == 3
+    # min_count=4: nothing reaches 4 occurrences, all docs intact
+    # (canonical whitespace aside)
+    got4 = {r.doc_id: r for r in C.dedup_passages(df, window=3, min_count=4).collect()}
+    assert all(r.n_removed == 0 for r in got4.values())
+    assert got4[1].clean_text == "a b c d e x1"
+
+
+def test_dedup_passages_canonicalizes_whitespace(spark):
+    df = spark.createDataFrame([(1, "  spaced   out\ttokens \n here ")], "doc_id long, text string")
+    r = C.dedup_passages(df, window=10).collect()[0]
+    assert r.clean_text == "spaced out tokens here" and r.n_tokens == 4
