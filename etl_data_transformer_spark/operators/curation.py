@@ -1489,11 +1489,24 @@ def dedup_passages(
     dup occurrences x window, not corpus x window); the rebuild is a
     doc_id-partitioned sort_array over kept (pos, token) structs. Three
     shuffles total at any corpus size; nothing quadratic."""
+    base, wins = _passage_windows(df, window, text_col, id_col)
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("h")
+    )
+    return _passage_clean(base, wins, dup, window, id_col)
+
+
+def _passage_windows(df, window, text_col, id_col):
+    """(base = (id, __t tokens, __n), wins = (id, pos, h)) — the codegen
+    window explode shared by the full and incremental passage dedups.
+    Positions are 0-based over the token array."""
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
     base = df.select(F.col(id_col), toks.alias("__t")).withColumn(
         "__n", F.size("__t")
     )
-    # (doc, pos, window-hash): positions are 0-based over the token array
     # NB: sequence(0, -1) DESCENDS in Spark — docs shorter than the window
     # must take the empty-array branch, not a negative stop
     starts = F.when(
@@ -1508,12 +1521,12 @@ def dedup_passages(
             )
         ).alias("pos", "h"),
     )
-    dup = (
-        wins.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= min_count)
-        .select("h")
-    )
+    return base, wins
+
+
+def _passage_clean(base, wins, dup, window, id_col):
+    """Mask every token covered by a window whose hash is in ``dup`` and
+    rebuild (id, clean_text, n_tokens, n_removed)."""
     removed = (
         wins.join(dup, "h", "left_semi")
         .select(id_col, F.explode(F.sequence("pos", F.col("pos") + window - 1)).alias("p"))
@@ -1547,3 +1560,111 @@ def dedup_passages(
             ),
         )
     )
+
+
+def passage_count_store(
+    df: DataFrame, window: int = 10, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(h, c): the persisted store form for incremental passage dedup — one
+    row per distinct window hash in the landed corpus with its occurrence
+    count. Counts are additive, so per-batch stores APPEND and readers sum
+    (the same merge-on-read the banded stores use for membership); nothing
+    ever re-tokenizes landed text."""
+    _, wins = _passage_windows(df, window, text_col, id_col)
+    return wins.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+
+
+def write_passage_store(
+    store_df: DataFrame, path: str, *, window: int = 10, mode: str = "append"
+) -> None:
+    """Persist ``passage_count_store`` rows with a ``_passage_params``
+    sidecar pinning the window length — appending counts built with a
+    different window would silently corrupt the thresholding. Same
+    lifecycle discipline as the other dedup stores (atomic rebuild on
+    overwrite, sidecar-before-data on append)."""
+    import os
+
+    from ..sources.writers import atomic_swap_write
+    from .dedup import _write_params_sidecar
+
+    params = {"window": window, "algo": "xxhash64-ws-tokens-v1"}
+    if mode == "overwrite":
+        atomic_swap_write(
+            store_df,
+            path,
+            finalize_staging=lambda staging: _write_params_sidecar(
+                os.path.join(staging, "_passage_params.json"), params
+            ),
+        )
+        return
+    ensure_passage_params_sidecar(path, window=window)
+    store_df.write.mode(mode).parquet(path)
+
+
+def ensure_passage_params_sidecar(path: str, *, window: int = 10) -> None:
+    """Write-or-validate the ``_passage_params`` sidecar (see
+    ``write_passage_store``)."""
+    import os
+
+    from ..sources.writers import recover_interrupted_swap
+    from .dedup import _validate_store_params, _write_params_sidecar
+
+    recover_interrupted_swap(path)
+    params = {"window": window, "algo": "xxhash64-ws-tokens-v1"}
+    sidecar = os.path.join(path, "_passage_params.json")
+    if os.path.exists(sidecar):
+        _validate_store_params(sidecar, params, label="passage-count")
+        return
+    os.makedirs(path, exist_ok=True)
+    _write_params_sidecar(sidecar, params)
+
+
+def read_passage_store(spark, path: str, *, window: int = 10) -> DataFrame:
+    """Load a passage-count store, validating the window sidecar and
+    summing per-batch appended rows into one count per hash."""
+    ensure_passage_params_sidecar(path, window=window)
+    return (
+        spark.read.parquet(path)
+        .groupBy("h")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def dedup_passages_incremental(
+    new_df: DataFrame,
+    store: DataFrame | None,
+    window: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passage-dedup an INCREMENTAL ingest batch against the landed
+    corpus's window-count store: a batch token is masked iff some covering
+    window's TOTAL count (store + batch) reaches ``min_count`` — exactly
+    ``dedup_passages(landed ∪ batch)`` RESTRICTED to the batch's rows
+    (equivalence pinned in ``tests/test_curation_ops.py``; the restriction
+    is exact because a batch doc's masking depends only on total window
+    counts, never on which documents hold them). Landed documents are NOT
+    retro-cleaned when a batch pushes a window over the threshold — the
+    same forward-only contract as every incremental tier here (re-run
+    ``dedup_passages`` over the corpus for a retroactive pass); callers
+    append ``passage_count_store(batch)`` after landing so later batches
+    see the new mass.
+
+    Scale shape: batch-side window explode + ONE narrow (h, c) join
+    against the store — bytes per distinct landed window, never landed
+    text. ``store=None`` is the first batch (pure in-batch dedup)."""
+    base, wins = _passage_windows(new_df, window, text_col, id_col)
+    batch_counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("__bc"))
+    if store is None:
+        total = batch_counts.select("h", F.col("__bc").alias("__tc"))
+    else:
+        total = (
+            batch_counts.join(store.select("h", F.col("c").alias("__sc")), "h", "left")
+            .select(
+                "h",
+                (F.col("__bc") + F.coalesce(F.col("__sc"), F.lit(0))).alias("__tc"),
+            )
+        )
+    dup = total.filter(F.col("__tc") >= min_count).select("h")
+    return _passage_clean(base, wins, dup, window, id_col)

@@ -966,3 +966,65 @@ def test_dedup_passages_canonicalizes_whitespace(spark):
     df = spark.createDataFrame([(1, "  spaced   out\ttokens \n here ")], "doc_id long, text string")
     r = C.dedup_passages(df, window=10).collect()[0]
     assert r.clean_text == "spaced out tokens here" and r.n_tokens == 4
+
+
+def test_dedup_passages_incremental_equals_full_restricted(spark, tmp_path):
+    """The incremental contract: cleaning a batch against the landed
+    corpus's count store equals the FULL recompute over landed ∪ batch,
+    restricted to batch rows — including windows that only cross the
+    threshold because of the batch, and within-batch duplicates."""
+    landed = spark.createDataFrame(
+        [
+            (1, "shared passage alpha beta gamma one"),
+            (2, "totally unique landed content here"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "prefix shared passage alpha beta gamma suffix"),  # store hit
+            (11, "batch only repeat phrase x y"),
+            (12, "batch only repeat phrase x z"),  # within-batch dup window
+            (13, "clean and unrepeated text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    W = 3
+    store = C.passage_count_store(landed, window=W)
+    inc = {r.doc_id: r for r in C.dedup_passages_incremental(batch, store, window=W).collect()}
+    full = {
+        r.doc_id: r
+        for r in C.dedup_passages(landed.unionByName(batch), window=W).collect()
+        if r.doc_id >= 10
+    }
+    assert {k: (v.clean_text, v.n_removed) for k, v in inc.items()} == {
+        k: (v.clean_text, v.n_removed) for k, v in full.items()
+    }
+    # the store hit actually masked something
+    assert inc[10].n_removed > 0
+    # first batch (no store) = plain in-batch dedup
+    first = {r.doc_id: r for r in C.dedup_passages_incremental(batch, None, window=W).collect()}
+    alone = {r.doc_id: r for r in C.dedup_passages(batch, window=W).collect()}
+    assert {k: v.clean_text for k, v in first.items()} == {
+        k: v.clean_text for k, v in alone.items()
+    }
+
+
+def test_passage_store_lifecycle_and_sidecar(spark, tmp_path):
+    import pytest
+
+    landed = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d x y")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "pstore")
+    C.write_passage_store(C.passage_count_store(landed, window=3), path, window=3)
+    got = {r.h: r.c for r in C.read_passage_store(spark, path, window=3).collect()}
+    assert sum(got.values()) == 8 and max(got.values()) == 2  # 'a b c'/'b c d' shared
+    # appended per-batch rows SUM on read
+    more = spark.createDataFrame([(3, "a b c only")], "doc_id long, text string")
+    C.write_passage_store(C.passage_count_store(more, window=3), path, window=3)
+    got2 = {r.h: r.c for r in C.read_passage_store(spark, path, window=3).collect()}
+    assert max(got2.values()) == 3
+    # window mismatch rejects loudly
+    with pytest.raises(ValueError, match="passage-count"):
+        C.read_passage_store(spark, path, window=5)
