@@ -1562,6 +1562,9 @@ def _passage_clean(base, wins, dup, window, id_col):
     )
 
 
+_PASSAGE_PARAMS_ALGO = "xxhash64-ws-tokens-v1"
+
+
 def passage_count_store(
     df: DataFrame, window: int = 10, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1587,7 +1590,7 @@ def write_passage_store(
     from ..sources.writers import atomic_swap_write
     from .dedup import _write_params_sidecar
 
-    params = {"window": window, "algo": "xxhash64-ws-tokens-v1"}
+    params = {"window": window, "algo": _PASSAGE_PARAMS_ALGO}
     if mode == "overwrite":
         atomic_swap_write(
             store_df,
@@ -1610,7 +1613,7 @@ def ensure_passage_params_sidecar(path: str, *, window: int = 10) -> None:
     from .dedup import _validate_store_params, _write_params_sidecar
 
     recover_interrupted_swap(path)
-    params = {"window": window, "algo": "xxhash64-ws-tokens-v1"}
+    params = {"window": window, "algo": _PASSAGE_PARAMS_ALGO}
     sidecar = os.path.join(path, "_passage_params.json")
     if os.path.exists(sidecar):
         _validate_store_params(sidecar, params, label="passage-count")

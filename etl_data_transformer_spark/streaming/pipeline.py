@@ -632,6 +632,97 @@ def stream_winnow_dedup(
     q.awaitTermination()
 
 
+def stream_passage_dedup(
+    stream_docs: DataFrame,
+    store_path: str,
+    cleaned_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 10,
+    min_count: int = 2,
+) -> None:
+    """Streaming ExactSubstr passage dedup — the streaming twin of
+    ``operators/curation.dedup_passages_incremental``, completing the
+    streaming dedup family's document-REWRITING tier (exact/MinHash/
+    SimHash/winnow/semantic drop or pair documents; this one cleans
+    them). Each micro-batch masks its own documents' tokens against the
+    persisted window-count store PLUS in-batch counts, writes the cleaned
+    (id, clean_text, n_tokens, n_removed) rows to ``cleaned_path``, and
+    appends its own (h, c) count rows to the store — counts are additive,
+    so the store read is a group-sum over all landed partitions and
+    nothing re-tokenizes landed text. Forward-only like the batch tier:
+    landed documents are not retro-cleaned when later mass pushes a
+    window over the threshold.
+
+    Durability: the usual idempotent ``__batch_id``-partitioned sinks —
+    with one twist. The count store is keyed by window HASH, not doc id,
+    so replay healing cannot drop-by-id; instead the store read EXCLUDES
+    the current (namespace, batch_id) partition, which can only hold a
+    crashed earlier attempt of this very batch — the replay then
+    recomputes identical counts and its dynamic overwrite replaces the
+    partial partition. ``_passage_params`` sidecar written-or-validated
+    before any data (a restart with a different window raises instead of
+    mis-thresholding)."""
+    from ..operators.curation import (
+        dedup_passages_incremental,
+        ensure_passage_params_sidecar,
+        passage_count_store,
+    )
+
+    ns = _stream_store_namespace(checkpoint_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from ..operators.curation import _PASSAGE_PARAMS_ALGO
+        from ..operators.dedup import _write_params_sidecar
+
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).persist()
+        try:
+            if batch.isEmpty():
+                return
+            ensure_passage_params_sidecar(store_path, window=window)
+            store = _partitioned_store_or_convert(
+                spark,
+                store_path,
+                ns,
+                checkpoint_dir,
+                lambda staging: _write_params_sidecar(
+                    os.path.join(staging, "_passage_params.json"),
+                    {"window": window, "algo": _PASSAGE_PARAMS_ALGO},
+                ),
+            )
+            counts = None
+            if store is not None:
+                counts = (
+                    store.filter(F.col("__batch_id") != F.lit(f"{ns}-{batch_id:06d}"))
+                    .groupBy("h")
+                    .agg(F.sum("c").alias("c"))
+                )
+            cleaned = dedup_passages_incremental(
+                batch, counts, window, min_count, text_col, id_col
+            )
+            _overwrite_batch_partition(cleaned, cleaned_path, ns, batch_id)
+            _overwrite_batch_partition(
+                passage_count_store(batch, window, text_col, id_col),
+                store_path,
+                ns,
+                batch_id,
+            )
+        finally:
+            batch.unpersist()
+
+    q = (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_simhash_dedup(
     stream_docs: DataFrame,
     store_path: str,

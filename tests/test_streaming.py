@@ -1390,3 +1390,62 @@ def test_stream_scd2_apply_matches_full_rebuild(spark, tmp_path):
     with pytest.raises(StreamingQueryException, match="predate"):
         drain(cp=str(tmp_path / "scd2_ckpt2"))
     assert rows(spark.read.parquet(dim).drop("__scd2_ns", "__scd2_batch_id")) == before
+
+
+def test_stream_passage_dedup_two_batches(spark, tmp_path):
+    """Streaming passage dedup: batch 2's doc repeating batch 1's landed
+    passage is cleaned through the count store; batch-internal repeats
+    clean within their batch; unique prose survives; counts accumulate;
+    a no-new-data drain changes nothing."""
+    from etl_data_transformer_spark.operators import curation as C
+    from etl_data_transformer_spark.streaming.pipeline import stream_passage_dedup
+
+    src = str(tmp_path / "pd_src")
+    store = str(tmp_path / "pd_store")
+    cleaned = str(tmp_path / "pd_clean")
+    ckpt = str(tmp_path / "pd_ckpt")
+    schema = "doc_id long, text string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_passage_dedup(stream, store, cleaned, ckpt, window=3)
+
+    boiler = "alpha beta gamma"
+    b1 = [
+        (1, f"one {boiler} tail"),
+        (2, f"two {boiler} more"),   # shares the window with doc 1 in-batch
+        (3, "unique first batch text"),
+    ]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    drain()
+    got1 = {r.doc_id: r for r in spark.read.parquet(cleaned).collect()}
+    assert got1[1].clean_text == "one tail" and got1[2].clean_text == "two more"
+    assert got1[3].n_removed == 0
+
+    b2 = [
+        (10, f"ten {boiler} closing"),          # repeats LANDED passage -> store hit
+        (11, "genuinely novel second batch words"),
+    ]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    drain()
+    got2 = {r.doc_id: r for r in spark.read.parquet(cleaned).collect()}
+    assert got2[10].clean_text == "ten closing" and got2[10].n_removed == 3
+    assert got2[11].n_removed == 0
+    # equals the batch-mode incremental over the same split
+    inc = {
+        r.doc_id: r.clean_text
+        for r in C.dedup_passages_incremental(
+            spark.createDataFrame(b2, schema),
+            C.passage_count_store(spark.createDataFrame(b1, schema), window=3),
+            window=3,
+        ).collect()
+    }
+    assert {k: got2[k].clean_text for k in (10, 11)} == inc
+    # counts accumulated across both batches: the boiler window holds 3
+    counts = {r.h: r.c for r in spark.read.parquet(store).groupBy("h").sum("c")
+              .withColumnRenamed("sum(c)", "c").collect()}
+    assert max(counts.values()) == 3
+    # no-new-data drain: sinks unchanged
+    n_clean = spark.read.parquet(cleaned).count()
+    drain()
+    assert spark.read.parquet(cleaned).count() == n_clean
