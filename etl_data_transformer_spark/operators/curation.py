@@ -1671,3 +1671,45 @@ def dedup_passages_incremental(
         )
     dup = total.filter(F.col("__tc") >= min_count).select("h")
     return _passage_clean(base, wins, dup, window, id_col)
+
+
+def compact_passage_store(spark, path: str, *, window: int = 10) -> None:
+    """Bound passage-store growth: every batch appends its own (h, c) rows,
+    so after N batches a hash held by all of them costs N rows that every
+    read re-sums. Compaction group-sums the store into ONE row per hash and
+    rewrites it through ``atomic_swap_write`` with the ``_passage_params``
+    sidecar staged before the swap — readers see the old or the compacted
+    store, never a partial one (the same lifecycle as
+    ``dedup.compact_minhash_store``).
+
+    STREAMING (``__batch_id``-partitioned) stores REJECT compaction: counts
+    merged across batch partitions would double with a replayed batch's own
+    partition overwrite (the replay-heal contract of
+    ``stream_passage_dedup`` reads counts by excluding its own partition,
+    which only works while each batch's rows stay in that batch's
+    partition). Stop the stream and rebuild flat if compaction is needed.
+    Counts only ever grow under the forward-only contract — there is no
+    drop_ids variant because the store is keyed by window hash, not
+    document."""
+    from ..sources.writers import atomic_swap_write
+    from .dedup import _write_params_sidecar
+
+    ensure_passage_params_sidecar(path, window=window)
+    store = spark.read.parquet(path)
+    if "__batch_id" in store.columns:
+        raise ValueError(
+            f"passage store at {path} has the streaming (__batch_id) layout; "
+            "compacting it would break replayed-batch idempotence — stop the "
+            "stream and rebuild the store flat first"
+        )
+    import os
+
+    merged = store.groupBy("h").agg(F.sum("c").alias("c"))
+    atomic_swap_write(
+        merged,
+        path,
+        finalize_staging=lambda staging: _write_params_sidecar(
+            os.path.join(staging, "_passage_params.json"),
+            {"window": window, "algo": _PASSAGE_PARAMS_ALGO},
+        ),
+    )

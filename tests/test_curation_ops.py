@@ -1028,3 +1028,30 @@ def test_passage_store_lifecycle_and_sidecar(spark, tmp_path):
     # window mismatch rejects loudly
     with pytest.raises(ValueError, match="passage-count"):
         C.read_passage_store(spark, path, window=5)
+
+
+def test_compact_passage_store(spark, tmp_path):
+    import os
+
+    import pytest
+
+    path = str(tmp_path / "cstore")
+    for i in range(3):  # three appended batches sharing windows
+        b = spark.createDataFrame([(i * 10, "w1 w2 w3 tail" + str(i))], "doc_id long, text string")
+        C.write_passage_store(C.passage_count_store(b, window=3), path, window=3)
+    n_before = spark.read.parquet(path).count()
+    summed = {r.h: r.c for r in C.read_passage_store(spark, path, window=3).collect()}
+    C.compact_passage_store(spark, path, window=3)
+    after_rows = spark.read.parquet(path).collect()
+    # one row per hash, totals preserved, sidecar survives the swap
+    assert len(after_rows) == len(summed) < n_before
+    assert {r.h: r.c for r in after_rows} == summed
+    assert {r.h: r.c for r in C.read_passage_store(spark, path, window=3).collect()} == summed
+    assert os.path.exists(os.path.join(path, "_passage_params.json"))
+    # streaming layout rejects
+    stream_like = spark.createDataFrame([(1, 2, "a")], "h long, c long, __batch_id string")
+    p2 = str(tmp_path / "cstream")
+    stream_like.write.partitionBy("__batch_id").parquet(p2)
+    C.ensure_passage_params_sidecar(p2, window=3)
+    with pytest.raises(ValueError, match="streaming"):
+        C.compact_passage_store(spark, p2, window=3)
