@@ -376,3 +376,107 @@ def test_boilerplate_lines_matches_naive(spark, docs, min_docs):
     for _id, text in rows:
         want = "\n".join(l for l in text.split("\n") if l not in boiler)
         assert got[_id] == want, (_id, got[_id], want)
+
+
+@st.composite
+def scd2_feed_case(draw):
+    """Random change feed split at a cutoff that respects the ordered-feed
+    contract: every post-cutoff observation is at-or-after every
+    pre-cutoff one (global ts split guarantees it per key)."""
+    n = draw(st.integers(4, 16))
+    rows = []
+    for eid in range(n):
+        rows.append(
+            (
+                draw(st.integers(0, 2)),                    # key
+                draw(st.sampled_from(["A", "B", None])),    # state
+                draw(st.integers(0, 9)),                    # ts offset (hours)
+                eid,                                        # unique tiebreak
+            )
+        )
+    cutoff = draw(st.integers(1, 9))
+    return rows, cutoff
+
+
+@given(scd2_feed_case())
+@_few
+def test_scd2_apply_equals_full_rebuild_property(spark, case):
+    """apply(history(f1), f2) == history(f1 ∪ f2) for ANY feed split at a
+    global ts cutoff — random keys, random NULL-able states, same-instant
+    ties broken by eid, keys appearing on only one side of the split."""
+    from etl_data_transformer_spark.operators.temporal import scd2_apply, scd2_history
+
+    rows, cutoff = case
+    mk = lambda rs: spark.createDataFrame(
+        [(k, s, BASE_TS + dt.timedelta(hours=h), e) for k, s, h, e in rs],
+        "user_id int, state string, ts timestamp, eid int",
+    )
+    f1 = [r for r in rows if r[2] < cutoff]
+    f2 = [r for r in rows if r[2] >= cutoff]
+    if not f1 or not f2:
+        return
+    args = (["user_id"], ["state"], "ts", ["eid"])
+    applied = scd2_apply(scd2_history(mk(f1), *args), mk(f2), *args)
+    full = scd2_history(mk(rows), *args)
+    norm = lambda df: sorted(
+        (r.user_id, repr(r.state), repr(r.valid_from), repr(r.valid_to),
+         r.version, r.is_current)
+        for r in df.collect()
+    )
+    assert norm(applied) == norm(full)
+
+
+@st.composite
+def passage_corpus_case(draw):
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=10),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    split = draw(st.integers(1, max(1, len(docs) - 1)))
+    return docs, split
+
+
+@given(passage_corpus_case())
+@_few
+def test_dedup_passages_naive_and_incremental_property(spark, case):
+    """On random small-vocab corpora (dense window collisions): the full
+    operator matches a naive per-corpus window census, and the incremental
+    form over ANY landed/batch split equals the full recompute restricted
+    to batch docs."""
+    from collections import Counter
+
+    from etl_data_transformer_spark.operators import curation as C
+
+    docs, split = case
+    W = 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_removed) for r in C.dedup_passages(df, window=W).collect()}
+    # naive reference
+    census = Counter()
+    for _i, toks in enumerate(docs):
+        for j in range(len(toks) - W + 1):
+            census[tuple(toks[j : j + W])] += 1
+    for i, toks in enumerate(docs):
+        removed = set()
+        for j in range(len(toks) - W + 1):
+            if census[tuple(toks[j : j + W])] >= 2:
+                removed.update(range(j, j + W))
+        want = " ".join(t for p, t in enumerate(toks) if p not in removed)
+        assert got[i] == (want, len(removed)), (i, got[i], want)
+    # incremental == full restricted to the batch side of the split
+    landed = spark.createDataFrame(rows[:split], "doc_id long, text string")
+    batch = spark.createDataFrame(rows[split:], "doc_id long, text string")
+    if batch.count() == 0:
+        return
+    inc = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in C.dedup_passages_incremental(
+            batch, C.passage_count_store(landed, window=W), window=W
+        ).collect()
+    }
+    assert inc == {i: got[i] for i in range(split, len(docs))}
