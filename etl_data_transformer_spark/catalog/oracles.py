@@ -982,30 +982,6 @@ WAREHOUSE_ORACLES: dict[str, str] = {
     FROM runs
     WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
-    # scd2_apply's contract IS full-feed equivalence: the oracle for the
-    # split-build-then-apply query is scd2_history's SQL over the whole
-    # feed, verbatim — any drift in the incremental path (wrong close,
-    # wrong version offset, dropped closed history) hash-mismatches here
-    "scd2_apply_user_state": """
-    WITH ordered AS (
-        SELECT user_id, event_type, ts, event_id,
-               LAG(event_type) OVER w AS prev_type,
-               ROW_NUMBER() OVER w AS rn
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), runs AS (
-        SELECT user_id, event_type, ts, event_id
-        FROM ordered
-        WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
-    )
-    SELECT user_id, event_type,
-           ts AS valid_from,
-           LEAD(ts) OVER w2 AS valid_to,
-           CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
-           (LEAD(ts) OVER w2 IS NULL) AS is_current
-    FROM runs
-    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
     # snapshot-driven SCD2 over the same deterministic snapshot pair as
     # snapshot_diff_orders: with exactly two snapshots the expected version
     # rows can be written DIRECTLY — v1 for every old key (closed at t2
@@ -1125,6 +1101,12 @@ WAREHOUSE_ORACLES: dict[str, str] = {
     SELECT rule, kind, violations, (violations = 0) AS passed FROM r
     """,
 }
+
+# scd2_apply's contract IS full-feed equivalence: the oracle for the
+# split-build-then-apply query is scd2_history's SQL over the whole feed —
+# the SAME string object, so the two can never drift apart (round-8
+# review: a byte-identical copy invited exactly that)
+WAREHOUSE_ORACLES["scd2_apply_user_state"] = WAREHOUSE_ORACLES["scd2_user_state"]
 
 ALL_ORACLES: dict[str, str] = {
     **PARITY_ORACLES,

@@ -1504,9 +1504,12 @@ def _passage_windows(df, window, text_col, id_col):
     window explode shared by the full and incremental passage dedups.
     Positions are 0-based over the token array."""
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit(""))
-    base = df.select(F.col(id_col), toks.alias("__t")).withColumn(
-        "__n", F.size("__t")
-    )
+    # NULL text → empty token array, not NULL-propagating counts (round-8
+    # review: audit sums must see 0, matching drop_boilerplate_lines'
+    # null-doc discipline)
+    base = df.select(
+        F.col(id_col), F.coalesce(toks, F.array().cast("array<string>")).alias("__t")
+    ).withColumn("__n", F.size("__t"))
     # NB: sequence(0, -1) DESCENDS in Spark — docs shorter than the window
     # must take the empty-array branch, not a negative stop
     starts = F.when(
@@ -1600,6 +1603,9 @@ def write_passage_store(
             ),
         )
         return
+    from .dedup import _reject_streaming_layout_append
+
+    _reject_streaming_layout_append(store_df, path, "passage-count")
     ensure_passage_params_sidecar(path, window=window)
     store_df.write.mode(mode).parquet(path)
 
@@ -1640,6 +1646,7 @@ def dedup_passages_incremental(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    windows: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Passage-dedup an INCREMENTAL ingest batch against the landed
     corpus's window-count store: a batch token is masked iff some covering
@@ -1656,8 +1663,16 @@ def dedup_passages_incremental(
 
     Scale shape: batch-side window explode + ONE narrow (h, c) join
     against the store — bytes per distinct landed window, never landed
-    text. ``store=None`` is the first batch (pure in-batch dedup)."""
-    base, wins = _passage_windows(new_df, window, text_col, id_col)
+    text. ``store=None`` is the first batch (pure in-batch dedup).
+    Callers that already hold the batch's ``_passage_windows`` frames
+    MATERIALIZED (the streaming twin, which also derives the store's
+    count rows from them) pass them as ``windows`` so the tokenize +
+    explode + hash pipeline runs once per batch overall — the same
+    single-compute discipline as ``minhash_dedup_incremental``'s
+    ``new_banded``."""
+    base, wins = (
+        windows if windows is not None else _passage_windows(new_df, window, text_col, id_col)
+    )
     batch_counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("__bc"))
     if store is None:
         total = batch_counts.select("h", F.col("__bc").alias("__tc"))
@@ -1694,8 +1709,12 @@ def compact_passage_store(spark, path: str, *, window: int = 10) -> None:
     from ..sources.writers import atomic_swap_write
     from .dedup import _write_params_sidecar
 
+    from ..sources.readers import read_parquet_or_none
+
     ensure_passage_params_sidecar(path, window=window)
-    store = spark.read.parquet(path)
+    store = read_parquet_or_none(spark, path)
+    if store is None:
+        return  # sidecar-only / first-batch store: nothing to compact
     if "__batch_id" in store.columns:
         raise ValueError(
             f"passage store at {path} has the streaming (__batch_id) layout; "

@@ -548,10 +548,15 @@ def ivf_search(
                 f"candidate_pushdown must be 'auto', 'isin' or 'join', got {candidate_pushdown!r}"
             )
         cands = _ivf_coarse_candidates(q, pruned, n_cand, exclude_self)
-        # consumed twice (candidate push + the rerank join): materialize so
-        # the coarse phase runs once; any auto-count below is then
-        # metadata-cheap
-        cands = cands.localCheckpoint(eager=True)
+        # materialize ONLY when the isin branch is reachable: there cands
+        # is consumed twice (the driver id collect + the rerank join) and
+        # any auto-count must be metadata-cheap. On the default join path
+        # cands has a single consumer and the eager checkpoint would be
+        # pure added latency + local-disk IO (round-8 review).
+        if candidate_pushdown == "isin" or (
+            candidate_pushdown == "auto" and candidate_isin_max > 0
+        ):
+            cands = cands.localCheckpoint(eager=True)
         use_isin = candidate_pushdown == "isin" or (
             candidate_pushdown == "auto"
             and candidate_isin_max > 0

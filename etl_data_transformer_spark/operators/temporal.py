@@ -494,17 +494,26 @@ def scd2_apply(
     cur_touched = current.join(F.broadcast(touched), keys, "left_semi")
 
     if validate:
+        # per-key ordering bound: a key with an OPEN version bounds at its
+        # current valid_from (closed rows' valid_to never exceed it); a key
+        # whose history is fully CLOSED (deleted via scd2_apply_snapshot)
+        # bounds at its last valid_to — a re-insertion timestamped inside
+        # the closed interval would create overlapping versions (round-8
+        # review: the current-only check silently accepted exactly that)
+        bounds = (
+            dim.join(F.broadcast(touched), keys, "left_semi")
+            .groupBy(*keys)
+            .agg(F.max(F.coalesce(F.col("valid_to"), F.col("valid_from"))).alias("__vf"))
+        )
         n_late = (
-            changes.join(
-                F.broadcast(cur_touched.select(*keys, F.col("valid_from").alias("__vf"))),
-                keys,
-            )
+            changes.join(F.broadcast(bounds), keys)
             .filter(F.col(ts_col) < F.col("__vf"))
             .count()
         )
         if n_late:
             raise ValueError(
-                f"{n_late} change rows predate their key's current valid_from — "
+                f"{n_late} change rows predate their key's current valid_from "
+                "(or, for a deleted key, its closing timestamp) — "
                 "late-arriving data needs a scd2_history rebuild over the full "
                 "feed (or pass validate=False to accept best-effort ordering)"
             )
@@ -602,11 +611,28 @@ def scd2_apply_snapshot(
         .join(snapshot.select(*keys, *state_cols), keys)
         .withColumn("__snap_ts", ts)
     )
-    upserted = scd2_apply(
-        dim, changes, keys, list(state_cols), "__snap_ts", validate=validate
-    )
     deleted = diff.filter(F.col("change_type") == "deleted").select(
         *keys, F.lit(1).alias("__del")
+    )
+    if validate:
+        # deleted keys never enter the change batch, so scd2_apply's
+        # ordering validation cannot see them — check here that ``as_of``
+        # does not predate any closing key's open valid_from (round-8
+        # review: an early snapshot replay would otherwise silently write
+        # valid_to < valid_from)
+        n_inverted = (
+            current.join(F.broadcast(deleted.select(*keys)), keys, "left_semi")
+            .filter(F.col("valid_from") > ts)
+            .count()
+        )
+        if n_inverted:
+            raise ValueError(
+                f"as_of predates the current valid_from of {n_inverted} keys "
+                "being deleted — an out-of-order snapshot needs a rebuild "
+                "(or validate=False to accept best-effort closing)"
+            )
+    upserted = scd2_apply(
+        dim, changes, keys, list(state_cols), "__snap_ts", validate=validate
     )
     closing = F.col("__del").isNotNull() & F.col("is_current")
     return (

@@ -665,9 +665,9 @@ def stream_passage_dedup(
     before any data (a restart with a different window raises instead of
     mis-thresholding)."""
     from ..operators.curation import (
+        _passage_windows,
         dedup_passages_incremental,
         ensure_passage_params_sidecar,
-        passage_count_store,
     )
 
     ns = _stream_store_namespace(checkpoint_dir)
@@ -701,12 +701,19 @@ def stream_passage_dedup(
                     .groupBy("h")
                     .agg(F.sum("c").alias("c"))
                 )
+            # compute the batch's window explode ONCE: the mask and the
+            # store's count rows are both derived from the materialized
+            # wins frame instead of re-running tokenize+explode+hash per
+            # consumer (round-8 review)
+            base, wins = _passage_windows(batch, window, text_col, id_col)
+            wins = wins.localCheckpoint(eager=True)
             cleaned = dedup_passages_incremental(
-                batch, counts, window, min_count, text_col, id_col
+                batch, counts, window, min_count, text_col, id_col,
+                windows=(base, wins),
             )
             _overwrite_batch_partition(cleaned, cleaned_path, ns, batch_id)
             _overwrite_batch_partition(
-                passage_count_store(batch, window, text_col, id_col),
+                wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")),
                 store_path,
                 ns,
                 batch_id,

@@ -1055,3 +1055,27 @@ def test_compact_passage_store(spark, tmp_path):
     C.ensure_passage_params_sidecar(p2, window=3)
     with pytest.raises(ValueError, match="streaming"):
         C.compact_passage_store(spark, p2, window=3)
+
+
+def test_dedup_passages_null_text_yields_zero_counts(spark):
+    """Round-8 review: NULL text must audit as (clean_text='', 0 tokens,
+    0 removed), not NULL-propagating counts that vanish from sums."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "real words here")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in C.dedup_passages(df, window=2).collect()}
+    assert (got[1].clean_text, got[1].n_tokens, got[1].n_removed) == ("", 0, 0)
+    assert got[2].n_tokens == 3
+
+
+def test_write_passage_store_rejects_streaming_layout_append(spark, tmp_path):
+    import pytest
+
+    p = str(tmp_path / "pstream2")
+    spark.createDataFrame([(1, 2, "ns-000000")], "h long, c long, __batch_id string").write.partitionBy(
+        "__batch_id"
+    ).parquet(p)
+    C.ensure_passage_params_sidecar(p, window=3)
+    batch = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="streaming"):
+        C.write_passage_store(C.passage_count_store(batch, window=3), p, window=3)

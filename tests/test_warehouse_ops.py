@@ -390,3 +390,46 @@ def test_validate_expectations_schema_types(spark, quality_df):
         "violations": "bigint",
         "passed": "boolean",
     }
+
+
+def test_scd2_apply_rejects_reinsertion_inside_closed_interval(spark):
+    """Round-8 review: a key deleted by scd2_apply_snapshot has no current
+    version, so the old current-only validation silently accepted a batch
+    row timestamped INSIDE the closed interval (overlapping versions). The
+    bound is now the key's closing timestamp."""
+    t1, t2 = _ts("2024-01-01 00:00:00"), _ts("2024-02-01 00:00:00")
+    dim = spark.createDataFrame([], _EMPTY_DIM_DDL)
+    dim = scd2_apply_snapshot(dim, _snap(spark, [(2, "X")]), ["user_id"], ["state"], t1)
+    dim = scd2_apply_snapshot(dim, _snap(spark, []), ["user_id"], ["state"], t2)  # delete
+    inside = spark.createDataFrame(
+        [(2, "Y", _ts("2024-01-15 00:00:00"), 1)],
+        "user_id int, state string, ts timestamp, eid int",
+    )
+    with pytest.raises(ValueError, match="predate"):
+        scd2_apply(dim, inside, ["user_id"], ["state"], "ts", ["eid"])
+    # at-or-after the closing timestamp is fine and continues numbering
+    after = spark.createDataFrame(
+        [(2, "Y", _ts("2024-03-01 00:00:00"), 1)],
+        "user_id int, state string, ts timestamp, eid int",
+    )
+    got = {r.version: r for r in scd2_apply(dim, after, ["user_id"], ["state"], "ts", ["eid"]).collect()}
+    assert got[2].is_current and got[2].valid_from == _ts("2024-03-01 00:00:00")
+
+
+def test_scd2_apply_snapshot_rejects_early_as_of_on_delete(spark):
+    """Round-8 review: deleted keys never enter the change batch, so the
+    apply-side validation could not see an as_of that predates a closing
+    key's open valid_from — the snapshot operator now checks it itself."""
+    t2 = _ts("2024-02-01 00:00:00")
+    dim = spark.createDataFrame([], _EMPTY_DIM_DDL)
+    dim = scd2_apply_snapshot(dim, _snap(spark, [(1, "A")]), ["user_id"], ["state"], t2)
+    with pytest.raises(ValueError, match="predates the current valid_from"):
+        scd2_apply_snapshot(
+            dim, _snap(spark, []), ["user_id"], ["state"], _ts("2024-01-01 00:00:00")
+        )
+    # validate=False takes the best-effort path (documented escape hatch)
+    forced = scd2_apply_snapshot(
+        dim, _snap(spark, []), ["user_id"], ["state"],
+        _ts("2024-01-01 00:00:00"), validate=False,
+    ).collect()
+    assert not forced[0].is_current
