@@ -210,24 +210,25 @@ def main() -> None:
             for name in SF1_HEADLINE:  # untimed warmup, as above
                 qs[name](spark, SF1_DIR).count()
             # one untimed pass is NOT enough at this tier: measured, the
-            # first TIMED rep still runs 1.5-3x the later reps (residual
-            # JIT/warm-in on the heavy plans), which is exactly the 2.6-3x
-            # committed spread round 7 flagged. Run reps+1 passes and
-            # discard the first from the recorded stats.
-            for rep in range(sf1_reps + 1):
+            # first TIMED rep still runs 1.5-3x the later reps, and a few
+            # plans (mixture's bucketed fill) need a second pass to settle
+            # (residual JIT/warm-in). Run reps+discard passes and record
+            # only the warm ones.
+            discard = max(0, int(os.environ.get("SPARK_GRAFT_SF1_WARM_DISCARD", "2")))
+            for rep in range(sf1_reps + discard):
                 spark.sparkContext._jvm.System.gc()
                 for name in SF1_HEADLINE:
                     t0 = time.time()
                     qs[name](spark, SF1_DIR).count()
                     dt = round(time.time() - t0, 3)
-                    if rep > 0:
+                    if rep >= discard:
                         sf1_rep_times[name].append(dt)
             sf1_times = {n: min(ts) for n, ts in sf1_rep_times.items()}
             for name in SF1_HEADLINE:
                 spread = max(sf1_rep_times[name]) / max(sf1_times[name], 1e-9)
                 print(
                     f"# sf1 {name}: {sf1_times[name]}s min-of-{sf1_reps} "
-                    f"(first timed rep discarded) {sf1_rep_times[name]} "
+                    f"({discard} warm passes discarded) {sf1_rep_times[name]} "
                     f"spread x{spread:.2f}",
                     file=sys.stderr,
                 )
