@@ -53,6 +53,7 @@ SF1_HEADLINE = [
     "semantic_dedup",
     "winnow_overlap_docs",
     "mixture_sample_docs",
+    "dedup_passages",
 ]
 
 # headline set: the flagship branches + one per operator family
@@ -88,6 +89,7 @@ HEADLINE = [
     "resample_events",
     "funnel_events",
     "mixture_sample_docs",
+    "dedup_passages",
 ]
 
 
@@ -143,6 +145,20 @@ def main() -> None:
         qs["semantic_dedup"] = lambda spark, sf_dir: _sd(
             _ls3(spark, sf_dir, ("embeddings",))["embeddings"], threshold=0.4, n_clusters=8
         )
+    # NEW headline row in round 8: ExactSubstr passage dedup over the FULL
+    # documents table (the catalog twin dedup_passages_docs is the capped
+    # 200-doc oracle row)
+    if "dedup_passages" not in qs:
+        from etl_data_transformer_spark.operators.curation import dedup_passages as _dp
+        from etl_data_transformer_spark.sources.readers import load_star as _ls4
+        from pyspark.sql import functions as _F2
+
+        # the trailing filter forces the mask+rebuild: a bare count() lets
+        # Catalyst eliminate the unique-key left join and measure only the
+        # doc scan
+        qs["dedup_passages"] = lambda spark, sf_dir: _dp(
+            _ls4(spark, sf_dir, ("documents",))["documents"], window=10
+        ).filter(_F2.col("n_removed") + _F2.length("clean_text") >= 0)
     spark = get_spark("bench")
     # warm the JVM + parquet footers before timing
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
