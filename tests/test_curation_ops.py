@@ -1079,3 +1079,21 @@ def test_write_passage_store_rejects_streaming_layout_append(spark, tmp_path):
     batch = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError, match="streaming"):
         C.write_passage_store(C.passage_count_store(batch, window=3), p, window=3)
+
+
+def test_dedup_passages_plan_shape(spark):
+    """Pin the docstring's scale claims: three SHUFFLE exchanges (window
+    census, removed-position distinct, per-doc rebuild), broadcast hash
+    joins for the dup semi-join / position anti-join / final doc join, no
+    Python UDFs anywhere, no nested-loop or cartesian joins."""
+    # parquet source: broadcast-vs-SMJ picks need size statistics a local
+    # relation doesn't carry
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        C.dedup_passages(df, window=10)._jdf.queryExecution().executedPlan().toString()
+    )
+    n_broadcast = plan.count("BroadcastExchange")
+    n_shuffle = plan.count("Exchange") - n_broadcast
+    assert n_shuffle <= 3, plan[:3000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
