@@ -1486,9 +1486,16 @@ def dedup_passages(
     sequence, slice + concat_ws + xxhash64 — no interpreted lambda); the
     duplicate census is ONE narrow (hash, count) shuffle with map-side
     combine; marked positions explode only DUPLICATED windows (bounded by
-    dup occurrences x window, not corpus x window); the rebuild is a
-    doc_id-partitioned sort_array over kept (pos, token) structs. Three
-    shuffles total at any corpus size; nothing quadratic."""
+    dup occurrences x window, not corpus x window) and are materialized
+    once (localCheckpoint — they are small by construction). Only TOUCHED
+    documents (those that lost >= 1 position) enter the token-level
+    posexplode → anti-join → doc_id-partitioned sort_array rebuild;
+    untouched docs — the overwhelming majority at production dup rates —
+    get the byte-identical canonical output via a pure explode-free
+    projection (``array_join`` over the token array). Token mass therefore
+    never shuffles for untouched docs; the shuffles that remain are the
+    narrow census, the small removed-position distinct, and the
+    touched-doc rebuild. Nothing quadratic."""
     base, wins = _passage_windows(df, window, text_col, id_col)
     dup = (
         wins.groupBy("h")
@@ -1529,18 +1536,32 @@ def _passage_windows(df, window, text_col, id_col):
 
 def _passage_clean(base, wins, dup, window, id_col):
     """Mask every token covered by a window whose hash is in ``dup`` and
-    rebuild (id, clean_text, n_tokens, n_removed)."""
+    rebuild (id, clean_text, n_tokens, n_removed).
+
+    Only documents that actually LOST a position enter the token-level
+    posexplode → anti-join → collect_list rebuild; every untouched
+    document (the overwhelming majority at production dup rates) takes a
+    pure projection — ``array_join(__t, ' ')`` is byte-identical to the
+    rebuild's join-by-single-space over all-kept tokens, and costs no
+    explode and no shuffle. ``removed`` (bounded by duplicate occurrences
+    × window, never corpus size) is localCheckpointed once and feeds the
+    touched-doc semi-join, the position anti-join, and the per-doc removal
+    counts from storage. This deletes the two corpus-wide token-level
+    shuffles the round-8 audit flagged: token mass now only shuffles for
+    touched docs."""
     removed = (
         wins.join(dup, "h", "left_semi")
         .select(id_col, F.explode(F.sequence("pos", F.col("pos") + window - 1)).alias("p"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    tokens = base.select(
-        id_col, "__n", F.posexplode("__t").alias("p", "tok")
+    touched = removed.select(id_col).distinct()
+    touched_base = base.join(touched, id_col, "left_semi")
+    tokens = touched_base.select(
+        id_col, F.posexplode("__t").alias("p", "tok")
     )
     kept = tokens.join(removed, [id_col, "p"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
-        F.first("__n").alias("n_tokens"),
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda s: s["tok"]
@@ -1549,11 +1570,11 @@ def _passage_clean(base, wins, dup, window, id_col):
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("__kept"),
     )
-    # docs whose every token was removed (or that had no tokens) still get
-    # a row: left-join from the full doc list
-    return (
-        base.select(id_col, F.col("__n").alias("n_tokens"))
-        .join(rebuilt.drop("n_tokens"), id_col, "left")
+    # touched docs whose every token was removed still get a row: left-join
+    # from the touched doc list
+    touched_out = (
+        touched_base.select(id_col, F.col("__n").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
         .select(
             id_col,
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
@@ -1563,6 +1584,13 @@ def _passage_clean(base, wins, dup, window, id_col):
             ),
         )
     )
+    untouched_out = base.join(touched, id_col, "left_anti").select(
+        id_col,
+        F.array_join("__t", " ").alias("clean_text"),
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_removed"),
+    )
+    return touched_out.unionByName(untouched_out)
 
 
 _PASSAGE_PARAMS_ALGO = "xxhash64-ws-tokens-v1"

@@ -701,11 +701,15 @@ def stream_passage_dedup(
                     .groupBy("h")
                     .agg(F.sum("c").alias("c"))
                 )
-            # compute the batch's window explode ONCE: the mask and the
-            # store's count rows are both derived from the materialized
-            # wins frame instead of re-running tokenize+explode+hash per
-            # consumer (round-8 review)
+            # compute the batch's tokenize + window explode ONCE: the mask
+            # and the store's count rows are both derived from the
+            # materialized wins frame, and base is materialized alongside
+            # it — _passage_clean consumes base from multiple branches
+            # (touched rebuild, untouched projection, doc lists), each of
+            # which would otherwise re-run the regex tokenize over the
+            # persisted batch (round-8 advice)
             base, wins = _passage_windows(batch, window, text_col, id_col)
+            base = base.localCheckpoint(eager=True)
             wins = wins.localCheckpoint(eager=True)
             cleaned = dedup_passages_incremental(
                 batch, counts, window, min_count, text_col, id_col,

@@ -1082,10 +1082,15 @@ def test_write_passage_store_rejects_streaming_layout_append(spark, tmp_path):
 
 
 def test_dedup_passages_plan_shape(spark):
-    """Pin the docstring's scale claims: three SHUFFLE exchanges (window
-    census, removed-position distinct, per-doc rebuild), broadcast hash
-    joins for the dup semi-join / position anti-join / final doc join, no
-    Python UDFs anywhere, no nested-loop or cartesian joins."""
+    """Pin the docstring's scale claims (round-9 touched-only rebuild):
+    the census + removed-position distinct run inside the eager
+    localCheckpoint job, so the FINAL plan is a Union whose only Generate
+    (the token posexplode) sits behind a LeftSemi against the touched doc
+    ids — untouched documents never pass through an explode or a
+    token-level shuffle, they take the pure array_join projection branch.
+    Remaining shuffles are the touched-doc rebuild plus tiny
+    touched-id distincts over the checkpointed removed frame. No Python
+    UDFs anywhere, no nested-loop or cartesian joins."""
     # parquet source: broadcast-vs-SMJ picks need size statistics a local
     # relation doesn't carry
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -1094,6 +1099,57 @@ def test_dedup_passages_plan_shape(spark):
     )
     n_broadcast = plan.count("BroadcastExchange")
     n_shuffle = plan.count("Exchange") - n_broadcast
-    assert n_shuffle <= 3, plan[:3000]
+    assert n_shuffle <= 4, plan[:3000]
+    assert "Union" in plan
+    # exactly ONE Generate survives in the final plan, and it is fed by
+    # the touched-doc LeftSemi — the untouched branch is explode-free
+    assert plan.count("Generate") == 1, plan[:3000]
+    gen_idx = plan.index("Generate")
+    semi_after_gen = plan.find("LeftSemi", gen_idx)
+    assert semi_after_gen != -1, plan[gen_idx : gen_idx + 2000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+
+
+def test_dedup_passages_touched_only_equivalence(spark):
+    """Round-9 rebuild-restriction equivalence: the touched-docs-only
+    implementation must equal an independent pure-Python ExactSubstr
+    reference on a mixed corpus — duplicated passages (cross- and
+    within-doc), fully-duplicated docs, untouched docs, short docs, a
+    NULL, and messy whitespace."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon shared tail one"),
+        (2, "prefix alpha beta gamma delta epsilon shared end"),
+        (3, "completely unique content without any repeats at all"),
+        (4, "short doc"),
+        (5, "alpha beta gamma delta epsilon shared"),  # nothing but dup mass
+        (6, None),
+        (7, "  spaced   alpha beta gamma delta epsilon shared\t x "),
+        (8, "inner rep rep rep rep inner rep rep rep rep done"),  # within-doc
+    ]
+    W = 4
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in C.dedup_passages(df, window=W).collect()}
+
+    # independent reference: union of positions covered by any window whose
+    # exact token sequence occurs >= 2 times corpus-wide
+    from collections import Counter
+
+    toks = {i: (t or "").split() for i, t in rows}
+    census = Counter(
+        tuple(ts[s : s + W])
+        for ts in toks.values()
+        for s in range(len(ts) - W + 1)
+    )
+    for i, ts in toks.items():
+        rem = set()
+        for s in range(len(ts) - W + 1):
+            if census[tuple(ts[s : s + W])] >= 2:
+                rem.update(range(s, s + W))
+        clean = " ".join(t for p, t in enumerate(ts) if p not in rem)
+        r = got[i]
+        assert (r.clean_text, r.n_tokens, r.n_removed) == (
+            clean,
+            len(ts),
+            len(rem),
+        ), (i, r)
