@@ -430,13 +430,16 @@ def semantic_dedup_pairs(
         if n * n < _GEMM_MIN_WORK:
             engine = "grouped"
     assigned = ivf_assign(vectors, centroids, id_col=id_col)
-    if engine != "grouped":
+    if engine != "grouped" or max_cluster_size is not None:
         # materialize the assignment ONCE: the work census, the block
         # join, and the packed self-join are independent consumers, and an
         # unmaterialized frame would re-run the Arrow argmin-over-centroids
         # matmul per consumer (same fix as semantic_dedup_pairs_incremental,
-        # round-6 review); the grouped engine has a single consumer and
-        # skips the materialization pass
+        # round-6 review). The grouped engine has a single consumer and
+        # skips the pass — EXCEPT when a cluster cap is set:
+        # _drop_hot_buckets consumes the assignment twice (bucket census +
+        # anti-join), so the grouped path must materialize too or the
+        # argmin matmul re-runs (round-8 advice)
         assigned = assigned.localCheckpoint(eager=True)
     if max_cluster_size is not None:
         assigned = _drop_hot_buckets(assigned, ["list_id"], max_cluster_size)

@@ -471,8 +471,17 @@ def scd2_apply(
     of the current state merge into the open interval (no new version);
     unseen keys start their history at version 1. When a batch row shares
     its timestamp with the key's current ``valid_from``, the established
-    version orders first (its tiebreak slots are NULL, which the ascending
-    Spark sort places first).
+    version orders first (its pseudo-observation carries NULL tiebreak
+    slots, which the ascending Spark sort places first). That makes the
+    equal-timestamp corner part of the contract, not just a detail: with
+    ``tiebreak_cols``, equivalence to the full rebuild requires batch
+    observations to sort strictly AFTER prior ones at shared timestamps —
+    a batch row whose tiebreak would have sorted BEFORE the original
+    observation in ``scd2_history(f1 UNION f2)`` is applied after it here
+    (the pseudo row does not preserve the original's tiebreak values),
+    and ``validate`` cannot flag it (its check is ``ts < bound``, blind
+    to the equal-timestamp case). Feeds that re-deliver at identical
+    timestamps with meaningful tiebreaks should rebuild instead.
 
     Scale shape (the reason this exists instead of rebuild-every-night):
     the window pass runs over ``changes`` plus ONE pseudo-observation per

@@ -81,11 +81,17 @@ class Expectation:
     def references(
         cls, column: str, ref: DataFrame, ref_column: str, name: str | None = None
     ) -> "Expectation":
+        # fold a fingerprint of the dimension's logical plan into params:
+        # ``ref`` itself is a live object excluded from eq/hash, so without
+        # this two references rules on the same fk/ref_column against
+        # DIFFERENT dimensions (default names) would compare and hash
+        # equal, and any dedupe/cache keyed on the rule would silently drop
+        # one of two genuinely different checks (round-8 advice)
         return cls(
             name or f"{column}_references",
             "references",
             (column,),
-            (ref_column,),
+            (ref_column, ref.semanticHash()),
             ref=ref,
         )
 

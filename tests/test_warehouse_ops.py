@@ -351,15 +351,21 @@ def test_unique_requires_columns():
 
 def test_references_rule_is_hashable_and_comparable(spark):
     # round-8 ADVICE fix: the live dimension DataFrame lives in a
-    # compare=False field, so generated eq/hash work by VALUE and the rule
-    # can be deduped/cached; two rules over different frames still compare
-    # equal on their declarative content (name/kind/columns/ref_column)
+    # compare=False field so generated eq/hash work by value — but the
+    # round-9 advice closed the hole that left: the dimension's PLAN
+    # fingerprint (semanticHash) is folded into params, so two rules on
+    # the same fk/ref_column against genuinely DIFFERENT dimensions no
+    # longer compare equal (a dedupe/cache keyed on the rule must keep
+    # both), while rules over the same plan still dedupe
     ref_a = spark.createDataFrame([(1,)], "ck int")
     ref_b = spark.createDataFrame([(2,)], "ck int")
     r1 = Expectation.references("fk", ref_a, "ck")
     r2 = Expectation.references("fk", ref_b, "ck")
-    assert r1 == r2 and hash(r1) == hash(r2)
-    assert len({r1, r2}) == 1
+    assert r1 != r2
+    assert len({r1, r2}) == 2
+    r1_again = Expectation.references("fk", ref_a, "ck")
+    assert r1 == r1_again and hash(r1) == hash(r1_again)
+    assert len({r1, r1_again}) == 1
     assert r1.ref is ref_a  # the live object is still reachable
 
 
