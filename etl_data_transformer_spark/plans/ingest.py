@@ -1,12 +1,15 @@
 """Composed incremental ingest — one call runs a new document batch through
 every persisted dedup-store tier (exact fingerprints → MinHash near-dup →
-SimHash near-dup), drops the batch's losers, appends the SURVIVORS' rows to
-each store, and reports per-tier counts. This is the daily shape at 100 TB:
-each tier joins the batch against signature stores (bytes per landed doc),
-the corpus text is never re-read, and the pipeline is a composition of the
+SimHash near-dup, plus the opt-in passage-REWRITE tier that masks
+duplicated passages out of the survivors before they land), drops the
+batch's losers, appends the SURVIVORS' rows to each store, and reports
+per-tier counts. This is the daily shape at 100 TB: each tier joins the
+batch against signature stores (bytes per landed doc), the corpus text is
+never re-read, and the pipeline is a composition of the
 already-equivalence-pinned incremental operators
 (``operators/dedup.exact_dedup_incremental`` /
-``minhash_dedup_incremental`` / ``simhash_near_dups_incremental``).
+``minhash_dedup_incremental`` / ``simhash_near_dups_incremental`` /
+``curation.dedup_passages_incremental``).
 
 Extends the reference's single-shot DISTINCT cleanse
 (``csv_to_parquet_transformer.py:13``) to the recurring-ingest lifecycle its
@@ -68,6 +71,11 @@ class IngestReport:
     # batch+store corpus — a capped run must never be silent
     minhash_capped_buckets: int | None = None
     simhash_capped_buckets: int | None = None
+    # passage-REWRITE tier audit (None unless the tier ran): total tokens
+    # masked out of the landed survivors and how many documents were
+    # touched — the "how much template mass did this batch carry" signal
+    passage_tokens_removed: int | None = None
+    passage_docs_touched: int | None = None
 
 
 def _near_losers(pairs: DataFrame, survivors: DataFrame, id_col: str) -> DataFrame:
@@ -88,6 +96,104 @@ def _near_losers(pairs: DataFrame, survivors: DataFrame, id_col: str) -> DataFra
         .filter(F.col("__pb").isNull() | (F.col("partner") < F.col("doc")))
         .select(F.col("doc").alias(id_col))
         .distinct()
+    )
+
+
+def _batch_fingerprint(batch: DataFrame, id_col: str) -> str:
+    """Deterministic, order-independent 64-bit fingerprint of a batch's id
+    set (``bit_xor`` of per-id xxhash64 — ids are unique within a batch, so
+    XOR never cancels). The passage count store is keyed by window HASH,
+    not doc id, so the id-anti-join idempotence the other stores use can't
+    apply; the fingerprint names each batch's count rows instead, giving a
+    rerun something to overwrite (plain mode) or exclude on read (both
+    modes) — the same role ``__batch_id`` plays for the streaming twins,
+    derived from content because the batch runner has no checkpoint."""
+    v = batch.select(
+        F.expr(f"bit_xor(xxhash64(`{id_col}`))").alias("__fp")
+    ).collect()[0]["__fp"]
+    return f"{(v or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+def _passage_stage(
+    survivors: DataFrame,
+    counts: DataFrame | None,
+    *,
+    window: int,
+    min_count: int,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """The opt-in passage-REWRITE stage shared by the ingest runners: mask
+    every duplicated passage in the whole-doc-dedup SURVIVORS against the
+    landed corpus's window-count store (``counts``, None = first batch),
+    replacing ``text_col`` with the cleaned text while every other batch
+    column passes through. Runs AFTER survivor selection — dropped
+    documents never contribute window mass, exactly as if the corpus had
+    only ever contained the kept docs. Returns ``(rewritten survivors,
+    materialized wins frame, tokens_removed, docs_touched)``; callers
+    derive the store's (h, c) count rows from the returned wins so the
+    tokenize + window explode runs once per batch (the
+    ``stream_passage_dedup`` single-compute discipline). Counts are taken
+    from the survivors' ORIGINAL text — future duplicates arrive
+    un-rewritten, so the store must index the observed form (the same
+    reason the signature stores fingerprint pre-rewrite text)."""
+    from ..operators.curation import _passage_windows, dedup_passages_incremental
+
+    base, wins = _passage_windows(survivors, window, text_col, id_col)
+    base = base.localCheckpoint(eager=True)
+    wins = wins.localCheckpoint(eager=True)
+    cleaned = dedup_passages_incremental(
+        survivors, counts, window, min_count, text_col, id_col, windows=(base, wins)
+    ).localCheckpoint(eager=True)
+    stats = cleaned.agg(
+        F.sum("n_removed").alias("__rm"),
+        F.sum((F.col("n_removed") > 0).cast("long")).alias("__tch"),
+    ).collect()[0]
+    rewritten = (
+        survivors.drop(text_col)
+        .join(cleaned.select(id_col, F.col("clean_text").alias(text_col)), id_col)
+        .select(*survivors.columns)
+    )
+    return rewritten, wins, int(stats["__rm"] or 0), int(stats["__tch"] or 0)
+
+
+_PASSAGE_INGEST_NS = "ingest"
+
+
+def _ingest_passage_counts(spark, path: str, fp: str, window: int) -> DataFrame | None:
+    """Validated, replay-healed merge-on-read view of the batch runner's
+    passage count store. The store uses the streaming twins' partitioned
+    layout with the batch FINGERPRINT as the partition value
+    (``__batch_id=ingest-<fp>``): a rerun of a crashed batch overwrites
+    exactly its own partition, and this read EXCLUDES that partition —
+    which can only hold the crashed attempt's partial counts — so the
+    rerun recomputes the identical mask (the ``stream_passage_dedup``
+    replay-heal, content-addressed instead of checkpoint-numbered). A
+    flat store seeded by ``write_passage_store`` converts one-time to the
+    partitioned layout under ``__batch_id='seed'``."""
+    import os
+
+    from ..operators.curation import _PASSAGE_PARAMS_ALGO, ensure_passage_params_sidecar
+    from ..operators.dedup import _write_params_sidecar
+    from ..streaming.pipeline import _partitioned_store_or_convert
+
+    ensure_passage_params_sidecar(path, window=window)
+    store = _partitioned_store_or_convert(
+        spark,
+        path,
+        _PASSAGE_INGEST_NS,
+        os.path.join(path, "__no_checkpoint"),
+        lambda staging: _write_params_sidecar(
+            os.path.join(staging, "_passage_params.json"),
+            {"window": window, "algo": _PASSAGE_PARAMS_ALGO},
+        ),
+    )
+    if store is None:
+        return None
+    return (
+        store.filter(F.col("__batch_id") != F.lit(f"{_PASSAGE_INGEST_NS}-{fp}"))
+        .groupBy("h")
+        .agg(F.sum("c").alias("c"))
     )
 
 
@@ -124,6 +230,9 @@ def run_incremental_ingest(
     max_bucket_size: int | None = None,
     survivors_path: str | None = None,
     audit_path: str | None = None,
+    passage_store: str | None = None,
+    passage_window: int = 10,
+    passage_min_count: int = 2,
 ) -> IngestReport:
     """Run one ingest batch through the enabled dedup tiers (exact is
     mandatory — it is the cheapest and catches byte-duplicates the banded
@@ -136,7 +245,19 @@ def run_incremental_ingest(
     ``_read_store_or_none`` discipline). Store sidecars validate and
     streaming layouts reject BEFORE any tier computes (round-6 review: a
     read-time parameter mismatch must not surface only after earlier
-    sinks committed)."""
+    sinks committed).
+
+    ``passage_store`` additionally enables the document-REWRITING tier
+    after survivor selection (round-9): surviving documents have every
+    passage duplicated >= ``passage_min_count`` times across the landed
+    corpus + batch masked out (``dedup_passages_incremental``) before
+    landing, and the batch's window counts land in the store so later
+    batches see the new mass. The count store uses the partitioned layout
+    keyed by the batch's content fingerprint — its overwrite is idempotent
+    per batch and reads heal a crashed attempt's partial partition, so the
+    tier adds NO new non-idempotent seam beyond the documented
+    ``survivors_path`` one. The signature stores keep indexing the
+    survivors' PRE-rewrite text (future duplicates arrive un-rewritten)."""
     from ..operators import dedup as DD
     from ..sources.writers import append_parquet
     from ..streaming.pipeline import _drop_replayed_batch_rows, _read_store_or_none
@@ -145,6 +266,7 @@ def run_incremental_ingest(
     n_batch = batch.count()
     mh_on = minhash_store is not None
     sh_on = simhash_store is not None
+    pg_on = passage_store is not None
     if n_batch == 0:
         report = IngestReport(
             0,
@@ -154,6 +276,8 @@ def run_incremental_ingest(
             0,
             0 if mh_on else None,
             0 if sh_on else None,
+            passage_tokens_removed=0 if pg_on else None,
+            passage_docs_touched=0 if pg_on else None,
         )
         if audit_path is not None:
             write_ingest_audit(spark, audit_path, report)
@@ -203,6 +327,14 @@ def run_incremental_ingest(
         if sh_on
         else None
     )
+    # passage store: validate sidecar + convert layout + build the healed
+    # merge-on-read count view UP FRONT, like every other sink
+    pg_fp = _batch_fingerprint(batch, id_col) if pg_on else None
+    pg_counts = (
+        _ingest_passage_counts(spark, passage_store, pg_fp, passage_window)
+        if pg_on
+        else None
+    )
 
     survivors, report = _run_tiers(
         batch,
@@ -245,9 +377,27 @@ def run_incremental_ingest(
     # keyed state: a rerun after a crash between the last store and the
     # audit write appends a second row for the batch (both attempts are
     # real events; consumers aggregate by batch fingerprint).
+    land_df = survivors
+    pg_wins = None
+    if pg_on:
+        from dataclasses import replace
+
+        land_df, pg_wins, pg_removed, pg_touched = _passage_stage(
+            survivors,
+            pg_counts,
+            window=passage_window,
+            min_count=passage_min_count,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        report = replace(
+            report,
+            passage_tokens_removed=pg_removed,
+            passage_docs_touched=pg_touched,
+        )
     if survivors_path is not None:
         append_parquet(
-            _except_already_landed(survivors, survivors_path, id_col), survivors_path
+            _except_already_landed(land_df, survivors_path, id_col), survivors_path
         )
     DD.write_exact_store(
         _except_already_landed(
@@ -275,6 +425,20 @@ def run_incremental_ingest(
                 DD.simhash_store_rows(survivors, text_col, id_col), simhash_store, id_col
             ),
             simhash_store,
+        )
+    if pg_on:
+        # idempotent by construction: the dynamic overwrite replaces only
+        # this batch's own fingerprint partition, so a rerun rewrites the
+        # identical count rows instead of double-appending (the store is
+        # hash-keyed — the id anti-join the other sinks use can't apply)
+        (
+            pg_wins.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("__batch_id", F.lit(f"{_PASSAGE_INGEST_NS}-{pg_fp}"))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("__batch_id")
+            .parquet(passage_store)
         )
 
     if audit_path is not None:
@@ -441,6 +605,8 @@ def ingest_audit_row(spark, report: IngestReport) -> DataFrame:
             report.simhash_pairs,
             report.minhash_capped_buckets,
             report.simhash_capped_buckets,
+            report.passage_tokens_removed,
+            report.passage_docs_touched,
             dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
         )
     ]
@@ -451,7 +617,8 @@ _AUDIT_COLS_DDL = (
     "n_batch long, n_after_exact long, n_after_minhash long, "
     "n_after_simhash long, n_landed long, minhash_pairs long, "
     "simhash_pairs long, minhash_capped_buckets long, "
-    "simhash_capped_buckets long, ingest_ts timestamp"
+    "simhash_capped_buckets long, passage_tokens_removed long, "
+    "passage_docs_touched long, ingest_ts timestamp"
 )
 _AUDIT_COL_NAMES = {c.strip().split()[0] for c in _AUDIT_COLS_DDL.split(",")}
 
@@ -522,6 +689,9 @@ def run_incremental_ingest_txn(
     bands: int = 4,
     simhash_max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    passage_table: str | None = None,
+    passage_window: int = 10,
+    passage_min_count: int = 2,
 ) -> IngestReport:
     """``run_incremental_ingest`` with ATOMIC publication (round-7 verdict
     item 4): every sink is a ``sources/manifest`` table and the landed
@@ -543,7 +713,17 @@ def run_incremental_ingest_txn(
     sidecars live in the manifest table dir alongside ``_manifests/``.
     Single-writer per pipeline, like the batch runner; concurrent writers
     on the SAME tables are detected by ``multi_commit``'s CAS and fail the
-    whole transaction."""
+    whole transaction.
+
+    ``passage_table`` enables the passage-REWRITE tier (round-9): the
+    cleaned survivors land in the corpus and the batch's (h, c, __fp)
+    window-count rows join the SAME journaled transaction — corpus and
+    count store can never tear. The count rows carry the batch's content
+    fingerprint: the masking read EXCLUDES own-fingerprint rows (so a
+    rerun of a committed batch recomputes the identical mask), and the
+    rows appended are derived from the corpus-guarded survivor set — on a
+    committed rerun that set is empty, so the counts append nothing,
+    mirroring the id-anti-join guards of the keyed stores."""
     from ..operators import dedup as DD
     from ..sources import manifest as MF
 
@@ -555,6 +735,7 @@ def run_incremental_ingest_txn(
     n_batch = batch.count()
     mh_on = minhash_table is not None
     sh_on = simhash_table is not None
+    pg_on = passage_table is not None
 
     # validate every enabled store's parameter sidecar up front (same
     # helpers as the parquet mode — the sidecar is a plain file next to
@@ -566,6 +747,10 @@ def run_incremental_ingest_txn(
         )
     if sh_on:
         DD.ensure_simhash_params_sidecar(simhash_table)
+    if pg_on:
+        from ..operators.curation import ensure_passage_params_sidecar
+
+        ensure_passage_params_sidecar(passage_table, window=passage_window)
 
     if n_batch == 0:
         report = IngestReport(
@@ -576,6 +761,8 @@ def run_incremental_ingest_txn(
             0,
             0 if mh_on else None,
             0 if sh_on else None,
+            passage_tokens_removed=0 if pg_on else None,
+            passage_docs_touched=0 if pg_on else None,
         )
         if audit_table is not None:
             MF.multi_commit(
@@ -594,6 +781,18 @@ def run_incremental_ingest_txn(
     raw_exact = _read_manifest_table_or_none(spark, exact_table)
     raw_mh = _read_manifest_table_or_none(spark, minhash_table) if mh_on else None
     raw_sh = _read_manifest_table_or_none(spark, simhash_table) if sh_on else None
+    pg_fp = _batch_fingerprint(batch, id_col) if pg_on else None
+    raw_pg = _read_manifest_table_or_none(spark, passage_table) if pg_on else None
+    # own-fingerprint rows can only come from a fully committed prior
+    # attempt of THIS batch (multi_commit is all-or-nothing) — excluding
+    # them makes the rerun's mask identical to the first attempt's
+    pg_counts = (
+        raw_pg.filter(F.col("__fp") != F.lit(pg_fp))
+        .groupBy("h")
+        .agg(F.sum("c").alias("c"))
+        if raw_pg is not None
+        else None
+    )
     ex_store = (
         _drop_replayed_batch_rows(raw_exact, batch, id_col).select(id_col, "fp")
         if raw_exact is not None
@@ -628,6 +827,25 @@ def run_incremental_ingest_txn(
         n_batch=n_batch,
     )
 
+    land_df = survivors
+    pg_wins = None
+    if pg_on:
+        from dataclasses import replace
+
+        land_df, pg_wins, pg_removed, pg_touched = _passage_stage(
+            survivors,
+            pg_counts,
+            window=passage_window,
+            min_count=passage_min_count,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        report = replace(
+            report,
+            passage_tokens_removed=pg_removed,
+            passage_docs_touched=pg_touched,
+        )
+
     def _guard(rows: DataFrame, raw: DataFrame | None) -> DataFrame:
         # after a fully committed prior attempt every row is already
         # landed — the anti-join empties the append so the rerun's
@@ -638,7 +856,7 @@ def run_incremental_ingest_txn(
 
     raw_corpus = _read_manifest_table_or_none(spark, corpus_table)
     writes = [
-        {"df": _guard(survivors, raw_corpus), "table_dir": corpus_table, "mode": "append"},
+        {"df": _guard(land_df, raw_corpus), "table_dir": corpus_table, "mode": "append"},
         {
             "df": _guard(DD.exact_fingerprint_store(survivors, text_col, id_col), raw_exact),
             "table_dir": exact_table,
@@ -663,6 +881,25 @@ def run_incremental_ingest_txn(
             {
                 "df": _guard(DD.simhash_store_rows(survivors, text_col, id_col), raw_sh),
                 "table_dir": simhash_table,
+                "mode": "append",
+            }
+        )
+    if pg_on:
+        # count rows derived from the corpus-GUARDED survivor ids: on a
+        # committed rerun that set is empty (ids across batches are
+        # disjoint, so the guard is all-or-nothing per batch) and the
+        # append lands nothing — the hash-keyed store's analogue of the
+        # keyed stores' id anti-join
+        new_ids = _guard(survivors.select(id_col), raw_corpus).distinct()
+        writes.append(
+            {
+                "df": (
+                    pg_wins.join(new_ids, id_col, "left_semi")
+                    .groupBy("h")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .withColumn("__fp", F.lit(pg_fp))
+                ),
+                "table_dir": passage_table,
                 "mode": "append",
             }
         )

@@ -620,3 +620,193 @@ def test_ingest_txn_recovery_first_heals_implicitly(spark, tmp_path, monkeypatch
     ex = MF.read_table(spark, kw["exact_table"])
     assert ex.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
     assert not [f for f in os.listdir(kw["txn_dir"]) if f.startswith("txn_")]
+
+# ------------------------------------------- passage-REWRITE tier (round-9) --
+
+
+def test_ingest_passage_tier_two_batches_cross_batch_mask(spark, tmp_path):
+    """The composed ingest's opt-in rewrite stage: batch-1 survivors land
+    with their in-batch duplicated passages masked; a batch-2 document
+    repeating a batch-1 passage ONCE is masked purely via the persisted
+    count store (cross-batch mass); the audit rows carry the masked-token
+    counts; a rerun of a completed batch changes nothing (fingerprint
+    partition overwrite + own-partition-excluded read)."""
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest
+
+    kw = dict(
+        exact_store=str(tmp_path / "ex"),
+        survivors_path=str(tmp_path / "landed"),
+        audit_path=str(tmp_path / "audit"),
+        passage_store=str(tmp_path / "pg"),
+        passage_window=3,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique one tail"),
+            (2, "prefix alpha beta gamma delta other two"),
+            (3, "totally fresh content nothing repeated here"),
+        ],
+        "doc_id long, text string",
+    )
+    r1 = run_incremental_ingest(b1, **kw)
+    assert (r1.n_batch, r1.n_landed) == (3, 3)  # rewrite never drops docs
+    assert (r1.passage_tokens_removed, r1.passage_docs_touched) == (8, 2)
+    landed = {r["doc_id"]: r["text"] for r in spark.read.parquet(kw["survivors_path"]).collect()}
+    assert landed[1] == "unique one tail"
+    assert landed[2] == "prefix other two"
+    assert landed[3] == "totally fresh content nothing repeated here"
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "intro alpha beta gamma delta closing words"),
+            (11, "clean batch two document with fresh text"),
+        ],
+        "doc_id long, text string",
+    )
+    r2 = run_incremental_ingest(b2, **kw)
+    # doc 10's passage occurs ONCE in batch 2 — only the store's counts
+    # (from batch 1's ORIGINAL text) push it over min_count
+    assert (r2.passage_tokens_removed, r2.passage_docs_touched) == (4, 1)
+    landed = {r["doc_id"]: r["text"] for r in spark.read.parquet(kw["survivors_path"]).collect()}
+    assert landed[10] == "intro closing words"
+    assert landed[11] == "clean batch two document with fresh text"
+
+    # audit rows carry the new columns
+    audit = spark.read.parquet(kw["audit_path"]).orderBy("ingest_ts").collect()
+    assert [r["passage_tokens_removed"] for r in audit] == [8, 4]
+    assert [r["passage_docs_touched"] for r in audit] == [2, 1]
+
+    # count store: one fingerprint partition per batch, counts summed on read
+    store = spark.read.parquet(kw["passage_store"])
+    assert store.select("__batch_id").distinct().count() == 2
+    total_before = {r["h"]: r["c"] for r in store.groupBy("h").agg(F.sum("c").alias("c")).collect()}
+
+    # rerun of the COMPLETED batch 2: corpus append empties (id anti-join),
+    # the count partition overwrites with identical rows, the mask (own
+    # partition excluded on read) reproduces the same stats
+    r2b = run_incremental_ingest(b2, **kw)
+    assert (r2b.passage_tokens_removed, r2b.passage_docs_touched) == (4, 1)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(kw["survivors_path"]).collect()
+    ) == [1, 2, 3, 10, 11]
+    store2 = spark.read.parquet(kw["passage_store"])
+    total_after = {r["h"]: r["c"] for r in store2.groupBy("h").agg(F.sum("c").alias("c")).collect()}
+    assert total_after == total_before
+
+
+def test_ingest_passage_tier_counts_exclude_dropped_docs(spark, tmp_path):
+    """Dropped whole-doc duplicates must not contribute window mass: an
+    exact dup pair contributes its windows ONCE (the survivor's), so a
+    later single occurrence of the same passage is NOT masked (count
+    store holds 1, batch adds 1, threshold 2 needs both)."""
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest
+
+    kw = dict(
+        exact_store=str(tmp_path / "ex"),
+        survivors_path=str(tmp_path / "landed"),
+        passage_store=str(tmp_path / "pg"),
+        passage_window=4,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, "shared passage alpha beta unique closing"),
+            (2, "shared passage alpha beta unique closing"),  # exact dup: dropped
+        ],
+        "doc_id long, text string",
+    )
+    r1 = run_incremental_ingest(b1, **kw)
+    assert r1.n_landed == 1
+    assert r1.passage_tokens_removed == 0  # survivor's windows are unique now
+
+    b2 = spark.createDataFrame(
+        [(10, "prefix shared passage alpha beta and more")],
+        "doc_id long, text string",
+    )
+    r2 = run_incremental_ingest(b2, **kw)
+    # store holds 1 occurrence of 'shared passage alpha beta'; batch adds
+    # 1 -> total 2 -> masked in doc 10 (but doc 1 landed un-rewritten:
+    # forward-only contract)
+    assert r2.passage_tokens_removed > 0
+    landed = {r["doc_id"]: r["text"] for r in spark.read.parquet(kw["survivors_path"]).collect()}
+    assert "shared passage alpha beta" not in landed[10]
+    assert landed[1] == "shared passage alpha beta unique closing"
+
+
+def test_ingest_txn_passage_tier_atomic_and_crash(spark, tmp_path, monkeypatch):
+    """TXN mode with the passage tier: corpus + stores + passage counts +
+    audit flip through ONE journal; a crash before any flip publishes
+    nothing new; recovery rolls all SIX tables forward; the rerun's
+    guarded count append lands nothing (totals stable, one __fp per
+    batch)."""
+    import pytest
+
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest_txn
+    from etl_data_transformer_spark.sources import manifest as MF
+
+    kw = _txn_kw(tmp_path)
+    kw["passage_table"] = str(tmp_path / "pg")
+    kw["passage_window"] = 3
+
+    pb1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique one tail"),
+            (2, "prefix alpha beta gamma delta other two"),
+        ],
+        "doc_id long, text string",
+    )
+    pb2 = spark.createDataFrame(
+        [(10, "intro alpha beta gamma delta closing words")],
+        "doc_id long, text string",
+    )
+    r1 = run_incremental_ingest_txn(pb1, **kw)
+    assert (r1.passage_tokens_removed, r1.passage_docs_touched) == (8, 2)
+    corpus = {r["doc_id"]: r["text"] for r in MF.read_table(spark, kw["corpus_table"]).collect()}
+    assert corpus[1] == "unique one tail" and corpus[2] == "prefix other two"
+    counts1 = {
+        r["h"]: r["c"]
+        for r in MF.read_table(spark, kw["passage_table"])
+        .groupBy("h").agg(F.sum("c").alias("c")).collect()
+    }
+
+    # crash batch 2 after the journal, before any flip
+    real_flip = MF._flip_pointer
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before flip")
+
+    monkeypatch.setattr(MF, "_flip_pointer", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_incremental_ingest_txn(pb2, **kw)
+    monkeypatch.setattr(MF, "_flip_pointer", real_flip)
+
+    # torn state invisible: corpus AND passage counts still at batch 1
+    assert MF.read_table(spark, kw["corpus_table"]).count() == 2
+    assert {
+        r["h"]: r["c"]
+        for r in MF.read_table(spark, kw["passage_table"])
+        .groupBy("h").agg(F.sum("c").alias("c")).collect()
+    } == counts1
+
+    # rerun: recovery-first rolls ALL tables forward (6 sinks journaled),
+    # then the guards land nothing twice
+    r2 = run_incremental_ingest_txn(pb2, **kw)
+    assert (r2.passage_tokens_removed, r2.passage_docs_touched) == (4, 1)
+    corpus = {r["doc_id"]: r["text"] for r in MF.read_table(spark, kw["corpus_table"]).collect()}
+    assert corpus[10] == "intro closing words"
+    pg = MF.read_table(spark, kw["passage_table"])
+    # exactly one fingerprint per batch — the committed-rerun guard kept
+    # the recovered append from doubling
+    assert pg.select("__fp").distinct().count() == 2
+
+    # rerun of the now-committed batch 2 once more: data no-op everywhere
+    totals = {
+        r["h"]: r["c"] for r in pg.groupBy("h").agg(F.sum("c").alias("c")).collect()
+    }
+    r2c = run_incremental_ingest_txn(pb2, **kw)
+    assert (r2c.passage_tokens_removed, r2c.passage_docs_touched) == (4, 1)
+    assert {
+        r["h"]: r["c"]
+        for r in MF.read_table(spark, kw["passage_table"])
+        .groupBy("h").agg(F.sum("c").alias("c")).collect()
+    } == totals
+    assert MF.read_table(spark, kw["corpus_table"]).count() == 3
