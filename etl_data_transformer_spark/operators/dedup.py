@@ -374,6 +374,59 @@ def minhash_signature_store(
     )
 
 
+def _bucketed_store_table(path: str) -> str:
+    """Deterministic catalog name for a bucketed store at ``path`` — the
+    in-memory catalog loses entries across sessions, so the name must be
+    re-derivable from the path alone (``_register_bucketed_store``
+    re-creates the entry over the surviving files)."""
+    import hashlib
+    import os
+
+    return "mh_store_" + hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
+
+
+def _register_bucketed_store(spark, path: str, bucket_col: str, num_buckets: int) -> str:
+    """Ensure the catalog entry for a bucketed store exists (idempotent;
+    re-creates it in a fresh session over the files a previous session's
+    bucketed ``saveAsTable`` wrote — bucket file naming is stable, so the
+    CLUSTERED BY DDL over the existing LOCATION is faithful)."""
+    import os
+
+    table = _bucketed_store_table(path)
+    if not spark.catalog.tableExists(table):
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        spark.sql(
+            f"CREATE TABLE `{table}` ({cols}) USING parquet "
+            f"CLUSTERED BY (`{bucket_col}`) SORTED BY (`{bucket_col}`) "
+            f"INTO {num_buckets} BUCKETS "
+            f"LOCATION '{os.path.abspath(path)}'"
+        )
+    return table
+
+
+def _bucketed_staging_writer(bucket_col: str, num_buckets: int):
+    """``atomic_swap_write`` staging hook producing BUCKETED files: the
+    only writer that emits bucket-suffixed file names is ``saveAsTable``,
+    so stage through a throwaway external table entry (dropping an
+    external table keeps its files)."""
+    import uuid as _uuid
+
+    def write(df, staging):
+        tmp = f"mh_store_stg_{_uuid.uuid4().hex[:12]}"
+        (
+            df.write.mode("overwrite")
+            .bucketBy(num_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", staging)
+            .format("parquet")
+            .saveAsTable(tmp)
+        )
+        df.sparkSession.sql(f"DROP TABLE `{tmp}`")
+
+    return write
+
+
 def write_minhash_store(
     store_df: DataFrame,
     path: str,
@@ -382,6 +435,8 @@ def write_minhash_store(
     num_hashes: int = 12,
     bands: int = 4,
     mode: str = "append",
+    bucket_by_band: bool = False,
+    num_buckets: int = 32,
 ) -> None:
     """Persist a ``minhash_signature_store`` frame with a ``_minhash_params``
     JSON sidecar recording (shingle_n, num_hashes, bands). Appending to an
@@ -401,13 +456,40 @@ def write_minhash_store(
     extend). The append path writes the sidecar BEFORE the first data
     write, so a crash between the two leaves a labeled-but-empty store
     (harmless: later appends validate against it) rather than an unlabeled
-    store a mismatched append would silently extend."""
+    store a mismatched append would silently extend.
+
+    ``bucket_by_band=True`` writes the BUCKETED layout (round-9, the
+    shuffle-free store-side join the incremental docstring promises): rows
+    land pre-hashed into ``num_buckets`` buckets on ``sig`` via a catalog
+    table entry over ``path``, so every later
+    ``minhash_dedup_incremental`` join reads the store with NO Exchange —
+    only the (small) batch side shuffles. The bucket spec is recorded in
+    the sidecar: flat appends to a bucketed store (and vice versa) reject
+    loudly, because mixing bucket-suffixed and plain file names corrupts
+    the bucketed read. ``read_minhash_store`` auto-detects the layout from
+    the sidecar and re-registers the catalog entry in fresh sessions."""
     import os
 
     from ..sources.writers import atomic_swap_write
 
     params = {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}
+    if bucket_by_band:
+        params["bucket_by"] = "sig"
+        params["num_buckets"] = num_buckets
     if mode == "overwrite":
+        if bucket_by_band:
+            spark = store_df.sparkSession
+            spark.sql(f"DROP TABLE IF EXISTS `{_bucketed_store_table(path)}`")
+            atomic_swap_write(
+                store_df,
+                path,
+                finalize_staging=lambda staging: _write_params_sidecar(
+                    os.path.join(staging, "_minhash_params.json"), params
+                ),
+                write_staging=_bucketed_staging_writer("sig", num_buckets),
+            )
+            _register_bucketed_store(spark, path, "sig", num_buckets)
+            return
         atomic_swap_write(
             store_df,
             path,
@@ -418,8 +500,35 @@ def write_minhash_store(
         return
     _reject_streaming_layout_append(store_df, path, "minhash")
     ensure_minhash_params_sidecar(
-        path, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
+        path,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        bucket_by_band=bucket_by_band,
+        num_buckets=num_buckets,
     )
+    if bucket_by_band:
+        spark = store_df.sparkSession
+        table = _bucketed_store_table(path)
+        writer = (
+            store_df.write.mode(mode)
+            .bucketBy(num_buckets, "sig")
+            .sortBy("sig")
+            .format("parquet")
+        )
+        if spark.catalog.tableExists(table):
+            writer.saveAsTable(table)
+        else:
+            from ..sources.readers import read_parquet_or_none
+
+            if read_parquet_or_none(spark, path) is not None:
+                # fresh session over an existing bucketed store: re-create
+                # the catalog entry, then append through it
+                _register_bucketed_store(spark, path, "sig", num_buckets)
+                writer.saveAsTable(table)
+            else:
+                writer.option("path", path).saveAsTable(table)
+        return
     store_df.write.mode(mode).parquet(path)
 
 def _reject_streaming_layout_append(store_df: DataFrame, path: str, what: str) -> None:
@@ -449,6 +558,8 @@ def ensure_minhash_params_sidecar(
     shingle_n: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    bucket_by_band: bool = False,
+    num_buckets: int = 32,
 ) -> None:
     """Write-or-validate the ``_minhash_params`` sidecar for a store at
     ``path``: creates it (before any data lands — see ``write_minhash_store``
@@ -467,6 +578,9 @@ def ensure_minhash_params_sidecar(
     # the backup as post-swap litter and DELETE it (round-7 review).
     recover_interrupted_swap(path)
     params = {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}
+    if bucket_by_band:
+        params["bucket_by"] = "sig"
+        params["num_buckets"] = num_buckets
     sidecar = os.path.join(path, "_minhash_params.json")
     if os.path.exists(sidecar):
         _validate_store_params(sidecar, params)
@@ -495,14 +609,32 @@ def read_minhash_store(
 ) -> DataFrame:
     """Load a persisted signature store, validating that it was built with
     the SAME banding parameters the caller is about to use — a mismatch
-    raises instead of silently matching nothing."""
+    raises instead of silently matching nothing. The store's physical
+    layout is the SIDECAR's business, not the caller's: a bucketed store
+    (``write_minhash_store(bucket_by_band=True)``) reads through its
+    catalog entry — re-registered here in fresh sessions — so the scan
+    carries the bucket spec and the incremental join skips the store-side
+    Exchange."""
+    import json
     import os
 
     sidecar = os.path.join(path, "_minhash_params.json")
     if os.path.exists(sidecar):
-        _validate_store_params(
-            sidecar, {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}
-        )
+        with open(sidecar, encoding="utf-8") as f:
+            stored = json.load(f)
+        expected = {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}
+        base = {k: stored.get(k) for k in expected}
+        if base != expected:
+            raise ValueError(
+                f"minhash store parameter mismatch: store built with {base}, "
+                f"caller using {expected} — signatures from different "
+                "parameters never match; rebuild the store or align the caller"
+            )
+        if "bucket_by" in stored:
+            table = _register_bucketed_store(
+                spark, path, stored["bucket_by"], stored["num_buckets"]
+            )
+            return spark.table(table).select("doc_id", "hs", "sig")
     return spark.read.parquet(path).select("doc_id", "hs", "sig")
 
 
@@ -592,8 +724,12 @@ def minhash_dedup_incremental(
     corpus is never re-shingled: only its (id, hs, sig) signature rows
     (``minhash_signature_store``, persisted per batch) join in. The daily
     shape at 100 TB: batch-size shingling + one equi-join against a store
-    that can be bucketed by ``sig`` to make the candidate join shuffle-free
-    on the store side. Ids must be disjoint between batch and store.
+    that — written with ``write_minhash_store(bucket_by_band=True)`` — is
+    bucketed by ``sig``, making the candidate join shuffle-free on the
+    store side (round-9; the split cross/self join below keeps the
+    bucketed scan out of any union, and ``read_minhash_store`` routes the
+    scan through the catalog entry that carries the bucket spec). Ids must
+    be disjoint between batch and store.
 
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b. ``max_bucket_size``
     caps degenerate buckets over the COMBINED corpus (same semantics as a
@@ -621,11 +757,10 @@ def minhash_dedup_incremental(
         )
     store_banded = store.select(id_col, "hs", "sig")
     combined = store_banded.unionByName(new_banded)
-    # pair GENERATION excludes batch-internal pairs when asked; the bucket
-    # cap always counts over the combined corpus (round-4 advice: a bucket
-    # pushed over the cap by batch rows is degenerate for the batch-vs-store
-    # join too, and the capped-full-corpus equivalence demands one census)
-    all_banded = combined if include_batch_pairs else store_banded
+    # the bucket cap always counts over the combined corpus (round-4
+    # advice: a bucket pushed over the cap by batch rows is degenerate for
+    # the batch-vs-store join too, and the capped-full-corpus equivalence
+    # demands one census)
     if max_bucket_size is not None:
         hot = (
             combined.groupBy("sig")
@@ -634,14 +769,28 @@ def minhash_dedup_incremental(
             .select("sig")
         )
         new_banded = new_banded.join(F.broadcast(hot), ["sig"], "left_anti")
-        all_banded = all_banded.join(F.broadcast(hot), ["sig"], "left_anti")
+        store_banded = store_banded.join(F.broadcast(hot), ["sig"], "left_anti")
     a = new_banded.select(F.col(id_col).alias("id_n"), F.col("hs").alias("hs_n"), "sig")
-    b = all_banded.select(F.col(id_col).alias("id_o"), F.col("hs").alias("hs_o"), "sig")
+    # the cross (new-vs-store) and self (new-vs-new) joins run SEPARATELY
+    # rather than joining `a` against store ∪ batch (round-9): a union
+    # erases the store scan's bucketing, while the split keeps a BUCKETED
+    # store's side exchange-free — only the batch side shuffles into the
+    # store's bucket layout. Pair semantics are identical (the union of
+    # the two joins is exactly the old single join's row set, and the
+    # dropDuplicates runs over the union as before).
+    b_store = store_banded.select(
+        F.col(id_col).alias("id_o"), F.col("hs").alias("hs_o"), "sig"
+    )
+    cand = a.join(b_store, "sig")
+    if include_batch_pairs:
+        b_new = new_banded.select(
+            F.col(id_col).alias("id_o"), F.col("hs").alias("hs_o"), "sig"
+        )
+        cand = cand.unionByName(a.join(b_new, "sig"))
     # keep each qualifying pair exactly once: new-vs-old always (the old id
     # can't appear on the new side), new-vs-new only in id order
     pairs = (
-        a.join(b, "sig")
-        .filter(F.col("id_n") != F.col("id_o"))
+        cand.filter(F.col("id_n") != F.col("id_o"))
         .withColumn("id_a", F.least("id_n", "id_o"))
         .withColumn("id_b", F.greatest("id_n", "id_o"))
         .dropDuplicates(["id_a", "id_b"])
@@ -1772,6 +1921,7 @@ def _compact_store(
     overwrites keep landing consistently. Store rows are per-document and
     deterministic in every tier, so dropping rows never changes surviving
     pairs (pinned per tier in ``tests/test_dedup.py``)."""
+    import json
     import os
 
     from ..sources.writers import atomic_swap_write
@@ -1779,8 +1929,25 @@ def _compact_store(
     if (live_ids is None) == (drop_ids is None):
         raise ValueError("pass exactly one of live_ids / drop_ids")
     sidecar = os.path.join(path, sidecar_name)
+    bucket_by = bucket_n = None
+    full_params = dict(params)
     if os.path.exists(sidecar):
-        _validate_store_params(sidecar, params, label=label)
+        with open(sidecar, encoding="utf-8") as f:
+            stored = json.load(f)
+        # a BUCKETED store (minhash round-9 layout) records its bucket
+        # spec in the sidecar; the base parameters must still match, and
+        # the compacted rewrite preserves the bucketed layout so later
+        # incremental joins keep their shuffle-free store side
+        bucket_by, bucket_n = stored.get("bucket_by"), stored.get("num_buckets")
+        base = {k: v for k, v in stored.items() if k not in ("bucket_by", "num_buckets")}
+        if base != params:
+            raise ValueError(
+                f"{label} store parameter mismatch: store built with {base}, "
+                f"caller using {params} — signatures from different "
+                "parameters never match; rebuild the store or align the caller"
+            )
+        if bucket_by is not None:
+            full_params.update({"bucket_by": bucket_by, "num_buckets": bucket_n})
     store = spark.read.parquet(path)
     if live_ids is not None:
         kept = store.join(live_ids.select(id_col).distinct(), id_col, "left_semi")
@@ -1791,9 +1958,20 @@ def _compact_store(
         path,
         partition_by=["__batch_id"] if "__batch_id" in store.columns else None,
         finalize_staging=lambda staging: _write_params_sidecar(
-            os.path.join(staging, sidecar_name), params
+            os.path.join(staging, sidecar_name), full_params
+        ),
+        write_staging=(
+            _bucketed_staging_writer(bucket_by, bucket_n)
+            if bucket_by is not None
+            else None
         ),
     )
+    if bucket_by is not None:
+        # the catalog entry's files changed under it; drop + re-register so
+        # the next read sees the compacted buckets (refresh alone would do,
+        # but the entry may not exist in this session at all)
+        spark.sql(f"DROP TABLE IF EXISTS `{_bucketed_store_table(path)}`")
+        _register_bucketed_store(spark, path, bucket_by, bucket_n)
 
 
 def compact_simhash_store(

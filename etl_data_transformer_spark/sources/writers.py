@@ -35,6 +35,7 @@ def atomic_swap_write(
     target_dir: str,
     partition_by: list[str] | None = None,
     finalize_staging=None,
+    write_staging=None,
 ) -> None:
     """Write ``df`` to a staging dir, then atomically swap it into place (S5).
 
@@ -58,13 +59,22 @@ def atomic_swap_write(
     write but BEFORE the swap — sidecars/metadata dropped here become
     visible atomically with the data (no labeled-without-data or
     data-without-label crash window).
+
+    ``write_staging(df, staging_dir)``: optional replacement for the plain
+    parquet staging write, for layouts ``df.write.parquet`` cannot produce
+    (e.g. a bucketed store rewritten through ``saveAsTable`` — the swap
+    and recovery discipline stays identical, only the file writer
+    changes).
     """
     parent = os.path.dirname(os.path.abspath(target_dir))
     os.makedirs(parent, exist_ok=True)
     base = os.path.basename(os.path.abspath(target_dir))
     staging = os.path.join(parent, f".staging-{uuid.uuid4().hex}")
     backup = os.path.join(parent, f".backup-{base}-{uuid.uuid4().hex}")
-    write_parquet(df, staging, mode="overwrite", partition_by=partition_by)
+    if write_staging is not None:
+        write_staging(df, staging)
+    else:
+        write_parquet(df, staging, mode="overwrite", partition_by=partition_by)
     if finalize_staging is not None:
         finalize_staging(staging)
     try:

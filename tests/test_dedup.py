@@ -802,3 +802,124 @@ def test_hamming_tile_engine_rejects_capped(spark):
             df, "doc_id", "sig", n_bits=64, max_hamming=3,
             engine="tile", max_bucket_size=10,
         )
+
+
+def test_minhash_bucketed_store_lifecycle_and_no_store_side_exchange(spark, tmp_path):
+    """Round-9 bucketed store layout: write(bucket_by_band=True) →
+    read auto-detects from the sidecar and routes through the catalog
+    entry → incremental pairs equal the flat store's → append extends the
+    buckets → flat append rejects → compaction preserves the bucketed
+    layout. Plan pin (broadcasts disabled to expose the shuffle shape):
+    the candidate join over the BUCKETED store carries exactly ONE shuffle
+    exchange (the batch side, into the store's bucket layout) while the
+    flat control carries two — the store-side exchange is gone."""
+    from etl_data_transformer_spark.operators.joins import with_confs
+
+    pb = str(tmp_path / "mh_bucketed")
+    pf = str(tmp_path / "mh_flat")
+    corpus = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta epsilon shared body {i % 7}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, f"tok{i} alpha beta gamma delta epsilon shared body {i % 7}") for i in range(20)]
+        + [(2000, "wholly unique text never matching anything at all")],
+        "doc_id long, text string",
+    )
+    rows = DD.minhash_signature_store(corpus)
+    DD.write_minhash_store(rows, pb, mode="overwrite", bucket_by_band=True, num_buckets=8)
+    DD.write_minhash_store(rows, pf, mode="overwrite")
+    store_b = DD.read_minhash_store(spark, pb)
+    store_f = DD.read_minhash_store(spark, pf)
+
+    got_b = sorted(map(tuple, DD.minhash_dedup_incremental(batch, store_b, threshold=0.3).collect()))
+    got_f = sorted(map(tuple, DD.minhash_dedup_incremental(batch, store_f, threshold=0.3).collect()))
+    assert got_b == got_f and got_b
+
+    # the targeted plan pin: bare candidate join, broadcasts off
+    def _join_shuffles(store):
+        a = DD.minhash_signature_store(batch).select(
+            F.col("doc_id").alias("id_n"), "sig"
+        )
+        j = a.join(store.select(F.col("doc_id").alias("id_o"), "sig"), "sig")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange") - plan.count("BroadcastExchange"), plan
+
+    with with_confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        n_b, plan_b = _join_shuffles(store_b)
+        n_f, _ = _join_shuffles(store_f)
+    assert "Bucketed: true" in plan_b, plan_b[:2000]
+    # the batch side's signature groupBy is an inherent exchange on BOTH
+    # plans; the flat store adds one more (its side of the SMJ) that the
+    # bucketed store does not — exactly one exchange difference, and the
+    # store-scan subtree itself is exchange-free (nothing between the
+    # bucketed FileScan and its join input)
+    assert n_b == n_f - 1, (n_b, n_f, plan_b[:3000])
+    scan_idx = plan_b.index("Bucketed: true")
+    assert "Exchange" not in plan_b[plan_b.rindex("FileScan", 0, scan_idx) : scan_idx]
+
+    # append extends the bucketed store; a FLAT append rejects loudly
+    extra = spark.createDataFrame(
+        [(5000, "fresh appended doc text entirely new stuff")], "doc_id long, text string"
+    )
+    DD.write_minhash_store(
+        DD.minhash_signature_store(extra), pb, bucket_by_band=True, num_buckets=8
+    )
+    assert DD.read_minhash_store(spark, pb).count() == rows.count() + 4
+    import pytest
+
+    with pytest.raises(ValueError, match="mismatch"):
+        DD.write_minhash_store(DD.minhash_signature_store(extra), pb)
+    # bucket-spec drift rejects too
+    with pytest.raises(ValueError, match="mismatch"):
+        DD.write_minhash_store(
+            DD.minhash_signature_store(extra), pb, bucket_by_band=True, num_buckets=16
+        )
+
+    # compaction preserves the layout (sidecar + bucketed files + catalog)
+    DD.compact_minhash_store(spark, pb, live_ids=corpus.filter("doc_id < 100").select("doc_id"))
+    store_c = DD.read_minhash_store(spark, pb)
+    assert store_c.select("doc_id").distinct().count() == 100
+    with with_confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        n_c, plan_c = _join_shuffles(store_c)
+    assert n_c == n_b and "Bucketed: true" in plan_c
+
+
+def test_minhash_bucketed_store_survives_fresh_catalog(spark, tmp_path):
+    """The in-memory catalog forgets tables across sessions; the reader
+    must re-register the bucketed entry from the sidecar + files alone
+    (simulated by dropping the entry)."""
+    from etl_data_transformer_spark.operators.dedup import _bucketed_store_table
+
+    p = str(tmp_path / "mh_b2")
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i} delta") for i in range(50)], "doc_id long, text string"
+    )
+    DD.write_minhash_store(
+        DD.minhash_signature_store(corpus), p, mode="overwrite", bucket_by_band=True, num_buckets=4
+    )
+    spark.sql(f"DROP TABLE IF EXISTS `{_bucketed_store_table(p)}`")
+    store = DD.read_minhash_store(spark, p)
+    assert store.count() == 200
+    # a bare scan legitimately drops the bucket layout (auto bucketed-scan
+    # optimization); a sig-join must surface it
+    from etl_data_transformer_spark.operators.joins import with_confs
+
+    probe = spark.createDataFrame([("0,1,2,3",)], "sig string")
+    with with_confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        plan = (
+            probe.join(store, "sig")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    assert "Bucketed: true" in plan, plan[:1500]
+    # append through a fresh catalog entry too
+    spark.sql(f"DROP TABLE IF EXISTS `{_bucketed_store_table(p)}`")
+    DD.write_minhash_store(
+        DD.minhash_signature_store(
+            spark.createDataFrame([(99999, "zeta eta theta iota kappa")], "doc_id long, text string")
+        ),
+        p,
+        bucket_by_band=True,
+        num_buckets=4,
+    )
+    assert DD.read_minhash_store(spark, p).count() == 204
