@@ -92,7 +92,14 @@ def q_scd2_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from timestamp, valid_to timestamp, version int, is_current boolean",
     )
     keys, states = ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
-    dim = scd2_apply_snapshot(empty, old, keys, states, "2024-01-01 00:00:00")
+    # the intermediate dimension is MATERIALIZED between the two applies,
+    # as in production (a stored table between nightly runs) — without it
+    # every dim consumer inside the second apply re-runs the whole first
+    # apply, and the plan audit measures that recomputation rather than
+    # the apply's own cost (round-9, verdict item 6)
+    dim = scd2_apply_snapshot(
+        empty, old, keys, states, "2024-01-01 00:00:00"
+    ).localCheckpoint(eager=True)
     return scd2_apply_snapshot(dim, new, keys, states, "2024-02-01 00:00:00")
 
 
