@@ -480,3 +480,85 @@ def test_dedup_passages_naive_and_incremental_property(spark, case):
         ).collect()
     }
     assert inc == {i: got[i] for i in range(split, len(docs))}
+
+
+@st.composite
+def scd2_snapshot_case(draw):
+    """3-6 full snapshots over a 3-key space: each snapshot independently
+    decides, per key, absence (deletion if previously open) or a state —
+    random interleavings of insert / update / same-state / delete /
+    re-insert, timestamps strictly increasing."""
+    n_snaps = draw(st.integers(3, 6))
+    snaps = []
+    for _ in range(n_snaps):
+        snap = {}
+        for k in range(3):
+            if draw(st.booleans()):
+                snap[k] = draw(st.sampled_from(["A", "B", None]))
+        snaps.append(snap)
+    return snaps
+
+
+@given(scd2_snapshot_case())
+@_few
+def test_scd2_apply_snapshot_lifecycle_property(spark, snaps):
+    """Round-9 (verdict r8 item 7): applying random snapshot sequences —
+    deletions, re-insertions, same-state no-ops, NULL states — must equal
+    the naive per-key timeline (the scd2_history rebuild over the
+    equivalent change feed with closing rows), with version monotonicity
+    and non-overlapping intervals."""
+    from etl_data_transformer_spark.operators.temporal import scd2_apply_snapshot
+
+    keys, states = ["k"], ["state"]
+    dim = spark.createDataFrame(
+        [], "k int, state string, valid_from timestamp, valid_to timestamp, "
+        "version int, is_current boolean"
+    )
+    times = [BASE_TS + dt.timedelta(hours=i) for i in range(len(snaps))]
+    for snap, ts in zip(snaps, times):
+        rows = [(k, s) for k, s in snap.items()]
+        snap_df = spark.createDataFrame(rows, "k int, state string")
+        dim = scd2_apply_snapshot(
+            dim, snap_df, keys, states, ts
+        ).localCheckpoint(eager=True)
+    got = sorted(
+        (r.k, repr(r.state), r.valid_from, r.valid_to, r.version, r.is_current)
+        for r in dim.collect()
+    )
+
+    # naive reference: per-key timeline over the snapshot sequence
+    expect = []
+    for k in range(3):
+        history = []  # [state, valid_from, valid_to]
+        open_row = None
+        for snap, ts in zip(snaps, times):
+            if k in snap:
+                s = snap[k]
+                if open_row is None:
+                    open_row = [s, ts, None]
+                    history.append(open_row)
+                elif open_row[0] != s:
+                    open_row[2] = ts
+                    open_row = [s, ts, None]
+                    history.append(open_row)
+            elif open_row is not None:
+                open_row[2] = ts
+                open_row = None
+        for v, (s, vf, vt) in enumerate(history, start=1):
+            expect.append((k, repr(s), vf, vt, v, vt is None))
+    assert got == sorted(expect), (got, sorted(expect))
+
+    # structural invariants: unique increasing versions per key aligned
+    # with valid_from order, no interval overlaps, at most one open row
+    from collections import defaultdict
+
+    per_key = defaultdict(list)
+    for k, s, vf, vt, v, cur in got:
+        per_key[k].append((vf, vt, v, cur))
+    for k, rows in per_key.items():
+        rows.sort()
+        versions = [v for _, _, v, _ in rows]
+        assert versions == sorted(versions) and len(set(versions)) == len(versions)
+        assert sum(1 for _, vt, _, cur in rows if cur) <= 1
+        for (vf1, vt1, _, cur1), (vf2, _, _, _) in zip(rows, rows[1:]):
+            assert not cur1 and vt1 is not None and vt1 <= vf2, (k, rows)
