@@ -110,6 +110,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # session_agg_events). All three keep the IDENTICAL DuckDB value-hash
     # compare in tests/test_rotated_oracle.py.
     **WQ.WAREHOUSE_QUERIES,
+    # round-9 rotation (round-8 verdict item 5): the round-8 trio gets its
+    # FIRST driver-strength rows — ExactSubstr passage dedup (the
+    # document-REWRITING tier), incremental SCD2 apply, and
+    # snapshot-driven SCD2 with deletion-closing. Rotating out, each with
+    # a fresh r8 driver row and a surviving family overlap:
+    # asof_rate_orders (temporal-join family stays driver-live via
+    # range_join-era twins rotated + session_agg_events; the as-of oracle
+    # keeps its identical hash check rotated), range_join_events
+    # (interval family stays via tumbling_events + session_agg_events),
+    # profile_orders (profiling stays via approx_percentile_prices and
+    # rotated price_histogram).
+    "dedup_passages_docs": EXT.q_dedup_passages_docs,
+    "scd2_apply_user_state": WQ.q_scd2_apply_user_state,
+    "scd2_snapshot_orders": WQ.q_scd2_snapshot_orders,
     # temporal + profiling surface (as-of, range join, sessions, rollup)
     **TEMPORAL_QUERIES,
 }
@@ -121,6 +135,9 @@ for _out in (
     "percentile_prices",
     "resample_events",
     "funnel_events",
+    "asof_rate_orders",
+    "range_join_events",
+    "profile_orders",
 ):
     QUERIES.pop(_out, None)
 
@@ -172,17 +189,12 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitter_terms": EXT.q_heavy_hitter_terms,
     "resample_events": TQ.q_resample_events,
     "funnel_events": TQ.q_funnel_events,
-    # round-8 additions (round-7 verdict item 7 + the snapshot lifecycle):
-    # incremental SCD2 apply (oracle = full-feed scd2_history SQL, the
-    # operator's equivalence contract) and snapshot-driven SCD2 with
-    # deletion-closing (oracle = direct 2-snapshot version rows); added
-    # after the 50-slot cap, so rotated-oracle strength
-    "scd2_apply_user_state": WQ.q_scd2_apply_user_state,
-    "scd2_snapshot_orders": WQ.q_scd2_snapshot_orders,
-    # round-8 ExactSubstr passage dedup (window mask over >=2-count token
-    # windows) — the document-REWRITING dedup tier next to the
-    # document-dropping ones
-    "dedup_passages_docs": EXT.q_dedup_passages_docs,
+    # round-9 rotate-outs (fresh r8 driver rows; overlaps documented at
+    # the QUERIES rotation note) — made room for the round-8 trio's first
+    # driver rows (passage dedup + the SCD2 apply/snapshot pair)
+    "asof_rate_orders": TQ.q_asof_rate_orders,
+    "range_join_events": TQ.q_range_join_events,
+    "profile_orders": TQ.q_profile_orders,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}
