@@ -466,8 +466,6 @@ def ivf_search(
     rerank_k: int | None = None,
     arrow: bool | None = None,
     exclude_self: bool = True,
-    candidate_pushdown: str = "auto",
-    candidate_isin_max: int = 0,
 ) -> DataFrame:
     """Top-k search against a persisted IVF index (``ivf_index`` /
     ``ivf_assign`` output, any storage): each query probes its ``n_probes``
@@ -487,32 +485,19 @@ def ivf_search(
        scan reads only (id, codes, list_id) — parquet column pruning cuts
        probed-partition IO ~4x at corpus scale.
     2. **rerank** — full-precision scoring of the surviving candidates
-       only. HOW the candidate set reaches the index scan is size-gated
-       (``candidate_pushdown``): for small candidate sets (index-probe
-       workloads — the FAISS shape) the ids are collected to the driver
-       and pushed as an ``isin`` PREDICATE, which reaches the parquet
-       reader (PushedFilters) so row-group stats on ``id`` skip
-       non-candidate row groups before the embedding column is read; for
-       large sweeps (the million-query batch the Arrow probe path courts)
-       a driver list of Q × rerank_k ids would be a megabyte-scale
-       predicate materialized on the driver, so the candidate frame is
-       instead SEMI-JOINED into the index scan (Catalyst's runtime bloom
-       filter, when enabled, recovers most of the scan-side skipping) and
-       the query embeddings arrive by a plain shuffled join rather than an
-       unconditional broadcast. ``candidate_pushdown='auto'`` (default)
-       picks ``isin`` iff the checkpointed candidate frame's count is
-       ≤ ``candidate_isin_max``; ``'isin'`` / ``'join'`` force a side
-       (equivalence is pytest-pinned). The DEFAULT ``candidate_isin_max``
-       is 0 — auto takes the join path without even counting — because
-       the round-8 crossover sweep (``tools/bench_ivf_probes.py``,
-       SCALING.md) found the join faster at EVERY measured batch size
-       from 20 to 20k queries on warm local data (1.1–1.9×): a large
-       IN-list is expensive to plan/codegen, and the candidate count is
-       Q × rerank_k, never small per-candidate work. ``isin``'s remaining
-       value is COLD id-sorted stores at corpus scale, where the pushed
-       predicate's row-group pruning skips IO a semi-join cannot — opt in
-       by raising ``candidate_isin_max`` (or forcing ``'isin'``) when the
-       scan, not compute, dominates.
+       only. The candidate frame is JOINED into the index scan — nothing
+       touches the driver — and the query embeddings arrive by a plain
+       shuffled join. An alternative driver-side ``isin`` candidate push
+       (collect the ids, push an ``In`` predicate into the parquet
+       reader for row-group pruning) was carried through rounds 6-8
+       behind a size gate and DELETED in round 9: the round-8 crossover
+       sweep found the join 1.1-1.9× faster at every warm batch size from
+       20 to 20k queries, and the round-9 cold-store measurement closed
+       the one scenario the branch was retained for — against a COLD
+       (page-cache-dropped) id-sorted 600k-vector store, forced isin
+       still lost to the join (5.9 vs 5.4 s; SCALING.md). The probed-list
+       partition filter already prunes the scan to the lists that matter,
+       which leaves the In-predicate nothing to win.
 
     Probe selection auto-switches (``arrow=None``) to the Arrow BLAS matmul
     at ``>= 32`` lists — the same crossover as ``ivf_assign`` — so a
@@ -543,66 +528,27 @@ def ivf_search(
         n_cand = rerank_k if rerank_k is not None else 4 * k
         if n_cand < k:
             raise ValueError(f"rerank_k={n_cand} must be >= k={k}")
-        if candidate_pushdown not in ("auto", "isin", "join"):
-            raise ValueError(
-                f"candidate_pushdown must be 'auto', 'isin' or 'join', got {candidate_pushdown!r}"
-            )
         cands = _ivf_coarse_candidates(q, pruned, n_cand, exclude_self)
-        # materialize ONLY when the isin branch is reachable: there cands
-        # is consumed twice (the driver id collect + the rerank join) and
-        # any auto-count must be metadata-cheap. On the default join path
-        # cands has a single consumer and the eager checkpoint would be
-        # pure added latency + local-disk IO (round-8 review).
-        if candidate_pushdown == "isin" or (
-            candidate_pushdown == "auto" and candidate_isin_max > 0
-        ):
-            cands = cands.localCheckpoint(eager=True)
-        use_isin = candidate_pushdown == "isin" or (
-            candidate_pushdown == "auto"
-            and candidate_isin_max > 0
-            and cands.count() <= candidate_isin_max
-        )
         q_emb = queries.select(
             F.col("id").alias("query_id"), F.col("embedding").alias("query_id_emb")
         )
-        if use_isin:
-            # phase 2, small-Q shape: candidate ids are a bounded driver set
-            # pushed as a scan predicate so non-candidates never read the
-            # embedding column, and the query frame broadcasts (see docstring)
-            cand_ids = [
-                r["neighbor_id"] for r in cands.select("neighbor_id").distinct().collect()
-            ]
-            full = pruned.filter(F.col("id").isin(cand_ids)).select(
-                F.col("id").alias("neighbor_id"),
-                F.col("embedding").alias("neighbor_id_emb"),
+        # phase 2: nothing touches the driver — the candidate frame joins
+        # the index scan (runtime bloom filter eligible: inner probe side,
+        # key traceable to the scan) and query embeddings arrive by a
+        # shuffled join (see the docstring for the deleted isin branch)
+        full = pruned.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("embedding").alias("neighbor_id_emb"),
+        )
+        scored = (
+            cands.join(full, "neighbor_id")
+            .join(q_emb, "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine("query_id_emb", "neighbor_id_emb").alias("sim"),
             )
-            scored = (
-                cands.join(F.broadcast(q_emb), "query_id")
-                .join(full, "neighbor_id")
-                .select(
-                    "query_id",
-                    "neighbor_id",
-                    cosine("query_id_emb", "neighbor_id_emb").alias("sim"),
-                )
-            )
-        else:
-            # phase 2, large-Q shape: nothing touches the driver — the
-            # candidate frame semi-joins the index scan (runtime bloom
-            # filter eligible: inner probe side, key traceable to the
-            # scan) and query embeddings arrive by a shuffled join
-            full = pruned.select(
-                F.col("id").alias("neighbor_id"),
-                F.col("embedding").alias("neighbor_id_emb"),
-            )
-            scored = (
-                cands.join(full, "neighbor_id")
-                .join(q_emb, "query_id")
-                .select(
-                    "query_id",
-                    "neighbor_id",
-                    cosine("query_id_emb", "neighbor_id_emb").alias("sim"),
-                )
-            )
+        )
     else:
         c = pruned.select(
             F.col("id").alias("neighbor_id"),

@@ -136,13 +136,8 @@ def test_ivf_quantized_rerank_matches_full_precision(spark, star, tmp_path):
     assert dict(index.dtypes)["codes"] == "array<tinyint>"
 
     full = sorted(map(tuple, SIM.ivf_search(q, index, cents, k=5, n_probes=3).collect()))
-    # candidate_pushdown='isin' forced: this test pins the ISIN branch's IO
-    # contract (pushed In(...) row-group predicate) — since round 8 the
-    # auto default takes the join path (measured faster at every batch
-    # size; SCALING.md), so the isin shape must be requested explicitly
     rq = SIM.ivf_search(
-        q, index, cents, k=5, n_probes=3, rerank_quantized=True, rerank_k=20,
-        candidate_pushdown="isin",
+        q, index, cents, k=5, n_probes=3, rerank_quantized=True, rerank_k=20
     )
     reranked = sorted(map(tuple, rq.collect()))
     assert reranked == full
@@ -162,15 +157,21 @@ def test_ivf_quantized_rerank_matches_full_precision(spark, star, tmp_path):
     coarse = [ln for ln in coarse_plan.splitlines() if "FileScan" in ln and "list_id" in ln]
     assert coarse and all("embedding" not in ln.split("ReadSchema")[-1] for ln in coarse)
     assert all("list_id" in ln.split("PartitionFilters")[1].split("PushedFilters")[0] for ln in coarse)
-    # 2. the final (rerank) plan's embedding scan carries the candidate-id
-    #    predicate as a PUSHED filter — non-candidates never read the
-    #    embedding column beyond row-group granularity — plus the partition
-    #    filter, and never reads codes
+    # 2. the full plan (join path — the coarse scan is no longer hidden
+    #    behind a checkpoint) splits its index scans cleanly: coarse scans
+    #    read codes WITHOUT embedding, the rerank scan reads embedding
+    #    WITHOUT codes, and no scan carries a driver-materialized
+    #    candidate In(...) predicate — the round-9 contract after the isin
+    #    branch's deletion (candidates arrive by join; see SCALING.md)
     plan = rq._jdf.queryExecution().executedPlan().toString()
-    rerank = [ln for ln in plan.splitlines() if "FileScan" in ln and "list_id" in ln]
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "list_id" in ln]
+    rerank = [ln for ln in scans if "embedding" in ln.split("ReadSchema")[-1]]
+    coarse2 = [ln for ln in scans if "codes" in ln.split("ReadSchema")[-1]]
     assert rerank and all("codes" not in ln.split("ReadSchema")[-1] for ln in rerank)
-    assert all("embedding" in ln.split("ReadSchema")[-1] for ln in rerank)
-    assert any("id" in ln.split("PushedFilters")[-1].split("ReadSchema")[0] and "In(" in ln for ln in rerank)
+    assert coarse2 and all("embedding" not in ln.split("ReadSchema")[-1] for ln in coarse2)
+    assert all(
+        "In(" not in ln.split("PushedFilters")[-1].split("ReadSchema")[0] for ln in scans
+    )
 
 
 def test_ivf_quantized_rerank_guards(spark, star):
@@ -184,56 +185,6 @@ def test_ivf_quantized_rerank_guards(spark, star):
     cents2, quant = SIM.ivf_index(emb, n_lists=4, quantize=True)
     with pytest.raises(ValueError, match="must be >= k"):
         SIM.ivf_search(q, quant, cents2, k=5, rerank_quantized=True, rerank_k=2)
-    with pytest.raises(ValueError, match="candidate_pushdown"):
-        SIM.ivf_search(
-            q, quant, cents2, k=3, rerank_quantized=True, candidate_pushdown="bloom"
-        )
-
-
-def test_ivf_quantized_rerank_pushdown_modes_equivalent(spark, star, tmp_path):
-    """The size-gated candidate push must be a pure execution-strategy
-    choice: forcing 'isin' (small-Q driver predicate), forcing 'join'
-    (large-Q semi-join, nothing on the driver), and 'auto' tipped to the
-    join side by candidate_isin_max=0 all return IDENTICAL rankings. The
-    join plan must NOT carry a candidate-id In(...) scan predicate — that
-    is the driver-materialized artifact the gate exists to avoid."""
-    emb = star["embeddings"].select(F.col("vec_id").alias("id"), "embedding")
-    q = emb.filter(F.col("id") < 10)
-    cents, assignments = SIM.ivf_index(emb, n_lists=8, quantize=True)
-    path = str(tmp_path / "ivf_q_index_modes")
-    assignments.write.partitionBy("list_id").parquet(path)
-    index = spark.read.parquet(path)
-
-    kw = dict(k=5, n_probes=3, rerank_quantized=True, rerank_k=20)
-    isin_res = SIM.ivf_search(q, index, cents, candidate_pushdown="isin", **kw)
-    got_isin = sorted(map(tuple, isin_res.collect()))
-    join_res = SIM.ivf_search(q, index, cents, candidate_pushdown="join", **kw)
-    got_join = sorted(map(tuple, join_res.collect()))
-    auto_join = SIM.ivf_search(
-        q, index, cents, candidate_pushdown="auto", candidate_isin_max=0, **kw
-    )
-    got_auto = sorted(map(tuple, auto_join.collect()))
-    assert got_isin == got_join == got_auto
-    # full-precision ground truth for good measure
-    full = sorted(map(tuple, SIM.ivf_search(q, index, cents, k=5, n_probes=3).collect()))
-    assert got_join == full
-
-    join_plan = join_res._jdf.queryExecution().executedPlan().toString()
-    emb_scans = [
-        ln
-        for ln in join_plan.splitlines()
-        if "FileScan" in ln and "embedding" in ln.split("ReadSchema")[-1]
-    ]
-    assert emb_scans and all(
-        "In(" not in ln.split("PushedFilters")[-1].split("ReadSchema")[0]
-        for ln in emb_scans
-    )
-    isin_plan = isin_res._jdf.queryExecution().executedPlan().toString()
-    assert any(
-        "FileScan" in ln
-        and "In(" in ln.split("PushedFilters")[-1].split("ReadSchema")[0]
-        for ln in isin_plan.splitlines()
-    )
 
 
 def test_ivf_assign_arrow_matches_expr_path(spark, star):

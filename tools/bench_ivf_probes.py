@@ -73,23 +73,18 @@ def main() -> None:
     assert res["expr_fold"] == res["arrow_matmul"], res
     out["speedup"] = round(out["expr_fold"]["sec"] / out["arrow_matmul"]["sec"], 2)
 
-    # quantized rerank: isin driver-push vs semi-join candidate push at the
-    # same large-Q batch (candidate set = n_queries * rerank_k rows)
+    # quantized rerank at the same large-Q batch (candidate set =
+    # n_queries * rerank_k rows). The isin-vs-join comparison this tool
+    # carried in rounds 7-8 is retired with the branch: the join lost
+    # nowhere (warm sweep here, cold id-sorted store in round 9 —
+    # SCALING.md), so ivf_search now has only the join path.
     qindex = SIM.ivf_assign(emb, cents, quantize=True).localCheckpoint(eager=True)
-    rr = {}
-    for label, mode in (("rerank_isin", "isin"), ("rerank_join", "join")):
-        t, n = _timed(
-            lambda m=mode: SIM.ivf_search(
-                q, qindex, cents, k=5, n_probes=4,
-                rerank_quantized=True, candidate_pushdown=m,
-            ).count()
-        )
-        out[label] = {"sec": t, "rows": n}
-        rr[label] = n
-    assert rr["rerank_isin"] == rr["rerank_join"], rr
-    out["rerank_join_speedup"] = round(
-        out["rerank_isin"]["sec"] / out["rerank_join"]["sec"], 2
+    t, n = _timed(
+        lambda: SIM.ivf_search(
+            q, qindex, cents, k=5, n_probes=4, rerank_quantized=True
+        ).count()
     )
+    out["rerank_join"] = {"sec": t, "rows": n}
     print(json.dumps(out))
 
 
