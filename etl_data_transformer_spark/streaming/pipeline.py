@@ -841,6 +841,9 @@ def stream_ingest(
     simhash_max_hamming: int = 3,
     max_bucket_size: int | None = None,
     audit_path: str | None = None,
+    passage_store: str | None = None,
+    passage_window: int = 10,
+    passage_min_count: int = 2,
 ) -> None:
     """Streaming twin of ``plans/ingest.run_incremental_ingest`` — the
     EXACTLY-ONCE landed corpus the batch runner's docstring defers to.
@@ -864,6 +867,13 @@ def stream_ingest(
     ``stream_sessionize`` consumers for downstream stateful aggregation.
     The provider is read at query start and is checkpoint-sticky: set it
     before the first run, never flip it on an existing checkpoint.
+
+    ``passage_store`` enables the passage-REWRITE tier (round-9, matching
+    the batch/txn runners): survivors land with corpus-duplicated
+    passages masked against the persisted window-count store, and the
+    batch's (h, c) count rows land in their own ``__batch_id`` partition
+    — the replay heal is the stream's native one (the count read excludes
+    the current batch's partition, exactly as ``stream_passage_dedup``).
     """
     from ..operators.dedup import (
         _SIMHASH_ALGO,
@@ -881,6 +891,7 @@ def stream_ingest(
     ns = _stream_store_namespace(checkpoint_dir)
     mh_on = minhash_store is not None
     sh_on = simhash_store is not None
+    pg_on = passage_store is not None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -918,6 +929,8 @@ def stream_ingest(
                         0,
                         0 if mh_on else None,
                         0 if sh_on else None,
+                        passage_tokens_removed=0 if pg_on else None,
+                        passage_docs_touched=0 if pg_on else None,
                     )
                     _overwrite_batch_partition(
                         ingest_audit_row(spark, zero), audit_path, ns, batch_id
@@ -973,6 +986,36 @@ def stream_ingest(
                 if sh_on
                 else None
             )
+            pg_counts = None
+            if pg_on:
+                from ..operators.curation import (
+                    _PASSAGE_PARAMS_ALGO,
+                    ensure_passage_params_sidecar,
+                )
+
+                ensure_passage_params_sidecar(passage_store, window=passage_window)
+                pg_store = _partitioned_store_or_convert(
+                    spark,
+                    passage_store,
+                    ns,
+                    checkpoint_dir,
+                    lambda staging: _write_params_sidecar(
+                        os.path.join(staging, "_passage_params.json"),
+                        {"window": passage_window, "algo": _PASSAGE_PARAMS_ALGO},
+                    ),
+                )
+                if pg_store is not None:
+                    # replay heal: exclude this batch's own partition — it
+                    # can only hold a crashed earlier attempt's counts
+                    # (hash-keyed store; the id heal can't apply), exactly
+                    # as stream_passage_dedup
+                    pg_counts = (
+                        pg_store.filter(
+                            F.col("__batch_id") != F.lit(f"{ns}-{batch_id:06d}")
+                        )
+                        .groupBy("h")
+                        .agg(F.sum("c").alias("c"))
+                    )
 
             survivors, report = _run_tiers(
                 batch,
@@ -992,7 +1035,32 @@ def stream_ingest(
                 n_batch=batch.count(),
             )
 
-            _overwrite_batch_partition(survivors, landed_path, ns, batch_id)
+            land_df = survivors
+            if pg_on:
+                from dataclasses import replace
+
+                from ..plans.ingest import _passage_stage
+
+                land_df, pg_wins, pg_removed, pg_touched = _passage_stage(
+                    survivors,
+                    pg_counts,
+                    window=passage_window,
+                    min_count=passage_min_count,
+                    text_col=text_col,
+                    id_col=id_col,
+                )
+                report = replace(
+                    report,
+                    passage_tokens_removed=pg_removed,
+                    passage_docs_touched=pg_touched,
+                )
+                _overwrite_batch_partition(
+                    pg_wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")),
+                    passage_store,
+                    ns,
+                    batch_id,
+                )
+            _overwrite_batch_partition(land_df, landed_path, ns, batch_id)
             _overwrite_batch_partition(
                 exact_fingerprint_store(survivors, text_col, id_col),
                 exact_store,

@@ -1449,3 +1449,76 @@ def test_stream_passage_dedup_two_batches(spark, tmp_path):
     n_clean = spark.read.parquet(cleaned).count()
     drain()
     assert spark.read.parquet(cleaned).count() == n_clean
+
+
+def test_stream_ingest_passage_tier_cross_batch_mask(spark, tmp_path):
+    """Round-9: the streaming composed ingest's passage-REWRITE tier —
+    batch-1 survivors land with in-batch duplicated passages masked;
+    a batch-2 document repeating a batch-1 passage ONCE is masked purely
+    via the persisted count store; audit rows carry masked-token counts;
+    a no-new-data drain changes nothing."""
+    from etl_data_transformer_spark.streaming.pipeline import stream_ingest
+
+    src = str(tmp_path / "src")
+    landed = str(tmp_path / "landed")
+    ex, pg = str(tmp_path / "ex"), str(tmp_path / "pg")
+    audit = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_ingest(
+            stream,
+            landed,
+            ckpt,
+            exact_store=ex,
+            audit_path=audit,
+            passage_store=pg,
+            passage_window=3,
+        )
+
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique one tail"),
+            (2, "prefix alpha beta gamma delta other two"),
+            (3, "totally fresh content nothing repeated here"),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(src)
+    drain()
+    got1 = {r["doc_id"]: r["text"] for r in spark.read.parquet(landed).collect()}
+    assert got1[1] == "unique one tail"
+    assert got1[2] == "prefix other two"
+    assert got1[3] == "totally fresh content nothing repeated here"
+
+    spark.createDataFrame(
+        [
+            (10, "intro alpha beta gamma delta closing words"),
+            (11, "clean batch two document with fresh text"),
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    drain()
+    got2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(landed).collect()}
+    # the cross-batch mask: doc 10's passage occurs once in batch 2 — only
+    # the store's counts (batch 1's original text) push it over min_count
+    assert got2[10] == "intro closing words"
+    assert got2[11] == "clean batch two document with fresh text"
+
+    rows = spark.read.parquet(audit).orderBy("ingest_ts").collect()
+    assert [r["passage_tokens_removed"] for r in rows] == [8, 4]
+    assert [r["passage_docs_touched"] for r in rows] == [2, 1]
+
+    # count store: one partition per batch, counts summed over partitions
+    store = spark.read.parquet(pg)
+    assert store.select("__batch_id").distinct().count() == 2
+    totals = {r["h"]: r["c"] for r in store.groupBy("h").agg(F.sum("c").alias("c")).collect()}
+
+    # no-new-data drain is a no-op everywhere
+    drain()
+    assert {r["doc_id"]: r["text"] for r in spark.read.parquet(landed).collect()} == got2
+    assert {
+        r["h"]: r["c"]
+        for r in spark.read.parquet(pg).groupBy("h").agg(F.sum("c").alias("c")).collect()
+    } == totals
