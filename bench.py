@@ -256,9 +256,14 @@ def main() -> None:
             for name in SF1_HEADLINE:
                 ts = sf1_attempts[name]
                 extra = 0
-                while (
-                    max(ts) / max(min(ts), 1e-9) > sf1_goal and extra < sf1_retries
-                ):
+                while extra < sf1_retries:
+                    # gate on the spread of the BEST-N window (what gets
+                    # recorded), not of all attempts — a recorded spike can
+                    # never leave the all-attempts spread, which would
+                    # degenerate 'up to N retries' into 'exactly N'
+                    best = sorted(ts)[:sf1_reps]
+                    if max(best) / max(min(best), 1e-9) <= sf1_goal:
+                        break
                     spark.sparkContext._jvm.System.gc()
                     t0 = time.time()
                     qs[name](spark, SF1_DIR).count()

@@ -615,37 +615,62 @@ def read_minhash_store(
     catalog entry — re-registered here in fresh sessions — so the scan
     carries the bucket spec and the incremental join skips the store-side
     Exchange."""
-    import json
     import os
 
     sidecar = os.path.join(path, "_minhash_params.json")
     if os.path.exists(sidecar):
-        with open(sidecar, encoding="utf-8") as f:
-            stored = json.load(f)
-        expected = {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}
-        base = {k: stored.get(k) for k in expected}
-        if base != expected:
-            raise ValueError(
-                f"minhash store parameter mismatch: store built with {base}, "
-                f"caller using {expected} — signatures from different "
-                "parameters never match; rebuild the store or align the caller"
-            )
-        if "bucket_by" in stored:
-            table = _register_bucketed_store(
-                spark, path, stored["bucket_by"], stored["num_buckets"]
-            )
+        _validate_store_params(
+            sidecar,
+            {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands},
+            ignore_keys=_BUCKET_KEYS,
+        )
+        spec = minhash_store_bucket_spec(path)
+        if spec is not None:
+            table = _register_bucketed_store(spark, path, spec[0], spec[1])
             return spark.table(table).select("doc_id", "hs", "sig")
     return spark.read.parquet(path).select("doc_id", "hs", "sig")
 
 
-def _validate_store_params(sidecar: str, expected: dict, label: str = "minhash") -> None:
+_BUCKET_KEYS = ("bucket_by", "num_buckets")
+
+
+def minhash_store_bucket_spec(path: str) -> "tuple[str, int] | None":
+    """(bucket_col, num_buckets) for a store written with
+    ``bucket_by_band=True``, else ``None`` — how layout-agnostic callers
+    (the composed ingest runners) discover which writer/reader shape a
+    store needs without carrying the layout in their own signatures."""
+    import json
+    import os
+
+    sidecar = os.path.join(path, "_minhash_params.json")
+    if not os.path.exists(sidecar):
+        return None
+    with open(sidecar, encoding="utf-8") as f:
+        stored = json.load(f)
+    if "bucket_by" in stored:
+        return stored["bucket_by"], stored["num_buckets"]
+    return None
+
+
+def _validate_store_params(
+    sidecar: str,
+    expected: dict,
+    label: str = "minhash",
+    ignore_keys: "tuple[str, ...]" = (),
+) -> None:
+    """The ONE store-parameter check (round-9 consolidation — the compare
+    and its message had drifted into three inline copies): strict dict
+    equality by default; ``ignore_keys`` lets layout-agnostic readers
+    accept sidecars carrying extra LAYOUT keys (the bucket spec) while
+    still rejecting semantic-parameter drift."""
     import json
 
     with open(sidecar, encoding="utf-8") as f:
         stored = json.load(f)
-    if stored != expected:
+    comparable = {k: v for k, v in stored.items() if k not in ignore_keys}
+    if comparable != expected:
         raise ValueError(
-            f"{label} store parameter mismatch: store built with {stored}, "
+            f"{label} store parameter mismatch: store built with {comparable}, "
             f"caller using {expected} — signatures from different "
             "parameters never match; rebuild the store or align the caller"
         )
@@ -1932,22 +1957,16 @@ def _compact_store(
     bucket_by = bucket_n = None
     full_params = dict(params)
     if os.path.exists(sidecar):
-        with open(sidecar, encoding="utf-8") as f:
-            stored = json.load(f)
         # a BUCKETED store (minhash round-9 layout) records its bucket
         # spec in the sidecar; the base parameters must still match, and
         # the compacted rewrite preserves the bucketed layout so later
         # incremental joins keep their shuffle-free store side
-        bucket_by, bucket_n = stored.get("bucket_by"), stored.get("num_buckets")
-        base = {k: v for k, v in stored.items() if k not in ("bucket_by", "num_buckets")}
-        if base != params:
-            raise ValueError(
-                f"{label} store parameter mismatch: store built with {base}, "
-                f"caller using {params} — signatures from different "
-                "parameters never match; rebuild the store or align the caller"
-            )
-        if bucket_by is not None:
-            full_params.update({"bucket_by": bucket_by, "num_buckets": bucket_n})
+        _validate_store_params(sidecar, params, label=label, ignore_keys=_BUCKET_KEYS)
+        if sidecar_name == "_minhash_params.json":
+            spec = minhash_store_bucket_spec(path)
+            if spec is not None:
+                bucket_by, bucket_n = spec
+                full_params.update({"bucket_by": bucket_by, "num_buckets": bucket_n})
     store = spark.read.parquet(path)
     if live_ids is not None:
         kept = store.join(live_ids.select(id_col).distinct(), id_col, "left_semi")

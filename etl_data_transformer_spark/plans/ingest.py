@@ -154,6 +154,13 @@ def _passage_stage(
         .join(cleaned.select(id_col, F.col("clean_text").alias(text_col)), id_col)
         .select(*survivors.columns)
     )
+    # a NULL-id survivor cannot participate in id-keyed masking (every
+    # id-equi-join in the mask pipeline skips NULL keys) — without this
+    # branch the inner rewrite join would silently DROP it, making the
+    # rewrite tier the only tier that loses documents. It passes through
+    # with its ORIGINAL text instead (round-9 review).
+    null_ids = survivors.filter(F.col(id_col).isNull())
+    rewritten = rewritten.unionByName(null_ids.select(*survivors.columns))
     return rewritten, wins, int(stats["__rm"] or 0), int(stats["__tch"] or 0)
 
 
@@ -307,17 +314,35 @@ def run_incremental_ingest(
     ex_store = _load(
         exact_store, lambda: DD.ensure_exact_params_sidecar(exact_store), [id_col, "fp"]
     )
+    # layout-agnostic minhash handling (round-9 review): a store written
+    # with write_minhash_store(bucket_by_band=True) carries its bucket
+    # spec in the sidecar — discover it, validate with the spec included,
+    # read through the catalog entry so the incremental join keeps its
+    # exchange-free store side, and append back in the SAME layout below
+    mh_bucket = DD.minhash_store_bucket_spec(minhash_store) if mh_on else None
     mh_store = (
         _load(
             minhash_store,
             lambda: DD.ensure_minhash_params_sidecar(
-                minhash_store, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
+                minhash_store,
+                shingle_n=shingle_n,
+                num_hashes=num_hashes,
+                bands=bands,
+                bucket_by_band=mh_bucket is not None,
+                num_buckets=mh_bucket[1] if mh_bucket else 32,
             ),
             [id_col, "hs", "sig"],
         )
         if mh_on
         else None
     )
+    if mh_store is not None and mh_bucket is not None:
+        bucketed = DD.read_minhash_store(
+            spark, minhash_store, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
+        )
+        mh_store = _drop_replayed_batch_rows(bucketed, batch, id_col).select(
+            id_col, "hs", "sig"
+        )
     sh_store = (
         _load(
             simhash_store,
@@ -418,6 +443,8 @@ def run_incremental_ingest(
             shingle_n=shingle_n,
             num_hashes=num_hashes,
             bands=bands,
+            bucket_by_band=mh_bucket is not None,
+            num_buckets=mh_bucket[1] if mh_bucket else 32,
         )
     if simhash_store is not None:
         DD.write_simhash_store(
@@ -742,6 +769,14 @@ def run_incremental_ingest_txn(
     # the table's _manifests dir)
     DD.ensure_exact_params_sidecar(exact_table)
     if mh_on:
+        if DD.minhash_store_bucket_spec(minhash_table) is not None:
+            raise ValueError(
+                f"minhash table at {minhash_table} has the BUCKETED layout — "
+                "manifest tables read through the manifest's own file "
+                "listing, which cannot carry bucket metadata; the bucketed "
+                "store belongs to the plain-parquet runner "
+                "(run_incremental_ingest)"
+            )
         DD.ensure_minhash_params_sidecar(
             minhash_table, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
         )

@@ -913,6 +913,24 @@ def stream_ingest(
                         "runner) layout; use a separate audit path for the "
                         "stream, or migrate the table to the streaming layout"
                     )
+                if existing_audit is not None:
+                    # column-set drift check, mirroring the batch runner's
+                    # validate_batch_audit_layout (round-9 review): without
+                    # it an upgraded stream appends wider rows next to old
+                    # partitions and plain reads nondeterministically drop
+                    # the new columns depending on which file seeds schema
+                    # inference
+                    from ..plans.ingest import _AUDIT_COL_NAMES
+
+                    have = set(existing_audit.columns) - {"__batch_id"}
+                    if have != _AUDIT_COL_NAMES:
+                        raise ValueError(
+                            f"audit table at {audit_path} has columns "
+                            f"{sorted(have)} but the current audit row has "
+                            f"{sorted(_AUDIT_COL_NAMES)} — migrate the table "
+                            "(one-time rewrite with the new columns) rather "
+                            "than mixing schemas"
+                        )
             if batch.isEmpty():
                 if audit_path is not None:
                     # same never-silent discipline as the batch runner: an

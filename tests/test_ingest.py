@@ -810,3 +810,101 @@ def test_ingest_txn_passage_tier_atomic_and_crash(spark, tmp_path, monkeypatch):
         .groupBy("h").agg(F.sum("c").alias("c")).collect()
     } == totals
     assert MF.read_table(spark, kw["corpus_table"]).count() == 3
+
+
+def test_ingest_minhash_tier_through_bucketed_store(spark, tmp_path):
+    """Round-9 review: the composed ingest must accept — and append back
+    in kind to — a bucketed MinHash store. Same two batches as the flat
+    e2e; identical drops; the store keeps its bucketed layout (catalog
+    read carries the bucket spec)."""
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest
+
+    mh = str(tmp_path / "mh_bucketed")
+    # seed the store in the bucketed layout (empty-but-labeled: sidecar
+    # only) by writing batch 0 rows explicitly
+    seed = spark.createDataFrame(
+        [(500, "seed corpus document alpha beta gamma")], "doc_id long, text string"
+    )
+    DD.write_minhash_store(
+        DD.minhash_signature_store(seed), mh, mode="overwrite", bucket_by_band=True,
+        num_buckets=4,
+    )
+    kw = dict(
+        exact_store=str(tmp_path / "ex"),
+        minhash_store=mh,
+        minhash_threshold=0.3,
+        survivors_path=str(tmp_path / "landed"),
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog yesterday"),  # near dup of 1
+            (3, "totally different content here entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    r1 = run_incremental_ingest(b1, **kw)
+    assert r1.n_landed == 2 and r1.minhash_pairs >= 1
+    b2 = spark.createDataFrame(
+        [(10, "the quick brown fox leaps over the lazy dog today")],  # near dup of landed 1
+        "doc_id long, text string",
+    )
+    r2 = run_incremental_ingest(b2, **kw)
+    assert r2.n_landed == 0  # dropped via the BUCKETED store's signatures
+    # the store stayed bucketed and holds seed + landed survivors
+    assert DD.minhash_store_bucket_spec(mh) == ("sig", 4)
+    ids = {r["doc_id"] for r in DD.read_minhash_store(spark, mh).select("doc_id").collect()}
+    assert ids == {500, 1, 3}
+
+
+def test_ingest_txn_rejects_bucketed_minhash_table(spark, tmp_path):
+    import pytest
+
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest_txn
+
+    mh = str(tmp_path / "mh_b")
+    DD.write_minhash_store(
+        DD.minhash_signature_store(
+            spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        ),
+        mh,
+        mode="overwrite",
+        bucket_by_band=True,
+    )
+    with pytest.raises(ValueError, match="BUCKETED"):
+        run_incremental_ingest_txn(
+            spark.createDataFrame([(2, "x y z w")], "doc_id long, text string"),
+            corpus_table=str(tmp_path / "corpus"),
+            exact_table=str(tmp_path / "ex"),
+            minhash_table=mh,
+            txn_dir=str(tmp_path / "_txns"),
+        )
+
+
+def test_ingest_passage_tier_null_id_survivor_not_dropped(spark, tmp_path):
+    """Round-9 review: a NULL-id survivor cannot join the id-keyed mask
+    pipeline — it must still LAND (original text) instead of silently
+    vanishing from the rewrite join."""
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest
+
+    kw = dict(
+        exact_store=str(tmp_path / "ex"),
+        survivors_path=str(tmp_path / "landed"),
+        passage_store=str(tmp_path / "pg"),
+        passage_window=3,
+    )
+    b = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique one"),
+            (2, "prefix alpha beta gamma delta two"),
+            (None, "null id document passes through untouched"),
+        ],
+        "doc_id long, text string",
+    )
+    r = run_incremental_ingest(b, **kw)
+    assert r.n_landed == 3
+    landed = spark.read.parquet(kw["survivors_path"]).collect()
+    assert len(landed) == 3
+    by_id = {r["doc_id"]: r["text"] for r in landed}
+    assert by_id[None] == "null id document passes through untouched"
+    assert by_id[1] == "unique one"  # masking still works for keyed docs

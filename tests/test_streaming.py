@@ -1522,3 +1522,32 @@ def test_stream_ingest_passage_tier_cross_batch_mask(spark, tmp_path):
         r["h"]: r["c"]
         for r in spark.read.parquet(pg).groupBy("h").agg(F.sum("c").alias("c")).collect()
     } == totals
+
+
+def test_stream_ingest_rejects_schema_drifted_audit(spark, tmp_path):
+    """Round-9 review: a streaming audit store whose column set drifted
+    (pre-upgrade rows without the passage columns) must fail the batch
+    loudly instead of appending wider rows that schema inference then
+    nondeterministically drops."""
+    from etl_data_transformer_spark.plans.ingest import IngestReport, ingest_audit_row
+    from etl_data_transformer_spark.streaming.pipeline import stream_ingest
+
+    src = str(tmp_path / "src")
+    audit = str(tmp_path / "audit")
+    # simulate a pre-round-9 streaming audit store: partitioned layout,
+    # narrower column set
+    ingest_audit_row(spark, IngestReport(1, 1, None, None, 1, None, None)).drop(
+        "passage_tokens_removed", "passage_docs_touched"
+    ).withColumn("__batch_id", F.lit("old-000000")).write.partitionBy(
+        "__batch_id"
+    ).parquet(audit)
+    spark.createDataFrame([(1, "text one")], "doc_id long, text string").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    with pytest.raises(Exception, match="columns"):
+        stream_ingest(
+            stream,
+            str(tmp_path / "landed"),
+            str(tmp_path / "ckpt"),
+            exact_store=str(tmp_path / "ex"),
+            audit_path=audit,
+        )

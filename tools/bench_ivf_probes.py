@@ -9,11 +9,10 @@ paths end-to-end through ``ivf_search`` on a large query batch at 80
 lists (result sets asserted identical), the evidence behind the same
 auto-switch now applied in ``_ivf_probes_arrow``.
 
-Round 7 adds the quantized-rerank candidate-push comparison (round-6
-verdict item 1): at the same >= 10k-query batch, the driver ``isin``
-candidate push vs the shuffled semi-join path behind
-``candidate_pushdown`` — the measured evidence for the size gate's
-default threshold.
+Rounds 7-8 carried an isin-vs-join candidate-push comparison here; the
+round-9 cold-store measurement (SCALING.md) closed the last scenario the
+isin branch was retained for and the branch was deleted — this tool now
+times only the surviving join-path quantized rerank.
 
 Usage: python tools/bench_ivf_probes.py [n_queries] [n_lists]
 """
