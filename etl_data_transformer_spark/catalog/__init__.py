@@ -195,6 +195,12 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_rate_orders": TQ.q_asof_rate_orders,
     "range_join_events": TQ.q_range_join_events,
     "profile_orders": TQ.q_profile_orders,
+    # round-9 addition: passage-level benchmark decontamination — mask
+    # every training-doc window that appears ANYWHERE in the eval corpus
+    # (single-occurrence threshold; the REWRITING tier next to
+    # contamination_docs' detect-and-flag tier). Added after the 50-slot
+    # cap, so rotated-oracle strength until promoted.
+    "decontaminate_passages_docs": EXT.q_decontaminate_passages_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

@@ -535,6 +535,22 @@ def q_dedup_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_passages(d, window=10, min_count=2)
 
 
+def q_decontaminate_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 passage-level benchmark decontamination: docs < 200 are the
+    training slice, docs 200-299 the 'evaluation corpus'; every 10-token
+    window the two share (the fixture's template corpus repeats passages
+    across docs) is masked out of the TRAINING docs — a single eval
+    occurrence masks, unlike ``dedup_passages_docs``' >= 2 census. The
+    oracle classifies windows by raw token string where the Spark side
+    uses xxhash64 — identical outcomes absent a 64-bit collision."""
+    from ..operators.curation import decontaminate_passages
+
+    d = _docs(spark, sf_dir)
+    train = d.filter(F.col("doc_id") < 200)
+    holdout = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+    return decontaminate_passages(train, holdout, window=10)
+
+
 def q_dedup_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition removal over a synthetic repeated-line
     payload (built deterministically from each doc's text: prefix, repeated

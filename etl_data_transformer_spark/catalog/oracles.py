@@ -715,6 +715,44 @@ TEMPORAL_ORACLES: dict[str, str] = {
     # (the Spark side hashes them — identical outcomes absent a 64-bit
     # collision); a token is removed iff covered by any >=2-count window;
     # kept tokens re-join with single spaces (canonical whitespace)
+    "decontaminate_passages_docs": """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+        FROM documents WHERE doc_id < 200
+    ), etoks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+        FROM documents WHERE doc_id >= 200 AND doc_id < 300
+    ), idx AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks
+    ), win AS (
+        SELECT doc_id, i AS pos, array_to_string(t[i:i+9], ' ') AS w
+        FROM idx WHERE i <= len(t) - 9
+    ), eidx AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM etoks
+    ), dup AS (
+        SELECT DISTINCT array_to_string(t[i:i+9], ' ') AS w
+        FROM eidx WHERE i <= len(t) - 9
+    ), removed AS (
+        SELECT DISTINCT v.doc_id, v.pos + o.off AS p
+        FROM (SELECT win.* FROM win SEMI JOIN dup USING (w)) v,
+             (SELECT unnest(generate_series(0, 9)) AS off) o
+    ), kept AS (
+        SELECT idx.doc_id, idx.i, idx.t[idx.i] AS tok
+        FROM idx ANTI JOIN removed
+          ON idx.doc_id = removed.doc_id AND idx.i = removed.p
+    ), rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+               count(*) AS kept_n
+        FROM kept GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           COALESCE(rebuilt.clean_text, '') AS clean_text,
+           CAST(len(toks.t) AS BIGINT) AS n_tokens,
+           CAST(len(toks.t) - COALESCE(rebuilt.kept_n, 0) AS BIGINT) AS n_removed
+    FROM toks LEFT JOIN rebuilt USING (doc_id)
+    """,
     "dedup_passages_docs": """
     WITH toks AS (
         SELECT doc_id,

@@ -1719,6 +1719,56 @@ def dedup_passages_incremental(
     return _passage_clean(base, wins, dup, window, id_col)
 
 
+def decontaminate_passages(
+    df: DataFrame,
+    eval_df: DataFrame | None = None,
+    *,
+    store: DataFrame | None = None,
+    window: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """Passage-level benchmark DECONTAMINATION (the ExactSubstr discipline
+    of Lee et al. 2022 applied to eval leakage): mask every run of
+    ``window`` consecutive tokens that appears ANYWHERE in the evaluation
+    corpus out of every training document — a single eval occurrence
+    masks, unlike ``dedup_passages``' >= min_count threshold, because one
+    leaked benchmark passage is already contamination. Completes the
+    decontamination family: ``contamination_check`` DETECTS documents with
+    n-gram overlap (drop-or-flag tier); this one REWRITES them, keeping
+    the un-leaked prose (the Lee et al. recommendation for high-value
+    documents that merely quote a benchmark).
+
+    Pass the eval corpus directly (``eval_df`` [+ ``eval_text_col`` /
+    ``eval_id_col`` when its schema differs]) or, for the recurring-ingest
+    shape, a persisted ``passage_count_store`` of the eval corpus
+    (``store``) — build it once with ``write_passage_store``, screen every
+    training batch against it, and nothing ever re-tokenizes the eval set
+    (counts are ignored: membership is the contamination signal). Exactly
+    one of the two must be given.
+
+    Output schema matches ``dedup_passages``: (id, clean_text, n_tokens,
+    n_removed), canonical single-space whitespace, short docs pass through
+    canonicalized. Scale shape is ``dedup_passages``' minus the census:
+    the eval window set replaces the >= min_count census (typically small
+    enough to broadcast into the semi-join), and the round-9 touched-only
+    rebuild applies — training docs with no leaked passage (the
+    overwhelming majority) take the explode-free projection branch."""
+    if (eval_df is None) == (store is None):
+        raise ValueError("pass exactly one of eval_df / store")
+    base, wins = _passage_windows(df, window, text_col, id_col)
+    if eval_df is not None:
+        _, ewins = _passage_windows(
+            eval_df, window, eval_text_col or text_col, eval_id_col or id_col
+        )
+        dup = ewins.select("h").distinct()
+    else:
+        dup = store.select("h").distinct()
+    return _passage_clean(base, wins, dup, window, id_col)
+
+
 def compact_passage_store(spark, path: str, *, window: int = 10) -> None:
     """Bound passage-store growth: every batch appends its own (h, c) rows,
     so after N batches a hash held by all of them costs N rows that every

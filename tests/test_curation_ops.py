@@ -1153,3 +1153,73 @@ def test_dedup_passages_touched_only_equivalence(spark):
             len(ts),
             len(rem),
         ), (i, r)
+
+
+def test_decontaminate_passages_semantics(spark):
+    """A SINGLE eval occurrence masks (unlike dedup_passages' >=2 census);
+    batch-internal duplicates NOT in the eval set are untouched; the
+    store form equals the eval_df form; exactly-one-input enforced."""
+    import pytest
+
+    train = spark.createDataFrame(
+        [
+            (1, "leaked bench question alpha beta unique tail one"),
+            (2, "inner rep rep rep inner rep rep rep done"),  # in-batch dup, not in eval
+            (3, "completely clean training document here"),
+            (4, "prefix leaked bench question alpha beta suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    hold = spark.createDataFrame(
+        [(100, "the eval set contains leaked bench question alpha beta exactly once")],
+        "doc_id long, text string",
+    )
+    W = 5
+    got = {
+        r.doc_id: r
+        for r in C.decontaminate_passages(train, hold, window=W).collect()
+    }
+    # docs 1 and 4 share the 5-token eval window 'leaked bench question
+    # alpha beta' -> masked in both; union-of-covered-positions semantics
+    assert got[1].n_removed == 5 and got[1].clean_text == "unique tail one"
+    assert got[4].n_removed == 5 and got[4].clean_text == "prefix suffix"
+    # in-batch repetition is NOT contamination
+    assert got[2].n_removed == 0
+    assert got[3].n_removed == 0
+
+    # store form: screen against a persisted eval count store (counts
+    # ignored, membership is the signal)
+    store = C.passage_count_store(hold, window=W)
+    got_store = {
+        r.doc_id: r
+        for r in C.decontaminate_passages(train, store=store, window=W).collect()
+    }
+    assert {k: (v.clean_text, v.n_removed) for k, v in got.items()} == {
+        k: (v.clean_text, v.n_removed) for k, v in got_store.items()
+    }
+
+    with pytest.raises(ValueError, match="exactly one"):
+        C.decontaminate_passages(train, hold, store=store, window=W)
+    with pytest.raises(ValueError, match="exactly one"):
+        C.decontaminate_passages(train, window=W)
+
+
+def test_decontaminate_passages_eval_schema_and_short_docs(spark):
+    """Eval corpora with different column names map via eval_text_col /
+    eval_id_col; short docs pass through canonicalized."""
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "tiny  doc")],
+        "doc_id long, text string",
+    )
+    hold = spark.createDataFrame(
+        [("q1", "alpha beta gamma delta epsilon among other things")],
+        "qid string, body string",
+    )
+    got = {
+        r.doc_id: r
+        for r in C.decontaminate_passages(
+            train, hold, window=5, eval_text_col="body", eval_id_col="qid"
+        ).collect()
+    }
+    assert got[1].n_removed == 5 and got[1].clean_text == "zeta"
+    assert got[2].clean_text == "tiny doc" and got[2].n_removed == 0
