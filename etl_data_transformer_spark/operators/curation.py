@@ -1678,6 +1678,7 @@ def dedup_passages_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     windows: "tuple[DataFrame, DataFrame] | None" = None,
+    extra_dup: DataFrame | None = None,
 ) -> DataFrame:
     """Passage-dedup an INCREMENTAL ingest batch against the landed
     corpus's window-count store: a batch token is masked iff some covering
@@ -1700,7 +1701,14 @@ def dedup_passages_incremental(
     count rows from them) pass them as ``windows`` so the tokenize +
     explode + hash pipeline runs once per batch overall — the same
     single-compute discipline as ``minhash_dedup_incremental``'s
-    ``new_banded``."""
+    ``new_banded``.
+
+    ``extra_dup`` (a frame with an ``h`` window-hash column) adds windows
+    masked UNCONDITIONALLY, regardless of counts — the composed ingest
+    passes an eval corpus's window set here so benchmark decontamination
+    (``decontaminate_passages`` semantics, single-occurrence threshold)
+    and the >= min_count dedup run as ONE combined mask over one window
+    explode and one rebuild."""
     base, wins = (
         windows if windows is not None else _passage_windows(new_df, window, text_col, id_col)
     )
@@ -1716,6 +1724,8 @@ def dedup_passages_incremental(
             )
         )
     dup = total.filter(F.col("__tc") >= min_count).select("h")
+    if extra_dup is not None:
+        dup = dup.unionByName(extra_dup.select("h")).distinct()
     return _passage_clean(base, wins, dup, window, id_col)
 
 
@@ -1729,6 +1739,7 @@ def decontaminate_passages(
     id_col: str = "doc_id",
     eval_text_col: str | None = None,
     eval_id_col: str | None = None,
+    windows: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Passage-level benchmark DECONTAMINATION (the ExactSubstr discipline
     of Lee et al. 2022 applied to eval leakage): mask every run of
@@ -1758,7 +1769,12 @@ def decontaminate_passages(
     overwhelming majority) take the explode-free projection branch."""
     if (eval_df is None) == (store is None):
         raise ValueError("pass exactly one of eval_df / store")
-    base, wins = _passage_windows(df, window, text_col, id_col)
+    # callers holding materialized _passage_windows frames (the composed
+    # ingest's decon-only mode) pass them as ``windows`` — same
+    # single-compute discipline as dedup_passages_incremental
+    base, wins = (
+        windows if windows is not None else _passage_windows(df, window, text_col, id_col)
+    )
     if eval_df is not None:
         _, ewins = _passage_windows(
             eval_df, window, eval_text_col or text_col, eval_id_col or id_col

@@ -122,6 +122,8 @@ def _passage_stage(
     min_count: int,
     text_col: str,
     id_col: str,
+    decon: DataFrame | None = None,
+    dedup: bool = True,
 ) -> tuple[DataFrame, DataFrame, int, int]:
     """The opt-in passage-REWRITE stage shared by the ingest runners: mask
     every duplicated passage in the whole-doc-dedup SURVIVORS against the
@@ -136,15 +138,46 @@ def _passage_stage(
     ``stream_passage_dedup`` single-compute discipline). Counts are taken
     from the survivors' ORIGINAL text — future duplicates arrive
     un-rewritten, so the store must index the observed form (the same
-    reason the signature stores fingerprint pre-rewrite text)."""
-    from ..operators.curation import _passage_windows, dedup_passages_incremental
+    reason the signature stores fingerprint pre-rewrite text).
+
+    ``decon`` (an eval corpus's window-hash set, ``h`` column) adds
+    benchmark DECONTAMINATION to the same rewrite: those windows mask
+    UNCONDITIONALLY (single eval occurrence = contamination, the
+    ``decontaminate_passages`` rule) while the count store keeps its
+    >= min_count threshold — one combined mask, one window explode, one
+    rebuild. ``dedup=False`` is the decon-only mode (no count store):
+    the stage becomes ``decontaminate_passages`` over the shared
+    materialized windows."""
+    from ..operators.curation import (
+        _passage_windows,
+        decontaminate_passages,
+        dedup_passages_incremental,
+    )
 
     base, wins = _passage_windows(survivors, window, text_col, id_col)
     base = base.localCheckpoint(eager=True)
     wins = wins.localCheckpoint(eager=True)
-    cleaned = dedup_passages_incremental(
-        survivors, counts, window, min_count, text_col, id_col, windows=(base, wins)
-    ).localCheckpoint(eager=True)
+    if dedup:
+        cleaned = dedup_passages_incremental(
+            survivors,
+            counts,
+            window,
+            min_count,
+            text_col,
+            id_col,
+            windows=(base, wins),
+            extra_dup=decon,
+        )
+    else:
+        cleaned = decontaminate_passages(
+            survivors,
+            store=decon,
+            window=window,
+            text_col=text_col,
+            id_col=id_col,
+            windows=(base, wins),
+        )
+    cleaned = cleaned.localCheckpoint(eager=True)
     stats = cleaned.agg(
         F.sum("n_removed").alias("__rm"),
         F.sum((F.col("n_removed") > 0).cast("long")).alias("__tch"),
@@ -240,6 +273,7 @@ def run_incremental_ingest(
     passage_store: str | None = None,
     passage_window: int = 10,
     passage_min_count: int = 2,
+    decon_store: str | None = None,
 ) -> IngestReport:
     """Run one ingest batch through the enabled dedup tiers (exact is
     mandatory — it is the cheapest and catches byte-duplicates the banded
@@ -264,8 +298,20 @@ def run_incremental_ingest(
     per batch and reads heal a crashed attempt's partial partition, so the
     tier adds NO new non-idempotent seam beyond the documented
     ``survivors_path`` one. The signature stores keep indexing the
-    survivors' PRE-rewrite text (future duplicates arrive un-rewritten)."""
+    survivors' PRE-rewrite text (future duplicates arrive un-rewritten).
+
+    ``decon_store`` (a flat eval-corpus ``passage_count_store`` built once
+    with ``write_passage_store``) additionally masks every window that
+    appears ANYWHERE in the eval set — benchmark decontamination
+    (``decontaminate_passages`` semantics, single occurrence masks) folded
+    into the SAME rewrite pass: one window explode, one rebuild, whether
+    or not the dedup tier (``passage_store``) is also enabled. The eval
+    store is a read-only INPUT (never appended), must share
+    ``passage_window`` (sidecar-validated — the masks ride one explode),
+    and the audit's ``passage_tokens_removed`` / ``passage_docs_touched``
+    cover the COMBINED mask."""
     from ..operators import dedup as DD
+    from ..operators.curation import read_passage_store
     from ..sources.writers import append_parquet
     from ..streaming.pipeline import _drop_replayed_batch_rows, _read_store_or_none
 
@@ -274,6 +320,8 @@ def run_incremental_ingest(
     mh_on = minhash_store is not None
     sh_on = simhash_store is not None
     pg_on = passage_store is not None
+    dc_on = decon_store is not None
+    rw_on = pg_on or dc_on  # the rewrite stage runs for either mask source
     if n_batch == 0:
         report = IngestReport(
             0,
@@ -283,8 +331,8 @@ def run_incremental_ingest(
             0,
             0 if mh_on else None,
             0 if sh_on else None,
-            passage_tokens_removed=0 if pg_on else None,
-            passage_docs_touched=0 if pg_on else None,
+            passage_tokens_removed=0 if rw_on else None,
+            passage_docs_touched=0 if rw_on else None,
         )
         if audit_path is not None:
             write_ingest_audit(spark, audit_path, report)
@@ -360,6 +408,13 @@ def run_incremental_ingest(
         if pg_on
         else None
     )
+    # eval decon store: read-only, sidecar-validated against passage_window
+    # (read_passage_store's group-by-h doubles as the distinct window set)
+    decon_h = (
+        read_passage_store(spark, decon_store, window=passage_window).select("h")
+        if dc_on
+        else None
+    )
 
     survivors, report = _run_tiers(
         batch,
@@ -404,7 +459,7 @@ def run_incremental_ingest(
     # real events; consumers aggregate by batch fingerprint).
     land_df = survivors
     pg_wins = None
-    if pg_on:
+    if rw_on:
         from dataclasses import replace
 
         land_df, pg_wins, pg_removed, pg_touched = _passage_stage(
@@ -414,6 +469,8 @@ def run_incremental_ingest(
             min_count=passage_min_count,
             text_col=text_col,
             id_col=id_col,
+            decon=decon_h,
+            dedup=pg_on,
         )
         report = replace(
             report,
@@ -719,6 +776,7 @@ def run_incremental_ingest_txn(
     passage_table: str | None = None,
     passage_window: int = 10,
     passage_min_count: int = 2,
+    decon_store: str | None = None,
 ) -> IngestReport:
     """``run_incremental_ingest`` with ATOMIC publication (round-7 verdict
     item 4): every sink is a ``sources/manifest`` table and the landed
@@ -750,8 +808,16 @@ def run_incremental_ingest_txn(
     rerun of a committed batch recomputes the identical mask), and the
     rows appended are derived from the corpus-guarded survivor set — on a
     committed rerun that set is empty, so the counts append nothing,
-    mirroring the id-anti-join guards of the keyed stores."""
+    mirroring the id-anti-join guards of the keyed stores.
+
+    ``decon_store`` composes benchmark decontamination into the same
+    rewrite exactly as in ``run_incremental_ingest``: the eval window
+    store is a READ-ONLY input (a flat ``write_passage_store`` parquet
+    path, NOT a manifest table — it never joins the transaction because
+    nothing is ever written to it), masking is unconditional for eval
+    windows, and the audit counters cover the combined mask."""
     from ..operators import dedup as DD
+    from ..operators.curation import read_passage_store
     from ..sources import manifest as MF
 
     spark = batch.sparkSession
@@ -763,6 +829,8 @@ def run_incremental_ingest_txn(
     mh_on = minhash_table is not None
     sh_on = simhash_table is not None
     pg_on = passage_table is not None
+    dc_on = decon_store is not None
+    rw_on = pg_on or dc_on
 
     # validate every enabled store's parameter sidecar up front (same
     # helpers as the parquet mode — the sidecar is a plain file next to
@@ -786,6 +854,13 @@ def run_incremental_ingest_txn(
         from ..operators.curation import ensure_passage_params_sidecar
 
         ensure_passage_params_sidecar(passage_table, window=passage_window)
+    # eval decon store: read-only input, sidecar-validated up front with
+    # the transactional sinks (a window mismatch must fail before compute)
+    decon_h = (
+        read_passage_store(spark, decon_store, window=passage_window).select("h")
+        if dc_on
+        else None
+    )
 
     if n_batch == 0:
         report = IngestReport(
@@ -796,8 +871,8 @@ def run_incremental_ingest_txn(
             0,
             0 if mh_on else None,
             0 if sh_on else None,
-            passage_tokens_removed=0 if pg_on else None,
-            passage_docs_touched=0 if pg_on else None,
+            passage_tokens_removed=0 if rw_on else None,
+            passage_docs_touched=0 if rw_on else None,
         )
         if audit_table is not None:
             MF.multi_commit(
@@ -864,7 +939,7 @@ def run_incremental_ingest_txn(
 
     land_df = survivors
     pg_wins = None
-    if pg_on:
+    if rw_on:
         from dataclasses import replace
 
         land_df, pg_wins, pg_removed, pg_touched = _passage_stage(
@@ -874,6 +949,8 @@ def run_incremental_ingest_txn(
             min_count=passage_min_count,
             text_col=text_col,
             id_col=id_col,
+            decon=decon_h,
+            dedup=pg_on,
         )
         report = replace(
             report,

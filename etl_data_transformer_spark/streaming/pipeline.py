@@ -844,6 +844,7 @@ def stream_ingest(
     passage_store: str | None = None,
     passage_window: int = 10,
     passage_min_count: int = 2,
+    decon_store: str | None = None,
 ) -> None:
     """Streaming twin of ``plans/ingest.run_incremental_ingest`` — the
     EXACTLY-ONCE landed corpus the batch runner's docstring defers to.
@@ -874,6 +875,12 @@ def stream_ingest(
     batch's (h, c) count rows land in their own ``__batch_id`` partition
     — the replay heal is the stream's native one (the count read excludes
     the current batch's partition, exactly as ``stream_passage_dedup``).
+
+    ``decon_store`` (a flat eval-corpus ``passage_count_store``) folds
+    benchmark decontamination into the same rewrite, exactly as in the
+    batch/txn runners: eval windows mask unconditionally, the store is a
+    READ-ONLY input shared across batches (never written, so it has no
+    replay seam), and it must share ``passage_window``.
     """
     from ..operators.dedup import (
         _SIMHASH_ALGO,
@@ -892,6 +899,8 @@ def stream_ingest(
     mh_on = minhash_store is not None
     sh_on = simhash_store is not None
     pg_on = passage_store is not None
+    dc_on = decon_store is not None
+    rw_on = pg_on or dc_on
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -947,8 +956,8 @@ def stream_ingest(
                         0,
                         0 if mh_on else None,
                         0 if sh_on else None,
-                        passage_tokens_removed=0 if pg_on else None,
-                        passage_docs_touched=0 if pg_on else None,
+                        passage_tokens_removed=0 if rw_on else None,
+                        passage_docs_touched=0 if rw_on else None,
                     )
                     _overwrite_batch_partition(
                         ingest_audit_row(spark, zero), audit_path, ns, batch_id
@@ -1034,6 +1043,15 @@ def stream_ingest(
                         .groupBy("h")
                         .agg(F.sum("c").alias("c"))
                     )
+            decon_h = None
+            if dc_on:
+                # read-only eval window store; sidecar-validated before any
+                # sink commits (the validate-before-any-data rule)
+                from ..operators.curation import read_passage_store
+
+                decon_h = read_passage_store(
+                    spark, decon_store, window=passage_window
+                ).select("h")
 
             survivors, report = _run_tiers(
                 batch,
@@ -1054,7 +1072,7 @@ def stream_ingest(
             )
 
             land_df = survivors
-            if pg_on:
+            if rw_on:
                 from dataclasses import replace
 
                 from ..plans.ingest import _passage_stage
@@ -1066,18 +1084,21 @@ def stream_ingest(
                     min_count=passage_min_count,
                     text_col=text_col,
                     id_col=id_col,
+                    decon=decon_h,
+                    dedup=pg_on,
                 )
                 report = replace(
                     report,
                     passage_tokens_removed=pg_removed,
                     passage_docs_touched=pg_touched,
                 )
-                _overwrite_batch_partition(
-                    pg_wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")),
-                    passage_store,
-                    ns,
-                    batch_id,
-                )
+                if pg_on:
+                    _overwrite_batch_partition(
+                        pg_wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")),
+                        passage_store,
+                        ns,
+                        batch_id,
+                    )
             _overwrite_batch_partition(land_df, landed_path, ns, batch_id)
             _overwrite_batch_partition(
                 exact_fingerprint_store(survivors, text_col, id_col),

@@ -1223,3 +1223,52 @@ def test_decontaminate_passages_eval_schema_and_short_docs(spark):
     }
     assert got[1].n_removed == 5 and got[1].clean_text == "zeta"
     assert got[2].clean_text == "tiny doc" and got[2].n_removed == 0
+
+
+def test_dedup_passages_incremental_extra_dup_equals_decon(spark):
+    """The extra_dup hook (round-9 composed-ingest decontamination): with a
+    threshold no in-batch count reaches, dedup_passages_incremental masking
+    ONLY via extra_dup equals decontaminate_passages over the same eval
+    set; with the normal threshold the combined mask equals the UNION of
+    the two standalone masks (per-token: covered-by-either rule)."""
+    import etl_data_transformer_spark.operators.curation as C
+    from etl_data_transformer_spark.operators.curation import _passage_windows
+
+    W = 3
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique one tail"),
+            (2, "prefix alpha beta gamma delta other two"),
+            (3, "intro secret eval passage xyz end"),
+        ],
+        "doc_id long, text string",
+    )
+    hold = spark.createDataFrame(
+        [(0, "secret eval passage xyz")], "doc_id long, text string"
+    )
+    _, ewins = _passage_windows(hold, W, "text", "doc_id")
+    eval_h = ewins.select("h").distinct()
+
+    # decon-only equivalence: threshold 10**9 silences the count mask
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in C.dedup_passages_incremental(
+            train, None, window=W, min_count=10**9, extra_dup=eval_h
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in C.decontaminate_passages(train, hold, window=W).collect()
+    }
+    assert got == want
+
+    # combined mask = union of the standalone masks
+    combined = {
+        r["doc_id"]: r["clean_text"]
+        for r in C.dedup_passages_incremental(
+            train, None, window=W, min_count=2, extra_dup=eval_h
+        ).collect()
+    }
+    assert combined[1] == "unique one tail"
+    assert combined[2] == "prefix other two"
+    assert combined[3] == "intro end"

@@ -908,3 +908,185 @@ def test_ingest_passage_tier_null_id_survivor_not_dropped(spark, tmp_path):
     by_id = {r["doc_id"]: r["text"] for r in landed}
     assert by_id[None] == "null id document passes through untouched"
     assert by_id[1] == "unique one"  # masking still works for keyed docs
+
+
+# ------------------------------- eval decontamination in the ingest (round-9) --
+
+
+def _eval_store(spark, path, texts, window):
+    """Build a flat eval-corpus window store the decon tier reads."""
+    from etl_data_transformer_spark.operators.curation import (
+        passage_count_store,
+        write_passage_store,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    write_passage_store(
+        passage_count_store(ev, window=window), path, window=window, mode="overwrite"
+    )
+
+
+def test_ingest_decon_only_rewrite(spark, tmp_path):
+    """decon_store WITHOUT passage_store: a single eval occurrence masks
+    (no >= min_count threshold), untouched docs pass through canonicalized,
+    the audit counters cover the mask, and the output equals calling
+    decontaminate_passages directly."""
+    from etl_data_transformer_spark.operators.curation import decontaminate_passages
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest
+
+    ev_path = str(tmp_path / "eval_pg")
+    _eval_store(spark, ev_path, ["leaked benchmark question answer"], window=3)
+    kw = dict(
+        exact_store=str(tmp_path / "ex"),
+        survivors_path=str(tmp_path / "landed"),
+        audit_path=str(tmp_path / "audit"),
+        decon_store=ev_path,
+        passage_window=3,
+    )
+    b = spark.createDataFrame(
+        [
+            (1, "intro leaked benchmark question answer outro"),
+            (2, "clean document totally unrelated prose here"),
+        ],
+        "doc_id long, text string",
+    )
+    r = run_incremental_ingest(b, **kw)
+    assert (r.n_batch, r.n_landed) == (2, 2)
+    assert (r.passage_tokens_removed, r.passage_docs_touched) == (4, 1)
+    landed = {x["doc_id"]: x["text"] for x in spark.read.parquet(kw["survivors_path"]).collect()}
+    assert landed[1] == "intro outro"
+    assert landed[2] == "clean document totally unrelated prose here"
+    # audit row carries the combined-mask counters even without the dedup tier
+    audit = spark.read.parquet(kw["audit_path"]).collect()
+    assert [x["passage_tokens_removed"] for x in audit] == [4]
+    # equals the standalone operator over the same store
+    store = spark.read.parquet(ev_path)
+    direct = {
+        x["doc_id"]: x["clean_text"]
+        for x in decontaminate_passages(b, store=store, window=3).collect()
+    }
+    assert direct == landed
+    # rerun of the completed batch: landed set unchanged (id anti-join guard)
+    r2 = run_incremental_ingest(b, **kw)
+    assert (r2.passage_tokens_removed, r2.passage_docs_touched) == (4, 1)
+    assert sorted(
+        x["doc_id"] for x in spark.read.parquet(kw["survivors_path"]).collect()
+    ) == [1, 2]
+
+
+def test_ingest_combined_dedup_and_decon_mask(spark, tmp_path):
+    """passage_store + decon_store together: ONE rewrite masks both the
+    >= min_count duplicated passages AND single-occurrence eval windows;
+    the count store still grows (cross-batch dedup keeps working); a
+    window-length mismatch between the eval store and passage_window fails
+    before any sink."""
+    import pytest
+
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest
+
+    ev_path = str(tmp_path / "eval_pg")
+    _eval_store(spark, ev_path, ["secret eval passage xyz"], window=3)
+    kw = dict(
+        exact_store=str(tmp_path / "ex"),
+        survivors_path=str(tmp_path / "landed"),
+        passage_store=str(tmp_path / "pg"),
+        decon_store=ev_path,
+        passage_window=3,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique one tail"),
+            (2, "prefix alpha beta gamma delta other two"),
+            (3, "intro secret eval passage xyz end"),
+        ],
+        "doc_id long, text string",
+    )
+    r1 = run_incremental_ingest(b1, **kw)
+    # 8 tokens from the in-batch duplicated passage + 4 from the eval leak
+    assert (r1.passage_tokens_removed, r1.passage_docs_touched) == (12, 3)
+    landed = {x["doc_id"]: x["text"] for x in spark.read.parquet(kw["survivors_path"]).collect()}
+    assert landed[1] == "unique one tail"
+    assert landed[2] == "prefix other two"
+    assert landed[3] == "intro end"
+
+    # cross-batch dedup mass still accumulates alongside the decon mask
+    b2 = spark.createDataFrame(
+        [(10, "intro alpha beta gamma delta closing words")],
+        "doc_id long, text string",
+    )
+    r2 = run_incremental_ingest(b2, **kw)
+    assert (r2.passage_tokens_removed, r2.passage_docs_touched) == (4, 1)
+    landed = {x["doc_id"]: x["text"] for x in spark.read.parquet(kw["survivors_path"]).collect()}
+    assert landed[10] == "intro closing words"
+
+    # eval store built with a different window: fails up front, nothing lands
+    bad_ev = str(tmp_path / "eval_pg5")
+    _eval_store(spark, bad_ev, ["secret eval passage xyz"], window=5)
+    kw_bad = dict(kw, decon_store=bad_ev, survivors_path=str(tmp_path / "landed2"))
+    with pytest.raises(ValueError, match="window"):
+        run_incremental_ingest(
+            spark.createDataFrame([(20, "w x y z")], "doc_id long, text string"),
+            **kw_bad,
+        )
+    assert not os.path.exists(str(tmp_path / "landed2"))
+
+
+def test_ingest_txn_decon_combined_matches_parquet_mode(spark, tmp_path):
+    """TXN mode with decon_store (+ passage tier): the landed corpus equals
+    the parquet runner's on the same batches, the eval store stays a
+    read-only plain-parquet input outside the journal, and a rerun of the
+    committed batch appends nothing."""
+    from etl_data_transformer_spark.plans.ingest import (
+        run_incremental_ingest,
+        run_incremental_ingest_txn,
+    )
+    from etl_data_transformer_spark.sources import manifest as MF
+
+    ev_path = str(tmp_path / "eval_pg")
+    _eval_store(spark, ev_path, ["secret eval passage xyz"], window=3)
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique one tail"),
+            (2, "prefix alpha beta gamma delta other two"),
+            (3, "intro secret eval passage xyz end"),
+        ],
+        "doc_id long, text string",
+    )
+    kw_txn = dict(
+        corpus_table=str(tmp_path / "corpus"),
+        exact_table=str(tmp_path / "tx_ex"),
+        passage_table=str(tmp_path / "tx_pg"),
+        decon_store=ev_path,
+        passage_window=3,
+        txn_dir=str(tmp_path / "_txns"),
+    )
+    r = run_incremental_ingest_txn(b1, **kw_txn)
+    assert (r.passage_tokens_removed, r.passage_docs_touched) == (12, 3)
+    got_txn = {
+        x["doc_id"]: x["text"] for x in MF.read_table(spark, kw_txn["corpus_table"]).collect()
+    }
+    run_incremental_ingest(
+        b1,
+        exact_store=str(tmp_path / "pq_ex"),
+        survivors_path=str(tmp_path / "pq_landed"),
+        passage_store=str(tmp_path / "pq_pg"),
+        decon_store=ev_path,
+        passage_window=3,
+    )
+    got_pq = {
+        x["doc_id"]: x["text"]
+        for x in spark.read.parquet(str(tmp_path / "pq_landed")).collect()
+    }
+    assert got_txn == got_pq
+    # the eval store was never written to: still exactly the seeded rows
+    # (flat layout, no _manifests dir — it never joined the transaction)
+    assert not os.path.exists(os.path.join(ev_path, "_manifests"))
+    seeded = spark.read.parquet(ev_path).count()
+    r2 = run_incremental_ingest_txn(b1, **kw_txn)
+    assert (r2.passage_tokens_removed, r2.passage_docs_touched) == (12, 3)
+    assert {
+        x["doc_id"]: x["text"] for x in MF.read_table(spark, kw_txn["corpus_table"]).collect()
+    } == got_txn
+    assert spark.read.parquet(ev_path).count() == seeded

@@ -1551,3 +1551,66 @@ def test_stream_ingest_rejects_schema_drifted_audit(spark, tmp_path):
             exact_store=str(tmp_path / "ex"),
             audit_path=audit,
         )
+
+
+def test_stream_ingest_decon_combined_mask(spark, tmp_path):
+    """Round-9: decon_store in the STREAMING composed ingest — eval windows
+    mask unconditionally in the same rewrite as the count-store dedup, the
+    read-only eval store survives drains untouched, and a replayed
+    no-new-data drain is a no-op."""
+    from etl_data_transformer_spark.operators.curation import (
+        passage_count_store,
+        write_passage_store,
+    )
+    from etl_data_transformer_spark.streaming.pipeline import stream_ingest
+
+    src = str(tmp_path / "src")
+    landed = str(tmp_path / "landed")
+    ex, pg, ev = str(tmp_path / "ex"), str(tmp_path / "pg"), str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    ev_df = spark.createDataFrame([(0, "secret eval passage xyz")], schema)
+    write_passage_store(
+        passage_count_store(ev_df, window=3), ev, window=3, mode="overwrite"
+    )
+    ev_rows = spark.read.parquet(ev).count()
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_ingest(
+            stream,
+            landed,
+            ckpt,
+            exact_store=ex,
+            passage_store=pg,
+            passage_window=3,
+            decon_store=ev,
+        )
+
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique one tail"),
+            (2, "prefix alpha beta gamma delta other two"),
+            (3, "intro secret eval passage xyz end"),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(src)
+    drain()
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(landed).collect()}
+    assert got[1] == "unique one tail"  # >= min_count dedup mask
+    assert got[2] == "prefix other two"
+    assert got[3] == "intro end"  # single-occurrence eval mask
+
+    # cross-batch count mass still accumulates alongside the decon mask
+    spark.createDataFrame(
+        [(10, "intro alpha beta gamma delta closing words")], schema
+    ).write.mode("append").parquet(src)
+    drain()
+    got2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(landed).collect()}
+    assert got2[10] == "intro closing words"
+
+    # the eval store is read-only: exactly the seeded rows after two drains
+    assert spark.read.parquet(ev).count() == ev_rows
+    drain()  # no-new-data drain: nothing changes
+    assert {r["doc_id"]: r["text"] for r in spark.read.parquet(landed).collect()} == got2
