@@ -201,6 +201,10 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # contamination_docs' detect-and-flag tier). Added after the 50-slot
     # cap, so rotated-oracle strength until promoted.
     "decontaminate_passages_docs": EXT.q_decontaminate_passages_docs,
+    # round-9 addition: binary Naive Bayes classifier (train + score in
+    # engine-exact integer micro-nats) — the closed-form stand-in for the
+    # fastText-style quality/language gates of CCNet-class pipelines.
+    "nb_lang_classifier": EXT.q_nb_lang_classifier,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

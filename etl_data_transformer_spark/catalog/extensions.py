@@ -783,3 +783,17 @@ def q_boilerplate_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lines_in").cast("int").alias("n_lines_in"),
         F.col("n_lines_out").cast("int").alias("n_lines_out"),
     )
+
+
+def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 binary Naive Bayes classifier (the fastText-style
+    quality/language gate of CCNet-class pipelines, closed-form): train on
+    the documents corpus with label = (lang = 'en'), score the SAME corpus
+    — (doc_id, n_tokens, score_micros) in engine-exact integer micro-nats
+    (per-token-type quantization before any sum, the LM scorers' float
+    audit), so the full train + score round-trips the DuckDB oracle
+    hash-exactly."""
+    d = _docs(spark, sf_dir)
+    labeled = d.withColumn("__is_en", (F.col("lang") == "en").cast("int"))
+    model = TX.nb_train(labeled, "__is_en")
+    return TX.nb_score(d, model)

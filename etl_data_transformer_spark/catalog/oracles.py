@@ -1146,6 +1146,45 @@ WAREHOUSE_ORACLES: dict[str, str] = {
 # review: a byte-identical copy invited exactly that)
 WAREHOUSE_ORACLES["scd2_apply_user_state"] = WAREHOUSE_ORACLES["scd2_user_state"]
 
+# Round-9 binary Naive Bayes (train + score over the same corpus, label =
+# lang = 'en'). Mirrors functions/text.nb_train exactly: add-one smoothing,
+# V = distinct tokens across BOTH classes, per-token weight quantized to
+# integer micro-nats BEFORE the per-doc sum (order-independent), bias =
+# ln(doc-count prior odds). Every scored token is in-vocabulary here (same
+# corpus), so the unseen-token default never fires — pytest covers it.
+EXTENSION_ORACLES["nb_lang_classifier"] = """
+    WITH docs AS (
+        SELECT doc_id, text,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ), prior AS (
+        SELECT sum(y) AS np, sum(1 - y) AS nn FROM docs
+    ), tok AS (
+        SELECT doc_id, y, t FROM (
+            SELECT doc_id, y,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+            FROM docs
+        ) WHERE length(t) > 0
+    ), counts AS (
+        SELECT t, sum(y) AS cp, sum(1 - y) AS cn FROM tok GROUP BY t
+    ), tot AS (
+        SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM counts
+    ), w AS (
+        SELECT t,
+               CAST(round(1000000 * (
+                   ln((cp + 1) / CAST(tp + v AS DOUBLE))
+                 - ln((cn + 1) / CAST(tn + v AS DOUBLE))), 0) AS BIGINT) AS w_micros
+        FROM counts CROSS JOIN tot
+    ), bias AS (
+        SELECT CAST(round(1000000 * ln(CAST(np AS DOUBLE) / nn), 0) AS BIGINT) AS b
+        FROM prior
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(w_micros) + any_value(b) AS BIGINT) AS score_micros
+    FROM tok JOIN w USING (t) CROSS JOIN bias
+    GROUP BY doc_id
+"""
+
 ALL_ORACLES: dict[str, str] = {
     **PARITY_ORACLES,
     **EXTENSION_ORACLES,

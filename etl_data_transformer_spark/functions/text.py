@@ -7,7 +7,9 @@ UDFs in the hot path. Operates on ``documents.text`` (FIXTURES.md).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword marker lists for the n-gram/stopword language-ID
@@ -567,4 +569,120 @@ def top_ngram_fraction(col: Column | str, n: int = 2) -> Column:
             F.array_max(counts).cast("double") / F.size(grams),
         ).otherwise(0.0),
         6,
+    )
+
+
+class NBModel(NamedTuple):
+    """A trained binary multinomial Naive Bayes text classifier in the
+    engine-exact integer-micro-nat form (the ``unigram_logprob_scores``
+    float-audit pattern): per-token log-odds weights live in a DataFrame,
+    the two scalars ride along as plain ints. ``weights`` is
+    vocabulary-bounded — small next to any corpus and broadcastable — so
+    persisting a model is one parquet write of (t, w_micros) plus the
+    scalars."""
+
+    weights: "DataFrame"  # (t string, w_micros long)
+    bias_micros: int  # log prior odds ln(n_pos_docs / n_neg_docs)
+    default_micros: int  # weight of a token unseen at TRAINING time
+
+
+def nb_train(
+    df,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+):
+    """Train a BINARY multinomial Naive Bayes text classifier — the
+    closed-form stand-in for the fastText-style quality/language
+    classifiers published pretraining pipelines gate on (CCNet's LM +
+    classifier tier; RedPajama/FineWeb quality filters). ``label_col``
+    must be boolean or 0/1; both classes must be present.
+
+    Distributed shape: ONE groupBy over exploded tokens builds the
+    per-class count table (conditional sums, no per-class pass), one
+    vocabulary-bounded census collects the totals, and the per-token
+    log-odds weight is a pure function of that row's two counts —
+    training cost is a single token-level shuffle regardless of class
+    balance, and the resulting model is vocabulary-bounded. Weights are
+    quantized to integer micro-nats PER TOKEN TYPE before any sum (the
+    ``unigram_logprob_scores`` discipline), so downstream scores are
+    summation-order-independent and hash-checkable against DuckDB.
+
+    w(t)   = ln((c_pos+a)/(N_pos+aV)) - ln((c_neg+a)/(N_neg+aV))
+    bias   = ln(n_pos_docs / n_neg_docs)
+    default= ln(a/(N_pos+aV)) - ln(a/(N_neg+aV))   (unseen tokens)
+    """
+    lbl = F.col(label_col).cast("int")
+    docs = df.select(
+        F.when(lbl > 0, 1).otherwise(0).alias("__y"),
+        F.col(text_col).alias("__txt"),
+    )
+    prior = docs.agg(
+        F.sum("__y").alias("np"), F.sum(1 - F.col("__y")).alias("nn")
+    ).collect()[0]
+    n_pos_docs, n_neg_docs = int(prior["np"] or 0), int(prior["nn"] or 0)
+    if n_pos_docs == 0 or n_neg_docs == 0:
+        raise ValueError(
+            f"binary NB needs both classes in {label_col!r}: "
+            f"got {n_pos_docs} positive / {n_neg_docs} negative documents"
+        )
+    tok = docs.select(
+        "__y", F.explode(tokens(F.lower(F.col("__txt")))).alias("t")
+    ).filter(F.length("t") > 0)
+    counts = tok.groupBy("t").agg(
+        F.sum("__y").alias("cp"), F.sum(1 - F.col("__y")).alias("cn")
+    )
+    # vocabulary-bounded census (the one collect training needs)
+    tot = counts.agg(
+        F.sum("cp").alias("tp"), F.sum("cn").alias("tn"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_pos, n_neg, v = int(tot["tp"] or 0), int(tot["tn"] or 0), int(tot["v"])
+    import math
+
+    a = float(smoothing)
+    dp, dn = float(n_pos + a * v), float(n_neg + a * v)
+    weights = counts.select(
+        "t",
+        F.round(
+            1_000_000
+            * (F.log((F.col("cp") + a) / F.lit(dp)) - F.log((F.col("cn") + a) / F.lit(dn))),
+            0,
+        )
+        .cast("long")
+        .alias("w_micros"),
+    )
+    # half-away-from-zero, matching Spark/DuckDB round() (Python's round
+    # is half-to-even — a tie at micro-nat precision would hash-mismatch)
+    _r = lambda x: int(math.copysign(math.floor(abs(x) + 0.5), x))
+    bias = _r(1_000_000 * math.log(n_pos_docs / n_neg_docs))
+    default = _r(1_000_000 * (math.log(a / dp) - math.log(a / dn)))
+    return NBModel(weights, bias, default)
+
+
+def nb_score(df, model: NBModel, text_col: str = "text", id_col: str = "doc_id"):
+    """Score documents under a trained ``nb_train`` model: (id, n_tokens,
+    score_micros) where score_micros = bias + Σ per-token log-odds (known
+    tokens take their trained weight, unseen tokens the model's smoothed
+    default) — positive means the positive class is more likely. Pure
+    integer arithmetic after the broadcast join, so the score is
+    engine-exact. Scoring shape: token explode + ONE broadcast join
+    against the vocabulary-bounded weight table + a per-doc sum — a
+    single narrow shuffle on the doc id at any corpus scale. Zero-token
+    documents get no row (the LM scorers' contract)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("t")
+    ).filter(F.length("t") > 0)
+    return (
+        tok.join(F.broadcast(model.weights), "t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(F.coalesce(F.col("w_micros"), F.lit(model.default_micros)))
+                + F.lit(model.bias_micros)
+            )
+            .cast("long")
+            .alias("score_micros"),
+        )
     )

@@ -398,3 +398,90 @@ def test_stopword_escaping_lang_argmax_and_line_structure(spark):
     assert rows[1][0] == [] and rows[2][0] == []   # no '' shingle for empty docs
     assert rows[3][1] == []                        # no truncated char gram
     assert rows[4][0] == ["a b"]                   # partial word shingle kept (documented)
+
+
+# --------------------------------------- binary Naive Bayes (round-9) --
+
+
+def test_nb_train_score_semantics(spark):
+    """Train/score contract: separable vocab scores with the right sign,
+    unseen tokens take the smoothed default, zero-token docs get no row,
+    boolean labels work, a single-class corpus raises."""
+    import math
+
+    import pytest
+
+    from etl_data_transformer_spark.functions.text import nb_score, nb_train
+
+    train = spark.createDataFrame(
+        [
+            (1, "good clean prose flows nicely", True),
+            (2, "good well written text here", True),
+            (3, "spam spam buy now click", False),
+            (4, "click buy spam junk junk", False),
+        ],
+        "doc_id long, text string, label boolean",
+    )
+    m = nb_train(train, "label")
+    assert m.bias_micros == 0  # 2 vs 2 docs -> ln(1) = 0
+    assert m.default_micros == 0  # symmetric totals: N_pos == N_neg == 10
+
+    test = spark.createDataFrame(
+        [
+            (10, "good prose written nicely"),
+            (11, "buy spam click junk"),
+            (12, "zzz qqq totally unseen words"),  # all-unknown -> default only
+            (13, "   "),  # zero tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in nb_score(test, m).collect()}
+    assert set(got) == {10, 11, 12}
+    assert got[10]["score_micros"] > 0
+    assert got[11]["score_micros"] < 0
+    assert got[12]["score_micros"] == m.bias_micros + 5 * m.default_micros
+    assert got[12]["n_tokens"] == 5
+
+    # asymmetric corpus: bias reflects the doc prior, default the totals
+    train2 = train.union(
+        spark.createDataFrame(
+            [(5, "more good text again here", True)],
+            "doc_id long, text string, label boolean",
+        )
+    )
+    m2 = nb_train(train2, "label")
+    assert m2.bias_micros == int(round(1_000_000 * math.log(3 / 2)))
+    assert m2.default_micros < 0  # pos class has more token mass -> a/(Np+aV) smaller
+
+    with pytest.raises(ValueError, match="both classes"):
+        nb_train(train.filter("label"), "label")
+
+
+def test_nb_weights_match_closed_form(spark):
+    """Per-token micro-nat weights equal the closed form computed in
+    Python over the same counts (the engine-exact contract the oracle
+    hash relies on)."""
+    import math
+
+    from etl_data_transformer_spark.functions.text import nb_train
+
+    train = spark.createDataFrame(
+        [
+            (1, "a a b", 1),
+            (2, "a c", 0),
+            (3, "b b c", 0),
+        ],
+        "doc_id long, text string, label int",
+    )
+    m = nb_train(train, "label")
+    got = {r["t"]: r["w_micros"] for r in m.weights.collect()}
+    # counts: a: pos 2 / neg 1; b: pos 1 / neg 2; c: pos 0 / neg 2
+    np_, nn_, v = 3, 5, 3
+
+    def w(cp, cn):
+        x = 1_000_000 * (
+            math.log((cp + 1) / (np_ + v)) - math.log((cn + 1) / (nn_ + v))
+        )
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    assert got == {"a": w(2, 1), "b": w(1, 2), "c": w(0, 2)}
