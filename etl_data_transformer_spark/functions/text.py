@@ -612,37 +612,77 @@ def nb_train(
     w(t)   = ln((c_pos+a)/(N_pos+aV)) - ln((c_neg+a)/(N_neg+aV))
     bias   = ln(n_pos_docs / n_neg_docs)
     default= ln(a/(N_pos+aV)) - ln(a/(N_neg+aV))   (unseen tokens)
+
+    Because every model input is an ADDITIVE count, training composes
+    incrementally: persist ``nb_count_rows`` per labeled batch
+    (``write_nb_store``) and derive the model of the UNION corpus any
+    time with ``nb_model_from_counts(read_nb_store(...))`` — exactly the
+    full retrain, no approximation (equivalence pinned in
+    ``tests/test_text.py``); this function is just that composition over
+    a single in-memory corpus.
     """
+    return nb_model_from_counts(nb_count_rows(df, label_col, text_col), smoothing)
+
+
+def nb_count_rows(df, label_col: str, text_col: str = "text"):
+    """The ADDITIVE store form of a labeled batch for the NB classifier:
+    one (t, cp, cn) row per token with per-class occurrence counts, plus
+    ONE ``t IS NULL`` prior row carrying the batch's per-class DOCUMENT
+    counts (the tokenizer filters empty strings, so a NULL token can never
+    collide with a real one). Rows from any number of batches sum
+    group-wise into the union corpus's counts — the same merge-on-read
+    contract as the dedup stores, and why incremental NB is exact."""
     lbl = F.col(label_col).cast("int")
     docs = df.select(
         F.when(lbl > 0, 1).otherwise(0).alias("__y"),
         F.col(text_col).alias("__txt"),
     )
-    prior = docs.agg(
-        F.sum("__y").alias("np"), F.sum(1 - F.col("__y")).alias("nn")
-    ).collect()[0]
-    n_pos_docs, n_neg_docs = int(prior["np"] or 0), int(prior["nn"] or 0)
-    if n_pos_docs == 0 or n_neg_docs == 0:
-        raise ValueError(
-            f"binary NB needs both classes in {label_col!r}: "
-            f"got {n_pos_docs} positive / {n_neg_docs} negative documents"
-        )
     tok = docs.select(
         "__y", F.explode(tokens(F.lower(F.col("__txt")))).alias("t")
     ).filter(F.length("t") > 0)
     counts = tok.groupBy("t").agg(
-        F.sum("__y").alias("cp"), F.sum(1 - F.col("__y")).alias("cn")
+        F.sum("__y").cast("long").alias("cp"),
+        F.sum(1 - F.col("__y")).cast("long").alias("cn"),
     )
-    # vocabulary-bounded census (the one collect training needs)
-    tot = counts.agg(
-        F.sum("cp").alias("tp"), F.sum("cn").alias("tn"), F.count(F.lit(1)).alias("v")
-    ).collect()[0]
-    n_pos, n_neg, v = int(tot["tp"] or 0), int(tot["tn"] or 0), int(tot["v"])
+    prior = docs.agg(
+        F.coalesce(F.sum("__y"), F.lit(0)).cast("long").alias("cp"),
+        F.coalesce(F.sum(1 - F.col("__y")), F.lit(0)).cast("long").alias("cn"),
+    ).select(F.lit(None).cast("string").alias("t"), "cp", "cn")
+    return counts.unionByName(prior)
+
+
+def nb_model_from_counts(counts, smoothing: float = 1.0):
+    """Derive the ``NBModel`` from (t, cp, cn) count rows (``nb_count_rows``
+    output, possibly many batches' rows concatenated or a ``read_nb_store``
+    view) — group-sums duplicates first, so the result is EXACTLY the model
+    of the union corpus. One vocabulary-bounded census collect; the weight
+    projection is pure codegen over the merged table."""
     import math
 
+    merged = counts.groupBy("t").agg(
+        F.sum("cp").alias("cp"), F.sum("cn").alias("cn")
+    )
+    # two consumers (census + weight projection): checkpoint lazily so the
+    # upstream tokenize/store scan runs once (the LM scorers' discipline)
+    merged = merged.localCheckpoint(eager=False)
+    is_tok = F.col("t").isNotNull()
+    tot = merged.agg(
+        F.sum(F.when(~is_tok, F.col("cp"))).alias("np_docs"),
+        F.sum(F.when(~is_tok, F.col("cn"))).alias("nn_docs"),
+        F.sum(F.when(is_tok, F.col("cp"))).alias("tp"),
+        F.sum(F.when(is_tok, F.col("cn"))).alias("tn"),
+        F.count(F.when(is_tok, F.lit(1))).alias("v"),
+    ).collect()[0]
+    n_pos_docs, n_neg_docs = int(tot["np_docs"] or 0), int(tot["nn_docs"] or 0)
+    if n_pos_docs == 0 or n_neg_docs == 0:
+        raise ValueError(
+            "binary NB needs both classes: "
+            f"got {n_pos_docs} positive / {n_neg_docs} negative documents"
+        )
+    n_pos, n_neg, v = int(tot["tp"] or 0), int(tot["tn"] or 0), int(tot["v"])
     a = float(smoothing)
     dp, dn = float(n_pos + a * v), float(n_neg + a * v)
-    weights = counts.select(
+    weights = merged.filter(is_tok).select(
         "t",
         F.round(
             1_000_000
@@ -685,4 +725,108 @@ def nb_score(df, model: NBModel, text_col: str = "text", id_col: str = "doc_id")
             .cast("long")
             .alias("score_micros"),
         )
+    )
+
+
+_NB_PARAMS_ALGO = "nb-binary-ws-tokens-v1"
+
+
+def write_nb_store(rows, path: str, *, mode: str = "append") -> None:
+    """Persist ``nb_count_rows`` with an ``_nb_params`` sidecar pinning the
+    tokenization/count algorithm (appending rows built under a different
+    tokenizer would silently corrupt every weight). Same lifecycle
+    discipline as the dedup stores: atomic rebuild on overwrite,
+    sidecar-before-data on append, streaming (__batch_id) layouts reject
+    batch appends. Smoothing is NOT a store parameter — it applies at
+    model derivation, so one store serves any smoothing."""
+    import os
+
+    from ..operators.dedup import (
+        _reject_streaming_layout_append,
+        _write_params_sidecar,
+    )
+    from ..sources.writers import atomic_swap_write
+
+    params = {"algo": _NB_PARAMS_ALGO}
+    if mode == "overwrite":
+        atomic_swap_write(
+            rows,
+            path,
+            finalize_staging=lambda staging: _write_params_sidecar(
+                os.path.join(staging, "_nb_params.json"), params
+            ),
+        )
+        return
+    _reject_streaming_layout_append(rows, path, "nb-count")
+    ensure_nb_params_sidecar(path)
+    rows.write.mode(mode).parquet(path)
+
+
+def ensure_nb_params_sidecar(path: str) -> None:
+    """Write-or-validate the ``_nb_params`` sidecar (see
+    ``write_nb_store``)."""
+    import os
+
+    from ..operators.dedup import _validate_store_params, _write_params_sidecar
+    from ..sources.writers import recover_interrupted_swap
+
+    recover_interrupted_swap(path)
+    params = {"algo": _NB_PARAMS_ALGO}
+    sidecar = os.path.join(path, "_nb_params.json")
+    if os.path.exists(sidecar):
+        _validate_store_params(sidecar, params, label="nb-count")
+        return
+    os.makedirs(path, exist_ok=True)
+    _write_params_sidecar(sidecar, params)
+
+
+def read_nb_store(spark, path: str):
+    """Load an NB count store (batch-appended flat rows or a streaming
+    twin's ``__batch_id`` partitions), validating the sidecar and summing
+    per-batch rows into one (t, cp, cn) per key — feed straight into
+    ``nb_model_from_counts``. Reading while a streaming batch is
+    IN-FLIGHT can see that batch's partial partition (counts slightly
+    behind or partial); the stream itself is consistent because a replay
+    overwrites its own partition before the checkpoint commits."""
+    ensure_nb_params_sidecar(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("t")
+        .agg(F.sum("cp").alias("cp"), F.sum("cn").alias("cn"))
+    )
+
+
+def compact_nb_store(spark, path: str) -> None:
+    """Bound NB store growth: group-sum the per-batch (t, cp, cn) rows
+    into one row per key and atomically rewrite (sidecar staged before
+    the swap). Unlike the passage store, the STREAMING layout compacts
+    safely here too once the stream is STOPPED — the model read never
+    excludes partitions — but a live stream's replay would double its
+    own batch after compaction folded it in, so the streaming-layout
+    guard stays (stop the stream, rebuild flat, as documented there)."""
+    import os
+
+    from ..operators.dedup import _write_params_sidecar
+    from ..sources.readers import read_parquet_or_none
+    from ..sources.writers import atomic_swap_write
+
+    ensure_nb_params_sidecar(path)
+    store = read_parquet_or_none(spark, path)
+    if store is None:
+        return  # sidecar-only store: nothing to compact
+    if "__batch_id" in store.columns:
+        raise ValueError(
+            f"nb store at {path} has the streaming (__batch_id) layout; "
+            "compacting it would double a replayed batch's own counts — "
+            "stop the stream and rebuild the store flat first"
+        )
+    merged = store.groupBy("t").agg(
+        F.sum("cp").alias("cp"), F.sum("cn").alias("cn")
+    )
+    atomic_swap_write(
+        merged,
+        path,
+        finalize_staging=lambda staging: _write_params_sidecar(
+            os.path.join(staging, "_nb_params.json"), {"algo": _NB_PARAMS_ALGO}
+        ),
     )

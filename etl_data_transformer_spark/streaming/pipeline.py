@@ -734,6 +734,63 @@ def stream_passage_dedup(
     q.awaitTermination()
 
 
+def stream_nb_counts(
+    stream_docs: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    *,
+    label_col: str,
+    text_col: str = "text",
+) -> None:
+    """Streaming maintenance of the binary Naive Bayes classifier's count
+    store — the streaming twin of ``functions/text.write_nb_store``: each
+    labeled micro-batch's ``nb_count_rows`` (per-token per-class counts +
+    the NULL-token document-prior row) land in the batch's OWN
+    ``__batch_id`` partition, so a replayed batch overwrites its earlier
+    (possibly partial) rows instead of double-counting. Because every
+    model input is additive, ``nb_model_from_counts(read_nb_store(...))``
+    at ANY point yields exactly the full retrain over every landed batch
+    — classifier refresh without ever re-tokenizing landed text, the
+    same amortization contract as the dedup signature stores. A flat
+    ``write_nb_store`` seed converts to the partitioned layout on first
+    use. The ``_nb_params`` sidecar is written-or-validated before any
+    data (a restart under a different tokenizer raises instead of
+    corrupting weights)."""
+    from ..functions.text import _NB_PARAMS_ALGO, ensure_nb_params_sidecar, nb_count_rows
+
+    ns = _stream_store_namespace(checkpoint_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from ..operators.dedup import _write_params_sidecar
+
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        ensure_nb_params_sidecar(store_path)
+        _partitioned_store_or_convert(
+            spark,
+            store_path,
+            ns,
+            checkpoint_dir,
+            lambda staging: _write_params_sidecar(
+                os.path.join(staging, "_nb_params.json"), {"algo": _NB_PARAMS_ALGO}
+            ),
+        )
+        _overwrite_batch_partition(
+            nb_count_rows(batch_df, label_col, text_col), store_path, ns, batch_id
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_simhash_dedup(
     stream_docs: DataFrame,
     store_path: str,

@@ -1614,3 +1614,48 @@ def test_stream_ingest_decon_combined_mask(spark, tmp_path):
     assert spark.read.parquet(ev).count() == ev_rows
     drain()  # no-new-data drain: nothing changes
     assert {r["doc_id"]: r["text"] for r in spark.read.parquet(landed).collect()} == got2
+
+
+def test_stream_nb_counts_equals_batch_retrain(spark, tmp_path):
+    """Round-9 streaming NB maintenance: two drained micro-batches of
+    labeled docs land per-__batch_id count partitions; the model derived
+    from the store equals a full nb_train over everything streamed; a
+    no-new-data drain changes nothing."""
+    from etl_data_transformer_spark.functions import text as TX
+    from etl_data_transformer_spark.streaming.pipeline import stream_nb_counts
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "nb", "ckpt"))
+    schema = "doc_id long, text string, label int"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_nb_counts(stream, store, ckpt, label_col="label")
+
+    b1 = [(1, "good clean prose flows nicely", 1), (2, "spam spam buy now click", 0)]
+    b2 = [(3, "good well written text here", 1), (4, "click buy spam junk junk", 0)]
+    spark.createDataFrame(b1, schema).write.mode("overwrite").parquet(src)
+    drain()
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    drain()
+
+    def model_key(m):
+        return (
+            {r["t"]: r["w_micros"] for r in m.weights.collect()},
+            m.bias_micros,
+            m.default_micros,
+        )
+
+    full = TX.nb_train(
+        spark.createDataFrame(b1 + b2, schema), "label"
+    )
+    got = TX.nb_model_from_counts(TX.read_nb_store(spark, store))
+    assert model_key(got) == model_key(full)
+
+    rows_before = spark.read.parquet(store).count()
+    drain()  # no-new-data: no-op
+    assert spark.read.parquet(store).count() == rows_before
+    # streaming layout refuses compaction while partitions are live
+    import pytest
+
+    with pytest.raises(ValueError, match="streaming"):
+        TX.compact_nb_store(spark, store)

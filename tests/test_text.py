@@ -485,3 +485,58 @@ def test_nb_weights_match_closed_form(spark):
         return int(math.copysign(math.floor(abs(x) + 0.5), x))
 
     assert got == {"a": w(2, 1), "b": w(1, 2), "c": w(0, 2)}
+
+
+def test_nb_incremental_store_equals_full_retrain(spark, tmp_path):
+    """Counts are additive, so the persisted-store path is EXACT: model
+    from (batch-1 rows + batch-2 rows appended) equals nb_train over the
+    union corpus — weights, bias and default all identical; compaction
+    preserves the model; a tampered sidecar rejects the append."""
+    import json
+    import os
+
+    import pytest
+
+    from etl_data_transformer_spark.functions import text as TX
+
+    path = str(tmp_path / "nb")
+    b1 = spark.createDataFrame(
+        [
+            (1, "good clean prose flows nicely", 1),
+            (2, "spam spam buy now click", 0),
+        ],
+        "doc_id long, text string, label int",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (3, "good well written text here", 1),
+            (4, "click buy spam junk junk", 0),
+            (5, "more good prose again", 1),
+        ],
+        "doc_id long, text string, label int",
+    )
+    TX.write_nb_store(TX.nb_count_rows(b1, "label"), path, mode="overwrite")
+    TX.write_nb_store(TX.nb_count_rows(b2, "label"), path)  # append
+
+    def model_key(m):
+        return (
+            {r["t"]: r["w_micros"] for r in m.weights.collect()},
+            m.bias_micros,
+            m.default_micros,
+        )
+
+    full = TX.nb_train(b1.union(b2), "label")
+    inc = TX.nb_model_from_counts(TX.read_nb_store(spark, path))
+    assert model_key(inc) == model_key(full)
+
+    # compaction: one row per key, identical model
+    TX.compact_nb_store(spark, path)
+    store = spark.read.parquet(path)
+    assert store.count() == store.select("t").distinct().count()
+    assert model_key(TX.nb_model_from_counts(TX.read_nb_store(spark, path))) == model_key(full)
+
+    # sidecar guards the tokenizer/count algorithm
+    sidecar = os.path.join(path, "_nb_params.json")
+    json.dump({"algo": "other-v9"}, open(sidecar, "w"))
+    with pytest.raises(ValueError, match="nb-count"):
+        TX.write_nb_store(TX.nb_count_rows(b1, "label"), path)
