@@ -55,6 +55,7 @@ SF1_HEADLINE = [
     "mixture_sample_docs",
     "dedup_passages",
     "scd2_snapshot_orders",
+    "nb_lang_classifier",
 ]
 
 # headline set: the flagship branches + one per operator family
@@ -91,6 +92,8 @@ HEADLINE = [
     "funnel_events",
     "mixture_sample_docs",
     "dedup_passages",
+    "decon_passages",
+    "nb_lang_classifier",
 ]
 
 
@@ -160,6 +163,27 @@ def main() -> None:
         qs["dedup_passages"] = lambda spark, sf_dir: _dp(
             _ls4(spark, sf_dir, ("documents",))["documents"], window=10
         ).filter(_F2.col("n_removed") + _F2.length("clean_text") >= 0)
+    # NEW headline row in round 9: passage-level benchmark decontamination
+    # over the FULL documents table (first 500 doc ids play the eval
+    # corpus, the rest are the training slice; the catalog twin
+    # decontaminate_passages_docs is the capped 200-doc oracle row). Same
+    # count-forcing trailing filter as dedup_passages.
+    if "decon_passages" not in qs:
+        from etl_data_transformer_spark.operators.curation import (
+            decontaminate_passages as _dcp,
+        )
+        from etl_data_transformer_spark.sources.readers import load_star as _ls5
+        from pyspark.sql import functions as _F3
+
+        def _decon_passages(spark, sf_dir):
+            docs = _ls5(spark, sf_dir, ("documents",))["documents"]
+            return _dcp(
+                docs.filter(_F3.col("doc_id") >= 500),
+                docs.filter(_F3.col("doc_id") < 500),
+                window=10,
+            ).filter(_F3.col("n_removed") + _F3.length("clean_text") >= 0)
+
+        qs["decon_passages"] = _decon_passages
     spark = get_spark("bench")
     # warm the JVM + parquet footers before timing
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
