@@ -205,6 +205,7 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # engine-exact integer micro-nats) — the closed-form stand-in for the
     # fastText-style quality/language gates of CCNet-class pipelines.
     "nb_lang_classifier": EXT.q_nb_lang_classifier,
+    "nb_lang_multiclass": EXT.q_nb_lang_multiclass,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

@@ -797,3 +797,14 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = d.withColumn("__is_en", (F.col("lang") == "en").cast("int"))
     model = TX.nb_train(labeled, "__is_en")
     return TX.nb_score(d, model)
+
+
+def q_nb_lang_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 multiclass Naive Bayes language-ID: train on the documents
+    corpus with its own ``lang`` labels (5 classes), classify the same
+    corpus — (doc_id, n_tokens, pred_label, score_micros) with integer
+    micro-nat scores and an ascending-label tie-break, hash-exact against
+    the DuckDB oracle's full train + argmax recompute."""
+    d = _docs(spark, sf_dir)
+    model = TX.nb_train_multiclass(d, "lang")
+    return TX.nb_classify(d, model)

@@ -1185,6 +1185,58 @@ EXTENSION_ORACLES["nb_lang_classifier"] = """
     GROUP BY doc_id
 """
 
+# Round-9 multiclass Naive Bayes language-ID (train + argmax classify over
+# the same corpus). Mirrors functions/text.nb_train_multiclass exactly:
+# add-one smoothing, V = global distinct tokens, the COMPLETE V x K grid
+# (smoothed zeros included) quantized per cell to integer micro-nats, doc
+# priors over total docs, unseen default per label; ties break by
+# ascending label. Every scored token is in-vocabulary here, so the
+# default never fires in this query — pytest covers it.
+EXTENSION_ORACLES["nb_lang_multiclass"] = """
+    WITH docs AS (
+        SELECT doc_id, text, lang AS l FROM documents
+    ), tok AS (
+        SELECT doc_id, l, t FROM (
+            SELECT doc_id, l,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+            FROM docs
+        ) WHERE length(t) > 0
+    ), counts AS (
+        SELECT l, t, count(*) AS c FROM tok GROUP BY l, t
+    ), vocab AS (
+        SELECT DISTINCT t FROM counts
+    ), vsize AS (
+        SELECT count(*) AS v FROM vocab
+    ), labels AS (
+        SELECT l,
+               CAST(round(1000000 * ln(CAST(nd AS DOUBLE) / sum(nd) OVER ()), 0) AS BIGINT) AS prior_micros
+        FROM (SELECT l, count(*) AS nd FROM docs GROUP BY l)
+    ), totals AS (
+        SELECT l, CAST(sum(c) + (SELECT v FROM vsize) AS DOUBLE) AS denom
+        FROM counts GROUP BY l
+    ), grid AS (
+        SELECT tt.l, vocab.t,
+               CAST(round(1000000 * ln((coalesce(counts.c, 0) + 1) / tt.denom), 0) AS BIGINT) AS lp_micros
+        FROM vocab CROSS JOIN totals tt
+        LEFT JOIN counts ON counts.l = tt.l AND counts.t = vocab.t
+    ), doc_tok AS (
+        SELECT doc_id, t FROM tok
+    ), scored AS (
+        SELECT doc_id, grid.l,
+               count(*) AS n_tokens,
+               CAST(sum(lp_micros) + any_value(labels.prior_micros) AS BIGINT) AS score_micros
+        FROM doc_tok JOIN grid USING (t) JOIN labels ON labels.l = grid.l
+        GROUP BY doc_id, grid.l
+    ), ranked AS (
+        SELECT doc_id, n_tokens, l, score_micros,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score_micros DESC, l ASC) AS rk
+        FROM scored
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           l AS pred_label, score_micros
+    FROM ranked WHERE rk = 1
+"""
+
 ALL_ORACLES: dict[str, str] = {
     **PARITY_ORACLES,
     **EXTENSION_ORACLES,

@@ -830,3 +830,151 @@ def compact_nb_store(spark, path: str) -> None:
             os.path.join(staging, "_nb_params.json"), {"algo": _NB_PARAMS_ALGO}
         ),
     )
+
+
+class NBMultiModel(NamedTuple):
+    """Multiclass ``nb_train_multiclass`` model: the per-(label, token)
+    conditional log-probability grid plus a per-label frame carrying the
+    doc-count prior and the unseen-token default. The grid is COMPLETE
+    (every vocabulary token has a row for every label, smoothed zeros
+    included), which is what lets ``nb_classify`` score with one inner
+    join — a token known to ANY class contributes to EVERY class's sum
+    through its own grid row, so per-doc known-token counts are identical
+    across labels and the unseen remainder is a single per-doc term."""
+
+    weights: "DataFrame"  # (label string, t string, lp_micros long)
+    labels: "DataFrame"  # (label string, prior_micros long, default_micros long)
+
+
+def nb_train_multiclass(df, label_col: str, text_col: str = "text", smoothing: float = 1.0):
+    """Multiclass multinomial Naive Bayes — ``nb_train`` generalized from
+    the binary quality gate to K-way classification (the language-ID /
+    domain-routing shape). Same engine-exact discipline: every model
+    number is quantized to integer micro-nats as a pure function of
+    integer counts, so train + classify hash-match a SQL oracle.
+
+    Distributed shape: ONE groupBy over exploded (label, token) pairs,
+    a label census (K rows, collected), and the V×K smoothed grid built
+    by a broadcast cross join of the vocabulary against the label frame —
+    the grid stays vocabulary-bounded (V·K ≪ corpus) and broadcastable.
+
+    lp(label, t) = ln((c(label,t) + a) / (N_label + aV))
+    prior(label) = ln(n_docs_label / n_docs_total)
+    default(label) = ln(a / (N_label + aV))      (tokens outside V)
+    """
+    docs = df.select(
+        F.col(label_col).cast("string").alias("__l"), F.col(text_col).alias("__txt")
+    )
+    tok = docs.select(
+        "__l", F.explode(tokens(F.lower(F.col("__txt")))).alias("t")
+    ).filter(F.length("t") > 0)
+    tok = tok.localCheckpoint(eager=False)  # feeds counts + per-label totals
+    counts = tok.groupBy("__l", "t").agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.localCheckpoint(eager=False)  # feeds totals + the grid join
+    # label census: doc priors + per-label token totals + global vocab (K
+    # rows + 1 scalar — bounded collects, like the binary trainer's)
+    doc_counts = {
+        r["__l"]: r["n"]
+        for r in docs.groupBy("__l").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if None in doc_counts:
+        raise ValueError(
+            f"multiclass NB: {label_col!r} has NULL labels — filter or impute first"
+        )
+    if len(doc_counts) < 2:
+        raise ValueError(
+            f"multiclass NB needs >= 2 classes in {label_col!r}: got {sorted(doc_counts)}"
+        )
+    tok_totals = {
+        r["__l"]: r["n"]
+        for r in counts.groupBy("__l").agg(F.sum("c").alias("n")).collect()
+    }
+    v = counts.select("t").distinct().count()
+    import math
+
+    a = float(smoothing)
+    n_total = sum(doc_counts.values())
+    _r = lambda x: int(math.copysign(math.floor(abs(x) + 0.5), x))
+    spark = df.sparkSession
+    labels = spark.createDataFrame(
+        [
+            (
+                l,
+                _r(1_000_000 * math.log(doc_counts[l] / n_total)),
+                _r(1_000_000 * math.log(a / (tok_totals.get(l, 0) + a * v))),
+                float(tok_totals.get(l, 0) + a * v),
+            )
+            for l in sorted(doc_counts)
+        ],
+        "label string, prior_micros long, default_micros long, __denom double",
+    )
+    grid = (
+        counts.select("t").distinct()
+        .crossJoin(F.broadcast(labels.select("label", "__denom")))
+        .join(
+            counts.select(F.col("__l").alias("label"), "t", "c"),
+            ["label", "t"],
+            "left",
+        )
+        .select(
+            "label",
+            "t",
+            F.round(
+                1_000_000
+                * F.log((F.coalesce(F.col("c"), F.lit(0)) + a) / F.col("__denom")),
+                0,
+            )
+            .cast("long")
+            .alias("lp_micros"),
+        )
+    )
+    return NBMultiModel(grid, labels.drop("__denom"))
+
+
+def nb_classify(df, model: NBMultiModel, text_col: str = "text", id_col: str = "doc_id"):
+    """Classify documents under an ``nb_train_multiclass`` model:
+    (id, n_tokens, pred_label, score_micros) — argmax over per-label
+    integer scores, ties broken by ascending label (deterministic, so the
+    result is hash-exact). Scoring shape: token explode + ONE broadcast
+    join against the V×K grid + a per-(doc, label) sum, then a K-way
+    argmax folded into the same aggregation — one narrow shuffle on the
+    doc id. Zero-token documents get no row (the family contract);
+    documents whose every token is out-of-vocabulary still score (the
+    per-label default carries them)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("t")
+    ).filter(F.length("t") > 0)
+    tok = tok.localCheckpoint(eager=False)  # feeds n_tokens + the grid join
+    per_doc = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    known = (
+        tok.join(F.broadcast(model.weights), "t")
+        .groupBy(id_col, "label")
+        .agg(F.sum("lp_micros").alias("__s"), F.count(F.lit(1)).alias("__k"))
+    )
+    scored = (
+        per_doc.crossJoin(F.broadcast(model.labels))
+        .join(known, [id_col, "label"], "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "label",
+            (
+                F.col("prior_micros")
+                + F.coalesce(F.col("__s"), F.lit(0))
+                + (F.col("n_tokens") - F.coalesce(F.col("__k"), F.lit(0)))
+                * F.col("default_micros")
+            )
+            .cast("long")
+            .alias("score_micros"),
+        )
+    )
+    # argmax with ascending-label tie-break: min over (-score, label)
+    best = scored.groupBy(id_col, "n_tokens").agg(
+        F.min(F.struct((-F.col("score_micros")).alias("ns"), F.col("label").alias("l"))).alias("b")
+    )
+    return best.select(
+        id_col,
+        "n_tokens",
+        F.col("b.l").alias("pred_label"),
+        (-F.col("b.ns")).cast("long").alias("score_micros"),
+    )

@@ -540,3 +540,60 @@ def test_nb_incremental_store_equals_full_retrain(spark, tmp_path):
     json.dump({"algo": "other-v9"}, open(sidecar, "w"))
     with pytest.raises(ValueError, match="nb-count"):
         TX.write_nb_store(TX.nb_count_rows(b1, "label"), path)
+
+
+def test_nb_multiclass_semantics(spark):
+    """Multiclass contract: separable 3-way vocab predicts correctly;
+    all-OOV documents score prior + n*default per label (and still get a
+    prediction); exact ties break by ascending label; NULL or single-class
+    labels raise."""
+    import pytest
+
+    from etl_data_transformer_spark.functions.text import nb_classify, nb_train_multiclass
+
+    train = spark.createDataFrame(
+        [
+            (1, "le chat noir dort bien", "fr"),
+            (2, "le chien noir mange bien", "fr"),
+            (3, "the black cat sleeps well", "en"),
+            (4, "the black dog eats well", "en"),
+            (5, "el gato negro duerme bien", "es"),
+            (6, "el perro negro come bien", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    m = nb_train_multiclass(train, "lang")
+    # complete grid: every vocab token has a row for every label
+    v = m.weights.select("t").distinct().count()
+    assert m.weights.count() == v * 3
+
+    test = spark.createDataFrame(
+        [
+            (10, "le chat dort"),
+            (11, "the cat sleeps"),
+            (12, "el gato duerme"),
+            (13, "zzz qqq www"),  # all OOV
+            (14, " "),  # zero tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in nb_classify(test, m).collect()}
+    assert {k: got[k]["pred_label"] for k in (10, 11, 12)} == {
+        10: "fr", 11: "en", 12: "es"
+    }
+    assert 14 not in got
+    # OOV doc: score = prior + 3*default for the winning label; with
+    # identical doc priors and identical token mass per class, all three
+    # scores TIE and the ascending-label break picks 'en'
+    lab = {r["label"]: r for r in m.labels.collect()}
+    assert len({(r["prior_micros"], r["default_micros"]) for r in lab.values()}) == 1
+    assert got[13]["pred_label"] == "en"
+    assert got[13]["score_micros"] == lab["en"]["prior_micros"] + 3 * lab["en"]["default_micros"]
+
+    with pytest.raises(ValueError, match=">= 2 classes"):
+        nb_train_multiclass(train.filter("lang = 'fr'"), "lang")
+    with pytest.raises(ValueError, match="NULL labels"):
+        nb_train_multiclass(
+            train.selectExpr("doc_id", "text", "if(doc_id = 1, NULL, lang) as lang"),
+            "lang",
+        )
