@@ -641,6 +641,7 @@ def stream_passage_dedup(
     id_col: str = "doc_id",
     window: int = 10,
     min_count: int = 2,
+    decon_store: str | None = None,
 ) -> None:
     """Streaming ExactSubstr passage dedup — the streaming twin of
     ``operators/curation.dedup_passages_incremental``, completing the
@@ -663,11 +664,18 @@ def stream_passage_dedup(
     recomputes identical counts and its dynamic overwrite replaces the
     partial partition. ``_passage_params`` sidecar written-or-validated
     before any data (a restart with a different window raises instead of
-    mis-thresholding)."""
+    mis-thresholding).
+
+    ``decon_store`` (a flat eval-corpus ``passage_count_store``) folds
+    benchmark decontamination into the same per-batch rewrite, exactly as
+    in the composed ingest runners: eval windows mask unconditionally, the
+    store is a READ-ONLY input (never written — no replay seam) and must
+    share ``window`` (sidecar-validated before any sink)."""
     from ..operators.curation import (
         _passage_windows,
         dedup_passages_incremental,
         ensure_passage_params_sidecar,
+        read_passage_store,
     )
 
     ns = _stream_store_namespace(checkpoint_dir)
@@ -708,12 +716,17 @@ def stream_passage_dedup(
             # (touched rebuild, untouched projection, doc lists), each of
             # which would otherwise re-run the regex tokenize over the
             # persisted batch (round-8 advice)
+            decon_h = (
+                read_passage_store(spark, decon_store, window=window).select("h")
+                if decon_store is not None
+                else None
+            )
             base, wins = _passage_windows(batch, window, text_col, id_col)
             base = base.localCheckpoint(eager=True)
             wins = wins.localCheckpoint(eager=True)
             cleaned = dedup_passages_incremental(
                 batch, counts, window, min_count, text_col, id_col,
-                windows=(base, wins),
+                windows=(base, wins), extra_dup=decon_h,
             )
             _overwrite_batch_partition(cleaned, cleaned_path, ns, batch_id)
             _overwrite_batch_partition(

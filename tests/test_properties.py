@@ -562,3 +562,50 @@ def test_scd2_apply_snapshot_lifecycle_property(spark, snaps):
         assert sum(1 for _, vt, _, cur in rows if cur) <= 1
         for (vf1, vt1, _, cur1), (vf2, _, _, _) in zip(rows, rows[1:]):
             assert not cur1 and vt1 is not None and vt1 <= vf2, (k, rows)
+
+
+@st.composite
+def nb_corpus_case(draw):
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    n = draw(st.integers(4, 10))
+    rows = []
+    for i in range(n):
+        k = draw(st.integers(1, 5))
+        text = " ".join(draw(st.sampled_from(vocab)) for _ in range(k))
+        rows.append((i, text, draw(st.integers(0, 1))))
+    # both classes present (the trainer's contract)
+    rows[0] = (rows[0][0], rows[0][1], 1)
+    rows[1] = (rows[1][0], rows[1][1], 0)
+    split = draw(st.integers(1, n - 1))
+    return rows, split
+
+
+@given(nb_corpus_case())
+@_few
+def test_nb_incremental_equals_full_retrain_property(spark, case):
+    """Random corpora + random batch split: deriving the model from the
+    two batches' concatenated count rows equals nb_train over the union —
+    the additive-counts exactness the store path relies on. Scores under
+    both models agree on every document."""
+    from etl_data_transformer_spark.functions import text as TX
+
+    rows, split = case
+    schema = "doc_id long, text string, label int"
+    full_df = spark.createDataFrame(rows, schema)
+    b1 = spark.createDataFrame(rows[:split], schema)
+    b2 = spark.createDataFrame(rows[split:], schema)
+
+    full = TX.nb_train(full_df, "label")
+    inc = TX.nb_model_from_counts(
+        TX.nb_count_rows(b1, "label").unionByName(TX.nb_count_rows(b2, "label"))
+    )
+    assert {r["t"]: r["w_micros"] for r in inc.weights.collect()} == {
+        r["t"]: r["w_micros"] for r in full.weights.collect()
+    }
+    assert (inc.bias_micros, inc.default_micros) == (
+        full.bias_micros,
+        full.default_micros,
+    )
+    s_full = {r["doc_id"]: r["score_micros"] for r in TX.nb_score(full_df, full).collect()}
+    s_inc = {r["doc_id"]: r["score_micros"] for r in TX.nb_score(full_df, inc).collect()}
+    assert s_full == s_inc

@@ -1659,3 +1659,39 @@ def test_stream_nb_counts_equals_batch_retrain(spark, tmp_path):
 
     with pytest.raises(ValueError, match="streaming"):
         TX.compact_nb_store(spark, store)
+
+
+def test_stream_passage_dedup_with_decon_store(spark, tmp_path):
+    """Round-9: the standalone streaming passage-dedup twin accepts the
+    same decon_store hook as the composed runners — a single-occurrence
+    eval passage masks alongside the >= min_count count mask, in one
+    rewrite per batch."""
+    from etl_data_transformer_spark.operators.curation import (
+        passage_count_store,
+        write_passage_store,
+    )
+    from etl_data_transformer_spark.streaming.pipeline import stream_passage_dedup
+
+    src, store, cleaned, ckpt, ev = (
+        str(tmp_path / p) for p in ("src", "pg", "cleaned", "ckpt", "ev")
+    )
+    schema = "doc_id long, text string"
+    ev_df = spark.createDataFrame([(0, "secret eval passage xyz")], schema)
+    write_passage_store(
+        passage_count_store(ev_df, window=3), ev, window=3, mode="overwrite"
+    )
+
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique one tail"),
+            (2, "prefix alpha beta gamma delta other two"),
+            (3, "intro secret eval passage xyz end"),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_passage_dedup(stream, store, cleaned, ckpt, window=3, decon_store=ev)
+    got = {r["doc_id"]: r["clean_text"] for r in spark.read.parquet(cleaned).collect()}
+    assert got[1] == "unique one tail"  # in-batch >= min_count mask
+    assert got[2] == "prefix other two"
+    assert got[3] == "intro end"  # single-occurrence eval mask
