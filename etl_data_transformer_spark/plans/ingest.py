@@ -76,6 +76,9 @@ class IngestReport:
     # touched — the "how much template mass did this batch carry" signal
     passage_tokens_removed: int | None = None
     passage_docs_touched: int | None = None
+    # quality-gate tier audit (None unless the tier ran): documents the
+    # NB-model gate dropped BEFORE any dedup tier saw them
+    n_quality_dropped: int | None = None
 
 
 def _near_losers(pairs: DataFrame, survivors: DataFrame, id_col: str) -> DataFrame:
@@ -274,6 +277,8 @@ def run_incremental_ingest(
     passage_window: int = 10,
     passage_min_count: int = 2,
     decon_store: str | None = None,
+    nb_store: str | None = None,
+    nb_threshold_micros: int = 0,
 ) -> IngestReport:
     """Run one ingest batch through the enabled dedup tiers (exact is
     mandatory — it is the cheapest and catches byte-duplicates the banded
@@ -309,7 +314,22 @@ def run_incremental_ingest(
     store is a read-only INPUT (never appended), must share
     ``passage_window`` (sidecar-validated — the masks ride one explode),
     and the audit's ``passage_tokens_removed`` / ``passage_docs_touched``
-    cover the COMBINED mask."""
+    cover the COMBINED mask.
+
+    ``nb_store`` (a persisted binary-NB count store — ``write_nb_store``
+    or the ``stream_nb_counts`` twin, maintained on labeled data OUTSIDE
+    this pipeline) enables the QUALITY GATE: every batch document scoring
+    below ``nb_threshold_micros`` under the store's model is dropped
+    BEFORE any dedup tier — dropped docs never land, never index, never
+    contribute passage mass (the CCNet/FineWeb classifier-gate position:
+    filter first, dedup the keepers). Zero-token documents drop (they
+    have no scoreable content); NULL-id documents pass the gate ungated
+    (they cannot ride the id-keyed score join — same pass-through rule as
+    the rewrite tier). The gate is read-only and deterministic given the
+    store, so reruns recompute identical survivors — retraining the model
+    between a crash and its rerun is the one way to break that, the same
+    freeze-during-recovery caveat as every cross-batch contract here. The
+    audit row carries ``n_quality_dropped``."""
     from ..operators import dedup as DD
     from ..operators.curation import read_passage_store
     from ..sources.writers import append_parquet
@@ -322,6 +342,7 @@ def run_incremental_ingest(
     pg_on = passage_store is not None
     dc_on = decon_store is not None
     rw_on = pg_on or dc_on  # the rewrite stage runs for either mask source
+    q_on = nb_store is not None
     if n_batch == 0:
         report = IngestReport(
             0,
@@ -333,6 +354,7 @@ def run_incremental_ingest(
             0 if sh_on else None,
             passage_tokens_removed=0 if rw_on else None,
             passage_docs_touched=0 if rw_on else None,
+            n_quality_dropped=0 if q_on else None,
         )
         if audit_path is not None:
             write_ingest_audit(spark, audit_path, report)
@@ -345,6 +367,28 @@ def run_incremental_ingest(
     # survivors
     if audit_path is not None:
         validate_batch_audit_layout(spark, audit_path)
+
+    # quality gate FIRST (read-only model store; its sidecar/class checks
+    # fail here, before any sink): everything downstream — replay heals,
+    # the passage fingerprint, every tier — sees only the gated batch, so
+    # a gated-out document is indistinguishable from one never ingested
+    n_quality_dropped = 0 if q_on else None
+    if q_on:
+        from ..functions.text import nb_model_from_counts, nb_score, read_nb_store
+
+        model = nb_model_from_counts(read_nb_store(spark, nb_store))
+        keep = (
+            nb_score(batch, model, text_col, id_col)
+            .filter(F.col("score_micros") >= F.lit(int(nb_threshold_micros)))
+            .select(id_col)
+        )
+        gated = (
+            batch.filter(F.col(id_col).isNotNull())
+            .join(keep, id_col, "left_semi")
+            .unionByName(batch.filter(F.col(id_col).isNull()))
+        )
+        batch = gated.localCheckpoint(eager=True)
+        n_quality_dropped = n_batch - batch.count()
 
     def _load(path, ensure, cols):
         ensure()
@@ -433,6 +477,10 @@ def run_incremental_ingest(
         max_bucket_size=max_bucket_size,
         n_batch=n_batch,
     )
+    if q_on:
+        from dataclasses import replace as _replace
+
+        report = _replace(report, n_quality_dropped=n_quality_dropped)
 
     # sinks: survivors first, then each store's rows FOR THE SURVIVORS —
     # future batches dedup against the kept corpus (a dropped exact dup
@@ -691,6 +739,7 @@ def ingest_audit_row(spark, report: IngestReport) -> DataFrame:
             report.simhash_capped_buckets,
             report.passage_tokens_removed,
             report.passage_docs_touched,
+            report.n_quality_dropped,
             dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
         )
     ]
@@ -702,7 +751,7 @@ _AUDIT_COLS_DDL = (
     "n_after_simhash long, n_landed long, minhash_pairs long, "
     "simhash_pairs long, minhash_capped_buckets long, "
     "simhash_capped_buckets long, passage_tokens_removed long, "
-    "passage_docs_touched long, ingest_ts timestamp"
+    "passage_docs_touched long, n_quality_dropped long, ingest_ts timestamp"
 )
 _AUDIT_COL_NAMES = {c.strip().split()[0] for c in _AUDIT_COLS_DDL.split(",")}
 
@@ -777,6 +826,8 @@ def run_incremental_ingest_txn(
     passage_window: int = 10,
     passage_min_count: int = 2,
     decon_store: str | None = None,
+    nb_store: str | None = None,
+    nb_threshold_micros: int = 0,
 ) -> IngestReport:
     """``run_incremental_ingest`` with ATOMIC publication (round-7 verdict
     item 4): every sink is a ``sources/manifest`` table and the landed
@@ -815,7 +866,12 @@ def run_incremental_ingest_txn(
     store is a READ-ONLY input (a flat ``write_passage_store`` parquet
     path, NOT a manifest table — it never joins the transaction because
     nothing is ever written to it), masking is unconditional for eval
-    windows, and the audit counters cover the combined mask."""
+    windows, and the audit counters cover the combined mask.
+
+    ``nb_store`` / ``nb_threshold_micros`` enable the same read-only NB
+    QUALITY GATE as the parquet runner (flat ``write_nb_store`` path,
+    outside the journal): below-threshold docs drop before any tier, and
+    the audit row carries ``n_quality_dropped``."""
     from ..operators import dedup as DD
     from ..operators.curation import read_passage_store
     from ..sources import manifest as MF
@@ -831,6 +887,7 @@ def run_incremental_ingest_txn(
     pg_on = passage_table is not None
     dc_on = decon_store is not None
     rw_on = pg_on or dc_on
+    q_on = nb_store is not None
 
     # validate every enabled store's parameter sidecar up front (same
     # helpers as the parquet mode — the sidecar is a plain file next to
@@ -873,6 +930,7 @@ def run_incremental_ingest_txn(
             0 if sh_on else None,
             passage_tokens_removed=0 if rw_on else None,
             passage_docs_touched=0 if rw_on else None,
+            n_quality_dropped=0 if q_on else None,
         )
         if audit_table is not None:
             MF.multi_commit(
@@ -881,6 +939,26 @@ def run_incremental_ingest_txn(
                 txn_dir,
             )
         return report
+
+    # quality gate FIRST — read-only flat store, identical semantics to
+    # the parquet runner (see its docstring): gated-out docs are invisible
+    # to every heal, tier and sink below
+    n_quality_dropped = 0 if q_on else None
+    if q_on:
+        from ..functions.text import nb_model_from_counts, nb_score, read_nb_store
+
+        model = nb_model_from_counts(read_nb_store(spark, nb_store))
+        keep = (
+            nb_score(batch, model, text_col, id_col)
+            .filter(F.col("score_micros") >= F.lit(int(nb_threshold_micros)))
+            .select(id_col)
+        )
+        batch = (
+            batch.filter(F.col(id_col).isNotNull())
+            .join(keep, id_col, "left_semi")
+            .unionByName(batch.filter(F.col(id_col).isNull()))
+        ).localCheckpoint(eager=True)
+        n_quality_dropped = n_batch - batch.count()
 
     # store views: raw manifest reads, healed of any rows carrying THIS
     # batch's ids (after recovery those can only come from a fully
@@ -936,6 +1014,10 @@ def run_incremental_ingest_txn(
         max_bucket_size=max_bucket_size,
         n_batch=n_batch,
     )
+    if q_on:
+        from dataclasses import replace as _replace
+
+        report = _replace(report, n_quality_dropped=n_quality_dropped)
 
     land_df = survivors
     pg_wins = None

@@ -915,6 +915,8 @@ def stream_ingest(
     passage_window: int = 10,
     passage_min_count: int = 2,
     decon_store: str | None = None,
+    nb_store: str | None = None,
+    nb_threshold_micros: int = 0,
 ) -> None:
     """Streaming twin of ``plans/ingest.run_incremental_ingest`` — the
     EXACTLY-ONCE landed corpus the batch runner's docstring defers to.
@@ -951,6 +953,13 @@ def stream_ingest(
     batch/txn runners: eval windows mask unconditionally, the store is a
     READ-ONLY input shared across batches (never written, so it has no
     replay seam), and it must share ``passage_window``.
+
+    ``nb_store`` / ``nb_threshold_micros`` enable the NB QUALITY GATE
+    exactly as in the batch/txn runners (read-only flat ``write_nb_store``
+    path; below-threshold and zero-token docs drop before any tier,
+    NULL-id docs pass ungated; ``n_quality_dropped`` in the audit row).
+    Deterministic replay requires the model store frozen while a batch
+    may replay — retrain between drains, not during one.
     """
     from ..operators.dedup import (
         _SIMHASH_ALGO,
@@ -971,12 +980,14 @@ def stream_ingest(
     pg_on = passage_store is not None
     dc_on = decon_store is not None
     rw_on = pg_on or dc_on
+    q_on = nb_store is not None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
         spark = batch_df.sparkSession
         batch = batch_df.persist()
+        raw_persisted = batch  # the gate may rebind `batch`; unpersist THIS
         try:
             if audit_path is not None:
                 # validate the audit layout BEFORE any sink commits (the
@@ -1028,11 +1039,37 @@ def stream_ingest(
                         0 if sh_on else None,
                         passage_tokens_removed=0 if rw_on else None,
                         passage_docs_touched=0 if rw_on else None,
+                        n_quality_dropped=0 if q_on else None,
                     )
                     _overwrite_batch_partition(
                         ingest_audit_row(spark, zero), audit_path, ns, batch_id
                     )
                 return
+
+            # quality gate FIRST (read-only flat model store; identical
+            # semantics to the batch runner): everything below sees only
+            # the gated batch
+            n_batch_raw = batch.count()
+            n_quality_dropped = 0 if q_on else None
+            if q_on:
+                from ..functions.text import (
+                    nb_model_from_counts,
+                    nb_score,
+                    read_nb_store,
+                )
+
+                model = nb_model_from_counts(read_nb_store(spark, nb_store))
+                keep = (
+                    nb_score(batch, model, text_col, id_col)
+                    .filter(F.col("score_micros") >= F.lit(int(nb_threshold_micros)))
+                    .select(id_col)
+                )
+                batch = (
+                    batch.filter(F.col(id_col).isNotNull())
+                    .join(keep, id_col, "left_semi")
+                    .unionByName(batch.filter(F.col(id_col).isNull()))
+                ).localCheckpoint(eager=True)
+                n_quality_dropped = n_batch_raw - batch.count()
 
             def load(path, ensure, sidecar, params, cols):
                 ensure()
@@ -1138,8 +1175,12 @@ def stream_ingest(
                 bands=bands,
                 simhash_max_hamming=simhash_max_hamming,
                 max_bucket_size=max_bucket_size,
-                n_batch=batch.count(),
+                n_batch=n_batch_raw,
             )
+            if q_on:
+                from dataclasses import replace as _replace
+
+                report = _replace(report, n_quality_dropped=n_quality_dropped)
 
             land_df = survivors
             if rw_on:
@@ -1199,7 +1240,7 @@ def stream_ingest(
                     ingest_audit_row(spark, report), audit_path, ns, batch_id
                 )
         finally:
-            batch.unpersist()
+            raw_persisted.unpersist()
 
     q = (
         stream_docs.writeStream.foreachBatch(process)

@@ -1090,3 +1090,109 @@ def test_ingest_txn_decon_combined_matches_parquet_mode(spark, tmp_path):
         x["doc_id"]: x["text"] for x in MF.read_table(spark, kw_txn["corpus_table"]).collect()
     } == got_txn
     assert spark.read.parquet(ev_path).count() == seeded
+
+
+# --------------------------------------- NB quality gate in the ingest (round-9) --
+
+
+def _quality_store(spark, path):
+    """Train a tiny separable quality model and persist its count store."""
+    from etl_data_transformer_spark.functions import text as TX
+
+    train = spark.createDataFrame(
+        [
+            (1, "good clean prose flows nicely", 1),
+            (2, "good well written text here", 1),
+            (3, "spam spam buy now click", 0),
+            (4, "click buy spam junk junk", 0),
+        ],
+        "doc_id long, text string, label int",
+    )
+    TX.write_nb_store(TX.nb_count_rows(train, "label"), path, mode="overwrite")
+
+
+def test_ingest_quality_gate_drops_low_quality(spark, tmp_path):
+    """nb_store gates the batch BEFORE any tier: below-threshold docs
+    never land or index, zero-token docs drop, NULL-id docs pass ungated,
+    the audit row carries n_quality_dropped with n_batch still the RAW
+    input size, and a rerun is idempotent."""
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest
+
+    nb = str(tmp_path / "nb")
+    _quality_store(spark, nb)
+    kw = dict(
+        exact_store=str(tmp_path / "ex"),
+        survivors_path=str(tmp_path / "landed"),
+        audit_path=str(tmp_path / "audit"),
+        nb_store=nb,
+        nb_threshold_micros=0,
+    )
+    b = spark.createDataFrame(
+        [
+            (1, "good prose written nicely"),
+            (2, "buy spam click junk"),
+            (3, "   "),  # zero tokens: no score row -> dropped
+            (None, "spam spam spam"),  # NULL id: passes the gate ungated
+        ],
+        "doc_id long, text string",
+    )
+    r = run_incremental_ingest(b, **kw)
+    assert (r.n_batch, r.n_quality_dropped, r.n_landed) == (4, 2, 2)
+    landed = spark.read.parquet(kw["survivors_path"]).collect()
+    assert sorted((x["doc_id"] is None, x["doc_id"]) for x in landed) == [
+        (False, 1),
+        (True, None),
+    ]
+    audit = spark.read.parquet(kw["audit_path"]).collect()
+    assert [x["n_quality_dropped"] for x in audit] == [2]
+    assert [x["n_batch"] for x in audit] == [4]
+    # exact store indexed only the gated survivor (NULL-id rows carry no fp key loss)
+    fps = spark.read.parquet(kw["exact_store"])
+    assert fps.filter("doc_id = 2").count() == 0
+    # rerun: same gate outcome, no double-landing. (The NULL-id doc is
+    # reported n_landed=1 on the rerun: NULL ids cannot ride the id-keyed
+    # replay heal, so the exact tier dedups it against its own landed
+    # fingerprint — the pre-existing NULL-id wrinkle, not a gate effect.)
+    r2 = run_incremental_ingest(b, **kw)
+    assert r2.n_quality_dropped == 2
+    assert spark.read.parquet(kw["survivors_path"]).count() == 2
+
+
+def test_ingest_txn_quality_gate_and_all_dropped_batch(spark, tmp_path):
+    """TXN mode: the gate composes with the journaled flip (the model
+    store stays a read-only plain path outside the journal); a batch the
+    gate fully rejects lands NOTHING but still audits."""
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest_txn
+    from etl_data_transformer_spark.sources import manifest as MF
+
+    nb = str(tmp_path / "nb")
+    _quality_store(spark, nb)
+    kw = dict(
+        corpus_table=str(tmp_path / "corpus"),
+        exact_table=str(tmp_path / "ex"),
+        audit_table=str(tmp_path / "audit"),
+        txn_dir=str(tmp_path / "_txns"),
+        nb_store=nb,
+        nb_threshold_micros=0,
+    )
+    b1 = spark.createDataFrame(
+        [(1, "good prose written nicely"), (2, "buy spam click junk")],
+        "doc_id long, text string",
+    )
+    r1 = run_incremental_ingest_txn(b1, **kw)
+    assert (r1.n_batch, r1.n_quality_dropped, r1.n_landed) == (2, 1, 1)
+    assert [x["doc_id"] for x in MF.read_table(spark, kw["corpus_table"]).collect()] == [1]
+
+    b2 = spark.createDataFrame(
+        [(10, "spam junk click buy"), (11, "junk spam spam now")],
+        "doc_id long, text string",
+    )
+    r2 = run_incremental_ingest_txn(b2, **kw)
+    assert (r2.n_batch, r2.n_quality_dropped, r2.n_landed) == (2, 2, 0)
+    assert MF.read_table(spark, kw["corpus_table"]).count() == 1
+    audit = MF.read_table(spark, kw["audit_table"])
+    assert sorted(x["n_quality_dropped"] for x in audit.collect()) == [1, 2]
+    # the model store never joined the transaction
+    import os
+
+    assert not os.path.exists(os.path.join(nb, "_manifests"))

@@ -1695,3 +1695,52 @@ def test_stream_passage_dedup_with_decon_store(spark, tmp_path):
     assert got[1] == "unique one tail"  # in-batch >= min_count mask
     assert got[2] == "prefix other two"
     assert got[3] == "intro end"  # single-occurrence eval mask
+
+
+def test_stream_ingest_quality_gate(spark, tmp_path):
+    """Round-9: the NB quality gate in the STREAMING composed ingest —
+    below-threshold docs never land, the audit partition carries
+    n_quality_dropped with the raw batch size, and a no-new-data drain
+    is a no-op."""
+    from etl_data_transformer_spark.functions import text as TX
+    from etl_data_transformer_spark.streaming.pipeline import stream_ingest
+
+    src, landed, ex, nb, audit, ckpt = (
+        str(tmp_path / p) for p in ("src", "landed", "ex", "nb", "audit", "ckpt")
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "good clean prose flows nicely", 1),
+            (2, "good well written text here", 1),
+            (3, "spam spam buy now click", 0),
+            (4, "click buy spam junk junk", 0),
+        ],
+        "doc_id long, text string, label int",
+    )
+    TX.write_nb_store(TX.nb_count_rows(train, "label"), nb, mode="overwrite")
+
+    schema = "doc_id long, text string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_ingest(
+            stream,
+            landed,
+            ckpt,
+            exact_store=ex,
+            audit_path=audit,
+            nb_store=nb,
+            nb_threshold_micros=0,
+        )
+
+    spark.createDataFrame(
+        [(1, "good prose written nicely"), (2, "buy spam click junk")], schema
+    ).write.mode("overwrite").parquet(src)
+    drain()
+    assert [r["doc_id"] for r in spark.read.parquet(landed).collect()] == [1]
+    rows = spark.read.parquet(audit).collect()
+    assert [(r["n_batch"], r["n_quality_dropped"], r["n_landed"]) for r in rows] == [
+        (2, 1, 1)
+    ]
+    drain()  # no-new-data: nothing changes
+    assert spark.read.parquet(landed).count() == 1
