@@ -47,10 +47,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_docs": EXT.q_contamination_docs,
     "exact_dedup_groups": EXT.q_exact_dedup_groups,
     "minhash_pairs": EXT.q_minhash_pairs,
-    "simhash_recall": EXT.q_simhash_recall,
-    "embedding_near_dups": EXT.q_embedding_near_dups,
     "ann_bruteforce": EXT.q_ann_bruteforce,
-    "ann_lsh_recall": EXT.q_ann_lsh_recall,
     "ann_ivf_recall": EXT.q_ann_ivf_recall,
     "text_stats": EXT.q_text_stats,
     "lang_id": EXT.q_lang_id,
@@ -124,6 +121,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_passages_docs": EXT.q_dedup_passages_docs,
     "scd2_apply_user_state": WQ.q_scd2_apply_user_state,
     "scd2_snapshot_orders": WQ.q_scd2_snapshot_orders,
+    # round-9 IN-SESSION promotion: this round's genuinely new operators
+    # get driver-strength rows immediately — passage-level benchmark
+    # decontamination and the two NB classifier tiers (binary quality
+    # gate, multiclass language-ID). Rotating out, each with years of
+    # green driver rows and a surviving family overlap: simhash_recall
+    # (the Hamming near-dup family stays driver-live via
+    # simhash_blocked_recall — the scale-path gate — and rotated via
+    # hyperplane twins), ann_lsh_recall (the ANN family keeps TWO driver
+    # rows: ann_bruteforce + ann_ivf_recall), embedding_near_dups (the
+    # cosine-pair family stays via ann_bruteforce and the rotated
+    # semantic_dedup gates). All three keep the IDENTICAL DuckDB
+    # value-hash compare in tests/test_rotated_oracle.py.
+    "decontaminate_passages_docs": EXT.q_decontaminate_passages_docs,
+    "nb_lang_classifier": EXT.q_nb_lang_classifier,
+    "nb_lang_multiclass": EXT.q_nb_lang_multiclass,
     # temporal + profiling surface (as-of, range join, sessions, rollup)
     **TEMPORAL_QUERIES,
 }
@@ -200,12 +212,12 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (single-occurrence threshold; the REWRITING tier next to
     # contamination_docs' detect-and-flag tier). Added after the 50-slot
     # cap, so rotated-oracle strength until promoted.
-    "decontaminate_passages_docs": EXT.q_decontaminate_passages_docs,
-    # round-9 addition: binary Naive Bayes classifier (train + score in
-    # engine-exact integer micro-nats) — the closed-form stand-in for the
-    # fastText-style quality/language gates of CCNet-class pipelines.
-    "nb_lang_classifier": EXT.q_nb_lang_classifier,
-    "nb_lang_multiclass": EXT.q_nb_lang_multiclass,
+    # round-9 in-session rotation (see the promotion note in QUERIES):
+    # each keeps the identical driver-strength hash compare here, with a
+    # driver family twin surviving in the 50 slots.
+    "simhash_recall": EXT.q_simhash_recall,
+    "ann_lsh_recall": EXT.q_ann_lsh_recall,
+    "embedding_near_dups": EXT.q_embedding_near_dups,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}
