@@ -8,8 +8,9 @@ sized to the driver's 50-query check budget; inventory map in COVERAGE.md);
 ``oracle_sql()`` gives the DuckDB twin for every query. Approximate
 operators (MinHash LSH, ANN LSH/IVF, SimHash, HLL) are oracle-checked via
 exact-verification or accuracy-assertion outputs rather than left
-unchecked — e.g. ``simhash_recall`` asserts the non-SQL-expressible
-xxhash64 bit-fold recalls every exact char-3-gram near-dup pair.
+unchecked — e.g. ``simhash_blocked_recall`` asserts the
+non-SQL-expressible xxhash64 bit-fold recalls every exact char-3-gram
+near-dup pair through the blocked scale path.
 
 Column aliases match exactly on both sides (the driver sorts columns by name
 before value-hashing).
