@@ -1212,8 +1212,13 @@ EXTENSION_ORACLES["nb_lang_multiclass"] = """
                CAST(round(1000000 * ln(CAST(nd AS DOUBLE) / sum(nd) OVER ()), 0) AS BIGINT) AS prior_micros
         FROM (SELECT l, count(*) AS nd FROM docs GROUP BY l)
     ), totals AS (
-        SELECT l, CAST(sum(c) + (SELECT v FROM vsize) AS DOUBLE) AS denom
-        FROM counts GROUP BY l
+        -- from DOC labels, not token counts: a label whose documents are
+        -- all zero-token still gets its prior/default/grid rows, exactly
+        -- as the Spark trainer's labels frame does (round-9 review)
+        SELECT d.l,
+               CAST(coalesce(tc.s, 0) + (SELECT v FROM vsize) AS DOUBLE) AS denom
+        FROM (SELECT DISTINCT l FROM docs) d
+        LEFT JOIN (SELECT l, sum(c) AS s FROM counts GROUP BY l) tc USING (l)
     ), grid AS (
         SELECT tt.l, vocab.t,
                CAST(round(1000000 * ln((coalesce(counts.c, 0) + 1) / tt.denom), 0) AS BIGINT) AS lp_micros

@@ -590,14 +590,15 @@ def nb_train(
     df,
     label_col: str,
     text_col: str = "text",
-    id_col: str = "doc_id",
     smoothing: float = 1.0,
 ):
     """Train a BINARY multinomial Naive Bayes text classifier — the
     closed-form stand-in for the fastText-style quality/language
     classifiers published pretraining pipelines gate on (CCNet's LM +
     classifier tier; RedPajama/FineWeb quality filters). ``label_col``
-    must be boolean or 0/1; both classes must be present.
+    must be boolean or 0/1 and NULL-free (a NULL label fails the job —
+    round-9 review: silently training NULLs as the negative class would
+    corrupt every weight); both classes must be present.
 
     Distributed shape: ONE groupBy over exploded tokens builds the
     per-class count table (conditional sums, no per-class pass), one
@@ -631,10 +632,20 @@ def nb_count_rows(df, label_col: str, text_col: str = "text"):
     counts (the tokenizer filters empty strings, so a NULL token can never
     collide with a real one). Rows from any number of batches sum
     group-wise into the union corpus's counts — the same merge-on-read
-    contract as the dedup stores, and why incremental NB is exact."""
+    contract as the dedup stores, and why incremental NB is exact.
+
+    NULL labels fail the job at evaluation time (lazy ``raise_error`` —
+    no extra validation pass), matching ``nb_train_multiclass``'s
+    up-front rejection: mapping NULL to either class would silently skew
+    every weight, the bias and the default (round-9 review)."""
     lbl = F.col(label_col).cast("int")
     docs = df.select(
-        F.when(lbl > 0, 1).otherwise(0).alias("__y"),
+        F.when(lbl.isNull(), F.raise_error(
+            F.lit(f"binary NB: NULL label in {label_col!r} — filter or impute first")
+        ).cast("int"))
+        .when(lbl > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__y"),
         F.col(text_col).alias("__txt"),
     )
     tok = docs.select(

@@ -200,6 +200,39 @@ def _passage_stage(
     return rewritten, wins, int(stats["__rm"] or 0), int(stats["__tch"] or 0)
 
 
+def _quality_gate(
+    batch: DataFrame,
+    nb_store: str,
+    threshold_micros: int,
+    text_col: str,
+    id_col: str,
+    n_batch: int,
+) -> tuple[DataFrame, int]:
+    """The NB quality gate shared by all three ingest runners (round-9
+    review: one implementation, not three copies): score the batch
+    against the persisted count store's model and keep only documents at
+    or above ``threshold_micros``. Zero-token docs drop (no score row);
+    NULL-id docs pass ungated (they cannot ride the id-keyed score join —
+    the rewrite tier's pass-through rule). Returns the gated batch,
+    eagerly checkpointed (it feeds every heal, tier and sink downstream),
+    plus the dropped count. Deterministic given a frozen model store, so
+    reruns recompute identical survivors."""
+    from ..functions.text import nb_model_from_counts, nb_score, read_nb_store
+
+    model = nb_model_from_counts(read_nb_store(batch.sparkSession, nb_store))
+    keep = (
+        nb_score(batch, model, text_col, id_col)
+        .filter(F.col("score_micros") >= F.lit(int(threshold_micros)))
+        .select(id_col)
+    )
+    gated = (
+        batch.filter(F.col(id_col).isNotNull())
+        .join(keep, id_col, "left_semi")
+        .unionByName(batch.filter(F.col(id_col).isNull()))
+    ).localCheckpoint(eager=True)
+    return gated, n_batch - gated.count()
+
+
 _PASSAGE_INGEST_NS = "ingest"
 
 
@@ -368,28 +401,6 @@ def run_incremental_ingest(
     if audit_path is not None:
         validate_batch_audit_layout(spark, audit_path)
 
-    # quality gate FIRST (read-only model store; its sidecar/class checks
-    # fail here, before any sink): everything downstream — replay heals,
-    # the passage fingerprint, every tier — sees only the gated batch, so
-    # a gated-out document is indistinguishable from one never ingested
-    n_quality_dropped = 0 if q_on else None
-    if q_on:
-        from ..functions.text import nb_model_from_counts, nb_score, read_nb_store
-
-        model = nb_model_from_counts(read_nb_store(spark, nb_store))
-        keep = (
-            nb_score(batch, model, text_col, id_col)
-            .filter(F.col("score_micros") >= F.lit(int(nb_threshold_micros)))
-            .select(id_col)
-        )
-        gated = (
-            batch.filter(F.col(id_col).isNotNull())
-            .join(keep, id_col, "left_semi")
-            .unionByName(batch.filter(F.col(id_col).isNull()))
-        )
-        batch = gated.localCheckpoint(eager=True)
-        n_quality_dropped = n_batch - batch.count()
-
     def _load(path, ensure, cols):
         ensure()
         store = _read_store_or_none(spark, path)
@@ -444,19 +455,39 @@ def run_incremental_ingest(
         if sh_on
         else None
     )
-    # passage store: validate sidecar + convert layout + build the healed
-    # merge-on-read count view UP FRONT, like every other sink
-    pg_fp = _batch_fingerprint(batch, id_col) if pg_on else None
-    pg_counts = (
-        _ingest_passage_counts(spark, passage_store, pg_fp, passage_window)
-        if pg_on
-        else None
-    )
+    # passage sidecar validation BEFORE the gate computes (the healed
+    # count view itself needs the GATED batch's fingerprint, built below)
+    if pg_on:
+        from ..operators.curation import ensure_passage_params_sidecar
+
+        ensure_passage_params_sidecar(passage_store, window=passage_window)
     # eval decon store: read-only, sidecar-validated against passage_window
     # (read_passage_store's group-by-h doubles as the distinct window set)
     decon_h = (
         read_passage_store(spark, decon_store, window=passage_window).select("h")
         if dc_on
+        else None
+    )
+
+    # quality gate AFTER every sink validation (round-9 review: a doomed
+    # misconfigured run must fail before the gate's scoring job spends
+    # compute — matching the txn runner's ordering). Everything downstream
+    # — the passage fingerprint, every tier, every sink — sees only the
+    # gated batch; the store heals above joined against the RAW batch,
+    # a superset of any prior attempt's gated appends, which heals the
+    # same rows.
+    n_quality_dropped = 0 if q_on else None
+    if q_on:
+        batch, n_quality_dropped = _quality_gate(
+            batch, nb_store, nb_threshold_micros, text_col, id_col, n_batch
+        )
+
+    # passage store: convert layout + build the healed merge-on-read count
+    # view keyed by the gated batch's content fingerprint
+    pg_fp = _batch_fingerprint(batch, id_col) if pg_on else None
+    pg_counts = (
+        _ingest_passage_counts(spark, passage_store, pg_fp, passage_window)
+        if pg_on
         else None
     )
 
@@ -940,25 +971,14 @@ def run_incremental_ingest_txn(
             )
         return report
 
-    # quality gate FIRST — read-only flat store, identical semantics to
-    # the parquet runner (see its docstring): gated-out docs are invisible
-    # to every heal, tier and sink below
+    # quality gate (every sidecar above already validated — a doomed run
+    # fails before the scoring job spends compute): gated-out docs are
+    # invisible to every heal, tier and sink below
     n_quality_dropped = 0 if q_on else None
     if q_on:
-        from ..functions.text import nb_model_from_counts, nb_score, read_nb_store
-
-        model = nb_model_from_counts(read_nb_store(spark, nb_store))
-        keep = (
-            nb_score(batch, model, text_col, id_col)
-            .filter(F.col("score_micros") >= F.lit(int(nb_threshold_micros)))
-            .select(id_col)
+        batch, n_quality_dropped = _quality_gate(
+            batch, nb_store, nb_threshold_micros, text_col, id_col, n_batch
         )
-        batch = (
-            batch.filter(F.col(id_col).isNotNull())
-            .join(keep, id_col, "left_semi")
-            .unionByName(batch.filter(F.col(id_col).isNull()))
-        ).localCheckpoint(eager=True)
-        n_quality_dropped = n_batch - batch.count()
 
     # store views: raw manifest reads, healed of any rows carrying THIS
     # batch's ids (after recovery those can only come from a fully

@@ -1046,30 +1046,7 @@ def stream_ingest(
                     )
                 return
 
-            # quality gate FIRST (read-only flat model store; identical
-            # semantics to the batch runner): everything below sees only
-            # the gated batch
             n_batch_raw = batch.count()
-            n_quality_dropped = 0 if q_on else None
-            if q_on:
-                from ..functions.text import (
-                    nb_model_from_counts,
-                    nb_score,
-                    read_nb_store,
-                )
-
-                model = nb_model_from_counts(read_nb_store(spark, nb_store))
-                keep = (
-                    nb_score(batch, model, text_col, id_col)
-                    .filter(F.col("score_micros") >= F.lit(int(nb_threshold_micros)))
-                    .select(id_col)
-                )
-                batch = (
-                    batch.filter(F.col(id_col).isNotNull())
-                    .join(keep, id_col, "left_semi")
-                    .unionByName(batch.filter(F.col(id_col).isNull()))
-                ).localCheckpoint(eager=True)
-                n_quality_dropped = n_batch_raw - batch.count()
 
             def load(path, ensure, sidecar, params, cols):
                 ensure()
@@ -1159,6 +1136,21 @@ def stream_ingest(
                 decon_h = read_passage_store(
                     spark, decon_store, window=passage_window
                 ).select("h")
+
+            # quality gate AFTER every store validation (shared helper —
+            # identical semantics and failure ordering across the
+            # batch/txn/stream runners): a misconfigured sink fails the
+            # batch before the scoring job spends compute. The heals above
+            # joined against the RAW batch — a superset of any prior
+            # attempt's gated appends, so they heal the same rows.
+            n_quality_dropped = 0 if q_on else None
+            if q_on:
+                from ..plans.ingest import _quality_gate
+
+                batch, n_quality_dropped = _quality_gate(
+                    batch, nb_store, nb_threshold_micros, text_col, id_col,
+                    n_batch_raw,
+                )
 
             survivors, report = _run_tiers(
                 batch,

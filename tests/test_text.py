@@ -597,3 +597,19 @@ def test_nb_multiclass_semantics(spark):
             train.selectExpr("doc_id", "text", "if(doc_id = 1, NULL, lang) as lang"),
             "lang",
         )
+
+
+def test_nb_train_rejects_null_labels(spark):
+    """Round-9 review: a NULL label must fail the job (lazily, at count
+    evaluation) instead of silently training as the negative class —
+    matching nb_train_multiclass's rejection."""
+    import pytest
+
+    from etl_data_transformer_spark.functions.text import nb_train
+
+    df = spark.createDataFrame(
+        [(1, "good text", 1), (2, "bad text", 0), (3, "mystery text", None)],
+        "doc_id long, text string, label int",
+    )
+    with pytest.raises(Exception, match="NULL label"):
+        nb_train(df, "label")
