@@ -218,6 +218,9 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_recall": EXT.q_simhash_recall,
     "ann_lsh_recall": EXT.q_ann_lsh_recall,
     "embedding_near_dups": EXT.q_embedding_near_dups,
+    # round-9 addition: exact keep-top-X%-per-group pruning (the
+    # FineWeb-style scored cut) with a deterministic tie-break.
+    "top_fraction_docs": EXT.q_top_fraction_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

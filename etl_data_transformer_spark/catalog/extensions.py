@@ -808,3 +808,18 @@ def q_nb_lang_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     model = TX.nb_train_multiclass(d, "lang")
     return TX.nb_classify(d, model)
+
+
+def q_top_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 exact top-fraction pruning: keep the top 25% of documents
+    per language by token count — rank semantics with the (score DESC,
+    id ASC) tie-break, so the kept set is engine-exact even through the
+    fixture's heavy token-count ties."""
+    from ..operators.curation import top_fraction_per_group
+
+    d = _docs(spark, sf_dir)
+    toks = F.filter(TX.tokens(F.col("text")), lambda t: F.length(t) > 0)
+    scored = d.select(
+        "doc_id", "lang", F.size(toks).cast("long").alias("n_tokens")
+    )
+    return top_fraction_per_group(scored, "n_tokens", 0.25, by="lang")

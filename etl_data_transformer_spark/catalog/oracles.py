@@ -1242,6 +1242,26 @@ EXTENSION_ORACLES["nb_lang_multiclass"] = """
     FROM ranked WHERE rk = 1
 """
 
+# Round-9 exact top-fraction pruning (keep top 25% per lang by token
+# count; ceil(n*frac) rows per group, ties broken score DESC then doc_id
+# ASC — identical rank semantics to curation.top_fraction_per_group).
+EXTENSION_ORACLES["top_fraction_docs"] = """
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len([t for t in regexp_split_to_array(trim(text), '\\s+')
+                         if length(t) > 0]) AS BIGINT) AS n_tokens
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, lang, n_tokens,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY n_tokens DESC, doc_id ASC
+               ) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM scored
+    )
+    SELECT doc_id, lang, n_tokens FROM ranked WHERE rn <= ceil(n * 0.25)
+"""
+
 ALL_ORACLES: dict[str, str] = {
     **PARITY_ORACLES,
     **EXTENSION_ORACLES,

@@ -1829,3 +1829,40 @@ def compact_passage_store(spark, path: str, *, window: int = 10) -> None:
             {"window": window, "algo": _PASSAGE_PARAMS_ALGO},
         ),
     )
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    score_col: str,
+    frac: float,
+    by: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``frac`` of rows by ``score_col`` within each ``by``
+    group (corpus-wide when ``by`` is None) — the published
+    keep-top-X%-by-classifier-score pruning step (FineWeb-Edu's scored
+    cut; pairs naturally with ``functions/text.nb_score`` or
+    ``lm_quality_filter``'s scores). EXACT rank semantics, not a quantile
+    threshold: rows are ranked (score DESC, id ASC — the deterministic
+    tie-break that keeps results engine-exact), each group keeps
+    ``ceil(n_group * frac)`` rows, so the kept count is exact even when
+    the cut falls inside a run of tied scores.
+
+    Scale shape: one window over (group, score) — a single shuffle on the
+    group key with a per-group sort. At 100 TB with few groups prefer the
+    two-pass approximate variant (per-group ``percentile_approx``
+    threshold + a broadcast join, the ``approx_percentile_prices``
+    family) — exact ranking is worth its sort when the cut must be
+    reproducible row-for-row, the property the oracle checks."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1]: got {frac}")
+    from pyspark.sql import Window
+
+    part = Window.partitionBy(by) if by is not None else Window.partitionBy()
+    w = part.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(part))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(float(frac))))
+        .drop("__rn", "__n")
+    )

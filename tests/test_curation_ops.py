@@ -1272,3 +1272,37 @@ def test_dedup_passages_incremental_extra_dup_equals_decon(spark):
     assert combined[1] == "unique one tail"
     assert combined[2] == "prefix other two"
     assert combined[3] == "intro end"
+
+
+def test_top_fraction_per_group_semantics(spark):
+    """Exact rank pruning: ceil(n*frac) rows kept per group even through
+    ties at the cut (deterministic id ASC tie-break); by=None ranks the
+    whole corpus; frac=1.0 keeps everything; bad frac raises."""
+    import pytest
+
+    from etl_data_transformer_spark.operators.curation import top_fraction_per_group
+
+    df = spark.createDataFrame(
+        [
+            # group a: scores 5,5,5,1 -> keep ceil(4*0.5)=2: ids 1,2 (tie-break)
+            (1, "a", 5), (2, "a", 5), (3, "a", 5), (4, "a", 1),
+            # group b: 3 rows -> keep ceil(3*0.5)=2 by score
+            (10, "b", 9), (11, "b", 7), (12, "b", 8),
+        ],
+        "doc_id long, grp string, s long",
+    )
+    kept = {
+        r["doc_id"]
+        for r in top_fraction_per_group(df, "s", 0.5, by="grp").collect()
+    }
+    assert kept == {1, 2, 10, 12}
+    # corpus-wide: keep ceil(7*0.25)=2 -> ids 10 (9), 12 (8)
+    kept_all = {
+        r["doc_id"] for r in top_fraction_per_group(df, "s", 0.25).collect()
+    }
+    assert kept_all == {10, 12}
+    assert top_fraction_per_group(df, "s", 1.0, by="grp").count() == 7
+    with pytest.raises(ValueError, match="frac"):
+        top_fraction_per_group(df, "s", 0.0)
+    with pytest.raises(ValueError, match="frac"):
+        top_fraction_per_group(df, "s", 1.5)
