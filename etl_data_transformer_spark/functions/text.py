@@ -843,6 +843,99 @@ def compact_nb_store(spark, path: str) -> None:
     )
 
 
+_NB_MULTI_PARAMS_ALGO = "nb-multi-ws-tokens-v1"
+
+
+def write_nb_multi_store(rows, path: str, *, mode: str = "append") -> None:
+    """Persist ``nb_multi_count_rows`` — the multiclass twin of
+    ``write_nb_store`` with the same lifecycle (atomic overwrite,
+    sidecar-before-data append, streaming-layout reject). The sidecar's
+    algo string differs from the binary store's, so pointing one family's
+    reader/writer at the other's path rejects instead of mis-merging."""
+    import os
+
+    from ..operators.dedup import (
+        _reject_streaming_layout_append,
+        _write_params_sidecar,
+    )
+    from ..sources.writers import atomic_swap_write
+
+    params = {"algo": _NB_MULTI_PARAMS_ALGO}
+    if mode == "overwrite":
+        atomic_swap_write(
+            rows,
+            path,
+            finalize_staging=lambda staging: _write_params_sidecar(
+                os.path.join(staging, "_nb_params.json"), params
+            ),
+        )
+        return
+    _reject_streaming_layout_append(rows, path, "nb-multi-count")
+    ensure_nb_multi_params_sidecar(path)
+    rows.write.mode(mode).parquet(path)
+
+
+def ensure_nb_multi_params_sidecar(path: str) -> None:
+    """Write-or-validate the multiclass ``_nb_params`` sidecar."""
+    import os
+
+    from ..operators.dedup import _validate_store_params, _write_params_sidecar
+    from ..sources.writers import recover_interrupted_swap
+
+    recover_interrupted_swap(path)
+    params = {"algo": _NB_MULTI_PARAMS_ALGO}
+    sidecar = os.path.join(path, "_nb_params.json")
+    if os.path.exists(sidecar):
+        _validate_store_params(sidecar, params, label="nb-multi-count")
+        return
+    os.makedirs(path, exist_ok=True)
+    _write_params_sidecar(sidecar, params)
+
+
+def read_nb_multi_store(spark, path: str):
+    """Load a multiclass NB count store, sidecar-validated, per-batch
+    rows group-summed — feed straight into
+    ``nb_multi_model_from_counts`` (same in-flight-stream caveat as
+    ``read_nb_store``)."""
+    ensure_nb_multi_params_sidecar(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("l", "t")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def compact_nb_multi_store(spark, path: str) -> None:
+    """Group-sum the multiclass store to one row per (label, token) and
+    atomically rewrite — same contract and streaming-layout guard as
+    ``compact_nb_store``."""
+    import os
+
+    from ..operators.dedup import _write_params_sidecar
+    from ..sources.readers import read_parquet_or_none
+    from ..sources.writers import atomic_swap_write
+
+    ensure_nb_multi_params_sidecar(path)
+    store = read_parquet_or_none(spark, path)
+    if store is None:
+        return
+    if "__batch_id" in store.columns:
+        raise ValueError(
+            f"nb-multi store at {path} has the streaming (__batch_id) layout; "
+            "compacting it would double a replayed batch's own counts — "
+            "stop the stream and rebuild the store flat first"
+        )
+    merged = store.groupBy("l", "t").agg(F.sum("c").alias("c"))
+    atomic_swap_write(
+        merged,
+        path,
+        finalize_staging=lambda staging: _write_params_sidecar(
+            os.path.join(staging, "_nb_params.json"),
+            {"algo": _NB_MULTI_PARAMS_ALGO},
+        ),
+    )
+
+
 class NBMultiModel(NamedTuple):
     """Multiclass ``nb_train_multiclass`` model: the per-(label, token)
     conditional log-probability grid plus a per-label frame carrying the
@@ -872,58 +965,93 @@ def nb_train_multiclass(df, label_col: str, text_col: str = "text", smoothing: f
     lp(label, t) = ln((c(label,t) + a) / (N_label + aV))
     prior(label) = ln(n_docs_label / n_docs_total)
     default(label) = ln(a / (N_label + aV))      (tokens outside V)
+
+    Like the binary trainer, every input is an ADDITIVE count: persist
+    ``nb_multi_count_rows`` per labeled batch (``write_nb_multi_store``)
+    and ``nb_multi_model_from_counts(read_nb_multi_store(...))`` is
+    exactly the full retrain — this function is that composition over one
+    in-memory corpus. NULL labels fail the job lazily (``raise_error``),
+    as in the binary trainer.
     """
+    return nb_multi_model_from_counts(
+        nb_multi_count_rows(df, label_col, text_col), smoothing
+    )
+
+
+def nb_multi_count_rows(df, label_col: str, text_col: str = "text"):
+    """The ADDITIVE store form of a labeled batch for the MULTICLASS NB
+    classifier: one (l, t, c) row per (label, token) with its occurrence
+    count, plus ONE ``t IS NULL`` row per label carrying that label's
+    DOCUMENT count (the tokenizer filters empty strings, so NULL can
+    never collide with a real token). Rows from any number of batches sum
+    group-wise into the union corpus's counts. NULL labels fail the job
+    at evaluation time (lazy ``raise_error`` — no validation pass)."""
+    lbl = F.col(label_col).cast("string")
     docs = df.select(
-        F.col(label_col).cast("string").alias("__l"), F.col(text_col).alias("__txt")
+        F.when(lbl.isNull(), F.raise_error(
+            F.lit(f"multiclass NB: NULL label in {label_col!r} — filter or impute first")
+        ).cast("string")).otherwise(lbl).alias("l"),
+        F.col(text_col).alias("__txt"),
     )
     tok = docs.select(
-        "__l", F.explode(tokens(F.lower(F.col("__txt")))).alias("t")
+        "l", F.explode(tokens(F.lower(F.col("__txt")))).alias("t")
     ).filter(F.length("t") > 0)
-    tok = tok.localCheckpoint(eager=False)  # feeds counts + per-label totals
-    counts = tok.groupBy("__l", "t").agg(F.count(F.lit(1)).alias("c"))
-    counts = counts.localCheckpoint(eager=False)  # feeds totals + the grid join
-    # label census: doc priors + per-label token totals + global vocab (K
-    # rows + 1 scalar — bounded collects, like the binary trainer's)
-    doc_counts = {
-        r["__l"]: r["n"]
-        for r in docs.groupBy("__l").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    if None in doc_counts:
-        raise ValueError(
-            f"multiclass NB: {label_col!r} has NULL labels — filter or impute first"
-        )
-    if len(doc_counts) < 2:
-        raise ValueError(
-            f"multiclass NB needs >= 2 classes in {label_col!r}: got {sorted(doc_counts)}"
-        )
-    tok_totals = {
-        r["__l"]: r["n"]
-        for r in counts.groupBy("__l").agg(F.sum("c").alias("n")).collect()
-    }
-    v = counts.select("t").distinct().count()
+    counts = tok.groupBy("l", "t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    prior = docs.groupBy("l").agg(F.count(F.lit(1)).cast("long").alias("c")).select(
+        "l", F.lit(None).cast("string").alias("t"), "c"
+    )
+    return counts.unionByName(prior)
+
+
+def nb_multi_model_from_counts(counts, smoothing: float = 1.0):
+    """Derive the ``NBMultiModel`` from (l, t, c) count rows
+    (``nb_multi_count_rows`` output — one batch, many batches
+    concatenated, or a ``read_nb_multi_store`` view): group-sums
+    duplicates first, so the result is EXACTLY the model of the union
+    corpus. One K-row label census + one vocabulary count collect; the
+    V×K grid build is the broadcast cross join the direct trainer uses."""
     import math
 
+    merged = counts.groupBy("l", "t").agg(F.sum("c").alias("c"))
+    # three consumers (label census, vocab count, grid join): checkpoint
+    # lazily so the upstream tokenize/store scan runs once
+    merged = merged.localCheckpoint(eager=False)
+    is_tok = F.col("t").isNotNull()
+    census = {
+        r["l"]: (int(r["nd"] or 0), int(r["ntok"] or 0))
+        for r in merged.groupBy("l")
+        .agg(
+            F.sum(F.when(~is_tok, F.col("c"))).alias("nd"),
+            F.sum(F.when(is_tok, F.col("c"))).alias("ntok"),
+        )
+        .collect()
+    }
+    if len(census) < 2:
+        raise ValueError(
+            f"multiclass NB needs >= 2 classes: got {sorted(census)}"
+        )
+    v = merged.filter(is_tok).select("t").distinct().count()
     a = float(smoothing)
-    n_total = sum(doc_counts.values())
+    n_total = sum(nd for nd, _ in census.values())
     _r = lambda x: int(math.copysign(math.floor(abs(x) + 0.5), x))
-    spark = df.sparkSession
+    spark = counts.sparkSession
     labels = spark.createDataFrame(
         [
             (
                 l,
-                _r(1_000_000 * math.log(doc_counts[l] / n_total)),
-                _r(1_000_000 * math.log(a / (tok_totals.get(l, 0) + a * v))),
-                float(tok_totals.get(l, 0) + a * v),
+                _r(1_000_000 * math.log(census[l][0] / n_total)),
+                _r(1_000_000 * math.log(a / (census[l][1] + a * v))),
+                float(census[l][1] + a * v),
             )
-            for l in sorted(doc_counts)
+            for l in sorted(census)
         ],
         "label string, prior_micros long, default_micros long, __denom double",
     )
     grid = (
-        counts.select("t").distinct()
+        merged.filter(is_tok).select("t").distinct()
         .crossJoin(F.broadcast(labels.select("label", "__denom")))
         .join(
-            counts.select(F.col("__l").alias("label"), "t", "c"),
+            merged.filter(is_tok).select(F.col("l").alias("label"), "t", "c"),
             ["label", "t"],
             "left",
         )

@@ -754,6 +754,7 @@ def stream_nb_counts(
     *,
     label_col: str,
     text_col: str = "text",
+    multiclass: bool = False,
 ) -> None:
     """Streaming maintenance of the binary Naive Bayes classifier's count
     store — the streaming twin of ``functions/text.write_nb_store``: each
@@ -768,10 +769,23 @@ def stream_nb_counts(
     ``write_nb_store`` seed converts to the partitioned layout on first
     use. The ``_nb_params`` sidecar is written-or-validated before any
     data (a restart under a different tokenizer raises instead of
-    corrupting weights)."""
-    from ..functions.text import _NB_PARAMS_ALGO, ensure_nb_params_sidecar, nb_count_rows
+    corrupting weights). ``multiclass=True`` maintains the MULTICLASS
+    store instead (``nb_multi_count_rows`` rows, the multi sidecar algo,
+    ``nb_multi_model_from_counts(read_nb_multi_store(...))`` to derive) —
+    the two layouts reject each other through the sidecar."""
+    from ..functions.text import (
+        _NB_MULTI_PARAMS_ALGO,
+        _NB_PARAMS_ALGO,
+        ensure_nb_multi_params_sidecar,
+        ensure_nb_params_sidecar,
+        nb_count_rows,
+        nb_multi_count_rows,
+    )
 
     ns = _stream_store_namespace(checkpoint_dir)
+    algo = _NB_MULTI_PARAMS_ALGO if multiclass else _NB_PARAMS_ALGO
+    ensure = ensure_nb_multi_params_sidecar if multiclass else ensure_nb_params_sidecar
+    rows_fn = nb_multi_count_rows if multiclass else nb_count_rows
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -781,18 +795,18 @@ def stream_nb_counts(
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
-        ensure_nb_params_sidecar(store_path)
+        ensure(store_path)
         _partitioned_store_or_convert(
             spark,
             store_path,
             ns,
             checkpoint_dir,
             lambda staging: _write_params_sidecar(
-                os.path.join(staging, "_nb_params.json"), {"algo": _NB_PARAMS_ALGO}
+                os.path.join(staging, "_nb_params.json"), {"algo": algo}
             ),
         )
         _overwrite_batch_partition(
-            nb_count_rows(batch_df, label_col, text_col), store_path, ns, batch_id
+            rows_fn(batch_df, label_col, text_col), store_path, ns, batch_id
         )
 
     q = (

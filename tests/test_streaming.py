@@ -1744,3 +1744,38 @@ def test_stream_ingest_quality_gate(spark, tmp_path):
     ]
     drain()  # no-new-data: nothing changes
     assert spark.read.parquet(landed).count() == 1
+
+
+def test_stream_nb_counts_multiclass(spark, tmp_path):
+    """Round-9: the streaming NB maintainer's multiclass mode — the
+    derived model equals a full multiclass retrain over everything
+    streamed."""
+    from etl_data_transformer_spark.functions import text as TX
+    from etl_data_transformer_spark.streaming.pipeline import stream_nb_counts
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "nbm", "ckpt"))
+    schema = "doc_id long, text string, lang string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_nb_counts(stream, store, ckpt, label_col="lang", multiclass=True)
+
+    b1 = [(1, "le chat noir dort bien", "fr"), (3, "the black cat sleeps well", "en")]
+    b2 = [(2, "le chien noir mange bien", "fr"), (4, "the black dog eats well", "en")]
+    spark.createDataFrame(b1, schema).write.mode("overwrite").parquet(src)
+    drain()
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    drain()
+
+    full = TX.nb_train_multiclass(spark.createDataFrame(b1 + b2, schema), "lang")
+    got = TX.nb_multi_model_from_counts(TX.read_nb_multi_store(spark, store))
+    assert {
+        (r["label"], r["t"]): r["lp_micros"] for r in got.weights.collect()
+    } == {(r["label"], r["t"]): r["lp_micros"] for r in full.weights.collect()}
+    assert {
+        r["label"]: (r["prior_micros"], r["default_micros"])
+        for r in got.labels.collect()
+    } == {
+        r["label"]: (r["prior_micros"], r["default_micros"])
+        for r in full.labels.collect()
+    }

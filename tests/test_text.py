@@ -592,7 +592,9 @@ def test_nb_multiclass_semantics(spark):
 
     with pytest.raises(ValueError, match=">= 2 classes"):
         nb_train_multiclass(train.filter("lang = 'fr'"), "lang")
-    with pytest.raises(ValueError, match="NULL labels"):
+    # NULL labels fail lazily at census evaluation (raise_error, matching
+    # the binary trainer — round-9 store refactor)
+    with pytest.raises(Exception, match="NULL label"):
         nb_train_multiclass(
             train.selectExpr("doc_id", "text", "if(doc_id = 1, NULL, lang) as lang"),
             "lang",
@@ -613,3 +615,66 @@ def test_nb_train_rejects_null_labels(spark):
     )
     with pytest.raises(Exception, match="NULL label"):
         nb_train(df, "label")
+
+
+def test_nb_multi_incremental_store_equals_full_retrain(spark, tmp_path):
+    """Multiclass counts are additive too: model from two appended
+    batches' store rows equals nb_train_multiclass over the union —
+    grid, priors and defaults identical; compaction preserves the model;
+    the binary and multi sidecars reject each other's paths."""
+    import pytest
+
+    from etl_data_transformer_spark.functions import text as TX
+
+    path = str(tmp_path / "nbm")
+    schema = "doc_id long, text string, lang string"
+    b1 = spark.createDataFrame(
+        [
+            (1, "le chat noir dort bien", "fr"),
+            (3, "the black cat sleeps well", "en"),
+            (5, "el gato negro duerme bien", "es"),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (2, "le chien noir mange bien", "fr"),
+            (4, "the black dog eats well", "en"),
+            (6, "el perro negro come bien", "es"),
+        ],
+        schema,
+    )
+    TX.write_nb_multi_store(TX.nb_multi_count_rows(b1, "lang"), path, mode="overwrite")
+    TX.write_nb_multi_store(TX.nb_multi_count_rows(b2, "lang"), path)
+
+    def model_key(m):
+        return (
+            {(r["label"], r["t"]): r["lp_micros"] for r in m.weights.collect()},
+            {
+                r["label"]: (r["prior_micros"], r["default_micros"])
+                for r in m.labels.collect()
+            },
+        )
+
+    full = TX.nb_train_multiclass(b1.union(b2), "lang")
+    inc = TX.nb_multi_model_from_counts(TX.read_nb_multi_store(spark, path))
+    assert model_key(inc) == model_key(full)
+    # classification agrees on every doc
+    test = b1.union(b2).select("doc_id", "text")
+    assert {
+        r["doc_id"]: r["pred_label"] for r in TX.nb_classify(test, inc).collect()
+    } == {r["doc_id"]: r["pred_label"] for r in TX.nb_classify(test, full).collect()}
+
+    TX.compact_nb_multi_store(spark, path)
+    assert model_key(TX.nb_multi_model_from_counts(TX.read_nb_multi_store(spark, path))) == model_key(full)
+
+    # the binary reader/writer rejects the multiclass store and vice versa
+    with pytest.raises(ValueError, match="nb-count"):
+        TX.read_nb_store(spark, path)
+    bpath = str(tmp_path / "nbb")
+    b = spark.createDataFrame(
+        [(1, "good text", 1), (2, "bad text", 0)], "doc_id long, text string, label int"
+    )
+    TX.write_nb_store(TX.nb_count_rows(b, "label"), bpath, mode="overwrite")
+    with pytest.raises(ValueError, match="nb-multi-count"):
+        TX.read_nb_multi_store(spark, bpath)
