@@ -635,9 +635,9 @@ def nb_count_rows(df, label_col: str, text_col: str = "text"):
     contract as the dedup stores, and why incremental NB is exact.
 
     NULL labels fail the job at evaluation time (lazy ``raise_error`` —
-    no extra validation pass), matching ``nb_train_multiclass``'s
-    up-front rejection: mapping NULL to either class would silently skew
-    every weight, the bias and the default (round-9 review)."""
+    no extra validation pass; ``nb_multi_count_rows`` uses the same
+    guard): mapping NULL to either class would silently skew every
+    weight, the bias and the default (round-9 review)."""
     lbl = F.col(label_col).cast("int")
     docs = df.select(
         F.when(lbl.isNull(), F.raise_error(
@@ -741,6 +741,90 @@ def nb_score(df, model: NBModel, text_col: str = "text", id_col: str = "doc_id")
 
 _NB_PARAMS_ALGO = "nb-binary-ws-tokens-v1"
 
+# One store-lifecycle implementation for both NB families (round-9 review:
+# the binary and multiclass quartets were near-verbatim copies). A family
+# is (algo, label, group keys, count columns); the sidecar algo string is
+# what makes the two layouts reject each other's paths.
+_NB_BINARY_FAMILY = (_NB_PARAMS_ALGO, "nb-count", ("t",), ("cp", "cn"))
+
+
+def _nb_store_write(rows, path: str, mode: str, family) -> None:
+    import os
+
+    from ..operators.dedup import (
+        _reject_streaming_layout_append,
+        _write_params_sidecar,
+    )
+    from ..sources.writers import atomic_swap_write
+
+    algo, label, _, _ = family
+    if mode == "overwrite":
+        atomic_swap_write(
+            rows,
+            path,
+            finalize_staging=lambda staging: _write_params_sidecar(
+                os.path.join(staging, "_nb_params.json"), {"algo": algo}
+            ),
+        )
+        return
+    _reject_streaming_layout_append(rows, path, label)
+    _nb_store_ensure(path, family)
+    rows.write.mode(mode).parquet(path)
+
+
+def _nb_store_ensure(path: str, family) -> None:
+    import os
+
+    from ..operators.dedup import _validate_store_params, _write_params_sidecar
+    from ..sources.writers import recover_interrupted_swap
+
+    algo, label, _, _ = family
+    recover_interrupted_swap(path)
+    params = {"algo": algo}
+    sidecar = os.path.join(path, "_nb_params.json")
+    if os.path.exists(sidecar):
+        _validate_store_params(sidecar, params, label=label)
+        return
+    os.makedirs(path, exist_ok=True)
+    _write_params_sidecar(sidecar, params)
+
+
+def _nb_store_merge(df, family):
+    _, _, keys, counts = family
+    return df.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in counts])
+
+
+def _nb_store_read(spark, path: str, family):
+    _nb_store_ensure(path, family)
+    return _nb_store_merge(spark.read.parquet(path), family)
+
+
+def _nb_store_compact(spark, path: str, family) -> None:
+    import os
+
+    from ..operators.dedup import _write_params_sidecar
+    from ..sources.readers import read_parquet_or_none
+    from ..sources.writers import atomic_swap_write
+
+    algo, label, _, _ = family
+    _nb_store_ensure(path, family)
+    store = read_parquet_or_none(spark, path)
+    if store is None:
+        return  # sidecar-only / first-batch store: nothing to compact
+    if "__batch_id" in store.columns:
+        raise ValueError(
+            f"{label} store at {path} has the streaming (__batch_id) layout; "
+            "compacting it would double a replayed batch's own counts — "
+            "stop the stream and rebuild the store flat first"
+        )
+    atomic_swap_write(
+        _nb_store_merge(store, family),
+        path,
+        finalize_staging=lambda staging: _write_params_sidecar(
+            os.path.join(staging, "_nb_params.json"), {"algo": algo}
+        ),
+    )
+
 
 def write_nb_store(rows, path: str, *, mode: str = "append") -> None:
     """Persist ``nb_count_rows`` with an ``_nb_params`` sidecar pinning the
@@ -750,45 +834,13 @@ def write_nb_store(rows, path: str, *, mode: str = "append") -> None:
     sidecar-before-data on append, streaming (__batch_id) layouts reject
     batch appends. Smoothing is NOT a store parameter — it applies at
     model derivation, so one store serves any smoothing."""
-    import os
-
-    from ..operators.dedup import (
-        _reject_streaming_layout_append,
-        _write_params_sidecar,
-    )
-    from ..sources.writers import atomic_swap_write
-
-    params = {"algo": _NB_PARAMS_ALGO}
-    if mode == "overwrite":
-        atomic_swap_write(
-            rows,
-            path,
-            finalize_staging=lambda staging: _write_params_sidecar(
-                os.path.join(staging, "_nb_params.json"), params
-            ),
-        )
-        return
-    _reject_streaming_layout_append(rows, path, "nb-count")
-    ensure_nb_params_sidecar(path)
-    rows.write.mode(mode).parquet(path)
+    _nb_store_write(rows, path, mode, _NB_BINARY_FAMILY)
 
 
 def ensure_nb_params_sidecar(path: str) -> None:
     """Write-or-validate the ``_nb_params`` sidecar (see
     ``write_nb_store``)."""
-    import os
-
-    from ..operators.dedup import _validate_store_params, _write_params_sidecar
-    from ..sources.writers import recover_interrupted_swap
-
-    recover_interrupted_swap(path)
-    params = {"algo": _NB_PARAMS_ALGO}
-    sidecar = os.path.join(path, "_nb_params.json")
-    if os.path.exists(sidecar):
-        _validate_store_params(sidecar, params, label="nb-count")
-        return
-    os.makedirs(path, exist_ok=True)
-    _write_params_sidecar(sidecar, params)
+    _nb_store_ensure(path, _NB_BINARY_FAMILY)
 
 
 def read_nb_store(spark, path: str):
@@ -799,51 +851,22 @@ def read_nb_store(spark, path: str):
     IN-FLIGHT can see that batch's partial partition (counts slightly
     behind or partial); the stream itself is consistent because a replay
     overwrites its own partition before the checkpoint commits."""
-    ensure_nb_params_sidecar(path)
-    return (
-        spark.read.parquet(path)
-        .groupBy("t")
-        .agg(F.sum("cp").alias("cp"), F.sum("cn").alias("cn"))
-    )
+    return _nb_store_read(spark, path, _NB_BINARY_FAMILY)
 
 
 def compact_nb_store(spark, path: str) -> None:
     """Bound NB store growth: group-sum the per-batch (t, cp, cn) rows
     into one row per key and atomically rewrite (sidecar staged before
-    the swap). Unlike the passage store, the STREAMING layout compacts
-    safely here too once the stream is STOPPED — the model read never
-    excludes partitions — but a live stream's replay would double its
-    own batch after compaction folded it in, so the streaming-layout
-    guard stays (stop the stream, rebuild flat, as documented there)."""
-    import os
-
-    from ..operators.dedup import _write_params_sidecar
-    from ..sources.readers import read_parquet_or_none
-    from ..sources.writers import atomic_swap_write
-
-    ensure_nb_params_sidecar(path)
-    store = read_parquet_or_none(spark, path)
-    if store is None:
-        return  # sidecar-only store: nothing to compact
-    if "__batch_id" in store.columns:
-        raise ValueError(
-            f"nb store at {path} has the streaming (__batch_id) layout; "
-            "compacting it would double a replayed batch's own counts — "
-            "stop the stream and rebuild the store flat first"
-        )
-    merged = store.groupBy("t").agg(
-        F.sum("cp").alias("cp"), F.sum("cn").alias("cn")
-    )
-    atomic_swap_write(
-        merged,
-        path,
-        finalize_staging=lambda staging: _write_params_sidecar(
-            os.path.join(staging, "_nb_params.json"), {"algo": _NB_PARAMS_ALGO}
-        ),
-    )
+    the swap). The STREAMING layout refuses compaction while its
+    partitions are live — a replayed batch's own-partition overwrite
+    would double counts the compaction already folded in; stop the
+    stream and rebuild the store flat first."""
+    _nb_store_compact(spark, path, _NB_BINARY_FAMILY)
 
 
 _NB_MULTI_PARAMS_ALGO = "nb-multi-ws-tokens-v1"
+
+_NB_MULTI_FAMILY = (_NB_MULTI_PARAMS_ALGO, "nb-multi-count", ("l", "t"), ("c",))
 
 
 def write_nb_multi_store(rows, path: str, *, mode: str = "append") -> None:
@@ -852,44 +875,12 @@ def write_nb_multi_store(rows, path: str, *, mode: str = "append") -> None:
     sidecar-before-data append, streaming-layout reject). The sidecar's
     algo string differs from the binary store's, so pointing one family's
     reader/writer at the other's path rejects instead of mis-merging."""
-    import os
-
-    from ..operators.dedup import (
-        _reject_streaming_layout_append,
-        _write_params_sidecar,
-    )
-    from ..sources.writers import atomic_swap_write
-
-    params = {"algo": _NB_MULTI_PARAMS_ALGO}
-    if mode == "overwrite":
-        atomic_swap_write(
-            rows,
-            path,
-            finalize_staging=lambda staging: _write_params_sidecar(
-                os.path.join(staging, "_nb_params.json"), params
-            ),
-        )
-        return
-    _reject_streaming_layout_append(rows, path, "nb-multi-count")
-    ensure_nb_multi_params_sidecar(path)
-    rows.write.mode(mode).parquet(path)
+    _nb_store_write(rows, path, mode, _NB_MULTI_FAMILY)
 
 
 def ensure_nb_multi_params_sidecar(path: str) -> None:
     """Write-or-validate the multiclass ``_nb_params`` sidecar."""
-    import os
-
-    from ..operators.dedup import _validate_store_params, _write_params_sidecar
-    from ..sources.writers import recover_interrupted_swap
-
-    recover_interrupted_swap(path)
-    params = {"algo": _NB_MULTI_PARAMS_ALGO}
-    sidecar = os.path.join(path, "_nb_params.json")
-    if os.path.exists(sidecar):
-        _validate_store_params(sidecar, params, label="nb-multi-count")
-        return
-    os.makedirs(path, exist_ok=True)
-    _write_params_sidecar(sidecar, params)
+    _nb_store_ensure(path, _NB_MULTI_FAMILY)
 
 
 def read_nb_multi_store(spark, path: str):
@@ -897,43 +888,14 @@ def read_nb_multi_store(spark, path: str):
     rows group-summed — feed straight into
     ``nb_multi_model_from_counts`` (same in-flight-stream caveat as
     ``read_nb_store``)."""
-    ensure_nb_multi_params_sidecar(path)
-    return (
-        spark.read.parquet(path)
-        .groupBy("l", "t")
-        .agg(F.sum("c").alias("c"))
-    )
+    return _nb_store_read(spark, path, _NB_MULTI_FAMILY)
 
 
 def compact_nb_multi_store(spark, path: str) -> None:
     """Group-sum the multiclass store to one row per (label, token) and
     atomically rewrite — same contract and streaming-layout guard as
     ``compact_nb_store``."""
-    import os
-
-    from ..operators.dedup import _write_params_sidecar
-    from ..sources.readers import read_parquet_or_none
-    from ..sources.writers import atomic_swap_write
-
-    ensure_nb_multi_params_sidecar(path)
-    store = read_parquet_or_none(spark, path)
-    if store is None:
-        return
-    if "__batch_id" in store.columns:
-        raise ValueError(
-            f"nb-multi store at {path} has the streaming (__batch_id) layout; "
-            "compacting it would double a replayed batch's own counts — "
-            "stop the stream and rebuild the store flat first"
-        )
-    merged = store.groupBy("l", "t").agg(F.sum("c").alias("c"))
-    atomic_swap_write(
-        merged,
-        path,
-        finalize_staging=lambda staging: _write_params_sidecar(
-            os.path.join(staging, "_nb_params.json"),
-            {"algo": _NB_MULTI_PARAMS_ALGO},
-        ),
-    )
+    _nb_store_compact(spark, path, _NB_MULTI_FAMILY)
 
 
 class NBMultiModel(NamedTuple):
@@ -1029,6 +991,17 @@ def nb_multi_model_from_counts(counts, smoothing: float = 1.0):
     if len(census) < 2:
         raise ValueError(
             f"multiclass NB needs >= 2 classes: got {sorted(census)}"
+        )
+    # a label with token rows but no document-prior row means hand-built
+    # or torn count input (nb_multi_count_rows always emits the prior) —
+    # raise the diagnostic instead of math-domain-erroring on log(0)
+    # (round-9 review, matching the binary trainer's explicit guard)
+    missing = sorted(l for l, (nd, _) in census.items() if nd <= 0)
+    if missing:
+        raise ValueError(
+            "multiclass NB count rows are missing the t-IS-NULL document-"
+            f"prior row for label(s) {missing} — counts are torn or were "
+            "not built by nb_multi_count_rows"
         )
     v = merged.filter(is_tok).select("t").distinct().count()
     a = float(smoothing)

@@ -1856,13 +1856,23 @@ def top_fraction_per_group(
     reproducible row-for-row, the property the oracle checks."""
     if not 0.0 < frac <= 1.0:
         raise ValueError(f"frac must be in (0, 1]: got {frac}")
+    from fractions import Fraction
+
     from pyspark.sql import Window
 
+    # exact integer arithmetic for the keep count (round-9 review): a
+    # float ceil(n * frac) over-keeps one row whenever n*frac lands just
+    # above its true value in binary (100 * 0.07 = 7.000000000000001 →
+    # ceil 8). limit_denominator recovers the intended decimal ratio from
+    # the float literal; rn <= ceil(n·num/den) ⇔ (rn-1)·den < n·num, all
+    # in longs.
+    r = Fraction(float(frac)).limit_denominator(10**9)
+    num, den = r.numerator, r.denominator
     part = Window.partitionBy(by) if by is not None else Window.partitionBy()
     w = part.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(part))
-        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(float(frac))))
+        .filter((F.col("__rn") - 1) * F.lit(den) < F.col("__n") * F.lit(num))
         .drop("__rn", "__n")
     )

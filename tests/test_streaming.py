@@ -1779,3 +1779,10 @@ def test_stream_nb_counts_multiclass(spark, tmp_path):
         r["label"]: (r["prior_micros"], r["default_micros"])
         for r in full.labels.collect()
     }
+
+    # the live streaming layout refuses compaction (round-9 review: the
+    # binary guard was pinned, the multiclass one was not)
+    import pytest
+
+    with pytest.raises(ValueError, match="streaming"):
+        TX.compact_nb_multi_store(spark, store)

@@ -678,3 +678,32 @@ def test_nb_multi_incremental_store_equals_full_retrain(spark, tmp_path):
     TX.write_nb_store(TX.nb_count_rows(b, "label"), bpath, mode="overwrite")
     with pytest.raises(ValueError, match="nb-multi-count"):
         TX.read_nb_multi_store(spark, bpath)
+
+
+def test_nb_multi_model_rejects_torn_counts(spark):
+    """Round-9 review: count rows missing a label's document-prior row
+    raise the diagnostic instead of a math-domain error."""
+    import pytest
+
+    rows = spark.createDataFrame(
+        [("en", "hello", 3), ("en", None, 2), ("fr", "bonjour", 2)],  # fr prior missing
+        "l string, t string, c long",
+    )
+    from etl_data_transformer_spark.functions.text import nb_multi_model_from_counts
+
+    with pytest.raises(ValueError, match="document-.?prior"):
+        nb_multi_model_from_counts(rows)
+
+
+def test_top_fraction_exact_at_non_dyadic_fracs(spark):
+    """Round-9 review: 100 * 0.07 = 7.000000000000001 in IEEE doubles —
+    the keep count must still be exactly ceil(7) = 7, not 8."""
+    from etl_data_transformer_spark.operators.curation import top_fraction_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g", 100 - i) for i in range(100)], "doc_id long, grp string, s long"
+    )
+    assert top_fraction_per_group(df, "s", 0.07, by="grp").count() == 7
+    assert top_fraction_per_group(df, "s", 0.1, by="grp").count() == 10
+    # 99 rows at 0.07 -> ceil(6.93) = 7
+    assert top_fraction_per_group(df.filter("doc_id < 99"), "s", 0.07, by="grp").count() == 7
