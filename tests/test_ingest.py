@@ -1196,3 +1196,81 @@ def test_ingest_txn_quality_gate_and_all_dropped_batch(spark, tmp_path):
     import os
 
     assert not os.path.exists(os.path.join(nb, "_manifests"))
+
+
+def test_ingest_all_tiers_composed_batch_equals_txn(spark, tmp_path):
+    """Full composition pin: quality gate + exact + MinHash + SimHash +
+    passage rewrite + eval decontamination in ONE run — the gate drops
+    junk before any tier sees it (no window mass, no store rows), dedup
+    drops a near-dup, survivors land rewritten with both masks applied,
+    and the txn runner produces the identical corpus."""
+    from etl_data_transformer_spark.plans.ingest import (
+        run_incremental_ingest,
+        run_incremental_ingest_txn,
+    )
+    from etl_data_transformer_spark.sources import manifest as MF
+
+    nb = str(tmp_path / "nb")
+    _quality_store(spark, nb)
+    ev = str(tmp_path / "ev")
+    _eval_store(spark, ev, ["secret eval passage xyz"], window=3)
+
+    b = spark.createDataFrame(
+        [
+            # two docs sharing a duplicated passage (>= min_count mask)
+            (1, "good alpha beta gamma delta unique one tail"),
+            (2, "good prefix alpha beta gamma delta other two"),
+            # near-dup of doc 1 (minhash tier drops it; higher id loses)
+            (3, "good alpha beta gamma delta unique one tail yesterday"),
+            # carries the eval-leaked passage (decon mask)
+            (4, "good intro secret eval passage xyz end"),
+            # junk: the NB gate drops it BEFORE any tier — its copy of the
+            # shared passage must not add window mass
+            (5, "spam junk alpha beta gamma delta click buy"),
+        ],
+        "doc_id long, text string",
+    )
+    kw_common = dict(
+        minhash_threshold=0.3,
+        shingle_n=2,
+        passage_window=3,
+        decon_store=ev,
+        nb_store=nb,
+        nb_threshold_micros=0,
+    )
+    r = run_incremental_ingest(
+        b,
+        exact_store=str(tmp_path / "ex"),
+        minhash_store=str(tmp_path / "mh"),
+        simhash_store=str(tmp_path / "sh"),
+        survivors_path=str(tmp_path / "landed"),
+        passage_store=str(tmp_path / "pg"),
+        **kw_common,
+    )
+    assert r.n_batch == 5
+    assert r.n_quality_dropped == 1  # doc 5
+    assert r.n_landed == 3  # doc 3 lost to the near-dup tier
+    landed = {x["doc_id"]: x["text"] for x in spark.read.parquet(str(tmp_path / "landed")).collect()}
+    assert set(landed) == {1, 2, 4}
+    # the shared passage was masked by in-batch counts (docs 1+2), the
+    # eval passage unconditionally; doc 5's copy added no mass (gated out)
+    assert landed[1] == "good unique one tail"
+    assert landed[2] == "good prefix other two"
+    assert landed[4] == "good intro end"
+    # gated/dropped docs never reached the stores
+    assert spark.read.parquet(str(tmp_path / "ex")).filter("doc_id in (3, 5)").count() == 0
+
+    r2 = run_incremental_ingest_txn(
+        b,
+        corpus_table=str(tmp_path / "corpus"),
+        exact_table=str(tmp_path / "tx_ex"),
+        minhash_table=str(tmp_path / "tx_mh"),
+        simhash_table=str(tmp_path / "tx_sh"),
+        passage_table=str(tmp_path / "tx_pg"),
+        txn_dir=str(tmp_path / "_txns"),
+        **kw_common,
+    )
+    assert (r2.n_quality_dropped, r2.n_landed) == (r.n_quality_dropped, r.n_landed)
+    assert {
+        x["doc_id"]: x["text"] for x in MF.read_table(spark, str(tmp_path / "corpus")).collect()
+    } == landed
