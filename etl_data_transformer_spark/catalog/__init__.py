@@ -221,6 +221,9 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-9 addition: exact keep-top-X%-per-group pruning (the
     # FineWeb-style scored cut) with a deterministic tie-break.
     "top_fraction_docs": EXT.q_top_fraction_docs,
+    # round-9 addition: hopping (sliding) window aggregation — the
+    # overlapping twin of tumbling_events (§2.9 family).
+    "hopping_events": EXT.q_hopping_events,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

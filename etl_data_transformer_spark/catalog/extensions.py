@@ -823,3 +823,14 @@ def q_top_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.size(toks).cast("long").alias("n_tokens")
     )
     return top_fraction_per_group(scored, "n_tokens", 0.25, by="lang")
+
+
+def q_hopping_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 §2.9: hopping (sliding) window aggregation — 1-hour windows
+    hopping every 30 minutes per event_type; each event lands in exactly 2
+    overlapping windows (the smoothing twin of ``tumbling_events``)."""
+    from ..operators.window_ops import hopping_agg
+    from ..sources.readers import load_star
+
+    ev = load_star(spark, sf_dir, ("events",))["events"]
+    return hopping_agg(ev, "ts", "1 hour", "30 minutes", group_extra=["event_type"])

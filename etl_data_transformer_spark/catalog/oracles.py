@@ -1262,6 +1262,24 @@ EXTENSION_ORACLES["top_fraction_docs"] = """
     SELECT doc_id, lang, n_tokens FROM ranked WHERE rn <= ceil(n * 0.25)
 """
 
+# Round-9 hopping (sliding) window aggregation: 1-hour windows every 30
+# minutes — each event expands to its TWO covering windows (duration/slide
+# = 2), starts epoch-aligned on the slide grid exactly as Spark's
+# three-arg F.window assigns them (UTC session both sides).
+EXTENSION_ORACLES["hopping_events"] = """
+    WITH cand AS (
+        SELECT ts, event_type, value, unnest([0, 1]) AS i FROM events
+    )
+    SELECT CAST(to_timestamp(
+               CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - i * 1800
+           ) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM cand
+    GROUP BY 1, 2
+"""
+
 ALL_ORACLES: dict[str, str] = {
     **PARITY_ORACLES,
     **EXTENSION_ORACLES,

@@ -34,3 +34,37 @@ def tumbling_agg(
         "n_events",
         "sum_value",
     )
+
+
+def hopping_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    group_extra: list[str] | None = None,
+) -> DataFrame:
+    """HOPPING (sliding) window count/sum — ``tumbling_agg``'s overlapping
+    twin: every event lands in each of the duration/slide windows covering
+    its timestamp (``F.window``'s three-arg form), the standard smoothing
+    window for rate/trend dashboards that tumbling buckets quantize too
+    coarsely. Same output shape as ``tumbling_agg`` (``window_start`` +
+    extra keys + count/sum), so the two interchange downstream.
+
+    Scale shape: the window expansion is a JVM-side generator (one row in,
+    duration/slide rows out) feeding the same single groupBy shuffle as
+    tumbling — cost scales with the overlap factor, which the caller
+    chooses. The streaming twin is ``streaming.stream_tumbling_agg(slide=
+    ...)`` (watermark + windowed state, closed windows evicted)."""
+    keys = [F.window(F.col(ts_col), duration, slide).alias("w")] + [
+        F.col(c) for c in (group_extra or [])
+    ]
+    out = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        *[F.col(c) for c in (group_extra or [])],
+        "n_events",
+        "sum_value",
+    )

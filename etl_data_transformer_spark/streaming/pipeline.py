@@ -49,10 +49,19 @@ def stream_tumbling_agg(
     duration: str = "1 hour",
     watermark: str = "2 hours",
     group_extra: list[str] | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window aggregate; late rows beyond ``watermark``
-    are dropped and state for closed windows is evicted."""
-    keys = [F.window(F.col(ts_col), duration).alias("w")] + [F.col(c) for c in (group_extra or [])]
+    are dropped and state for closed windows is evicted. ``slide`` turns it
+    into the HOPPING twin (``operators/window_ops.hopping_agg``): each event
+    lands in every duration/slide window covering it, and the engine keeps
+    duration/slide times the window state until the watermark closes them."""
+    win = (
+        F.window(F.col(ts_col), duration, slide)
+        if slide is not None
+        else F.window(F.col(ts_col), duration)
+    )
+    keys = [win.alias("w")] + [F.col(c) for c in (group_extra or [])]
     out = (
         events.withWatermark(ts_col, watermark)
         .groupBy(*keys)

@@ -162,3 +162,37 @@ def test_heavy_hitters_null_and_profile_dotted_columns(spark):
     assert prof["a.b"]["n_rows"] == 5 and prof["a.b"]["n_nulls"] == 0
     prof_exact = {r["column"]: r for r in profile_table(dotted, approx_distinct=False).collect()}
     assert prof_exact["a.b"]["n_distinct"] == 5
+
+
+def test_hopping_agg_semantics(spark):
+    """Hopping windows: every event lands in exactly duration/slide
+    windows; a timestamp ON a slide tick belongs to the window starting
+    there plus the prior hop; slide == duration degenerates to tumbling."""
+    import datetime as dt
+
+    from etl_data_transformer_spark.operators.window_ops import hopping_agg, tumbling_agg
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (base, "a", 1.0),                                # on the tick
+            (base + dt.timedelta(minutes=29), "a", 2.0),     # same two windows
+            (base + dt.timedelta(minutes=30), "a", 4.0),     # next hop
+        ],
+        "ts timestamp, event_type string, value double",
+    )
+    got = {
+        r["window_start"]: (r["n_events"], r["sum_value"])
+        for r in hopping_agg(df, "ts", "1 hour", "30 minutes").collect()
+    }
+    assert got == {
+        base - dt.timedelta(minutes=30): (2, 3.0),  # [09:30, 10:30)
+        base: (3, 7.0),                             # [10:00, 11:00)
+        base + dt.timedelta(minutes=30): (1, 4.0),  # [10:30, 11:30)
+    }
+    # each event in exactly 2 windows
+    assert sum(n for n, _ in got.values()) == 2 * df.count()
+    # slide == duration == tumbling
+    hop = {(r["window_start"], r["n_events"]) for r in hopping_agg(df, "ts", "1 hour", "1 hour").collect()}
+    tum = {(r["window_start"], r["n_events"]) for r in tumbling_agg(df, "ts", "1 hour").collect()}
+    assert hop == tum

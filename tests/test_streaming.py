@@ -1786,3 +1786,30 @@ def test_stream_nb_counts_multiclass(spark, tmp_path):
 
     with pytest.raises(ValueError, match="streaming"):
         TX.compact_nb_multi_store(spark, store)
+
+
+def test_stream_hopping_equals_batch(spark, tmp_path):
+    """Round-9 §2.9: the hopping twin — stream_tumbling_agg(slide=...) over
+    a drained stream equals operators/window_ops.hopping_agg on the same
+    data."""
+    from etl_data_transformer_spark.operators.window_ops import hopping_agg
+    from etl_data_transformer_spark.streaming.pipeline import stream_tumbling_agg
+
+    src = _events_dir(spark, tmp_path)
+    batch_df = spark.read.parquet(src)
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in hopping_agg(batch_df, slide="30 minutes", group_extra=["event_type"]).collect()
+    }
+    stream = read_event_stream(spark, src)
+    agg = stream_tumbling_agg(stream, group_extra=["event_type"], slide="30 minutes")
+    got_df = run_available_now(
+        agg, str(tmp_path / "ckpt"), "stream_hop_eq_batch", output_mode="complete"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in got_df.collect()
+    }
+    assert got == expected
+    # overlap factor 2: total hopping event-slots = 2x the row count
+    assert sum(n for n, _ in got.values()) == 2 * batch_df.count()
