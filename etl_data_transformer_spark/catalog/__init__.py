@@ -224,6 +224,9 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-9 addition: hopping (sliding) window aggregation — the
     # overlapping twin of tumbling_events (§2.9 family).
     "hopping_events": EXT.q_hopping_events,
+    # round-9 addition: NFC + control-strip text canonicalization (the
+    # ingest-front scrub; unicode-active cases pinned in pytest).
+    "normalize_docs": EXT.q_normalize_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

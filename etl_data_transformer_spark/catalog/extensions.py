@@ -834,3 +834,16 @@ def q_hopping_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_star(spark, sf_dir, ("events",))["events"]
     return hopping_agg(ev, "ts", "1 hour", "30 minutes", group_extra=["event_type"])
+
+
+def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 ingest-front text canonicalization: NFC normalization +
+    control/format-char strip over the documents corpus. The fixture text
+    is ASCII so both engines see a fixpoint — the hash compare pins the
+    no-op contract (normalization must never perturb already-canonical
+    text); the unicode-active cases are pinned against Python's
+    unicodedata ground truth in ``tests/test_text.py``."""
+    d = _docs(spark, sf_dir)
+    from ..functions.text import normalize_text
+
+    return normalize_text(d.select("doc_id", "text"), "text")

@@ -1280,6 +1280,17 @@ EXTENSION_ORACLES["hopping_events"] = """
     GROUP BY 1, 2
 """
 
+# Round-9 text canonicalization: NFC + control/format strip. The control
+# class is spelled in explicit ranges (RE2 has no [\p{Cc}&&[^\n\t]]
+# intersection) and matches functions/text._CONTROL_CHAR_RE exactly.
+EXTENSION_ORACLES["normalize_docs"] = """
+    SELECT doc_id,
+           nfc_normalize(
+               regexp_replace(text, '[\\x00-\\x08\\x0B-\\x1F\\x7F\\p{Cf}]', '', 'g')
+           ) AS text
+    FROM documents
+"""
+
 ALL_ORACLES: dict[str, str] = {
     **PARITY_ORACLES,
     **EXTENSION_ORACLES,

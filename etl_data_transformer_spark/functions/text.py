@@ -1090,3 +1090,58 @@ def nb_classify(df, model: NBMultiModel, text_col: str = "text", id_col: str = "
         F.col("b.l").alias("pred_label"),
         (-F.col("b.ns")).cast("long").alias("score_micros"),
     )
+
+
+# C0 controls except \t \n, plus DEL and Unicode format chars (zero-width
+# joiners, BOM, bidi marks). Explicit ranges instead of [\p{Cc}&&[^\n\t]]
+# because the DuckDB oracle's RE2 has no class intersection — the same
+# pattern must compile identically under java.util.regex and RE2.
+_CONTROL_CHAR_RE = r"[\x00-\x08\x0B-\x1F\x7F\p{Cf}]"
+
+
+def strip_control_chars(col: Column | str) -> Column:
+    """Remove control and format characters (C0 except tab/newline, DEL,
+    ``\\p{Cf}`` zero-width/bidi/BOM marks) — the standard first scrub over
+    crawled text, JVM-side regexp so it rides whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, _CONTROL_CHAR_RE, "")
+
+
+def unicode_normalize(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode-normalize a string column (NFC/NFD/NFKC/NFKD) — composed
+    vs decomposed accents and compatibility ligatures otherwise defeat
+    every downstream equality: exact dedup fingerprints, passage window
+    hashes, token counts and classifier vocabularies all treat 'é' and
+    'e\\u0301' as different text. Spark has no JVM builtin for this, so it
+    is the documented Arrow path: a vectorized pandas UDF over
+    ``Series.str.normalize`` (batch-at-a-time, no per-row Python). NULLs
+    pass through."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+    import pandas as pd  # noqa: F401 (signature typing)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):  # type: ignore[no-untyped-def]
+        return s.str.normalize(form)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _norm(c)
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    strip_control: bool = True,
+) -> DataFrame:
+    """Canonicalize a text column in place: Unicode normalization
+    (``unicode_normalize``) plus control/format-character stripping
+    (``strip_control_chars``) — the ingest-front scrub that makes byte
+    equality mean text equality for everything downstream. One projection,
+    one Arrow batch exchange; every other column passes through."""
+    c: Column = F.col(text_col)
+    if strip_control:
+        c = strip_control_chars(c)
+    c = unicode_normalize(c, form)
+    return df.withColumn(text_col, c)

@@ -707,3 +707,48 @@ def test_top_fraction_exact_at_non_dyadic_fracs(spark):
     assert top_fraction_per_group(df, "s", 0.1, by="grp").count() == 10
     # 99 rows at 0.07 -> ceil(6.93) = 7
     assert top_fraction_per_group(df.filter("doc_id < 99"), "s", 0.07, by="grp").count() == 7
+
+
+def test_unicode_normalize_and_control_strip(spark):
+    """Round-9 canonicalization: composed == decomposed after NFC (pinned
+    against Python's unicodedata), NFKC folds compatibility ligatures,
+    control/format chars strip while tab+newline survive, NULLs pass
+    through, bad forms raise."""
+    import unicodedata
+
+    import pytest
+
+    from etl_data_transformer_spark.functions.text import (
+        normalize_text,
+        strip_control_chars,
+        unicode_normalize,
+    )
+
+    decomposed = "Café du Monde"          # e + combining acute
+    composed = "Café du Monde"             # é precomposed
+    liga = "ﬁne ① text"               # ﬁ ligature + circled one
+    ctrl = "ab\x00c​d﻿e\tf\ng"        # NUL, ZWSP(Cf), BOM(Cf); keep \t \n
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, liga), (4, ctrl), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in normalize_text(df, "text", form="NFC").collect()
+    }
+    assert got[1] == got[2] == unicodedata.normalize("NFC", decomposed)
+    assert got[4] == "abcde\tf\ng"
+    assert got[5] is None
+    # NFKC folds the ligature and the circled digit
+    nfkc = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", unicode_normalize("text", "NFKC").alias("n")
+        ).collect()
+    }
+    assert nfkc[3] == unicodedata.normalize("NFKC", liga) == "fine 1 text"
+    # strip alone leaves unicode intact
+    stripped = df.select("doc_id", strip_control_chars("text").alias("s")).collect()
+    assert {r["doc_id"]: r["s"] for r in stripped}[1] == decomposed
+    with pytest.raises(ValueError, match="normalization form"):
+        unicode_normalize("text", "NFX")
