@@ -609,3 +609,37 @@ def test_nb_incremental_equals_full_retrain_property(spark, case):
     s_full = {r["doc_id"]: r["score_micros"] for r in TX.nb_score(full_df, full).collect()}
     s_inc = {r["doc_id"]: r["score_micros"] for r in TX.nb_score(full_df, inc).collect()}
     assert s_full == s_inc
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5)),  # (group, score)
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from([0.07, 0.25, 0.33, 0.5, 0.9, 1.0]),
+)
+@_few
+def test_top_fraction_matches_naive(spark, rows, frac):
+    """Random groups/scores/fracs: the kept set equals the naive Python
+    rank cut — exactly ceil(n*frac) per group under the (score DESC,
+    id ASC) tie-break, including heavy ties and non-dyadic fracs."""
+    import math
+
+    from etl_data_transformer_spark.operators.curation import top_fraction_per_group
+
+    data = [(i, f"g{g}", s) for i, (g, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, grp string, s long")
+    got = {
+        r["doc_id"] for r in top_fraction_per_group(df, "s", frac, by="grp").collect()
+    }
+    want = set()
+    for g in {d[1] for d in data}:
+        grp = sorted((d for d in data if d[1] == g), key=lambda d: (-d[2], d[0]))
+        # mirror the operator's exact decimal-ratio arithmetic
+        from fractions import Fraction
+
+        r = Fraction(float(frac)).limit_denominator(10**9)
+        keep = math.ceil(len(grp) * r.numerator / r.denominator - 1e-18)
+        want |= {d[0] for d in grp[: int(keep)]}
+    assert got == want
