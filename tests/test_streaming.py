@@ -1813,3 +1813,88 @@ def test_stream_hopping_equals_batch(spark, tmp_path):
     assert got == expected
     # overlap factor 2: total hopping event-slots = 2x the row count
     assert sum(n for n, _ in got.values()) == 2 * batch_df.count()
+
+
+def test_stream_ingest_all_tiers_composed(spark, tmp_path):
+    """Full composition pin for the STREAMING runner (the batch/txn twin
+    lives in test_ingest.py): NB gate + exact + MinHash + passage rewrite
+    + eval decon in one drain — gated docs contribute no window mass, the
+    near-dup loser drops, survivors land with both masks, and the landed
+    corpus matches the batch runner's on the same data."""
+    from etl_data_transformer_spark.functions import text as TX
+    from etl_data_transformer_spark.operators.curation import (
+        passage_count_store,
+        write_passage_store,
+    )
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest
+    from etl_data_transformer_spark.streaming.pipeline import stream_ingest
+
+    paths = {p: str(tmp_path / p) for p in (
+        "src", "landed", "ex", "mh", "pg", "ev", "nb", "audit", "ckpt",
+        "b_ex", "b_mh", "b_pg", "b_landed",
+    )}
+    train = spark.createDataFrame(
+        [
+            (1, "good clean prose flows nicely", 1),
+            (2, "good well written text here", 1),
+            (3, "spam spam buy now click", 0),
+            (4, "click buy spam junk junk", 0),
+        ],
+        "doc_id long, text string, label int",
+    )
+    TX.write_nb_store(TX.nb_count_rows(train, "label"), paths["nb"], mode="overwrite")
+    ev_df = spark.createDataFrame([(0, "secret eval passage xyz")], "doc_id long, text string")
+    write_passage_store(passage_count_store(ev_df, window=3), paths["ev"], window=3, mode="overwrite")
+
+    b = spark.createDataFrame(
+        [
+            (1, "good alpha beta gamma delta unique one tail"),
+            (2, "good prefix alpha beta gamma delta other two"),
+            (3, "good alpha beta gamma delta unique one tail yesterday"),
+            (4, "good intro secret eval passage xyz end"),
+            (5, "spam junk alpha beta gamma delta click buy"),
+        ],
+        "doc_id long, text string",
+    )
+    b.write.mode("overwrite").parquet(paths["src"])
+    kw_common = dict(
+        minhash_threshold=0.3,
+        shingle_n=2,
+        passage_window=3,
+        decon_store=paths["ev"],
+        nb_store=paths["nb"],
+        nb_threshold_micros=0,
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(paths["src"])
+    stream_ingest(
+        stream,
+        paths["landed"],
+        paths["ckpt"],
+        exact_store=paths["ex"],
+        minhash_store=paths["mh"],
+        passage_store=paths["pg"],
+        audit_path=paths["audit"],
+        **kw_common,
+    )
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(paths["landed"]).collect()}
+    assert got == {
+        1: "good unique one tail",
+        2: "good prefix other two",
+        4: "good intro end",
+    }
+    audit = spark.read.parquet(paths["audit"]).collect()
+    assert [(r["n_batch"], r["n_quality_dropped"], r["n_landed"]) for r in audit] == [
+        (5, 1, 3)
+    ]
+    # batch-runner parity on identical inputs
+    run_incremental_ingest(
+        b,
+        exact_store=paths["b_ex"],
+        minhash_store=paths["b_mh"],
+        passage_store=paths["b_pg"],
+        survivors_path=paths["b_landed"],
+        **kw_common,
+    )
+    assert {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(paths["b_landed"]).collect()
+    } == got
