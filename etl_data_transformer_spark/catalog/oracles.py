@@ -1265,14 +1265,18 @@ EXTENSION_ORACLES["top_fraction_docs"] = """
 # Round-9 hopping (sliding) window aggregation: 1-hour windows every 30
 # minutes — each event expands to its TWO covering windows (duration/slide
 # = 2), starts epoch-aligned on the slide grid exactly as Spark's
-# three-arg F.window assigns them (UTC session both sides).
+# three-arg F.window assigns them. make_timestamp(micros) yields a NAIVE
+# timestamp — to_timestamp would return TIMESTAMPTZ whose cast shifts by
+# the host zone on non-UTC machines (round-9 review), while Spark stays
+# pinned to UTC.
 EXTENSION_ORACLES["hopping_events"] = """
     WITH cand AS (
         SELECT ts, event_type, value, unnest([0, 1]) AS i FROM events
     )
-    SELECT CAST(to_timestamp(
-               CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - i * 1800
-           ) AS TIMESTAMP) AS window_start,
+    SELECT make_timestamp(
+               (CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - i * 1800)
+               * 1000000
+           ) AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
            round(sum(value), 4) AS sum_value
@@ -1281,12 +1285,18 @@ EXTENSION_ORACLES["hopping_events"] = """
 """
 
 # Round-9 text canonicalization: NFC + control/format strip. The control
-# class is spelled in explicit ranges (RE2 has no [\p{Cc}&&[^\n\t]]
-# intersection) and matches functions/text._CONTROL_CHAR_RE exactly.
+# class matches functions/text._CONTROL_CHAR_RE exactly — explicit ranges
+# plus the CURATED format-char subset (ZWJ/ZWNJ kept: orthographically
+# meaningful; RE2 has no [\p{Cc}&&[^\n\t]] intersection, and \x{...}
+# escapes compile identically under java.util.regex and RE2).
 EXTENSION_ORACLES["normalize_docs"] = """
     SELECT doc_id,
            nfc_normalize(
-               regexp_replace(text, '[\\x00-\\x08\\x0B-\\x1F\\x7F\\p{Cf}]', '', 'g')
+               regexp_replace(
+                   text,
+                   '[\\x00-\\x08\\x0B-\\x1F\\x7F\\x{00AD}\\x{200B}\\x{200E}\\x{200F}\\x{202A}-\\x{202E}\\x{2060}-\\x{2064}\\x{2066}-\\x{2069}\\x{FEFF}]',
+                   '', 'g'
+               )
            ) AS text
     FROM documents
 """

@@ -1092,19 +1092,34 @@ def nb_classify(df, model: NBMultiModel, text_col: str = "text", id_col: str = "
     )
 
 
-# C0 controls except \t \n, plus DEL and Unicode format chars (zero-width
-# joiners, BOM, bidi marks). Explicit ranges instead of [\p{Cc}&&[^\n\t]]
-# because the DuckDB oracle's RE2 has no class intersection — the same
-# pattern must compile identically under java.util.regex and RE2.
-_CONTROL_CHAR_RE = r"[\x00-\x08\x0B-\x1F\x7F\p{Cf}]"
+# C0 controls except \t \n, DEL, and a CURATED format-char subset: soft
+# hyphen, zero-width space, bidi marks/embeddings/isolates, word joiner +
+# invisible operators, BOM/ZWNBSP. NOT the whole \p{Cf} class — ZWJ
+# (U+200D) and ZWNJ (U+200C) are orthographically meaningful (emoji ZWJ
+# sequences, Persian/Indic non-joining forms); stripping them conflates
+# genuinely different texts, the opposite of what a canonicalizer is for
+# (round-9 review; production scrubs keep them too). Explicit ranges
+# instead of [\p{Cc}&&[^\n\t]] because the DuckDB oracle's RE2 has no
+# class intersection; \x{...} escapes compile identically under
+# java.util.regex and RE2.
+_CONTROL_CHAR_RE = (
+    r"[\x00-\x08\x0B-\x1F\x7F"
+    r"\x{00AD}\x{200B}\x{200E}\x{200F}\x{202A}-\x{202E}"
+    r"\x{2060}-\x{2064}\x{2066}-\x{2069}\x{FEFF}]"
+)
 
 
 def strip_control_chars(col: Column | str) -> Column:
-    """Remove control and format characters (C0 except tab/newline, DEL,
-    ``\\p{Cf}`` zero-width/bidi/BOM marks) — the standard first scrub over
-    crawled text, JVM-side regexp so it rides whole-stage codegen."""
+    """Remove control characters and layout-only format characters (C0
+    except tab/newline, DEL, soft hyphen, zero-width space, bidi marks,
+    word joiner, BOM) — the standard first scrub over crawled text,
+    JVM-side regexp so it rides whole-stage codegen. ZWJ/ZWNJ are KEPT:
+    they carry orthographic meaning (see ``_CONTROL_CHAR_RE``)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(c, _CONTROL_CHAR_RE, "")
+
+
+_NORM_UDFS: dict = {}  # one cached pandas UDF per normalization form
 
 
 def unicode_normalize(col: Column | str, form: str = "NFC") -> Column:
@@ -1118,15 +1133,16 @@ def unicode_normalize(col: Column | str, form: str = "NFC") -> Column:
     pass through."""
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
         raise ValueError(f"unknown normalization form: {form!r}")
-    import pandas as pd  # noqa: F401 (signature typing)
-    from pyspark.sql.functions import pandas_udf
+    if form not in _NORM_UDFS:
+        from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("string")
-    def _norm(s):  # type: ignore[no-untyped-def]
-        return s.str.normalize(form)
+        @pandas_udf("string")
+        def _norm(s):  # type: ignore[no-untyped-def]
+            return s.str.normalize(form)
 
+        _NORM_UDFS[form] = _norm
     c = F.col(col) if isinstance(col, str) else col
-    return _norm(c)
+    return _NORM_UDFS[form](c)
 
 
 def normalize_text(

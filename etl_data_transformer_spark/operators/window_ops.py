@@ -17,13 +17,22 @@ def tumbling_agg(
     ts_col: str = "ts",
     duration: str = "1 hour",
     group_extra: list[str] | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
     """Tumbling-window count/sum per window (+ optional extra keys).
 
     Emits ``window_start`` (timestamp) rather than the struct so results are
-    plain-SQL comparable.
+    plain-SQL comparable. ``slide`` switches to the HOPPING form (see
+    ``hopping_agg``) — one body serves both, mirroring the streaming twin
+    ``stream_tumbling_agg(slide=...)`` (round-9 review: the two copies
+    would otherwise drift).
     """
-    keys = [F.window(F.col(ts_col), duration).alias("w")] + [F.col(c) for c in (group_extra or [])]
+    win = (
+        F.window(F.col(ts_col), duration, slide)
+        if slide is not None
+        else F.window(F.col(ts_col), duration)
+    )
+    keys = [win.alias("w")] + [F.col(c) for c in (group_extra or [])]
     out = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
@@ -54,17 +63,6 @@ def hopping_agg(
     duration/slide rows out) feeding the same single groupBy shuffle as
     tumbling — cost scales with the overlap factor, which the caller
     chooses. The streaming twin is ``streaming.stream_tumbling_agg(slide=
-    ...)`` (watermark + windowed state, closed windows evicted)."""
-    keys = [F.window(F.col(ts_col), duration, slide).alias("w")] + [
-        F.col(c) for c in (group_extra or [])
-    ]
-    out = df.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
-    )
-    return out.select(
-        F.col("w.start").alias("window_start"),
-        *[F.col(c) for c in (group_extra or [])],
-        "n_events",
-        "sum_value",
-    )
+    ...)`` (watermark + windowed state, closed windows evicted). Thin
+    alias over ``tumbling_agg(slide=...)`` — one body, no drift."""
+    return tumbling_agg(df, ts_col, duration, group_extra, slide=slide)

@@ -624,7 +624,7 @@ def test_top_fraction_matches_naive(spark, rows, frac):
     """Random groups/scores/fracs: the kept set equals the naive Python
     rank cut — exactly ceil(n*frac) per group under the (score DESC,
     id ASC) tie-break, including heavy ties and non-dyadic fracs."""
-    import math
+    from fractions import Fraction
 
     from etl_data_transformer_spark.operators.curation import top_fraction_per_group
 
@@ -633,13 +633,11 @@ def test_top_fraction_matches_naive(spark, rows, frac):
     got = {
         r["doc_id"] for r in top_fraction_per_group(df, "s", frac, by="grp").collect()
     }
+    ratio = Fraction(float(frac)).limit_denominator(10**9)
     want = set()
     for g in {d[1] for d in data}:
         grp = sorted((d for d in data if d[1] == g), key=lambda d: (-d[2], d[0]))
-        # mirror the operator's exact decimal-ratio arithmetic
-        from fractions import Fraction
-
-        r = Fraction(float(frac)).limit_denominator(10**9)
-        keep = math.ceil(len(grp) * r.numerator / r.denominator - 1e-18)
-        want |= {d[0] for d in grp[: int(keep)]}
+        # the operator's exact integer ceil: -(-n*num // den), no floats
+        keep = -(-len(grp) * ratio.numerator // ratio.denominator)
+        want |= {d[0] for d in grp[:keep]}
     assert got == want

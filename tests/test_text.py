@@ -750,5 +750,15 @@ def test_unicode_normalize_and_control_strip(spark):
     # strip alone leaves unicode intact
     stripped = df.select("doc_id", strip_control_chars("text").alias("s")).collect()
     assert {r["doc_id"]: r["s"] for r in stripped}[1] == decomposed
+    # ZWJ/ZWNJ are orthographically meaningful and must SURVIVE the scrub
+    # (emoji ZWJ sequences, Persian non-joining forms — round-9 review),
+    # while soft hyphen and bidi marks strip
+    joined = "x\u200dy\u200cz\u00ad\u200e!"
+    out = (
+        spark.createDataFrame([(joined,)], "text string")
+        .select(strip_control_chars("text").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert out == "x\u200dy\u200cz!"
     with pytest.raises(ValueError, match="normalization form"):
         unicode_normalize("text", "NFX")
