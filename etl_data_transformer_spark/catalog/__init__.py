@@ -227,6 +227,9 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-9 addition: NFC + control-strip text canonicalization (the
     # ingest-front scrub; unicode-active cases pinned in pytest).
     "normalize_docs": EXT.q_normalize_docs,
+    # round-9 addition: Shannon char-entropy quality signal in engine-exact
+    # integer micro-bits (map-only, zero shuffle).
+    "entropy_docs": EXT.q_entropy_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

@@ -847,3 +847,22 @@ def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import normalize_text
 
     return normalize_text(d.select("doc_id", "text"), "text")
+
+
+def q_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 character-diversity quality signal: Shannon char entropy in
+    engine-exact integer micro-bits plus the distinct-codepoint count, per
+    document. Map-only / zero-shuffle (higher-order functions over the text
+    column, whole-stage codegen); the DuckDB twin quantizes each
+    ``-p*log2(p)`` term identically before summing, so the value hash is
+    exact. The low-entropy tail (repeated-char spam) is what a quality
+    pipeline drops."""
+    d = _docs(spark, sf_dir)
+    from ..functions.text import char_entropy_microbits, distinct_char_count
+
+    return d.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_chars_calc"),
+        distinct_char_count("text").alias("distinct_chars"),
+        char_entropy_microbits("text").alias("entropy_microbits"),
+    )

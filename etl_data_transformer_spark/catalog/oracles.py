@@ -1301,6 +1301,32 @@ EXTENSION_ORACLES["normalize_docs"] = """
     FROM documents
 """
 
+# Round-9 character-entropy quality signal. Engine-exact integer
+# micro-bits: each -p*log2(p) term is rounded to a BIGINT before summing
+# (the NB/logprob micro-nat pattern), and '(?s).' extracts one CODEPOINT
+# in both RE2 and java.util.regex (surrogate-pair safe). Map-only on both
+# sides — no shuffle, no unnest.
+EXTENSION_ORACLES["entropy_docs"] = """
+    WITH base AS (
+        SELECT doc_id, coalesce(text, '') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS n_chars_calc,
+           CAST(len(list_distinct(regexp_extract_all(t, '(?s).'))) AS BIGINT)
+               AS distinct_chars,
+           CAST(coalesce(list_sum(list_transform(
+               list_distinct(regexp_extract_all(t, '(?s).')),
+               ch -> CAST(round(
+                   -1000000.0
+                   * ((length(t) - length(replace(t, ch, '')))
+                      / CAST(length(t) AS DOUBLE))
+                   * log2((length(t) - length(replace(t, ch, '')))
+                          / CAST(length(t) AS DOUBLE)),
+               0) AS BIGINT)
+           )), 0) AS BIGINT) AS entropy_microbits
+    FROM base
+"""
+
 ALL_ORACLES: dict[str, str] = {
     **PARITY_ORACLES,
     **EXTENSION_ORACLES,

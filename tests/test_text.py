@@ -762,3 +762,102 @@ def test_unicode_normalize_and_control_strip(spark):
     assert out == "x\u200dy\u200cz!"
     with pytest.raises(ValueError, match="normalization form"):
         unicode_normalize("text", "NFX")
+
+
+def test_char_entropy_known_values(spark):
+    from etl_data_transformer_spark.functions.text import (
+        char_entropy_microbits,
+        distinct_char_count,
+    )
+
+    rows = [
+        (1, "aaaa"),  # zero diversity -> 0
+        (2, "ab"),  # two equiprobable chars -> exactly 1 bit
+        (3, "aabb"),  # same distribution, longer -> still 1 bit
+        (4, "abcd"),  # four equiprobable -> 2 bits
+        (5, ""),  # empty -> 0, no NaN/div-by-zero
+        (6, None),  # null -> 0
+        (7, "\U0001f4a7\U0001f4a7aa"),  # non-BMP: surrogate-pair safe 1 bit
+        (8, "abab" * 64),  # long repetitive -> still exactly 1 bit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["e"], r["d"])
+        for r in df.select(
+            "doc_id",
+            char_entropy_microbits("text").alias("e"),
+            distinct_char_count("text").alias("d"),
+        ).collect()
+    }
+    assert got[1] == (0, 1)
+    assert got[2] == (1_000_000, 2)
+    assert got[3] == (1_000_000, 2)
+    assert got[4] == (2_000_000, 4)
+    assert got[5] == (0, 0)
+    assert got[6] == (0, 0)
+    # the emoji must count as ONE codepoint, not two lone surrogates
+    assert got[7] == (1_000_000, 2)
+    assert got[8] == (1_000_000, 2)
+
+
+def test_char_entropy_matches_python_mirror(spark):
+    """Seeded random strings: Spark's per-term quantized sum equals the
+    Python mirror computing the identical micro-bit arithmetic (half-away
+    rounding — Python round() is half-to-even, so mirror via floor+0.5)."""
+    import collections
+    import math
+    import random
+
+    from etl_data_transformer_spark.functions.text import char_entropy_microbits
+
+    rng = random.Random(9)
+    alphabet = "abcdefgh é世\U0001f4a7"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 200))))
+        for i in range(40)
+    ]
+
+    def mirror(t: str) -> int:
+        n = len(t)
+        s = 0
+        for k in collections.Counter(t).values():
+            p = k / n
+            term = -1_000_000.0 * p * math.log2(p)
+            s += int(math.copysign(math.floor(abs(term) + 0.5), term))
+        return s
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["e"]
+        for r in df.select("doc_id", char_entropy_microbits("text").alias("e")).collect()
+    }
+    for i, t in rows:
+        assert got[i] == mirror(t), (i, t)
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    from etl_data_transformer_spark.functions.text import compression_ratio_micros
+
+    rows = [
+        (1, "natural prose varies quite a bit in its character usage."),
+        (2, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+        (3, ""),
+        (4, None),
+        (5, "tick tock " * 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["ratio_micros"])
+        for r in compression_ratio_micros(df).collect()
+    }
+    for i, t in rows:
+        raw = (t or "").encode("utf-8")
+        if not raw:
+            assert got[i] == (0, 0)
+            continue
+        want = int(round(1_000_000.0 * len(zlib.compress(raw, 6)) / len(raw)))
+        assert got[i] == (len(raw), want)
+    # the quality signal itself: repetitive text compresses far below prose
+    assert got[2][1] < got[1][1] and got[5][1] < got[1][1]
