@@ -230,6 +230,9 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-9 addition: Shannon char-entropy quality signal in engine-exact
     # integer micro-bits (map-only, zero shuffle).
     "entropy_docs": EXT.q_entropy_docs,
+    # round-9 addition: deterministic training-export sharding (md5-fold
+    # assignment + full pseudo-shuffle permutation, oracle-pinned).
+    "shard_docs": EXT.q_shard_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

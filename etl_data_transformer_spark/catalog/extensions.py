@@ -866,3 +866,15 @@ def q_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct_char_count("text").alias("distinct_chars"),
         char_entropy_microbits("text").alias("entropy_microbits"),
     )
+
+
+def q_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 training-export sharding contract: every document's shard
+    assignment (md5-fold mod 8 — deterministic, map-only) and its position
+    in the shard's md5 pseudo-shuffle order (exactly the on-disk row order
+    ``sources/writers.write_shards`` produces). The DuckDB twin recomputes
+    the identical hex fold and window, so the hash compare pins both the
+    assignment and the full shuffle permutation."""
+    from ..operators.curation import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir), 8)

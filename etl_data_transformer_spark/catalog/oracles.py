@@ -1327,6 +1327,31 @@ EXTENSION_ORACLES["entropy_docs"] = """
     FROM base
 """
 
+# Round-9 deterministic shard export contract. The md5-hex fold to BIGINT
+# is spelled with list_reduce + ascii arithmetic so both engines compute
+# the identical value without engine-specific hex-parse builtins; Spark
+# mirrors it with aggregate() over the same 8 chars.
+EXTENSION_ORACLES["shard_docs"] = """
+    WITH h AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                     string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+                     ch -> CAST(CASE WHEN ascii(ch) <= 57 THEN ascii(ch) - 48
+                                     ELSE ascii(ch) - 87 END AS BIGINT))),
+                 (acc, x) -> acc * 16 + x) AS h64
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(h64 % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY h64 % 8 ORDER BY shuffle_key, doc_id
+           ) AS BIGINT) AS pos_in_shard
+    FROM h
+"""
+
 ALL_ORACLES: dict[str, str] = {
     **PARITY_ORACLES,
     **EXTENSION_ORACLES,

@@ -1876,3 +1876,68 @@ def top_fraction_per_group(
         .filter((F.col("__rn") - 1) * F.lit(den) < F.col("__n") * F.lit(num))
         .drop("__rn", "__n")
     )
+
+
+def _md5_fold64(col: Column, chars: int = 8) -> Column:
+    """Fold the first ``chars`` hex digits of ``md5(col)`` into a BIGINT —
+    the cross-engine deterministic hash (Spark ``md5`` == DuckDB ``md5``
+    byte-for-byte; the ascii fold avoids engine-specific hex-parse
+    builtins). Pure codegen: aggregate over a tiny per-row char array."""
+    hx = F.substring(F.md5(col), 1, chars)
+    digits = F.regexp_extract_all(hx, F.lit("(?s)."), F.lit(0))
+    return F.aggregate(
+        digits,
+        F.lit(0).cast("long"),
+        lambda acc, ch: acc * 16
+        + F.when(F.ascii(ch) <= 57, F.ascii(ch) - 48).otherwise(F.ascii(ch) - 87).cast("long"),
+    )
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic training-export sharding: every row gets a ``shard``
+    in [0, n_shards) and a ``shuffle_key`` (the full md5 hex) whose order
+    within the shard is the deterministic global pseudo-shuffle training
+    ingestion wants (adjacent source documents land far apart; reruns and
+    engines agree byte-for-byte, unlike ``rand()`` or partition-dependent
+    ``monotonically_increasing_id``).
+
+    Scale shape: map-only, zero shuffle — assignment is
+    ``fold64(md5(id || seed)) % n_shards`` on each row independently.
+    Hash-mod balance is statistical (±O(sqrt(n/shards))); exact balance
+    would need a global sort (``ntile``), a scale-killer this op
+    deliberately avoids. ``seed`` re-deals the whole shuffle for a new
+    epoch without touching the data.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: got {n_shards}")
+    keyed = F.concat(F.col(id_col).cast("string"), F.lit(seed))
+    return df.withColumn("shuffle_key", F.md5(keyed)).withColumn(
+        "shard", F.pmod(_md5_fold64(keyed), F.lit(n_shards)).cast("int")
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """(id, shard, pos_in_shard) — the queryable contract of
+    ``assign_shards``: position is ``row_number`` over (shard ORDER BY
+    shuffle_key, id), i.e. exactly the order ``write_shards`` lays rows
+    out on disk. One shuffle on the shard key + a per-shard sort; the
+    DuckDB oracle recomputes the identical md5 fold and window."""
+    d = assign_shards(df.select(id_col), n_shards, id_col, seed)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(F.col("shuffle_key").asc(), F.col(id_col).asc())
+    return d.select(
+        id_col,
+        F.col("shard").cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )

@@ -15,6 +15,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
@@ -191,3 +192,36 @@ def write_sorted(
     # survives into the files.
     out = out.sortWithinPartitions(*(partition_by or []), *sort_cols)
     out.write.mode(mode).partitionBy(*(partition_by or [])).parquet(path)
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> None:
+    """Training-export sink: the corpus as ``n_shards`` Parquet
+    directories (``shard=K/``), rows inside each shard laid out in the
+    deterministic md5 pseudo-shuffle order of
+    ``operators/curation.assign_shards`` — the final "globally shuffled,
+    resumable, rerun-identical" layout a training loader consumes.
+
+    Scale shape: ONE shuffle (repartition on the shard key) + a
+    within-partition sort that spills instead of ever collecting; no
+    global sort, no driver involvement. ``repartition(n, "shard")`` can
+    MERGE two shard values into one task (murmur3 collisions) but never
+    splits one shard across tasks, so each ``shard=K/`` directory is
+    exactly one file whose row order IS the shuffle order — the
+    shard-first sort keeps the dynamic-partition writer on a single open
+    file. Rerunning with the same seed rewrites identical shard contents.
+    """
+    from ..operators.curation import assign_shards
+
+    out = (
+        assign_shards(df, n_shards, id_col, seed)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_key", id_col)
+        .drop("shuffle_key")
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)

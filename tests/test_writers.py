@@ -33,3 +33,69 @@ def test_recover_interrupted_swap(spark, tmp_path):
     shutil.copytree(target, backup)
     assert recover_interrupted_swap(target) is False
     assert not os.path.exists(backup)
+
+
+def test_assign_shards_deterministic_and_balanced(spark):
+    import pytest as _pytest
+
+    from etl_data_transformer_spark.operators.curation import assign_shards, shard_manifest
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    a = {r["doc_id"]: (r["shard"], r["shuffle_key"]) for r in assign_shards(df, 8).collect()}
+    b = {r["doc_id"]: (r["shard"], r["shuffle_key"]) for r in assign_shards(df, 8).collect()}
+    assert a == b  # rerun-identical
+    counts = {}
+    for s, _ in a.values():
+        assert 0 <= s < 8
+        counts[s] = counts.get(s, 0) + 1
+    assert len(counts) == 8 and max(counts.values()) < 3 * min(counts.values())
+    # a different seed re-deals the shuffle
+    c = {r["doc_id"]: r["shard"] for r in assign_shards(df, 8, seed="epoch1").collect()}
+    assert any(c[i] != a[i][0] for i in range(400))
+    # manifest positions are contiguous 1..n per shard
+    m = shard_manifest(df, 8).collect()
+    per = {}
+    for r in m:
+        per.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    for poss in per.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    with _pytest.raises(ValueError, match="n_shards"):
+        assign_shards(df, 0)
+
+
+def test_write_shards_layout_matches_manifest(spark, tmp_path):
+    import glob
+
+    from etl_data_transformer_spark.operators.curation import shard_manifest
+    from etl_data_transformer_spark.sources.writers import write_shards
+
+    rows = [(i, f"doc {i}") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "shards")
+    write_shards(df, path, 8)
+
+    want = {}
+    for r in shard_manifest(df, 8).collect():
+        want.setdefault(r["shard"], []).append((r["pos_in_shard"], r["doc_id"]))
+    dirs = sorted(glob.glob(path + "/shard=*"))
+    assert len(dirs) == 8
+    seen = set()
+    for d in dirs:
+        k = int(d.rsplit("=", 1)[1])
+        # exactly one data file per shard: the shard never splits across
+        # tasks, so its directory is one task's single sorted file
+        files = [f for f in glob.glob(d + "/*.parquet")]
+        assert len(files) == 1
+        got = [r["doc_id"] for r in spark.read.parquet(files[0]).collect()]
+        assert got == [i for _, i in sorted(want[k])]  # on-disk order == manifest
+        assert not seen & set(got)
+        seen |= set(got)
+    assert seen == {i for i, _ in rows}
+    # rerun overwrites with identical contents
+    write_shards(df, path, 8)
+    again = [
+        r["doc_id"]
+        for d in dirs
+        for r in spark.read.parquet(glob.glob(d + "/*.parquet")[0]).collect()
+    ]
+    assert again == [i for k in (int(d.rsplit("=", 1)[1]) for d in dirs) for _, i in sorted(want[k])]
