@@ -79,6 +79,9 @@ class IngestReport:
     # quality-gate tier audit (None unless the tier ran): documents the
     # NB-model gate dropped BEFORE any dedup tier saw them
     n_quality_dropped: int | None = None
+    # entropy pre-gate audit (None unless the gate ran): documents the
+    # map-only char-entropy floor dropped before even the NB gate scored
+    n_entropy_dropped: int | None = None
 
 
 def _near_losers(pairs: DataFrame, survivors: DataFrame, id_col: str) -> DataFrame:
@@ -233,6 +236,30 @@ def _quality_gate(
     return gated, n_batch - gated.count()
 
 
+def _entropy_gate(
+    batch: DataFrame,
+    min_microbits: int,
+    text_col: str,
+    n_batch: int,
+) -> tuple[DataFrame, int]:
+    """Char-entropy floor shared by the three runners (round-9): drop
+    documents whose Shannon character entropy
+    (``functions/text.char_entropy_microbits``, engine-exact integer
+    micro-bits) is below the floor — repeated-character/boilerplate spam.
+    The CHEAPEST gate runs first: map-only, no store read, no join, no
+    shuffle — a single codegen projection — so spam never costs an NB
+    scoring job or a dedup tier. NULL text has entropy 0 and drops under
+    any positive floor. Deterministic, so reruns recompute identical
+    survivors. Returns the gated batch, eagerly checkpointed (it feeds
+    every heal, tier and sink downstream), plus the dropped count."""
+    from ..functions.text import char_entropy_microbits
+
+    gated = batch.filter(
+        char_entropy_microbits(F.col(text_col)) >= F.lit(int(min_microbits))
+    ).localCheckpoint(eager=True)
+    return gated, n_batch - gated.count()
+
+
 _PASSAGE_INGEST_NS = "ingest"
 
 
@@ -312,6 +339,7 @@ def run_incremental_ingest(
     decon_store: str | None = None,
     nb_store: str | None = None,
     nb_threshold_micros: int = 0,
+    min_entropy_microbits: int | None = None,
 ) -> IngestReport:
     """Run one ingest batch through the enabled dedup tiers (exact is
     mandatory — it is the cheapest and catches byte-duplicates the banded
@@ -362,7 +390,12 @@ def run_incremental_ingest(
     store, so reruns recompute identical survivors — retraining the model
     between a crash and its rerun is the one way to break that, the same
     freeze-during-recovery caveat as every cross-batch contract here. The
-    audit row carries ``n_quality_dropped``."""
+    audit row carries ``n_quality_dropped``.
+
+    ``min_entropy_microbits`` enables the char-entropy pre-gate
+    (``_entropy_gate``): the map-only floor runs BEFORE the NB gate and
+    every tier, so repeated-character spam never costs a scoring job or a
+    shingle pass; the audit row carries ``n_entropy_dropped``."""
     from ..operators import dedup as DD
     from ..operators.curation import read_passage_store
     from ..sources.writers import append_parquet
@@ -376,6 +409,7 @@ def run_incremental_ingest(
     dc_on = decon_store is not None
     rw_on = pg_on or dc_on  # the rewrite stage runs for either mask source
     q_on = nb_store is not None
+    e_on = min_entropy_microbits is not None
     if n_batch == 0:
         report = IngestReport(
             0,
@@ -388,6 +422,7 @@ def run_incremental_ingest(
             passage_tokens_removed=0 if rw_on else None,
             passage_docs_touched=0 if rw_on else None,
             n_quality_dropped=0 if q_on else None,
+            n_entropy_dropped=0 if e_on else None,
         )
         if audit_path is not None:
             write_ingest_audit(spark, audit_path, report)
@@ -476,10 +511,18 @@ def run_incremental_ingest(
     # gated batch; the store heals above joined against the RAW batch,
     # a superset of any prior attempt's gated appends, which heals the
     # same rows.
+    # entropy floor first — the cheapest gate (one codegen projection)
+    # runs before the NB scoring job sees the batch
+    n_entropy_dropped = 0 if e_on else None
+    if e_on:
+        batch, n_entropy_dropped = _entropy_gate(
+            batch, min_entropy_microbits, text_col, n_batch
+        )
     n_quality_dropped = 0 if q_on else None
     if q_on:
         batch, n_quality_dropped = _quality_gate(
-            batch, nb_store, nb_threshold_micros, text_col, id_col, n_batch
+            batch, nb_store, nb_threshold_micros, text_col, id_col,
+            n_batch - (n_entropy_dropped or 0),
         )
 
     # passage store: convert layout + build the healed merge-on-read count
@@ -508,10 +551,14 @@ def run_incremental_ingest(
         max_bucket_size=max_bucket_size,
         n_batch=n_batch,
     )
-    if q_on:
+    if q_on or e_on:
         from dataclasses import replace as _replace
 
-        report = _replace(report, n_quality_dropped=n_quality_dropped)
+        report = _replace(
+            report,
+            n_quality_dropped=n_quality_dropped,
+            n_entropy_dropped=n_entropy_dropped,
+        )
 
     # sinks: survivors first, then each store's rows FOR THE SURVIVORS —
     # future batches dedup against the kept corpus (a dropped exact dup
@@ -771,6 +818,7 @@ def ingest_audit_row(spark, report: IngestReport) -> DataFrame:
             report.passage_tokens_removed,
             report.passage_docs_touched,
             report.n_quality_dropped,
+            report.n_entropy_dropped,
             dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
         )
     ]
@@ -782,7 +830,8 @@ _AUDIT_COLS_DDL = (
     "n_after_simhash long, n_landed long, minhash_pairs long, "
     "simhash_pairs long, minhash_capped_buckets long, "
     "simhash_capped_buckets long, passage_tokens_removed long, "
-    "passage_docs_touched long, n_quality_dropped long, ingest_ts timestamp"
+    "passage_docs_touched long, n_quality_dropped long, "
+    "n_entropy_dropped long, ingest_ts timestamp"
 )
 _AUDIT_COL_NAMES = {c.strip().split()[0] for c in _AUDIT_COLS_DDL.split(",")}
 
@@ -859,6 +908,7 @@ def run_incremental_ingest_txn(
     decon_store: str | None = None,
     nb_store: str | None = None,
     nb_threshold_micros: int = 0,
+    min_entropy_microbits: int | None = None,
 ) -> IngestReport:
     """``run_incremental_ingest`` with ATOMIC publication (round-7 verdict
     item 4): every sink is a ``sources/manifest`` table and the landed
@@ -902,7 +952,9 @@ def run_incremental_ingest_txn(
     ``nb_store`` / ``nb_threshold_micros`` enable the same read-only NB
     QUALITY GATE as the parquet runner (flat ``write_nb_store`` path,
     outside the journal): below-threshold docs drop before any tier, and
-    the audit row carries ``n_quality_dropped``."""
+    the audit row carries ``n_quality_dropped``; ``min_entropy_microbits``
+    enables the map-only char-entropy pre-gate before it
+    (``n_entropy_dropped``), exactly as in the parquet runner."""
     from ..operators import dedup as DD
     from ..operators.curation import read_passage_store
     from ..sources import manifest as MF
@@ -919,6 +971,7 @@ def run_incremental_ingest_txn(
     dc_on = decon_store is not None
     rw_on = pg_on or dc_on
     q_on = nb_store is not None
+    e_on = min_entropy_microbits is not None
 
     # validate every enabled store's parameter sidecar up front (same
     # helpers as the parquet mode — the sidecar is a plain file next to
@@ -962,6 +1015,7 @@ def run_incremental_ingest_txn(
             passage_tokens_removed=0 if rw_on else None,
             passage_docs_touched=0 if rw_on else None,
             n_quality_dropped=0 if q_on else None,
+            n_entropy_dropped=0 if e_on else None,
         )
         if audit_table is not None:
             MF.multi_commit(
@@ -971,13 +1025,20 @@ def run_incremental_ingest_txn(
             )
         return report
 
-    # quality gate (every sidecar above already validated — a doomed run
-    # fails before the scoring job spends compute): gated-out docs are
-    # invisible to every heal, tier and sink below
+    # gates (every sidecar above already validated — a doomed run fails
+    # before any gate spends compute): the map-only entropy floor first,
+    # then the NB scoring join; gated-out docs are invisible to every
+    # heal, tier and sink below
+    n_entropy_dropped = 0 if e_on else None
+    if e_on:
+        batch, n_entropy_dropped = _entropy_gate(
+            batch, min_entropy_microbits, text_col, n_batch
+        )
     n_quality_dropped = 0 if q_on else None
     if q_on:
         batch, n_quality_dropped = _quality_gate(
-            batch, nb_store, nb_threshold_micros, text_col, id_col, n_batch
+            batch, nb_store, nb_threshold_micros, text_col, id_col,
+            n_batch - (n_entropy_dropped or 0),
         )
 
     # store views: raw manifest reads, healed of any rows carrying THIS
@@ -1034,10 +1095,14 @@ def run_incremental_ingest_txn(
         max_bucket_size=max_bucket_size,
         n_batch=n_batch,
     )
-    if q_on:
+    if q_on or e_on:
         from dataclasses import replace as _replace
 
-        report = _replace(report, n_quality_dropped=n_quality_dropped)
+        report = _replace(
+            report,
+            n_quality_dropped=n_quality_dropped,
+            n_entropy_dropped=n_entropy_dropped,
+        )
 
     land_df = survivors
     pg_wins = None

@@ -940,6 +940,7 @@ def stream_ingest(
     decon_store: str | None = None,
     nb_store: str | None = None,
     nb_threshold_micros: int = 0,
+    min_entropy_microbits: int | None = None,
 ) -> None:
     """Streaming twin of ``plans/ingest.run_incremental_ingest`` — the
     EXACTLY-ONCE landed corpus the batch runner's docstring defers to.
@@ -981,8 +982,10 @@ def stream_ingest(
     exactly as in the batch/txn runners (read-only flat ``write_nb_store``
     path; below-threshold and zero-token docs drop before any tier,
     NULL-id docs pass ungated; ``n_quality_dropped`` in the audit row).
-    Deterministic replay requires the model store frozen while a batch
-    may replay — retrain between drains, not during one.
+    ``min_entropy_microbits`` enables the map-only char-entropy pre-gate
+    before it (``n_entropy_dropped``), exactly as in the batch/txn
+    runners. Deterministic replay requires the model store frozen while a
+    batch may replay — retrain between drains, not during one.
     """
     from ..operators.dedup import (
         _SIMHASH_ALGO,
@@ -1004,6 +1007,7 @@ def stream_ingest(
     dc_on = decon_store is not None
     rw_on = pg_on or dc_on
     q_on = nb_store is not None
+    e_on = min_entropy_microbits is not None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -1063,6 +1067,7 @@ def stream_ingest(
                         passage_tokens_removed=0 if rw_on else None,
                         passage_docs_touched=0 if rw_on else None,
                         n_quality_dropped=0 if q_on else None,
+                        n_entropy_dropped=0 if e_on else None,
                     )
                     _overwrite_batch_partition(
                         ingest_audit_row(spark, zero), audit_path, ns, batch_id
@@ -1166,13 +1171,20 @@ def stream_ingest(
             # batch before the scoring job spends compute. The heals above
             # joined against the RAW batch — a superset of any prior
             # attempt's gated appends, so they heal the same rows.
+            n_entropy_dropped = 0 if e_on else None
+            if e_on:
+                from ..plans.ingest import _entropy_gate
+
+                batch, n_entropy_dropped = _entropy_gate(
+                    batch, min_entropy_microbits, text_col, n_batch_raw
+                )
             n_quality_dropped = 0 if q_on else None
             if q_on:
                 from ..plans.ingest import _quality_gate
 
                 batch, n_quality_dropped = _quality_gate(
                     batch, nb_store, nb_threshold_micros, text_col, id_col,
-                    n_batch_raw,
+                    n_batch_raw - (n_entropy_dropped or 0),
                 )
 
             survivors, report = _run_tiers(
@@ -1192,10 +1204,14 @@ def stream_ingest(
                 max_bucket_size=max_bucket_size,
                 n_batch=n_batch_raw,
             )
-            if q_on:
+            if q_on or e_on:
                 from dataclasses import replace as _replace
 
-                report = _replace(report, n_quality_dropped=n_quality_dropped)
+                report = _replace(
+                    report,
+                    n_quality_dropped=n_quality_dropped,
+                    n_entropy_dropped=n_entropy_dropped,
+                )
 
             land_df = survivors
             if rw_on:

@@ -1274,3 +1274,83 @@ def test_ingest_all_tiers_composed_batch_equals_txn(spark, tmp_path):
     assert {
         x["doc_id"]: x["text"] for x in MF.read_table(spark, str(tmp_path / "corpus")).collect()
     } == landed
+
+
+def test_ingest_entropy_gate_drops_spam_before_everything(spark, tmp_path):
+    """Round-9 entropy pre-gate: repeated-character spam (and NULL text,
+    entropy 0) drops under the floor BEFORE the NB gate or any tier — the
+    NB drop count is measured from the entropy-gated base, the audit row
+    carries both counts with n_batch still the RAW size, the dropped docs
+    never index, and a rerun is idempotent."""
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest
+
+    nb = str(tmp_path / "nb")
+    _quality_store(spark, nb)
+    kw = dict(
+        exact_store=str(tmp_path / "ex"),
+        survivors_path=str(tmp_path / "landed"),
+        audit_path=str(tmp_path / "audit"),
+        nb_store=nb,
+        nb_threshold_micros=0,
+        min_entropy_microbits=500_000,
+    )
+    b = spark.createDataFrame(
+        [
+            (1, "good prose written nicely"),
+            (2, "aaaaaaaaaaaaaaaaaaaaaaaaaaaa"),  # entropy 0: floor drops it
+            (3, None),  # NULL text: entropy 0, drops under any positive floor
+            (4, "buy spam click junk"),  # survives the floor, NB drops it
+        ],
+        "doc_id long, text string",
+    )
+    r = run_incremental_ingest(b, **kw)
+    assert (r.n_batch, r.n_entropy_dropped, r.n_quality_dropped, r.n_landed) == (
+        4,
+        2,
+        1,
+        1,
+    )
+    assert [x["doc_id"] for x in spark.read.parquet(kw["survivors_path"]).collect()] == [1]
+    audit = spark.read.parquet(kw["audit_path"]).collect()
+    assert [(x["n_batch"], x["n_entropy_dropped"], x["n_quality_dropped"]) for x in audit] == [
+        (4, 2, 1)
+    ]
+    assert spark.read.parquet(kw["exact_store"]).filter("doc_id in (2, 3, 4)").count() == 0
+    r2 = run_incremental_ingest(b, **kw)
+    assert (r2.n_entropy_dropped, r2.n_quality_dropped) == (2, 1)
+    assert spark.read.parquet(kw["survivors_path"]).count() == 1
+    # entropy-only mode (no NB store): the knob works standalone
+    kw2 = dict(
+        exact_store=str(tmp_path / "ex2"),
+        survivors_path=str(tmp_path / "landed2"),
+        audit_path=str(tmp_path / "audit2"),
+        min_entropy_microbits=500_000,
+    )
+    r3 = run_incremental_ingest(b, **kw2)
+    assert (r3.n_entropy_dropped, r3.n_quality_dropped, r3.n_landed) == (2, None, 2)
+    a2 = spark.read.parquet(kw2["audit_path"]).collect()
+    assert [(x["n_entropy_dropped"], x["n_quality_dropped"]) for x in a2] == [(2, None)]
+
+
+def test_ingest_txn_entropy_gate(spark, tmp_path):
+    """TXN mode: the entropy floor composes with the journaled flip
+    identically to the parquet runner (same counts, same corpus)."""
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest_txn
+    from etl_data_transformer_spark.sources import manifest as MF
+
+    kw = dict(
+        corpus_table=str(tmp_path / "corpus"),
+        exact_table=str(tmp_path / "ex"),
+        audit_table=str(tmp_path / "audit"),
+        txn_dir=str(tmp_path / "_txns"),
+        min_entropy_microbits=500_000,
+    )
+    b = spark.createDataFrame(
+        [(1, "good prose written nicely"), (2, "bbbbbbbbbbbbbb")],
+        "doc_id long, text string",
+    )
+    r = run_incremental_ingest_txn(b, **kw)
+    assert (r.n_batch, r.n_entropy_dropped, r.n_landed) == (2, 1, 1)
+    assert [x["doc_id"] for x in MF.read_table(spark, kw["corpus_table"]).collect()] == [1]
+    audit = MF.read_table(spark, kw["audit_table"]).collect()
+    assert [(x["n_entropy_dropped"], x["n_quality_dropped"]) for x in audit] == [(1, None)]

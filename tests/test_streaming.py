@@ -1898,3 +1898,52 @@ def test_stream_ingest_all_tiers_composed(spark, tmp_path):
     assert {
         r["doc_id"]: r["text"] for r in spark.read.parquet(paths["b_landed"]).collect()
     } == got
+
+
+def test_stream_ingest_entropy_gate(spark, tmp_path):
+    """Round-9: the char-entropy pre-gate in the STREAMING composed ingest
+    — spam drops before the NB gate with both counts audited per batch,
+    identically to the batch runners."""
+    from etl_data_transformer_spark.functions import text as TX
+    from etl_data_transformer_spark.streaming.pipeline import stream_ingest
+
+    src, landed, ex, nb, audit, ckpt = (
+        str(tmp_path / p) for p in ("src", "landed", "ex", "nb", "audit", "ckpt")
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "good clean prose flows nicely", 1),
+            (2, "good well written text here", 1),
+            (3, "spam spam buy now click", 0),
+            (4, "click buy spam junk junk", 0),
+        ],
+        "doc_id long, text string, label int",
+    )
+    TX.write_nb_store(TX.nb_count_rows(train, "label"), nb, mode="overwrite")
+
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [
+            (1, "good prose written nicely"),
+            (2, "cccccccccccccccccccc"),  # entropy floor
+            (3, "buy spam click junk"),  # NB gate, from the gated base
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_ingest(
+        stream,
+        landed,
+        ckpt,
+        exact_store=ex,
+        audit_path=audit,
+        nb_store=nb,
+        nb_threshold_micros=0,
+        min_entropy_microbits=500_000,
+    )
+    assert [r["doc_id"] for r in spark.read.parquet(landed).collect()] == [1]
+    rows = spark.read.parquet(audit).collect()
+    assert [
+        (r["n_batch"], r["n_entropy_dropped"], r["n_quality_dropped"], r["n_landed"])
+        for r in rows
+    ] == [(3, 1, 1, 1)]
