@@ -56,6 +56,8 @@ SF1_HEADLINE = [
     "dedup_passages",
     "scd2_snapshot_orders",
     "nb_lang_classifier",
+    "entropy_docs",
+    "shard_docs",
 ]
 
 # headline set: the flagship branches + one per operator family
@@ -94,6 +96,8 @@ HEADLINE = [
     "dedup_passages",
     "decon_passages",
     "nb_lang_classifier",
+    "entropy_docs",
+    "shard_docs",
 ]
 
 
