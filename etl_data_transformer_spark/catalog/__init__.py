@@ -24,8 +24,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "watermark_filter": PAR.q_watermark_filter,
     "scalar_functions": PAR.q_scalar_functions,
     "regex_key_join": PAR.q_regex_key_join,
-    "pivot_returnflag": PAR.q_pivot_returnflag,
-    "events_json": PAR.q_events_json,
     "tumbling_events": PAR.q_tumbling_events,
     "percentile_prices": PAR.q_percentile_prices,
     # round-5 promotion (round-4 verdict item 8): the approx-percentile
@@ -33,7 +31,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # gate joins the contract. explode_part_types rotated out (explode is
     # also exercised by chunk_documents / events_json's array paths).
     "approx_percentile_prices": PAR.q_approx_percentile_prices,
-    "string_agg_nations": PAR.q_string_agg_nations,
     "cleanse_report": PAR.q_cleanse_report,
     "set_ops_customers": PAR.q_set_ops_customers,
     "full_outer_region_stats": PAR.q_full_outer_region_stats,
@@ -58,6 +55,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings": EXT.q_quantize_embeddings,
     "train_test_split": EXT.q_train_test_split,
     "curation_pipeline": EXT.q_curation_pipeline,
+    # round-9 in-session promotion (second batch): the round's newest ops
+    # get driver-strength rows immediately — top_fraction_docs (the
+    # FineWeb-style scored cut), entropy_docs (char-entropy quality
+    # signal), shard_docs (training-export shuffle contract). Rotated out
+    # with fresh green driver history and surviving family twins:
+    # pivot_returnflag (grouping/pivot family lives on via
+    # rollup_nation_status/cube_agg rotated + pricing_summary driver),
+    # events_json (JSON/array explode also exercised by chunk_documents
+    # driver + explode_part_types rotated), string_agg_nations (string
+    # aggregation exercised via scalar_functions' concat family; the
+    # rotated row keeps the exact compare).
+    "top_fraction_docs": EXT.q_top_fraction_docs,
+    "entropy_docs": EXT.q_entropy_docs,
+    "shard_docs": EXT.q_shard_docs,
     # round-4 promotions (round-3 verdict items 1-3): blocked-path recall
     # gates for the pigeonhole Hamming joins, plus the round-3 pytest-only
     # curation/text operators as first-class CORRECTNESS rows
@@ -218,21 +229,18 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_recall": EXT.q_simhash_recall,
     "ann_lsh_recall": EXT.q_ann_lsh_recall,
     "embedding_near_dups": EXT.q_embedding_near_dups,
-    # round-9 addition: exact keep-top-X%-per-group pruning (the
-    # FineWeb-style scored cut) with a deterministic tie-break.
-    "top_fraction_docs": EXT.q_top_fraction_docs,
     # round-9 addition: hopping (sliding) window aggregation — the
     # overlapping twin of tumbling_events (§2.9 family).
     "hopping_events": EXT.q_hopping_events,
     # round-9 addition: NFC + control-strip text canonicalization (the
     # ingest-front scrub; unicode-active cases pinned in pytest).
     "normalize_docs": EXT.q_normalize_docs,
-    # round-9 addition: Shannon char-entropy quality signal in engine-exact
-    # integer micro-bits (map-only, zero shuffle).
-    "entropy_docs": EXT.q_entropy_docs,
-    # round-9 addition: deterministic training-export sharding (md5-fold
-    # assignment + full pseudo-shuffle permutation, oracle-pinned).
-    "shard_docs": EXT.q_shard_docs,
+    # round-9 in-session rotation, second batch (fresh green driver
+    # history through r8 + this session's sweeps; overlaps documented at
+    # the QUERIES promotion note):
+    "pivot_returnflag": PAR.q_pivot_returnflag,
+    "events_json": PAR.q_events_json,
+    "string_agg_nations": PAR.q_string_agg_nations,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

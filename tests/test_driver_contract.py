@@ -54,5 +54,8 @@ def test_entry_module_queries_on_foreign_session(spark):
     finally:
         sys.path.pop(0)
     ns = _hostile_session(spark)
-    df = ent.queries()["events_json"](ns, SF_DIR)
+    # tumbling_events touches the events table's TIMESTAMP(NANOS) read —
+    # the conf-sensitive path this test exists for (events_json rotated
+    # out of the driver 50 in round 9; same nanos read, still a driver row)
+    df = ent.queries()["tumbling_events"](ns, SF_DIR)
     assert df.count() > 0
