@@ -1228,7 +1228,10 @@ def compression_ratio_micros(
     """
     import pandas as pd
 
-    out_schema = f"{id_col} long, n_bytes long, ratio_micros long"
+    # preserve the caller's id type (string ids are as valid as longs —
+    # round-9 review; every computation here is id-type-agnostic)
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_ddl}, n_bytes long, ratio_micros long"
 
     def _batches(it):
         import zlib

@@ -1911,11 +1911,32 @@ def assign_shards(
     Hash-mod balance is statistical (±O(sqrt(n/shards))); exact balance
     would need a global sort (``ntile``), a scale-killer this op
     deliberately avoids. ``seed`` re-deals the whole shuffle for a new
-    epoch without touching the data.
+    epoch without touching the data (salt-PREFIX md5, the module's one
+    shuffle-key convention — ``_mixture_hash``). Ids must be non-NULL
+    (lazy ``raise_error`` guard) and unique — the corpus contract every
+    dedup tier upstream already enforces — or the within-shard order of
+    the colliding rows would not be rerun-deterministic.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1: got {n_shards}")
-    keyed = F.concat(F.col(id_col).cast("string"), F.lit(seed))
+    for reserved in ("shard", "shuffle_key"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"assign_shards writes a `{reserved}` column but the input "
+                "already has one — rename it first (silently clobbering a "
+                "data column would corrupt the export)"
+            )
+    # the module's one shuffle-key convention (salt-prefix md5, shared with
+    # the mixture samplers / train_test_split DuckDB twins — round-9
+    # review); ids must be NON-NULL and unique for the permutation to be
+    # deterministic, and the lazy raise_error guard costs no extra job
+    ident = F.col(id_col).cast("string")
+    keyed = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(f"assign_shards: NULL {id_col} cannot be deterministically sharded")
+        ),
+    ).otherwise(F.concat(F.lit(seed), ident))
     return df.withColumn("shuffle_key", F.md5(keyed)).withColumn(
         "shard", F.pmod(_md5_fold64(keyed), F.lit(n_shards)).cast("int")
     )

@@ -862,8 +862,9 @@ def validate_batch_audit_layout(spark, audit_path: str) -> None:
         raise ValueError(
             f"audit table at {audit_path} has columns "
             f"{sorted(existing.columns)} but the current audit row has "
-            f"{sorted(_AUDIT_COL_NAMES)} — migrate the table (one-time "
-            "rewrite with the new columns) rather than mixing schemas"
+            f"{sorted(_AUDIT_COL_NAMES)} — run "
+            "plans.ingest.migrate_batch_audit_table(spark, audit_path) "
+            "(one-time rewrite) rather than mixing schemas"
         )
 
 
@@ -872,6 +873,51 @@ def write_ingest_audit(spark, audit_path: str, report: IngestReport) -> None:
     re-running ``validate_batch_audit_layout`` for direct callers."""
     validate_batch_audit_layout(spark, audit_path)
     ingest_audit_row(spark, report).write.mode("append").parquet(audit_path)
+
+
+def migrate_batch_audit_table(spark, audit_path: str) -> list[str]:
+    """One-time audit-table migration to the current ``_AUDIT_COLS_DDL``
+    column set (round-9 review: widening the audit row — e.g. the
+    ``n_entropy_dropped`` column — must not strand every pre-existing
+    table behind the schema-drift guard with only a hand-rewrite as the
+    way out, even for callers who never enable the new feature). Missing
+    CURRENT columns are added as NULL (the "tier did not run" encoding
+    every report field already uses); UNKNOWN existing columns raise —
+    this helper cannot invent meaning for them. Both layouts are handled:
+    the flat batch table rewrites through the crash-safe
+    ``atomic_swap_write``, the streaming table keeps its ``__batch_id``
+    partitioning. Returns the list of columns added (empty = no-op)."""
+    from ..sources.writers import atomic_swap_write
+    from ..streaming.pipeline import _read_store_or_none
+
+    existing = _read_store_or_none(spark, audit_path)
+    if existing is None:
+        return []
+    part = [c for c in ("__batch_id",) if c in existing.columns]
+    have = set(existing.columns) - set(part)
+    unknown = sorted(have - _AUDIT_COL_NAMES)
+    if unknown:
+        raise ValueError(
+            f"audit table at {audit_path} has columns {unknown} the current "
+            "audit schema does not know — they cannot be auto-migrated"
+        )
+    ddl = {
+        c.strip().split()[0]: c.strip().split()[1] for c in _AUDIT_COLS_DDL.split(",")
+    }
+    missing = [c for c in ddl if c not in have]
+    if not missing:
+        return []
+    out = existing
+    for c in missing:
+        out = out.withColumn(c, F.lit(None).cast(ddl[c]))
+    # column order: the current DDL order, partitions last (their values
+    # live in the directory layout either way)
+    out = out.select(*[c for c in ddl], *part)
+    # localCheckpoint before the swap: the plan reads the very directory
+    # the swap replaces
+    out = out.localCheckpoint(eager=True)
+    atomic_swap_write(out, audit_path, partition_by=part or None)
+    return missing
 
 
 # ----------------------------------------------- atomic (manifest) mode ----

@@ -1044,9 +1044,9 @@ def stream_ingest(
                         raise ValueError(
                             f"audit table at {audit_path} has columns "
                             f"{sorted(have)} but the current audit row has "
-                            f"{sorted(_AUDIT_COL_NAMES)} — migrate the table "
-                            "(one-time rewrite with the new columns) rather "
-                            "than mixing schemas"
+                            f"{sorted(_AUDIT_COL_NAMES)} — run plans.ingest."
+                            "migrate_batch_audit_table(spark, audit_path) "
+                            "(one-time rewrite) rather than mixing schemas"
                         )
             if batch.isEmpty():
                 if audit_path is not None:

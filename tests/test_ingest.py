@@ -1354,3 +1354,49 @@ def test_ingest_txn_entropy_gate(spark, tmp_path):
     assert [x["doc_id"] for x in MF.read_table(spark, kw["corpus_table"]).collect()] == [1]
     audit = MF.read_table(spark, kw["audit_table"]).collect()
     assert [(x["n_entropy_dropped"], x["n_quality_dropped"]) for x in audit] == [(1, None)]
+
+
+def test_migrate_batch_audit_table(spark, tmp_path):
+    """Round-9 review: widening the audit schema must not strand old
+    tables — the migration helper adds the missing columns as NULL through
+    the crash-safe swap, after which appends pass validation; unknown
+    columns refuse to auto-migrate; a second run is a no-op."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_data_transformer_spark.plans.ingest import (
+        IngestReport,
+        ingest_audit_row,
+        migrate_batch_audit_table,
+        run_incremental_ingest,
+    )
+
+    audit = str(tmp_path / "audit")
+    # simulate a pre-entropy-era table: current row minus the new column
+    ingest_audit_row(spark, IngestReport(1, 1, None, None, 1, None, None)).drop(
+        "n_entropy_dropped"
+    ).write.parquet(audit)
+    kw = dict(exact_store=str(tmp_path / "ex"), audit_path=audit)
+    b = spark.createDataFrame([(1, "fresh text")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="migrate_batch_audit_table"):
+        run_incremental_ingest(b, **kw)
+    assert migrate_batch_audit_table(spark, audit) == ["n_entropy_dropped"]
+    assert migrate_batch_audit_table(spark, audit) == []  # idempotent no-op
+    old = spark.read.parquet(audit).collect()
+    assert [r["n_entropy_dropped"] for r in old] == [None]  # tier-not-run encoding
+    r = run_incremental_ingest(b, **kw)  # append now passes validation
+    assert r.n_landed == 1
+    assert spark.read.parquet(audit).count() == 2
+    # streaming layout: the __batch_id partitioning survives migration
+    s_audit = str(tmp_path / "s_audit")
+    ingest_audit_row(spark, IngestReport(2, 2, None, None, 2, None, None)).drop(
+        "n_entropy_dropped"
+    ).withColumn("__batch_id", F.lit(0)).write.partitionBy("__batch_id").parquet(s_audit)
+    assert migrate_batch_audit_table(spark, s_audit) == ["n_entropy_dropped"]
+    got = spark.read.parquet(s_audit).collect()
+    assert [(r["__batch_id"], r["n_entropy_dropped"]) for r in got] == [(0, None)]
+    # unknown columns cannot be auto-migrated
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame([(1,)], "mystery long").write.parquet(bad)
+    with pytest.raises(ValueError, match="mystery"):
+        migrate_batch_audit_table(spark, bad)

@@ -861,3 +861,7 @@ def test_compression_ratio_matches_zlib(spark):
         assert got[i] == (len(raw), want)
     # the quality signal itself: repetitive text compresses far below prose
     assert got[2][1] < got[1][1] and got[5][1] < got[1][1]
+    # non-integer ids pass through with their own type (round-9 review)
+    sdf = spark.createDataFrame([("web-17", "some web text here")], "doc_id string, text string")
+    srow = compression_ratio_micros(sdf).collect()[0]
+    assert srow["doc_id"] == "web-17" and srow["n_bytes"] == 18

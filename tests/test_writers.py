@@ -99,3 +99,19 @@ def test_write_shards_layout_matches_manifest(spark, tmp_path):
         for r in spark.read.parquet(glob.glob(d + "/*.parquet")[0]).collect()
     ]
     assert again == [i for k in (int(d.rsplit("=", 1)[1]) for d in dirs) for _, i in sorted(want[k])]
+
+
+def test_assign_shards_rejects_null_ids_and_reserved_columns(spark):
+    import pytest as _pytest
+
+    from etl_data_transformer_spark.operators.curation import assign_shards
+
+    with _pytest.raises(ValueError, match="shuffle_key"):
+        assign_shards(
+            spark.createDataFrame([(1, "x")], "doc_id long, shuffle_key string"), 4
+        )
+    with _pytest.raises(ValueError, match="`shard`"):
+        assign_shards(spark.createDataFrame([(1, 2)], "doc_id long, shard int"), 4)
+    nulls = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    with _pytest.raises(Exception, match="deterministically sharded"):
+        assign_shards(nulls, 4).collect()
