@@ -68,7 +68,14 @@ def exact_fingerprint_store(
     return df.select(id_col, fingerprint(text_col).alias("fp"))
 
 
-def write_exact_store(store_df: DataFrame, path: str, *, mode: str = "append") -> None:
+def write_exact_store(
+    store_df: DataFrame,
+    path: str,
+    *,
+    mode: str = "append",
+    bucket_by_fp: bool = False,
+    num_buckets: int = 32,
+) -> None:
     """Persist ``exact_fingerprint_store`` rows with an ``_exact_params``
     sidecar recording the fingerprint algorithm version — exact dedup has
     no tunable parameters, but pinning the algorithm keeps a future hash
@@ -76,13 +83,38 @@ def write_exact_store(store_df: DataFrame, path: str, *, mode: str = "append") -
     footgun the banded stores' sidecars close). Same lifecycle discipline
     as ``write_minhash_store``: overwrite = atomic rebuild with the label
     swapped in with the data; append = sidecar validated/written before
-    the first data write, streaming-layout stores rejected."""
+    the first data write, streaming-layout stores rejected.
+
+    ``bucket_by_fp=True`` writes the BUCKETED layout (round-9, the same
+    shuffle-free store side the MinHash store got in round 8's follow-up):
+    rows land pre-hashed into ``num_buckets`` buckets on ``fp``, so every
+    later ``exact_dedup_incremental`` anti-join reads the store with NO
+    Exchange — only the (small) batch side shuffles. The bucket spec lives
+    in the sidecar; flat appends to a bucketed store (and vice versa, and
+    bucket-count drift) reject loudly. ``read_exact_store`` auto-detects
+    the layout and re-registers the catalog entry in fresh sessions."""
     import os
 
     from ..sources.writers import atomic_swap_write
 
-    params = {"algo": _EXACT_FP_ALGO}
+    params: dict = {"algo": _EXACT_FP_ALGO}
+    if bucket_by_fp:
+        params["bucket_by"] = "fp"
+        params["num_buckets"] = num_buckets
     if mode == "overwrite":
+        if bucket_by_fp:
+            spark = store_df.sparkSession
+            spark.sql(f"DROP TABLE IF EXISTS `{_bucketed_store_table(path)}`")
+            atomic_swap_write(
+                store_df,
+                path,
+                finalize_staging=lambda staging: _write_params_sidecar(
+                    os.path.join(staging, "_exact_params.json"), params
+                ),
+                write_staging=_bucketed_staging_writer("fp", num_buckets),
+            )
+            _register_bucketed_store(spark, path, "fp", num_buckets)
+            return
         atomic_swap_write(
             store_df,
             path,
@@ -92,16 +124,38 @@ def write_exact_store(store_df: DataFrame, path: str, *, mode: str = "append") -
         )
         return
     _reject_streaming_layout_append(store_df, path, "exact-fingerprint")
-    ensure_exact_params_sidecar(path)
+    ensure_exact_params_sidecar(path, bucket_by_fp=bucket_by_fp, num_buckets=num_buckets)
+    if bucket_by_fp:
+        spark = store_df.sparkSession
+        table = _bucketed_store_table(path)
+        writer = (
+            store_df.write.mode(mode).bucketBy(num_buckets, "fp").sortBy("fp").format("parquet")
+        )
+        if spark.catalog.tableExists(table):
+            writer.saveAsTable(table)
+        else:
+            from ..sources.readers import read_parquet_or_none
+
+            if read_parquet_or_none(spark, path) is not None:
+                _register_bucketed_store(spark, path, "fp", num_buckets)
+                writer.saveAsTable(table)
+            else:
+                writer.option("path", path).saveAsTable(table)
+        return
     store_df.write.mode(mode).parquet(path)
 
 
 _EXACT_FP_ALGO = "sha256-normalized-v1"
 
 
-def ensure_exact_params_sidecar(path: str) -> None:
+def ensure_exact_params_sidecar(
+    path: str, *, bucket_by_fp: bool = False, num_buckets: int = 32
+) -> None:
     """Write-or-validate the ``_exact_params`` sidecar (see
-    ``write_exact_store``)."""
+    ``write_exact_store``). The bucket spec joins the strict compare: a
+    flat caller against a bucketed store (or drifted bucket count)
+    rejects — mixing bucket-suffixed and plain file names corrupts the
+    bucketed read."""
     import os
 
     from ..sources.writers import recover_interrupted_swap
@@ -112,13 +166,55 @@ def ensure_exact_params_sidecar(path: str) -> None:
     # with a fresh sidecar here would make the later recovery pass treat
     # the backup as post-swap litter and DELETE it (round-7 review).
     recover_interrupted_swap(path)
-    params = {"algo": _EXACT_FP_ALGO}
+    params: dict = {"algo": _EXACT_FP_ALGO}
+    if bucket_by_fp:
+        params["bucket_by"] = "fp"
+        params["num_buckets"] = num_buckets
     sidecar = os.path.join(path, "_exact_params.json")
     if os.path.exists(sidecar):
         _validate_store_params(sidecar, params, label="exact-fingerprint")
         return
     os.makedirs(path, exist_ok=True)
     _write_params_sidecar(sidecar, params)
+
+
+def exact_store_bucket_spec(path: str) -> "tuple[str, int] | None":
+    """(bucket_col, num_buckets) for a store written with
+    ``bucket_by_fp=True``, else ``None`` — the same layout-discovery hook
+    ``minhash_store_bucket_spec`` gives the composed ingest runners."""
+    import json
+    import os
+
+    sidecar = os.path.join(path, "_exact_params.json")
+    if not os.path.exists(sidecar):
+        return None
+    with open(sidecar, encoding="utf-8") as f:
+        stored = json.load(f)
+    if "bucket_by" in stored:
+        return stored["bucket_by"], stored["num_buckets"]
+    return None
+
+
+def read_exact_store(spark, path: str) -> DataFrame:
+    """Load a persisted exact-fingerprint store, validating the algorithm
+    sidecar; a bucketed store reads through its catalog entry
+    (re-registered in fresh sessions), so the incremental anti-join skips
+    the store-side Exchange."""
+    import os
+
+    sidecar = os.path.join(path, "_exact_params.json")
+    if os.path.exists(sidecar):
+        _validate_store_params(
+            sidecar,
+            {"algo": _EXACT_FP_ALGO},
+            label="exact-fingerprint",
+            ignore_keys=_BUCKET_KEYS,
+        )
+        spec = exact_store_bucket_spec(path)
+        if spec is not None:
+            table = _register_bucketed_store(spark, path, spec[0], spec[1])
+            return spark.table(table)
+    return spark.read.parquet(path)
 
 
 def exact_dedup_incremental(

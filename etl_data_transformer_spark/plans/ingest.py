@@ -449,9 +449,26 @@ def run_incremental_ingest(
             )
         return _drop_replayed_batch_rows(store, batch, id_col).select(*cols)
 
+    # layout-agnostic exact handling (round-9, mirroring the minhash
+    # discovery below): a store written with write_exact_store(
+    # bucket_by_fp=True) carries its bucket spec in the sidecar — validate
+    # with the spec included, read through the catalog entry so the
+    # incremental anti-join keeps its exchange-free store side, and append
+    # back in the SAME layout below
+    ex_bucket = DD.exact_store_bucket_spec(exact_store)
     ex_store = _load(
-        exact_store, lambda: DD.ensure_exact_params_sidecar(exact_store), [id_col, "fp"]
+        exact_store,
+        lambda: DD.ensure_exact_params_sidecar(
+            exact_store,
+            bucket_by_fp=ex_bucket is not None,
+            num_buckets=ex_bucket[1] if ex_bucket else 32,
+        ),
+        [id_col, "fp"],
     )
+    if ex_store is not None and ex_bucket is not None:
+        ex_store = _drop_replayed_batch_rows(
+            DD.read_exact_store(spark, exact_store), batch, id_col
+        ).select(id_col, "fp")
     # layout-agnostic minhash handling (round-9 review): a store written
     # with write_minhash_store(bucket_by_band=True) carries its bucket
     # spec in the sidecar — discover it, validate with the spec included,
@@ -612,6 +629,8 @@ def run_incremental_ingest(
             DD.exact_fingerprint_store(survivors, text_col, id_col), exact_store, id_col
         ),
         exact_store,
+        bucket_by_fp=ex_bucket is not None,
+        num_buckets=ex_bucket[1] if ex_bucket else 32,
     )
     if minhash_store is not None:
         DD.write_minhash_store(

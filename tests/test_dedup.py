@@ -923,3 +923,90 @@ def test_minhash_bucketed_store_survives_fresh_catalog(spark, tmp_path):
         num_buckets=4,
     )
     assert DD.read_minhash_store(spark, p).count() == 204
+
+
+def test_exact_bucketed_store_lifecycle_and_no_store_side_exchange(spark, tmp_path):
+    """Round-9 bucketed exact store (the MinHash layout's sibling):
+    write(bucket_by_fp=True) → read auto-detects and routes through the
+    catalog entry → incremental survivors equal the flat store's → append
+    extends the buckets → flat append and bucket-count drift reject →
+    plan pin: the anti-join over the BUCKETED store carries one fewer
+    shuffle than the flat control, and the store-scan subtree is
+    exchange-free."""
+    import pytest
+
+    from etl_data_transformer_spark.operators.joins import with_confs
+
+    pb = str(tmp_path / "ex_bucketed")
+    pf = str(tmp_path / "ex_flat")
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc body {i}") for i in range(200)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1000, "corpus doc body 7"), (1001, "wholly new doc"), (1002, "wholly new doc")],
+        "doc_id long, text string",
+    )
+    rows = DD.exact_fingerprint_store(corpus)
+    DD.write_exact_store(rows, pb, mode="overwrite", bucket_by_fp=True, num_buckets=8)
+    DD.write_exact_store(rows, pf, mode="overwrite")
+    store_b = DD.read_exact_store(spark, pb)
+    store_f = DD.read_exact_store(spark, pf)
+    got_b = sorted(r["doc_id"] for r in DD.exact_dedup_incremental(batch, store_b).collect())
+    got_f = sorted(r["doc_id"] for r in DD.exact_dedup_incremental(batch, store_f).collect())
+    assert got_b == got_f == [1001]  # 1000 dups the corpus, 1002 loses in-batch
+
+    def _join_shuffles(store):
+        hashed = batch.select("doc_id", DD.fingerprint("text").alias("fp"))
+        j = hashed.join(store.select("fp"), "fp", "left_anti")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange") - plan.count("BroadcastExchange"), plan
+
+    with with_confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        n_b, plan_b = _join_shuffles(store_b)
+        n_f, _ = _join_shuffles(store_f)
+    assert "Bucketed: true" in plan_b, plan_b[:2000]
+    assert n_b == n_f - 1, (n_b, n_f, plan_b[:3000])
+    scan_idx = plan_b.index("Bucketed: true")
+    assert "Exchange" not in plan_b[plan_b.rindex("FileScan", 0, scan_idx) : scan_idx]
+
+    # append extends the buckets; flat append and spec drift reject
+    extra = spark.createDataFrame([(5000, "appended doc")], "doc_id long, text string")
+    DD.write_exact_store(DD.exact_fingerprint_store(extra), pb, bucket_by_fp=True, num_buckets=8)
+    assert DD.read_exact_store(spark, pb).count() == 201
+    with pytest.raises(ValueError, match="mismatch"):
+        DD.write_exact_store(DD.exact_fingerprint_store(extra), pb)
+    with pytest.raises(ValueError, match="mismatch"):
+        DD.write_exact_store(
+            DD.exact_fingerprint_store(extra), pb, bucket_by_fp=True, num_buckets=16
+        )
+
+    # the composed ingest discovers the layout from the sidecar alone and
+    # appends back bucketed (one fewer exchange stays true after the run)
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest
+
+    r = run_incremental_ingest(batch, exact_store=pb)
+    assert (r.n_batch, r.n_landed) == (3, 1)
+    assert DD.read_exact_store(spark, pb).count() == 202
+    assert DD.exact_store_bucket_spec(pb) == ("fp", 8)
+    with with_confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        n_after, plan_after = _join_shuffles(DD.read_exact_store(spark, pb))
+    assert n_after == n_b and "Bucketed: true" in plan_after
+
+
+def test_exact_bucketed_store_survives_fresh_catalog(spark, tmp_path):
+    """The in-memory catalog forgets tables across sessions; the exact
+    reader must re-register the bucketed entry from sidecar + files."""
+    p = str(tmp_path / "ex_b")
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    DD.write_exact_store(
+        DD.exact_fingerprint_store(corpus), p, mode="overwrite", bucket_by_fp=True, num_buckets=4
+    )
+    from etl_data_transformer_spark.operators.dedup import _bucketed_store_table
+
+    spark.sql(f"DROP TABLE IF EXISTS `{_bucketed_store_table(p)}`")  # simulate fresh session
+    store = DD.read_exact_store(spark, p)
+    assert store.count() == 50
+    plan = store.select("fp")._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan or "FileScan" in plan
