@@ -224,4 +224,7 @@ def write_shards(
         .sortWithinPartitions("shard", "shuffle_key", id_col)
         .drop("shuffle_key")
     )
-    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    # staged + swapped, not written in place: a crash mid-export must never
+    # leave a half-written shard set where a training loader (or a rerun
+    # diff) can see it — same discipline as every store rebuild here
+    atomic_swap_write(out, path, partition_by=["shard"])

@@ -99,6 +99,14 @@ def test_write_shards_layout_matches_manifest(spark, tmp_path):
         for r in spark.read.parquet(glob.glob(d + "/*.parquet")[0]).collect()
     ]
     assert again == [i for k in (int(d.rsplit("=", 1)[1]) for d in dirs) for _, i in sorted(want[k])]
+    # the export is staged + swapped: a failing rewrite leaves the prior
+    # export fully intact (no half-written shard set is ever visible)
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(None, "null id")], "doc_id long, text string")
+    with _pytest.raises(Exception, match="deterministically sharded"):
+        write_shards(bad, path, 8)
+    assert spark.read.parquet(path).count() == 120
 
 
 def test_assign_shards_rejects_null_ids_and_reserved_columns(spark):
