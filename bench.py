@@ -58,6 +58,7 @@ SF1_HEADLINE = [
     "nb_lang_classifier",
     "entropy_docs",
     "shard_docs",
+    "sparse_topk_docs",
 ]
 
 # headline set: the flagship branches + one per operator family
@@ -98,6 +99,7 @@ HEADLINE = [
     "nb_lang_classifier",
     "entropy_docs",
     "shard_docs",
+    "sparse_topk_docs",
 ]
 
 

@@ -241,6 +241,9 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_returnflag": PAR.q_pivot_returnflag,
     "events_json": PAR.q_events_json,
     "string_agg_nations": PAR.q_string_agg_nations,
+    # round-9 addition: sparse TF-IDF cosine top-k via the inverted-index
+    # join (integer-quantized IDF, full-ranking hash pin).
+    "sparse_topk_docs": EXT.q_sparse_topk_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

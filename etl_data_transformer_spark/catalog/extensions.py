@@ -878,3 +878,15 @@ def q_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import shard_manifest
 
     return shard_manifest(_docs(spark, sf_dir), 8)
+
+
+def q_sparse_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 sparse-vector similarity: TF-IDF cosine top-5 neighbors per
+    document through the inverted-index join (df-capped at 100 — the
+    stop-term cap is part of the contract, applied identically in the
+    DuckDB twin). Integer-quantized IDF keeps every sum exact; the final
+    cosine uses only IEEE-exact ops, so the hash compare pins the full
+    neighbor ranking."""
+    from ..operators.similarity import sparse_cosine_topk
+
+    return sparse_cosine_topk(_docs(spark, sf_dir), k=5, max_df=100)

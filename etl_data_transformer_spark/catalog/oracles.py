@@ -1352,6 +1352,56 @@ EXTENSION_ORACLES["shard_docs"] = """
     FROM h
 """
 
+# Round-9 sparse cosine top-k. Mirrors sparse_cosine_topk exactly: the
+# same whitespace tokenization as tfidf_top_terms/unigram_logprob, IDF
+# quantized to integer milli-nats (+1000 smooth), BIGINT weights/dots/
+# norms, and a final dot/(sqrt*sqrt) of identical integers — IEEE-exact
+# on both engines. The df<=100 stop-term cap is part of the contract.
+EXTENSION_ORACLES["sparse_topk_docs"] = """
+    WITH tok AS (
+        SELECT doc_id, t AS term FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+            FROM documents
+        ) WHERE length(t) > 0
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tc FROM tok GROUP BY 1, 2
+    ), dfr AS (
+        SELECT term, count(*) AS docs_with FROM tf GROUP BY 1
+        HAVING count(*) <= 100
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+        SELECT doc_id, term,
+               tc * CAST(round(
+                   1000.0 * ln((n_docs + 1.0) / (docs_with + 1.0)) + 1000.0,
+               0) AS BIGINT) AS wq
+        FROM tf JOIN dfr USING (term) CROSS JOIN n
+    ), nrm AS (
+        SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS nq FROM w GROUP BY 1
+    ), dots AS (
+        SELECT a.doc_id AS doc_id, b.doc_id AS neighbor_id,
+               CAST(sum(a.wq * b.wq) AS BIGINT) AS dot
+        FROM w a JOIN w b USING (term)
+        WHERE a.doc_id != b.doc_id
+        GROUP BY 1, 2
+    ), cosr AS (
+        SELECT dots.doc_id, neighbor_id,
+               dot / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos
+        FROM dots
+        JOIN nrm na ON dots.doc_id = na.doc_id
+        JOIN nrm nb ON dots.neighbor_id = nb.doc_id
+    )
+    SELECT doc_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+           round(cos, 6) AS cos_sim
+    FROM (
+        SELECT doc_id, neighbor_id, cos,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY cos DESC, neighbor_id ASC
+               ) AS rnk
+        FROM cosr
+    ) WHERE rnk <= 5
+"""
+
 ALL_ORACLES: dict[str, str] = {
     **PARITY_ORACLES,
     **EXTENSION_ORACLES,

@@ -589,3 +589,87 @@ def ivf_delete(spark, index_path: str, drop_ids: DataFrame, id_col: str = "id") 
     index = spark.read.parquet(index_path)
     kept = index.join(drop_ids.select(id_col).distinct(), id_col, "left_anti")
     atomic_swap_write(kept, index_path, partition_by=["list_id"])
+
+
+def sparse_cosine_topk(
+    df: DataFrame,
+    k: int = 5,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse (TF-IDF) cosine top-k neighbors via an INVERTED-INDEX join —
+    the IR-style similarity path next to the dense ANN family: documents
+    meet only where they share a term, so the join cost is ``Σ_t df(t)²``
+    over the vocabulary, not N². ``max_df`` drops stop-terms above a
+    document-frequency cap BEFORE the join — the standard inverted-index
+    trick (same hot-bucket discipline as the banded dedup joins: a term in
+    every doc contributes nothing to cosine ordering but quadratic join
+    mass); cosine is then exact over the kept term space, identically on
+    both engines.
+
+    Engine-exact contract: ln-based IDF is quantized to integer MILLI-nats
+    per term (+1000 smooth), weights ``tc * idf_milli`` are exact BIGINTs,
+    dot products and norms are exact BIGINT sums, and the final
+    ``dot / (sqrt(na) * sqrt(nb))`` uses only correctly-rounded IEEE ops —
+    bit-identical across engines from identical integers (int64 range
+    bounds: weights ≤ ~1e6 for tc ≤ ~150, so per-pair sums stay far under
+    2^63 at any realistic vocabulary; gigantic tc would need a smaller
+    quantization scale).
+
+    Scale shape: three narrow-key shuffles (tf groupBy, pair groupBy, the
+    per-doc top-k window) — the (term) self-join hangs both sides off ONE
+    repartition exchange, and the df dictionary broadcasts at any corpus
+    size with a bounded vocabulary."""
+    from ..functions.text import tokens
+
+    tok = df.select(id_col, F.explode(tokens(F.lower(text_col))).alias("term")).filter(
+        F.length("term") > 0
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tc"))
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("docs_with"))
+    if max_df is not None:
+        dfr = dfr.filter(F.col("docs_with") <= max_df)
+    n_docs = df.count()  # bounded census: one scalar for the IDF constant
+    idf_milli = F.round(
+        F.lit(1000.0) * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("docs_with") + 1.0))
+        + 1000.0,
+        0,
+    ).cast("long")
+    w = (
+        tf.join(F.broadcast(dfr), "term")
+        .select(id_col, "term", (F.col("tc") * idf_milli).alias("wq"))
+        .repartition("term")  # ONE exchange feeds both self-join sides
+    )
+    nrm = w.groupBy(id_col).agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
+    a = w.select(F.col(id_col).alias("__a"), "term", F.col("wq").alias("wa"))
+    b = w.select(F.col(id_col).alias("__b"), "term", F.col("wq").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("__a") != F.col("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    cos = (
+        dots.join(nrm.select(F.col(id_col).alias("__a"), F.col("nq").alias("na")), "__a")
+        .join(nrm.select(F.col(id_col).alias("__b"), F.col("nq").alias("nb")), "__b")
+        .select(
+            F.col("__a").alias(id_col),
+            F.col("__b").alias("neighbor_id"),
+            (
+                F.col("dot")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+            ).alias("cos"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        cos.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col,
+            "neighbor_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )

@@ -344,3 +344,44 @@ def test_ivf_delete_removes_vectors_and_preserves_layout(spark, star, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln and "list_id" in ln)
     assert "PartitionFilters" in scan
+
+
+def test_sparse_cosine_topk_semantics(spark):
+    """Hand-checkable corpus: identical docs rank 1.0 first, partial
+    overlaps order by cosine, stop-terms above max_df drop out of BOTH the
+    join and the norms (pairs sharing only stop-terms vanish), rnk is
+    contiguous and bounded by k."""
+    from etl_data_transformer_spark.operators.similarity import sparse_cosine_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),  # identical to 1 -> cosine exactly 1.0
+            (3, "alpha beta delta"),  # 2/3 overlap with 1 and 2
+            (4, "zeta eta theta"),  # disjoint -> no rows with 1-3
+            (5, "zeta eta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sparse_cosine_topk(docs, k=3).collect()
+    got = {(r["doc_id"], r["neighbor_id"]): (r["rnk"], r["cos_sim"]) for r in out}
+    assert got[(1, 2)] == (1, 1.0) and got[(2, 1)] == (1, 1.0)
+    assert got[(1, 3)][0] == 2 and 0 < got[(1, 3)][1] < 1
+    assert (1, 4) not in got and (4, 1) not in got
+    assert got[(4, 5)][0] == 1
+    by_doc = {}
+    for (d, _n), (rnk, _c) in got.items():
+        by_doc.setdefault(d, []).append(rnk)
+    for d, rnks in by_doc.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), d
+        assert len(rnks) <= 3
+
+    # a universal stop term must not rescue disjoint docs into the output
+    stopped = spark.createDataFrame(
+        [(i, f"the unique{i} word{i}") for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    none_shared = sparse_cosine_topk(stopped, k=3, max_df=3).collect()
+    assert none_shared == []  # 'the' (df=4 > 3) was the only shared term
+    # without the cap the same corpus DOES pair through 'the'
+    assert sparse_cosine_topk(stopped, k=3).count() > 0
