@@ -244,6 +244,9 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-9 addition: sparse TF-IDF cosine top-k via the inverted-index
     # join (integer-quantized IDF, full-ranking hash pin).
     "sparse_topk_docs": EXT.q_sparse_topk_docs,
+    # round-9 addition: persisted TF-IDF index build -> frozen-idf search
+    # round-trip (the incremental search leg of the sparse family).
+    "sparse_search_docs": EXT.q_sparse_search_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

@@ -890,3 +890,20 @@ def q_sparse_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import sparse_cosine_topk
 
     return sparse_cosine_topk(_docs(spark, sf_dir), k=5, max_df=100)
+
+
+def q_sparse_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 persisted sparse search e2e: build the TF-IDF index over the
+    corpus slice (doc_id >= 100, df-capped at 100), then search the query
+    slice (doc_id < 100) against it — queries weighted under the index's
+    FROZEN idf, ranked by the engine-exact integer cosine. The DuckDB twin
+    recomputes the identical frozen pipeline inline, so the hash pins the
+    build→persist→search round-trip, not just the math."""
+    import tempfile
+
+    from ..operators.similarity import build_tfidf_index, sparse_topk_search
+
+    d = _docs(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="tfidf_idx_")
+    build_tfidf_index(d.filter(F.col("doc_id") >= 100), idx, max_df=100)
+    return sparse_topk_search(d.filter(F.col("doc_id") < 100), spark, idx, k=5)

@@ -1402,6 +1402,57 @@ EXTENSION_ORACLES["sparse_topk_docs"] = """
     ) WHERE rnk <= 5
 """
 
+# Round-9 persisted sparse search: idf frozen over the CORPUS slice only
+# (doc_id >= 100, df <= 100), queries weighted under that frozen table —
+# terms unseen in the corpus contribute nothing, exactly the
+# frozen-vocabulary rule the index bakes in.
+EXTENSION_ORACLES["sparse_search_docs"] = """
+    WITH tok AS (
+        SELECT doc_id, t AS term FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+            FROM documents
+        ) WHERE length(t) > 0
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tc FROM tok GROUP BY 1, 2
+    ), corpus_df AS (
+        SELECT term, count(*) AS docs_with FROM tf WHERE doc_id >= 100
+        GROUP BY 1 HAVING count(*) <= 100
+    ), n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id >= 100),
+    idf AS (
+        SELECT term,
+               CAST(round(
+                   1000.0 * ln((n_docs + 1.0) / (docs_with + 1.0)) + 1000.0,
+               0) AS BIGINT) AS idf_milli
+        FROM corpus_df CROSS JOIN n
+    ), w AS (
+        SELECT doc_id, term, tc * idf_milli AS wq FROM tf JOIN idf USING (term)
+    ), nrm AS (
+        SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS nq FROM w GROUP BY 1
+    ), dots AS (
+        SELECT q.doc_id AS doc_id, c.doc_id AS neighbor_id,
+               CAST(sum(q.wq * c.wq) AS BIGINT) AS dot
+        FROM w q JOIN w c USING (term)
+        WHERE q.doc_id < 100 AND c.doc_id >= 100
+        GROUP BY 1, 2
+    ), cosr AS (
+        SELECT dots.doc_id, neighbor_id,
+               dot / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cos
+        FROM dots
+        JOIN nrm na ON dots.doc_id = na.doc_id
+        JOIN nrm nb ON dots.neighbor_id = nb.doc_id
+    )
+    SELECT doc_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+           round(cos, 6) AS cos_sim
+    FROM (
+        SELECT doc_id, neighbor_id, cos,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY cos DESC, neighbor_id ASC
+               ) AS rnk
+        FROM cosr
+    ) WHERE rnk <= 5
+"""
+
 ALL_ORACLES: dict[str, str] = {
     **PARITY_ORACLES,
     **EXTENSION_ORACLES,

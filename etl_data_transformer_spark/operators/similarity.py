@@ -673,3 +673,161 @@ def sparse_cosine_topk(
             F.round("cos", 6).alias("cos_sim"),
         )
     )
+
+
+def _tfidf_weights(df: DataFrame, idf: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, wq): integer TF-IDF weights under a FROZEN idf table —
+    terms absent from ``idf`` contribute nothing (the frozen-vocabulary
+    rule every persisted-model op here shares: NB default weights, IVF
+    centroids). Shared by index build and search so the two can never
+    drift."""
+    from ..functions.text import tokens
+
+    tok = df.select(id_col, F.explode(tokens(F.lower(text_col))).alias("term")).filter(
+        F.length("term") > 0
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tc"))
+    return tf.join(F.broadcast(idf), "term").select(
+        id_col, "term", (F.col("tc") * F.col("idf_milli")).alias("wq")
+    )
+
+
+def build_tfidf_index(
+    df: DataFrame,
+    path: str,
+    *,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist a sparse TF-IDF search index over the corpus: an ``idf/``
+    table (term, docs_with, idf_milli — FROZEN at build time, the same
+    freeze-at-train contract as NB models and IVF centroids), a
+    ``weights/`` posting table (doc_id, term, wq) and a ``norms/`` table
+    (doc_id, nq), plus a ``_tfidf_params`` sidecar pinning the algorithm
+    and quantization so a drifted searcher rejects instead of silently
+    mis-ranking. ``max_df`` bakes the stop-term cap into the index.
+
+    Scale shape: the build is the ``sparse_cosine_topk`` prefix (two
+    narrow groupBys); searches then join the posting table on ``term`` —
+    bytes per posting, the corpus text is never re-read."""
+    import json
+    import os
+
+    from ..sources.writers import write_parquet
+
+    tf = (
+        df.select(id_col, F.explode(_tok(text_col)).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("docs_with"))
+    if max_df is not None:
+        dfr = dfr.filter(F.col("docs_with") <= max_df)
+    n_docs = df.count()
+    idf = dfr.select(
+        "term",
+        "docs_with",
+        F.round(
+            F.lit(1000.0)
+            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("docs_with") + 1.0))
+            + 1000.0,
+            0,
+        )
+        .cast("long")
+        .alias("idf_milli"),
+    )
+    os.makedirs(path, exist_ok=True)
+    write_parquet(idf, os.path.join(path, "idf"))
+    w = _tfidf_weights(df, idf, text_col, id_col)
+    write_parquet(w, os.path.join(path, "weights"))
+    write_parquet(
+        w.groupBy(id_col).agg(F.sum(F.col("wq") * F.col("wq")).alias("nq")),
+        os.path.join(path, "norms"),
+    )
+    tmp = os.path.join(path, "_tfidf_params.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"algo": _TFIDF_ALGO, "n_docs": n_docs, "max_df": max_df}, f)
+    os.replace(tmp, os.path.join(path, "_tfidf_params.json"))
+
+
+_TFIDF_ALGO = "tfidf-millinat-v1"
+
+
+def _tok(text_col: str):
+    from ..functions.text import tokens
+
+    return tokens(F.lower(text_col))
+
+
+def sparse_topk_search(
+    queries: DataFrame,
+    spark,
+    path: str,
+    k: int = 5,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k corpus neighbors for each query document against a persisted
+    ``build_tfidf_index``: queries are weighted under the index's FROZEN
+    idf (unseen terms contribute nothing — exactly what a full rebuild
+    over corpus∪queries would NOT do; the equivalence contract is "same
+    ranking as weighting the queries at build time", pinned in pytest),
+    joined to the posting table on ``term``, and ranked by the same
+    engine-exact integer cosine as ``sparse_cosine_topk``.
+
+    Scale shape: cost ∝ query batch's posting mass × per-term df — the
+    corpus is touched bytes-per-matching-posting, never re-tokenized
+    (the daily-ingest amortization every store here exists for)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_tfidf_params.json"), encoding="utf-8") as f:
+        params = json.load(f)
+    if params.get("algo") != _TFIDF_ALGO:
+        raise ValueError(
+            f"tfidf index at {path} built with {params.get('algo')!r}, "
+            f"searcher expects {_TFIDF_ALGO!r} — rebuild the index"
+        )
+    idf = spark.read.parquet(os.path.join(path, "idf"))
+    corpus_w = spark.read.parquet(os.path.join(path, "weights"))
+    corpus_n = spark.read.parquet(os.path.join(path, "norms"))
+    qw = _tfidf_weights(queries, idf, text_col, id_col)
+    qn = qw.groupBy(id_col).agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
+    dots = (
+        qw.select(F.col(id_col).alias("__q"), "term", F.col("wq").alias("wa"))
+        .join(
+            corpus_w.select(F.col(id_col).alias("neighbor_id"), "term", F.col("wq").alias("wb")),
+            "term",
+        )
+        .groupBy("__q", "neighbor_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    cos = (
+        dots.join(qn.select(F.col(id_col).alias("__q"), F.col("nq").alias("na")), "__q")
+        .join(
+            corpus_n.select(F.col(id_col).alias("neighbor_id"), F.col("nq").alias("nb")),
+            "neighbor_id",
+        )
+        .select(
+            F.col("__q").alias(id_col),
+            "neighbor_id",
+            (
+                F.col("dot")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+            ).alias("cos"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        cos.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col,
+            "neighbor_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )

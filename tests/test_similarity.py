@@ -385,3 +385,46 @@ def test_sparse_cosine_topk_semantics(spark):
     assert none_shared == []  # 'the' (df=4 > 3) was the only shared term
     # without the cap the same corpus DOES pair through 'the'
     assert sparse_cosine_topk(stopped, k=3).count() > 0
+
+
+def test_tfidf_index_frozen_vocab_and_sidecar(spark, tmp_path):
+    """Persisted-index contract: queries weight under the FROZEN idf (a
+    query made only of terms unseen at build time matches nothing, no
+    error), identical queries rank their corpus twin first, and an
+    algorithm-version mismatch in the sidecar rejects the searcher."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from etl_data_transformer_spark.operators.similarity import (
+        build_tfidf_index,
+        sparse_topk_search,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "alpha beta delta"), (102, "zeta eta theta")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_tfidf_index(corpus, idx)
+    queries = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "totally unseen vocabulary")],
+        "doc_id long, text string",
+    )
+    out = sparse_topk_search(queries, spark, idx, k=2).collect()
+    got = {(r["doc_id"], r["rnk"]): (r["neighbor_id"], r["cos_sim"]) for r in out}
+    assert got[(1, 1)] == (100, 1.0)  # exact twin ranks first at cosine 1
+    assert got[(1, 2)][0] == 101
+    assert not any(d == 2 for d, _ in got)  # unseen-vocab query: no rows, no error
+    # rerun-deterministic
+    again = {(r["doc_id"], r["rnk"]): (r["neighbor_id"], r["cos_sim"])
+             for r in sparse_topk_search(queries, spark, idx, k=2).collect()}
+    assert again == got
+    # sidecar algo drift rejects
+    sc = os.path.join(idx, "_tfidf_params.json")
+    p = json.load(open(sc))
+    p["algo"] = "tfidf-other-v9"
+    json.dump(p, open(sc, "w"))
+    with _pytest.raises(ValueError, match="rebuild the index"):
+        sparse_topk_search(queries, spark, idx, k=2)
