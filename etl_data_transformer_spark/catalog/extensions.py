@@ -899,11 +899,19 @@ def q_sparse_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROZEN idf, ranked by the engine-exact integer cosine. The DuckDB twin
     recomputes the identical frozen pipeline inline, so the hash pins the
     build→persist→search round-trip, not just the math."""
+    import hashlib
+    import os
     import tempfile
 
     from ..operators.similarity import build_tfidf_index, sparse_topk_search
 
     d = _docs(spark, sf_dir)
-    idx = tempfile.mkdtemp(prefix="tfidf_idx_")
+    # one stable index path per fixture dir (round-9 review: a fresh
+    # mkdtemp per invocation leaked a full index every bench rep); the
+    # rebuild overwrites in place through the index's atomic swap
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        "tfidf_idx_" + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
     build_tfidf_index(d.filter(F.col("doc_id") >= 100), idx, max_df=100)
     return sparse_topk_search(d.filter(F.col("doc_id") < 100), spark, idx, k=5)

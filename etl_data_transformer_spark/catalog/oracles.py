@@ -1361,7 +1361,7 @@ EXTENSION_ORACLES["sparse_topk_docs"] = """
     WITH tok AS (
         SELECT doc_id, t AS term FROM (
             SELECT doc_id,
-                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
             FROM documents
         ) WHERE length(t) > 0
     ), tf AS (
@@ -1410,7 +1410,7 @@ EXTENSION_ORACLES["sparse_search_docs"] = """
     WITH tok AS (
         SELECT doc_id, t AS term FROM (
             SELECT doc_id,
-                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
             FROM documents
         ) WHERE length(t) > 0
     ), tf AS (

@@ -591,6 +591,85 @@ def ivf_delete(spark, index_path: str, drop_ids: DataFrame, id_col: str = "id") 
     atomic_swap_write(kept, index_path, partition_by=["list_id"])
 
 
+def _tok(text_col: str) -> Column:
+    """The sparse family's ONE tokenization (lowercase whitespace split —
+    the same expression the tfidf/logprob oracles mirror); every TF-IDF
+    site goes through here so the batch top-k, the index build and the
+    searcher can never drift."""
+    from ..functions.text import tokens
+
+    return tokens(F.lower(text_col))
+
+
+def _term_freqs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, tc): per-document term counts over ``_tok``."""
+    return (
+        df.select(id_col, F.explode(_tok(text_col)).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+
+
+def _idf_milli(dfr: DataFrame, n_docs: int) -> DataFrame:
+    """(term, docs_with, idf_milli): the engine-exact integer IDF — ln
+    quantized to milli-nats (+1000 smooth), the ONE formula both the batch
+    top-k and the persisted index use (and the DuckDB twins mirror)."""
+    return dfr.select(
+        "term",
+        "docs_with",
+        F.round(
+            F.lit(1000.0)
+            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("docs_with") + 1.0))
+            + 1000.0,
+            0,
+        )
+        .cast("long")
+        .alias("idf_milli"),
+    )
+
+
+def _tfidf_weights(df: DataFrame, idf: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, wq): integer TF-IDF weights under a FROZEN idf table —
+    terms absent from ``idf`` contribute nothing (the frozen-vocabulary
+    rule every persisted-model op here shares: NB default weights, IVF
+    centroids). Shared by the batch top-k, the index build and the
+    searcher so the three can never drift."""
+    return _term_freqs(df, text_col, id_col).join(F.broadcast(idf), "term").select(
+        id_col, "term", (F.col("tc") * F.col("idf_milli")).alias("wq")
+    )
+
+
+def _cosine_rank(dots: DataFrame, qn: DataFrame, cn: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Rank (id, neighbor_id, dot) by the engine-exact integer cosine
+    ``dot / (sqrt(na) * sqrt(nb))`` — correctly-rounded IEEE ops over
+    identical BIGINTs, bit-identical across engines — and keep top-k per
+    id with the (cos DESC, neighbor ASC) tie-break."""
+    cos = (
+        dots.join(qn.select(F.col(id_col).alias("__q"), F.col("nq").alias("na")), "__q")
+        .join(cn.select(F.col(id_col).alias("neighbor_id"), F.col("nq").alias("nb")), "neighbor_id")
+        .select(
+            F.col("__q").alias(id_col),
+            "neighbor_id",
+            (
+                F.col("dot")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+            ).alias("cos"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        cos.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col,
+            "neighbor_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
 def sparse_cosine_topk(
     df: DataFrame,
     k: int = 5,
@@ -621,75 +700,27 @@ def sparse_cosine_topk(
     per-doc top-k window) — the (term) self-join hangs both sides off ONE
     repartition exchange, and the df dictionary broadcasts at any corpus
     size with a bounded vocabulary."""
-    from ..functions.text import tokens
-
-    tok = df.select(id_col, F.explode(tokens(F.lower(text_col))).alias("term")).filter(
-        F.length("term") > 0
-    )
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tc"))
+    tf = _term_freqs(df, text_col, id_col)
     dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("docs_with"))
     if max_df is not None:
         dfr = dfr.filter(F.col("docs_with") <= max_df)
     n_docs = df.count()  # bounded census: one scalar for the IDF constant
-    idf_milli = F.round(
-        F.lit(1000.0) * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("docs_with") + 1.0))
-        + 1000.0,
-        0,
-    ).cast("long")
-    w = (
-        tf.join(F.broadcast(dfr), "term")
-        .select(id_col, "term", (F.col("tc") * idf_milli).alias("wq"))
-        .repartition("term")  # ONE exchange feeds both self-join sides
-    )
+    idf = _idf_milli(dfr, n_docs)
+    w = _tfidf_weights(df, idf, text_col, id_col).repartition("term")
+    # ONE exchange feeds both self-join sides
     nrm = w.groupBy(id_col).agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
-    a = w.select(F.col(id_col).alias("__a"), "term", F.col("wq").alias("wa"))
+    a = w.select(F.col(id_col).alias("__q"), "term", F.col("wq").alias("wa"))
     b = w.select(F.col(id_col).alias("__b"), "term", F.col("wq").alias("wb"))
     dots = (
         a.join(b, "term")
-        .filter(F.col("__a") != F.col("__b"))
-        .groupBy("__a", "__b")
+        .filter(F.col("__q") != F.col("__b"))
+        .groupBy("__q", F.col("__b").alias("neighbor_id"))
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
-    cos = (
-        dots.join(nrm.select(F.col(id_col).alias("__a"), F.col("nq").alias("na")), "__a")
-        .join(nrm.select(F.col(id_col).alias("__b"), F.col("nq").alias("nb")), "__b")
-        .select(
-            F.col("__a").alias(id_col),
-            F.col("__b").alias("neighbor_id"),
-            (
-                F.col("dot")
-                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
-            ).alias("cos"),
-        )
-    )
-    win = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        cos.withColumn("rnk", F.row_number().over(win))
-        .filter(F.col("rnk") <= k)
-        .select(
-            id_col,
-            "neighbor_id",
-            F.col("rnk").cast("long").alias("rnk"),
-            F.round("cos", 6).alias("cos_sim"),
-        )
-    )
+    return _cosine_rank(dots, nrm, nrm, id_col, k)
 
 
-def _tfidf_weights(df: DataFrame, idf: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, term, wq): integer TF-IDF weights under a FROZEN idf table —
-    terms absent from ``idf`` contribute nothing (the frozen-vocabulary
-    rule every persisted-model op here shares: NB default weights, IVF
-    centroids). Shared by index build and search so the two can never
-    drift."""
-    from ..functions.text import tokens
-
-    tok = df.select(id_col, F.explode(tokens(F.lower(text_col))).alias("term")).filter(
-        F.length("term") > 0
-    )
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tc"))
-    return tf.join(F.broadcast(idf), "term").select(
-        id_col, "term", (F.col("tc") * F.col("idf_milli")).alias("wq")
-    )
+_TFIDF_ALGO = "tfidf-millinat-v1"
 
 
 def build_tfidf_index(
@@ -708,57 +739,61 @@ def build_tfidf_index(
     and quantization so a drifted searcher rejects instead of silently
     mis-ranking. ``max_df`` bakes the stop-term cap into the index.
 
-    Scale shape: the build is the ``sparse_cosine_topk`` prefix (two
-    narrow groupBys); searches then join the posting table on ``term`` —
-    bytes per posting, the corpus text is never re-read."""
+    The whole index STAGES and atomically SWAPS as one unit (round-9
+    review: three sequential in-place overwrites left a crash window
+    where a still-valid sidecar covered mixed-generation idf/postings —
+    the silent-misrank failure every other store here already guards
+    against); readers and rebuilds heal a hard-crashed swap first. The
+    build pays two tokenize passes (the idf census and the postings
+    write) — norms derive from the STAGED postings, never a third scan.
+    """
     import json
     import os
+    import uuid as _uuid
 
-    from ..sources.writers import write_parquet
+    from ..sources.writers import recover_interrupted_swap, write_parquet
 
-    tf = (
-        df.select(id_col, F.explode(_tok(text_col)).alias("term"))
-        .filter(F.length("term") > 0)
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tc"))
-    )
-    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("docs_with"))
-    if max_df is not None:
-        dfr = dfr.filter(F.col("docs_with") <= max_df)
-    n_docs = df.count()
-    idf = dfr.select(
-        "term",
-        "docs_with",
-        F.round(
-            F.lit(1000.0)
-            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("docs_with") + 1.0))
-            + 1000.0,
-            0,
+    recover_interrupted_swap(path)
+    spark = df.sparkSession
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    base = os.path.basename(os.path.abspath(path))
+    staging = os.path.join(parent, f".staging-{_uuid.uuid4().hex}")
+    backup = os.path.join(parent, f".backup-{base}-{_uuid.uuid4().hex}")
+    import shutil
+
+    try:
+        tf = _term_freqs(df, text_col, id_col)
+        dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("docs_with"))
+        if max_df is not None:
+            dfr = dfr.filter(F.col("docs_with") <= max_df)
+        n_docs = df.count()
+        write_parquet(_idf_milli(dfr, n_docs), os.path.join(staging, "idf"))
+        idf = spark.read.parquet(os.path.join(staging, "idf"))
+        write_parquet(
+            _tfidf_weights(df, idf, text_col, id_col), os.path.join(staging, "weights")
         )
-        .cast("long")
-        .alias("idf_milli"),
-    )
-    os.makedirs(path, exist_ok=True)
-    write_parquet(idf, os.path.join(path, "idf"))
-    w = _tfidf_weights(df, idf, text_col, id_col)
-    write_parquet(w, os.path.join(path, "weights"))
-    write_parquet(
-        w.groupBy(id_col).agg(F.sum(F.col("wq") * F.col("wq")).alias("nq")),
-        os.path.join(path, "norms"),
-    )
-    tmp = os.path.join(path, "_tfidf_params.json.tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"algo": _TFIDF_ALGO, "n_docs": n_docs, "max_df": max_df}, f)
-    os.replace(tmp, os.path.join(path, "_tfidf_params.json"))
-
-
-_TFIDF_ALGO = "tfidf-millinat-v1"
-
-
-def _tok(text_col: str):
-    from ..functions.text import tokens
-
-    return tokens(F.lower(text_col))
+        w = spark.read.parquet(os.path.join(staging, "weights"))
+        write_parquet(
+            w.groupBy(id_col).agg(F.sum(F.col("wq") * F.col("wq")).alias("nq")),
+            os.path.join(staging, "norms"),
+        )
+        tmp = os.path.join(staging, "_tfidf_params.json.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"algo": _TFIDF_ALGO, "n_docs": n_docs, "max_df": max_df}, f)
+        os.replace(tmp, os.path.join(staging, "_tfidf_params.json"))
+        if os.path.exists(path):
+            os.rename(path, backup)
+        os.rename(staging, path)
+    except BaseException:
+        if not os.path.exists(path) and os.path.exists(backup):
+            os.rename(backup, path)
+        raise
+    finally:
+        if os.path.exists(backup):
+            shutil.rmtree(backup, ignore_errors=True)
+        if os.path.exists(staging):
+            shutil.rmtree(staging, ignore_errors=True)
 
 
 def sparse_topk_search(
@@ -784,6 +819,9 @@ def sparse_topk_search(
     import json
     import os
 
+    from ..sources.writers import recover_interrupted_swap
+
+    recover_interrupted_swap(path)
     with open(os.path.join(path, "_tfidf_params.json"), encoding="utf-8") as f:
         params = json.load(f)
     if params.get("algo") != _TFIDF_ALGO:
@@ -799,35 +837,10 @@ def sparse_topk_search(
     dots = (
         qw.select(F.col(id_col).alias("__q"), "term", F.col("wq").alias("wa"))
         .join(
-            corpus_w.select(F.col(id_col).alias("neighbor_id"), "term", F.col("wq").alias("wb")),
+            corpus_w.select(F.col(id_col).alias("__b"), "term", F.col("wq").alias("wb")),
             "term",
         )
-        .groupBy("__q", "neighbor_id")
+        .groupBy("__q", F.col("__b").alias("neighbor_id"))
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
-    cos = (
-        dots.join(qn.select(F.col(id_col).alias("__q"), F.col("nq").alias("na")), "__q")
-        .join(
-            corpus_n.select(F.col(id_col).alias("neighbor_id"), F.col("nq").alias("nb")),
-            "neighbor_id",
-        )
-        .select(
-            F.col("__q").alias(id_col),
-            "neighbor_id",
-            (
-                F.col("dot")
-                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
-            ).alias("cos"),
-        )
-    )
-    win = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        cos.withColumn("rnk", F.row_number().over(win))
-        .filter(F.col("rnk") <= k)
-        .select(
-            id_col,
-            "neighbor_id",
-            F.col("rnk").cast("long").alias("rnk"),
-            F.round("cos", 6).alias("cos_sim"),
-        )
-    )
+    return _cosine_rank(dots, qn, corpus_n, id_col, k)

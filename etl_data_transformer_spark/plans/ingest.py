@@ -455,6 +455,13 @@ def run_incremental_ingest(
     # with the spec included, read through the catalog entry so the
     # incremental anti-join keeps its exchange-free store side, and append
     # back in the SAME layout below
+    # heal a hard-crashed atomic overwrite BEFORE reading any bucket spec
+    # (round-9 review: the sidecar sits in the .backup sibling during the
+    # crash window, so a pre-recovery spec read would mis-detect the store
+    # as flat and fail the rerun with a spurious parameter mismatch)
+    from ..sources.writers import recover_interrupted_swap
+
+    recover_interrupted_swap(exact_store)
     ex_bucket = DD.exact_store_bucket_spec(exact_store)
     ex_store = _load(
         exact_store,
@@ -474,6 +481,8 @@ def run_incremental_ingest(
     # spec in the sidecar — discover it, validate with the spec included,
     # read through the catalog entry so the incremental join keeps its
     # exchange-free store side, and append back in the SAME layout below
+    if mh_on:
+        recover_interrupted_swap(minhash_store)
     mh_bucket = DD.minhash_store_bucket_spec(minhash_store) if mh_on else None
     mh_store = (
         _load(
@@ -1041,6 +1050,14 @@ def run_incremental_ingest_txn(
     # validate every enabled store's parameter sidecar up front (same
     # helpers as the parquet mode — the sidecar is a plain file next to
     # the table's _manifests dir)
+    if DD.exact_store_bucket_spec(exact_table) is not None:
+        raise ValueError(
+            f"exact table at {exact_table} has the BUCKETED layout — "
+            "manifest tables read through the manifest's own file "
+            "listing, which cannot carry bucket metadata; the bucketed "
+            "store belongs to the plain-parquet runner "
+            "(run_incremental_ingest)"
+        )
     DD.ensure_exact_params_sidecar(exact_table)
     if mh_on:
         if DD.minhash_store_bucket_spec(minhash_table) is not None:

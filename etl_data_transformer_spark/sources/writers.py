@@ -218,6 +218,10 @@ def write_shards(
     """
     from ..operators.curation import assign_shards
 
+    # heal a hard-crashed prior export first (round-9 review: between the
+    # swap's two renames the export dir is missing with the only copy in a
+    # .backup sibling; without this a rerun would strand that backup)
+    recover_interrupted_swap(path)
     out = (
         assign_shards(df, n_shards, id_col, seed)
         .repartition(n_shards, "shard")

@@ -1400,3 +1400,28 @@ def test_migrate_batch_audit_table(spark, tmp_path):
     spark.createDataFrame([(1,)], "mystery long").write.parquet(bad)
     with pytest.raises(ValueError, match="mystery"):
         migrate_batch_audit_table(spark, bad)
+
+
+def test_ingest_txn_rejects_bucketed_exact_table(spark, tmp_path):
+    """The txn runner reads stores through the manifest's own file listing,
+    which cannot carry bucket metadata — a bucketed exact store must fail
+    with the purpose-built layout error, not a parameter-mismatch
+    misdiagnosis (round-9 review)."""
+    import pytest
+
+    from etl_data_transformer_spark.operators import dedup as DD
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest_txn
+
+    ex = str(tmp_path / "ex")
+    corpus = spark.createDataFrame([(1, "doc one")], "doc_id long, text string")
+    DD.write_exact_store(
+        DD.exact_fingerprint_store(corpus), ex, mode="overwrite", bucket_by_fp=True
+    )
+    b = spark.createDataFrame([(2, "doc two")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="BUCKETED layout"):
+        run_incremental_ingest_txn(
+            b,
+            corpus_table=str(tmp_path / "corpus"),
+            exact_table=ex,
+            txn_dir=str(tmp_path / "_txns"),
+        )
