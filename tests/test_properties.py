@@ -641,3 +641,57 @@ def test_top_fraction_matches_naive(spark, rows, frac):
         keep = -(-len(grp) * ratio.numerator // ratio.denominator)
         want |= {d[0] for d in grp[:keep]}
     assert got == want
+
+
+@st.composite
+def sparse_corpus(draw):
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    docs = []
+    for i in range(draw(st.integers(2, 7))):
+        words = draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=8))
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+@_few
+@given(sparse_corpus(), st.integers(1, 3))
+def test_sparse_cosine_topk_matches_integer_mirror(spark, docs, k):
+    """Random tiny corpora: the inverted-index top-k equals a naive Python
+    mirror computing the IDENTICAL integer pipeline (milli-nat idf
+    quantized per term, bigint dots/norms, IEEE cosine, (cos DESC, id ASC)
+    tie-break) — pins ranking, tie-breaks and the per-doc cut."""
+    import math
+    from collections import Counter
+
+    from etl_data_transformer_spark.operators.similarity import sparse_cosine_topk
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rnk"]): (r["neighbor_id"], r["cos_sim"])
+        for r in sparse_cosine_topk(df, k=k).collect()
+    }
+
+    tf = {i: Counter(t.lower().split()) for i, t in docs}
+    dfreq = Counter(term for c in tf.values() for term in c)
+    n = len(docs)
+
+    def q(term):  # identical half-away rounding as both engines
+        v = 1000.0 * math.log((n + 1.0) / (dfreq[term] + 1.0)) + 1000.0
+        return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+    w = {i: {t: c * q(t) for t, c in cnt.items()} for i, cnt in tf.items()}
+    nq = {i: sum(x * x for x in ws.values()) for i, ws in w.items()}
+    want = {}
+    for i in w:
+        cands = []
+        for j in w:
+            if i == j:
+                continue
+            d = sum(w[i][t] * w[j].get(t, 0) for t in w[i])
+            if d == 0:
+                continue
+            cos = d / (math.sqrt(nq[i]) * math.sqrt(nq[j]))
+            cands.append((-cos, j))
+        for rnk, (negcos, j) in enumerate(sorted(cands)[:k], start=1):
+            want[(i, rnk)] = (j, round(-negcos, 6))
+    assert got == want
