@@ -892,6 +892,9 @@ def q_sparse_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparse_cosine_topk(_docs(spark, sf_dir), k=5, max_df=100)
 
 
+_SPARSE_IDX_ROOT: str = __import__("tempfile").mkdtemp(prefix="tfidf_idx_")
+
+
 def q_sparse_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-9 persisted sparse search e2e: build the TF-IDF index over the
     corpus slice (doc_id >= 100, df-capped at 100), then search the query
@@ -901,17 +904,18 @@ def q_sparse_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     build→persist→search round-trip, not just the math."""
     import hashlib
     import os
-    import tempfile
 
     from ..operators.similarity import build_tfidf_index, sparse_topk_search
 
     d = _docs(spark, sf_dir)
-    # one stable index path per fixture dir (round-9 review: a fresh
-    # mkdtemp per invocation leaked a full index every bench rep); the
-    # rebuild overwrites in place through the index's atomic swap
+    # one index path per (process, fixture dir): the mkdtemp PARENT is
+    # private to this process (no predictable world-shared /tmp name
+    # another user could occupy or pre-plant a backup under — round-9
+    # review), while reusing it across invocations bounds the disk to one
+    # index per fixture instead of leaking one per bench rep
     idx = os.path.join(
-        tempfile.gettempdir(),
-        "tfidf_idx_" + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+        _SPARSE_IDX_ROOT,
+        "idx_" + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
     )
     build_tfidf_index(d.filter(F.col("doc_id") >= 100), idx, max_df=100)
     return sparse_topk_search(d.filter(F.col("doc_id") < 100), spark, idx, k=5)

@@ -743,57 +743,46 @@ def build_tfidf_index(
     review: three sequential in-place overwrites left a crash window
     where a still-valid sidecar covered mixed-generation idf/postings —
     the silent-misrank failure every other store here already guards
-    against); readers and rebuilds heal a hard-crashed swap first. The
-    build pays two tokenize passes (the idf census and the postings
-    write) — norms derive from the STAGED postings, never a third scan.
+    against). The swap itself is the shared ``atomic_swap_write`` (its
+    ``write_staging``/``finalize_staging`` hooks — one crash-recovery
+    implementation in the repo, not two), which also heals a previously
+    crashed swap before writing. The build pays two tokenize passes (the
+    idf census and the postings write) — norms derive from the STAGED
+    postings, never a third scan.
     """
     import json
     import os
-    import uuid as _uuid
 
-    from ..sources.writers import recover_interrupted_swap, write_parquet
+    from ..sources.writers import atomic_swap_write
 
-    recover_interrupted_swap(path)
     spark = df.sparkSession
-    parent = os.path.dirname(os.path.abspath(path))
-    os.makedirs(parent, exist_ok=True)
-    base = os.path.basename(os.path.abspath(path))
-    staging = os.path.join(parent, f".staging-{_uuid.uuid4().hex}")
-    backup = os.path.join(parent, f".backup-{base}-{_uuid.uuid4().hex}")
-    import shutil
+    n_docs = df.count()
 
-    try:
-        tf = _term_freqs(df, text_col, id_col)
+    def _stage(_df, staging: str) -> None:
+        from ..sources.writers import write_parquet
+
+        tf = _term_freqs(_df, text_col, id_col)
         dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("docs_with"))
         if max_df is not None:
             dfr = dfr.filter(F.col("docs_with") <= max_df)
-        n_docs = df.count()
         write_parquet(_idf_milli(dfr, n_docs), os.path.join(staging, "idf"))
         idf = spark.read.parquet(os.path.join(staging, "idf"))
         write_parquet(
-            _tfidf_weights(df, idf, text_col, id_col), os.path.join(staging, "weights")
+            _tfidf_weights(_df, idf, text_col, id_col), os.path.join(staging, "weights")
         )
         w = spark.read.parquet(os.path.join(staging, "weights"))
         write_parquet(
             w.groupBy(id_col).agg(F.sum(F.col("wq") * F.col("wq")).alias("nq")),
             os.path.join(staging, "norms"),
         )
+
+    def _sidecar(staging: str) -> None:
         tmp = os.path.join(staging, "_tfidf_params.json.tmp")
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump({"algo": _TFIDF_ALGO, "n_docs": n_docs, "max_df": max_df}, f)
         os.replace(tmp, os.path.join(staging, "_tfidf_params.json"))
-        if os.path.exists(path):
-            os.rename(path, backup)
-        os.rename(staging, path)
-    except BaseException:
-        if not os.path.exists(path) and os.path.exists(backup):
-            os.rename(backup, path)
-        raise
-    finally:
-        if os.path.exists(backup):
-            shutil.rmtree(backup, ignore_errors=True)
-        if os.path.exists(staging):
-            shutil.rmtree(staging, ignore_errors=True)
+
+    atomic_swap_write(df, path, write_staging=_stage, finalize_staging=_sidecar)
 
 
 def sparse_topk_search(
@@ -819,9 +808,12 @@ def sparse_topk_search(
     import json
     import os
 
-    from ..sources.writers import recover_interrupted_swap
-
-    recover_interrupted_swap(path)
+    # NO reader-side heal: a reader renaming a .backup sibling back into
+    # place races a concurrent build's swap window and can destroy the
+    # just-staged index (round-9 review). A crashed swap is healed by the
+    # next build (atomic_swap_write heals first) or an explicit
+    # sources.writers.recover_interrupted_swap call; until then this read
+    # fails loudly on the missing sidecar.
     with open(os.path.join(path, "_tfidf_params.json"), encoding="utf-8") as f:
         params = json.load(f)
     if params.get("algo") != _TFIDF_ALGO:

@@ -1050,6 +1050,14 @@ def run_incremental_ingest_txn(
     # validate every enabled store's parameter sidecar up front (same
     # helpers as the parquet mode — the sidecar is a plain file next to
     # the table's _manifests dir)
+    # heal crashed store overwrites BEFORE the spec probes (same ordering
+    # fix as the parquet runner: a sidecar stranded in a .backup sibling
+    # would misdetect the layout and fail with the wrong diagnosis)
+    from ..sources.writers import recover_interrupted_swap as _heal
+
+    _heal(exact_table)
+    if mh_on:
+        _heal(minhash_table)
     if DD.exact_store_bucket_spec(exact_table) is not None:
         raise ValueError(
             f"exact table at {exact_table} has the BUCKETED layout — "

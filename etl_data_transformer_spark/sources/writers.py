@@ -67,6 +67,12 @@ def atomic_swap_write(
     and recovery discipline stays identical, only the file writer
     changes).
     """
+    # writer-side heal FIRST (round-9 review: three callsites had each
+    # forgotten their own recover call — hoisting it here removes the
+    # stranded-backup class for every swap writer; restore-then-replace is
+    # strictly safe). Readers must NOT heal (a reader-side rename races a
+    # concurrent writer's swap window); they fail loudly instead.
+    recover_interrupted_swap(target_dir)
     parent = os.path.dirname(os.path.abspath(target_dir))
     os.makedirs(parent, exist_ok=True)
     base = os.path.basename(os.path.abspath(target_dir))
@@ -218,10 +224,6 @@ def write_shards(
     """
     from ..operators.curation import assign_shards
 
-    # heal a hard-crashed prior export first (round-9 review: between the
-    # swap's two renames the export dir is missing with the only copy in a
-    # .backup sibling; without this a rerun would strand that backup)
-    recover_interrupted_swap(path)
     out = (
         assign_shards(df, n_shards, id_col, seed)
         .repartition(n_shards, "shard")
