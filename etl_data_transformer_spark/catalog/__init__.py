@@ -247,6 +247,9 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-9 addition: persisted TF-IDF index build -> frozen-idf search
     # round-trip (the incremental search leg of the sparse family).
     "sparse_search_docs": EXT.q_sparse_search_docs,
+    # round-9 addition: BM25 ranked retrieval over the same frozen index
+    # (integer-only output, full-ranking hash pin).
+    "bm25_search_docs": EXT.q_bm25_search_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

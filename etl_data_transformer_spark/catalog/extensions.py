@@ -919,3 +919,24 @@ def q_sparse_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     build_tfidf_index(d.filter(F.col("doc_id") >= 100), idx, max_df=100)
     return sparse_topk_search(d.filter(F.col("doc_id") < 100), spark, idx, k=5)
+
+
+def q_bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 BM25 ranked retrieval over the persisted sparse index:
+    query slice (doc_id < 100) against the corpus slice (>= 100), k1=1.2 /
+    b=0.75, top-5. Every (query-term, doc) contribution quantizes to a
+    BIGINT before summing, so the output score_milli carries NO float —
+    the DuckDB twin recomputes the identical frozen pipeline with the same
+    operation order and explicit DOUBLE constants."""
+    import hashlib
+    import os
+
+    from ..operators.similarity import build_tfidf_index, sparse_topk_search
+
+    d = _docs(spark, sf_dir)
+    idx = os.path.join(
+        _SPARSE_IDX_ROOT,
+        "idx_" + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    build_tfidf_index(d.filter(F.col("doc_id") >= 100), idx, max_df=100)
+    return sparse_topk_search(d.filter(F.col("doc_id") < 100), spark, idx, k=5, scheme="bm25")

@@ -1453,6 +1453,75 @@ EXTENSION_ORACLES["sparse_search_docs"] = """
     ) WHERE rnk <= 5
 """
 
+# Round-9 BM25 over the frozen index. Constants are written as ARITHMETIC
+# over explicit DOUBLE casts ((1.2 + 1.0), (1.0 - 0.75)) so both engines
+# compute the identical doubles Spark's Python-side k1+1.0 produces (a
+# bare DuckDB 1.2 literal would be DECIMAL); avgdl derives from the same
+# exact integer (sum_dl, count) pair; every contribution rounds to BIGINT
+# before the sum, so no float crosses the hash.
+EXTENSION_ORACLES["bm25_search_docs"] = """
+    WITH tok AS (
+        SELECT doc_id, t AS term FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+            FROM documents
+        ) WHERE length(t) > 0
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tc FROM tok GROUP BY 1, 2
+    ), corpus_df AS (
+        SELECT term, count(*) AS docs_with FROM tf WHERE doc_id >= 100
+        GROUP BY 1 HAVING count(*) <= 100
+    ), n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id >= 100),
+    idf AS (
+        SELECT term,
+               CAST(round(
+                   1000.0 * ln((n_docs + 1.0) / (docs_with + 1.0)) + 1000.0,
+               0) AS BIGINT) AS idf_milli
+        FROM corpus_df CROSS JOIN n
+    ), posts AS (
+        SELECT doc_id, term, tc FROM tf JOIN idf USING (term)
+        WHERE doc_id >= 100
+    ), dl AS (
+        SELECT doc_id, CAST(sum(tc) AS BIGINT) AS dl FROM tf
+        WHERE doc_id >= 100 GROUP BY 1
+    ), nrm AS (
+        SELECT d.doc_id, d.dl
+        FROM dl d JOIN (SELECT DISTINCT doc_id FROM posts) p USING (doc_id)
+    ), avg AS (
+        SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        FROM nrm
+    ), qtf AS (
+        SELECT doc_id AS q, term, tc AS qtf, idf_milli
+        FROM tf JOIN idf USING (term) WHERE doc_id < 100
+    ), contrib AS (
+        SELECT q, posts.doc_id AS neighbor_id,
+               CAST(round(
+                   (qtf * idf_milli)
+                   * (posts.tc * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                   / (posts.tc
+                      + CAST(1.2 AS DOUBLE)
+                        * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                           + (CAST(0.75 AS DOUBLE) * nrm.dl) / avgdl)),
+               0) AS BIGINT) AS sc
+        FROM qtf
+        JOIN posts USING (term)
+        JOIN nrm ON posts.doc_id = nrm.doc_id
+        CROSS JOIN avg
+    ), scored AS (
+        SELECT q AS doc_id, neighbor_id, CAST(sum(sc) AS BIGINT) AS score_milli
+        FROM contrib GROUP BY 1, 2
+    )
+    SELECT doc_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, score_milli
+    FROM (
+        SELECT doc_id, neighbor_id, score_milli,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score_milli DESC, neighbor_id ASC
+               ) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+"""
+
 ALL_ORACLES: dict[str, str] = {
     **PARITY_ORACLES,
     **EXTENSION_ORACLES,

@@ -767,12 +767,22 @@ def build_tfidf_index(
             dfr = dfr.filter(F.col("docs_with") <= max_df)
         write_parquet(_idf_milli(dfr, n_docs), os.path.join(staging, "idf"))
         idf = spark.read.parquet(os.path.join(staging, "idf"))
+        # postings carry raw tc next to the cosine weight so BM25 search
+        # (which needs tc and idf separately) reads the same table
         write_parquet(
-            _tfidf_weights(_df, idf, text_col, id_col), os.path.join(staging, "weights")
+            tf.join(F.broadcast(idf), "term").select(
+                id_col, "term", "tc", (F.col("tc") * F.col("idf_milli")).alias("wq")
+            ),
+            os.path.join(staging, "weights"),
         )
         w = spark.read.parquet(os.path.join(staging, "weights"))
+        # dl = FULL token mass (pre-cap): BM25's length normalization uses
+        # the document's real length, not the capped-vocabulary slice
+        dl = tf.groupBy(id_col).agg(F.sum("tc").alias("dl"))
         write_parquet(
-            w.groupBy(id_col).agg(F.sum(F.col("wq") * F.col("wq")).alias("nq")),
+            w.groupBy(id_col)
+            .agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
+            .join(dl, id_col),
             os.path.join(staging, "norms"),
         )
 
@@ -791,6 +801,9 @@ def sparse_topk_search(
     path: str,
     k: int = 5,
     *,
+    scheme: str = "cosine",
+    k1: float = 1.2,
+    b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -801,6 +814,15 @@ def sparse_topk_search(
     ranking as weighting the queries at build time", pinned in pytest),
     joined to the posting table on ``term``, and ranked by the same
     engine-exact integer cosine as ``sparse_cosine_topk``.
+
+    ``scheme="bm25"`` ranks by Okapi BM25 instead (the production
+    retrieval scorer: term saturation via ``k1``, document-length
+    normalization via ``b`` against the corpus average length frozen in
+    the index): each (query-term, doc) contribution —
+    ``qtf * idf_milli * tc*(k1+1) / (tc + k1*(1-b+b*dl/avgdl))`` — is
+    quantized to an integer BEFORE summing (the engine-exact pattern), so
+    the output ``score_milli`` is a BIGINT with no float in the hash at
+    all; returns (id, neighbor_id, rnk, score_milli).
 
     Scale shape: cost ∝ query batch's posting mass × per-term df — the
     corpus is touched bytes-per-matching-posting, never re-tokenized
@@ -821,9 +843,15 @@ def sparse_topk_search(
             f"tfidf index at {path} built with {params.get('algo')!r}, "
             f"searcher expects {_TFIDF_ALGO!r} — rebuild the index"
         )
+    if scheme not in ("cosine", "bm25"):
+        raise ValueError(f"unknown scheme: {scheme!r} (cosine | bm25)")
     idf = spark.read.parquet(os.path.join(path, "idf"))
     corpus_w = spark.read.parquet(os.path.join(path, "weights"))
     corpus_n = spark.read.parquet(os.path.join(path, "norms"))
+    if scheme == "bm25":
+        return _bm25_rank(
+            queries, idf, corpus_w, corpus_n, k, k1, b, text_col, id_col
+        )
     qw = _tfidf_weights(queries, idf, text_col, id_col)
     qn = qw.groupBy(id_col).agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
     dots = (
@@ -836,3 +864,63 @@ def sparse_topk_search(
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
     return _cosine_rank(dots, qn, corpus_n, id_col, k)
+
+
+def _bm25_rank(
+    queries: DataFrame,
+    idf: DataFrame,
+    corpus_w: DataFrame,
+    corpus_n: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Okapi BM25 top-k over the frozen index (see ``sparse_topk_search``).
+    ``avgdl`` derives from the norms table's exact integer (dl, count)
+    pair, so both engines compute the identical double; every per-triple
+    score quantizes to BIGINT before the sum. One narrow-key join on term
+    + one (query, doc) groupBy + the top-k window — the same shuffles as
+    the cosine path."""
+    row = corpus_n.agg(
+        F.sum("dl").alias("__s"), F.count(F.lit(1)).alias("__n")
+    ).collect()[0]
+    avgdl = float(row["__s"]) / float(row["__n"])  # identical-integer division
+    qtf = _term_freqs(queries, text_col, id_col).join(F.broadcast(idf), "term").select(
+        F.col(id_col).alias("__q"), "term", F.col("tc").alias("qtf"), "idf_milli"
+    )
+    posts = corpus_w.select(
+        F.col(id_col).alias("neighbor_id"), "term", F.col("tc").alias("ctc")
+    ).join(corpus_n.select(F.col(id_col).alias("neighbor_id"), "dl"), "neighbor_id")
+    contrib = qtf.join(posts, "term").select(
+        "__q",
+        "neighbor_id",
+        F.round(
+            F.col("qtf")
+            * F.col("idf_milli")
+            * (F.col("ctc") * F.lit(k1 + 1.0))
+            / (
+                F.col("ctc")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+            0,
+        )
+        .cast("long")
+        .alias("sc"),
+    )
+    scored = contrib.groupBy("__q", "neighbor_id").agg(F.sum("sc").alias("score_milli"))
+    win = Window.partitionBy("__q").orderBy(
+        F.col("score_milli").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("__q").alias(id_col),
+            "neighbor_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("score_milli").cast("long").alias("score_milli"),
+        )
+    )

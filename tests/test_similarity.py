@@ -428,3 +428,45 @@ def test_tfidf_index_frozen_vocab_and_sidecar(spark, tmp_path):
     json.dump(p, open(sc, "w"))
     with _pytest.raises(ValueError, match="rebuild the index"):
         sparse_topk_search(queries, spark, idx, k=2)
+
+
+def test_bm25_search_semantics(spark, tmp_path):
+    """Okapi BM25 over the frozen index: term saturation (doubling tc far
+    from doubles the score), document-length normalization (same tc in a
+    longer doc scores LOWER), query-term frequency multiplies linearly,
+    integer-only output, and unknown schemes reject."""
+    import pytest as _pytest
+
+    from etl_data_transformer_spark.operators.similarity import (
+        build_tfidf_index,
+        sparse_topk_search,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "target filler1 filler2 filler3"),  # tc(target)=1, dl=4
+            (101, "target target filler4 filler5"),  # tc=2, same dl
+            (102, "target " + " ".join(f"pad{i}" for i in range(20))),  # tc=1, long
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_tfidf_index(corpus, idx)
+    q1 = spark.createDataFrame([(1, "target")], "doc_id long, text string")
+    out = {r["neighbor_id"]: (r["rnk"], r["score_milli"])
+           for r in sparse_topk_search(q1, spark, idx, k=3, scheme="bm25").collect()}
+    assert set(out) == {100, 101, 102}
+    s100, s101, s102 = out[100][1], out[101][1], out[102][1]
+    assert isinstance(s100, int)
+    assert s101 > s100  # more occurrences score higher...
+    assert s101 < 2 * s100  # ...but k1 saturation keeps it sub-linear
+    assert s102 < s100  # same tc in a longer doc scores lower (b)
+    assert out[101][0] == 1  # ranking follows the scores
+    # qtf multiplies the contribution linearly (inside the per-triple
+    # rounding, so the doubled score may differ from 2x by one milli)
+    q2 = spark.createDataFrame([(2, "target target")], "doc_id long, text string")
+    out2 = {r["neighbor_id"]: r["score_milli"]
+            for r in sparse_topk_search(q2, spark, idx, k=3, scheme="bm25").collect()}
+    assert abs(out2[100] - 2 * s100) <= 1
+    with _pytest.raises(ValueError, match="unknown scheme"):
+        sparse_topk_search(q1, spark, idx, scheme="tfidf")
