@@ -720,7 +720,11 @@ def sparse_cosine_topk(
     return _cosine_rank(dots, nrm, nrm, id_col, k)
 
 
-_TFIDF_ALGO = "tfidf-millinat-v1"
+# v2: the postings gained raw tc and the norms gained dl for BM25 — an
+# index written before that lacks the columns, so the version string bumps
+# and the sidecar guard rejects it with "rebuild the index" instead of an
+# unresolved-column crash mid-search (round-9 review)
+_TFIDF_ALGO = "tfidf-millinat-v2"
 
 
 def build_tfidf_index(
@@ -746,9 +750,9 @@ def build_tfidf_index(
     against). The swap itself is the shared ``atomic_swap_write`` (its
     ``write_staging``/``finalize_staging`` hooks — one crash-recovery
     implementation in the repo, not two), which also heals a previously
-    crashed swap before writing. The build pays two tokenize passes (the
-    idf census and the postings write) — norms derive from the STAGED
-    postings, never a third scan.
+    crashed swap before writing. The build tokenizes ONCE (the tf frame is
+    pinned and feeds the idf census, the postings write and the dl
+    aggregation); norms derive from the staged postings.
     """
     import json
     import os
@@ -761,7 +765,11 @@ def build_tfidf_index(
     def _stage(_df, staging: str) -> None:
         from ..sources.writers import write_parquet
 
-        tf = _term_freqs(_df, text_col, id_col)
+        # ONE tokenize pass: tf feeds the idf census, the postings write
+        # and the dl aggregation — pinned so none of the three actions
+        # re-evaluates the explode lineage over the corpus (round-9
+        # review: the un-pinned form paid three full scans)
+        tf = _term_freqs(_df, text_col, id_col).localCheckpoint(eager=True)
         dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("docs_with"))
         if max_df is not None:
             dfr = dfr.filter(F.col("docs_with") <= max_df)
@@ -830,6 +838,10 @@ def sparse_topk_search(
     import json
     import os
 
+    # cheap argument validation BEFORE any I/O (a bad scheme on a crashed
+    # index must report the caller's bug, not FileNotFoundError)
+    if scheme not in ("cosine", "bm25"):
+        raise ValueError(f"unknown scheme: {scheme!r} (cosine | bm25)")
     # NO reader-side heal: a reader renaming a .backup sibling back into
     # place races a concurrent build's swap window and can destroy the
     # just-staged index (round-9 review). A crashed swap is healed by the
@@ -843,8 +855,6 @@ def sparse_topk_search(
             f"tfidf index at {path} built with {params.get('algo')!r}, "
             f"searcher expects {_TFIDF_ALGO!r} — rebuild the index"
         )
-    if scheme not in ("cosine", "bm25"):
-        raise ValueError(f"unknown scheme: {scheme!r} (cosine | bm25)")
     idf = spark.read.parquet(os.path.join(path, "idf"))
     corpus_w = spark.read.parquet(os.path.join(path, "weights"))
     corpus_n = spark.read.parquet(os.path.join(path, "norms"))
@@ -886,6 +896,12 @@ def _bm25_rank(
     row = corpus_n.agg(
         F.sum("dl").alias("__s"), F.count(F.lit(1)).alias("__n")
     ).collect()[0]
+    if not row["__n"]:
+        # empty index (empty corpus, or every term above max_df): no
+        # neighbors — the same graceful empty the cosine path returns
+        return queries.sparkSession.createDataFrame(
+            [], f"{id_col} long, neighbor_id long, rnk long, score_milli long"
+        )
     avgdl = float(row["__s"]) / float(row["__n"])  # identical-integer division
     qtf = _term_freqs(queries, text_col, id_col).join(F.broadcast(idf), "term").select(
         F.col(id_col).alias("__q"), "term", F.col("tc").alias("qtf"), "idf_milli"

@@ -69,9 +69,12 @@ def atomic_swap_write(
     """
     # writer-side heal FIRST (round-9 review: three callsites had each
     # forgotten their own recover call — hoisting it here removes the
-    # stranded-backup class for every swap writer; restore-then-replace is
-    # strictly safe). Readers must NOT heal (a reader-side rename races a
-    # concurrent writer's swap window); they fail loudly instead.
+    # stranded-backup class for every swap writer). Safe under the repo's
+    # SINGLE-WRITER-per-target store contract (every store docstring pins
+    # it); two concurrent writers on one target were never supported — the
+    # heal makes that misuse fail faster, not slower. Readers must NOT
+    # heal (a reader-side rename races the writer's swap window); they
+    # fail loudly instead.
     recover_interrupted_swap(target_dir)
     parent = os.path.dirname(os.path.abspath(target_dir))
     os.makedirs(parent, exist_ok=True)
