@@ -940,3 +940,65 @@ def _bm25_rank(
             F.col("score_milli").cast("long").alias("score_milli"),
         )
     )
+
+
+def append_tfidf_index(
+    new_docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental leg of the index lifecycle (build → APPEND → search):
+    weight a new document batch under the index's FROZEN idf and append
+    its postings and norms — the same freeze-at-train staleness contract
+    as NB count stores and IVF centroids (df/idf do NOT update; terms the
+    frozen vocabulary lacks contribute nothing, and a periodic
+    ``build_tfidf_index`` rebuild refreshes the statistics). Cost ∝ the
+    batch, never the landed corpus; ids must be disjoint from the index's
+    (the shared incremental-store contract). Single-writer, like every
+    store here.
+
+    Crash-idempotent the anti-join way (postings feed SUMS, so a replayed
+    append would corrupt dot products, unlike the duplicate-insensitive
+    signature stores): batch docs already present in the postings are
+    skipped, and norms are recomputed for exactly the batch docs missing
+    a norms row — a rerun after a crash between the two appends lands
+    each row once."""
+    import json
+    import os
+
+    spark = new_docs.sparkSession
+    with open(os.path.join(path, "_tfidf_params.json"), encoding="utf-8") as f:
+        params = json.load(f)
+    if params.get("algo") != _TFIDF_ALGO:
+        raise ValueError(
+            f"tfidf index at {path} built with {params.get('algo')!r}, "
+            f"appender expects {_TFIDF_ALGO!r} — rebuild the index"
+        )
+    wpath, npath = os.path.join(path, "weights"), os.path.join(path, "norms")
+    idf = spark.read.parquet(os.path.join(path, "idf"))
+    tf = _term_freqs(new_docs, text_col, id_col).localCheckpoint(eager=True)
+    landed = spark.read.parquet(wpath).select(id_col).distinct()
+    fresh = tf.join(landed, id_col, "left_anti")
+    fresh.join(F.broadcast(idf), "term").select(
+        id_col, "term", "tc", (F.col("tc") * F.col("idf_milli")).alias("wq")
+    ).write.mode("append").parquet(wpath)
+    # norms for exactly the batch docs still missing one (heals a prior
+    # weights-landed/norms-missing crash); nq from the landed postings,
+    # dl from this batch's tf (crashed docs are contractually THIS batch)
+    need = (
+        tf.select(id_col)
+        .distinct()
+        .join(spark.read.parquet(npath).select(id_col), id_col, "left_anti")
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tc").alias("dl"))
+    (
+        spark.read.parquet(wpath)
+        .join(need, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
+        .join(dl, id_col)
+        .write.mode("append")
+        .parquet(npath)
+    )

@@ -470,3 +470,69 @@ def test_bm25_search_semantics(spark, tmp_path):
     assert abs(out2[100] - 2 * s100) <= 1
     with _pytest.raises(ValueError, match="unknown scheme"):
         sparse_topk_search(q1, spark, idx, scheme="tfidf")
+
+
+def test_tfidf_index_append_and_replay_heal(spark, tmp_path):
+    """Incremental index append: appended docs become searchable under the
+    FROZEN idf with results equal to a search against a full rebuild that
+    uses the same frozen statistics; a replayed append (the crash-rerun
+    shape) lands nothing twice — postings and norms counts are unchanged
+    and scores stay identical; algorithm drift rejects."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from etl_data_transformer_spark.operators.similarity import (
+        append_tfidf_index,
+        build_tfidf_index,
+        sparse_topk_search,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100 + i, f"alpha beta common{i % 3} word{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_tfidf_index(corpus, idx)
+    batch = spark.createDataFrame(
+        [(200, "alpha beta common0 fresh"), (201, "alpha unseen thing")],
+        "doc_id long, text string",
+    )
+    append_tfidf_index(batch, idx)
+    q = spark.createDataFrame([(1, "alpha beta common0")], "doc_id long, text string")
+    out = {r["neighbor_id"]: r["cos_sim"]
+           for r in sparse_topk_search(q, spark, idx, k=20).collect()}
+    assert 200 in out and 201 in out  # appended docs are searchable
+    w_rows = spark.read.parquet(os.path.join(idx, "weights")).count()
+    n_rows = spark.read.parquet(os.path.join(idx, "norms")).count()
+    # replayed append: anti-join heal lands nothing twice
+    append_tfidf_index(batch, idx)
+    assert spark.read.parquet(os.path.join(idx, "weights")).count() == w_rows
+    assert spark.read.parquet(os.path.join(idx, "norms")).count() == n_rows
+    again = {r["neighbor_id"]: r["cos_sim"]
+             for r in sparse_topk_search(q, spark, idx, k=20).collect()}
+    assert again == out
+    # crash between the two appends: weights landed, norms missing — the
+    # rerun heals exactly the missing norms row
+    batch2 = spark.createDataFrame([(300, "alpha beta tail")], "doc_id long, text string")
+    from etl_data_transformer_spark.operators.similarity import (
+        _term_freqs,
+    )
+    idf = spark.read.parquet(os.path.join(idx, "idf"))
+    tf2 = _term_freqs(batch2, "text", "doc_id")
+    tf2.join(F.broadcast(idf), "term").select(
+        "doc_id", "term", "tc", (F.col("tc") * F.col("idf_milli")).alias("wq")
+    ).write.mode("append").parquet(os.path.join(idx, "weights"))  # simulated partial crash
+    append_tfidf_index(batch2, idx)  # rerun
+    w2 = spark.read.parquet(os.path.join(idx, "weights")).filter("doc_id = 300")
+    n2 = spark.read.parquet(os.path.join(idx, "norms")).filter("doc_id = 300")
+    # 2 postings (alpha, beta in the frozen vocab; "tail" unseen -> none),
+    # landed exactly once despite the replay, and exactly one norms row
+    assert w2.count() == 2 and n2.count() == 1
+    # drift rejects
+    sc = os.path.join(idx, "_tfidf_params.json")
+    pjson = json.load(open(sc)); pjson["algo"] = "tfidf-other"
+    json.dump(pjson, open(sc, "w"))
+    with _pytest.raises(ValueError, match="rebuild the index"):
+        append_tfidf_index(batch, idx)
