@@ -629,15 +629,30 @@ def _idf_milli(dfr: DataFrame, n_docs: int) -> DataFrame:
     )
 
 
-def _tfidf_weights(df: DataFrame, idf: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, term, wq): integer TF-IDF weights under a FROZEN idf table —
-    terms absent from ``idf`` contribute nothing (the frozen-vocabulary
-    rule every persisted-model op here shares: NB default weights, IVF
-    centroids). Shared by the batch top-k, the index build and the
-    searcher so the three can never drift."""
-    return _term_freqs(df, text_col, id_col).join(F.broadcast(idf), "term").select(
-        id_col, "term", (F.col("tc") * F.col("idf_milli")).alias("wq")
+def _weights_from_tf(tf: DataFrame, idf: DataFrame, id_col: str, include_tc: bool = False) -> DataFrame:
+    """(id, term[, tc], wq) from an already-computed tf frame — the ONE
+    weighted-postings expression (callers with a pinned/spilled tf reuse
+    it without re-tokenizing)."""
+    cols = [id_col, "term"] + (["tc"] if include_tc else [])
+    return tf.join(F.broadcast(idf), "term").select(
+        *cols, (F.col("tc") * F.col("idf_milli")).alias("wq")
     )
+
+
+def _tfidf_weights(
+    df: DataFrame,
+    idf: DataFrame,
+    text_col: str,
+    id_col: str,
+    include_tc: bool = False,
+) -> DataFrame:
+    """(id, term[, tc], wq): integer TF-IDF weights under a FROZEN idf
+    table — terms absent from ``idf`` contribute nothing (the
+    frozen-vocabulary rule every persisted-model op here shares: NB
+    default weights, IVF centroids). Shared by the batch top-k, the index
+    build, the APPENDER and the searcher so none can drift;
+    ``include_tc`` carries the raw count the BM25 postings need."""
+    return _weights_from_tf(_term_freqs(df, text_col, id_col), idf, id_col, include_tc)
 
 
 def _cosine_rank(dots: DataFrame, qn: DataFrame, cn: DataFrame, id_col: str, k: int) -> DataFrame:
@@ -720,11 +735,14 @@ def sparse_cosine_topk(
     return _cosine_rank(dots, nrm, nrm, id_col, k)
 
 
-# v2: the postings gained raw tc and the norms gained dl for BM25 — an
-# index written before that lacks the columns, so the version string bumps
-# and the sidecar guard rejects it with "rebuild the index" instead of an
-# unresolved-column crash mid-search (round-9 review)
-_TFIDF_ALGO = "tfidf-millinat-v2"
+# v2: the postings gained raw tc and the norms gained dl for BM25.
+# v3: postings/norms carry a __batch partition (build + each append own
+# one — crash replays REPLACE their partition instead of anti-joining),
+# and the sidecar freezes dl_sum/dl_rows so BM25's average length never
+# shifts under appends. An older index lacks all of it, so the version
+# bump makes the sidecar guard say "rebuild the index" instead of
+# crashing mid-search on missing columns (round-9 review).
+_TFIDF_ALGO = "tfidf-millinat-v3"
 
 
 def build_tfidf_index(
@@ -762,26 +780,36 @@ def build_tfidf_index(
     spark = df.sparkSession
     n_docs = df.count()
 
+    dl_totals: dict = {}
+
     def _stage(_df, staging: str) -> None:
+        import shutil
+
         from ..sources.writers import write_parquet
 
-        # ONE tokenize pass: tf feeds the idf census, the postings write
-        # and the dl aggregation — pinned so none of the three actions
-        # re-evaluates the explode lineage over the corpus (round-9
-        # review: the un-pinned form paid three full scans)
-        tf = _term_freqs(_df, text_col, id_col).localCheckpoint(eager=True)
+        # ONE tokenize pass, OUT OF CORE: tf spills to a staging parquet
+        # and every consumer (idf census, postings, dl) reads it back —
+        # an in-memory localCheckpoint of the corpus-scale tf frame
+        # OOM-killed the 1M-doc build (round-9 measurement), while the
+        # un-pinned form paid three full tokenize scans
+        tf_tmp = os.path.join(staging, "_tf_tmp")
+        write_parquet(_term_freqs(_df, text_col, id_col), tf_tmp)
+        tf = spark.read.parquet(tf_tmp)
         dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("docs_with"))
         if max_df is not None:
             dfr = dfr.filter(F.col("docs_with") <= max_df)
         write_parquet(_idf_milli(dfr, n_docs), os.path.join(staging, "idf"))
         idf = spark.read.parquet(os.path.join(staging, "idf"))
         # postings carry raw tc next to the cosine weight so BM25 search
-        # (which needs tc and idf separately) reads the same table
+        # (which needs tc and idf separately) reads the same table; the
+        # build owns the "build" __batch partition (appends each own
+        # theirs — the crash-replay unit)
         write_parquet(
-            tf.join(F.broadcast(idf), "term").select(
-                id_col, "term", "tc", (F.col("tc") * F.col("idf_milli")).alias("wq")
+            _weights_from_tf(tf, idf, id_col, include_tc=True).withColumn(
+                "__batch", F.lit("build")
             ),
             os.path.join(staging, "weights"),
+            partition_by=["__batch"],
         )
         w = spark.read.parquet(os.path.join(staging, "weights"))
         # dl = FULL token mass (pre-cap): BM25's length normalization uses
@@ -790,14 +818,36 @@ def build_tfidf_index(
         write_parquet(
             w.groupBy(id_col)
             .agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
-            .join(dl, id_col),
+            .join(dl, id_col)
+            .withColumn("__batch", F.lit("build")),
             os.path.join(staging, "norms"),
+            partition_by=["__batch"],
         )
+        # freeze BM25's average length AT BUILD TIME (round-9 review:
+        # deriving it live from norms let every append silently shift the
+        # scores of already-indexed documents)
+        row = (
+            spark.read.parquet(os.path.join(staging, "norms"))
+            .agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+        dl_totals["dl_sum"] = int(row["s"] or 0)
+        dl_totals["dl_rows"] = int(row["n"])
+        shutil.rmtree(tf_tmp, ignore_errors=True)
 
     def _sidecar(staging: str) -> None:
         tmp = os.path.join(staging, "_tfidf_params.json.tmp")
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"algo": _TFIDF_ALGO, "n_docs": n_docs, "max_df": max_df}, f)
+            json.dump(
+                {
+                    "algo": _TFIDF_ALGO,
+                    "n_docs": n_docs,
+                    "max_df": max_df,
+                    "dl_sum": dl_totals["dl_sum"],
+                    "dl_rows": dl_totals["dl_rows"],
+                },
+                f,
+            )
         os.replace(tmp, os.path.join(staging, "_tfidf_params.json"))
 
     atomic_swap_write(df, path, write_staging=_stage, finalize_staging=_sidecar)
@@ -860,7 +910,7 @@ def sparse_topk_search(
     corpus_n = spark.read.parquet(os.path.join(path, "norms"))
     if scheme == "bm25":
         return _bm25_rank(
-            queries, idf, corpus_w, corpus_n, k, k1, b, text_col, id_col
+            queries, idf, corpus_w, corpus_n, params, k, k1, b, text_col, id_col
         )
     qw = _tfidf_weights(queries, idf, text_col, id_col)
     qn = qw.groupBy(id_col).agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
@@ -881,6 +931,7 @@ def _bm25_rank(
     idf: DataFrame,
     corpus_w: DataFrame,
     corpus_n: DataFrame,
+    params: dict,
     k: int,
     k1: float,
     b: float,
@@ -888,21 +939,20 @@ def _bm25_rank(
     id_col: str,
 ) -> DataFrame:
     """Okapi BM25 top-k over the frozen index (see ``sparse_topk_search``).
-    ``avgdl`` derives from the norms table's exact integer (dl, count)
-    pair, so both engines compute the identical double; every per-triple
-    score quantizes to BIGINT before the sum. One narrow-key join on term
-    + one (query, doc) groupBy + the top-k window — the same shuffles as
-    the cosine path."""
-    row = corpus_n.agg(
-        F.sum("dl").alias("__s"), F.count(F.lit(1)).alias("__n")
-    ).collect()[0]
-    if not row["__n"]:
+    ``avgdl`` derives from the SIDECAR's exact integer (dl_sum, dl_rows)
+    pair frozen at build time — appends never shift already-indexed
+    documents' scores (round-9 review), and both engines compute the
+    identical double from identical integers; every per-triple score
+    quantizes to BIGINT before the sum. One narrow-key join on term + one
+    (query, doc) groupBy + the top-k window — the same shuffles as the
+    cosine path."""
+    if not params.get("dl_rows"):
         # empty index (empty corpus, or every term above max_df): no
         # neighbors — the same graceful empty the cosine path returns
         return queries.sparkSession.createDataFrame(
             [], f"{id_col} long, neighbor_id long, rnk long, score_milli long"
         )
-    avgdl = float(row["__s"]) / float(row["__n"])  # identical-integer division
+    avgdl = float(params["dl_sum"]) / float(params["dl_rows"])  # identical-integer division
     qtf = _term_freqs(queries, text_col, id_col).join(F.broadcast(idf), "term").select(
         F.col(id_col).alias("__q"), "term", F.col("tc").alias("qtf"), "idf_milli"
     )
@@ -950,55 +1000,95 @@ def append_tfidf_index(
     id_col: str = "doc_id",
 ) -> None:
     """Incremental leg of the index lifecycle (build → APPEND → search):
-    weight a new document batch under the index's FROZEN idf and append
-    its postings and norms — the same freeze-at-train staleness contract
-    as NB count stores and IVF centroids (df/idf do NOT update; terms the
-    frozen vocabulary lacks contribute nothing, and a periodic
-    ``build_tfidf_index`` rebuild refreshes the statistics). Cost ∝ the
-    batch, never the landed corpus; ids must be disjoint from the index's
-    (the shared incremental-store contract). Single-writer, like every
-    store here.
+    weight a new document batch under the index's FROZEN statistics and
+    land its postings and norms — idf/df AND the BM25 average length stay
+    frozen (the NB/IVF freeze-at-train contract; a periodic
+    ``build_tfidf_index`` rebuild refreshes them). Cost ∝ the batch plus
+    one column-pruned id scan of the landed postings (the disjointness
+    check); the corpus text is never re-read.
 
-    Crash-idempotent the anti-join way (postings feed SUMS, so a replayed
-    append would corrupt dot products, unlike the duplicate-insensitive
-    signature stores): batch docs already present in the postings are
-    skipped, and norms are recomputed for exactly the batch docs missing
-    a norms row — a rerun after a crash between the two appends lands
-    each row once."""
+    Crash-REPLACE idempotence, not anti-join skipping (round-9 review:
+    postings feed SUMS, and a parquet job commit is per-FILE — a crash
+    could land a subset of one doc's postings, which a doc-id anti-join
+    would then treat as complete forever): each batch owns a
+    ``__batch=<id-set fingerprint>`` partition in both tables, written
+    with dynamic partition overwrite, so a rerun REPLACES its own
+    partition wholesale and partial states cannot survive. Re-emitting an
+    already-indexed id from a DIFFERENT batch violates the disjoint-ids
+    store contract and raises (silently skipping it would leave the index
+    stale with no signal); NULL ids raise lazily. Single-writer, like
+    every store here."""
     import json
     import os
 
-    spark = new_docs.sparkSession
-    with open(os.path.join(path, "_tfidf_params.json"), encoding="utf-8") as f:
+    from ..sources.writers import recover_interrupted_swap
+
+    # writer discipline: heal a crashed BUILD swap before touching files
+    recover_interrupted_swap(path)
+    sidecar = os.path.join(path, "_tfidf_params.json")
+    if not os.path.exists(sidecar):
+        raise ValueError(
+            f"no tfidf index at {path} — run build_tfidf_index first"
+        )
+    with open(sidecar, encoding="utf-8") as f:
         params = json.load(f)
     if params.get("algo") != _TFIDF_ALGO:
         raise ValueError(
             f"tfidf index at {path} built with {params.get('algo')!r}, "
             f"appender expects {_TFIDF_ALGO!r} — rebuild the index"
         )
+    spark = new_docs.sparkSession
     wpath, npath = os.path.join(path, "weights"), os.path.join(path, "norms")
-    idf = spark.read.parquet(os.path.join(path, "idf"))
-    tf = _term_freqs(new_docs, text_col, id_col).localCheckpoint(eager=True)
-    landed = spark.read.parquet(wpath).select(id_col).distinct()
-    fresh = tf.join(landed, id_col, "left_anti")
-    fresh.join(F.broadcast(idf), "term").select(
-        id_col, "term", "tc", (F.col("tc") * F.col("idf_milli")).alias("wq")
-    ).write.mode("append").parquet(wpath)
-    # norms for exactly the batch docs still missing one (heals a prior
-    # weights-landed/norms-missing crash); nq from the landed postings,
-    # dl from this batch's tf (crashed docs are contractually THIS batch)
-    need = (
-        tf.select(id_col)
+    guarded = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(f"append_tfidf_index: NULL {id_col} cannot be indexed")),
+    ).otherwise(F.col(id_col))
+    batch = new_docs.withColumn(id_col, guarded)
+    # content-derived batch partition id (the ingest _batch_fingerprint
+    # shape): order-independent XOR of per-id hashes, so a rerun of the
+    # same batch lands in — and replaces — the same partition
+    v = batch.select(
+        F.expr(f"bit_xor(xxhash64(`{id_col}`))").alias("__fp")
+    ).collect()[0]["__fp"]
+    fp = f"{(v or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+    # disjointness contract check vs every OTHER partition (column-pruned
+    # id read; own-partition rows can only be a crashed prior attempt of
+    # THIS batch and are about to be replaced)
+    others = (
+        spark.read.parquet(wpath)
+        .filter(F.col("__batch") != fp)
+        .select(id_col)
         .distinct()
-        .join(spark.read.parquet(npath).select(id_col), id_col, "left_anti")
+    )
+    n_dup = batch.select(id_col).join(others, id_col, "left_semi").count()
+    if n_dup:
+        raise ValueError(
+            f"append_tfidf_index: {n_dup} batch id(s) already indexed at "
+            f"{path} under a different batch — ids must be disjoint "
+            "(re-emitting a changed document requires a rebuild; a silent "
+            "skip would leave the index stale with no signal)"
+        )
+    idf = spark.read.parquet(os.path.join(path, "idf"))
+    # batch-sized pin (NOT corpus-sized — the build spills instead)
+    tf = _term_freqs(batch, text_col, id_col).localCheckpoint(eager=True)
+    (
+        _weights_from_tf(tf, idf, id_col, include_tc=True)
+        .withColumn("__batch", F.lit(fp))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("__batch")
+        .parquet(wpath)
     )
     dl = tf.groupBy(id_col).agg(F.sum("tc").alias("dl"))
     (
         spark.read.parquet(wpath)
-        .join(need, id_col, "left_semi")
+        .filter(F.col("__batch") == fp)
         .groupBy(id_col)
         .agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
         .join(dl, id_col)
-        .write.mode("append")
+        .withColumn("__batch", F.lit(fp))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("__batch")
         .parquet(npath)
     )

@@ -472,12 +472,15 @@ def test_bm25_search_semantics(spark, tmp_path):
         sparse_topk_search(q1, spark, idx, scheme="tfidf")
 
 
-def test_tfidf_index_append_and_replay_heal(spark, tmp_path):
-    """Incremental index append: appended docs become searchable under the
-    FROZEN idf with results equal to a search against a full rebuild that
-    uses the same frozen statistics; a replayed append (the crash-rerun
-    shape) lands nothing twice — postings and norms counts are unchanged
-    and scores stay identical; algorithm drift rejects."""
+def test_tfidf_index_append_replace_semantics(spark, tmp_path):
+    """Incremental append (round-9 v3): appended docs become searchable
+    under the frozen statistics; a replayed append REPLACES its own
+    __batch partition (identical counts, identical scores); a simulated
+    partial crash — a truncated own-partition — is replaced wholesale, so
+    no doc can survive with a truncated vector; BM25 scores of
+    already-indexed docs do NOT shift when a short doc is appended (the
+    frozen avgdl); an id re-emitted from a DIFFERENT batch raises; NULL
+    ids raise; algorithm drift rejects."""
     import json
     import os
 
@@ -495,41 +498,66 @@ def test_tfidf_index_append_and_replay_heal(spark, tmp_path):
     )
     idx = str(tmp_path / "idx")
     build_tfidf_index(corpus, idx)
+    q = spark.createDataFrame([(1, "alpha beta common0")], "doc_id long, text string")
+    bm25_before = {
+        r["neighbor_id"]: r["score_milli"]
+        for r in sparse_topk_search(q, spark, idx, k=20, scheme="bm25").collect()
+    }
+
     batch = spark.createDataFrame(
         [(200, "alpha beta common0 fresh"), (201, "alpha unseen thing")],
         "doc_id long, text string",
     )
     append_tfidf_index(batch, idx)
-    q = spark.createDataFrame([(1, "alpha beta common0")], "doc_id long, text string")
     out = {r["neighbor_id"]: r["cos_sim"]
            for r in sparse_topk_search(q, spark, idx, k=20).collect()}
     assert 200 in out and 201 in out  # appended docs are searchable
     w_rows = spark.read.parquet(os.path.join(idx, "weights")).count()
     n_rows = spark.read.parquet(os.path.join(idx, "norms")).count()
-    # replayed append: anti-join heal lands nothing twice
+    # replay: the batch's partition is REPLACED — identical counts/scores
     append_tfidf_index(batch, idx)
     assert spark.read.parquet(os.path.join(idx, "weights")).count() == w_rows
     assert spark.read.parquet(os.path.join(idx, "norms")).count() == n_rows
     again = {r["neighbor_id"]: r["cos_sim"]
              for r in sparse_topk_search(q, spark, idx, k=20).collect()}
     assert again == out
-    # crash between the two appends: weights landed, norms missing — the
-    # rerun heals exactly the missing norms row
-    batch2 = spark.createDataFrame([(300, "alpha beta tail")], "doc_id long, text string")
-    from etl_data_transformer_spark.operators.similarity import (
-        _term_freqs,
+    # frozen avgdl: appending a (short) doc must not shift the BM25 scores
+    # of previously indexed documents
+    bm25_after = {
+        r["neighbor_id"]: r["score_milli"]
+        for r in sparse_topk_search(q, spark, idx, k=20, scheme="bm25").collect()
+    }
+    for n, sc in bm25_before.items():
+        assert bm25_after[n] == sc, n
+
+    # simulated partial crash: truncate the batch's own partition to one
+    # row, rerun — the partition is replaced wholesale, nothing truncated
+    # survives
+    wdir = os.path.join(idx, "weights")
+    parts = [d for d in os.listdir(wdir) if d.startswith("__batch=") and "build" not in d]
+    assert len(parts) == 1
+    own = os.path.join(wdir, parts[0])
+    truncated = spark.read.parquet(own).limit(1).collect()
+    spark.createDataFrame(
+        truncated, spark.read.parquet(own).schema
+    ).write.mode("overwrite").parquet(own)
+    append_tfidf_index(batch, idx)  # rerun heals by replacement
+    assert spark.read.parquet(os.path.join(idx, "weights")).count() == w_rows
+    healed = {r["neighbor_id"]: r["cos_sim"]
+              for r in sparse_topk_search(q, spark, idx, k=20).collect()}
+    assert healed == out
+
+    # an id re-emitted from a DIFFERENT batch is a contract violation
+    clash = spark.createDataFrame(
+        [(200, "changed text for an already indexed id"), (300, "brand new")],
+        "doc_id long, text string",
     )
-    idf = spark.read.parquet(os.path.join(idx, "idf"))
-    tf2 = _term_freqs(batch2, "text", "doc_id")
-    tf2.join(F.broadcast(idf), "term").select(
-        "doc_id", "term", "tc", (F.col("tc") * F.col("idf_milli")).alias("wq")
-    ).write.mode("append").parquet(os.path.join(idx, "weights"))  # simulated partial crash
-    append_tfidf_index(batch2, idx)  # rerun
-    w2 = spark.read.parquet(os.path.join(idx, "weights")).filter("doc_id = 300")
-    n2 = spark.read.parquet(os.path.join(idx, "norms")).filter("doc_id = 300")
-    # 2 postings (alpha, beta in the frozen vocab; "tail" unseen -> none),
-    # landed exactly once despite the replay, and exactly one norms row
-    assert w2.count() == 2 and n2.count() == 1
+    with _pytest.raises(ValueError, match="already indexed"):
+        append_tfidf_index(clash, idx)
+    # NULL ids raise lazily
+    nulls = spark.createDataFrame([(None, "alpha")], "doc_id long, text string")
+    with _pytest.raises(Exception, match="NULL doc_id"):
+        append_tfidf_index(nulls, idx)
     # drift rejects
     sc = os.path.join(idx, "_tfidf_params.json")
     pjson = json.load(open(sc)); pjson["algo"] = "tfidf-other"
