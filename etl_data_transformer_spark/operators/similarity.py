@@ -639,20 +639,14 @@ def _weights_from_tf(tf: DataFrame, idf: DataFrame, id_col: str, include_tc: boo
     )
 
 
-def _tfidf_weights(
-    df: DataFrame,
-    idf: DataFrame,
-    text_col: str,
-    id_col: str,
-    include_tc: bool = False,
-) -> DataFrame:
-    """(id, term[, tc], wq): integer TF-IDF weights under a FROZEN idf
-    table — terms absent from ``idf`` contribute nothing (the
-    frozen-vocabulary rule every persisted-model op here shares: NB
-    default weights, IVF centroids). Shared by the batch top-k, the index
-    build, the APPENDER and the searcher so none can drift;
-    ``include_tc`` carries the raw count the BM25 postings need."""
-    return _weights_from_tf(_term_freqs(df, text_col, id_col), idf, id_col, include_tc)
+def _tfidf_weights(df: DataFrame, idf: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, wq): integer TF-IDF weights under a FROZEN idf table —
+    terms absent from ``idf`` contribute nothing (the frozen-vocabulary
+    rule every persisted-model op here shares: NB default weights, IVF
+    centroids). The weighting expression itself lives in
+    ``_weights_from_tf`` (shared with the tc-carrying index writers) so
+    no site can drift."""
+    return _weights_from_tf(_term_freqs(df, text_col, id_col), idf, id_col)
 
 
 def _cosine_rank(dots: DataFrame, qn: DataFrame, cn: DataFrame, id_col: str, k: int) -> DataFrame:
@@ -804,30 +798,30 @@ def build_tfidf_index(
         # (which needs tc and idf separately) reads the same table; the
         # build owns the "build" __batch partition (appends each own
         # theirs — the crash-replay unit)
-        write_parquet(
-            _weights_from_tf(tf, idf, id_col, include_tc=True).withColumn(
-                "__batch", F.lit("build")
-            ),
-            os.path.join(staging, "weights"),
-            partition_by=["__batch"],
+        w_df = _weights_from_tf(tf, idf, id_col, include_tc=True).withColumn(
+            "__batch", F.lit("build")
         )
-        w = spark.read.parquet(os.path.join(staging, "weights"))
+        write_parquet(w_df, os.path.join(staging, "weights"), partition_by=["__batch"])
+        # schema-pinned read-back: an EMPTY partitioned write lands only
+        # _SUCCESS, and a schemaless read of it raises UNABLE_TO_INFER_SCHEMA
+        # (round-9 review — the empty corpus / all-terms-capped build)
+        w = spark.read.schema(w_df.schema).parquet(os.path.join(staging, "weights"))
         # dl = FULL token mass (pre-cap): BM25's length normalization uses
         # the document's real length, not the capped-vocabulary slice
         dl = tf.groupBy(id_col).agg(F.sum("tc").alias("dl"))
-        write_parquet(
+        n_df = (
             w.groupBy(id_col)
             .agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
             .join(dl, id_col)
-            .withColumn("__batch", F.lit("build")),
-            os.path.join(staging, "norms"),
-            partition_by=["__batch"],
+            .withColumn("__batch", F.lit("build"))
         )
+        write_parquet(n_df, os.path.join(staging, "norms"), partition_by=["__batch"])
         # freeze BM25's average length AT BUILD TIME (round-9 review:
         # deriving it live from norms let every append silently shift the
         # scores of already-indexed documents)
         row = (
-            spark.read.parquet(os.path.join(staging, "norms"))
+            spark.read.schema(n_df.schema)
+            .parquet(os.path.join(staging, "norms"))
             .agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()[0]
         )
@@ -905,6 +899,15 @@ def sparse_topk_search(
             f"tfidf index at {path} built with {params.get('algo')!r}, "
             f"searcher expects {_TFIDF_ALGO!r} — rebuild the index"
         )
+    if not params.get("dl_rows"):
+        # empty index (empty corpus, or every term above max_df): the
+        # partitioned empty tables carry no data files and cannot even be
+        # schema-inferred — return the graceful empty BEFORE reading them
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, neighbor_id long, rnk long, "
+            + ("score_milli long" if scheme == "bm25" else "cos_sim double"),
+        )
     idf = spark.read.parquet(os.path.join(path, "idf"))
     corpus_w = spark.read.parquet(os.path.join(path, "weights"))
     corpus_n = spark.read.parquet(os.path.join(path, "norms"))
@@ -946,12 +949,8 @@ def _bm25_rank(
     quantizes to BIGINT before the sum. One narrow-key join on term + one
     (query, doc) groupBy + the top-k window — the same shuffles as the
     cosine path."""
-    if not params.get("dl_rows"):
-        # empty index (empty corpus, or every term above max_df): no
-        # neighbors — the same graceful empty the cosine path returns
-        return queries.sparkSession.createDataFrame(
-            [], f"{id_col} long, neighbor_id long, rnk long, score_milli long"
-        )
+    # dl_rows > 0 guaranteed: sparse_topk_search returns the graceful
+    # empty before reaching here on an empty index
     avgdl = float(params["dl_sum"]) / float(params["dl_rows"])  # identical-integer division
     qtf = _term_freqs(queries, text_col, id_col).join(F.broadcast(idf), "term").select(
         F.col(id_col).alias("__q"), "term", F.col("tc").alias("qtf"), "idf_milli"
@@ -1012,12 +1011,19 @@ def append_tfidf_index(
     could land a subset of one doc's postings, which a doc-id anti-join
     would then treat as complete forever): each batch owns a
     ``__batch=<id-set fingerprint>`` partition in both tables, written
-    with dynamic partition overwrite, so a rerun REPLACES its own
-    partition wholesale and partial states cannot survive. Re-emitting an
-    already-indexed id from a DIFFERENT batch violates the disjoint-ids
-    store contract and raises (silently skipping it would leave the index
-    stale with no signal); NULL ids raise lazily. Single-writer, like
-    every store here."""
+    with dynamic partition overwrite, so a RERUN of the batch replaces
+    its own partition wholesale and no partial state survives it. (A
+    crashed batch that is simply ABANDONED leaves its truncated partition
+    behind — rerun or rebuild; no reader mutates the store.) The
+    fingerprint is ID-SET derived (the ingest ``_batch_fingerprint``):
+    a batch with the same id set is BY DESIGN treated as a replay of the
+    original, so changing a document's text under an unchanged id set is
+    out of contract (rebuild) — while re-emitting an already-indexed id
+    from a DIFFERENT batch raises (silently skipping it would leave the
+    index stale with no signal). Duplicate ids WITHIN a batch raise too
+    (they would merge two documents' counts and can cancel the XOR
+    fingerprint into a collision); NULL ids raise lazily. Single-writer,
+    like every store here."""
     import json
     import os
 
@@ -1044,13 +1050,22 @@ def append_tfidf_index(
         F.raise_error(F.lit(f"append_tfidf_index: NULL {id_col} cannot be indexed")),
     ).otherwise(F.col(id_col))
     batch = new_docs.withColumn(id_col, guarded)
-    # content-derived batch partition id (the ingest _batch_fingerprint
-    # shape): order-independent XOR of per-id hashes, so a rerun of the
-    # same batch lands in — and replaces — the same partition
-    v = batch.select(
-        F.expr(f"bit_xor(xxhash64(`{id_col}`))").alias("__fp")
-    ).collect()[0]["__fp"]
-    fp = f"{(v or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+    # within-batch duplicate ids would merge two documents' term counts
+    # into one corrupt vector AND cancel in the XOR fingerprint (h^h = 0),
+    # letting the batch collide with a landed partition — reject up front
+    dup_row = batch.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct(id_col).alias("d")
+    ).collect()[0]
+    if dup_row["n"] != dup_row["d"]:
+        raise ValueError(
+            f"append_tfidf_index: {dup_row['n'] - dup_row['d']} duplicate "
+            f"{id_col} value(s) within the batch — ids must be unique"
+        )
+    # id-SET-derived batch partition name (the ingest helper; same-id-set
+    # reruns land in — and replace — the same partition)
+    from ..plans.ingest import _batch_fingerprint
+
+    fp = _batch_fingerprint(batch, id_col)
     # disjointness contract check vs every OTHER partition (column-pruned
     # id read; own-partition rows can only be a crashed prior attempt of
     # THIS batch and are about to be replaced)

@@ -558,9 +558,36 @@ def test_tfidf_index_append_replace_semantics(spark, tmp_path):
     nulls = spark.createDataFrame([(None, "alpha")], "doc_id long, text string")
     with _pytest.raises(Exception, match="NULL doc_id"):
         append_tfidf_index(nulls, idx)
+    # duplicate ids WITHIN a batch raise (they would merge counts and can
+    # XOR-cancel the fingerprint into a partition collision)
+    dups = spark.createDataFrame(
+        [(500, "text a"), (500, "text b")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="duplicate doc_id"):
+        append_tfidf_index(dups, idx)
     # drift rejects
     sc = os.path.join(idx, "_tfidf_params.json")
     pjson = json.load(open(sc)); pjson["algo"] = "tfidf-other"
     json.dump(pjson, open(sc, "w"))
     with _pytest.raises(ValueError, match="rebuild the index"):
         append_tfidf_index(batch, idx)
+
+
+def test_tfidf_index_empty_corpus_builds_and_searches_empty(spark, tmp_path):
+    """An index whose every term exceeds max_df (or an empty corpus) must
+    BUILD cleanly under the v3 partitioned layout (schema-pinned staged
+    read-backs) and SEARCH as the graceful empty under both schemes —
+    never UNABLE_TO_INFER_SCHEMA."""
+    from etl_data_transformer_spark.operators.similarity import (
+        build_tfidf_index,
+        sparse_topk_search,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "the the common words") for i in range(5)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "idx")
+    build_tfidf_index(corpus, idx, max_df=1)  # every term df=5 > 1 -> all capped
+    q = spark.createDataFrame([(1, "the common")], "doc_id long, text string")
+    assert sparse_topk_search(q, spark, idx, k=3).collect() == []
+    assert sparse_topk_search(q, spark, idx, k=3, scheme="bm25").collect() == []
