@@ -767,8 +767,13 @@ def _nb_store_write(rows, path: str, mode: str, family) -> None:
             ),
         )
         return
-    _reject_streaming_layout_append(rows, path, label)
+    # Heal BEFORE probing: a crashed swap leaves the store sidelined in
+    # .backup, so the layout guard would read nothing and silently pass —
+    # then the heal restores a __batch_id-partitioned store under a flat
+    # append (the exact mixed-layout corruption the guard prevents; same
+    # heal-before-probe ordering the ingest runners use).
     _nb_store_ensure(path, family)
+    _reject_streaming_layout_append(rows, path, label)
     rows.write.mode(mode).parquet(path)
 
 

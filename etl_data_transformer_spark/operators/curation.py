@@ -1856,6 +1856,14 @@ def top_fraction_per_group(
     reproducible row-for-row, the property the oracle checks."""
     if not 0.0 < frac <= 1.0:
         raise ValueError(f"frac must be in (0, 1]: got {frac}")
+    for reserved in ("__rn", "__n"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"top_fraction_per_group uses a `{reserved}` working column "
+                "but the input already has one — rename it first (it would "
+                "be silently clobbered and dropped from the output; the "
+                "assign_shards reserved-name contract)"
+            )
     from fractions import Fraction
 
     from pyspark.sql import Window

@@ -902,10 +902,14 @@ def sparse_topk_search(
     if not params.get("dl_rows"):
         # empty index (empty corpus, or every term above max_df): the
         # partitioned empty tables carry no data files and cannot even be
-        # schema-inferred — return the graceful empty BEFORE reading them
+        # schema-inferred — return the graceful empty BEFORE reading them.
+        # The id DDL derives from the CALLER's id column (string-id
+        # corpora keep their type, matching the non-empty path's schema —
+        # the compression_ratio_micros id-preservation contract).
+        id_ddl = queries.schema[id_col].dataType.simpleString()
         return queries.sparkSession.createDataFrame(
             [],
-            f"{id_col} long, neighbor_id long, rnk long, "
+            f"{id_col} {id_ddl}, neighbor_id {id_ddl}, rnk long, "
             + ("score_milli long" if scheme == "bm25" else "cos_sim double"),
         )
     idf = spark.read.parquet(os.path.join(path, "idf"))
@@ -1066,14 +1070,24 @@ def append_tfidf_index(
     from ..plans.ingest import _batch_fingerprint
 
     fp = _batch_fingerprint(batch, id_col)
-    # disjointness contract check vs every OTHER partition (column-pruned
-    # id read; own-partition rows can only be a crashed prior attempt of
-    # THIS batch and are about to be replaced)
+    # disjointness contract check vs every OTHER partition — against the
+    # NORMS table (ONE row per landed doc, column-pruned to the id), not
+    # the postings (round-9 measurement: scanning every landed posting id
+    # made a 5k-doc append cost ~1/5 of a full rebuild at 1M docs; norms
+    # make the check ∝ landed DOCS, and the semi-join side is the batch).
+    # Schema-PINNED read: an index built over an empty corpus has
+    # partitioned tables with no data files, so an inferred read of it
+    # raises UNABLE_TO_INFER_SCHEMA on the very first append (round-9
+    # advice) — the pin turns that into the correct empty frame. Own-
+    # partition rows can only be a crashed prior attempt of THIS batch
+    # and are about to be replaced.
+    id_ddl = batch.schema[id_col].dataType.simpleString()
+    norms_schema = f"{id_col} {id_ddl}, nq long, dl long, __batch string"
     others = (
-        spark.read.parquet(wpath)
+        spark.read.schema(norms_schema)
+        .parquet(npath)
         .filter(F.col("__batch") != fp)
         .select(id_col)
-        .distinct()
     )
     n_dup = batch.select(id_col).join(others, id_col, "left_semi").count()
     if n_dup:
@@ -1083,20 +1097,25 @@ def append_tfidf_index(
             "(re-emitting a changed document requires a rebuild; a silent "
             "skip would leave the index stale with no signal)"
         )
-    idf = spark.read.parquet(os.path.join(path, "idf"))
+    # idf/ may itself be empty-partitioned (empty-corpus build) — pin
+    idf = spark.read.schema("term string, docs_with bigint, idf_milli long").parquet(
+        os.path.join(path, "idf")
+    )
     # batch-sized pin (NOT corpus-sized — the build spills instead)
     tf = _term_freqs(batch, text_col, id_col).localCheckpoint(eager=True)
+    w_df = _weights_from_tf(tf, idf, id_col, include_tc=True).withColumn(
+        "__batch", F.lit(fp)
+    )
     (
-        _weights_from_tf(tf, idf, id_col, include_tc=True)
-        .withColumn("__batch", F.lit(fp))
-        .write.option("partitionOverwriteMode", "dynamic")
+        w_df.write.option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .partitionBy("__batch")
         .parquet(wpath)
     )
     dl = tf.groupBy(id_col).agg(F.sum("tc").alias("dl"))
     (
-        spark.read.parquet(wpath)
+        spark.read.schema(w_df.schema)
+        .parquet(wpath)
         .filter(F.col("__batch") == fp)
         .groupBy(id_col)
         .agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))

@@ -54,8 +54,9 @@ def test_entry_module_queries_on_foreign_session(spark):
     finally:
         sys.path.pop(0)
     ns = _hostile_session(spark)
-    # tumbling_events touches the events table's TIMESTAMP(NANOS) read —
+    # hopping_events touches the events table's TIMESTAMP(NANOS) read —
     # the conf-sensitive path this test exists for (events_json rotated
-    # out of the driver 50 in round 9; same nanos read, still a driver row)
-    df = ent.queries()["tumbling_events"](ns, SF_DIR)
+    # out in round 9, tumbling_events in round 10; same nanos read, still
+    # a driver row via the hopping twin)
+    df = ent.queries()["hopping_events"](ns, SF_DIR)
     assert df.count() > 0
