@@ -814,15 +814,20 @@ def q_top_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-9 exact top-fraction pruning: keep the top 25% of documents
     per language by token count — rank semantics with the (score DESC,
     id ASC) tie-break, so the kept set is engine-exact even through the
-    fixture's heavy token-count ties."""
-    from ..operators.curation import top_fraction_per_group
+    fixture's heavy token-count ties. Round 10: routed through
+    ``top_fraction_approx`` — ``lang`` is exactly the few-groups shape
+    whose exact-window form serializes each group through one reducer at
+    scale; the approx form keeps the IDENTICAL kept-set contract (the
+    oracle still re-ranks bit-exact) while sorting only the boundary
+    band."""
+    from ..operators.curation import top_fraction_approx
 
     d = _docs(spark, sf_dir)
     toks = F.filter(TX.tokens(F.col("text")), lambda t: F.length(t) > 0)
     scored = d.select(
         "doc_id", "lang", F.size(toks).cast("long").alias("n_tokens")
     )
-    return top_fraction_per_group(scored, "n_tokens", 0.25, by="lang")
+    return top_fraction_approx(scored, "n_tokens", 0.25, by="lang")
 
 
 def q_hopping_events(spark: SparkSession, sf_dir: str) -> DataFrame:

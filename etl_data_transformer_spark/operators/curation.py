@@ -1874,8 +1874,7 @@ def top_fraction_per_group(
     # ceil 8). limit_denominator recovers the intended decimal ratio from
     # the float literal; rn <= ceil(n·num/den) ⇔ (rn-1)·den < n·num, all
     # in longs.
-    r = Fraction(float(frac)).limit_denominator(10**9)
-    num, den = r.numerator, r.denominator
+    num, den = _keep_frac_terms(frac, Fraction)
     part = Window.partitionBy(by) if by is not None else Window.partitionBy()
     w = part.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
     return (
@@ -1884,6 +1883,143 @@ def top_fraction_per_group(
         .filter((F.col("__rn") - 1) * F.lit(den) < F.col("__n") * F.lit(num))
         .drop("__rn", "__n")
     )
+
+
+def _keep_frac_terms(frac: float, Fraction) -> tuple[int, int]:
+    """(num, den) such that the exact keep count is ``ceil(n*num/den)`` in
+    pure longs — the ONE keep-count arithmetic both top-fraction forms
+    share (a float ``ceil(n*frac)`` over-keeps on binary artifacts like
+    100*0.07 = 7.000000000000001)."""
+    r = Fraction(float(frac)).limit_denominator(10**9)
+    return r.numerator, r.denominator
+
+
+def top_fraction_approx(
+    df: DataFrame,
+    score_col: str,
+    frac: float,
+    by: str | None = None,
+    id_col: str = "doc_id",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """``top_fraction_per_group`` with the SAME exact-kept-set contract but
+    the 100 TB plan shape (round-9 verdict item 2): the exact form's one
+    window serializes each group's FULL sort through a single reducer —
+    fatal when ``by`` is None or has few groups (languages, domains). This
+    form never sorts more than the boundary BAND of a group:
+
+    1. **Probe pass** — per group: exact ``n`` and two
+       ``percentile_approx`` probes at ``1-frac ∓ 4/accuracy`` (constant
+       fractions, so one map-side-combined agg) bracketing the cutoff
+       value; keep count ``k = ceil(n·frac)`` in exact long arithmetic.
+    2. **Census pass** — broadcast the per-group (v_lo, v_hi); exactly
+       count ``a = |score > v_hi|`` and ``m = |v_lo ≤ score ≤ v_hi|``.
+    3. **Cut pass** — where ``a ≤ k ≤ a+m`` (the sketch kept its rank
+       guarantee): keep every row above the band outright and rank ONLY
+       the band (~``4n/accuracy`` rows + value ties at the probes) by the
+       exact form's (score DESC, id ASC) tie-break, keeping ``k-a``.
+       Groups where the bracket failed (possible only on sketch-guarantee
+       violation, all-NULL scores, or ``k`` exceeding the non-null count)
+       fall back to the exact window FOR THOSE GROUPS ONLY — correctness
+       never rests on the sketch, it only sizes the sorted set.
+
+    The kept set is row-for-row IDENTICAL to ``top_fraction_per_group``
+    (equivalence property-tested on tie-heavy fixtures): above-band rows
+    are exactly the rows outranking every band row; a boundary tie run
+    lands wholly inside the band (v_lo = v_hi = the tied value) where the
+    id ASC tie-break resolves it. Inherent limit: a group whose scores
+    are ALL one value degenerates to band = group — exact tie-breaking
+    among T tied rows requires ranking T rows in any scheme.
+
+    Scale shape: two map-side-combined agg scans (probe, census) + the
+    three cut branches' filter scans, per-group metadata pinned
+    (lazy ``localCheckpoint`` — one row per group; reuse is also a
+    CORRECTNESS requirement, see the inline note) and broadcast, and a
+    window over only the band. No full-group sort on any reducer at any
+    group count — the plan-shape test pins every window input to the
+    band/fallback bracket."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1]: got {frac}")
+    if accuracy < 100:
+        raise ValueError(f"accuracy must be >= 100: got {accuracy}")
+    work = ("__n", "__nn", "__k", "__vlo", "__vhi", "__a", "__m", "__ok", "__rn")
+    for reserved in work:
+        if reserved in df.columns:
+            raise ValueError(
+                f"top_fraction_approx uses a `{reserved}` working column "
+                "but the input already has one — rename it first"
+            )
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    num, den = _keep_frac_terms(frac, Fraction)
+    eps = 1.0 / accuracy
+    margin = 4.0 * eps + 1e-9  # ±2ε GK rank error per probe + ceil slack
+    f_lo = max(0.0, 1.0 - frac - margin)
+    f_hi = min(1.0, 1.0 - frac + margin)
+    gcols = [by] if by is not None else []
+    score = F.col(score_col)
+
+    stats = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(score).alias("__nn"),  # non-NULL scores (NULLs sort last)
+        F.percentile_approx(score, [f_lo, f_hi], accuracy).alias("__pr"),
+    )
+    # per-group metadata (one row per group) is PINNED, not recomputed:
+    # the census counts and the cut filter must see the SAME probe values
+    # — percentile_approx's sketch can legally return different bracket
+    # values under a different partition merge order, and a v_hi that
+    # drifts between the two passes breaks the exact-count case analysis
+    thr = stats.select(
+        *gcols,
+        F.expr(f"(__n * {num} + {den - 1}) DIV {den}").alias("__k"),
+        "__nn",
+        F.element_at("__pr", 1).alias("__vlo"),
+        F.element_at("__pr", 2).alias("__vhi"),
+    ).localCheckpoint(eager=False)
+    joined = (
+        df.join(F.broadcast(thr), gcols) if gcols else df.crossJoin(F.broadcast(thr))
+    )
+    counts = joined.groupBy(*gcols).agg(
+        F.sum(F.when(score > F.col("__vhi"), 1).otherwise(0)).cast("long").alias("__a"),
+        F.sum(
+            F.when((score >= F.col("__vlo")) & (score <= F.col("__vhi")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("__m"),
+    )
+    meta = thr.join(counts, gcols) if gcols else thr.crossJoin(counts)
+    # the bracket holds iff the exact top-k set splits into {above band}
+    # ∪ {top (k-a) of band}; NULL scores are never in a/m, so a k that
+    # reaches into NULLs (k > __nn) also routes to the exact fallback
+    meta = meta.withColumn(
+        "__ok",
+        F.col("__vlo").isNotNull()
+        & (F.col("__a") <= F.col("__k"))
+        & (F.col("__a") + F.col("__m") >= F.col("__k"))
+        & (F.col("__k") <= F.col("__nn")),
+    ).localCheckpoint(eager=False)
+    tagged = (
+        df.join(F.broadcast(meta), gcols) if gcols else df.crossJoin(F.broadcast(meta))
+    )
+    out_cols = [F.col(c) for c in df.columns]
+    sure = tagged.filter(F.col("__ok") & (score > F.col("__vhi"))).select(*out_cols)
+    part = Window.partitionBy(by) if by is not None else Window.partitionBy()
+    w = part.orderBy(score.desc(), F.col(id_col).asc())
+    band = (
+        tagged.filter(
+            F.col("__ok") & (score >= F.col("__vlo")) & (score <= F.col("__vhi"))
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__k") - F.col("__a"))
+        .select(*out_cols)
+    )
+    # sketch-failure fallback: whole affected groups re-cut by the exact
+    # window (none in practice — the property suite hunts for one)
+    bad = tagged.filter(~F.col("__ok")).select(*out_cols)
+    exact_bad = top_fraction_per_group(bad, score_col, frac, by=by, id_col=id_col)
+    return sure.unionByName(band).unionByName(exact_bad)
 
 
 def _md5_fold64(col: Column, chars: int = 8) -> Column:

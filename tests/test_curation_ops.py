@@ -1306,3 +1306,113 @@ def test_top_fraction_per_group_semantics(spark):
         top_fraction_per_group(df, "s", 0.0)
     with pytest.raises(ValueError, match="frac"):
         top_fraction_per_group(df, "s", 1.5)
+
+
+def test_top_fraction_approx_equivalence(spark):
+    """The approx form's kept set is row-for-row IDENTICAL to the exact
+    window form — including tie runs straddling the cut, all-tied groups
+    (the degenerate band=group case), NULL scores, singleton groups, and
+    corpus-wide (by=None) mode."""
+    import random
+
+    from etl_data_transformer_spark.operators.curation import (
+        top_fraction_approx,
+        top_fraction_per_group,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    did = 0
+    # tie-heavy: group "t" draws from only 3 score values; group "c" is
+    # ALL one value; group "u" uniform; group "n" has NULLs; "s" singleton
+    for grp, n, scores in (
+        ("t", 200, lambda: rng.choice([1, 2, 3])),
+        ("c", 150, lambda: 7),
+        ("u", 300, lambda: rng.randint(0, 10**6)),
+        ("n", 100, lambda: rng.choice([None, 5, 9])),
+        ("s", 1, lambda: 4),
+    ):
+        for _ in range(n):
+            did += 1
+            rows.append((did, grp, scores()))
+    df = spark.createDataFrame(rows, "doc_id long, grp string, s long")
+    for frac in (0.07, 0.25, 0.5, 1.0):
+        for by in ("grp", None):
+            exact = {
+                r["doc_id"]
+                for r in top_fraction_per_group(df, "s", frac, by=by).collect()
+            }
+            approx = [
+                r["doc_id"]
+                for r in top_fraction_approx(df, "s", frac, by=by).collect()
+            ]
+            assert len(approx) == len(set(approx)), (frac, by, "dup rows")
+            assert set(approx) == exact, (frac, by)
+
+
+def test_top_fraction_approx_plan_has_no_full_sort_window(spark):
+    """The 100 TB contract: every Window in the approx plan ranks only a
+    FILTERED band/fallback subset — never the raw input. (The exact form's
+    plan, by contrast, windows over the unfiltered scan.)"""
+    from etl_data_transformer_spark.operators.curation import (
+        top_fraction_approx,
+        top_fraction_per_group,
+    )
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("s")
+    )
+    plan = (
+        top_fraction_approx(df, "s", 0.25, by=None)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if "Window" in ln]
+    assert win_idx, "approx plan lost its band window"
+
+    def _depth(ln: str) -> int:
+        p = max(ln.find("+- "), ln.find(":- "))
+        return p if p != -1 else -(10**6)  # root outranks everything
+
+    for i in win_idx:
+        # the window's FULL subtree (all lines strictly deeper in the
+        # toString tree) must carry the band bracket / fallback flag —
+        # Catalyst may realize it as a Filter node, a join condition, or
+        # a filter pushed to the broadcast (right) child, so walk the
+        # whole subtree by tree-prefix depth, not just to the first leaf
+        d = _depth(lines[i])
+        sub = []
+        for ln in lines[i + 1 :]:
+            if _depth(ln) <= d:
+                break
+            sub.append(ln)
+        seg = "\n".join(sub)
+        assert any(m in seg for m in ("__vhi", "__vlo", "__ok")), (
+            f"window at plan line {i} ranks the raw input:\n{plan[:4000]}"
+        )
+    # and the exact form at by=None really is the single-partition shape
+    # this variant exists to avoid (the contrast pins the test's meaning)
+    exact_plan = (
+        top_fraction_per_group(df, "s", 0.25, by=None)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" in exact_plan
+
+
+def test_top_fraction_approx_guards(spark):
+    import pytest
+
+    from etl_data_transformer_spark.operators.curation import top_fraction_approx
+
+    df = spark.createDataFrame([(1, 0.5)], "doc_id long, s double")
+    with pytest.raises(ValueError, match="frac"):
+        top_fraction_approx(df, "s", 0.0)
+    with pytest.raises(ValueError, match="accuracy"):
+        top_fraction_approx(df, "s", 0.5, accuracy=10)
+    clash = spark.createDataFrame([(1, 0.5, 2)], "doc_id long, s double, __vhi int")
+    with pytest.raises(ValueError, match="__vhi"):
+        top_fraction_approx(clash, "s", 0.5)

@@ -643,6 +643,39 @@ def test_top_fraction_matches_naive(spark, rows, frac):
     assert got == want
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # group
+            st.one_of(st.none(), st.integers(0, 4)),  # score (NULLs too)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([0.07, 0.25, 0.5, 1.0]),
+    st.sampled_from(["grp", None]),
+)
+@_few
+def test_top_fraction_approx_equals_exact_property(spark, rows, frac, by):
+    """Random tiny-alphabet scores (maximal tie pressure), NULL scores,
+    random fracs, grouped and corpus-wide: the two-pass approx form's kept
+    set is row-for-row identical to the exact window form — the sketch
+    only sizes the sorted band, never the answer."""
+    from etl_data_transformer_spark.operators.curation import (
+        top_fraction_approx,
+        top_fraction_per_group,
+    )
+
+    data = [(i, f"g{g}", s) for i, (g, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, grp string, s long")
+    exact = {
+        r["doc_id"] for r in top_fraction_per_group(df, "s", frac, by=by).collect()
+    }
+    approx = [r["doc_id"] for r in top_fraction_approx(df, "s", frac, by=by).collect()]
+    assert len(approx) == len(set(approx))
+    assert set(approx) == exact
+
+
 @st.composite
 def sparse_corpus(draw):
     vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
