@@ -30,10 +30,11 @@ NLJ_ALLOWED = {
     "hyperplane_blocked_recall",
     "agg_china",
     "fact_union",
-    # K-row label-frame broadcast cross joins (K = number of classes, 5
-    # here): the V×K grid build and the per-doc label fan-out are
-    # deliberate bounded cross products against a census-sized frame —
-    # the same const-pinned-dim class as agg_china
+    # K-row label-frame broadcast cross join (K = number of classes, 5
+    # here): the scorer's per-doc label fan-out is a deliberate bounded
+    # cross product against a census-sized frame — the same
+    # const-pinned-dim class as agg_china (the trainer's former V×K grid
+    # cross join was deleted in round 10; weights are observed-pair sparse)
     "nb_lang_multiclass",
     "sql_fact_union",  # same const-pinned dims via the raw-SQL entry point
     "range_join_events",  # bucketed equi-join + bound filter; tiny residual

@@ -563,9 +563,13 @@ def test_nb_multiclass_semantics(spark):
         "doc_id long, text string, lang string",
     )
     m = nb_train_multiclass(train, "lang")
-    # complete grid: every vocab token has a row for every label
+    # SPARSE weights: one row per OBSERVED (label, token) pair only —
+    # never the complete V×K product (round-10; unseen-for-label tokens
+    # ride the default term, equality pinned below)
     v = m.weights.select("t").distinct().count()
-    assert m.weights.count() == v * 3
+    assert m.weights.count() < v * 3
+    obs = {(r["label"], r["t"]) for r in m.weights.collect()}
+    assert ("fr", "cat") not in obs and ("en", "chat") not in obs
 
     test = spark.createDataFrame(
         [
@@ -865,3 +869,64 @@ def test_compression_ratio_matches_zlib(spark):
     sdf = spark.createDataFrame([("web-17", "some web text here")], "doc_id string, text string")
     srow = compression_ratio_micros(sdf).collect()[0]
     assert srow["doc_id"] == "web-17" and srow["n_bytes"] == 18
+
+
+def test_nb_multiclass_sparse_equals_dense_grid(spark):
+    """Model equality vs the dense form (round-9 verdict item 4): scoring
+    under the SPARSE observed-pair weights must be bit-identical to an
+    inline COMPLETE smoothed V×K grid mirror — a zero-count in-vocab
+    token's grid row round(1e6*ln(a/denom)) is exactly the label's
+    default_micros, so the scorer's missing-token default term reproduces
+    every dropped row."""
+    from pyspark.sql import functions as F
+
+    from etl_data_transformer_spark.functions.text import (
+        NBMultiModel,
+        nb_classify,
+        nb_train_multiclass,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "le chat noir dort bien sous le toit", "fr"),
+            (2, "le chien noir mange bien et dort", "fr"),
+            (3, "the black cat sleeps well at night", "en"),
+            (4, "the black dog eats well and sleeps", "en"),
+            (5, "el gato negro duerme bien cada noche", "es"),
+            (6, "el perro negro come bien y duerme", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    m = nb_train_multiclass(train, "lang")
+    # densify: complete V×K grid where missing pairs take the label's
+    # default (the exactness identity under Laplace smoothing)
+    vocab = m.weights.select("t").distinct()
+    dense = (
+        vocab.crossJoin(F.broadcast(m.labels.select("label", "default_micros")))
+        .join(m.weights, ["label", "t"], "left")
+        .select(
+            "label",
+            "t",
+            F.coalesce(F.col("lp_micros"), F.col("default_micros")).alias("lp_micros"),
+        )
+    )
+    dense_model = NBMultiModel(dense, m.labels)
+    test = spark.createDataFrame(
+        [
+            (10, "le chat dort bien"),
+            (11, "the cat sleeps at night"),
+            (12, "el gato duerme y come"),
+            (13, "noir black negro bien well"),  # cross-language mix
+            (14, "zzz qqq"),  # all OOV
+        ],
+        "doc_id long, text string",
+    )
+    sparse_scores = {
+        (r["doc_id"]): (r["pred_label"], r["score_micros"], r["n_tokens"])
+        for r in nb_classify(test, m).collect()
+    }
+    dense_scores = {
+        (r["doc_id"]): (r["pred_label"], r["score_micros"], r["n_tokens"])
+        for r in nb_classify(test, dense_model).collect()
+    }
+    assert sparse_scores == dense_scores
