@@ -503,7 +503,11 @@ def scd2_apply(
     change_types = dict(changes.dtypes)
     extra_ties = [c for c in tiebreak_cols if c not in (*keys, *state_cols, ts_col)]
 
-    touched = changes.select(*keys).distinct()
+    # touched feeds THREE broadcast builds (pseudo semi-join, stats
+    # semi-join, pass-through flag) — pin it lazily so the distinct
+    # shuffle runs once, not once per broadcast (round-10; cost ∝ batch
+    # keys, the frame every broadcast here already assumes is small)
+    touched = changes.select(*keys).distinct().localCheckpoint(eager=False)
     current = dim.filter(F.col("is_current"))
     cur_touched = current.join(F.broadcast(touched), keys, "left_semi")
 
@@ -607,66 +611,95 @@ def scd2_apply_snapshot(
     version numbering (``scd2_apply`` offsets by the key's highest
     existing ordinal, current or closed).
 
-    Diff-then-apply: the snapshot is compared against the dimension's
-    CURRENT states with ``plans/merge.snapshot_diff`` semantics (null-safe
-    struct compare, one full-outer join on the key), so unchanged keys
-    never enter the window pass — per-run cost ∝ snapshot + touched keys,
-    and closed history still passes through untouched. ``as_of`` must be
-    at-or-after every current ``valid_from`` (enforced by ``scd2_apply``'s
-    validation when ``validate=True``)."""
+    Diff-then-apply, DIRECT form (round-9 verdict item 5): the snapshot is
+    compared against the dimension's CURRENT states with
+    ``plans/merge.snapshot_diff`` semantics (null-safe struct compare, one
+    full-outer join on the key, ``include_new`` carrying the changed keys'
+    new state so the snapshot is never re-joined). Because every snapshot
+    transition shares the ONE ``as_of`` timestamp, the generic change-feed
+    machinery (pseudo-observations, the windowed ``scd2_history`` rebuild,
+    per-row ordering bounds) degenerates to plain joins: close the current
+    row of every updated/deleted key at ``as_of``, open a new version for
+    every updated/inserted key at ``max existing ordinal + 1`` (version 1
+    for never-seen keys; re-insertions continue their numbering), pass
+    everything else through untouched. Semantics are row-for-row the
+    round-9 ``scd2_apply``-composed form's — pinned by the driver oracle,
+    the apply-vs-rebuild pytest and the hypothesis lifecycle property.
+    Per-run cost ∝ snapshot + touched keys: the diff join, ONE key-pruned
+    stats pass over the dimension, and one broadcast-flag pass-through
+    scan — no window, no sort. ``validate=True`` is ONE count over the
+    batch-sized stats frame: ``as_of`` must be at-or-after every touched
+    key's ordering bound (open ``valid_from``, or last ``valid_to`` for a
+    re-inserted closed key — both are ``max(coalesce(valid_to,
+    valid_from))``), covering the deleted-key inversion check and the
+    late-upsert check in the same predicate."""
     from ..plans.merge import snapshot_diff
 
     keys = list(key_cols)
     current = dim.filter(F.col("is_current"))
-    # the diff (one narrow row per CHANGED key) feeds both the change
-    # batch and the deletion set; materialize it once so the full-outer
-    # current-vs-snapshot join — the expensive half of diff-then-apply —
-    # runs a single time instead of once per consumer (round-9, verdict
-    # item 6)
+    # one narrow row per CHANGED key, carrying the new state; pinned once
+    # for its three consumers (flags, stats keys, new rows)
     diff = snapshot_diff(
         current.select(*keys, *state_cols),
         snapshot.select(*keys, *state_cols),
         keys,
         list(state_cols),
+        include_new=True,
     ).localCheckpoint(eager=True)
     ts = F.lit(as_of).cast("timestamp")
-    # changes is consumed several times inside scd2_apply (feed, touched
-    # keys, validation) and carries a join against the snapshot — pin it
-    # too (cost ∝ changed keys, the same bound as the diff)
-    changes = (
-        diff.filter(F.col("change_type").isin("inserted", "updated"))
-        .select(*keys)
-        .join(snapshot.select(*keys, *state_cols), keys)
-        .withColumn("__snap_ts", ts)
-        .localCheckpoint(eager=True)
-    )
-    deleted = diff.filter(F.col("change_type") == "deleted").select(
-        *keys, F.lit(1).alias("__del")
+    # ONE stats pass over the touched keys' dim rows (key-pruned via the
+    # broadcast of the batch-sized diff keys): the version offset and the
+    # ordering bound for BOTH validation classes
+    stats = (
+        dim.join(F.broadcast(diff.select(*keys)), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(
+            F.max(F.coalesce(F.col("valid_to"), F.col("valid_from"))).alias("__vf"),
+            F.max("version").alias("__mv"),
+        )
+        .localCheckpoint(eager=False)
     )
     if validate:
-        # deleted keys never enter the change batch, so scd2_apply's
-        # ordering validation cannot see them — check here that ``as_of``
-        # does not predate any closing key's open valid_from (round-8
-        # review: an early snapshot replay would otherwise silently write
-        # valid_to < valid_from)
-        n_inverted = (
-            current.join(F.broadcast(deleted.select(*keys)), keys, "left_semi")
-            .filter(F.col("valid_from") > ts)
-            .count()
-        )
-        if n_inverted:
+        # every transition happens AT ``as_of``: one predicate bounds the
+        # updated keys (late upsert ⇒ overlapping versions), the deleted
+        # keys (inverted closing ⇒ valid_to < valid_from) and re-inserted
+        # closed keys (timestamp inside the closed interval)
+        n_late = stats.filter(F.col("__vf") > ts).count()
+        if n_late:
             raise ValueError(
-                f"as_of predates the current valid_from of {n_inverted} keys "
-                "being deleted — an out-of-order snapshot needs a rebuild "
-                "(or validate=False to accept best-effort closing)"
+                f"as_of predates the ordering bound of {n_late} touched keys "
+                "(open valid_from, or closing timestamp for deleted/"
+                "re-inserted keys) — an out-of-order snapshot needs a "
+                "scd2_history rebuild (or validate=False for best-effort)"
             )
-    upserted = scd2_apply(
-        dim, changes, keys, list(state_cols), "__snap_ts", validate=validate
+    out_cols = [*keys, *state_cols, "valid_from", "valid_to", "version", "is_current"]
+    # pass-through + closing in ONE dim scan: updated/deleted keys' current
+    # rows close at as_of; closed history and untouched keys flow through
+    closing_keys = diff.filter(F.col("change_type").isin("updated", "deleted")).select(
+        *keys, F.lit(1).alias("__close")
     )
-    closing = F.col("__del").isNotNull() & F.col("is_current")
-    return (
-        upserted.join(F.broadcast(deleted), keys, "left")
-        .withColumn("valid_to", F.when(closing, ts).otherwise(F.col("valid_to")))
-        .withColumn("is_current", F.when(closing, F.lit(False)).otherwise(F.col("is_current")))
-        .drop("__del")
+    close = F.col("__close").isNotNull() & F.col("is_current")
+    existing = (
+        dim.join(F.broadcast(closing_keys), keys, "left")
+        .withColumn("valid_to", F.when(close, ts).otherwise(F.col("valid_to")))
+        .withColumn(
+            "is_current", F.when(close, F.lit(False)).otherwise(F.col("is_current"))
+        )
+        .select(*out_cols)
     )
+    # new versions: updated/inserted keys open at as_of, continuing the
+    # key's highest existing ordinal (NULL stats row = never-seen key)
+    new_rows = (
+        diff.filter(F.col("change_type").isin("inserted", "updated"))
+        .select(*keys, *state_cols)
+        .join(F.broadcast(stats.select(*keys, "__mv")), keys, "left")
+        .select(
+            *keys,
+            *state_cols,
+            ts.alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            (F.coalesce(F.col("__mv"), F.lit(0)) + 1).cast("int").alias("version"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return existing.unionByName(new_rows)

@@ -119,6 +119,7 @@ def snapshot_diff(
     new: DataFrame,
     key_cols: list[str],
     compare_cols: list[str] | None = None,
+    include_new: bool = False,
 ) -> DataFrame:
     """Change-data-capture diff of two table snapshots: one row per key
     whose presence or compared values changed — (key..., change_type in
@@ -142,6 +143,13 @@ def snapshot_diff(
 
     NULL semantics: comparison is null-safe per the struct ``<=>`` —
     a value changing to/from NULL IS an update; two NULLs are equal.
+
+    ``include_new=True`` appends the NEW side's compared columns to the
+    output (NULL on 'deleted' rows) — the diff already paid the full-outer
+    join, so a consumer that needs the changed keys' new state (SCD2
+    snapshot apply) reads it from the diff instead of re-joining the
+    snapshot (round-9 verdict item 5: that second snapshot-scale join was
+    a measurable share of the sf1 apply).
     """
     if not key_cols:
         raise ValueError("snapshot_diff needs at least one key column")
@@ -155,8 +163,13 @@ def snapshot_diff(
         .when(F.col("__n").isNull(), F.lit("deleted"))
         .when(~F.col("__o").eqNullSafe(F.col("__n")), F.lit("updated"))
     )
+    payload = (
+        [F.col("__n").getField(c).alias(c) for c in compare_cols]
+        if include_new and compare_cols
+        else []
+    )
     return (
-        j.select(*key_cols, change.alias("change_type"))
+        j.select(*key_cols, change.alias("change_type"), *payload)
         .filter(F.col("change_type").isNotNull())
     )
 
