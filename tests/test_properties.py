@@ -728,3 +728,65 @@ def test_sparse_cosine_topk_matches_integer_mirror(spark, docs, k):
         for rnk, (negcos, j) in enumerate(sorted(cands)[:k], start=1):
             want[(i, rnk)] = (j, round(-negcos, 6))
     assert got == want
+
+
+@st.composite
+def index_lifecycle_case(draw):
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "theta"]
+    n_batches = draw(st.integers(2, 4))
+    batches, did = [], 0
+    for _ in range(n_batches):
+        docs = []
+        for _ in range(draw(st.integers(1, 5))):
+            words = draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=6))
+            docs.append((did, " ".join(words)))
+            did += 1
+        batches.append(docs)
+    queries = []
+    for qid in (1000, 1001):
+        words = draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=5))
+        queries.append((qid, " ".join(words)))
+    return batches, queries
+
+
+@given(index_lifecycle_case(), st.sampled_from(["cosine", "bm25"]))
+@_few
+def test_tfidf_index_lifecycle_property(spark, tmp_path_factory, case, scheme):
+    """Random build/append interleavings (round-9 verdict item 7): a
+    build(b0) followed by a SEQUENCE of appends — including a crash-replay
+    of the last batch — searches rank-for-rank identically to the same
+    build followed by ONE append of the batches' union, under the frozen
+    idf/avgdl restricted to the indexed corpus. Pins append associativity,
+    replay idempotence, and that batch layout never leaks into scores
+    (integer postings sum exactly in any order)."""
+    from etl_data_transformer_spark.operators.similarity import (
+        append_tfidf_index,
+        build_tfidf_index,
+        sparse_topk_search,
+    )
+
+    batches, queries = case
+    qdf = spark.createDataFrame(queries, "doc_id long, text string")
+    score_col = "score_milli" if scheme == "bm25" else "cos_sim"
+
+    def search(path):
+        return {
+            (r["doc_id"], r["rnk"]): (r["neighbor_id"], r[score_col])
+            for r in sparse_topk_search(qdf, spark, path, k=4, scheme=scheme).collect()
+        }
+
+    base = tmp_path_factory.mktemp("idx_prop")
+    seq, uni = str(base / "seq"), str(base / "uni")
+    mk = lambda docs: spark.createDataFrame(docs, "doc_id long, text string")
+
+    build_tfidf_index(mk(batches[0]), seq)
+    for b in batches[1:]:
+        append_tfidf_index(mk(b), seq)
+    append_tfidf_index(mk(batches[-1]), seq)  # crash replay: same id set
+
+    build_tfidf_index(mk(batches[0]), uni)
+    rest = [d for b in batches[1:] for d in b]
+    if rest:
+        append_tfidf_index(mk(rest), uni)
+
+    assert search(seq) == search(uni)
