@@ -82,6 +82,13 @@ class IngestReport:
     # entropy pre-gate audit (None unless the gate ran): documents the
     # map-only char-entropy floor dropped before even the NB gate scored
     n_entropy_dropped: int | None = None
+    # the NB-gate threshold ACTUALLY APPLIED to this batch (None unless
+    # the gate ran) — with the frozen-threshold mode (round-9 verdict
+    # item 6: the FineWeb top-fraction cut can't run per-batch, so the
+    # corpus-relative threshold is derived periodically and applied as a
+    # per-batch constant) the audit trail shows which frozen value gated
+    # each batch, so a threshold refresh is visible in the table
+    nb_threshold_micros: int | None = None
 
 
 def _near_losers(pairs: DataFrame, survivors: DataFrame, id_col: str) -> DataFrame:
@@ -260,6 +267,97 @@ def _entropy_gate(
     return gated, n_batch - gated.count()
 
 
+_NB_THRESHOLD_ALGO = "nb-threshold-approx-pct-v1"
+
+
+def freeze_nb_threshold(
+    corpus: DataFrame,
+    nb_store: str,
+    top_frac: float,
+    *,
+    out_path: str | None = None,
+    accuracy: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Derive the FROZEN corpus-relative NB-gate threshold (round-9 verdict
+    item 6): the FineWeb-style "keep the top ``top_frac`` by classifier
+    score" cut cannot run per-batch — each batch's score distribution
+    drifts, and a per-batch percentile would gate unstably. Instead, score
+    the LANDED corpus (or any representative sample) under the persisted
+    NB store's model and freeze the ``1 - top_frac`` approximate percentile
+    of ``score_micros`` as an integer threshold; every subsequent batch
+    applies it as a plain ``nb_threshold_micros`` constant (the runners'
+    existing ``>= threshold`` gate), so per-batch gating is deterministic
+    and the kept fraction tracks ``top_frac`` over the corpus the
+    threshold was derived from (±1/``accuracy`` rank error + ties — the
+    ``approx_percentile_prices`` contract; the gate is a quality heuristic,
+    not an exact cut — ``operators/curation.top_fraction_*`` is the exact
+    family). Re-derive periodically (e.g. alongside the NB store's
+    retrain/compact cadence) — the audit table records the threshold each
+    batch ACTUALLY used (``nb_threshold_micros`` column), so a refresh is
+    visible in the trail.
+
+    Scale shape: one scoring pass over the corpus (token explode +
+    broadcast weight join + per-doc sum) into ONE sketch aggregate — no
+    sort, no window. ``out_path`` persists a JSON sidecar
+    (atomic tmp+rename; ``read_nb_threshold`` validates the algo tag) so
+    the frozen value survives the deriving session."""
+    if not 0.0 < top_frac <= 1.0:
+        raise ValueError(f"top_frac must be in (0, 1]: got {top_frac}")
+    from ..functions.text import nb_model_from_counts, nb_score, read_nb_store
+
+    model = nb_model_from_counts(read_nb_store(corpus.sparkSession, nb_store))
+    row = (
+        nb_score(corpus, model, text_col, id_col)
+        .agg(
+            F.percentile_approx(
+                "score_micros", F.lit(1.0 - float(top_frac)), F.lit(int(accuracy))
+            ).alias("t"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    if not row["n"] or row["t"] is None:
+        raise ValueError(
+            "freeze_nb_threshold: corpus has no scoreable (non-empty-token) "
+            "documents — a threshold derived from nothing would gate on noise"
+        )
+    thr = int(row["t"])
+    if out_path is not None:
+        import json
+        import os
+
+        payload = {
+            "algo": _NB_THRESHOLD_ALGO,
+            "threshold_micros": thr,
+            "top_frac": float(top_frac),
+            "accuracy": int(accuracy),
+            "scored_rows": int(row["n"]),
+        }
+        tmp = f"{out_path}.tmp"
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(payload, f)
+        os.replace(tmp, out_path)
+    return thr
+
+
+def read_nb_threshold(path: str) -> int:
+    """Read back a ``freeze_nb_threshold`` sidecar — validates the algo tag
+    so a drifted writer's file rejects instead of silently mis-gating."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        payload = json.load(f)
+    if payload.get("algo") != _NB_THRESHOLD_ALGO:
+        raise ValueError(
+            f"threshold sidecar at {path} written by {payload.get('algo')!r}, "
+            f"reader expects {_NB_THRESHOLD_ALGO!r} — re-derive it"
+        )
+    return int(payload["threshold_micros"])
+
+
 _PASSAGE_INGEST_NS = "ingest"
 
 
@@ -423,6 +521,7 @@ def run_incremental_ingest(
             passage_docs_touched=0 if rw_on else None,
             n_quality_dropped=0 if q_on else None,
             n_entropy_dropped=0 if e_on else None,
+            nb_threshold_micros=int(nb_threshold_micros) if q_on else None,
         )
         if audit_path is not None:
             write_ingest_audit(spark, audit_path, report)
@@ -584,6 +683,7 @@ def run_incremental_ingest(
             report,
             n_quality_dropped=n_quality_dropped,
             n_entropy_dropped=n_entropy_dropped,
+            nb_threshold_micros=int(nb_threshold_micros) if q_on else None,
         )
 
     # sinks: survivors first, then each store's rows FOR THE SURVIVORS —
@@ -847,6 +947,7 @@ def ingest_audit_row(spark, report: IngestReport) -> DataFrame:
             report.passage_docs_touched,
             report.n_quality_dropped,
             report.n_entropy_dropped,
+            report.nb_threshold_micros,
             dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
         )
     ]
@@ -859,7 +960,7 @@ _AUDIT_COLS_DDL = (
     "simhash_pairs long, minhash_capped_buckets long, "
     "simhash_capped_buckets long, passage_tokens_removed long, "
     "passage_docs_touched long, n_quality_dropped long, "
-    "n_entropy_dropped long, ingest_ts timestamp"
+    "n_entropy_dropped long, nb_threshold_micros long, ingest_ts timestamp"
 )
 _AUDIT_COL_NAMES = {c.strip().split()[0] for c in _AUDIT_COLS_DDL.split(",")}
 
@@ -1106,6 +1207,7 @@ def run_incremental_ingest_txn(
             passage_docs_touched=0 if rw_on else None,
             n_quality_dropped=0 if q_on else None,
             n_entropy_dropped=0 if e_on else None,
+            nb_threshold_micros=int(nb_threshold_micros) if q_on else None,
         )
         if audit_table is not None:
             MF.multi_commit(
@@ -1192,6 +1294,7 @@ def run_incremental_ingest_txn(
             report,
             n_quality_dropped=n_quality_dropped,
             n_entropy_dropped=n_entropy_dropped,
+            nb_threshold_micros=int(nb_threshold_micros) if q_on else None,
         )
 
     land_df = survivors

@@ -1068,6 +1068,7 @@ def stream_ingest(
                         passage_docs_touched=0 if rw_on else None,
                         n_quality_dropped=0 if q_on else None,
                         n_entropy_dropped=0 if e_on else None,
+                        nb_threshold_micros=int(nb_threshold_micros) if q_on else None,
                     )
                     _overwrite_batch_partition(
                         ingest_audit_row(spark, zero), audit_path, ns, batch_id
@@ -1211,6 +1212,7 @@ def stream_ingest(
                     report,
                     n_quality_dropped=n_quality_dropped,
                     n_entropy_dropped=n_entropy_dropped,
+                    nb_threshold_micros=int(nb_threshold_micros) if q_on else None,
                 )
 
             land_df = survivors

@@ -1425,3 +1425,155 @@ def test_ingest_txn_rejects_bucketed_exact_table(spark, tmp_path):
             exact_table=ex,
             txn_dir=str(tmp_path / "_txns"),
         )
+
+
+# ----------------------- frozen corpus-relative threshold (round-10, item 6) --
+
+
+def test_freeze_nb_threshold_two_batch_e2e(spark, tmp_path):
+    """The frozen-threshold scored cut composed into the ingest: derive the
+    threshold ONCE from a landed corpus under the NB store's model, apply
+    it to two batches — gating is threshold-stable (the same doc content
+    passes/drops identically in both batches), both audit rows record the
+    applied nb_threshold_micros, and the sidecar round-trips."""
+    from etl_data_transformer_spark.functions import text as TX
+    from etl_data_transformer_spark.plans.ingest import (
+        freeze_nb_threshold,
+        read_nb_threshold,
+        run_incremental_ingest,
+    )
+
+    nb = str(tmp_path / "nb")
+    _quality_store(spark, nb)
+    # landed corpus: 4 good docs + 1 spam; the top-40% percentile target
+    # lands STRICTLY inside the good cluster, so the frozen threshold is a
+    # positive good-cluster score regardless of approx-rank fuzz
+    corpus = spark.createDataFrame(
+        [
+            (100, "good clean prose flows nicely"),
+            (101, "well written good text here"),
+            (102, "good text written nicely here"),
+            (103, "clean good prose written well"),
+            (104, "junk spam buy click spam"),
+        ],
+        "doc_id long, text string",
+    )
+    side = str(tmp_path / "thr.json")
+    thr = freeze_nb_threshold(corpus, nb, 0.4, out_path=side)
+    assert read_nb_threshold(side) == thr
+    assert thr > 0  # inside the good cluster under this model
+
+    kw = dict(
+        exact_store=str(tmp_path / "ex"),
+        survivors_path=str(tmp_path / "landed"),
+        audit_path=str(tmp_path / "audit"),
+        nb_store=nb,
+        nb_threshold_micros=read_nb_threshold(side),
+    )
+    # batch docs score far OUTSIDE the corpus clusters (double the token
+    # mass), so pass/drop vs the frozen in-cluster threshold is unambiguous
+    b1 = spark.createDataFrame(
+        [
+            (1, "good good clean clean prose prose nicely nicely written written"),
+            (2, "spam spam junk junk click click buy buy"),
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (3, "good good clean clean written written nicely nicely text text"),
+            (4, "junk junk spam spam buy buy click click"),
+        ],
+        "doc_id long, text string",
+    )
+    r1 = run_incremental_ingest(b1, **kw)
+    r2 = run_incremental_ingest(b2, **kw)
+    # threshold-stable gating: the spam doc drops in BOTH batches
+    assert (r1.n_quality_dropped, r2.n_quality_dropped) == (1, 1)
+    assert (r1.nb_threshold_micros, r2.nb_threshold_micros) == (thr, thr)
+    landed = {x["doc_id"] for x in spark.read.parquet(kw["survivors_path"]).collect()}
+    assert landed == {1, 3}
+    audit = spark.read.parquet(kw["audit_path"]).collect()
+    assert sorted(x["nb_threshold_micros"] for x in audit) == [thr, thr]
+
+    # contract guards
+    import pytest
+
+    with pytest.raises(ValueError, match="top_frac"):
+        freeze_nb_threshold(corpus, nb, 0.0)
+    empty = spark.createDataFrame([(9, "   ")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no scoreable"):
+        freeze_nb_threshold(empty, nb, 0.5)
+
+
+def test_freeze_nb_threshold_txn_parity(spark, tmp_path):
+    """The txn runner records the same applied-threshold audit column
+    through its journaled manifest sink."""
+    from etl_data_transformer_spark.plans.ingest import (
+        freeze_nb_threshold,
+        run_incremental_ingest_txn,
+    )
+    from etl_data_transformer_spark.sources import manifest as MF
+
+    nb = str(tmp_path / "nb")
+    _quality_store(spark, nb)
+    corpus = spark.createDataFrame(
+        [
+            (100, "good clean prose flows nicely"),
+            (101, "well written good text here"),
+            (102, "spam click buy junk now"),
+        ],
+        "doc_id long, text string",
+    )
+    thr = freeze_nb_threshold(corpus, nb, 0.34)
+    b = spark.createDataFrame(
+        [
+            (1, "good good clean clean prose prose nicely nicely"),
+            (2, "spam spam junk junk click click buy buy"),
+        ],
+        "doc_id long, text string",
+    )
+    r = run_incremental_ingest_txn(
+        b,
+        corpus_table=str(tmp_path / "landed"),
+        exact_table=str(tmp_path / "ex"),
+        audit_table=str(tmp_path / "audit"),
+        txn_dir=str(tmp_path / "txn"),
+        nb_store=nb,
+        nb_threshold_micros=thr,
+    )
+    assert r.nb_threshold_micros == thr
+    audit = MF.read_table(spark, str(tmp_path / "audit")).collect()
+    assert [x["nb_threshold_micros"] for x in audit] == [thr]
+
+
+def test_audit_migration_adds_threshold_column(spark, tmp_path):
+    """A pre-round-10 audit table (without nb_threshold_micros) migrates
+    in place: the new column lands NULL and subsequent appends work."""
+    from etl_data_transformer_spark.plans.ingest import (
+        IngestReport,
+        ingest_audit_row,
+        migrate_batch_audit_table,
+        validate_batch_audit_layout,
+        write_ingest_audit,
+    )
+
+    path = str(tmp_path / "audit")
+    # simulate the old schema by dropping the new column
+    old = ingest_audit_row(spark, IngestReport(1, 1, None, None, 1, None, None)).drop(
+        "nb_threshold_micros"
+    )
+    old.write.parquet(path)
+    import pytest
+
+    with pytest.raises(ValueError, match="migrate_batch_audit_table"):
+        validate_batch_audit_layout(spark, path)
+    added = migrate_batch_audit_table(spark, path)
+    assert added == ["nb_threshold_micros"]
+    validate_batch_audit_layout(spark, path)
+    write_ingest_audit(
+        spark, path, IngestReport(2, 2, None, None, 2, None, None, nb_threshold_micros=7)
+    )
+    rows = spark.read.parquet(path).collect()
+    got = sorted((x["nb_threshold_micros"] for x in rows), key=lambda v: (v is not None, v or 0))
+    assert got == [None, 7]
