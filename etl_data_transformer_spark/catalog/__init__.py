@@ -262,6 +262,12 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall": EXT.q_ann_ivf_recall,
     "lang_id": EXT.q_lang_id,
     "bigram_logprob": EXT.q_bigram_logprob,
+    # round-10 additions (after the 50-slot cap): prefix-filtered EXACT
+    # Jaccard join — the oracle recomputes the UNPRUNED all-pairs form, so
+    # the hash compare is the AllPairs prefix lemma's completeness proof —
+    # and the dataset-card corpus profile.
+    "jaccard_join_docs": EXT.q_jaccard_join_docs,
+    "corpus_stats_docs": EXT.q_corpus_stats_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

@@ -958,3 +958,28 @@ def q_bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     idx = _sparse_idx(spark, sf_dir)
     return sparse_topk_search(d.filter(F.col("doc_id") < 100), spark, idx, k=5, scheme="bm25")
+
+
+def q_jaccard_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 prefix-filtered EXACT Jaccard join (AllPairs/PPJoin): char
+    3-gram set similarity at J >= 0.6 over the full fixture corpus. The DuckDB
+    oracle recomputes ALL pairs (the unpruned quadratic form), so the
+    hash compare IS the prefix lemma's completeness proof at driver
+    strength: one dropped candidate = one missing row = mismatch. Output
+    is pure BIGINTs (intersection + both set sizes; the threshold cut is
+    exact integer arithmetic)."""
+    from ..operators.dedup import jaccard_join_prefix
+
+    # NO corpus cap: the prefix-filtered side is the scale path (no N² in
+    # the plan); the all-pairs cost lives in the ORACLE, bounded at
+    # fixture scale like every exact-truth side here
+    return jaccard_join_prefix(_docs(spark, sf_dir), threshold=0.6)
+
+
+def q_corpus_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 dataset-card profile: per-(lang, source) docs / token mass
+    / char mass / largest doc — the exact-integer summary mixture weights
+    and cap policies are derived from."""
+    from ..plans.quality import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir))

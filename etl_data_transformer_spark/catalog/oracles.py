@@ -1528,3 +1528,57 @@ ALL_ORACLES: dict[str, str] = {
     **TEMPORAL_ORACLES,
     **WAREHOUSE_ORACLES,
 }
+
+# Round-10 prefix-filtered exact Jaccard join: the oracle is the UNPRUNED
+# all-pairs form — identical distinct-3-gram sets, identical integer
+# threshold arithmetic (i*den >= num*(na+nb-i), 0.6 = 3/5) — so the hash
+# compare proves the AllPairs prefix filter's candidate completeness.
+EXTENSION_ORACLES["jaccard_join_docs"] = """
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_distinct([substring(text, i, 3)
+                      for i in range(1, greatest(length(text) - 2, 0) + 1)])) AS g
+        FROM documents WHERE length(text) >= 3
+    ), sz AS (
+        SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i AS BIGINT) AS n_inter,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE i * 5 >= 3 * (sa.n + sb.n - i)
+"""
+
+# Round-10 dataset-card profile: exact integer corpus summary per
+# (lang, source) — same whitespace token counting as top_fraction_docs.
+EXTENSION_ORACLES["corpus_stats_docs"] = """
+    WITH t AS (
+        SELECT lang, source,
+               CAST(len([x for x in regexp_split_to_array(trim(text), '\\s+')
+                         if length(x) > 0]) AS BIGINT) AS toks,
+               CAST(length(coalesce(text, '')) AS BIGINT) AS chars
+        FROM documents
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS tok_sum,
+           CAST(sum(chars) AS BIGINT) AS char_sum,
+           CAST(max(toks) AS BIGINT) AS max_tokens
+    FROM t GROUP BY 1, 2
+"""
+
+# rebuild after the round-10 late additions (the file's established
+# late-addition pattern)
+ALL_ORACLES = {
+    **PARITY_ORACLES,
+    **EXTENSION_ORACLES,
+    **TEMPORAL_ORACLES,
+    **WAREHOUSE_ORACLES,
+}

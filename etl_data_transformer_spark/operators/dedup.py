@@ -1475,6 +1475,102 @@ def ngram_jaccard_exact(
     )
 
 
+def jaccard_join_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT char-n-gram Jaccard similarity join at/above ``threshold``
+    WITHOUT the all-pairs posting join — AllPairs/PPJoin prefix filtering
+    (Bayardo, Ma & Srikant, WWW 2007): order each document's distinct gram
+    set by ascending document frequency (rarest first, gram string as the
+    tie-break), emit only the first ``|d| - ceil(t·|d|) + 1`` grams as
+    candidate postings, and verify candidates exactly. The prefix lemma
+    guarantees completeness — any pair with ``J ≥ t`` has intersection
+    ``i ≥ t·|union| ≥ t·|x|`` on both sides, so its globally-smallest
+    common gram must sit inside BOTH prefixes (were it in x's suffix of
+    size ``ceil(t·|x|)-1``, all common grams would be too, capping
+    ``i < t·|x|`` — contradiction). The result is therefore IDENTICAL to
+    ``ngram_jaccard_exact``'s all-pairs form (the driver oracle recomputes
+    all pairs and hash-compares), while the candidate join never touches
+    hot grams: 'the'-class grams order LAST and stay out of prefixes, so
+    the quadratic hot-bucket mass the banded joins cap away never
+    materializes here at all.
+
+    Engine-exact output: (id_a, id_b, n_inter, n_a, n_b) — pure BIGINTs
+    (the Jaccard cut is integer arithmetic, ``i·den ≥ num·(|a|+|b|-i)``
+    with the threshold as an exact fraction), no float in the hash.
+
+    Scale shape: one gram-frequency census (broadcast — the char-n-gram
+    vocabulary is alphabet-bounded, the same assumption as the sparse
+    top-k's idf broadcast), one per-doc window for prefix selection
+    (shuffle on the doc id), the prefix-posting self-join hanging off one
+    exchange, and a verification join ∝ candidate-pair gram mass. A size
+    filter (``min ≥ t·max``, implied by ``J ≥ t``) prunes candidates
+    before verification."""
+    from fractions import Fraction
+
+    from ..functions.text import char_ngrams
+
+    if threshold <= 0 or threshold > 1:
+        raise ValueError(
+            f"threshold must be in (0, 1] (got {threshold}): the prefix "
+            "scheme is defined by ceil(t*|d|) and an empty-intersection "
+            "pair never materializes"
+        )
+    r = Fraction(float(threshold)).limit_denominator(10**9)
+    num, den = r.numerator, r.denominator
+    g = df.filter(F.length(text_col) >= n).select(
+        F.col(id_col), F.explode(char_ngrams(text_col, n)).alias("g")
+    )
+    dfreq = g.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(), F.col("g").asc())
+    ordered = (
+        g.join(F.broadcast(dfreq), "g")
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    # prefix: rn <= sz - ceil(t*sz) + 1, all in longs
+    prefix = ordered.filter(
+        F.col("__rn")
+        <= F.col("__sz") - F.expr(f"(__sz * {num} + {den - 1}) DIV {den}") + 1
+    ).select(id_col, "g", "__sz")
+    pa = prefix.select(F.col(id_col).alias("id_a"), "g", F.col("__sz").alias("__na"))
+    pb = prefix.select(F.col(id_col).alias("id_b"), "g", F.col("__sz").alias("__nb"))
+    cand = (
+        pa.join(pb, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # J >= t implies min >= t*max: prune before the verify join
+        .filter(
+            F.least("__na", "__nb") * F.lit(den)
+            >= F.greatest("__na", "__nb") * F.lit(num)
+        )
+        .select("id_a", "id_b", "__na", "__nb")
+        .distinct()
+    )
+    ga = g.select(F.col(id_col).alias("id_a"), "g")
+    gb = g.select(F.col(id_col).alias("id_b"), "g")
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "g"])
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(F.count(F.lit(1)).alias("__i"))
+        .filter(
+            F.col("__i") * F.lit(den)
+            >= F.lit(num) * (F.col("__na") + F.col("__nb") - F.col("__i"))
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.col("__i").cast("long").alias("n_inter"),
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+    )
+
+
 def embedding_near_dups(df: DataFrame, id_col: str = "vec_id", threshold: float = 0.95) -> DataFrame:
     """Cosine-threshold near-dup pairs over an embedding column. Brute-force
     N² within the given frame — pre-filter or bucket (LSH / IVF /

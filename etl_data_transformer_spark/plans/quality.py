@@ -195,3 +195,31 @@ def validate_expectations(df: DataFrame, rules: list[Expectation]) -> DataFrame:
     return out.select(
         "rule", "kind", "violations", (F.col("violations") == 0).alias("passed")
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-card profile of a document corpus (round 10): the per-group
+    summary every published dataset release ships (docs, token mass,
+    character mass, the largest document) — per (lang, source) by default,
+    all EXACT BIGINTs so the row set is engine-hash-exact. This is the
+    read-side companion of the curation pipeline: mixture weights,
+    stratified caps and the frozen scored-cut threshold are all set by
+    looking at exactly this table.
+
+    Scale shape: ONE map-side-combined groupBy over a map-only projection
+    (token counting is `size` of the filtered split array — no explode),
+    output one row per group. At 100 TB this is the cheapest full-corpus
+    pass the engine offers."""
+    from ..functions.text import tokens
+
+    toks = F.size(F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0))
+    return df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("tok_sum"),
+        F.sum(F.length(F.coalesce(F.col(text_col), F.lit("")))).cast("long").alias("char_sum"),
+        F.max(toks).cast("long").alias("max_tokens"),
+    )

@@ -1010,3 +1010,97 @@ def test_exact_bucketed_store_survives_fresh_catalog(spark, tmp_path):
     assert store.count() == 50
     plan = store.select("fp")._jdf.queryExecution().executedPlan().toString()
     assert "Bucketed: true" in plan or "FileScan" in plan
+
+
+# --------------------- prefix-filtered exact Jaccard join (round 10) --------
+
+
+def test_jaccard_join_prefix_equals_all_pairs(spark):
+    """The AllPairs prefix filter must be lossless: pair-for-pair equality
+    with an unpruned python-set mirror (the same distinct-3-gram sets and
+    integer threshold cut) on a tie/template-heavy fixture; the rotated
+    oracle re-proves it against DuckDB's all-pairs SQL at sf0.01."""
+    from etl_data_transformer_spark.operators.dedup import jaccard_join_prefix
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brown fox jumped"),   # near-dup of 1
+        (3, "the quick brown fox jumps"),    # exact dup of 1
+        (4, "completely different content"),
+        (5, "completely different contents"),  # near-dup of 4
+        (6, "xy"),                            # below n: no grams
+        (7, "aaaaaaaaaa"),                    # one distinct gram
+        (8, "aaaaaaaaab"),                    # shares 'aaa' with 7
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.6, 0.9, 1.0):
+        got = {
+            (r["id_a"], r["id_b"]): (r["n_inter"], r["n_a"], r["n_b"])
+            for r in jaccard_join_prefix(df, threshold=t).collect()
+        }
+        want = {}
+        from fractions import Fraction
+
+        fr = Fraction(t).limit_denominator(10**9)
+        import itertools
+
+        def grams(s):
+            return {s[i : i + 3] for i in range(len(s) - 2)} if len(s) >= 3 else set()
+
+        gs = {i: grams(txt) for i, txt in rows}
+        for a, b in itertools.combinations(sorted(gs), 2):
+            i = len(gs[a] & gs[b])
+            na, nb = len(gs[a]), len(gs[b])
+            if na and nb and i * fr.denominator >= fr.numerator * (na + nb - i):
+                if i > 0:
+                    want[(a, b)] = (i, na, nb)
+        assert got == want, t
+
+
+def test_jaccard_join_prefix_guards_and_plan(spark):
+    import pytest
+
+    from etl_data_transformer_spark.operators.dedup import jaccard_join_prefix
+
+    df = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="threshold"):
+            jaccard_join_prefix(df, threshold=bad)
+    # scale-shape pin: no BroadcastNestedLoopJoin anywhere (every join is
+    # an equi-join on gram / id), and the candidate join reads PREFIX
+    # postings (the __rn row_number filter is in the plan)
+    big = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document text number "), F.col("id").cast("string")).alias("text"),
+    )
+    plan = (
+        jaccard_join_prefix(big, threshold=0.7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__rn" in plan
+
+
+def test_corpus_stats_semantics(spark):
+    from etl_data_transformer_spark.plans.quality import corpus_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three", "en", "web"),
+            (2, "four five", "en", "web"),
+            (3, "", "en", "books"),
+            (4, None, "fr", "web"),
+            (5, "  padded  ", "fr", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        (r["lang"], r["source"]): (r["n_docs"], r["tok_sum"], r["char_sum"], r["max_tokens"])
+        for r in corpus_stats(df).collect()
+    }
+    assert got[("en", "web")] == (2, 5, 22, 3)
+    assert got[("en", "books")] == (1, 0, 0, 0)
+    # NULL text: 0 tokens, 0 chars; the padded doc counts 1 token, 10 chars
+    assert got[("fr", "web")] == (2, 1, 10, 1)
