@@ -43,11 +43,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup_groups": EXT.q_exact_dedup_groups,
     "minhash_pairs": EXT.q_minhash_pairs,
     "ann_bruteforce": EXT.q_ann_bruteforce,
-    "text_stats": EXT.q_text_stats,
     "quality_scores": EXT.q_quality_scores,
     "multimodal_features": EXT.q_multimodal_features,
     "chunk_documents": EXT.q_chunk_documents,
-    "dedup_clusters": EXT.q_dedup_clusters,
     "quantize_embeddings": EXT.q_quantize_embeddings,
     "train_test_split": EXT.q_train_test_split,
     "curation_pipeline": EXT.q_curation_pipeline,
@@ -164,6 +162,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search_docs": EXT.q_bm25_search_docs,
     "hopping_events": EXT.q_hopping_events,
     "normalize_docs": EXT.q_normalize_docs,
+    # round-10 IN-SESSION promotion: this round's genuinely new operators
+    # get driver-strength rows immediately — the prefix-filtered exact
+    # Jaccard join (whose oracle recomputes the UNPRUNED all-pairs form,
+    # making the hash compare the AllPairs prefix lemma's completeness
+    # proof) and the dataset-card corpus profile. Rotating out, each with
+    # green driver tenure and a surviving family twin: dedup_clusters
+    # (the gram-join edge construction is now driver-live via
+    # jaccard_join_docs — the SCALE-PATH form of the same exact-Jaccard
+    # edges; the connected-components layer keeps its identical hash
+    # check rotated), text_stats (the per-doc text-stat family stays
+    # driver-live via quality_scores + entropy_docs; corpus_stats_docs
+    # covers the aggregate form).
+    "jaccard_join_docs": EXT.q_jaccard_join_docs,
+    "corpus_stats_docs": EXT.q_corpus_stats_docs,
     # temporal + profiling surface (as-of, range join, sessions, rollup)
     **TEMPORAL_QUERIES,
 }
@@ -262,12 +274,11 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall": EXT.q_ann_ivf_recall,
     "lang_id": EXT.q_lang_id,
     "bigram_logprob": EXT.q_bigram_logprob,
-    # round-10 additions (after the 50-slot cap): prefix-filtered EXACT
-    # Jaccard join — the oracle recomputes the UNPRUNED all-pairs form, so
-    # the hash compare is the AllPairs prefix lemma's completeness proof —
-    # and the dataset-card corpus profile.
-    "jaccard_join_docs": EXT.q_jaccard_join_docs,
-    "corpus_stats_docs": EXT.q_corpus_stats_docs,
+    # round-10 in-session rotate-outs (fresh green driver history;
+    # overlaps documented at the QUERIES promotion note): each keeps the
+    # IDENTICAL driver-strength hash compare here.
+    "dedup_clusters": EXT.q_dedup_clusters,
+    "text_stats": EXT.q_text_stats,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

@@ -961,8 +961,11 @@ def q_bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jaccard_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-10 prefix-filtered EXACT Jaccard join (AllPairs/PPJoin): char
-    3-gram set similarity at J >= 0.6 over the full fixture corpus. The DuckDB
+    """Round-10 prefix-filtered EXACT Jaccard join (AllPairs/PPJoin): word
+    3-shingle set similarity at J >= 0.6 over the full fixture corpus —
+    the feature with the skewed document-frequency universe prefix
+    filtering needs (the fixture's char-3-gram universe is 377 grams
+    total, where NO exact algorithm can prune). The DuckDB
     oracle recomputes ALL pairs (the unpruned quadratic form), so the
     hash compare IS the prefix lemma's completeness proof at driver
     strength: one dropped candidate = one missing row = mismatch. Output

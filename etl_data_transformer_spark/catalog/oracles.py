@@ -1530,15 +1530,17 @@ ALL_ORACLES: dict[str, str] = {
 }
 
 # Round-10 prefix-filtered exact Jaccard join: the oracle is the UNPRUNED
-# all-pairs form — identical distinct-3-gram sets, identical integer
+# all-pairs form — identical distinct word-3-shingle sets, identical integer
 # threshold arithmetic (i*den >= num*(na+nb-i), 0.6 = 3/5) — so the hash
 # compare proves the AllPairs prefix filter's candidate completeness.
-EXTENSION_ORACLES["jaccard_join_docs"] = """
+EXTENSION_ORACLES["jaccard_join_docs"] = f"""
     WITH g AS (
-        SELECT doc_id,
-               unnest(list_distinct([substring(text, i, 3)
-                      for i in range(1, greatest(length(text) - 2, 0) + 1)])) AS g
-        FROM documents WHERE length(text) >= 3
+        SELECT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(list_distinct([array_to_string(toks[i : i + 2], ' ')
+                          for i in range(1, greatest(len(toks) - 2, 1) + 1)])) AS g
+            FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+        ) WHERE length(g) > 0
     ), sz AS (
         SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
     ), inter AS (

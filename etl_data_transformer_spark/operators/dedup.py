@@ -1481,8 +1481,9 @@ def jaccard_join_prefix(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.6,
+    feature: str = "shingles",
 ) -> DataFrame:
-    """EXACT char-n-gram Jaccard similarity join at/above ``threshold``
+    """EXACT set-Jaccard similarity join at/above ``threshold``
     WITHOUT the all-pairs posting join — AllPairs/PPJoin prefix filtering
     (Bayardo, Ma & Srikant, WWW 2007): order each document's distinct gram
     set by ascending document frequency (rarest first, gram string as the
@@ -1503,13 +1504,28 @@ def jaccard_join_prefix(
     (the Jaccard cut is integer arithmetic, ``i·den ≥ num·(|a|+|b|-i)``
     with the threshold as an exact fraction), no float in the hash.
 
-    Scale shape: one gram-frequency census (broadcast — the char-n-gram
-    vocabulary is alphabet-bounded, the same assumption as the sparse
-    top-k's idf broadcast), one per-doc window for prefix selection
-    (shuffle on the doc id), the prefix-posting self-join hanging off one
-    exchange, and a verification join ∝ candidate-pair gram mass. A size
-    filter (``min ≥ t·max``, implied by ``J ≥ t``) prunes candidates
-    before verification."""
+    ``feature`` picks the set elements: ``"shingles"`` (default — distinct
+    word ``n``-gram strings, the MinHash family's feature) or ``"chars"``
+    (distinct character ``n``-grams). The choice is a PRUNING-POWER
+    decision, not a correctness one: prefix filtering needs document-
+    frequency SKEW, and a tiny saturated universe has none — measured on
+    the synthetic fixture, the char-3-gram universe is 377 grams total
+    (every gram in ~25% of docs; prefix join mass 150M at 5k docs), while
+    the word-shingle universe is large and skewed, which is exactly where
+    the prefix filter earns its keep (SCALING.md round-10 row). Pick
+    char-grams only for short-string/typo matching where the dense
+    universe is inherent.
+
+    Scale shape: one gram-frequency census (broadcast — bounded by the
+    corpus vocabulary, the sparse top-k idf assumption), one per-doc
+    window for prefix selection (shuffle on the doc id), the
+    prefix-posting self-join hanging off one exchange with the PPJoin
+    positional filter pruning candidate rows in place, and verification
+    via ``array_intersect`` over the one-row-per-doc gram-set table —
+    shuffled mass ∝ candidates, not candidates × set size (the
+    explode-join verify measured 10× slower on template-heavy data). A
+    size filter (``min ≥ t·max``, implied by ``J ≥ t``) prunes candidates
+    before anything else."""
     from fractions import Fraction
 
     from ..functions.text import char_ngrams
@@ -1520,10 +1536,16 @@ def jaccard_join_prefix(
             "scheme is defined by ceil(t*|d|) and an empty-intersection "
             "pair never materializes"
         )
+    if feature == "shingles":
+        feat = shingles(F.col(text_col), n)
+    elif feature == "chars":
+        feat = char_ngrams(F.col(text_col), n)
+    else:
+        raise ValueError(f"feature must be 'shingles' or 'chars': got {feature!r}")
     r = Fraction(float(threshold)).limit_denominator(10**9)
     num, den = r.numerator, r.denominator
-    g = df.filter(F.length(text_col) >= n).select(
-        F.col(id_col), F.explode(char_ngrams(text_col, n)).alias("g")
+    g = df.select(F.col(id_col), F.explode(feat).alias("g")).filter(
+        F.length("g") > 0
     )
     dfreq = g.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(), F.col("g").asc())
@@ -1536,27 +1558,63 @@ def jaccard_join_prefix(
     prefix = ordered.filter(
         F.col("__rn")
         <= F.col("__sz") - F.expr(f"(__sz * {num} + {den - 1}) DIV {den}") + 1
-    ).select(id_col, "g", "__sz")
-    pa = prefix.select(F.col(id_col).alias("id_a"), "g", F.col("__sz").alias("__na"))
-    pb = prefix.select(F.col(id_col).alias("id_b"), "g", F.col("__sz").alias("__nb"))
+    ).select(id_col, "g", "__sz", "__rn")
+    pa = prefix.select(
+        F.col(id_col).alias("id_a"), "g",
+        F.col("__sz").alias("__na"), F.col("__rn").alias("__ra"),
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("id_b"), "g",
+        F.col("__sz").alias("__nb"), F.col("__rn").alias("__rb"),
+    )
+    # PPJoin positional filter (Xiao et al., VLDB 2008): at the pair's
+    # globally-smallest common gram — positions (ra, rb) in the df-sorted
+    # sets — overlap ≤ 1 + min(|a|-ra, |b|-rb); a true pair needs overlap
+    # ≥ α = ceil(t/(1+t)·(|a|+|b|)), so a row failing the bound at that
+    # gram can be dropped (the pair's OTHER meeting rows can only be
+    # later; any-surviving-row semantics keep exactness via the distinct)
+    alpha = F.expr(f"((__na + __nb) * {num} + {num + den - 1}) DIV {num + den}")
     cand = (
         pa.join(pb, "g")
         .filter(F.col("id_a") < F.col("id_b"))
-        # J >= t implies min >= t*max: prune before the verify join
+        # J >= t implies min >= t*max: prune before anything else
         .filter(
             F.least("__na", "__nb") * F.lit(den)
             >= F.greatest("__na", "__nb") * F.lit(num)
         )
-        .select("id_a", "id_b", "__na", "__nb")
+        .filter(
+            F.lit(1) + F.least(F.col("__na") - F.col("__ra"), F.col("__nb") - F.col("__rb"))
+            >= alpha
+        )
+        .select("id_a", "id_b")
         .distinct()
     )
-    ga = g.select(F.col(id_col).alias("id_a"), "g")
-    gb = g.select(F.col(id_col).alias("id_b"), "g")
+    # verify via per-doc gram ARRAYS + array_intersect (in-JVM hash
+    # intersect per candidate row) — the explode-join formulation
+    # shuffled |candidates| × |gram set| rows and was 10× this on the
+    # template-heavy fixture; here the shuffled mass is |candidates| plus
+    # two joins against the one-row-per-doc set table
+    sets = g.groupBy(id_col).agg(
+        F.collect_set("g").alias("__gs"), F.count(F.lit(1)).alias("__n")
+    )
     verified = (
-        cand.join(ga, "id_a")
-        .join(gb, ["id_b", "g"])
-        .groupBy("id_a", "id_b", "__na", "__nb")
-        .agg(F.count(F.lit(1)).alias("__i"))
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__gs").alias("__ga"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("__gs").alias("__gb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("__i", F.size(F.array_intersect("__ga", "__gb")))
         .filter(
             F.col("__i") * F.lit(den)
             >= F.lit(num) * (F.col("__na") + F.col("__nb") - F.col("__i"))

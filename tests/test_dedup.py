@@ -1033,28 +1033,33 @@ def test_jaccard_join_prefix_equals_all_pairs(spark):
         (8, "aaaaaaaaab"),                    # shares 'aaa' with 7
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    for t in (0.3, 0.6, 0.9, 1.0):
-        got = {
-            (r["id_a"], r["id_b"]): (r["n_inter"], r["n_a"], r["n_b"])
-            for r in jaccard_join_prefix(df, threshold=t).collect()
-        }
-        want = {}
-        from fractions import Fraction
+    import itertools
+    from fractions import Fraction
 
-        fr = Fraction(t).limit_denominator(10**9)
-        import itertools
+    def char_grams(s):
+        return {s[i : i + 3] for i in range(len(s) - 2)} if len(s) >= 3 else set()
 
-        def grams(s):
-            return {s[i : i + 3] for i in range(len(s) - 2)} if len(s) >= 3 else set()
+    def word_shingles(s):
+        toks = s.split()
+        if not toks:
+            return set()
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 3, 0) + 1)}
 
-        gs = {i: grams(txt) for i, txt in rows}
-        for a, b in itertools.combinations(sorted(gs), 2):
-            i = len(gs[a] & gs[b])
-            na, nb = len(gs[a]), len(gs[b])
-            if na and nb and i * fr.denominator >= fr.numerator * (na + nb - i):
-                if i > 0:
+    for feature, mirror in (("chars", char_grams), ("shingles", word_shingles)):
+        gs = {i: mirror(txt) for i, txt in rows}
+        for t in (0.3, 0.6, 0.9, 1.0):
+            got = {
+                (r["id_a"], r["id_b"]): (r["n_inter"], r["n_a"], r["n_b"])
+                for r in jaccard_join_prefix(df, threshold=t, feature=feature).collect()
+            }
+            fr = Fraction(t).limit_denominator(10**9)
+            want = {}
+            for a, b in itertools.combinations(sorted(gs), 2):
+                i = len(gs[a] & gs[b])
+                na, nb = len(gs[a]), len(gs[b])
+                if na and nb and i > 0 and i * fr.denominator >= fr.numerator * (na + nb - i):
                     want[(a, b)] = (i, na, nb)
-        assert got == want, t
+            assert got == want, (feature, t)
 
 
 def test_jaccard_join_prefix_guards_and_plan(spark):
@@ -1066,6 +1071,8 @@ def test_jaccard_join_prefix_guards_and_plan(spark):
     for bad in (0.0, -0.5, 1.5):
         with pytest.raises(ValueError, match="threshold"):
             jaccard_join_prefix(df, threshold=bad)
+    with pytest.raises(ValueError, match="feature"):
+        jaccard_join_prefix(df, feature="bytes")
     # scale-shape pin: no BroadcastNestedLoopJoin anywhere (every join is
     # an equi-join on gram / id), and the candidate join reads PREFIX
     # postings (the __rn row_number filter is in the plan)
