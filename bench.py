@@ -59,6 +59,11 @@ SF1_HEADLINE = [
     "entropy_docs",
     "shard_docs",
     "sparse_topk_docs",
+    # round-10 rows: the prefix-filtered exact Jaccard join is
+    # scan/shuffle-bound (candidates grow with the corpus) and the
+    # approx-routed scored cut's agg passes grow with the data
+    "jaccard_join_docs",
+    "top_fraction_docs",
 ]
 
 # headline set: the flagship branches + one per operator family
@@ -100,6 +105,10 @@ HEADLINE = [
     "entropy_docs",
     "shard_docs",
     "sparse_topk_docs",
+    # round-10 additions
+    "jaccard_join_docs",
+    "top_fraction_docs",
+    "corpus_stats_docs",
 ]
 
 
