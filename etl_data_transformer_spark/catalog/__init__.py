@@ -279,6 +279,10 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # IDENTICAL driver-strength hash compare here.
     "dedup_clusters": EXT.q_dedup_clusters,
     "text_stats": EXT.q_text_stats,
+    # round-10 addition (after the 50-slot cap): PMI collocation pairs —
+    # exact BIGINT pair/marginal counts + milli-nat quantized PMI,
+    # hash-exact vs the DuckDB recompute.
+    "pmi_docs": EXT.q_pmi_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

@@ -986,3 +986,11 @@ def q_corpus_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.quality import corpus_stats
 
     return corpus_stats(_docs(spark, sf_dir))
+
+
+def q_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 PMI collocation pairs: unordered token pairs co-occurring
+    within 5 positions across the corpus, min_count=5, PMI quantized to
+    integer milli-nats — counts are exact BIGINTs from one groupBy, so
+    the DuckDB recompute is hash-exact."""
+    return TX.pmi_pairs(_docs(spark, sf_dir), window=5, min_count=5)

@@ -1584,3 +1584,46 @@ ALL_ORACLES = {
     **TEMPORAL_ORACLES,
     **WAREHOUSE_ORACLES,
 }
+
+# Round-10 PMI collocations: identical pair construction (1-based token
+# positions i, partners j in i+1..min(i+window, len)), canonical
+# (least, greatest) pair keys, per-slot marginals summed from the SAME
+# counted pairs, and the one transcendental computed on the identical
+# (N*c_ab)/(c_a*c_b) double then milli-quantized.
+EXTENSION_ORACLES["pmi_docs"] = """
+    WITH toks AS (
+        SELECT [x for x in regexp_split_to_array(trim(lower(text)), '\\s+')
+                if length(x) > 0] AS tk
+        FROM documents
+    ), pos AS (
+        SELECT tk, unnest(range(1, len(tk))) AS i FROM toks
+    ), pairs AS (
+        SELECT least(tk[i], tk[j]) AS t1, greatest(tk[i], tk[j]) AS t2
+        FROM (SELECT tk, i, unnest(range(i + 1, least(i + 5, len(tk)) + 1)) AS j
+              FROM pos)
+    ), counts AS (
+        SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_pair FROM pairs GROUP BY 1, 2
+    ), slots AS (
+        SELECT t, CAST(sum(n_pair) AS BIGINT) AS n_t
+        FROM (SELECT unnest([t1, t2]) AS t, n_pair FROM counts)
+        GROUP BY t
+    ), tot AS (
+        SELECT CAST(sum(n_pair) AS DOUBLE) AS n FROM counts
+    )
+    SELECT t1, t2, n_pair,
+           s1.n_t AS n_t1, s2.n_t AS n_t2,
+           CAST(round(1000 * ln(((SELECT n FROM tot) * n_pair)
+                                / (CAST(s1.n_t AS DOUBLE) * CAST(s2.n_t AS DOUBLE))),
+                      0) AS BIGINT) AS pmi_milli
+    FROM counts
+    JOIN slots s1 ON s1.t = t1
+    JOIN slots s2 ON s2.t = t2
+    WHERE n_pair >= 5
+"""
+
+ALL_ORACLES = {
+    **PARITY_ORACLES,
+    **EXTENSION_ORACLES,
+    **TEMPORAL_ORACLES,
+    **WAREHOUSE_ORACLES,
+}

@@ -1273,3 +1273,97 @@ def compression_ratio_micros(
             )
 
     return df.select(id_col, text_col).mapInPandas(_batches, schema=out_schema)
+
+
+def pmi_pairs(
+    df: DataFrame,
+    window: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring within
+    ``window`` positions (round 10) — the corpus-analysis primitive behind
+    phrase mining and collocation extraction (Church & Hanks 1990):
+    ``pmi(a,b) = ln(N_pairs * c(a,b) / (c(a) * c(b)))`` over UNORDERED
+    within-window pairs, where ``c(a)``/``c(b)`` are each token's pair-slot
+    occurrence counts and ``N_pairs`` the total pair count — so the
+    estimate is a true probability ratio over the pair event space (both
+    marginals sum to 2·N, handled by the +ln(4)-free symmetric form
+    below: pmi = ln(N * c_ab / (c_a * c_b)) with c_a counted PER PAIR SLOT,
+    exactly reproducible in SQL).
+
+    Engine-exact contract: every count is an exact BIGINT from ONE
+    groupBy; the single transcendental is quantized to integer MILLI-nats
+    (half-away rounding) as a pure function of those integers, so the
+    output (t1, t2, n_pair, n_t1, n_t2, pmi_milli) hash-matches a DuckDB
+    recompute. Pairs are canonical (t1 <= t2); a token paired with itself
+    ('the ... the') counts like any pair. ``min_count`` bounds the output
+    (and the long tail is exactly the noise PMI is famous for without a
+    floor).
+
+    Scale shape: pair generation is PURE CODEGEN — per doc, a
+    transform-over-positions builds the within-window pair list and ONE
+    explode + groupBy counts it (no self-join, no window function, no
+    shuffle beyond the two aggs); per-token slot counts derive from the
+    SAME pair frame, so the whole op is two map-side-combined aggregates
+    over ~window x corpus-token rows."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1: got {window}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1: got {min_count}")
+    toks = F.filter(tokens(F.lower(F.col(text_col))), lambda t: F.length(t) > 0)
+    # per position i (1-based), pair token i with tokens i+1 .. i+window —
+    # flatten to the doc's within-window pair list, canonicalized. The
+    # guard matters: un-guarded sequence(1, size-1) DESCENDS through 0 for
+    # 0/1-token docs and element_at(toks, 0) raises (the char_ngrams
+    # round-6 lesson).
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pair_of = lambda a, b: F.struct(  # noqa: E731
+        F.least(a, b).alias("t1"), F.greatest(a, b).alias("t2")
+    )
+    pairs_per_doc = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(toks, i + 1, window),
+                lambda nxt: pair_of(F.element_at(toks, i.cast("int")), nxt),
+            ),
+        )
+    )
+    p = df.select(F.explode(pairs_per_doc).alias("p")).select("p.t1", "p.t2")
+    counts = p.groupBy("t1", "t2").agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    counts = counts.localCheckpoint(eager=False)  # feeds totals + slots + output
+    # per-token PAIR-SLOT counts and the pair total, derived from the SAME
+    # counted frame (cheap: one explode of the two slots per distinct pair)
+    slots = (
+        counts.select(F.explode(F.array("t1", "t2")).alias("t"), "n_pair")
+        .groupBy("t")
+        .agg(F.sum("n_pair").cast("long").alias("n_t"))
+    )
+    n_total = counts.agg(F.sum("n_pair")).collect()[0][0]
+    if not n_total:
+        return counts.select(
+            "t1", "t2", "n_pair",
+            F.lit(None).cast("long").alias("n_t1"),
+            F.lit(None).cast("long").alias("n_t2"),
+            F.lit(None).cast("long").alias("pmi_milli"),
+        ).limit(0)
+    out = (
+        counts.filter(F.col("n_pair") >= F.lit(int(min_count)))
+        .join(F.broadcast(slots.select(F.col("t").alias("t1"), F.col("n_t").alias("n_t1"))), "t1")
+        .join(F.broadcast(slots.select(F.col("t").alias("t2"), F.col("n_t").alias("n_t2"))), "t2")
+    )
+    # marginal product in DOUBLE: n_t can reach 2·N_pairs, and a
+    # long×long product overflows int64 at corpus scale (1e13 tokens →
+    # 1e26); both engines compute the identical (N·c_ab)/(c_a·c_b) double
+    pmi = F.round(
+        1000.0
+        * F.log(
+            (F.lit(float(n_total)) * F.col("n_pair"))
+            / (F.col("n_t1").cast("double") * F.col("n_t2").cast("double"))
+        ),
+        0,
+    ).cast("long")
+    return out.select("t1", "t2", "n_pair", "n_t1", "n_t2", pmi.alias("pmi_milli"))

@@ -930,3 +930,57 @@ def test_nb_multiclass_sparse_equals_dense_grid(spark):
         for r in nb_classify(test, dense_model).collect()
     }
     assert sparse_scores == dense_scores
+
+
+def test_pmi_pairs_matches_naive(spark):
+    """PMI collocations vs a python mirror: identical pair construction
+    (within-window, canonical order, self-pairs allowed), identical
+    pair-slot marginals, identical milli-nat quantization; min_count
+    floors the output; empty/whitespace corpora return empty."""
+    import math
+    from collections import Counter
+
+    from etl_data_transformer_spark.functions.text import pmi_pairs
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate the cream"),
+        (3, "a dog sat on a log"),
+        (4, "   "),
+        (5, "solo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    W, MC = 3, 2
+    got = {
+        (r["t1"], r["t2"]): (r["n_pair"], r["n_t1"], r["n_t2"], r["pmi_milli"])
+        for r in pmi_pairs(df, window=W, min_count=MC).collect()
+    }
+
+    pairs = Counter()
+    for _, text in docs:
+        tk = [t for t in text.lower().split() if t]
+        for i in range(len(tk) - 1):
+            for j in range(i + 1, min(i + W, len(tk) - 1) + 1):
+                a, b = sorted((tk[i], tk[j]))
+                pairs[(a, b)] += 1
+    slots = Counter()
+    for (a, b), c in pairs.items():
+        slots[a] += c
+        slots[b] += c
+    n = float(sum(pairs.values()))
+    want = {}
+    for (a, b), c in pairs.items():
+        if c >= MC:
+            v = 1000.0 * math.log((n * c) / (float(slots[a]) * float(slots[b])))
+            want[(a, b)] = (c, slots[a], slots[b], int(math.copysign(math.floor(abs(v) + 0.5), v)))
+    assert got == want
+    assert ("the", "the") in pairs  # self-pair constructed ('the ... the')
+
+    import pytest
+
+    with pytest.raises(ValueError, match="window"):
+        pmi_pairs(df, window=0)
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_pairs(df, min_count=0)
+    empty = spark.createDataFrame([(1, " "), (2, "one")], "doc_id long, text string")
+    assert pmi_pairs(empty).count() == 0
