@@ -1367,3 +1367,148 @@ def pmi_pairs(
         0,
     ).cast("long")
     return out.select("t1", "t2", "n_pair", "n_t1", "n_t2", pmi.alias("pmi_milli"))
+
+
+_BPE_EOW = "</w>"
+
+
+def bpe_train(
+    df,
+    text_col: str = "text",
+    num_merges: int = 200,
+    max_words: int = 50_000,
+    min_word_count: int = 1,
+) -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge training (Sennrich, Haddow & Birch, ACL
+    2016) — learn ``num_merges`` symbol merges from the corpus and return
+    them IN ORDER (the merge table IS the tokenizer; pair with
+    ``bpe_encode``). Words end with the ``</w>`` marker symbol so merges
+    can capture suffixes without crossing word boundaries, exactly the
+    published construction.
+
+    Distributed/driver split — the same bounded-census honesty as the IVF
+    centroid trainer: the corpus-scale work is ONE distributed word census
+    (explode + groupBy), and the merge loop runs driver-side over the
+    top-``max_words`` (count DESC, word ASC — deterministic) frequency
+    DICTIONARY, which is how production tokenizer training works too (the
+    dict, not the corpus, is the training input; 50k types × avg word
+    length is megabytes at any corpus size). Ties in pair frequency break
+    lexicographically, so the merge table is bit-stable across runs and
+    cluster layouts. Merging stops early when no pair repeats
+    (``count < 2`` — singleton merges are noise). Cost: O(num_merges ×
+    dictionary pair mass) in the driver; the incremental-update variant
+    buys a constant factor and is not needed at these dictionary sizes."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1: got {num_merges}")
+    rows = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= int(min_word_count))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(int(max_words))
+        .collect()
+    )
+    words: dict[tuple[str, ...], int] = {
+        tuple(r["w"]) + (_BPE_EOW,): int(r["c"]) for r in rows
+    }
+    merges: list[tuple[str, str]] = []
+    from collections import Counter
+
+    for _ in range(int(num_merges)):
+        pc: Counter = Counter()
+        for sym, c in words.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += c
+        if not pc:
+            break
+        best, best_n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best_n < 2:
+            break
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        nxt: dict[tuple[str, ...], int] = {}
+        for sym, c in words.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nxt[tuple(out)] = c
+        words = nxt
+    return merges
+
+
+def bpe_encode(
+    df,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Apply a trained BPE merge table to a corpus: (id, pieces, n_pieces)
+    with each word split into subword pieces by replaying the merges IN
+    TRAINING ORDER (subword-nmt semantics) over its character+``</w>``
+    sequence — concatenating a word's pieces (dropping the marker)
+    reconstructs the word exactly, the invariant the property test pins.
+    Unseen words degrade gracefully to whatever merges still apply, down
+    to characters — the whole point of BPE over a closed vocabulary.
+
+    Scale shape: map-only ``mapInPandas`` (zero shuffle) — merge replay is
+    genuinely procedural, so this is the documented arrow-py path (like
+    zlib/multimodal), with an LRU cache over word types per batch (Zipf
+    makes the hit rate ~token/type ratio). Tokenization matches the JVM
+    ``tokens()`` exactly (ASCII ``\\s+`` split of the trimmed, lowercased
+    text), so n_pieces lines up with the engine's token counts."""
+    import re
+
+    import pandas as pd
+
+    merge_list = [tuple(m) for m in merges]
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_ddl}, pieces array<string>, n_pieces long"
+
+    def _batches(it):
+        from functools import lru_cache
+
+        @lru_cache(maxsize=1 << 16)
+        def enc(word: str) -> tuple:
+            sym = list(word) + [_BPE_EOW]
+            for a, b in merge_list:
+                if len(sym) == 1:
+                    break
+                out = []
+                i = 0
+                while i < len(sym):
+                    if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                sym = out
+            return tuple(sym)
+
+        for pdf in it:
+            pieces = []
+            for s in pdf[text_col].fillna(""):
+                ps: list[str] = []
+                # java \s is ASCII: match tokens()' split class exactly
+                for w in re.split(r"\s+", s.lower().strip(), flags=re.ASCII):
+                    if w:
+                        ps.extend(enc(w))
+                pieces.append(ps)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "pieces": pieces,
+                    "n_pieces": [len(x) for x in pieces],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_batches, schema=out_schema)

@@ -790,3 +790,34 @@ def test_tfidf_index_lifecycle_property(spark, tmp_path_factory, case, scheme):
         append_tfidf_index(mk(rest), uni)
 
     assert search(seq) == search(uni)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=8),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 30),
+)
+@_few
+def test_bpe_roundtrip_property(spark, words, n_merges):
+    """Random corpora: for ANY trained merge table, encoding reconstructs
+    every word exactly (concatenate pieces, strip the one trailing
+    marker), every piece is either a learned merge output or a character,
+    and n_pieces never exceeds chars+1 per word."""
+    from etl_data_transformer_spark.functions.text import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, num_merges=n_merges)
+    vocab = {a + b for a, b in merges}
+    out = {r["doc_id"]: r["pieces"] for r in bpe_encode(df, merges).collect()}
+    for i, w in enumerate(words):
+        pieces = out[i]
+        joined = "".join(pieces)
+        assert joined == w.lower() + "</w>"
+        assert len(pieces) <= len(w) + 1
+        for p in pieces:
+            assert p in vocab or len(p) == 1 or p == "</w>", p

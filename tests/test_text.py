@@ -984,3 +984,112 @@ def test_pmi_pairs_matches_naive(spark):
         pmi_pairs(df, min_count=0)
     empty = spark.createDataFrame([(1, " "), (2, "one")], "doc_id long, text string")
     assert pmi_pairs(empty).count() == 0
+
+
+def test_bpe_train_classic_corpus(spark):
+    """The BPE paper's shape: suffix-heavy corpus learns ('e','s'),
+    ('es','t'), ('est','</w>') early; merges are deterministic, ordered,
+    and stop early when no pair repeats."""
+    from etl_data_transformer_spark.functions.text import bpe_train
+
+    corpus = (["low"] * 5) + (["lower"] * 2) + (["newest"] * 6) + (["widest"] * 3)
+    df = spark.createDataFrame([(1, " ".join(corpus))], "doc_id long, text string")
+    merges = bpe_train(df, num_merges=10)
+    assert merges[0] == ("e", "s")      # 9 occurrences (newest+widest)
+    assert merges[1] == ("es", "t")     # still 9
+    assert merges[2] == ("est", "</w>")
+    assert len(merges) <= 10
+    # determinism across partitionings
+    df2 = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(corpus)], "doc_id long, text string"
+    ).repartition(7)
+    assert bpe_train(df2, num_merges=10) == merges
+    # no repeating pair -> early stop, empty table
+    uniq = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
+    assert bpe_train(uniq, num_merges=5) == []
+
+
+def test_bpe_encode_reconstruction_and_saturation(spark):
+    """Every word's pieces concatenate back to the word (+marker); trained
+    words saturate to ONE piece with enough merges; unseen words degrade
+    gracefully to partial merges/chars; determinism across partitions."""
+    from etl_data_transformer_spark.functions.text import bpe_encode, bpe_train
+
+    corpus = (["low"] * 5) + (["newest"] * 6)
+    train = spark.createDataFrame([(1, " ".join(corpus))], "doc_id long, text string")
+    merges = bpe_train(train, num_merges=50)
+    docs = spark.createDataFrame(
+        [(1, "low newest"), (2, "lowest"), (3, "zzz"), (4, "  "), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["pieces"], r["n_pieces"]) for r in bpe_encode(docs, merges).collect()}
+    # saturation: both trained words are single pieces
+    assert got[1][0] == ["low</w>", "newest</w>"] and got[1][1] == 2
+    # reconstruction invariant for every doc
+    for did, (pieces, n) in got.items():
+        assert n == len(pieces)
+        text = {1: "low newest", 2: "lowest", 3: "zzz", 4: "", 5: ""}[did]
+        words = text.split()
+        rebuilt, cur = [], ""
+        for p in pieces:
+            cur += p
+            if cur.endswith("</w>"):
+                rebuilt.append(cur[: -len("</w>")])
+                cur = ""
+        assert cur == "" and rebuilt == words, did
+    # unseen word reuses applicable merges ('lowest' shares 'low' + 'est')
+    assert "est" in "".join(got[2][0]) and got[2][1] > 1
+    assert got[4] == ([], 0) and got[5] == ([], 0)
+    # determinism across partitioning
+    got2 = {
+        r["doc_id"]: (r["pieces"], r["n_pieces"])
+        for r in bpe_encode(docs.repartition(5), merges).collect()
+    }
+    assert got2 == got
+
+
+def test_bpe_train_matches_naive_mirror(spark):
+    """bpe_train vs an independent in-test Sennrich reference over a
+    randomized-ish multi-word corpus (fixed seed)."""
+    import random
+    from collections import Counter
+
+    from etl_data_transformer_spark.functions.text import bpe_train
+
+    rng = random.Random(7)
+    vocab = ["apple", "apply", "ample", "maple", "pale", "leap", "plea"]
+    words = [rng.choice(vocab) for _ in range(200)]
+    df = spark.createDataFrame(
+        [(i, " ".join(words[i * 20 : (i + 1) * 20])) for i in range(10)],
+        "doc_id long, text string",
+    )
+    got = bpe_train(df, num_merges=12)
+
+    wc = Counter(words)
+    syms = {tuple(w) + ("</w>",): c for w, c in wc.items()}
+    want = []
+    for _ in range(12):
+        pc = Counter()
+        for sym, c in syms.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += c
+        if not pc:
+            break
+        best, n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        want.append(best)
+        a, b = best
+        nxt = {}
+        for sym, c in syms.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nxt[tuple(out)] = c
+        syms = nxt
+    assert got == want
