@@ -425,11 +425,13 @@ def test_scd2_apply_rejects_reinsertion_inside_closed_interval(spark):
 def test_scd2_apply_snapshot_rejects_early_as_of_on_delete(spark):
     """Round-8 review: deleted keys never enter the change batch, so the
     apply-side validation could not see an as_of that predates a closing
-    key's open valid_from — the snapshot operator now checks it itself."""
+    key's open valid_from — the snapshot operator checks it itself
+    (round 10: folded into the ONE ordering-bound count over the
+    batch-sized stats frame, same rejection)."""
     t2 = _ts("2024-02-01 00:00:00")
     dim = spark.createDataFrame([], _EMPTY_DIM_DDL)
     dim = scd2_apply_snapshot(dim, _snap(spark, [(1, "A")]), ["user_id"], ["state"], t2)
-    with pytest.raises(ValueError, match="predates the current valid_from"):
+    with pytest.raises(ValueError, match="predates the ordering bound"):
         scd2_apply_snapshot(
             dim, _snap(spark, []), ["user_id"], ["state"], _ts("2024-01-01 00:00:00")
         )
