@@ -1350,10 +1350,12 @@ def pmi_pairs(
             F.lit(None).cast("long").alias("n_t2"),
             F.lit(None).cast("long").alias("pmi_milli"),
         ).limit(0)
+    # no broadcast hint: the slot table is vocabulary-sized (unbounded at
+    # corpus scale) — AQE broadcasts it at runtime when small
     out = (
         counts.filter(F.col("n_pair") >= F.lit(int(min_count)))
-        .join(F.broadcast(slots.select(F.col("t").alias("t1"), F.col("n_t").alias("n_t1"))), "t1")
-        .join(F.broadcast(slots.select(F.col("t").alias("t2"), F.col("n_t").alias("n_t2"))), "t2")
+        .join(slots.select(F.col("t").alias("t1"), F.col("n_t").alias("n_t1")), "t1")
+        .join(slots.select(F.col("t").alias("t2"), F.col("n_t").alias("n_t2")), "t2")
     )
     # marginal product in DOUBLE: n_t can reach 2·N_pairs, and a
     # long×long product overflows int64 at corpus scale (1e13 tokens →

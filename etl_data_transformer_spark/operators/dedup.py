@@ -1516,8 +1516,10 @@ def jaccard_join_prefix(
     char-grams only for short-string/typo matching where the dense
     universe is inherent.
 
-    Scale shape: one gram-frequency census (broadcast — bounded by the
-    corpus vocabulary, the sparse top-k idf assumption), one per-doc
+    Scale shape: one gram-frequency census (joined WITHOUT a broadcast
+    hint — AQE broadcasts small dictionaries at runtime; a word-shingle
+    universe grows with the corpus and must be allowed to shuffle), one
+    per-doc
     window for prefix selection (shuffle on the doc id), the
     prefix-posting self-join hanging off one exchange with the PPJoin
     positional filter pruning candidate rows in place, and verification
@@ -1549,8 +1551,12 @@ def jaccard_join_prefix(
     )
     dfreq = g.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(), F.col("g").asc())
+    # NO broadcast hint on the df dictionary: a char-gram universe is
+    # alphabet-bounded but a word-shingle universe grows with the corpus —
+    # AQE broadcasts it at runtime when it is actually small and
+    # sort-merges when it is not (the 100 TB-safe default)
     ordered = (
-        g.join(F.broadcast(dfreq), "g")
+        g.join(dfreq, "g")
         .withColumn("__rn", F.row_number().over(w))
         .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     )
