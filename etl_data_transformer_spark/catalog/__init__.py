@@ -98,7 +98,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotated-out query keeps the IDENTICAL DuckDB value-hash compare in
     # tests/test_rotated_oracle.py; see COVERAGE.md for the rotation log.
     "encode_docs_ids": EXT.q_encode_docs,
-    "boilerplate_lines_docs": EXT.q_boilerplate_lines_docs,
     # round-8 rotation (round-7 verdict item 3): the round-7 warehouse-
     # lifecycle trio (SCD2 dimension history, snapshot CDC diff, the
     # declarative data-quality gate) gets its FIRST driver-strength rows —
@@ -176,6 +175,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # covers the aggregate form).
     "jaccard_join_docs": EXT.q_jaccard_join_docs,
     "corpus_stats_docs": EXT.q_corpus_stats_docs,
+    # second round-10 in-session promotion: PMI collocations (exact
+    # BIGINT pair/marginal counts + milli-nat PMI, hash-exact vs the
+    # DuckDB recompute). Rotating out boilerplate_lines_docs (first
+    # driver row r7, fresh history; the line-level dedup family stays
+    # rotated via dedup_lines_docs and the boilerplate strip is also
+    # exercised inside curation_pipeline's driver row).
+    "pmi_docs": EXT.q_pmi_docs,
     # temporal + profiling surface (as-of, range join, sessions, rollup)
     **TEMPORAL_QUERIES,
 }
@@ -279,10 +285,9 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # IDENTICAL driver-strength hash compare here.
     "dedup_clusters": EXT.q_dedup_clusters,
     "text_stats": EXT.q_text_stats,
-    # round-10 addition (after the 50-slot cap): PMI collocation pairs —
-    # exact BIGINT pair/marginal counts + milli-nat quantized PMI,
-    # hash-exact vs the DuckDB recompute.
-    "pmi_docs": EXT.q_pmi_docs,
+    # second round-10 in-session rotate-out (pmi_docs promoted; overlap
+    # documented at the QUERIES note):
+    "boilerplate_lines_docs": EXT.q_boilerplate_lines_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

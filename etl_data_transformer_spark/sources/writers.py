@@ -209,6 +209,7 @@ def write_shards(
     n_shards: int,
     id_col: str = "doc_id",
     seed: str = "",
+    format: str = "parquet",
 ) -> None:
     """Training-export sink: the corpus as ``n_shards`` Parquet
     directories (``shard=K/``), rows inside each shard laid out in the
@@ -224,9 +225,19 @@ def write_shards(
     exactly one file whose row order IS the shuffle order — the
     shard-first sort keeps the dynamic-partition writer on a single open
     file. Rerunning with the same seed rewrites identical shard contents.
+
+    ``format="jsonl"`` (round 10) writes each shard as a JSON-lines file
+    instead — the format most training loaders stream natively — through
+    the SAME one-shuffle layout and the same staged atomic swap; line
+    order inside each shard file is the identical md5 pseudo-shuffle
+    (pinned in pytest against the parquet layout row-for-row). Parquet
+    stays the default: JSONL trades types and compression for loader
+    compatibility.
     """
     from ..operators.curation import assign_shards
 
+    if format not in ("parquet", "jsonl"):
+        raise ValueError(f"format must be 'parquet' or 'jsonl': got {format!r}")
     out = (
         assign_shards(df, n_shards, id_col, seed)
         .repartition(n_shards, "shard")
@@ -236,4 +247,11 @@ def write_shards(
     # staged + swapped, not written in place: a crash mid-export must never
     # leave a half-written shard set where a training loader (or a rerun
     # diff) can see it — same discipline as every store rebuild here
-    atomic_swap_write(out, path, partition_by=["shard"])
+    if format == "jsonl":
+        atomic_swap_write(
+            out,
+            path,
+            write_staging=lambda d, staging: d.write.partitionBy("shard").json(staging),
+        )
+    else:
+        atomic_swap_write(out, path, partition_by=["shard"])

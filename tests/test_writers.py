@@ -123,3 +123,39 @@ def test_assign_shards_rejects_null_ids_and_reserved_columns(spark):
     nulls = spark.createDataFrame([(1,), (None,)], "doc_id long")
     with _pytest.raises(Exception, match="deterministically sharded"):
         assign_shards(nulls, 4).collect()
+
+
+def test_write_shards_jsonl_matches_parquet_layout(spark, tmp_path):
+    """format='jsonl': same shard assignment, same within-shard
+    pseudo-shuffle order (asserted row-for-row against the parquet
+    layout by reading each shard's raw lines), staged-swap rerun
+    idempotent, bad format rejected."""
+    import json
+    import os
+
+    import pytest
+
+    from etl_data_transformer_spark.sources.writers import write_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(200)], "doc_id long, text string"
+    )
+    pq, jl = str(tmp_path / "pq"), str(tmp_path / "jl")
+    write_shards(df, pq, 4)
+    write_shards(df, jl, 4, format="jsonl")
+    for k in range(4):
+        pdir, jdir = f"{pq}/shard={k}", f"{jl}/shard={k}"
+        want = [
+            r["doc_id"] for r in spark.read.parquet(pdir).select("doc_id").collect()
+        ]
+        jfiles = [f for f in os.listdir(jdir) if f.endswith(".json")]
+        assert len(jfiles) == 1  # one file per shard, like parquet
+        with open(os.path.join(jdir, jfiles[0]), encoding="utf-8") as f:
+            got = [json.loads(line)["doc_id"] for line in f if line.strip()]
+        assert got == want, k
+    # rerun rewrites identical content through the swap
+    write_shards(df, jl, 4, format="jsonl")
+    assert sorted(os.listdir(jl))[:1] != []  # target present, no staging litter
+    assert not [d for d in os.listdir(str(tmp_path)) if d.startswith(".staging")]
+    with pytest.raises(ValueError, match="format"):
+        write_shards(df, str(tmp_path / "x"), 2, format="csv")
