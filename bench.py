@@ -60,10 +60,12 @@ SF1_HEADLINE = [
     "shard_docs",
     "sparse_topk_docs",
     # round-10 rows: the prefix-filtered exact Jaccard join is
-    # scan/shuffle-bound (candidates grow with the corpus) and the
-    # approx-routed scored cut's agg passes grow with the data
+    # scan/shuffle-bound (candidates grow with the corpus), the
+    # approx-routed scored cut's agg passes grow with the data, and the
+    # PMI pair volume is corpus x window
     "jaccard_join_docs",
     "top_fraction_docs",
+    "pmi_docs",
 ]
 
 # headline set: the flagship branches + one per operator family
@@ -109,6 +111,8 @@ HEADLINE = [
     "jaccard_join_docs",
     "top_fraction_docs",
     "corpus_stats_docs",
+    "pmi_docs",
+    "bpe_encode_docs",
 ]
 
 
@@ -134,6 +138,18 @@ def main() -> None:
     # ngram_jaccard left the 50-slot driver catalog in round 2 (its exact
     # char-3-gram path is exercised inside dedup_clusters and pytest); keep
     # benchmarking the same function so the 25-query series stays comparable.
+    # round-10: BPE train+encode as one bench unit (pytest-only operator —
+    # merge replay is procedural, no SQL twin — but its wall-clock is a
+    # first-class pipeline cost worth tracking per round)
+    if "bpe_encode_docs" not in qs:
+        from etl_data_transformer_spark.functions import text as _TX
+        from etl_data_transformer_spark.sources.readers import load_star as _lsb
+
+        def _bpe(spark, sf_dir):
+            d = _lsb(spark, sf_dir, ("documents",))["documents"]
+            return _TX.bpe_encode(d, _TX.bpe_train(d, num_merges=100, max_words=20_000))
+
+        qs["bpe_encode_docs"] = _bpe
     if "ngram_jaccard" not in qs:
         from etl_data_transformer_spark.operators import dedup as _DD
         from etl_data_transformer_spark.sources.readers import load_star as _ls
