@@ -214,7 +214,10 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     document."""
     size, stride = 50, 40
     d = _docs(spark, sf_dir)
-    toks = TX.tokens("text")
+    # token array projected before the chunk lambda (no CSE inside
+    # higher-order functions — capturing the split re-tokenizes per chunk)
+    d = d.select("doc_id", TX.tokens("text").alias("__tk"))
+    toks = F.col("__tk")
     n_chunks = F.ceil(F.greatest(F.size(toks) - (size - stride), F.lit(1)) / F.lit(stride)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),

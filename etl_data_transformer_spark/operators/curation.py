@@ -24,7 +24,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, tokens
+from ..functions.text import tokens
 
 # ordered: more-specific patterns first so e.g. an email isn't half-eaten by
 # the phone pattern's digit runs; IP before PHONE because the phone pattern's
@@ -92,14 +92,23 @@ def contamination_check(
     separate per-doc census, so the corpus is shingled twice (the census
     shuffle itself is one narrow row per document, map-side combined).
     """
-    hs = lambda c: F.transform(shingles(c, n), lambda s: F.xxhash64(s))  # noqa: E731
+    # tokens PROJECTED before the shingle lambda (shingles_from_tokens —
+    # no CSE inside higher-order lambdas; identical shingle values)
+    from ..functions.text import filtered_tokens, shingles_from_tokens
+
+    hs = F.transform(
+        shingles_from_tokens(F.col("__tk"), n), lambda s: F.xxhash64(s)
+    )
     corpus_sh = (
-        corpus.select(F.col(id_col), hs(text_col).alias("hs"))
+        corpus.select(F.col(id_col), filtered_tokens(F.col(text_col)).alias("__tk"))
+        .select(F.col(id_col), hs.alias("hs"))
         .filter(F.size("hs") > 0)
         .select(id_col, F.size("hs").alias("n_shingles"), F.explode("hs").alias("h"))
     )
     bench_sh = (
-        benchmark.select(F.explode(hs(text_col)).alias("h")).distinct()
+        benchmark.select(filtered_tokens(F.col(text_col)).alias("__tk"))
+        .select(F.explode(hs).alias("h"))
+        .distinct()
     )
     # single pass over the exploded corpus (the expensive side): left join
     # against the broadcast benchmark set and count hits conditionally —
