@@ -1946,7 +1946,12 @@ def top_fraction_approx(
     CORRECTNESS requirement, see the inline note) and broadcast, and a
     window over only the band. No full-group sort on any reducer at any
     group count — the plan-shape test pins every window input to the
-    band/fallback bracket."""
+    band/fallback bracket. Honest bound: the BAND itself still ranks
+    one task per group (corpus-wide = one task), sized ``~4n/accuracy``
+    plus value ties at the probes — ~400 rows per million at the default
+    ``accuracy=10_000``; raise ``accuracy`` to shrink it (the sketch
+    costs O(accuracy·log n) memory), and a value tie-run at the cut
+    inherently needs its whole run ranked in one place."""
     if not 0.0 < frac <= 1.0:
         raise ValueError(f"frac must be in (0, 1]: got {frac}")
     if accuracy < 100:
