@@ -19,7 +19,10 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from etl_data_transformer_spark.functions.text import shingles  # noqa: E402
+from etl_data_transformer_spark.functions.text import (  # noqa: E402
+    filtered_tokens,
+    shingles_from_tokens,
+)
 from etl_data_transformer_spark.operators.dedup import jaccard_join_prefix  # noqa: E402
 from etl_data_transformer_spark.session import get_spark  # noqa: E402
 
@@ -47,9 +50,13 @@ def mk(spark, factor: int):
 
 
 def unpruned(d, num: int, den: int):
-    g = d.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("g")).filter(
-        F.length("g") > 0
-    )
+    # projected token array, same as the prefix path — the control must
+    # not pay the higher-order re-tokenization the operator avoids, or
+    # the comparison would overstate the pruning win
+    tk = d.select("doc_id", filtered_tokens(F.col("text")).alias("__tk"))
+    g = tk.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("__tk"), 3)).alias("g")
+    ).filter(F.length("g") > 0)
     sz = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = g.select(F.col("doc_id").alias("id_a"), "g")
     b = g.select(F.col("doc_id").alias("id_b"), "g")
