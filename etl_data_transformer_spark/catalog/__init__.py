@@ -288,6 +288,11 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # second round-10 in-session rotate-out (pmi_docs promoted; overlap
     # documented at the QUERIES note):
     "boilerplate_lines_docs": EXT.q_boilerplate_lines_docs,
+    # round-10 addition: the corpus-wide (by=None) mode of the two-pass
+    # approx scored cut — the single-group shape the variant exists for —
+    # gets its own exact-rank oracle row next to the few-group driver
+    # query (top_fraction_docs).
+    "top_fraction_corpus_docs": EXT.q_top_fraction_corpus_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

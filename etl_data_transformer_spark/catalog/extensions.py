@@ -997,3 +997,17 @@ def q_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer milli-nats — counts are exact BIGINTs from one groupBy, so
     the DuckDB recompute is hash-exact."""
     return TX.pmi_pairs(_docs(spark, sf_dir), window=5, min_count=5)
+
+
+def q_top_fraction_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 corpus-wide scored cut: keep the top 10% of ALL documents
+    by token count through ``top_fraction_approx``'s by=None mode — the
+    exact shape whose one-window exact form serializes the whole corpus
+    through a single reducer. The kept set stays EXACT (ceil(n*frac),
+    (score DESC, id ASC) tie-break), so DuckDB re-ranks bit-exact."""
+    from ..operators.curation import top_fraction_approx
+
+    d = _docs(spark, sf_dir)
+    toks = F.filter(TX.tokens(F.col("text")), lambda t: F.length(t) > 0)
+    scored = d.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    return top_fraction_approx(scored, "n_tokens", 0.1, by=None)

@@ -1627,3 +1627,28 @@ ALL_ORACLES = {
     **TEMPORAL_ORACLES,
     **WAREHOUSE_ORACLES,
 }
+
+# Round-10 corpus-wide scored cut (top_fraction_approx, by=None): exact
+# global rank semantics — DuckDB re-ranks the whole corpus and keeps
+# ceil(n * 0.1) under the same (score DESC, id ASC) tie-break.
+EXTENSION_ORACLES["top_fraction_corpus_docs"] = """
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len([t for t in regexp_split_to_array(trim(text), '\\s+')
+                         if length(t) > 0]) AS BIGINT) AS n_tokens
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+               count(*) OVER () AS n
+        FROM scored
+    )
+    SELECT doc_id, n_tokens FROM ranked WHERE rn <= ceil(n * 0.1)
+"""
+
+ALL_ORACLES = {
+    **PARITY_ORACLES,
+    **EXTENSION_ORACLES,
+    **TEMPORAL_ORACLES,
+    **WAREHOUSE_ORACLES,
+}
