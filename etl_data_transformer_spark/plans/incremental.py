@@ -33,7 +33,6 @@ import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import functions as F
 
 from ..operators.aggregates import scalar_max
