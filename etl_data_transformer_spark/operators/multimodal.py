@@ -131,12 +131,20 @@ def resize(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stub: slice the payload every N bytes (the video
-    frame-sample access pattern) — JVM-side byte slicing, no Python."""
-    n_frames = F.floor(F.length("payload") / every_n_bytes).cast("int")
+    frame-sample access pattern) — JVM-side byte slicing, no Python.
+
+    The binary→string cast is PROJECTED before the slicing lambda: a cast
+    captured inside ``transform`` re-runs per frame index (no CSE in
+    higher-order functions — the round-10 pmi_pairs lesson), copying the
+    whole payload O(frames) times per media row."""
+    cast_df = df.select(
+        "media_id", F.col("payload").cast("string").alias("__p")
+    )
+    n_frames = F.floor(F.length("__p") / every_n_bytes).cast("int")
     idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
-    return df.select(
+    return cast_df.select(
         "media_id",
         F.explode(
-            F.transform(idx, lambda i: F.substring(F.col("payload").cast("string"), i * every_n_bytes + 1, 8))
+            F.transform(idx, lambda i: F.substring(F.col("__p"), i * every_n_bytes + 1, 8))
         ).alias("frame_sig"),
     )
