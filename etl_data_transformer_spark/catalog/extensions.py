@@ -271,12 +271,16 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import quant_rmse, quant_scale, quantize_int8
 
     e = _emb(spark, sf_dir).filter(F.col("vec_id") < 100)
-    scale = quant_scale("embedding")
+    # scale PROJECTED before the quantize/rmse lambdas capture it: the
+    # array_max-over-transform expression re-evaluates per element inside
+    # a higher-order function (no CSE — the round-10 pmi_pairs lesson),
+    # turning O(dim) quantization into O(dim²)
+    e = e.select("vec_id", "embedding", quant_scale("embedding").alias("s"))
     out = e.select(
         "vec_id",
-        scale.alias("s"),
-        quantize_int8("embedding", scale).alias("codes"),
-        quant_rmse("embedding", scale).alias("err"),
+        "s",
+        quantize_int8("embedding", F.col("s")).alias("codes"),
+        quant_rmse("embedding", F.col("s")).alias("err"),
     ).filter(F.col("s") > 0)
     # q_head is serialized to a CSV string: the driver's canonicalizer
     # (pandas sort_values) cannot hash raw array cells (round-1 red row).

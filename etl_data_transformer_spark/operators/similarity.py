@@ -273,13 +273,20 @@ def ivf_assign(
         )
     if not quantize:
         return assigned
-    scale = quant_scale("embedding")
-    return assigned.select(
+    # scale PROJECTED before the quantize lambda captures it (no CSE in
+    # higher-order functions: the expression form re-ran the
+    # array_max-over-transform scale per element — O(dim²)/row)
+    withscale = assigned.select(
+        "id", "embedding", "list_id", quant_scale("embedding").alias("scale")
+    )
+    return withscale.select(
         "id",
         "embedding",
         "list_id",
-        F.transform(quantize_int8("embedding", scale), lambda x: x.cast("tinyint")).alias("codes"),
-        scale.alias("scale"),
+        F.transform(
+            quantize_int8("embedding", F.col("scale")), lambda x: x.cast("tinyint")
+        ).alias("codes"),
+        "scale",
     )
 
 
