@@ -182,6 +182,40 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotated via dedup_lines_docs and the boilerplate strip is also
     # exercised inside curation_pipeline's driver row).
     "pmi_docs": EXT.q_pmi_docs,
+    # round-11 rotation (round-10 verdict items 1, 3, 7): bpe_encode_docs
+    # gets the catalog's LAST missing driver-strength row (frozen merge
+    # fixture + recursive-CTE replay oracle — see fixtures_bpe.py) and
+    # domain_stats_docs lands the new URL/domain curation tier; the seven
+    # longest-rotated families return to driver slots — asof_rate_orders +
+    # range_join_events (out since r9), tumbling_events, ann_ivf_recall,
+    # contamination_docs, lang_id, bigram_logprob (out since r10).
+    # Rotating out in exchange, each with a FRESH r10 driver row and a
+    # surviving family twin (all keep the IDENTICAL DuckDB value-hash
+    # compare in tests/test_rotated_oracle.py):
+    # hopping_events (window family's slot passes back to tumbling_events,
+    # its overlapping twin), normalize_docs (the canonicalization scrub is
+    # also exercised inside curation_pipeline's driver row),
+    # sparse_search_docs + bm25_search_docs (the retrieval family keeps
+    # sparse_topk_docs driver-live; the persisted-index round-trip and the
+    # BM25 ranking keep their rotated hash rows), decontaminate_passages_docs
+    # (the contamination family swaps tiers: the detect-and-flag tier
+    # returns driver-live, the rewriting tier rotates; dedup_passages_docs
+    # keeps the window-masking machinery driver-live), nb_lang_classifier
+    # (the NB family keeps nb_lang_multiclass — the K-way superset — driver-
+    # live), unigram_logprob (the LM family's slot passes to bigram_logprob,
+    # the strictly-harder scorer), hyperplane_blocked_recall (the blocked-
+    # recall family keeps simhash_blocked_recall driver-live),
+    # session_agg_events (the temporal family gains THREE driver rows this
+    # round: asof + range + tumbling).
+    "bpe_encode_docs": EXT.q_bpe_encode_docs,
+    "domain_stats_docs": EXT.q_domain_stats_docs,
+    "contamination_docs": EXT.q_contamination_docs,
+    "ann_ivf_recall": EXT.q_ann_ivf_recall,
+    "lang_id": EXT.q_lang_id,
+    "bigram_logprob": EXT.q_bigram_logprob,
+    "tumbling_events": PAR.q_tumbling_events,
+    "asof_rate_orders": TQ.q_asof_rate_orders,
+    "range_join_events": TQ.q_range_join_events,
     # temporal + profiling surface (as-of, range join, sessions, rollup)
     **TEMPORAL_QUERIES,
 }
@@ -193,9 +227,18 @@ for _out in (
     "percentile_prices",
     "resample_events",
     "funnel_events",
-    "asof_rate_orders",
-    "range_join_events",
     "profile_orders",
+    # round-11 rotate-outs (fresh r10 driver rows; overlaps documented at
+    # the round-11 promotion note above)
+    "hopping_events",
+    "normalize_docs",
+    "sparse_search_docs",
+    "bm25_search_docs",
+    "decontaminate_passages_docs",
+    "nb_lang_classifier",
+    "unigram_logprob",
+    "hyperplane_blocked_recall",
+    "session_agg_events",
 ):
     QUERIES.pop(_out, None)
 
@@ -249,9 +292,9 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_events": TQ.q_funnel_events,
     # round-9 rotate-outs (fresh r8 driver rows; overlaps documented at
     # the QUERIES rotation note) — made room for the round-8 trio's first
-    # driver rows (passage dedup + the SCD2 apply/snapshot pair)
-    "asof_rate_orders": TQ.q_asof_rate_orders,
-    "range_join_events": TQ.q_range_join_events,
+    # driver rows (passage dedup + the SCD2 apply/snapshot pair).
+    # asof_rate_orders / range_join_events returned to driver slots in
+    # round 11.
     "profile_orders": TQ.q_profile_orders,
     # round-9 addition: passage-level benchmark decontamination — mask
     # every training-doc window that appears ANYWHERE in the eval corpus
@@ -270,16 +313,22 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_returnflag": PAR.q_pivot_returnflag,
     "events_json": PAR.q_events_json,
     "string_agg_nations": PAR.q_string_agg_nations,
-    # round-10 rotate-outs (fresh r9 driver rows; overlaps documented at
-    # the QUERIES round-10 promotion note) — made room for the five
-    # round-9 queries' first driver rows (the sparse-retrieval trio +
-    # hopping + normalize). Each keeps the IDENTICAL DuckDB value-hash
-    # compare here.
-    "contamination_docs": EXT.q_contamination_docs,
-    "tumbling_events": PAR.q_tumbling_events,
-    "ann_ivf_recall": EXT.q_ann_ivf_recall,
-    "lang_id": EXT.q_lang_id,
-    "bigram_logprob": EXT.q_bigram_logprob,
+    # round-10 rotate-outs returned to driver slots in round 11
+    # (contamination_docs, tumbling_events, ann_ivf_recall, lang_id,
+    # bigram_logprob).
+    # round-11 rotate-outs (fresh r10 driver rows; overlaps documented at
+    # the QUERIES round-11 promotion note) — made room for bpe_encode_docs,
+    # domain_stats_docs and the seven returning rotations. Each keeps the
+    # IDENTICAL DuckDB value-hash compare here.
+    "hopping_events": EXT.q_hopping_events,
+    "normalize_docs": EXT.q_normalize_docs,
+    "sparse_search_docs": EXT.q_sparse_search_docs,
+    "bm25_search_docs": EXT.q_bm25_search_docs,
+    "decontaminate_passages_docs": EXT.q_decontaminate_passages_docs,
+    "nb_lang_classifier": EXT.q_nb_lang_classifier,
+    "unigram_logprob": EXT.q_unigram_logprob,
+    "hyperplane_blocked_recall": EXT.q_hyperplane_blocked_recall,
+    "session_agg_events": TQ.q_session_agg_events,
     # round-10 in-session rotate-outs (fresh green driver history;
     # overlaps documented at the QUERIES promotion note): each keeps the
     # IDENTICAL driver-strength hash compare here.

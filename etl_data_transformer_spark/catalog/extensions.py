@@ -1015,3 +1015,52 @@ def q_top_fraction_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(TX.tokens(F.col("text")), lambda t: F.length(t) > 0)
     scored = d.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
     return top_fraction_approx(scored, "n_tokens", 0.1, by=None)
+
+
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 driver-strength BPE row (round-10 verdict item 1): apply
+    the FROZEN merge table (``catalog.fixtures_bpe.BPE_MERGES``, trained
+    once at sf0.001 — determinism pinned by ``tests/test_bpe_oracle.py``)
+    to every document. The DuckDB oracle replays the same table with a
+    recursive CTE over merge ranks, so the value-hash checks the merge
+    replay itself end-to-end — this was the only catalog family with no
+    DuckDB hash anywhere. Pieces ship space-joined (symbols never contain
+    whitespace) so the compare stays on scalar columns."""
+    from .fixtures_bpe import BPE_MERGES
+
+    enc = TX.bpe_encode(_docs(spark, sf_dir), BPE_MERGES)
+    return enc.select(
+        "doc_id",
+        F.concat_ws(" ", "pieces").alias("pieces_str"),
+        F.col("n_pieces"),
+    )
+
+
+def q_domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 domain-tier driver row (round-10 verdict item 7): derive a
+    deterministic URL for every document (the fixture tables carry no URL
+    column, so both sides synthesize the SAME one from (source, doc_id) —
+    deliberately messy: mixed case, www., default port, trailing slash,
+    unsorted query with tracking params, fragment), then profile the
+    corpus per host via ``operators.domains.domain_stats``. The value-hash
+    therefore checks host extraction, registered-domain (incl. the
+    co.uk multipart branch via the doc_id%7 arm) AND full URL
+    canonicalization (n_urls counts distinct canonical forms — the
+    doc_id%50 path key makes aliases collapse across port/slash/fragment/
+    tracking variants)."""
+    from ..operators.domains import domain_stats
+
+    did = F.col("doc_id")
+    k = (did % 50).cast("string")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(did % 11 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.when(did % 7 == 0, F.lit(".Example.CO.UK")).otherwise(F.lit(".Example.COM")),
+        F.when(did % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/d/"), k,
+        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&z=9&id="), k, F.lit("&a=1"),
+        F.when(did % 5 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    return domain_stats(_docs(spark, sf_dir).withColumn("url", url))

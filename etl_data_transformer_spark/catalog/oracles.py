@@ -1652,3 +1652,95 @@ ALL_ORACLES = {
     **TEMPORAL_ORACLES,
     **WAREHOUSE_ORACLES,
 }
+
+# Round-11 BPE encode under the frozen merge fixture: the oracle REPLAYS
+# the merge table rank-by-rank in a recursive CTE (see
+# fixtures_bpe.bpe_encode_oracle_sql for the left-fold <-> left-to-right
+# scan equivalence argument), recomputing the word->pieces dictionary from
+# the raw text inside DuckDB — a full end-to-end check of the engine's
+# merge replay, closing the last catalog family with no DuckDB hash.
+from .fixtures_bpe import bpe_encode_oracle_sql as _bpe_oracle  # noqa: E402
+
+EXTENSION_ORACLES["bpe_encode_docs"] = _bpe_oracle()
+
+ALL_ORACLES = {
+    **PARITY_ORACLES,
+    **EXTENSION_ORACLES,
+    **TEMPORAL_ORACLES,
+    **WAREHOUSE_ORACLES,
+}
+
+# Round-11 domain-tier profile: the oracle re-derives the SAME synthetic
+# URL from (source, doc_id), then replays the functions/urls.py spec
+# step-for-step (fragment strip, scheme/host lowering, www./default-port
+# strip, trailing-slash strip, tracking-param drop + param sort) and the
+# eTLD+1 label logic (incl. the multipart co.uk branch) before the
+# per-host rollup — so the hash checks the whole canonicalization spec.
+from ..functions.urls import MULTIPART_SUFFIXES as _URL_SUFFIXES  # noqa: E402
+from ..functions.urls import TRACKING_RE as _URL_TRACKING_RE  # noqa: E402
+
+_SUFFIX_IN = ", ".join(f"'{s}'" for s in _URL_SUFFIXES)
+
+EXTENSION_ORACLES["domain_stats_docs"] = f"""
+    WITH u AS (
+        SELECT text,
+               'HTTPS://'
+               || CASE WHEN doc_id % 11 = 0 THEN 'www.' ELSE '' END
+               || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+               || CASE WHEN doc_id % 7 = 0 THEN '.Example.CO.UK' ELSE '.Example.COM' END
+               || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+               || '/d/' || (doc_id % 50)
+               || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+               || '?utm_source=feed&z=9&id=' || (doc_id % 50) || '&a=1'
+               || CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END AS url
+        FROM documents
+    ), parsed AS (
+        SELECT text,
+               regexp_replace(url, '#.*$', '') AS nofrag,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport
+        FROM u
+    ), hp AS (
+        SELECT text, nofrag, scheme,
+               regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+                              '^www\\.', '') AS host,
+               regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+        FROM parsed
+    ), qsplit AS (
+        SELECT *, string_split(host, '.') AS labels,
+               array_to_string(list_sort(list_filter(
+                   string_split(regexp_extract(nofrag, '\\?([^#]*)', 1), '&'),
+                   p -> p <> '' AND NOT regexp_matches(p, '{_URL_TRACKING_RE}'))),
+                   '&') AS qs
+        FROM hp
+    ), canon AS (
+        SELECT text, host,
+               CASE WHEN len(labels) <= 2 THEN host
+                    WHEN array_to_string(labels[-2:], '.') IN ({_SUFFIX_IN})
+                         THEN array_to_string(labels[-3:], '.')
+                    ELSE array_to_string(labels[-2:], '.') END AS reg_domain,
+               scheme || '://' || host
+               || CASE WHEN port = ''
+                         OR (scheme = 'https' AND port = '443')
+                         OR (scheme = 'http' AND port = '80')
+                       THEN '' ELSE ':' || port END
+               || regexp_replace(regexp_extract(nofrag,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+               || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical
+        FROM qsplit
+    )
+    SELECT host, reg_domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT canonical) AS BIGINT) AS n_urls,
+           CAST(sum(len([t for t in regexp_split_to_array(trim(text), '\\s+')
+                         if length(t) > 0])) AS BIGINT) AS tok_sum,
+           CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS char_sum
+    FROM canon GROUP BY host, reg_domain
+"""
+
+ALL_ORACLES = {
+    **PARITY_ORACLES,
+    **EXTENSION_ORACLES,
+    **TEMPORAL_ORACLES,
+    **WAREHOUSE_ORACLES,
+}

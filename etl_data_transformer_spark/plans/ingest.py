@@ -47,6 +47,7 @@ appends. Single-writer by design (the ingest owner).
 
 from __future__ import annotations
 
+from collections.abc import Sequence  # noqa: F401 (signature annotations)
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -89,6 +90,11 @@ class IngestReport:
     # per-batch constant) the audit trail shows which frozen value gated
     # each batch, so a threshold refresh is visible in the table
     nb_threshold_micros: int | None = None
+    # domain-tier audit (round 11, None unless the tier ran): documents
+    # dropped by the registered-domain blocklist/allowlist gate, and
+    # in-batch canonical-URL aliases collapsed before the content tiers
+    n_domain_dropped: int | None = None
+    n_url_alias_dropped: int | None = None
 
 
 def _near_losers(pairs: DataFrame, survivors: DataFrame, id_col: str) -> DataFrame:
@@ -267,6 +273,61 @@ def _entropy_gate(
     return gated, n_batch - gated.count()
 
 
+def _domain_gate(
+    batch: DataFrame,
+    url_col: str,
+    blocklist,
+    allowlist,
+    url_dedup_aliases: bool,
+    id_col: str,
+    n_batch: int,
+) -> tuple[DataFrame, int, int]:
+    """Domain/URL gate shared by the three runners (round 11, verdict
+    item 7): registered-domain blocklist/allowlist filtering
+    (``operators.domains.domain_gate`` — a pure IN predicate for literal
+    lists, broadcast anti/semi joins for DataFrame lists), then optional
+    IN-BATCH canonical-URL alias collapse (``operators.domains.url_dedup``
+    semantics: lowest id per canonical URL wins) so tracking-param /
+    default-port / fragment aliases of the same page never reach the
+    content tiers. Runs FIRST — for literal lists it is even cheaper than
+    the entropy floor (the predicate pushes into the scan). Cross-batch
+    same-URL re-crawls are deliberately NOT dropped here: identical bytes
+    are caught by the exact content store, and changed bytes are a
+    freshness decision (supersede, not discard) that belongs to a CDC
+    layer, not a dedup gate. NULL urls pass the gate ungated (same
+    pass-through rule as the other gates' NULL ids). Deterministic, so
+    reruns recompute identical survivors. Returns the gated batch
+    (eagerly checkpointed), the gate's dropped count, and the alias
+    count."""
+    from pyspark.sql import Window
+
+    from ..functions.urls import canonicalize_url
+    from ..operators.domains import domain_gate
+
+    has_url = F.col(url_col).isNotNull()
+    n_dropped = 0
+    out = batch
+    if (isinstance(blocklist, DataFrame) or len(blocklist)) or allowlist is not None:
+        gated = domain_gate(
+            out.filter(has_url), url_col, blocklist=blocklist, allowlist=allowlist
+        ).unionByName(out.filter(~has_url))
+        out = gated.localCheckpoint(eager=True)
+        n_dropped = n_batch - out.count()
+    n_aliases = 0
+    if url_dedup_aliases:
+        w = Window.partitionBy(canonicalize_url(url_col)).orderBy(F.col(id_col).asc())
+        deduped = (
+            out.filter(has_url)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .unionByName(out.filter(~has_url))
+        )
+        out = deduped.localCheckpoint(eager=True)
+        n_aliases = n_batch - n_dropped - out.count()
+    return out, n_dropped, n_aliases
+
+
 _NB_THRESHOLD_ALGO = "nb-threshold-approx-pct-v1"
 
 
@@ -438,6 +499,10 @@ def run_incremental_ingest(
     nb_store: str | None = None,
     nb_threshold_micros: int = 0,
     min_entropy_microbits: int | None = None,
+    url_col: str | None = None,
+    domain_blocklist: "Sequence[str] | DataFrame" = (),
+    domain_allowlist: "Sequence[str] | DataFrame | None" = None,
+    collapse_url_aliases: bool = False,
 ) -> IngestReport:
     """Run one ingest batch through the enabled dedup tiers (exact is
     mandatory — it is the cheapest and catches byte-duplicates the banded
@@ -493,7 +558,20 @@ def run_incremental_ingest(
     ``min_entropy_microbits`` enables the char-entropy pre-gate
     (``_entropy_gate``): the map-only floor runs BEFORE the NB gate and
     every tier, so repeated-character spam never costs a scoring job or a
-    shingle pass; the audit row carries ``n_entropy_dropped``."""
+    shingle pass; the audit row carries ``n_entropy_dropped``.
+
+    ``url_col`` (round 11) enables the DOMAIN TIER (``_domain_gate``),
+    running before even the entropy floor: ``domain_blocklist`` /
+    ``domain_allowlist`` gate on the registered domain (literal lists
+    compile to a scan-pushed IN predicate; DataFrame lists run as
+    broadcast anti/semi joins), and ``collapse_url_aliases=True``
+    additionally collapses IN-BATCH canonical-URL aliases (tracking
+    params / default ports / fragments stripped — lowest id wins) so the
+    same page crawled under different URLs reaches the content tiers
+    once. NULL urls pass ungated; the audit row carries
+    ``n_domain_dropped`` / ``n_url_alias_dropped``. Cross-batch same-URL
+    re-crawls are deliberately left to the content stores (see
+    ``_domain_gate``)."""
     from ..operators import dedup as DD
     from ..operators.curation import read_passage_store
     from ..sources.writers import append_parquet
@@ -508,6 +586,7 @@ def run_incremental_ingest(
     rw_on = pg_on or dc_on  # the rewrite stage runs for either mask source
     q_on = nb_store is not None
     e_on = min_entropy_microbits is not None
+    d_on = url_col is not None
     if n_batch == 0:
         report = IngestReport(
             0,
@@ -522,6 +601,8 @@ def run_incremental_ingest(
             n_quality_dropped=0 if q_on else None,
             n_entropy_dropped=0 if e_on else None,
             nb_threshold_micros=int(nb_threshold_micros) if q_on else None,
+            n_domain_dropped=0 if d_on else None,
+            n_url_alias_dropped=0 if d_on and collapse_url_aliases else None,
         )
         if audit_path is not None:
             write_ingest_audit(spark, audit_path, report)
@@ -636,18 +717,30 @@ def run_incremental_ingest(
     # gated batch; the store heals above joined against the RAW batch,
     # a superset of any prior attempt's gated appends, which heals the
     # same rows.
-    # entropy floor first — the cheapest gate (one codegen projection)
-    # runs before the NB scoring job sees the batch
+    # domain tier first (round 11) — for literal lists the gate is a
+    # scan-pushed predicate, cheaper than even the entropy projection
+    n_domain_dropped = 0 if d_on else None
+    n_url_alias_dropped = 0 if d_on and collapse_url_aliases else None
+    if d_on:
+        batch, n_domain_dropped, n_url_alias_dropped = _domain_gate(
+            batch, url_col, domain_blocklist, domain_allowlist,
+            collapse_url_aliases, id_col, n_batch,
+        )
+        if not collapse_url_aliases:
+            n_url_alias_dropped = None
+    n_remaining = n_batch - (n_domain_dropped or 0) - (n_url_alias_dropped or 0)
+    # entropy floor next — the cheapest compute gate (one codegen
+    # projection) runs before the NB scoring job sees the batch
     n_entropy_dropped = 0 if e_on else None
     if e_on:
         batch, n_entropy_dropped = _entropy_gate(
-            batch, min_entropy_microbits, text_col, n_batch
+            batch, min_entropy_microbits, text_col, n_remaining
         )
     n_quality_dropped = 0 if q_on else None
     if q_on:
         batch, n_quality_dropped = _quality_gate(
             batch, nb_store, nb_threshold_micros, text_col, id_col,
-            n_batch - (n_entropy_dropped or 0),
+            n_remaining - (n_entropy_dropped or 0),
         )
 
     # passage store: convert layout + build the healed merge-on-read count
@@ -676,7 +769,7 @@ def run_incremental_ingest(
         max_bucket_size=max_bucket_size,
         n_batch=n_batch,
     )
-    if q_on or e_on:
+    if q_on or e_on or d_on:
         from dataclasses import replace as _replace
 
         report = _replace(
@@ -684,6 +777,8 @@ def run_incremental_ingest(
             n_quality_dropped=n_quality_dropped,
             n_entropy_dropped=n_entropy_dropped,
             nb_threshold_micros=int(nb_threshold_micros) if q_on else None,
+            n_domain_dropped=n_domain_dropped,
+            n_url_alias_dropped=n_url_alias_dropped,
         )
 
     # sinks: survivors first, then each store's rows FOR THE SURVIVORS —
@@ -948,6 +1043,8 @@ def ingest_audit_row(spark, report: IngestReport) -> DataFrame:
             report.n_quality_dropped,
             report.n_entropy_dropped,
             report.nb_threshold_micros,
+            report.n_domain_dropped,
+            report.n_url_alias_dropped,
             dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
         )
     ]
@@ -960,7 +1057,8 @@ _AUDIT_COLS_DDL = (
     "simhash_pairs long, minhash_capped_buckets long, "
     "simhash_capped_buckets long, passage_tokens_removed long, "
     "passage_docs_touched long, n_quality_dropped long, "
-    "n_entropy_dropped long, nb_threshold_micros long, ingest_ts timestamp"
+    "n_entropy_dropped long, nb_threshold_micros long, "
+    "n_domain_dropped long, n_url_alias_dropped long, ingest_ts timestamp"
 )
 _AUDIT_COL_NAMES = {c.strip().split()[0] for c in _AUDIT_COLS_DDL.split(",")}
 
@@ -1084,6 +1182,10 @@ def run_incremental_ingest_txn(
     nb_store: str | None = None,
     nb_threshold_micros: int = 0,
     min_entropy_microbits: int | None = None,
+    url_col: str | None = None,
+    domain_blocklist: "Sequence[str] | DataFrame" = (),
+    domain_allowlist: "Sequence[str] | DataFrame | None" = None,
+    collapse_url_aliases: bool = False,
 ) -> IngestReport:
     """``run_incremental_ingest`` with ATOMIC publication (round-7 verdict
     item 4): every sink is a ``sources/manifest`` table and the landed
@@ -1147,6 +1249,7 @@ def run_incremental_ingest_txn(
     rw_on = pg_on or dc_on
     q_on = nb_store is not None
     e_on = min_entropy_microbits is not None
+    d_on = url_col is not None
 
     # validate every enabled store's parameter sidecar up front (same
     # helpers as the parquet mode — the sidecar is a plain file next to
@@ -1208,6 +1311,8 @@ def run_incremental_ingest_txn(
             n_quality_dropped=0 if q_on else None,
             n_entropy_dropped=0 if e_on else None,
             nb_threshold_micros=int(nb_threshold_micros) if q_on else None,
+            n_domain_dropped=0 if d_on else None,
+            n_url_alias_dropped=0 if d_on and collapse_url_aliases else None,
         )
         if audit_table is not None:
             MF.multi_commit(
@@ -1218,19 +1323,29 @@ def run_incremental_ingest_txn(
         return report
 
     # gates (every sidecar above already validated — a doomed run fails
-    # before any gate spends compute): the map-only entropy floor first,
-    # then the NB scoring join; gated-out docs are invisible to every
-    # heal, tier and sink below
+    # before any gate spends compute): the domain tier first, then the
+    # map-only entropy floor, then the NB scoring join; gated-out docs
+    # are invisible to every heal, tier and sink below
+    n_domain_dropped = 0 if d_on else None
+    n_url_alias_dropped = 0 if d_on and collapse_url_aliases else None
+    if d_on:
+        batch, n_domain_dropped, n_url_alias_dropped = _domain_gate(
+            batch, url_col, domain_blocklist, domain_allowlist,
+            collapse_url_aliases, id_col, n_batch,
+        )
+        if not collapse_url_aliases:
+            n_url_alias_dropped = None
+    n_remaining = n_batch - (n_domain_dropped or 0) - (n_url_alias_dropped or 0)
     n_entropy_dropped = 0 if e_on else None
     if e_on:
         batch, n_entropy_dropped = _entropy_gate(
-            batch, min_entropy_microbits, text_col, n_batch
+            batch, min_entropy_microbits, text_col, n_remaining
         )
     n_quality_dropped = 0 if q_on else None
     if q_on:
         batch, n_quality_dropped = _quality_gate(
             batch, nb_store, nb_threshold_micros, text_col, id_col,
-            n_batch - (n_entropy_dropped or 0),
+            n_remaining - (n_entropy_dropped or 0),
         )
 
     # store views: raw manifest reads, healed of any rows carrying THIS
@@ -1287,7 +1402,7 @@ def run_incremental_ingest_txn(
         max_bucket_size=max_bucket_size,
         n_batch=n_batch,
     )
-    if q_on or e_on:
+    if q_on or e_on or d_on:
         from dataclasses import replace as _replace
 
         report = _replace(
@@ -1295,6 +1410,8 @@ def run_incremental_ingest_txn(
             n_quality_dropped=n_quality_dropped,
             n_entropy_dropped=n_entropy_dropped,
             nb_threshold_micros=int(nb_threshold_micros) if q_on else None,
+            n_domain_dropped=n_domain_dropped,
+            n_url_alias_dropped=n_url_alias_dropped,
         )
 
     land_df = survivors

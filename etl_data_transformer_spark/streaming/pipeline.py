@@ -941,6 +941,10 @@ def stream_ingest(
     nb_store: str | None = None,
     nb_threshold_micros: int = 0,
     min_entropy_microbits: int | None = None,
+    url_col: str | None = None,
+    domain_blocklist=(),
+    domain_allowlist=None,
+    collapse_url_aliases: bool = False,
 ) -> None:
     """Streaming twin of ``plans/ingest.run_incremental_ingest`` — the
     EXACTLY-ONCE landed corpus the batch runner's docstring defers to.
@@ -986,6 +990,15 @@ def stream_ingest(
     before it (``n_entropy_dropped``), exactly as in the batch/txn
     runners. Deterministic replay requires the model store frozen while a
     batch may replay — retrain between drains, not during one.
+
+    ``url_col`` / ``domain_blocklist`` / ``domain_allowlist`` /
+    ``collapse_url_aliases`` enable the round-11 DOMAIN TIER exactly as in
+    the batch/txn runners (``plans/ingest._domain_gate``): registered-
+    domain gating plus in-batch canonical-URL alias collapse, before every
+    other gate; ``n_domain_dropped`` / ``n_url_alias_dropped`` in the
+    audit row. The gate is deterministic, so batch replays recompute
+    identical survivors (freeze DataFrame block/allow lists while a batch
+    may replay, same rule as the NB store).
     """
     from ..operators.dedup import (
         _SIMHASH_ALGO,
@@ -1008,6 +1021,7 @@ def stream_ingest(
     rw_on = pg_on or dc_on
     q_on = nb_store is not None
     e_on = min_entropy_microbits is not None
+    d_on = url_col is not None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -1069,6 +1083,8 @@ def stream_ingest(
                         n_quality_dropped=0 if q_on else None,
                         n_entropy_dropped=0 if e_on else None,
                         nb_threshold_micros=int(nb_threshold_micros) if q_on else None,
+                        n_domain_dropped=0 if d_on else None,
+                        n_url_alias_dropped=0 if d_on and collapse_url_aliases else None,
                     )
                     _overwrite_batch_partition(
                         ingest_audit_row(spark, zero), audit_path, ns, batch_id
@@ -1172,12 +1188,26 @@ def stream_ingest(
             # batch before the scoring job spends compute. The heals above
             # joined against the RAW batch — a superset of any prior
             # attempt's gated appends, so they heal the same rows.
+            n_domain_dropped = 0 if d_on else None
+            n_url_alias_dropped = 0 if d_on and collapse_url_aliases else None
+            if d_on:
+                from ..plans.ingest import _domain_gate
+
+                batch, n_domain_dropped, n_url_alias_dropped = _domain_gate(
+                    batch, url_col, domain_blocklist, domain_allowlist,
+                    collapse_url_aliases, id_col, n_batch_raw,
+                )
+                if not collapse_url_aliases:
+                    n_url_alias_dropped = None
+            n_remaining = (
+                n_batch_raw - (n_domain_dropped or 0) - (n_url_alias_dropped or 0)
+            )
             n_entropy_dropped = 0 if e_on else None
             if e_on:
                 from ..plans.ingest import _entropy_gate
 
                 batch, n_entropy_dropped = _entropy_gate(
-                    batch, min_entropy_microbits, text_col, n_batch_raw
+                    batch, min_entropy_microbits, text_col, n_remaining
                 )
             n_quality_dropped = 0 if q_on else None
             if q_on:
@@ -1185,7 +1215,7 @@ def stream_ingest(
 
                 batch, n_quality_dropped = _quality_gate(
                     batch, nb_store, nb_threshold_micros, text_col, id_col,
-                    n_batch_raw - (n_entropy_dropped or 0),
+                    n_remaining - (n_entropy_dropped or 0),
                 )
 
             survivors, report = _run_tiers(
@@ -1205,7 +1235,7 @@ def stream_ingest(
                 max_bucket_size=max_bucket_size,
                 n_batch=n_batch_raw,
             )
-            if q_on or e_on:
+            if q_on or e_on or d_on:
                 from dataclasses import replace as _replace
 
                 report = _replace(
@@ -1213,6 +1243,8 @@ def stream_ingest(
                     n_quality_dropped=n_quality_dropped,
                     n_entropy_dropped=n_entropy_dropped,
                     nb_threshold_micros=int(nb_threshold_micros) if q_on else None,
+                    n_domain_dropped=n_domain_dropped,
+                    n_url_alias_dropped=n_url_alias_dropped,
                 )
 
             land_df = survivors

@@ -1,0 +1,188 @@
+"""Round-11 domain-tier unit tests (verdict item 7): URL canonicalization
+spec edges, registered-domain label logic, gating in both literal-IN and
+broadcast-join forms, and URL-canonical dedup determinism. The corpus-level
+rollup is driver-strength checked by ``domain_stats_docs``' DuckDB hash;
+these cover the branches a 40-group rollup can't isolate."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_data_transformer_spark.functions.urls import (
+    canonicalize_url,
+    registered_domain,
+    url_host,
+)
+from etl_data_transformer_spark.operators.domains import (
+    domain_gate,
+    url_dedup,
+    url_dedup_groups,
+)
+
+CANON_CASES = [
+    # (raw, canonical) — one per spec clause in functions/urls.py
+    ("HTTPS://WWW.Example.COM/a/", "https://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("https://example.com/a#frag", "https://example.com/a"),
+    ("https://example.com/a?utm_source=x&b=2&a=1", "https://example.com/a?a=1&b=2"),
+    ("https://example.com/a?gclid=z&fbclid=y&ref=h", "https://example.com/a"),
+    ("https://example.com/", "https://example.com"),
+    ("https://example.com///", "https://example.com"),
+    ("https://example.com/a?z=9&utm_campaign=c&a=1#f", "https://example.com/a?a=1&z=9"),
+]
+
+
+def test_canonicalize_spec(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CANON_CASES], ["url"])
+    got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
+    assert got == [c for _, c in CANON_CASES]
+
+
+@pytest.mark.parametrize(
+    ("url", "host", "dom"),
+    [
+        ("https://www.news.example.co.uk/x", "news.example.co.uk", "example.co.uk"),
+        ("https://a.b.example.com/x", "a.b.example.com", "example.com"),
+        ("https://example.com/x", "example.com", "example.com"),
+        ("https://localhost:8080/x", "localhost", "localhost"),
+        ("https://WWW.EXAMPLE.COM/x", "example.com", "example.com"),
+    ],
+)
+def test_host_and_registered_domain(spark, url, host, dom):
+    row = (
+        spark.createDataFrame([(url,)], ["url"])
+        .select(url_host("url").alias("h"), registered_domain("url").alias("d"))
+        .first()
+    )
+    assert (row["h"], row["d"]) == (host, dom)
+
+
+def _urls_df(spark):
+    rows = [
+        (1, "https://good.example.com/a"),
+        (2, "https://spam.example.net/b"),
+        (3, "https://www.mirror.example.co.uk/c"),
+        (4, "https://good.example.com/d"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "url"])
+
+
+def test_domain_gate_literal_lists(spark):
+    df = _urls_df(spark)
+    kept = domain_gate(df, blocklist=["example.net"])
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
+    kept = domain_gate(df, blocklist=["example.net"], allowlist=["example.com"])
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4]
+    # schema passes through untouched
+    assert kept.columns == df.columns
+
+
+def test_domain_gate_dataframe_lists_broadcast(spark):
+    df = _urls_df(spark)
+    bl = spark.createDataFrame([("example.net",)], ["domain"])
+    kept = domain_gate(df, blocklist=bl)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    al = spark.createDataFrame([("example.co.uk",)], ["domain"])
+    kept = domain_gate(df, blocklist=bl, allowlist=al)
+    assert [r["doc_id"] for r in kept.collect()] == [3]
+
+
+def test_url_dedup_collapses_aliases(spark):
+    rows = [
+        (10, "https://www.example.com/p?utm_source=a"),
+        (11, "https://example.com:443/p/"),
+        (12, "HTTPS://EXAMPLE.COM/p#top"),
+        (13, "https://example.com/q"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    kept = url_dedup(df)
+    got = {r["doc_id"]: r["canonical_url"] for r in kept.collect()}
+    # the three aliases collapse to one keeper: the lowest id
+    assert set(got) == {10, 13}
+    assert got[10] == "https://example.com/p"
+    groups = {r["canonical_url"]: (r["n_copies"], r["keeper_id"])
+              for r in url_dedup_groups(df).collect()}
+    assert groups["https://example.com/p"] == (3, 10)
+    assert groups["https://example.com/q"] == (1, 13)
+
+
+def test_ingest_domain_gate_and_alias_collapse(spark, tmp_path):
+    """Round-11 ingest gate e2e (verdict item 7): the domain tier runs
+    before every other gate/tier, blocklisted domains never land or index,
+    in-batch canonical aliases collapse to the lowest id, the audit row
+    carries both counts, and a rerun is deterministic."""
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest
+
+    kw = dict(
+        exact_store=str(tmp_path / "ex"),
+        survivors_path=str(tmp_path / "landed"),
+        audit_path=str(tmp_path / "audit"),
+        url_col="url",
+        domain_blocklist=["spam.example"],
+        collapse_url_aliases=True,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, "one unique document body", "https://www.Good.example/p?utm_source=x"),
+            (2, "second unique document body", "https://good.example:443/p/"),  # alias of 1
+            (3, "third unique document body", "https://spam.example/z"),        # blocked
+            (4, "fourth unique document body", "https://other.example/q"),
+            (5, "fifth unique document body", None),                            # NULL passes
+        ],
+        "doc_id long, text string, url string",
+    )
+    r1 = run_incremental_ingest(b1, **kw)
+    assert r1.n_domain_dropped == 1          # doc 3
+    assert r1.n_url_alias_dropped == 1       # doc 2 collapses into doc 1
+    assert r1.n_batch == 5 and r1.n_landed == 3
+    landed = spark.read.parquet(str(tmp_path / "landed"))
+    assert sorted(x["doc_id"] for x in landed.collect()) == [1, 4, 5]
+    # blocked/aliased docs never reached the exact store
+    ex = spark.read.parquet(str(tmp_path / "ex"))
+    assert sorted(x["doc_id"] for x in ex.collect()) == [1, 4, 5]
+    # audit row carries the tier counts
+    audit = spark.read.parquet(str(tmp_path / "audit")).collect()[0]
+    assert audit["n_domain_dropped"] == 1 and audit["n_url_alias_dropped"] == 1
+
+    # cross-batch: same canonical URL, DIFFERENT bytes is deliberately NOT
+    # dropped by the URL tier (freshness belongs to CDC, not dedup); same
+    # bytes is caught by the content store as usual
+    b2 = spark.createDataFrame(
+        [
+            (10, "one unique document body", "https://other.example/r"),  # exact content dup of 1
+            (11, "a recrawl with changed text", "https://good.example/p"),  # landed 1's URL, new bytes
+        ],
+        "doc_id long, text string, url string",
+    )
+    r2 = run_incremental_ingest(b2, **kw)
+    assert r2.n_domain_dropped == 0 and r2.n_url_alias_dropped == 0
+    assert r2.n_after_exact == 1 and r2.n_landed == 1  # 10 dropped, 11 lands
+
+
+def test_ingest_domain_gate_dataframe_allowlist(spark, tmp_path):
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest
+
+    allow = spark.createDataFrame([("keep.example",)], ["domain"])
+    b = spark.createDataFrame(
+        [
+            (1, "first document body", "https://a.keep.example/x"),
+            (2, "second document body", "https://drop.example/y"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    r = run_incremental_ingest(
+        b,
+        exact_store=str(tmp_path / "ex"),
+        survivors_path=str(tmp_path / "landed"),
+        url_col="url",
+        domain_allowlist=allow,
+    )
+    assert r.n_domain_dropped == 1 and r.n_landed == 1
+    assert r.n_url_alias_dropped is None  # collapse not enabled
+    landed = spark.read.parquet(str(tmp_path / "landed"))
+    assert [x["doc_id"] for x in landed.collect()] == [1]

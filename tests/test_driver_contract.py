@@ -54,9 +54,9 @@ def test_entry_module_queries_on_foreign_session(spark):
     finally:
         sys.path.pop(0)
     ns = _hostile_session(spark)
-    # hopping_events touches the events table's TIMESTAMP(NANOS) read —
+    # tumbling_events touches the events table's TIMESTAMP(NANOS) read —
     # the conf-sensitive path this test exists for (events_json rotated
-    # out in round 9, tumbling_events in round 10; same nanos read, still
-    # a driver row via the hopping twin)
-    df = ent.queries()["hopping_events"](ns, SF_DIR)
+    # out in round 9; the window family's driver slot passed hopping →
+    # tumbling in the round-11 rotation; same nanos read either way)
+    df = ent.queries()["tumbling_events"](ns, SF_DIR)
     assert df.count() > 0

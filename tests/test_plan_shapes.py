@@ -65,13 +65,10 @@ def test_dims_are_broadcast(spark):
 
 def test_range_join_is_hash_join(spark):
     """The bucketed range join must plan a hash join on (key, bucket), not a
-    pure-inequality nested loop. (range_join_events rotated out of the
-    driver's 50 slots in round 9 — the plan pin follows it to the rotated
-    registry.)"""
-    from etl_data_transformer_spark.catalog import ROTATED_QUERIES
-
+    pure-inequality nested loop. (range_join_events returned to the
+    driver's 50 slots in round 11 — the plan pin follows it back.)"""
     plan = (
-        ROTATED_QUERIES["range_join_events"](spark, SF_DIR)
+        QUERIES["range_join_events"](spark, SF_DIR)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan)
