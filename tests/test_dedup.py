@@ -1111,3 +1111,138 @@ def test_corpus_stats_semantics(spark):
     assert got[("en", "books")] == (1, 0, 0, 0)
     # NULL text: 0 tokens, 0 chars; the padded doc counts 1 token, 10 chars
     assert got[("fr", "web")] == (2, 1, 10, 1)
+
+
+def test_jaccard_store_incremental_equals_full_corpus_restriction(spark, tmp_path):
+    """Round-11 store equivalence (verdict r10 item 6): sequential ingest
+    through the persisted prefix-Jaccard store == one-shot
+    jaccard_join_prefix over the combined corpus restricted to
+    batch-touching pairs — including pairs whose grams the FROZEN census
+    never saw (batch-only vocabulary must order at df=0 without losing
+    completeness)."""
+    from etl_data_transformer_spark.operators.dedup import (
+        jaccard_join_incremental,
+        jaccard_join_prefix,
+        write_jaccard_store,
+    )
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content about old machines"),
+    ]
+    batch_rows = [
+        (10, "the quick brown fox jumps over the lazy dog"),   # dup of 1
+        (11, "entirely novel vocabulary the census never saw"),
+        (12, "entirely novel vocabulary the census never sawed"),  # near-dup of 11
+        (13, "completely different content about old machinery"),  # near-dup of 3
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    store = str(tmp_path / "jstore")
+    for t in (0.3, 0.6):
+        write_jaccard_store(corpus, store + str(t), threshold=t)
+        got = {
+            (r["id_a"], r["id_b"]): (r["n_inter"], r["n_a"], r["n_b"])
+            for r in jaccard_join_incremental(batch, store + str(t)).collect()
+        }
+        batch_ids = {r[0] for r in batch_rows}
+        full = jaccard_join_prefix(corpus.unionByName(batch), threshold=t)
+        want = {
+            (r["id_a"], r["id_b"]): (r["n_inter"], r["n_a"], r["n_b"])
+            for r in full.collect()
+            if r["id_a"] in batch_ids or r["id_b"] in batch_ids
+        }
+        assert got == want, t
+        assert (10, 11) not in got and got, t  # sanity: non-pairs absent, pairs present
+
+
+def test_jaccard_store_append_then_second_batch_and_compaction(spark, tmp_path):
+    """Appends make earlier batches part of the corpus for later ones, and
+    compaction (re-census + posting rebuild) changes NO pair results while
+    refreshing the frozen order."""
+    from etl_data_transformer_spark.operators.dedup import (
+        compact_jaccard_store,
+        jaccard_join_incremental,
+        jaccard_join_prefix,
+        write_jaccard_store,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zetas")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(20, "alpha beta gamma delta epsilon zetas")], "doc_id long, text string"
+    )
+    store = str(tmp_path / "jstore")
+    write_jaccard_store(corpus, store, threshold=0.5)
+    r1 = {(r["id_a"], r["id_b"]) for r in jaccard_join_incremental(b1, store).collect()}
+    assert r1 == {(1, 10)}
+    # b1 landed via append: b2 must pair with BOTH 1 and 10
+    r2 = {(r["id_a"], r["id_b"]) for r in jaccard_join_incremental(b2, store).collect()}
+    assert r2 == {(1, 20), (10, 20)}
+    # compaction: same pairs for a third identical batch, before == after
+    b3 = spark.createDataFrame(
+        [(30, "alpha beta gamma delta epsilon zetas")], "doc_id long, text string"
+    )
+    before = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_join_incremental(b3, store, append=False).collect()
+    }
+    compact_jaccard_store(spark, store)
+    after = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_join_incremental(b3, store, append=False).collect()
+    }
+    assert before == after == {(1, 30), (10, 30), (20, 30)}
+    # full-corpus ground truth at the end
+    allr = jaccard_join_prefix(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"),
+             (10, "alpha beta gamma delta epsilon zetas"),
+             (20, "alpha beta gamma delta epsilon zetas"),
+             (30, "alpha beta gamma delta epsilon zetas")],
+            "doc_id long, text string",
+        ),
+        threshold=0.5,
+    )
+    assert {(r["id_a"], r["id_b"]) for r in allr.collect()} == {
+        (1, 10), (1, 20), (1, 30), (10, 20), (10, 30), (20, 30)
+    }
+
+
+def test_jaccard_store_guards(spark, tmp_path):
+    """Threshold below the build threshold rejects (persisted prefixes
+    would be incomplete); higher thresholds run; cross-corpus mode drops
+    batch-internal pairs; read-only mode leaves the store untouched."""
+    import pytest
+
+    from etl_data_transformer_spark.operators.dedup import (
+        jaccard_join_incremental,
+        write_jaccard_store,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five six")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "one two three four five sixes"),
+         (11, "one two three four five sixes")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "jstore")
+    write_jaccard_store(corpus, store, threshold=0.6)
+    with pytest.raises(ValueError, match="below the store's build threshold"):
+        jaccard_join_incremental(batch, store, threshold=0.3)
+    n_postings = spark.read.parquet(store + "/postings").count()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_join_incremental(
+            batch, store, threshold=0.9, include_batch_pairs=False, append=False
+        ).collect()
+    }
+    assert got == set()  # J(1,10) < 0.9; (10,11) excluded by cross-corpus mode
+    assert spark.read.parquet(store + "/postings").count() == n_postings  # read-only
