@@ -2,10 +2,15 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata structs.
 The Spark-side machinery — schema, Arrow-batched ``mapInPandas`` transforms,
-partition sizing — is real and tested; the codec calls themselves are STUBBED
-(decode libraries are not in this container): ``decode_stub=True`` produces a
-deterministic fake "decode", ``False`` raises ``NotImplementedError`` where a
-real libjpeg/ffmpeg call would go.
+partition sizing — is real and tested; JPEG/audio/video codec calls are
+STUBBED (those libraries are not in this container): ``decode_stub=True``
+produces a deterministic fake "decode", ``False`` raises
+``NotImplementedError`` where a real libjpeg/ffmpeg call would go. PNG is
+the exception (round 11): ``functions/png.py`` is a real pure-stdlib codec
+(zlib DEFLATE + scanline filters), and
+``tests/test_multimodal.py::test_featurize_with_real_png_decoder`` runs a
+REAL decode through this module's ``featurize(decoder=...)`` plumbing —
+no skip, closing the documented stub gap for the format stdlib can carry.
 
 At scale: binary payloads dominate partition size — size
 ``spark.sql.files.maxPartitionBytes`` so a partition of payloads fits in
