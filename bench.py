@@ -113,6 +113,10 @@ HEADLINE = [
     "corpus_stats_docs",
     "pmi_docs",
     "bpe_encode_docs",
+    # round-11 additions: train+encode keeps the r10 bpe series (see the
+    # renaming note in main()); domain_stats_docs is the new domain tier
+    "bpe_train_encode",
+    "domain_stats_docs",
 ]
 
 
@@ -138,10 +142,13 @@ def main() -> None:
     # ngram_jaccard left the 50-slot driver catalog in round 2 (its exact
     # char-3-gram path is exercised inside dedup_clusters and pytest); keep
     # benchmarking the same function so the 25-query series stays comparable.
-    # round-10: BPE train+encode as one bench unit (pytest-only operator —
-    # merge replay is procedural, no SQL twin — but its wall-clock is a
-    # first-class pipeline cost worth tracking per round)
-    if "bpe_encode_docs" not in qs:
+    # round-10 benched BPE as one train+encode unit under the name
+    # bpe_encode_docs; round-11 gave the catalog a frozen-merge encode-only
+    # driver row under that name (fixtures_bpe), so the r10 measurement
+    # semantics continue under bpe_train_encode — the series stays
+    # comparable (r10 bpe_encode_docs ≙ r11 bpe_train_encode) and the new
+    # bpe_encode_docs row tracks the apply-only tokenizer cost.
+    if "bpe_train_encode" not in qs:
         from etl_data_transformer_spark.functions import text as _TX
         from etl_data_transformer_spark.sources.readers import load_star as _lsb
 
@@ -149,7 +156,7 @@ def main() -> None:
             d = _lsb(spark, sf_dir, ("documents",))["documents"]
             return _TX.bpe_encode(d, _TX.bpe_train(d, num_merges=100, max_words=20_000))
 
-        qs["bpe_encode_docs"] = _bpe
+        qs["bpe_train_encode"] = _bpe
     if "ngram_jaccard" not in qs:
         from etl_data_transformer_spark.operators import dedup as _DD
         from etl_data_transformer_spark.sources.readers import load_star as _ls
@@ -408,10 +415,33 @@ def main() -> None:
         "sf": float(sf),
         "reps": reps,
     }
+    # round-11 (verdict r10 item 4): host contention put uniform 1.1-1.4x
+    # drift on three consecutive rounds' wall-clock series. The DuckDB
+    # co-run is the engine-constant control — its SQL never changes — so
+    # the spark/duckdb RATIO over the co-timed subset cancels the drift;
+    # regressions are judged on the ratio, wall-times stay for continuity.
+    # (Per-query duck times live in BENCH_DETAIL.json; the contract line
+    # stays short — the round-5 truncation lesson.)
+    if duck_times:
+        co = [n for n in duck_times if n in times]
+        summary["duckdb_total"] = round(sum(duck_times[n] for n in co), 3)
+        summary["spark_co_total"] = round(sum(times[n] for n in co), 3)
+        summary["spark_duckdb_ratio"] = round(
+            summary["spark_co_total"] / max(summary["duckdb_total"], 1e-9), 3
+        )
     if sf1_times:
         summary["sf1_total"] = round(sum(sf1_times.values()), 3)
         summary["sf1_queries"] = sf1_times
         summary["sf1_reps"] = sf1_reps
+        if duck_sf1_times:
+            co1 = [n for n in duck_sf1_times if n in sf1_times]
+            summary["sf1_duckdb_total"] = round(
+                sum(duck_sf1_times[n] for n in co1), 3
+            )
+            summary["sf1_spark_co_total"] = round(sum(sf1_times[n] for n in co1), 3)
+            summary["sf1_spark_duckdb_ratio"] = round(
+                summary["sf1_spark_co_total"] / max(summary["sf1_duckdb_total"], 1e-9), 3
+            )
     print(json.dumps(summary))
 
 
