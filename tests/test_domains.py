@@ -186,3 +186,68 @@ def test_ingest_domain_gate_dataframe_allowlist(spark, tmp_path):
     assert r.n_url_alias_dropped is None  # collapse not enabled
     landed = spark.read.parquet(str(tmp_path / "landed"))
     assert [x["doc_id"] for x in landed.collect()] == [1]
+
+
+def test_ingest_txn_domain_gate_parity(spark, tmp_path):
+    """The atomic (manifest) runner shares _domain_gate with the parquet
+    runner: same drops, same audit columns, through the journaled commit."""
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest_txn
+    from etl_data_transformer_spark.sources import manifest as MF
+
+    b = spark.createDataFrame(
+        [
+            (1, "first unique body", "https://good.example/p?utm_source=x"),
+            (2, "second unique body", "https://www.good.example/p#top"),  # alias of 1
+            (3, "third unique body", "https://spam.example/z"),           # blocked
+        ],
+        "doc_id long, text string, url string",
+    )
+    r = run_incremental_ingest_txn(
+        b,
+        corpus_table=str(tmp_path / "corpus"),
+        exact_table=str(tmp_path / "exact"),
+        txn_dir=str(tmp_path / "txn"),
+        audit_table=str(tmp_path / "audit"),
+        url_col="url",
+        domain_blocklist=["spam.example"],
+        collapse_url_aliases=True,
+    )
+    assert r.n_domain_dropped == 1 and r.n_url_alias_dropped == 1
+    assert r.n_landed == 1
+    assert [x["doc_id"] for x in MF.read_table(spark, str(tmp_path / "corpus")).collect()] == [1]
+    audit = MF.read_table(spark, str(tmp_path / "audit")).collect()[0]
+    assert audit["n_domain_dropped"] == 1 and audit["n_url_alias_dropped"] == 1
+
+
+def test_stream_ingest_domain_gate_parity(spark, tmp_path):
+    """The streaming twin shares _domain_gate too: one drained micro-batch
+    lands the gated survivors with the audit columns in its batch
+    partition."""
+    from etl_data_transformer_spark.streaming.pipeline import stream_ingest
+
+    src = str(tmp_path / "src")
+    schema = "doc_id long, text string, url string"
+    spark.createDataFrame(
+        [
+            (1, "first unique body", "https://good.example/p?utm_source=x"),
+            (2, "second unique body", "https://good.example:443/p/"),  # alias of 1
+            (3, "third unique body", "https://spam.example/z"),        # blocked
+            (4, "fourth unique body", "https://other.example/q"),
+        ],
+        schema,
+    ).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_ingest(
+        stream,
+        str(tmp_path / "landed"),
+        str(tmp_path / "ckpt"),
+        exact_store=str(tmp_path / "ex"),
+        audit_path=str(tmp_path / "audit"),
+        url_col="url",
+        domain_blocklist=["spam.example"],
+        collapse_url_aliases=True,
+    )
+    landed = spark.read.parquet(str(tmp_path / "landed"))
+    assert sorted(x["doc_id"] for x in landed.collect()) == [1, 4]
+    audit = spark.read.parquet(str(tmp_path / "audit")).collect()[0]
+    assert audit["n_domain_dropped"] == 1 and audit["n_url_alias_dropped"] == 1
