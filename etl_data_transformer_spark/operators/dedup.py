@@ -1555,16 +1555,20 @@ def jaccard_join_prefix(
 
     Scale shape: one gram-frequency census (joined WITHOUT a broadcast
     hint — AQE broadcasts small dictionaries at runtime; a word-shingle
-    universe grows with the corpus and must be allowed to shuffle), one
-    per-doc
-    window for prefix selection (shuffle on the doc id), the
-    prefix-posting self-join hanging off one exchange with the PPJoin
+    universe grows with the corpus and must be allowed to shuffle), then
+    ONE groupBy on the doc id packs each doc's (df, gram) pairs and sorts
+    the array (struct order = rarest-first, the same total order the
+    row_number window gave) — the prefix slice explodes out of the packed
+    row, and the verify-side gram-set table PROJECTS out of the same rows,
+    so the old window exchange and the separate collect_set aggregation
+    are gone (round 11: 8.2 s → 6.5 s at the sf1 bench tier). The
+    prefix-posting self-join hangs off one reused exchange with the PPJoin
     positional filter pruning candidate rows in place, and verification
-    via ``array_intersect`` over the one-row-per-doc gram-set table —
-    shuffled mass ∝ candidates, not candidates × set size (the
-    explode-join verify measured 10× slower on template-heavy data). A
-    size filter (``min ≥ t·max``, implied by ``J ≥ t``) prunes candidates
-    before anything else."""
+    runs ``array_intersect`` over the one-row-per-doc set table — shuffled
+    mass ∝ candidates, not candidates × set size (the explode-join verify
+    measured 10× slower on template-heavy data). A size filter
+    (``min ≥ t·max``, implied by ``J ≥ t``) prunes candidates before
+    anything else."""
     from fractions import Fraction
 
     if threshold <= 0 or threshold > 1:
@@ -1577,21 +1581,43 @@ def jaccard_join_prefix(
     num, den = r.numerator, r.denominator
     g = _jaccard_gram_rows(df, text_col, id_col, n, feature)
     dfreq = g.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
-    w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(), F.col("g").asc())
     # NO broadcast hint on the df dictionary: a char-gram universe is
     # alphabet-bounded but a word-shingle universe grows with the corpus —
     # AQE broadcasts it at runtime when it is actually small and
     # sort-merges when it is not (the 100 TB-safe default)
-    ordered = (
+    #
+    # Packed single-groupBy posting construction (round 11): collect each
+    # doc's (df, g) pairs once and sort the ARRAY (struct order = df asc,
+    # g asc — the identical rarest-first order the row_number window
+    # produced), then slice the prefix and explode only it. One shuffle on
+    # the id replaces the old three full-posting-mass exchanges (df join →
+    # window sort for __rn/__sz → separate collect_set groupBy for the
+    # verify table, which now projects out of the SAME packed rows).
+    # Measured at the sf1 bench tier: see SCALING.md round-11 note.
+    packed = (
         g.join(dfreq, "g")
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct(F.col("__df"), F.col("g")))).alias(
+                "__sorted"
+            )
+        )
+        .withColumn("__gs", F.expr("transform(__sorted, x -> x.g)"))
+        .withColumn("__sz", F.size("__gs"))
+        # prefix length: sz - ceil(t*sz) + 1, all in longs
+        .withColumn(
+            "__plen",
+            F.col("__sz") - F.expr(f"(__sz * {num} + {den - 1}) DIV {den}") + 1,
+        )
     )
-    # prefix: rn <= sz - ceil(t*sz) + 1, all in longs
-    prefix = ordered.filter(
-        F.col("__rn")
-        <= F.col("__sz") - F.expr(f"(__sz * {num} + {den - 1}) DIV {den}") + 1
-    ).select(id_col, "g", "__sz", "__rn")
+    # no checkpoint: pa/pb/sets are three consumers of the SAME packed
+    # subtree, and its exchanges dedupe via ReusedExchange (the g subtree
+    # is deterministic — same rule as hamming_band_pairs' reuse note)
+    prefix = packed.select(
+        F.col(id_col),
+        F.col("__sz"),
+        F.posexplode(F.expr("slice(__gs, 1, __plen)")).alias("__pos", "g"),
+    ).withColumn("__rn", F.col("__pos") + 1)
     pa = prefix.select(
         F.col(id_col).alias("id_a"), "g",
         F.col("__sz").alias("__na"), F.col("__rn").alias("__ra"),
@@ -1626,9 +1652,10 @@ def jaccard_join_prefix(
     # intersect per candidate row) — the explode-join formulation
     # shuffled |candidates| × |gram set| rows and was 10× this on the
     # template-heavy fixture; here the shuffled mass is |candidates| plus
-    # two joins against the one-row-per-doc set table
-    sets = g.groupBy(id_col).agg(
-        F.collect_set("g").alias("__gs"), F.count(F.lit(1)).alias("__n")
+    # two joins against the one-row-per-doc set table, projected straight
+    # out of the packed rows (no second gram aggregation)
+    sets = packed.select(
+        F.col(id_col), F.col("__gs"), F.col("__sz").alias("__n")
     )
     verified = (
         cand.join(
@@ -1714,19 +1741,32 @@ def _jaccard_prefix_postings(
     g: DataFrame, census: DataFrame, id_col: str, num: int, den: int
 ) -> DataFrame:
     """Prefix postings (id, g, sz, rn) under the census order (df asc,
-    gram asc; unseen grams df=0). One window shuffle on the doc id; the
-    census join is unhinted — AQE broadcasts it while it is small."""
-    w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(), F.col("g").asc())
-    ordered = (
+    gram asc; unseen grams df=0). The same packed single-groupBy shape as
+    ``jaccard_join_prefix`` (sort the per-doc (df, g) array, explode only
+    the prefix slice — one exchange, no window); the census join is
+    unhinted — AQE broadcasts it while it is small."""
+    packed = (
         g.join(census.select("g", F.col("df").alias("__df")), "g", "left")
         .withColumn("__df", F.coalesce(F.col("__df"), F.lit(0)))
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct(F.col("__df"), F.col("g")))).alias(
+                "__sorted"
+            )
+        )
+        .withColumn("__sz", F.size("__sorted"))
+        .withColumn(
+            "__plen",
+            F.col("__sz") - F.expr(f"(__sz * {num} + {den - 1}) DIV {den}") + 1,
+        )
     )
-    return ordered.filter(
-        F.col("__rn")
-        <= F.col("__sz") - F.expr(f"(__sz * {num} + {den - 1}) DIV {den}") + 1
-    ).select(id_col, "g", F.col("__sz").alias("sz"), F.col("__rn").alias("rn"))
+    return packed.select(
+        F.col(id_col),
+        F.col("__sz").alias("sz"),
+        F.posexplode(F.expr("slice(transform(__sorted, x -> x.g), 1, __plen)")).alias(
+            "__pos", "g"
+        ),
+    ).select(id_col, "g", "sz", (F.col("__pos") + 1).alias("rn"))
 
 
 def _jaccard_gramsets(g: DataFrame, id_col: str) -> DataFrame:

@@ -1074,8 +1074,9 @@ def test_jaccard_join_prefix_guards_and_plan(spark):
     with pytest.raises(ValueError, match="feature"):
         jaccard_join_prefix(df, feature="bytes")
     # scale-shape pin: no BroadcastNestedLoopJoin anywhere (every join is
-    # an equi-join on gram / id), and the candidate join reads PREFIX
-    # postings (the __rn row_number filter is in the plan)
+    # an equi-join on gram / id), and the candidate join explodes only the
+    # PREFIX slice of each doc's sorted gram array (round-11 packed form:
+    # __plen is the prefix length the slice reads)
     big = spark.range(200).select(
         F.col("id").alias("doc_id"),
         F.concat(F.lit("document text number "), F.col("id").cast("string")).alias("text"),
@@ -1087,7 +1088,7 @@ def test_jaccard_join_prefix_guards_and_plan(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "__rn" in plan
+    assert "slice(" in plan and "__plen" in plan
 
 
 def test_corpus_stats_semantics(spark):
