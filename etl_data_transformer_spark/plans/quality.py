@@ -223,3 +223,106 @@ def corpus_stats(
         F.sum(F.length(F.coalesce(F.col(text_col), F.lit("")))).cast("long").alias("char_sum"),
         F.max(toks).cast("long").alias("max_tokens"),
     )
+
+
+# ------------------------- incremental corpus-stats store (round 11) -------
+# The dataset-card profile over a GROWING corpus without re-scanning it:
+# every corpus_stats column is merge-able (counts/sums are additive,
+# max_tokens is max-mergeable), so the store holds per-batch PARTIAL rows
+# (exactly corpus_stats(batch)) and the merged view is one groupBy over
+# batch-count-many rows — the same additive-counter discipline as the NB
+# count store and the passage count store. Group columns are pinned in a
+# sidecar (partials grouped differently never merge meaningfully); appends
+# validate it, rebuilds swap it atomically with the data.
+
+_STATS_STORE_ALGO = "corpus-stats-partials-v1"
+
+
+def _stats_params(group_cols: tuple) -> dict:
+    return {"algo": _STATS_STORE_ALGO, "group_cols": list(group_cols)}
+
+
+def ensure_stats_params_sidecar(
+    path: str, group_cols: tuple = ("lang", "source")
+) -> None:
+    import os
+
+    from ..operators.dedup import _validate_store_params, _write_params_sidecar
+    from ..sources.writers import recover_interrupted_swap
+
+    recover_interrupted_swap(path)
+    sidecar = os.path.join(path, "_stats_params.json")
+    if os.path.exists(sidecar):
+        _validate_store_params(sidecar, _stats_params(group_cols), label="corpus-stats")
+        return
+    os.makedirs(path, exist_ok=True)
+    _write_params_sidecar(sidecar, _stats_params(group_cols))
+
+
+def write_stats_store(
+    batch: DataFrame,
+    path: str,
+    *,
+    group_cols: tuple = ("lang", "source"),
+    text_col: str = "text",
+    mode: str = "append",
+) -> None:
+    """Append one batch's PARTIAL profile (= ``corpus_stats(batch)``) to
+    the store; ``mode='overwrite'`` rebuilds from the given frame through
+    the crash-safe atomic swap (sidecar lands with the data)."""
+    import os
+
+    from ..operators.dedup import _write_params_sidecar
+    from ..sources.writers import atomic_swap_write
+
+    rows = corpus_stats(batch, group_cols, text_col)
+    if mode == "overwrite":
+        atomic_swap_write(
+            rows,
+            path,
+            finalize_staging=lambda staging: _write_params_sidecar(
+                os.path.join(staging, "_stats_params.json"), _stats_params(group_cols)
+            ),
+        )
+        return
+    ensure_stats_params_sidecar(path, group_cols)
+    rows.write.mode("append").parquet(path)
+
+
+def read_corpus_stats(
+    spark, path: str, group_cols: tuple = ("lang", "source")
+) -> DataFrame:
+    """Merged dataset-card profile over every batch landed so far: one
+    groupBy over the partial rows (sums add, max_tokens maxes) —
+    equivalent to ``corpus_stats`` over the concatenated corpus
+    (equivalence pinned by ``tests/test_domains.py``), at batch-count
+    cost instead of corpus cost."""
+    ensure_stats_params_sidecar(path, group_cols)
+    partials = spark.read.parquet(path)
+    return partials.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("tok_sum").cast("long").alias("tok_sum"),
+        F.sum("char_sum").cast("long").alias("char_sum"),
+        F.max("max_tokens").cast("long").alias("max_tokens"),
+    )
+
+
+def compact_stats_store(
+    spark, path: str, group_cols: tuple = ("lang", "source")
+) -> None:
+    """Collapse the accumulated partials to one row per group (the merged
+    view materialized) through the atomic swap — reads after compaction
+    return identical profiles over fewer files."""
+    import os
+
+    from ..operators.dedup import _write_params_sidecar
+    from ..sources.writers import atomic_swap_write
+
+    merged = read_corpus_stats(spark, path, group_cols).localCheckpoint(eager=True)
+    atomic_swap_write(
+        merged,
+        path,
+        finalize_staging=lambda staging: _write_params_sidecar(
+            os.path.join(staging, "_stats_params.json"), _stats_params(group_cols)
+        ),
+    )

@@ -251,3 +251,47 @@ def test_stream_ingest_domain_gate_parity(spark, tmp_path):
     assert sorted(x["doc_id"] for x in landed.collect()) == [1, 4]
     audit = spark.read.parquet(str(tmp_path / "audit")).collect()[0]
     assert audit["n_domain_dropped"] == 1 and audit["n_url_alias_dropped"] == 1
+
+
+def test_corpus_stats_store_incremental_equals_full(spark, tmp_path):
+    """Round-11 incremental dataset-card store: per-batch partials merged
+    on read == corpus_stats over the concatenated corpus; compaction
+    preserves the profile; a group-cols mismatch rejects."""
+    import pytest
+
+    from etl_data_transformer_spark.plans.quality import (
+        compact_stats_store,
+        corpus_stats,
+        read_corpus_stats,
+        write_stats_store,
+    )
+
+    schema = "doc_id long, text string, lang string, source string"
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "web"),
+         (2, "delta epsilon", "en", "books"),
+         (3, "zeta eta theta iota", "de", "web")],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(10, "kappa", "en", "web"),
+         (11, "lambda mu nu xi omicron pi", "de", "web")],
+        schema,
+    )
+    store = str(tmp_path / "stats")
+    write_stats_store(b1, store)
+    write_stats_store(b2, store)
+
+    def key(df):
+        return {
+            (r["lang"], r["source"]): (r["n_docs"], r["tok_sum"], r["char_sum"], r["max_tokens"])
+            for r in df.collect()
+        }
+
+    want = key(corpus_stats(b1.unionByName(b2)))
+    assert key(read_corpus_stats(spark, store)) == want
+    compact_stats_store(spark, store)
+    assert key(read_corpus_stats(spark, store)) == want
+    assert spark.read.parquet(store).count() == len(want)  # one row per group
+    with pytest.raises(ValueError, match="corpus-stats store parameter mismatch"):
+        read_corpus_stats(spark, store, group_cols=("source",))
