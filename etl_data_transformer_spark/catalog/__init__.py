@@ -342,6 +342,11 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # gets its own exact-rank oracle row next to the few-group driver
     # query (top_fraction_docs).
     "top_fraction_corpus_docs": EXT.q_top_fraction_corpus_docs,
+    # round-11 addition: URL-canonical dedup groups — the alias-collapse
+    # contract (exact_dedup_groups transplanted onto URL identity) next to
+    # the domain_stats_docs driver row, which shares its URL derivation
+    # and canonicalization replay.
+    "url_dedup_docs": EXT.q_url_dedup_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

@@ -1064,3 +1064,28 @@ def q_domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(did % 5 == 0, F.lit("#sec2")).otherwise(F.lit("")),
     )
     return domain_stats(_docs(spark, sf_dir).withColumn("url", url))
+
+
+def q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 rotated row for URL-canonical exact dedup: the same
+    deterministic URL derivation as ``domain_stats_docs`` (aliases across
+    case/www/port/slash/fragment/tracking variants), grouped by canonical
+    form — (canonical_url, n_copies, keeper_id), the exact_dedup_groups
+    contract on URL identity. The DuckDB twin re-derives and re-canonicalizes
+    from scratch, so the hash checks alias collapse end to end."""
+    from ..operators.domains import url_dedup_groups
+
+    did = F.col("doc_id")
+    k = (did % 50).cast("string")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(did % 11 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.when(did % 7 == 0, F.lit(".Example.CO.UK")).otherwise(F.lit(".Example.COM")),
+        F.when(did % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/d/"), k,
+        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&z=9&id="), k, F.lit("&a=1"),
+        F.when(did % 5 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    return url_dedup_groups(_docs(spark, sf_dir).withColumn("url", url))

@@ -1744,3 +1744,61 @@ ALL_ORACLES = {
     **TEMPORAL_ORACLES,
     **WAREHOUSE_ORACLES,
 }
+
+# Round-11 URL-canonical dedup groups (rotated): same URL derivation and
+# canonicalization replay as domain_stats_docs, grouped by the canonical
+# string — the hash checks that every alias class collapses identically.
+EXTENSION_ORACLES["url_dedup_docs"] = f"""
+    WITH u AS (
+        SELECT doc_id,
+               'HTTPS://'
+               || CASE WHEN doc_id % 11 = 0 THEN 'www.' ELSE '' END
+               || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+               || CASE WHEN doc_id % 7 = 0 THEN '.Example.CO.UK' ELSE '.Example.COM' END
+               || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+               || '/d/' || (doc_id % 50)
+               || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+               || '?utm_source=feed&z=9&id=' || (doc_id % 50) || '&a=1'
+               || CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END AS url
+        FROM documents
+    ), parsed AS (
+        SELECT doc_id,
+               regexp_replace(url, '#.*$', '') AS nofrag,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport
+        FROM u
+    ), hp AS (
+        SELECT doc_id, nofrag, scheme,
+               regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+                              '^www\\.', '') AS host,
+               regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+        FROM parsed
+    ), canon AS (
+        SELECT doc_id,
+               scheme || '://' || host
+               || CASE WHEN port = ''
+                         OR (scheme = 'https' AND port = '443')
+                         OR (scheme = 'http' AND port = '80')
+                       THEN '' ELSE ':' || port END
+               || regexp_replace(regexp_extract(nofrag,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+               || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
+        FROM (SELECT *,
+                     array_to_string(list_sort(list_filter(
+                         string_split(regexp_extract(nofrag, '\\?([^#]*)', 1), '&'),
+                         p -> p <> '' AND NOT regexp_matches(p, '{_URL_TRACKING_RE}'))),
+                         '&') AS qs
+              FROM hp)
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS keeper_id
+    FROM canon GROUP BY canonical_url
+"""
+
+ALL_ORACLES = {
+    **PARITY_ORACLES,
+    **EXTENSION_ORACLES,
+    **TEMPORAL_ORACLES,
+    **WAREHOUSE_ORACLES,
+}
