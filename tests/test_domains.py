@@ -295,3 +295,31 @@ def test_corpus_stats_store_incremental_equals_full(spark, tmp_path):
     assert spark.read.parquet(store).count() == len(want)  # one row per group
     with pytest.raises(ValueError, match="corpus-stats store parameter mismatch"):
         read_corpus_stats(spark, store, group_cols=("source",))
+
+
+def test_canonicalize_idempotent_over_combination_grid(spark):
+    """Canonicalization must be IDEMPOTENT — canonical(canonical(u)) ==
+    canonical(u) — over the full combination grid of spec-relevant URL
+    features (scheme case x www x port x trailing slash x query orderings
+    with/without tracking params x fragment). A second pass that changes
+    anything means the first pass emitted a non-canonical form."""
+    import itertools
+
+    rows = []
+    for scheme, www, host, port, trail, query, frag in itertools.product(
+        ("https://", "HTTPS://", "http://"),
+        ("", "www.", "WWW."),
+        ("Example.COM", "a.b.example.co.uk"),
+        ("", ":443", ":80", ":8080"),
+        ("", "/", "///"),
+        ("", "?utm_source=x", "?b=2&a=1", "?utm_ref=1&z=9&a=1", "?ref=h&gclid=g"),
+        ("", "#frag"),
+    ):
+        rows.append((scheme + www + host + port + "/path" + trail + query + frag,))
+    df = spark.createDataFrame(rows, ["url"])
+    twice = df.select(
+        canonicalize_url("url").alias("c1"),
+        canonicalize_url(canonicalize_url("url")).alias("c2"),
+    )
+    bad = twice.filter(F.col("c1") != F.col("c2"))
+    assert bad.count() == 0, bad.limit(5).collect()
