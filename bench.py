@@ -66,6 +66,10 @@ SF1_HEADLINE = [
     "jaccard_join_docs",
     "top_fraction_docs",
     "pmi_docs",
+    # round-11 rows: the domain rollup is one scan-bound groupBy and the
+    # frozen-merge BPE encode is a map-only pass — both grow with the data
+    "domain_stats_docs",
+    "bpe_encode_docs",
 ]
 
 # headline set: the flagship branches + one per operator family
