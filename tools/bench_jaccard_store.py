@@ -1,0 +1,62 @@
+"""Scaling evidence for the incremental prefix-Jaccard store (round 11):
+build the store at sf0.1 (~5k docs) and at the 10x sf1 fixture (~50k
+docs), then run the SAME batch against both — the 100 TB claim is that
+batch cost tracks the batch's candidate mass, not the store size (the
+store side joins persisted postings; the corpus is never re-shingled).
+
+Usage: python tools/bench_jaccard_store.py
+Writes timings to stdout; summarize in SCALING.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_data_transformer_spark.operators.dedup import (  # noqa: E402
+    jaccard_join_incremental,
+    write_jaccard_store,
+)
+from etl_data_transformer_spark.session import get_spark  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1/documents.parquet"
+SF1 = "/root/repo/.scratch/sf1_distinct/documents.parquet"
+SCRATCH = "/root/repo/.scratch/jaccard_store_bench"
+
+
+def main() -> None:
+    spark = get_spark("jaccard-store-bench")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    batch = (
+        spark.read.parquet(SF01)
+        .limit(500)
+        .select((F.col("doc_id") + 100_000_000).alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+    for tier, src in (("sf0.1", SF01), ("sf1", SF1)):
+        corpus = spark.read.parquet(src)
+        n = corpus.count()
+        store = os.path.join(SCRATCH, tier)
+        t0 = time.time()
+        write_jaccard_store(corpus, store, threshold=0.6)
+        t_build = time.time() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            pairs = jaccard_join_incremental(batch, store, append=False).count()
+            times.append(round(time.time() - t0, 2))
+        print(
+            f"{tier}: corpus={n} build={t_build:.1f}s "
+            f"batch(500 docs)x3={times} pairs={pairs}"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
