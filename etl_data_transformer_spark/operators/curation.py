@@ -1077,6 +1077,34 @@ def mixture_targets(weights: dict[str, float], token_budget: int) -> dict[str, i
     return {d: int(token_budget * w / total) for d, w in weights.items()}
 
 
+def temperature_weights(
+    sizes: dict[str, float], alpha: float = 0.3
+) -> dict[str, float]:
+    """Temperature-flattened mixture weights from raw per-domain masses:
+    ``w_d ∝ n_d^alpha``, normalized to sum 1 — the standard multilingual /
+    multi-source sampling rule (Conneau & Lample, NeurIPS 2019 §3.1;
+    alpha=0.3 is the published XLM default; alpha=1 keeps natural
+    proportions, alpha=0 gives the uniform mixture). Feed the raw masses
+    straight from ``plans/quality.corpus_stats`` (or the incremental
+    ``read_corpus_stats``) ``tok_sum`` column and pass the result to
+    ``mixture_targets`` — the full rebalance-to-budget pipeline is
+    stats → temperature_weights → mixture_targets → sample_token_mixture.
+
+    Driver-side arithmetic over the (small) per-domain stats dict — the
+    corpus-scale work already happened in the ONE stats groupBy."""
+    if not sizes:
+        raise ValueError("sizes must be non-empty")
+    if any(n < 0 for n in sizes.values()):
+        raise ValueError(f"sizes must be >= 0 (got {sizes})")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0 (got {alpha})")
+    powered = {d: float(n) ** alpha if n > 0 else 0.0 for d, n in sizes.items()}
+    total = sum(powered.values())
+    if total <= 0:
+        raise ValueError("at least one domain must have positive mass")
+    return {d: p / total for d, p in powered.items()}
+
+
 def _mixture_hash(id_col: str, salt: str):
     """Engine-portable deterministic shuffle key: md5 of (salt || id). The
     same expression DuckDB evaluates identically (the ``train_test_split``

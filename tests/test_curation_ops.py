@@ -1416,3 +1416,36 @@ def test_top_fraction_approx_guards(spark):
     clash = spark.createDataFrame([(1, 0.5, 2)], "doc_id long, s double, __vhi int")
     with pytest.raises(ValueError, match="__vhi"):
         top_fraction_approx(clash, "s", 0.5)
+
+
+def test_temperature_weights_properties():
+    """Round-11 alpha-sampling rule: alpha=1 keeps natural proportions,
+    alpha=0 is uniform over non-empty domains, intermediate alphas flatten
+    monotonically (the small domain's share rises as alpha falls), weights
+    always sum to 1, and the composition with mixture_targets budgets
+    tokens accordingly."""
+    import pytest
+
+    from etl_data_transformer_spark.operators.curation import (
+        mixture_targets,
+        temperature_weights,
+    )
+
+    sizes = {"en": 900.0, "de": 90.0, "yo": 10.0}
+    w1 = temperature_weights(sizes, alpha=1.0)
+    assert w1["en"] == pytest.approx(0.9) and w1["yo"] == pytest.approx(0.01)
+    w0 = temperature_weights(sizes, alpha=0.0)
+    assert all(v == pytest.approx(1 / 3) for v in w0.values())
+    w3 = temperature_weights(sizes, alpha=0.3)
+    assert sum(w3.values()) == pytest.approx(1.0)
+    assert w1["yo"] < w3["yo"] < w0["yo"]          # small domain rises
+    assert w0["en"] < w3["en"] < w1["en"]          # big domain falls
+    # zero-mass domains get zero weight at any alpha (nothing to sample)
+    wz = temperature_weights({"en": 100.0, "empty": 0.0}, alpha=0.0)
+    assert wz["empty"] == 0.0 and wz["en"] == 1.0
+    t = mixture_targets(temperature_weights(sizes, alpha=0.3), 1_000_000)
+    assert sum(t.values()) <= 1_000_000 and t["en"] > t["de"] > t["yo"] > 0
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_weights(sizes, alpha=-1)
+    with pytest.raises(ValueError, match="positive mass"):
+        temperature_weights({"a": 0.0})
