@@ -821,3 +821,56 @@ def test_bpe_roundtrip_property(spark, words, n_merges):
         assert len(pieces) <= len(w) + 1
         for p in pieces:
             assert p in vocab or len(p) == 1 or p == "</w>", p
+
+
+@st.composite
+def jaccard_store_case(draw):
+    """Random tiny corpora over a 6-word vocabulary (heavy shared-gram
+    collisions by construction), split corpus/batch, with a random
+    threshold — the frozen-census completeness claim must hold on ALL of
+    them, including batches whose vocabulary the census never saw."""
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    novel = ["nu1", "nu2", "nu3"]  # batch-only words (census df=0 path)
+
+    def doc(words):
+        n = draw(st.integers(3, 8))
+        return " ".join(draw(st.sampled_from(words)) for _ in range(n))
+
+    n_corpus = draw(st.integers(1, 4))
+    n_batch = draw(st.integers(1, 3))
+    corpus = [(i, doc(vocab)) for i in range(n_corpus)]
+    batch = [(100 + i, doc(vocab + novel)) for i in range(n_batch)]
+    threshold = draw(st.sampled_from([0.3, 0.5, 0.8, 1.0]))
+    return corpus, batch, threshold
+
+
+@given(jaccard_store_case())
+@_few
+def test_jaccard_store_incremental_property(spark, tmp_path_factory, case):
+    """Store-backed incremental prefix-Jaccard == one-shot join over the
+    combined corpus restricted to batch-touching pairs, on randomized
+    collision-heavy corpora and thresholds (round 11)."""
+    from etl_data_transformer_spark.operators.dedup import (
+        jaccard_join_incremental,
+        jaccard_join_prefix,
+        write_jaccard_store,
+    )
+
+    corpus_rows, batch_rows, threshold = case
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    store = str(tmp_path_factory.mktemp("jstore"))
+    write_jaccard_store(corpus, store, threshold=threshold)
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["n_a"], r["n_b"])
+        for r in jaccard_join_incremental(batch, store, append=False).collect()
+    }
+    batch_ids = {r[0] for r in batch_rows}
+    want = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["n_a"], r["n_b"])
+        for r in jaccard_join_prefix(
+            corpus.unionByName(batch), threshold=threshold
+        ).collect()
+        if r["id_a"] in batch_ids or r["id_b"] in batch_ids
+    }
+    assert got == want
