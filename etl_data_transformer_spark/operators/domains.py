@@ -67,14 +67,17 @@ def domain_gate(
     millions of domains rather than a config literal."""
     dom = registered_domain(url_col)
     out = df.withColumn("__dom", dom)
+    # DataFrame lists are lowercased like literal lists — extracted domains
+    # are always lowercase, so a mixed-case row in a maintained domain
+    # table must not silently miss
     if isinstance(blocklist, DataFrame):
-        bl = F.broadcast(blocklist.select(F.col("domain").alias("__dom")))
+        bl = F.broadcast(blocklist.select(F.lower(F.col("domain")).alias("__dom")))
         out = out.join(bl, "__dom", "left_anti")
     elif len(blocklist):
         out = out.filter(~F.col("__dom").isin(*[d.lower() for d in blocklist]))
     if allowlist is not None:
         if isinstance(allowlist, DataFrame):
-            al = F.broadcast(allowlist.select(F.col("domain").alias("__dom")))
+            al = F.broadcast(allowlist.select(F.lower(F.col("domain")).alias("__dom")))
             out = out.join(al, "__dom", "left_semi")
         else:
             out = out.filter(F.col("__dom").isin(*[d.lower() for d in allowlist]))

@@ -82,7 +82,9 @@ def test_domain_gate_literal_lists(spark):
 
 def test_domain_gate_dataframe_lists_broadcast(spark):
     df = _urls_df(spark)
-    bl = spark.createDataFrame([("example.net",)], ["domain"])
+    # mixed-case table rows must match the (always-lowercase) extracted
+    # domain — DataFrame lists are normalized like literal lists
+    bl = spark.createDataFrame([("Example.NET",)], ["domain"])
     kept = domain_gate(df, blocklist=bl)
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
     plan = kept._jdf.queryExecution().executedPlan().toString()
