@@ -1036,6 +1036,29 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synthetic_url() -> "F.Column":
+    """The deterministic (source, doc_id)->URL derivation shared by the
+    domain-tier queries (the fixtures carry no URL column) — deliberately
+    messy so canonicalization has work to do: mixed case, www., multipart
+    suffix arm, default port, path key with a trailing-slash variant,
+    unsorted query with tracking params, fragment. ONE copy on the Spark
+    side (here) and one on the SQL side (oracles._URL_DERIVE_SQL): the two
+    must stay in lockstep or the domain-tier hash rows diverge."""
+    did = F.col("doc_id")
+    k = (did % 50).cast("string")
+    return F.concat(
+        F.lit("HTTPS://"),
+        F.when(did % 11 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.when(did % 7 == 0, F.lit(".Example.CO.UK")).otherwise(F.lit(".Example.COM")),
+        F.when(did % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/d/"), k,
+        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&z=9&id="), k, F.lit("&a=1"),
+        F.when(did % 5 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+
+
 def q_domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-11 domain-tier driver row (round-10 verdict item 7): derive a
     deterministic URL for every document (the fixture tables carry no URL
@@ -1050,20 +1073,7 @@ def q_domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracking variants)."""
     from ..operators.domains import domain_stats
 
-    did = F.col("doc_id")
-    k = (did % 50).cast("string")
-    url = F.concat(
-        F.lit("HTTPS://"),
-        F.when(did % 11 == 0, F.lit("www.")).otherwise(F.lit("")),
-        F.when(did % 2 == 0, F.upper("source")).otherwise(F.col("source")),
-        F.when(did % 7 == 0, F.lit(".Example.CO.UK")).otherwise(F.lit(".Example.COM")),
-        F.when(did % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
-        F.lit("/d/"), k,
-        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.lit("?utm_source=feed&z=9&id="), k, F.lit("&a=1"),
-        F.when(did % 5 == 0, F.lit("#sec2")).otherwise(F.lit("")),
-    )
-    return domain_stats(_docs(spark, sf_dir).withColumn("url", url))
+    return domain_stats(_docs(spark, sf_dir).withColumn("url", _synthetic_url()))
 
 
 def q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1075,17 +1085,4 @@ def q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scratch, so the hash checks alias collapse end to end."""
     from ..operators.domains import url_dedup_groups
 
-    did = F.col("doc_id")
-    k = (did % 50).cast("string")
-    url = F.concat(
-        F.lit("HTTPS://"),
-        F.when(did % 11 == 0, F.lit("www.")).otherwise(F.lit("")),
-        F.when(did % 2 == 0, F.upper("source")).otherwise(F.col("source")),
-        F.when(did % 7 == 0, F.lit(".Example.CO.UK")).otherwise(F.lit(".Example.COM")),
-        F.when(did % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
-        F.lit("/d/"), k,
-        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.lit("?utm_source=feed&z=9&id="), k, F.lit("&a=1"),
-        F.when(did % 5 == 0, F.lit("#sec2")).otherwise(F.lit("")),
-    )
-    return url_dedup_groups(_docs(spark, sf_dir).withColumn("url", url))
+    return url_dedup_groups(_docs(spark, sf_dir).withColumn("url", _synthetic_url()))

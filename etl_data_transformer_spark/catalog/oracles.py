@@ -1663,12 +1663,29 @@ from .fixtures_bpe import bpe_encode_oracle_sql as _bpe_oracle  # noqa: E402
 
 EXTENSION_ORACLES["bpe_encode_docs"] = _bpe_oracle()
 
-ALL_ORACLES = {
-    **PARITY_ORACLES,
-    **EXTENSION_ORACLES,
-    **TEMPORAL_ORACLES,
-    **WAREHOUSE_ORACLES,
-}
+
+# ONE SQL copy of the synthetic URL derivation and of the canonical-form
+# suffix, shared by the domain-tier oracles (the Spark twin lives in
+# extensions._synthetic_url / functions.urls.canonicalize_url — the two
+# sides must stay in lockstep or the hash rows diverge).
+_URL_DERIVE_SQL = """'HTTPS://'
+               || CASE WHEN doc_id % 11 = 0 THEN 'www.' ELSE '' END
+               || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+               || CASE WHEN doc_id % 7 = 0 THEN '.Example.CO.UK' ELSE '.Example.COM' END
+               || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+               || '/d/' || (doc_id % 50)
+               || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+               || '?utm_source=feed&z=9&id=' || (doc_id % 50) || '&a=1'
+               || CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END AS url"""
+
+_URL_CANON_SQL = """scheme || '://' || host
+               || CASE WHEN port = ''
+                         OR (scheme = 'https' AND port = '443')
+                         OR (scheme = 'http' AND port = '80')
+                       THEN '' ELSE ':' || port END
+               || regexp_replace(regexp_extract(nofrag,
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
+               || CASE WHEN qs = '' THEN '' ELSE '?' || qs END"""
 
 # Round-11 domain-tier profile: the oracle re-derives the SAME synthetic
 # URL from (source, doc_id), then replays the functions/urls.py spec
@@ -1684,15 +1701,7 @@ _SUFFIX_IN = ", ".join(f"'{s}'" for s in _URL_SUFFIXES)
 EXTENSION_ORACLES["domain_stats_docs"] = f"""
     WITH u AS (
         SELECT text,
-               'HTTPS://'
-               || CASE WHEN doc_id % 11 = 0 THEN 'www.' ELSE '' END
-               || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
-               || CASE WHEN doc_id % 7 = 0 THEN '.Example.CO.UK' ELSE '.Example.COM' END
-               || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
-               || '/d/' || (doc_id % 50)
-               || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
-               || '?utm_source=feed&z=9&id=' || (doc_id % 50) || '&a=1'
-               || CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END AS url
+               {_URL_DERIVE_SQL}
         FROM documents
     ), parsed AS (
         SELECT text,
@@ -1719,14 +1728,7 @@ EXTENSION_ORACLES["domain_stats_docs"] = f"""
                     WHEN array_to_string(labels[-2:], '.') IN ({_SUFFIX_IN})
                          THEN array_to_string(labels[-3:], '.')
                     ELSE array_to_string(labels[-2:], '.') END AS reg_domain,
-               scheme || '://' || host
-               || CASE WHEN port = ''
-                         OR (scheme = 'https' AND port = '443')
-                         OR (scheme = 'http' AND port = '80')
-                       THEN '' ELSE ':' || port END
-               || regexp_replace(regexp_extract(nofrag,
-                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
-               || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical
+               {_URL_CANON_SQL} AS canonical
         FROM qsplit
     )
     SELECT host, reg_domain,
@@ -1738,12 +1740,6 @@ EXTENSION_ORACLES["domain_stats_docs"] = f"""
     FROM canon GROUP BY host, reg_domain
 """
 
-ALL_ORACLES = {
-    **PARITY_ORACLES,
-    **EXTENSION_ORACLES,
-    **TEMPORAL_ORACLES,
-    **WAREHOUSE_ORACLES,
-}
 
 # Round-11 URL-canonical dedup groups (rotated): same URL derivation and
 # canonicalization replay as domain_stats_docs, grouped by the canonical
@@ -1751,15 +1747,7 @@ ALL_ORACLES = {
 EXTENSION_ORACLES["url_dedup_docs"] = f"""
     WITH u AS (
         SELECT doc_id,
-               'HTTPS://'
-               || CASE WHEN doc_id % 11 = 0 THEN 'www.' ELSE '' END
-               || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
-               || CASE WHEN doc_id % 7 = 0 THEN '.Example.CO.UK' ELSE '.Example.COM' END
-               || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
-               || '/d/' || (doc_id % 50)
-               || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
-               || '?utm_source=feed&z=9&id=' || (doc_id % 50) || '&a=1'
-               || CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END AS url
+               {_URL_DERIVE_SQL}
         FROM documents
     ), parsed AS (
         SELECT doc_id,
@@ -1775,14 +1763,7 @@ EXTENSION_ORACLES["url_dedup_docs"] = f"""
         FROM parsed
     ), canon AS (
         SELECT doc_id,
-               scheme || '://' || host
-               || CASE WHEN port = ''
-                         OR (scheme = 'https' AND port = '443')
-                         OR (scheme = 'http' AND port = '80')
-                       THEN '' ELSE ':' || port END
-               || regexp_replace(regexp_extract(nofrag,
-                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')
-               || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
+               {_URL_CANON_SQL} AS canonical_url
         FROM (SELECT *,
                      array_to_string(list_sort(list_filter(
                          string_split(regexp_extract(nofrag, '\\?([^#]*)', 1), '&'),

@@ -54,6 +54,16 @@ def url_scheme(col: Column | str) -> Column:
     return F.lower(F.regexp_extract(_c(col), _SCHEME_RE, 1))
 
 
+def is_urlish(col: Column | str) -> Column:
+    """True when the value is scheme://-shaped — the predicate every
+    consumer that GROUPS or GATES on URL identity must split on first:
+    ``canonicalize_url`` maps every non-URL string (bare hosts,
+    protocol-relative ``//host/x``, junk) to the same ``'://'``-prefixed
+    residue, so treating them as one alias class would silently merge
+    distinct documents (round-11 review)."""
+    return _c(col).rlike(_SCHEME_RE)
+
+
 def url_host(col: Column | str) -> Column:
     """Lowercased host with any ``:port`` and a leading ``www.`` removed."""
     hostport = F.regexp_extract(_c(col), _HOSTPORT_RE, 1)

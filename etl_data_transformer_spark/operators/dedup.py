@@ -1603,7 +1603,10 @@ def jaccard_join_prefix(
             )
         )
         .withColumn("__gs", F.expr("transform(__sorted, x -> x.g)"))
-        .withColumn("__sz", F.size("__gs"))
+        # LONG, not F.size's int: the threshold fraction's num/den can be
+        # ~1e9 (limit_denominator), so `__sz * num` must not wrap int32 —
+        # the window count(*) this replaced was long (review round 11)
+        .withColumn("__sz", F.size("__gs").cast("long"))
         # prefix length: sz - ceil(t*sz) + 1, all in longs
         .withColumn(
             "__plen",
@@ -1674,7 +1677,7 @@ def jaccard_join_prefix(
             ),
             "id_b",
         )
-        .withColumn("__i", F.size(F.array_intersect("__ga", "__gb")))
+        .withColumn("__i", F.size(F.array_intersect("__ga", "__gb")).cast("long"))
         .filter(
             F.col("__i") * F.lit(den)
             >= F.lit(num) * (F.col("__na") + F.col("__nb") - F.col("__i"))
@@ -1754,7 +1757,8 @@ def _jaccard_prefix_postings(
                 "__sorted"
             )
         )
-        .withColumn("__sz", F.size("__sorted"))
+        # long __sz: `__sz * num` with a ~1e9 num must not wrap int32
+        .withColumn("__sz", F.size("__sorted").cast("long"))
         .withColumn(
             "__plen",
             F.col("__sz") - F.expr(f"(__sz * {num} + {den - 1}) DIV {den}") + 1,
@@ -1766,7 +1770,7 @@ def _jaccard_prefix_postings(
         F.posexplode(F.expr("slice(transform(__sorted, x -> x.g), 1, __plen)")).alias(
             "__pos", "g"
         ),
-    ).select(id_col, "g", "sz", (F.col("__pos") + 1).alias("rn"))
+    ).select(id_col, "g", "sz", (F.col("__pos") + 1).cast("long").alias("rn"))
 
 
 def _jaccard_gramsets(g: DataFrame, id_col: str) -> DataFrame:
@@ -1794,7 +1798,7 @@ def ensure_jaccard_params_sidecar(
     params = _jaccard_store_params(n, feature, num, den)
     sidecar = os.path.join(path, "_jaccard_params.json")
     if os.path.exists(sidecar):
-        _validate_store_params(sidecar, params)
+        _validate_store_params(sidecar, params, label="jaccard")
         return
     os.makedirs(path, exist_ok=True)
     _write_params_sidecar(sidecar, params)
@@ -1885,7 +1889,20 @@ def jaccard_join_incremental(
     False for a read-only screen (e.g. decontamination).
     ``include_batch_pairs=False`` drops batch-internal pairs (pure
     batch-vs-corpus screen). Returns (id_a, id_b, n_inter, n_a, n_b),
-    engine-exact BIGINTs like the one-shot form."""
+    engine-exact BIGINTs like the one-shot form.
+
+    Crash recovery (round-11 review) = RERUN THE SAME BATCH, the store
+    family's standard discipline: store reads HEAL a crashed prior
+    attempt's rows away (any store row with a batch id can only be such
+    an append — ids are contractually disjoint — so the rerun recomputes
+    identical pairs), re-appended duplicate rows are result-neutral
+    (candidate pairs go through a distinct; the verify side reads
+    gramsets deduplicated per id; compaction prunes the copies), and the
+    two appends land gramsets BEFORE postings so the mid-crash window
+    leaves the batch invisible to future candidates rather than
+    candidate-without-verify-row. A batch that crashes between the
+    appends and is never rerun stays un-indexed — the same documented
+    seam as the batch ingest runner's ordered sinks; use the rerun."""
     import os
 
     spark = new_df.sparkSession
@@ -1904,8 +1921,19 @@ def jaccard_join_incremental(
                 "rebuild the store at the lower threshold"
             )
     census = spark.read.parquet(os.path.join(path, "census"))
-    store_postings = spark.read.parquet(os.path.join(path, "postings"))
-    store_sets = spark.read.parquet(os.path.join(path, "gramsets"))
+    # heal-on-read: a store row with a batch id is a crashed prior
+    # attempt's append (ids are contractually disjoint) — exclude it so a
+    # rerun recomputes identical pairs; dedupe gramsets per id so a
+    # rerun's duplicate append cannot fan out the verify join
+    bids = new_df.select(F.col(id_col)).distinct()
+    store_postings = spark.read.parquet(os.path.join(path, "postings")).join(
+        F.broadcast(bids), id_col, "left_anti"
+    )
+    store_sets = (
+        spark.read.parquet(os.path.join(path, "gramsets"))
+        .join(F.broadcast(bids), id_col, "left_anti")
+        .dropDuplicates([id_col])
+    )
 
     g_new = _jaccard_gram_rows(new_df, text_col, id_col, n, feature).localCheckpoint(
         eager=True
@@ -1964,7 +1992,7 @@ def jaccard_join_incremental(
             ),
             "id_b",
         )
-        .withColumn("__i", F.size(F.array_intersect("__ga", "__gb")))
+        .withColumn("__i", F.size(F.array_intersect("__ga", "__gb")).cast("long"))
         .filter(
             F.col("__i") * F.lit(den)
             >= F.lit(num) * (F.col("__na") + F.col("__nb") - F.col("__i"))
@@ -1979,8 +2007,9 @@ def jaccard_join_incremental(
     )
     if append:
         verified = verified.localCheckpoint(eager=True)
-        new_postings.write.mode("append").parquet(os.path.join(path, "postings"))
+        # gramsets FIRST (see the crash-recovery docstring note)
         new_sets.write.mode("append").parquet(os.path.join(path, "gramsets"))
+        new_postings.write.mode("append").parquet(os.path.join(path, "postings"))
     return verified
 
 
@@ -1997,10 +2026,10 @@ def compact_jaccard_store(spark, path: str) -> None:
 
     params = _read_jaccard_params(path)
     num, den = int(params["threshold_num"]), int(params["threshold_den"])
-    sets = spark.read.parquet(os.path.join(path, "gramsets")).localCheckpoint(
-        eager=True
-    )
+    sets = spark.read.parquet(os.path.join(path, "gramsets"))
     id_col = [c for c in sets.columns if c not in ("gs", "n_grams")][0]
+    # prune crashed-rerun duplicate appends along with the small files
+    sets = sets.dropDuplicates([id_col]).localCheckpoint(eager=True)
     g = sets.select(F.col(id_col), F.explode("gs").alias("g"))
     census = g.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
-from ..functions.urls import canonicalize_url, registered_domain, url_host
+from ..functions.urls import canonicalize_url, is_urlish, registered_domain, url_host
 
 
 def domain_stats(
@@ -64,7 +64,15 @@ def domain_gate(
     compile to an IN predicate (pushed into the scan — zero shuffle);
     DataFrame lists (one ``domain`` column) run as broadcast anti/semi
     joins, the right shape when the list is a maintained table of
-    millions of domains rather than a config literal."""
+    millions of domains rather than a config literal.
+
+    NULL and non-URL-shaped values pass UNGATED (the gate cannot attribute
+    a domain, so it does not guess — same pass-through rule as the other
+    ingest gates' NULL ids); screen junk upstream with an
+    ``is_urlish``-based validity filter when it must drop instead."""
+    shaped = F.col(url_col).isNotNull() & is_urlish(url_col)
+    passthrough = df.filter(~shaped)
+    df = df.filter(shaped)
     dom = registered_domain(url_col)
     out = df.withColumn("__dom", dom)
     # DataFrame lists are lowercased like literal lists — extracted domains
@@ -81,7 +89,7 @@ def domain_gate(
             out = out.join(al, "__dom", "left_semi")
         else:
             out = out.filter(F.col("__dom").isin(*[d.lower() for d in allowlist]))
-    return out.drop("__dom")
+    return out.drop("__dom").unionByName(passthrough)
 
 
 def url_dedup(
@@ -93,13 +101,25 @@ def url_dedup(
     URL (deterministic keeper, same policy as the content-hash exact
     tier this feeds — ``operators.dedup.exact_dedup``). One window over
     one shuffle on the canonical key; rows keep their original schema
-    plus ``canonical_url``."""
+    plus ``canonical_url``.
+
+    NULL and non-URL-shaped values pass through UNCOLLAPSED with a NULL
+    ``canonical_url`` (round-11 review: ``canonicalize_url`` maps every
+    malformed string to the same ``'://'`` residue, so collapsing on it
+    would silently merge distinct documents — URL identity only exists
+    for URL-shaped values)."""
+    shaped = F.col(url_col).isNotNull() & is_urlish(url_col)
+    passthrough = df.filter(~shaped).withColumn(
+        "canonical_url", F.lit(None).cast("string")
+    )
     w = Window.partitionBy("canonical_url").orderBy(F.col(id_col).asc())
     return (
-        df.withColumn("canonical_url", canonicalize_url(url_col))
+        df.filter(shaped)
+        .withColumn("canonical_url", canonicalize_url(url_col))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        .unionByName(passthrough)
     )
 
 
@@ -110,9 +130,12 @@ def url_dedup_groups(
 ) -> DataFrame:
     """Audit twin of ``url_dedup``: per canonical URL, the alias count and
     the keeper id — the (fp, n_copies, keeper_id) contract of
-    ``exact_dedup_groups`` transplanted onto URL identity."""
+    ``exact_dedup_groups`` transplanted onto URL identity. NULL and
+    non-URL-shaped values have no URL identity and contribute no group
+    (same rule as ``url_dedup``'s pass-through)."""
     return (
-        df.select(canonicalize_url(url_col).alias("canonical_url"), F.col(id_col))
+        df.filter(F.col(url_col).isNotNull() & is_urlish(url_col))
+        .select(canonicalize_url(url_col).alias("canonical_url"), F.col(id_col))
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_copies"),

@@ -294,36 +294,28 @@ def _domain_gate(
     same-URL re-crawls are deliberately NOT dropped here: identical bytes
     are caught by the exact content store, and changed bytes are a
     freshness decision (supersede, not discard) that belongs to a CDC
-    layer, not a dedup gate. NULL urls pass the gate ungated (same
-    pass-through rule as the other gates' NULL ids). Deterministic, so
-    reruns recompute identical survivors. Returns the gated batch
-    (eagerly checkpointed), the gate's dropped count, and the alias
-    count."""
-    from pyspark.sql import Window
+    layer, not a dedup gate. NULL and non-URL-shaped urls pass UNGATED
+    and UNCOLLAPSED (the operators' shared pass-through rule — malformed
+    strings have no domain to gate on and no URL identity to collapse;
+    round-11 review). Both steps delegate to the ``operators.domains``
+    functions, so the keeper/pass-through policy has one source of truth.
+    Deterministic, so reruns recompute identical survivors. Returns the
+    gated batch (eagerly checkpointed), the gate's dropped count, and the
+    alias count."""
+    from ..operators.domains import domain_gate, url_dedup
 
-    from ..functions.urls import canonicalize_url
-    from ..operators.domains import domain_gate
-
-    has_url = F.col(url_col).isNotNull()
     n_dropped = 0
     out = batch
     if (isinstance(blocklist, DataFrame) or len(blocklist)) or allowlist is not None:
-        gated = domain_gate(
-            out.filter(has_url), url_col, blocklist=blocklist, allowlist=allowlist
-        ).unionByName(out.filter(~has_url))
-        out = gated.localCheckpoint(eager=True)
+        out = domain_gate(
+            out, url_col, blocklist=blocklist, allowlist=allowlist
+        ).localCheckpoint(eager=True)
         n_dropped = n_batch - out.count()
     n_aliases = 0
     if url_dedup_aliases:
-        w = Window.partitionBy(canonicalize_url(url_col)).orderBy(F.col(id_col).asc())
-        deduped = (
-            out.filter(has_url)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-            .unionByName(out.filter(~has_url))
+        out = url_dedup(out, url_col, id_col).drop("canonical_url").localCheckpoint(
+            eager=True
         )
-        out = deduped.localCheckpoint(eager=True)
         n_aliases = n_batch - n_dropped - out.count()
     return out, n_dropped, n_aliases
 

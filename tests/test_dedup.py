@@ -1247,3 +1247,34 @@ def test_jaccard_store_guards(spark, tmp_path):
     }
     assert got == set()  # J(1,10) < 0.9; (10,11) excluded by cross-corpus mode
     assert spark.read.parquet(store + "/postings").count() == n_postings  # read-only
+
+
+def test_jaccard_prefix_no_int32_overflow_on_fine_thresholds(spark, tmp_path):
+    """Round-11 review: a threshold like 0.333333 carries a ~1e6 numerator
+    through Fraction.limit_denominator, so `__sz * num` wraps int32 once a
+    doc has >= ~6.4k distinct shingles — the packed rewrite must keep the
+    size arithmetic in longs (the window count(*) it replaced was long).
+    Two identical 7k-distinct-shingle docs MUST pair at any threshold."""
+    from etl_data_transformer_spark.operators.dedup import (
+        jaccard_join_incremental,
+        jaccard_join_prefix,
+        write_jaccard_store,
+    )
+
+    text = " ".join(f"w{i}" for i in range(7000))
+    df = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    got = jaccard_join_prefix(df, threshold=0.333333).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    assert got[0]["n_a"] == got[0]["n_b"] == got[0]["n_inter"]
+    store = str(tmp_path / "jstore")
+    write_jaccard_store(
+        spark.createDataFrame([(1, text)], "doc_id long, text string"),
+        store,
+        threshold=0.333333,
+    )
+    inc = jaccard_join_incremental(
+        spark.createDataFrame([(2, text)], "doc_id long, text string"),
+        store,
+        append=False,
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in inc] == [(1, 2)]

@@ -325,3 +325,82 @@ def test_canonicalize_idempotent_over_combination_grid(spark):
     )
     bad = twice.filter(F.col("c1") != F.col("c2"))
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_malformed_urls_never_collapse_or_gate(spark, tmp_path):
+    """Round-11 review: canonicalize_url maps every non-URL-shaped string
+    to the same '://' residue, so URL identity only exists for
+    scheme://-shaped values — malformed rows must pass the gate ungated
+    and the dedup uncollapsed (NULL canonical), in the operators AND
+    through the ingest tier."""
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest
+
+    rows = [
+        (1, "doc body one", "//proto.relative.example/x"),   # protocol-relative
+        (2, "doc body two", "bare-host.example/page"),        # no scheme
+        (3, "doc body three", "N/A"),                          # junk
+        (4, "doc body four", "https://real.example/p/"),
+        (5, "doc body five", "https://real.example/p#frag"),  # alias of 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    kept = url_dedup(df)
+    got = {r["doc_id"]: r["canonical_url"] for r in kept.collect()}
+    # 1-3 pass through uncollapsed with NULL canonical; 5 collapses into 4
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] is None and got[2] is None and got[3] is None
+    assert got[4] == "https://real.example/p"
+    # groups: only URL-shaped rows contribute
+    groups = {r["canonical_url"] for r in url_dedup_groups(df).collect()}
+    assert groups == {"https://real.example/p"}
+    # gate: malformed rows pass an allowlist they could never match
+    gated = domain_gate(df, allowlist=["real.example"])
+    assert sorted(r["doc_id"] for r in gated.collect()) == [1, 2, 3, 4, 5]
+    # ingest tier end to end
+    r = run_incremental_ingest(
+        df,
+        exact_store=str(tmp_path / "ex"),
+        survivors_path=str(tmp_path / "landed"),
+        url_col="url",
+        domain_blocklist=["blocked.example"],
+        collapse_url_aliases=True,
+    )
+    assert r.n_domain_dropped == 0 and r.n_url_alias_dropped == 1  # only 5
+    landed = spark.read.parquet(str(tmp_path / "landed"))
+    assert sorted(x["doc_id"] for x in landed.collect()) == [1, 2, 3, 4]
+
+
+def test_jaccard_store_rerun_heals_and_is_duplicate_neutral(spark, tmp_path):
+    """Round-11 review: a crashed append's rerun must recompute identical
+    pairs (heal-on-read excludes the prior attempt's store rows) and the
+    duplicate appended rows must not fan out the verify join or change
+    later batches' results; compaction prunes the copies."""
+    from etl_data_transformer_spark.operators.dedup import (
+        compact_jaccard_store,
+        jaccard_join_incremental,
+        write_jaccard_store,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zetas")], "doc_id long, text string"
+    )
+    store = str(tmp_path / "jstore")
+    write_jaccard_store(corpus, store, threshold=0.5)
+    first = {(r["id_a"], r["id_b"]) for r in jaccard_join_incremental(b1, store).collect()}
+    # simulate the crashed-then-rerun batch: run the SAME batch again
+    rerun = {(r["id_a"], r["id_b"]) for r in jaccard_join_incremental(b1, store).collect()}
+    assert first == rerun == {(1, 10)}
+    # duplicates landed by the rerun are result-neutral for later batches
+    b2 = spark.createDataFrame(
+        [(20, "alpha beta gamma delta epsilon zetas")], "doc_id long, text string"
+    )
+    pairs = jaccard_join_incremental(b2, store, append=False).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 20), (10, 20)}
+    assert len(pairs) == 2  # no duplicate pair rows from duplicate gramsets
+    compact_jaccard_store(spark, store)
+    assert spark.read.parquet(store + "/gramsets").count() == 2  # copies pruned
+    after = {(r["id_a"], r["id_b"])
+             for r in jaccard_join_incremental(b2, store, append=False).collect()}
+    assert after == {(1, 20), (10, 20)}
