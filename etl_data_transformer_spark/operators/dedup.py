@@ -2028,8 +2028,25 @@ def compact_jaccard_store(spark, path: str) -> None:
     num, den = int(params["threshold_num"]), int(params["threshold_den"])
     sets = spark.read.parquet(os.path.join(path, "gramsets"))
     id_col = [c for c in sets.columns if c not in ("gs", "n_grams")][0]
-    # prune crashed-rerun duplicate appends along with the small files
-    sets = sets.dropDuplicates([id_col]).localCheckpoint(eager=True)
+    # prune crashed-rerun duplicate appends along with the small files.
+    # Also drop gramset rows whose id has NO posting row (round-11
+    # advice): a batch that crashed between the gramsets and postings
+    # appends and was never rerun is deliberately un-indexed — rebuilding
+    # postings from ALL gramsets would resurrect it into the candidate
+    # index even though its ingest never completed. Sound: every
+    # fully-appended doc has >=1 posting (gramset rows only exist for
+    # docs with >=1 gram, and plen >= 1), so this only removes the
+    # half-appended seam, never a landed doc.
+    posting_ids = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .select(id_col)
+        .distinct()
+    )
+    sets = (
+        sets.dropDuplicates([id_col])
+        .join(posting_ids, id_col, "left_semi")
+        .localCheckpoint(eager=True)
+    )
     g = sets.select(F.col(id_col), F.explode("gs").alias("g"))
     census = g.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
 

@@ -33,8 +33,18 @@ def domain_stats(
     aliases). One map-side-combined groupBy, same scale shape as
     ``plans.quality.corpus_stats``; the distinct count is exact
     (count_distinct shuffles (host, canonical) once — at 100 TB swap in
-    approx_count_distinct if ±2% is acceptable, the only knob here)."""
-    toks = F.size(F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0))
+    approx_count_distinct if ±2% is acceptable, the only knob here).
+
+    NULL text counts zero tokens/chars: the split runs over
+    ``coalesce(text, '')`` (``size(tokens(NULL))`` is -1 under Spark's
+    default legacy sizeOfNull, which would subtract from ``tok_sum``
+    while the DuckDB twin's SUM skips NULLs — round-11 advice)."""
+    toks = F.size(
+        F.filter(
+            tokens(F.coalesce(F.col(text_col), F.lit(""))),
+            lambda t: F.length(t) > 0,
+        )
+    )
     return (
         df.select(
             url_host(url_col).alias("host"),
@@ -58,6 +68,7 @@ def domain_gate(
     url_col: str = "url",
     blocklist: Sequence[str] | DataFrame = (),
     allowlist: Sequence[str] | DataFrame | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Registered-domain gate: drop blocklisted domains, then (when an
     allowlist is given) keep only allowlisted ones. Literal sequences
@@ -66,12 +77,14 @@ def domain_gate(
     joins, the right shape when the list is a maintained table of
     millions of domains rather than a config literal.
 
-    NULL and non-URL-shaped values pass UNGATED (the gate cannot attribute
-    a domain, so it does not guess — same pass-through rule as the other
-    ingest gates' NULL ids); screen junk upstream with an
-    ``is_urlish``-based validity filter when it must drop instead."""
+    By default NULL and non-URL-shaped values pass UNGATED (the gate
+    cannot attribute a domain, so it does not guess — same pass-through
+    rule as the other ingest gates' NULL ids). ``strict=True`` DROPS
+    unattributable rows instead — the allowlist-mode semantics ("drop
+    everything not allowed") where junk/malformed URLs must not bypass
+    the strictest gate (round-11 advice)."""
     shaped = F.col(url_col).isNotNull() & is_urlish(url_col)
-    passthrough = df.filter(~shaped)
+    passthrough = df.filter(F.lit(False) if strict else ~shaped)
     df = df.filter(shaped)
     dom = registered_domain(url_col)
     out = df.withColumn("__dom", dom)

@@ -216,7 +216,15 @@ def corpus_stats(
     pass the engine offers."""
     from ..functions.text import tokens
 
-    toks = F.size(F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0))
+    # coalesce: size(tokens(NULL)) is -1 under Spark's default legacy
+    # sizeOfNull, which would subtract from tok_sum while the DuckDB
+    # twin's SUM skips NULLs (round-11 advice; same fix as domain_stats)
+    toks = F.size(
+        F.filter(
+            tokens(F.coalesce(F.col(text_col), F.lit(""))),
+            lambda t: F.length(t) > 0,
+        )
+    )
     return df.groupBy(*[F.col(c) for c in group_cols]).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(toks).cast("long").alias("tok_sum"),
