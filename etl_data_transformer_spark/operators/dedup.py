@@ -395,12 +395,17 @@ def minhash_dedup(
     """Near-dup pairs: LSH candidates verified by exact shingle-hash Jaccard
     ≥ threshold. Returns (id_a, id_b, jaccard_sim).
 
-    The shingle-hash arrays ride along through the band join (≤ ``bands``-fold
-    duplication of a ~k-long array per doc), so the corpus is shingled ONCE
-    and the verify step needs no extra joins back to the corpus. For very
-    long documents where duplicating hs per band dominates shuffle volume,
-    the join-back shape (``_lsh_candidates`` + two id-joins) is the
-    alternative — at typical web-doc sizes carried-hs wins.
+    VERIFY-SPLIT shape (round 12, closing the measured round-11 deferral):
+    the band self-join carries only slim (id, sig) rows — the shingle-hash
+    set no longer rides the join ``bands``-fold — and the distinct
+    candidate pairs join BACK to a one-row-per-doc (id, hs) set table for
+    exact verification (``jaccard_join_prefix``'s verify-by-id template).
+    Both the band rows and the set table project out of the SAME
+    ``_signatures`` aggregate, so the corpus is still shingled once and
+    the extra verify joins read a ReusedExchange; shuffled band mass drops
+    from ``bands × (sig + hs)`` to ``bands × sig`` per doc, and hs moves
+    only ``O(candidates)`` times. Measured same-session at the sf1 bench
+    tier: ≈4.6 → ≈3.0 s warm (SCALING.md round-12 row).
 
     ``max_bucket_size`` caps degenerate band buckets (round-3 verdict item
     3): at corpus scale a non-discriminative band signature (boilerplate /
@@ -417,18 +422,76 @@ def minhash_dedup(
     ``banded`` lets a caller that ALSO needs the signature rows (e.g. the
     ingest runner's cap audit + store sink) pass a precomputed — ideally
     materialized — ``minhash_signature_store(df, ...)`` frame instead of
-    paying the shingling stage twice (round-7 review)."""
+    paying the shingling stage twice (round-7 review); its per-band hs
+    copies are collapsed to the one-row-per-doc set table here."""
     if banded is None:
-        banded = minhash_signature_store(df, text_col, id_col, shingle_n, num_hashes, bands)
+        # materialize the signature aggregate ONCE: the slim band rows and
+        # the verify-side set table are two consumers, and re-running the
+        # collect_set aggregate per consumer costs more than the verify
+        # split saves (measured: exchange reuse dedupes the shuffle but
+        # not the heavy aggregate above it)
+        sigs = _signatures(df, text_col, id_col, shingle_n, num_hashes).localCheckpoint(
+            eager=True
+        )
+        slim = sigs.select(
+            id_col, F.explode(_banded_sig_array(num_hashes, bands)).alias("sig")
+        )
+        sets = sigs.select(id_col, "hs")
+    else:
+        slim = banded.select(id_col, "sig")
+        sets = banded.dropDuplicates([id_col]).select(id_col, "hs")
     if max_bucket_size is not None:
-        banded = _drop_hot_buckets(banded, ["sig"], max_bucket_size)
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"), "sig")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"), "sig")
-    return (
+        slim = _drop_hot_buckets(slim, ["sig"], max_bucket_size)
+    a = slim.select(F.col(id_col).alias("id_a"), "sig")
+    b = slim.select(F.col(id_col).alias("id_b"), "sig")
+    cand = (
         a.join(b, "sig")
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", F.round(jaccard(F.col("hs_a"), F.col("hs_b")), 6).alias("jaccard_sim"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_pairs_by_id(cand, sets, id_col, threshold)
+
+
+def _banded_sig_array(num_hashes: int, bands: int):
+    """Array of band-prefixed band-signature strings over the ``mh``
+    column — the single definition of the store's ``sig`` encoding
+    (band index prefixed so bands never cross-match)."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.concat_ws(
+                ",",
+                F.lit(b),
+                *[F.col("mh")[b * rows_per_band + r] for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def _verify_pairs_by_id(
+    cand: DataFrame, sets: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of distinct (id_a, id_b) candidates
+    against a one-row-per-doc (id, hs) set table — the verify-by-id shape
+    shared by ``minhash_dedup``, its incremental split path, and
+    ``jaccard_join_prefix``: shuffled hs mass is O(candidates), never
+    candidates × bands."""
+    return (
+        cand.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("hs_a"), F.col("hs_b")), 6).alias("jaccard_sim"),
+        )
         .filter(F.col("jaccard_sim") >= threshold)
     )
 
@@ -450,23 +513,11 @@ def minhash_signature_store(
     (``minhash_dedup_incremental``). Signatures are deterministic (seeded
     affine family), so stored and freshly-computed rows are interchangeable.
     """
-    rows_per_band = num_hashes // bands
     sigs = _signatures(df, text_col, id_col, shingle_n, num_hashes)
     return sigs.select(
         id_col,
         "hs",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",",
-                        F.lit(b),
-                        *[F.col("mh")[b * rows_per_band + r] for r in range(rows_per_band)],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("sig"),
+        F.explode(_banded_sig_array(num_hashes, bands)).alias("sig"),
     )
 
 
@@ -533,6 +584,7 @@ def write_minhash_store(
     mode: str = "append",
     bucket_by_band: bool = False,
     num_buckets: int = 32,
+    layout: str = "flat",
 ) -> None:
     """Persist a ``minhash_signature_store`` frame with a ``_minhash_params``
     JSON sidecar recording (shingle_n, num_hashes, bands). Appending to an
@@ -563,15 +615,41 @@ def write_minhash_store(
     the sidecar: flat appends to a bucketed store (and vice versa) reject
     loudly, because mixing bucket-suffixed and plain file names corrupts
     the bucketed read. ``read_minhash_store`` auto-detects the layout from
-    the sidecar and re-registers the catalog entry in fresh sessions."""
+    the sidecar and re-registers the catalog entry in fresh sessions.
+
+    ``layout="split"`` writes the VERIFY-SPLIT layout (round 12, closing
+    the round-11 deferral): ``path/sigs/`` holds slim (doc_id, sig) band
+    rows and ``path/hashsets/`` one (doc_id, hs) row per document, so the
+    incremental candidate join never moves the hash sets ``bands``-fold —
+    they join back only for the O(candidates) verify step
+    (``minhash_dedup_incremental(store_sets=...)`` /
+    ``read_minhash_store_split``). With ``bucket_by_band=True`` the sigs
+    table buckets on ``sig`` AND the hashsets table buckets on ``doc_id``,
+    making BOTH store-side joins exchange-free. The sidecar records
+    ``layout: split`` — flat and split stores never silently mix (the
+    param validators reject), and ``compact_minhash_store(to_layout=...)``
+    migrates v1 flat stores in place. Split appends land hashsets BEFORE
+    sigs: a crash between the two leaves the batch un-indexed (never a
+    candidate missing its verify row), the same seam discipline as the
+    Jaccard store's gramsets-before-postings; rerun the batch, or let
+    compaction prune the orphaned hashset rows."""
     import os
 
     from ..sources.writers import atomic_swap_write
 
+    if layout not in ("flat", "split"):
+        raise ValueError(f"layout must be 'flat' or 'split': got {layout!r}")
     params = {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}
     if bucket_by_band:
         params["bucket_by"] = "sig"
         params["num_buckets"] = num_buckets
+    if layout == "split":
+        params["layout"] = "split"
+        _write_minhash_store_split(
+            store_df, path, params=params, mode=mode,
+            bucket_by_band=bucket_by_band, num_buckets=num_buckets,
+        )
+        return
     if mode == "overwrite":
         if bucket_by_band:
             spark = store_df.sparkSession
@@ -626,6 +704,177 @@ def write_minhash_store(
                 writer.option("path", path).saveAsTable(table)
         return
     store_df.write.mode(mode).parquet(path)
+
+
+def _write_minhash_store_split(
+    store_df: DataFrame,
+    path: str,
+    *,
+    params: dict,
+    mode: str,
+    bucket_by_band: bool,
+    num_buckets: int,
+) -> None:
+    """Split-layout writer body: derive the slim sig table and the
+    one-row-per-doc hashset table from a ``minhash_signature_store`` frame
+    (materialized once — two derived writes would otherwise re-run the
+    signature aggregate) and land them under ``path/sigs`` and
+    ``path/hashsets``. Overwrite goes through one atomic swap (both
+    sub-tables + sidecar become visible together); append writes hashsets
+    FIRST (see ``write_minhash_store``'s seam note)."""
+    import os
+
+    from ..sources.writers import atomic_swap_write
+
+    store_df = store_df.localCheckpoint(eager=True)
+    sigs = store_df.select("doc_id", "sig")
+    sets = store_df.dropDuplicates(["doc_id"]).select("doc_id", "hs")
+    spark = store_df.sparkSession
+
+    if mode == "overwrite":
+        if bucket_by_band:
+            for sub in ("sigs", "hashsets"):
+                spark.sql(
+                    f"DROP TABLE IF EXISTS `{_bucketed_store_table(os.path.join(path, sub))}`"
+                )
+
+        def _write(unused_df, staging):
+            if bucket_by_band:
+                _bucketed_staging_writer("doc_id", num_buckets)(
+                    sets, os.path.join(staging, "hashsets")
+                )
+                _bucketed_staging_writer("sig", num_buckets)(
+                    sigs, os.path.join(staging, "sigs")
+                )
+            else:
+                sets.write.parquet(os.path.join(staging, "hashsets"))
+                sigs.write.parquet(os.path.join(staging, "sigs"))
+
+        atomic_swap_write(
+            store_df,
+            path,
+            write_staging=_write,
+            finalize_staging=lambda staging: _write_params_sidecar(
+                os.path.join(staging, "_minhash_params.json"), params
+            ),
+        )
+        if bucket_by_band:
+            _register_bucketed_store(
+                spark, os.path.join(path, "sigs"), "sig", num_buckets
+            )
+            _register_bucketed_store(
+                spark, os.path.join(path, "hashsets"), "doc_id", num_buckets
+            )
+        return
+
+    # append: validate-or-create the sidecar first, then hashsets, then sigs
+    from ..sources.writers import recover_interrupted_swap
+
+    recover_interrupted_swap(path)
+    sidecar = os.path.join(path, "_minhash_params.json")
+    if os.path.exists(sidecar):
+        _validate_store_params(sidecar, params)
+    else:
+        os.makedirs(path, exist_ok=True)
+        _write_params_sidecar(sidecar, params)
+    if bucket_by_band:
+        for sub, col, frame in (
+            ("hashsets", "doc_id", sets),
+            ("sigs", "sig", sigs),
+        ):
+            sub_path = os.path.join(path, sub)
+            table = _bucketed_store_table(sub_path)
+            writer = (
+                frame.write.mode("append")
+                .bucketBy(num_buckets, col)
+                .sortBy(col)
+                .format("parquet")
+            )
+            if spark.catalog.tableExists(table):
+                writer.saveAsTable(table)
+            else:
+                from ..sources.readers import read_parquet_or_none
+
+                if read_parquet_or_none(spark, sub_path) is not None:
+                    _register_bucketed_store(spark, sub_path, col, num_buckets)
+                    writer.saveAsTable(table)
+                else:
+                    writer.option("path", sub_path).saveAsTable(table)
+        return
+    sets.write.mode("append").parquet(os.path.join(path, "hashsets"))
+    sigs.write.mode("append").parquet(os.path.join(path, "sigs"))
+
+
+def minhash_store_layout(path: str) -> str:
+    """``"flat"`` (v1: (id, hs, sig) rows) or ``"split"`` (v2:
+    ``sigs/`` + ``hashsets/`` sub-tables) from the sidecar — absent
+    sidecar or absent key means v1, so every pre-round-12 store reads
+    unchanged."""
+    import json
+    import os
+
+    sidecar = os.path.join(path, "_minhash_params.json")
+    if not os.path.exists(sidecar):
+        return "flat"
+    with open(sidecar, encoding="utf-8") as f:
+        return json.load(f).get("layout", "flat")
+
+
+def read_minhash_store_split(
+    spark,
+    path: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> "tuple[DataFrame, DataFrame]":
+    """(slim, sets) for a store at ``path``, layout-agnostic: slim is the
+    (doc_id, sig) band rows the candidate join consumes, sets the
+    one-row-per-doc (doc_id, hs) verify table. A split store reads its two
+    sub-tables natively (through their bucketed catalog entries when the
+    sidecar carries a bucket spec); a v1 flat store derives both views
+    from its (id, hs, sig) rows — read-compat, the migration is optional.
+    Parameter validation matches ``read_minhash_store``. The set table is
+    deduplicated per id on read (the Jaccard store's heal discipline): a
+    crashed split append that is rerun re-appends its hashset rows, and
+    the dup copies must stay result-neutral until compaction prunes them."""
+    import os
+
+    sidecar = os.path.join(path, "_minhash_params.json")
+    if os.path.exists(sidecar):
+        _validate_store_params(
+            sidecar,
+            {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands},
+            ignore_keys=_BUCKET_KEYS + _LAYOUT_KEYS,
+        )
+    if minhash_store_layout(path) == "split":
+        spec = minhash_store_bucket_spec(path)
+        if spec is not None:
+            n = spec[1]
+            slim = spark.table(
+                _register_bucketed_store(spark, os.path.join(path, "sigs"), "sig", n)
+            ).select("doc_id", "sig")
+            sets = spark.table(
+                _register_bucketed_store(
+                    spark, os.path.join(path, "hashsets"), "doc_id", n
+                )
+            ).select("doc_id", "hs")
+        else:
+            slim = spark.read.parquet(os.path.join(path, "sigs")).select(
+                "doc_id", "sig"
+            )
+            sets = spark.read.parquet(os.path.join(path, "hashsets")).select(
+                "doc_id", "hs"
+            )
+        return slim, sets.dropDuplicates(["doc_id"])
+    flat = read_minhash_store(
+        spark, path, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
+    )
+    return (
+        flat.select("doc_id", "sig"),
+        flat.dropDuplicates(["doc_id"]).select("doc_id", "hs"),
+    )
+
 
 def _reject_streaming_layout_append(store_df: DataFrame, path: str, what: str) -> None:
     """A flat batch append onto a STREAMING-layout store (__batch_id
@@ -710,7 +959,11 @@ def read_minhash_store(
     (``write_minhash_store(bucket_by_band=True)``) reads through its
     catalog entry — re-registered here in fresh sessions — so the scan
     carries the bucket spec and the incremental join skips the store-side
-    Exchange."""
+    Exchange. A SPLIT store (round 12) returns the joined compat view —
+    (doc_id, hs, sig) reconstructed from its two sub-tables — so every
+    v1 caller keeps working; split-aware callers should use
+    ``read_minhash_store_split`` instead (no reconstruction join, and the
+    verify path never moves hs per band)."""
     import os
 
     sidecar = os.path.join(path, "_minhash_params.json")
@@ -718,8 +971,13 @@ def read_minhash_store(
         _validate_store_params(
             sidecar,
             {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands},
-            ignore_keys=_BUCKET_KEYS,
+            ignore_keys=_BUCKET_KEYS + _LAYOUT_KEYS,
         )
+        if minhash_store_layout(path) == "split":
+            slim, sets = read_minhash_store_split(
+                spark, path, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
+            )
+            return sets.join(slim, "doc_id").select("doc_id", "hs", "sig")
         spec = minhash_store_bucket_spec(path)
         if spec is not None:
             table = _register_bucketed_store(spark, path, spec[0], spec[1])
@@ -728,6 +986,7 @@ def read_minhash_store(
 
 
 _BUCKET_KEYS = ("bucket_by", "num_buckets")
+_LAYOUT_KEYS = ("layout",)
 
 
 def minhash_store_bucket_spec(path: str) -> "tuple[str, int] | None":
@@ -782,6 +1041,7 @@ def compact_minhash_store(
     shingle_n: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    to_layout: str | None = None,
 ) -> None:
     """Bound signature-store growth (round-4 verdict item 4): the
     incremental-dedup lifecycle appends every batch's signatures forever,
@@ -812,17 +1072,152 @@ def compact_minhash_store(
     Single-writer by design (the daily-ingest owner); for concurrent
     writers route the store through ``sources/manifest.commit_write`` /
     ``compact``, whose manifest-pointer CAS detects lost updates.
-    """
-    _compact_store(
+
+    ``to_layout`` (round 12) additionally MIGRATES the store's physical
+    layout during the rewrite: ``"split"`` converts a v1 flat store to the
+    verify-split ``sigs/`` + ``hashsets/`` layout (preserving a bucket
+    spec — sigs bucket on ``sig``, hashsets on ``doc_id``), ``"flat"``
+    converts back; ``None`` keeps the current layout. Migration piggybacks
+    on compaction because both already rewrite every surviving row through
+    the same atomic swap. Split compaction also prunes hashset rows with
+    no sig row — the half-appended seam a crashed never-rerun batch leaves
+    (the Jaccard store's round-11 rule; sound because a fully-appended doc
+    always has ``bands`` sig rows). Pair results are identical across
+    layouts (pinned by ``tests/test_dedup.py``)."""
+    params = {"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands}
+    current = minhash_store_layout(path)
+    target = to_layout or current
+    if target not in ("flat", "split"):
+        raise ValueError(f"to_layout must be 'flat' or 'split': got {to_layout!r}")
+    if current == "flat" and target == "flat":
+        _compact_store(
+            spark,
+            path,
+            live_ids=live_ids,
+            drop_ids=drop_ids,
+            id_col=id_col,
+            params=params,
+            sidecar_name="_minhash_params.json",
+            label="minhash",
+        )
+        return
+    _compact_minhash_layout_aware(
         spark,
         path,
         live_ids=live_ids,
         drop_ids=drop_ids,
         id_col=id_col,
-        params={"shingle_n": shingle_n, "num_hashes": num_hashes, "bands": bands},
-        sidecar_name="_minhash_params.json",
-        label="minhash",
+        params=params,
+        current=current,
+        target=target,
     )
+
+
+def _compact_minhash_layout_aware(
+    spark,
+    path: str,
+    *,
+    live_ids: DataFrame | None,
+    drop_ids: DataFrame | None,
+    id_col: str,
+    params: dict,
+    current: str,
+    target: str,
+) -> None:
+    """Compaction body for any (current, target) layout pair involving
+    the split layout: filter the slim and set tables independently (no
+    reconstruction join needed to compact), prune orphaned hashset rows,
+    and rewrite through one atomic swap with the sidecar's ``layout`` key
+    matching the target."""
+    import os
+
+    from ..sources.writers import atomic_swap_write
+
+    if (live_ids is None) == (drop_ids is None):
+        raise ValueError("pass exactly one of live_ids / drop_ids")
+    sidecar = os.path.join(path, "_minhash_params.json")
+    _validate_store_params(
+        sidecar, params, label="minhash", ignore_keys=_BUCKET_KEYS + _LAYOUT_KEYS
+    )
+    if current == "flat" and "__batch_id" in spark.read.parquet(path).columns:
+        raise ValueError(
+            "a streaming (__batch_id-partitioned) minhash store cannot "
+            "migrate to the split layout — its micro-batch sink appends the "
+            "flat (id, hs, sig) rows; compact it in place instead"
+        )
+    spec = minhash_store_bucket_spec(path)
+    full_params = dict(params)
+    if spec is not None:
+        full_params.update({"bucket_by": spec[0], "num_buckets": spec[1]})
+    if target == "split":
+        full_params["layout"] = "split"
+
+    slim, sets = read_minhash_store_split(
+        spark,
+        path,
+        shingle_n=params["shingle_n"],
+        num_hashes=params["num_hashes"],
+        bands=params["bands"],
+    )
+    keep = (
+        (lambda t: t.join(live_ids.select(id_col).distinct(), id_col, "left_semi"))
+        if live_ids is not None
+        else (lambda t: t.join(drop_ids.select(id_col).distinct(), id_col, "left_anti"))
+    )
+    slim = keep(slim).localCheckpoint(eager=True)
+    # dedupe rerun-appended copies and prune the half-appended seam:
+    # a doc with hashset rows but no sig rows was never fully indexed
+    sets = (
+        keep(sets)
+        .dropDuplicates([id_col])
+        .join(slim.select(id_col).distinct(), id_col, "left_semi")
+        .localCheckpoint(eager=True)
+    )
+
+    if target == "split" and spec is not None:
+        for sub in ("sigs", "hashsets"):
+            spark.sql(
+                f"DROP TABLE IF EXISTS `{_bucketed_store_table(os.path.join(path, sub))}`"
+            )
+    if current != target or spec is not None:
+        # the flat store's catalog entry (if any) dies with the migration
+        spark.sql(f"DROP TABLE IF EXISTS `{_bucketed_store_table(path)}`")
+
+    def _write(unused_df, staging):
+        if target == "split":
+            if spec is not None:
+                _bucketed_staging_writer(id_col, spec[1])(
+                    sets, os.path.join(staging, "hashsets")
+                )
+                _bucketed_staging_writer("sig", spec[1])(
+                    slim, os.path.join(staging, "sigs")
+                )
+            else:
+                sets.write.parquet(os.path.join(staging, "hashsets"))
+                slim.write.parquet(os.path.join(staging, "sigs"))
+        else:
+            flat = sets.join(slim, id_col).select(id_col, "hs", "sig")
+            if spec is not None:
+                _bucketed_staging_writer(spec[0], spec[1])(flat, staging)
+            else:
+                flat.write.parquet(staging)
+
+    atomic_swap_write(
+        slim,
+        path,
+        write_staging=_write,
+        finalize_staging=lambda staging: _write_params_sidecar(
+            os.path.join(staging, "_minhash_params.json"), full_params
+        ),
+    )
+    if spec is not None:
+        if target == "split":
+            _register_bucketed_store(spark, os.path.join(path, "sigs"), "sig", spec[1])
+            _register_bucketed_store(
+                spark, os.path.join(path, "hashsets"), id_col, spec[1]
+            )
+        else:
+            _register_bucketed_store(spark, path, spec[0], spec[1])
 
 
 def minhash_dedup_incremental(
@@ -837,6 +1232,7 @@ def minhash_dedup_incremental(
     max_bucket_size: int | None = None,
     include_batch_pairs: bool = True,
     new_banded: DataFrame | None = None,
+    store_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs for an INCREMENTAL ingest batch: every pair with
     Jaccard >= ``threshold`` where at least one side is a new document —
@@ -871,10 +1267,31 @@ def minhash_dedup_incremental(
     ``new_banded`` accepts a precomputed ``minhash_signature_store(new_df)``
     so callers needing those rows anyway (cap audit, store sink) don't pay
     the shingling twice (round-7 review).
+
+    ``store_sets`` switches on the VERIFY-SPLIT path (round 12): ``store``
+    is consumed as slim (id, sig) band rows only and ``store_sets`` as the
+    one-row-per-doc (id, hs) verify table — the shapes
+    ``read_minhash_store_split`` returns for either layout. The candidate
+    join then never moves the store's hash sets ``bands``-fold (and on a
+    split-bucketed store neither side of the store exchanges at all:
+    sigs bucketed by ``sig`` feed the candidate join, hashsets bucketed by
+    ``doc_id`` feed the verify join). Pair results are IDENTICAL to the
+    legacy carried-hs path (pinned by ``tests/test_dedup.py``), which
+    remains the default for v1 (id, hs, sig) store frames.
     """
     if new_banded is None:
         new_banded = minhash_signature_store(
             new_df, text_col, id_col, shingle_n, num_hashes, bands
+        )
+    if store_sets is not None:
+        return _minhash_incremental_split(
+            new_banded,
+            store.select(id_col, "sig"),
+            store_sets.select(id_col, "hs"),
+            id_col,
+            threshold,
+            max_bucket_size,
+            include_batch_pairs,
         )
     store_banded = store.select(id_col, "hs", "sig")
     combined = store_banded.unionByName(new_banded)
@@ -924,6 +1341,51 @@ def minhash_dedup_incremental(
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
+
+
+def _minhash_incremental_split(
+    new_banded: DataFrame,
+    store_slim: DataFrame,
+    store_sets: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_bucket_size: int | None,
+    include_batch_pairs: bool,
+) -> DataFrame:
+    """Verify-split body of ``minhash_dedup_incremental``: slim sig-only
+    candidate joins (cross + optional self, split so a bucketed store scan
+    never unions into an exchange), one distinct over the normalized pair,
+    then exact verification against the one-row-per-doc set tables via
+    ``_verify_pairs_by_id``. The bucket cap censuses the COMBINED slim
+    rows, same semantics as the legacy path."""
+    new_banded = new_banded.localCheckpoint(eager=True)
+    new_slim = new_banded.select(id_col, "sig")
+    new_sets = new_banded.dropDuplicates([id_col]).select(id_col, "hs")
+    if max_bucket_size is not None:
+        hot = (
+            store_slim.unionByName(new_slim)
+            .groupBy("sig")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket_size)
+            .select("sig")
+        )
+        new_slim = new_slim.join(F.broadcast(hot), ["sig"], "left_anti")
+        store_slim = store_slim.join(F.broadcast(hot), ["sig"], "left_anti")
+    a = new_slim.select(F.col(id_col).alias("id_n"), "sig")
+    cand = a.join(store_slim.select(F.col(id_col).alias("id_o"), "sig"), "sig")
+    if include_batch_pairs:
+        cand = cand.unionByName(
+            a.join(new_slim.select(F.col(id_col).alias("id_o"), "sig"), "sig")
+        )
+    pairs = (
+        cand.filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+        .distinct()
+    )
+    return _verify_pairs_by_id(pairs, store_sets.unionByName(new_sets), id_col, threshold)
 
 
 def minhash_oversized_buckets(

@@ -656,29 +656,47 @@ def run_incremental_ingest(
     if mh_on:
         recover_interrupted_swap(minhash_store)
     mh_bucket = DD.minhash_store_bucket_spec(minhash_store) if mh_on else None
-    mh_store = (
-        _load(
-            minhash_store,
-            lambda: DD.ensure_minhash_params_sidecar(
-                minhash_store,
-                shingle_n=shingle_n,
-                num_hashes=num_hashes,
-                bands=bands,
-                bucket_by_band=mh_bucket is not None,
-                num_buckets=mh_bucket[1] if mh_bucket else 32,
-            ),
-            [id_col, "hs", "sig"],
-        )
-        if mh_on
-        else None
-    )
-    if mh_store is not None and mh_bucket is not None:
-        bucketed = DD.read_minhash_store(
+    # a store migrated with compact_minhash_store(to_layout="split")
+    # (round 12) reads/joins/appends through its two sub-tables — the
+    # candidate join consumes slim (id, sig) rows, the verify step joins
+    # the one-row-per-doc hashsets; a first batch against an ABSENT store
+    # still seeds the flat layout (migrate explicitly when wanted)
+    mh_layout = DD.minhash_store_layout(minhash_store) if mh_on else "flat"
+    mh_store_sets = None
+    if mh_on and mh_layout == "split":
+        mh_slim, mh_sets = DD.read_minhash_store_split(
             spark, minhash_store, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
         )
-        mh_store = _drop_replayed_batch_rows(bucketed, batch, id_col).select(
-            id_col, "hs", "sig"
+        mh_store = _drop_replayed_batch_rows(mh_slim, batch, id_col).select(
+            id_col, "sig"
         )
+        mh_store_sets = _drop_replayed_batch_rows(mh_sets, batch, id_col).select(
+            id_col, "hs"
+        )
+    else:
+        mh_store = (
+            _load(
+                minhash_store,
+                lambda: DD.ensure_minhash_params_sidecar(
+                    minhash_store,
+                    shingle_n=shingle_n,
+                    num_hashes=num_hashes,
+                    bands=bands,
+                    bucket_by_band=mh_bucket is not None,
+                    num_buckets=mh_bucket[1] if mh_bucket else 32,
+                ),
+                [id_col, "hs", "sig"],
+            )
+            if mh_on
+            else None
+        )
+        if mh_store is not None and mh_bucket is not None:
+            bucketed = DD.read_minhash_store(
+                spark, minhash_store, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
+            )
+            mh_store = _drop_replayed_batch_rows(bucketed, batch, id_col).select(
+                id_col, "hs", "sig"
+            )
     sh_store = (
         _load(
             simhash_store,
@@ -749,6 +767,7 @@ def run_incremental_ingest(
         ex_store,
         mh_store,
         sh_store,
+        mh_store_sets=mh_store_sets,
         mh_on=mh_on,
         sh_on=sh_on,
         text_col=text_col,
@@ -829,20 +848,33 @@ def run_incremental_ingest(
         num_buckets=ex_bucket[1] if ex_bucket else 32,
     )
     if minhash_store is not None:
+        mh_rows = DD.minhash_signature_store(
+            survivors, text_col, id_col, shingle_n, num_hashes, bands
+        )
+        if mh_layout == "split":
+            # heal key = the SIGS table (split appends land hashsets first,
+            # sigs last): an id already in sigs is fully landed and skips;
+            # an id with only hashset rows is the crashed seam — the rerun
+            # re-appends it whole (the dup hashset copies are read-deduped
+            # and compaction prunes them)
+            slim_all, _ = DD.read_minhash_store_split(
+                spark, minhash_store,
+                shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+            )
+            mh_rows = mh_rows.join(
+                slim_all.select(id_col).distinct(), id_col, "left_anti"
+            )
+        else:
+            mh_rows = _except_already_landed(mh_rows, minhash_store, id_col)
         DD.write_minhash_store(
-            _except_already_landed(
-                DD.minhash_signature_store(
-                    survivors, text_col, id_col, shingle_n, num_hashes, bands
-                ),
-                minhash_store,
-                id_col,
-            ),
+            mh_rows,
             minhash_store,
             shingle_n=shingle_n,
             num_hashes=num_hashes,
             bands=bands,
             bucket_by_band=mh_bucket is not None,
             num_buckets=mh_bucket[1] if mh_bucket else 32,
+            layout=mh_layout,
         )
     if simhash_store is not None:
         DD.write_simhash_store(
@@ -877,6 +909,7 @@ def _run_tiers(
     mh_store: DataFrame | None,
     sh_store: DataFrame | None,
     *,
+    mh_store_sets: DataFrame | None = None,
     mh_on: bool,
     sh_on: bool,
     text_col: str,
@@ -930,7 +963,11 @@ def _run_tiers(
             pairs = DD.minhash_dedup(survivors, **mh_kw, banded=new_rows)
         else:
             pairs = DD.minhash_dedup_incremental(
-                survivors, mh_store, **mh_kw, new_banded=new_rows
+                survivors,
+                mh_store,
+                **mh_kw,
+                new_banded=new_rows,
+                store_sets=mh_store_sets,
             )
         if max_bucket_size is not None:
             # cap-audit twin (never a silent cap): degenerate band buckets

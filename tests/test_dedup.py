@@ -1278,3 +1278,249 @@ def test_jaccard_prefix_no_int32_overflow_on_fine_thresholds(spark, tmp_path):
         append=False,
     ).collect()
     assert [(r["id_a"], r["id_b"]) for r in inc] == [(1, 2)]
+
+
+# ------------------------- verify-split store layout (round 12) ------------
+
+
+def _split_corpus(spark):
+    rows = [
+        (i, f"old document {i} about subject {i % 5} with tokens {i * 7} and {i * 11}")
+        for i in range(40)
+    ]
+    return rows, spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _split_batch(spark, rows):
+    new_rows = [
+        (100, rows[3][1] + " x"),
+        (101, "an entirely novel new document about fresh things"),
+        (102, "an entirely novel new document about fresh things zz"),
+        (103, rows[3][1] + " x"),
+    ]
+    return new_rows, spark.createDataFrame(new_rows, ["doc_id", "text"])
+
+
+def test_minhash_split_store_write_read_incremental_equivalence(spark, tmp_path):
+    """The split (sigs/ + hashsets/) layout must be result-invisible:
+    the split-path incremental run equals the legacy carried-hs run equals
+    the full-corpus restriction, and the compat view reconstructs the v1
+    row set exactly."""
+    rows, old = _split_corpus(spark)
+    new_rows, new = _split_batch(spark, rows)
+    ps = str(tmp_path / "mh_split")
+    pf = str(tmp_path / "mh_flat")
+    sig_rows = DD.minhash_signature_store(old)
+    DD.write_minhash_store(sig_rows, ps, mode="overwrite", layout="split")
+    DD.write_minhash_store(sig_rows, pf, mode="overwrite")
+
+    assert DD.minhash_store_layout(ps) == "split"
+    assert DD.minhash_store_layout(pf) == "flat"
+
+    slim, sets = DD.read_minhash_store_split(spark, ps)
+    assert slim.columns == ["doc_id", "sig"] and sets.columns == ["doc_id", "hs"]
+    assert sets.count() == sets.select("doc_id").distinct().count()
+
+    got = sorted(
+        map(
+            tuple,
+            DD.minhash_dedup_incremental(
+                new, slim, threshold=0.3, store_sets=sets
+            ).collect(),
+        )
+    )
+    legacy = sorted(
+        map(
+            tuple,
+            DD.minhash_dedup_incremental(
+                new, DD.read_minhash_store(spark, pf), threshold=0.3
+            ).collect(),
+        )
+    )
+    full = DD.minhash_dedup(old.unionByName(new), threshold=0.3).collect()
+    new_ids = {r[0] for r in new_rows}
+    expected = sorted(
+        tuple(r) for r in full if r["id_a"] in new_ids or r["id_b"] in new_ids
+    )
+    assert got == legacy == expected and len(got) >= 3
+
+    # the compat view reconstructs the flat row set exactly
+    compat = {
+        (r["doc_id"], tuple(sorted(r["hs"])), r["sig"])
+        for r in DD.read_minhash_store(spark, ps).collect()
+    }
+    flat = {
+        (r["doc_id"], tuple(sorted(r["hs"])), r["sig"])
+        for r in DD.read_minhash_store(spark, pf).collect()
+    }
+    assert compat == flat
+
+    # the cap and cross-corpus modes route through the split path too
+    capped = sorted(
+        map(
+            tuple,
+            DD.minhash_dedup_incremental(
+                new, slim, threshold=0.3, store_sets=sets, max_bucket_size=1000
+            ).collect(),
+        )
+    )
+    assert capped == expected
+    cross = DD.minhash_dedup_incremental(
+        new, slim, threshold=0.3, store_sets=sets, include_batch_pairs=False
+    ).collect()
+    assert all(
+        (r["id_a"] in new_ids) != (r["id_b"] in new_ids) for r in cross
+    )
+
+
+def test_minhash_split_store_append_and_param_guard(spark, tmp_path):
+    """Split appends extend both sub-tables (hashsets first); a flat
+    append onto a split store — and any parameter drift — rejects."""
+    import pytest
+
+    rows, old = _split_corpus(spark)
+    ps = str(tmp_path / "mh_split_app")
+    DD.write_minhash_store(
+        DD.minhash_signature_store(old), ps, mode="overwrite", layout="split"
+    )
+    extra = spark.createDataFrame(
+        [(500, "fresh appended doc text entirely new stuff")], ["doc_id", "text"]
+    )
+    DD.write_minhash_store(DD.minhash_signature_store(extra), ps, layout="split")
+    slim, sets = DD.read_minhash_store_split(spark, ps)
+    assert slim.filter(F.col("doc_id") == 500).count() == 4  # one row per band
+    assert sets.filter(F.col("doc_id") == 500).count() == 1
+    with pytest.raises(ValueError, match="mismatch"):
+        DD.write_minhash_store(DD.minhash_signature_store(extra), ps)  # flat append
+    with pytest.raises(ValueError, match="mismatch"):
+        DD.write_minhash_store(
+            DD.minhash_signature_store(extra), ps, layout="split", bands=6, num_hashes=12
+        )
+
+
+def test_compact_minhash_store_migrates_layouts(spark, tmp_path):
+    """compact(to_layout='split') migrates a v1 flat store in place
+    (sidecar versioned, pairs identical); to_layout='flat' round-trips."""
+    rows, old = _split_corpus(spark)
+    new_rows, new = _split_batch(spark, rows)
+    p = str(tmp_path / "mh_migrate")
+    DD.write_minhash_store(DD.minhash_signature_store(old), p, mode="overwrite")
+    live = old.select("doc_id")
+
+    before = sorted(
+        map(
+            tuple,
+            DD.minhash_dedup_incremental(
+                new, DD.read_minhash_store(spark, p), threshold=0.3
+            ).collect(),
+        )
+    )
+    DD.compact_minhash_store(spark, p, live_ids=live, to_layout="split")
+    assert DD.minhash_store_layout(p) == "split"
+    slim, sets = DD.read_minhash_store_split(spark, p)
+    after = sorted(
+        map(
+            tuple,
+            DD.minhash_dedup_incremental(
+                new, slim, threshold=0.3, store_sets=sets
+            ).collect(),
+        )
+    )
+    assert after == before and after
+
+    # migrate back: flat rows reconstruct exactly
+    DD.compact_minhash_store(spark, p, live_ids=live, to_layout="flat")
+    assert DD.minhash_store_layout(p) == "flat"
+    back = sorted(
+        map(
+            tuple,
+            DD.minhash_dedup_incremental(
+                new, DD.read_minhash_store(spark, p), threshold=0.3
+            ).collect(),
+        )
+    )
+    assert back == before
+
+
+def test_minhash_split_compaction_prunes_half_appended_seam(spark, tmp_path):
+    """A split append that crashed after hashsets but before sigs leaves
+    the batch un-indexed by design; compaction prunes the orphaned
+    hashset rows instead of carrying them forever."""
+    import os
+
+    rows, old = _split_corpus(spark)
+    p = str(tmp_path / "mh_seam")
+    DD.write_minhash_store(
+        DD.minhash_signature_store(old), p, mode="overwrite", layout="split"
+    )
+    ghost = spark.createDataFrame([(999, rows[0][1])], ["doc_id", "text"])
+    DD.minhash_signature_store(ghost).dropDuplicates(["doc_id"]).select(
+        "doc_id", "hs"
+    ).write.mode("append").parquet(os.path.join(p, "hashsets"))
+
+    DD.compact_minhash_store(spark, p, live_ids=old.select("doc_id").union(
+        spark.createDataFrame([(999,)], ["doc_id"])
+    ))
+    slim, sets = DD.read_minhash_store_split(spark, p)
+    assert sets.filter(F.col("doc_id") == 999).count() == 0
+    assert slim.filter(F.col("doc_id") == 999).count() == 0
+    assert sets.count() == 40
+
+
+def test_minhash_split_bucketed_store_both_joins_exchange_free(spark, tmp_path):
+    """Split + bucketed: sigs bucket on sig (candidate join) AND hashsets
+    bucket on doc_id (verify join) — both store-side scans join with no
+    store-side Exchange; pairs equal the flat store's."""
+    from etl_data_transformer_spark.operators.joins import with_confs
+
+    rows, old = _split_corpus(spark)
+    new_rows, new = _split_batch(spark, rows)
+    pb = str(tmp_path / "mh_split_b")
+    pf = str(tmp_path / "mh_flat_b")
+    sig_rows = DD.minhash_signature_store(old)
+    DD.write_minhash_store(
+        sig_rows, pb, mode="overwrite", layout="split", bucket_by_band=True, num_buckets=4
+    )
+    DD.write_minhash_store(sig_rows, pf, mode="overwrite")
+    slim, sets = DD.read_minhash_store_split(spark, pb)
+
+    got = sorted(
+        map(
+            tuple,
+            DD.minhash_dedup_incremental(
+                new, slim, threshold=0.3, store_sets=sets
+            ).collect(),
+        )
+    )
+    legacy = sorted(
+        map(
+            tuple,
+            DD.minhash_dedup_incremental(
+                new, DD.read_minhash_store(spark, pf), threshold=0.3
+            ).collect(),
+        )
+    )
+    assert got == legacy and got
+
+    def _store_scan_exchange_free(join_df, col):
+        plan = join_df._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan[:2000]
+        scan_idx = plan.index("Bucketed: true")
+        return "Exchange" not in plan[plan.rindex("FileScan", 0, scan_idx) : scan_idx]
+
+    with with_confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        a = DD.minhash_signature_store(new).select(F.col("doc_id").alias("id_n"), "sig")
+        cand_join = a.join(slim.select(F.col("doc_id").alias("id_o"), "sig"), "sig")
+        assert _store_scan_exchange_free(cand_join, "sig")
+        cand = spark.createDataFrame([(3, 100)], ["doc_id", "id_b"])
+        verify_join = sets.join(cand, "doc_id")
+        assert _store_scan_exchange_free(verify_join, "doc_id")
+
+    # split-bucketed append extends both catalog tables
+    extra = spark.createDataFrame([(700, rows[1][1] + " y")], ["doc_id", "text"])
+    DD.write_minhash_store(
+        DD.minhash_signature_store(extra), pb, layout="split", bucket_by_band=True, num_buckets=4
+    )
+    slim2, sets2 = DD.read_minhash_store_split(spark, pb)
+    assert slim2.filter(F.col("doc_id") == 700).count() == 4
+    assert sets2.filter(F.col("doc_id") == 700).count() == 1

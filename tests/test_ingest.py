@@ -1577,3 +1577,65 @@ def test_audit_migration_adds_threshold_column(spark, tmp_path):
     rows = spark.read.parquet(path).collect()
     got = sorted((x["nb_threshold_micros"] for x in rows), key=lambda v: (v is not None, v or 0))
     assert got == [None, 7]
+
+
+def test_ingest_with_split_minhash_store_matches_flat(spark, tmp_path):
+    """The batch runner routes a split-layout minhash store (round 12)
+    end-to-end: reports/landed/stores match a flat-store control run, the
+    append-back lands in the split layout, and a rerun is idempotent."""
+    from etl_data_transformer_spark.operators import dedup as DD
+
+    def run_both(layout_dir, seed_split):
+        ex = str(tmp_path / f"{layout_dir}_ex")
+        mh = str(tmp_path / f"{layout_dir}_mh")
+        landed = str(tmp_path / f"{layout_dir}_landed")
+        if seed_split:
+            # seed the split layout: empty store, split sidecar
+            DD.write_minhash_store(
+                DD.minhash_signature_store(
+                    spark.createDataFrame([], "doc_id long, text string")
+                ),
+                mh,
+                mode="overwrite",
+                layout="split",
+            )
+        kw = dict(
+            exact_store=ex,
+            minhash_store=mh,
+            minhash_threshold=0.3,
+            survivors_path=landed,
+        )
+        b1 = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "completely different content about maritime chronometers"),
+                (4, "the quick brown fox jumps over the lazy dog yesterday"),
+            ],
+            "doc_id long, text string",
+        )
+        b2 = spark.createDataFrame(
+            [
+                (11, "the quick brown fox leaps over the lazy dog today"),
+                (12, "an entirely novel new document about fresh things"),
+                (13, "an entirely novel new document about fresh thingz"),
+            ],
+            "doc_id long, text string",
+        )
+        r1 = run_incremental_ingest(b1, **kw)
+        r2 = run_incremental_ingest(b2, **kw)
+        # rerun of batch 2 must be a no-op (heal + idempotent sinks)
+        r2b = run_incremental_ingest(b2, **kw)
+        landed_ids = sorted(
+            r["doc_id"] for r in spark.read.parquet(landed).collect()
+        )
+        return (r1.n_landed, r2.n_landed, r2b.n_landed, landed_ids, mh)
+
+    flat = run_both("flat", seed_split=False)
+    split = run_both("split", seed_split=True)
+    assert flat[:4] == split[:4], (flat, split)
+    assert DD.minhash_store_layout(split[4]) == "split"
+    assert DD.minhash_store_layout(flat[4]) == "flat"
+    slim, sets = DD.read_minhash_store_split(spark, split[4])
+    assert sorted(r["doc_id"] for r in sets.collect()) == flat[3]
+    # one sig row per (landed doc, band), no duplicate appends
+    assert slim.count() == len(flat[3]) * 4

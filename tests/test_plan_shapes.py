@@ -38,6 +38,12 @@ NLJ_ALLOWED = {
     "nb_lang_multiclass",
     "sql_fact_union",  # same const-pinned dims via the raw-SQL entry point
     "range_join_events",  # bucketed equi-join + bound filter; tiny residual
+    # corpus-wide (by=None) two-pass approx scored cut: the global
+    # threshold/boundary-band frames are 1-row (or band-sized) build sides
+    # cross-joined against the docs — the same const-pinned class as
+    # agg_china; promoted to a driver slot in round 12, which put it under
+    # this parametrize for the first time
+    "top_fraction_corpus_docs",
 }
 
 
@@ -65,10 +71,13 @@ def test_dims_are_broadcast(spark):
 
 def test_range_join_is_hash_join(spark):
     """The bucketed range join must plan a hash join on (key, bucket), not a
-    pure-inequality nested loop. (range_join_events returned to the
-    driver's 50 slots in round 11 — the plan pin follows it back.)"""
+    pure-inequality nested loop. (range_join_events rotated back out of
+    the driver's 50 slots in round 12 — the plan pin does NOT rotate with
+    it; it reads the rotated catalog.)"""
+    from etl_data_transformer_spark.catalog import ROTATED_QUERIES
+
     plan = (
-        QUERIES["range_join_events"](spark, SF_DIR)
+        ROTATED_QUERIES["range_join_events"](spark, SF_DIR)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or ("BroadcastHashJoin" in plan)
