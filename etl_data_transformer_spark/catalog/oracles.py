@@ -1690,13 +1690,16 @@ _URL_CANON_SQL = """scheme || '://' || host
 # Round-11 domain-tier profile: the oracle re-derives the SAME synthetic
 # URL from (source, doc_id), then replays the functions/urls.py spec
 # step-for-step (fragment strip, scheme/host lowering, www./default-port
-# strip, trailing-slash strip, tracking-param drop + param sort) and the
-# eTLD+1 label logic (incl. the multipart co.uk branch) before the
-# per-host rollup — so the hash checks the whole canonicalization spec.
-from ..functions.urls import MULTIPART_SUFFIXES as _URL_SUFFIXES  # noqa: E402
+# strip, trailing-slash strip, tracking-param drop + param sort) and —
+# round 12 — the FULL PSL algorithm, with the CASE expression GENERATED
+# from the same loaded rule data the Spark expression compiles from
+# (psl_slen_sql / psl_registered_sql), before the per-host rollup; the
+# hash therefore checks the whole canonicalization + PSL spec.
 from ..functions.urls import TRACKING_RE as _URL_TRACKING_RE  # noqa: E402
+from ..functions.urls import psl_registered_sql, psl_slen_sql  # noqa: E402
 
-_SUFFIX_IN = ", ".join(f"'{s}'" for s in _URL_SUFFIXES)
+_PSL_SLEN = psl_slen_sql("labels")
+_PSL_REG = psl_registered_sql("host", "labels", "__slen")
 
 EXTENSION_ORACLES["domain_stats_docs"] = f"""
     WITH u AS (
@@ -1722,14 +1725,13 @@ EXTENSION_ORACLES["domain_stats_docs"] = f"""
                    p -> p <> '' AND NOT regexp_matches(p, '{_URL_TRACKING_RE}'))),
                    '&') AS qs
         FROM hp
+    ), slenned AS (
+        SELECT *, {_PSL_SLEN} AS __slen FROM qsplit
     ), canon AS (
         SELECT text, host,
-               CASE WHEN len(labels) <= 2 THEN host
-                    WHEN array_to_string(labels[-2:], '.') IN ({_SUFFIX_IN})
-                         THEN array_to_string(labels[-3:], '.')
-                    ELSE array_to_string(labels[-2:], '.') END AS reg_domain,
+               {_PSL_REG} AS reg_domain,
                {_URL_CANON_SQL} AS canonical
-        FROM qsplit
+        FROM slenned
     )
     SELECT host, reg_domain,
            CAST(count(*) AS BIGINT) AS n_docs,

@@ -17,27 +17,94 @@ identical steps — any change here must change there):
    ``mc_cid``, ``mc_eid``, ``igshid``), sort the survivors
    lexicographically, and drop the ``?`` when none survive.
 
-Registered-domain extraction is the naive eTLD+1 (last two host labels)
-plus an explicit multi-part public-suffix subset (``co.uk``-style) — a
-full public-suffix list is a data file, not an algorithm change; the
-lookup is a literal IN over the suffix of the label array either way.
+Registered-domain extraction implements the Public Suffix List algorithm
+(round 12, replacing the naive 18-entry multipart subset): the rule set —
+normal rules, ``*.`` wildcard rules, ``!`` exception rules, in the
+official publicsuffix.org syntax — is DATA (``functions/psl_data.py``
+bundles a curated snapshot; ``load_psl`` reads a full upstream file), and
+the lookup compiles to literal ``IN``-set probes over label-array
+suffixes (Spark converts them to codegen'd ``InSet`` hash probes — zero
+shuffle, zero Python). The DuckDB oracle twin GENERATES its CASE
+expression from the same loaded rules (``psl_slen_sql`` /
+``psl_registered_sql``), so engine and oracle can never disagree on the
+data.
 """
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+from .psl_data import PSL_SNAPSHOT
 
 # tracking-parameter predicate, shared with the oracle SQL via TRACKING_RE
 TRACKING_RE = "^(utm_[a-z0-9]+|gclid|fbclid|ref|mc_cid|mc_eid|igshid)="
 
-# deliberately small, explicit multi-part public-suffix subset (see module
-# docstring); ordered for readable diffs
+# the pre-round-12 naive multipart subset — kept as the documented
+# FALLBACK rule set (pass ``rules=NAIVE_RULES`` to reproduce the old
+# behavior, e.g. when auditing a corpus partitioned under it)
 MULTIPART_SUFFIXES = (
     "ac.uk", "co.in", "co.jp", "co.kr", "co.uk", "co.za", "com.ar",
     "com.au", "com.br", "com.cn", "com.mx", "com.tr", "gov.uk", "ne.jp",
     "net.au", "or.jp", "org.au", "org.uk",
 )
+
+
+class PSLRules(NamedTuple):
+    """Parsed public-suffix rules, keyed by label count: ``normals[k]``
+    holds k-label suffix rules, ``wildcards[j]`` the j-label BASES of
+    ``*.base`` rules (suffix length j+1), ``exceptions[m]`` the m-label
+    ``!rule`` names (which ARE the registrable domain when matched)."""
+
+    normals: dict
+    wildcards: dict
+    exceptions: dict
+
+
+def parse_psl_rules(lines) -> PSLRules:
+    """Parse official-syntax PSL rules (comments ``//`` and blanks
+    skipped, names lowercased). Accepts any iterable of rule lines — the
+    bundled snapshot tuple or a full ``public_suffix_list.dat``'s lines."""
+    normals: dict = {}
+    wildcards: dict = {}
+    exceptions: dict = {}
+    for raw in lines:
+        line = raw.strip().lower()
+        if not line or line.startswith("//"):
+            continue
+        if line.startswith("!"):
+            name = line[1:]
+            exceptions.setdefault(name.count(".") + 1, set()).add(name)
+        elif line.startswith("*."):
+            base = line[2:]
+            wildcards.setdefault(base.count(".") + 1, set()).add(base)
+        else:
+            normals.setdefault(line.count(".") + 1, set()).add(line)
+    return PSLRules(
+        {k: frozenset(v) for k, v in normals.items()},
+        {k: frozenset(v) for k, v in wildcards.items()},
+        {k: frozenset(v) for k, v in exceptions.items()},
+    )
+
+
+def load_psl(path: str | None = None) -> PSLRules:
+    """Rules from a full upstream ``public_suffix_list.dat`` at ``path``,
+    falling back to the bundled snapshot when ``path`` is None or
+    missing. Swapping the file swaps the DATA only — every consumer
+    (Spark expression and DuckDB oracle) regenerates from the result."""
+    import os
+
+    if path is not None and os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            return parse_psl_rules(f.readlines())
+    return parse_psl_rules(PSL_SNAPSHOT)
+
+
+# module defaults: the bundled snapshot, and the pre-round-12 naive set
+PSL_RULES = parse_psl_rules(PSL_SNAPSHOT)
+NAIVE_RULES = parse_psl_rules(MULTIPART_SUFFIXES)
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOSTPORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
@@ -71,17 +138,98 @@ def url_host(col: Column | str) -> Column:
     return F.regexp_replace(host, "^www\\.", "")
 
 
-def registered_domain(col: Column | str, *, is_host: bool = False) -> Column:
-    """eTLD+1: last two host labels, or last three when the 2-label suffix
-    is in ``MULTIPART_SUFFIXES`` (``a.b.co.uk`` → ``b.co.uk``)."""
+def registered_domain(
+    col: Column | str, *, is_host: bool = False, rules: PSLRules | None = None
+) -> Column:
+    """eTLD+1 under the PSL algorithm (longest matching rule wins;
+    ``*.base`` wildcards add one label; ``!exception`` names ARE the
+    registrable domain; unlisted TLDs fall to the implicit ``*`` rule —
+     1-label suffix, i.e. naive last-two-labels). A host that IS a public
+    suffix returns itself (the pre-round-12 identity behavior for 2-label
+    hosts). ``rules`` defaults to the bundled snapshot ``PSL_RULES``;
+    pass ``NAIVE_RULES`` (or ``load_psl(path)``) to swap the data."""
+    r = rules if rules is not None else PSL_RULES
     host = _c(col) if is_host else url_host(col)
     labels = F.split(host, "\\.")
-    last2 = F.array_join(F.slice(labels, -2, 2), ".")
-    last3 = F.array_join(F.slice(labels, -3, 3), ".")
-    multi = last2.isin(*MULTIPART_SUFFIXES) & (F.size(labels) >= 3)
-    return F.when(F.size(labels) <= 2, host).otherwise(
-        F.when(multi, last3).otherwise(last2)
+    n = F.size(labels)
+
+    def last(k: int) -> Column:
+        return F.array_join(F.slice(labels, -k, k), ".")
+
+    # suffix length = longest matching rule (implicit '*' rule = 1)
+    slen_parts = [F.lit(1)]
+    for k in sorted(r.normals):
+        slen_parts.append(
+            F.when((n >= k) & last(k).isin(*sorted(r.normals[k])), F.lit(k)).otherwise(
+                F.lit(0)
+            )
+        )
+    for j in sorted(r.wildcards):
+        slen_parts.append(
+            F.when(
+                (n >= j + 1) & last(j).isin(*sorted(r.wildcards[j])), F.lit(j + 1)
+            ).otherwise(F.lit(0))
+        )
+    slen = F.greatest(*slen_parts) if len(slen_parts) > 1 else slen_parts[0]
+    reg = F.when(n <= slen, host).otherwise(
+        F.array_join(F.slice(labels, (slen + F.lit(1)) * -1, slen + F.lit(1)), ".")
     )
+    # exception rules override: the matched name IS the registrable domain
+    for m in sorted(r.exceptions, reverse=True):
+        reg = F.when(
+            (n >= m) & last(m).isin(*sorted(r.exceptions[m])), last(m)
+        ).otherwise(reg)
+    return reg
+
+
+def psl_slen_sql(labels: str, rules: PSLRules | None = None) -> str:
+    """DuckDB expression for the PSL suffix length over a label-array
+    column — generated from the SAME rule data the Spark expression uses,
+    so the oracle twin can never drift from the engine."""
+    r = rules if rules is not None else PSL_RULES
+
+    def _in(vals) -> str:
+        return ", ".join(f"'{v}'" for v in sorted(vals))
+
+    parts = ["1"]
+    for k in sorted(r.normals):
+        parts.append(
+            f"CASE WHEN len({labels}) >= {k} AND "
+            f"array_to_string({labels}[-{k}:], '.') IN ({_in(r.normals[k])}) "
+            f"THEN {k} ELSE 0 END"
+        )
+    for j in sorted(r.wildcards):
+        parts.append(
+            f"CASE WHEN len({labels}) >= {j + 1} AND "
+            f"array_to_string({labels}[-{j}:], '.') IN ({_in(r.wildcards[j])}) "
+            f"THEN {j + 1} ELSE 0 END"
+        )
+    return "greatest(" + ", ".join(parts) + ")"
+
+
+def psl_registered_sql(
+    host: str, labels: str, slen: str, rules: PSLRules | None = None
+) -> str:
+    """DuckDB expression for the registered domain given a host column, a
+    label-array column and a (pre-computed) suffix-length column —
+    exceptions override, then suffix+1 labels, identity when the host IS
+    a suffix. Mirrors ``registered_domain`` exactly."""
+    r = rules if rules is not None else PSL_RULES
+
+    def _in(vals) -> str:
+        return ", ".join(f"'{v}'" for v in sorted(vals))
+
+    base = (
+        f"CASE WHEN len({labels}) <= {slen} THEN {host} "
+        f"ELSE array_to_string({labels}[-({slen} + 1):], '.') END"
+    )
+    for m in sorted(r.exceptions, reverse=True):
+        base = (
+            f"CASE WHEN len({labels}) >= {m} AND "
+            f"array_to_string({labels}[-{m}:], '.') IN ({_in(r.exceptions[m])}) "
+            f"THEN array_to_string({labels}[-{m}:], '.') ELSE {base} END"
+        )
+    return base
 
 
 def canonicalize_url(col: Column | str) -> Column:

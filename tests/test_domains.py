@@ -404,3 +404,116 @@ def test_jaccard_store_rerun_heals_and_is_duplicate_neutral(spark, tmp_path):
     after = {(r["id_a"], r["id_b"])
              for r in jaccard_join_incremental(b2, store, append=False).collect()}
     assert after == {(1, 20), (10, 20)}
+
+
+# ------------------------------ PSL algorithm (round 12) --------------------
+
+
+def test_registered_domain_psl_splits(spark):
+    """The PSL data file upgrade (round-11 verdict item 3): github.io /
+    blogspot / amazonaws-class private registries split per tenant,
+    wildcard and exception rules behave per the publicsuffix.org
+    algorithm, and unlisted TLDs keep the naive eTLD+1."""
+    from etl_data_transformer_spark.functions.urls import (
+        NAIVE_RULES,
+        registered_domain,
+    )
+
+    cases = [
+        ("https://a.b.co.uk/x", "b.co.uk"),
+        ("https://tenant.github.io/x", "tenant.github.io"),
+        ("https://deep.sub.tenant.github.io/x", "tenant.github.io"),
+        ("https://user.blogspot.com.au/p", "user.blogspot.com.au"),
+        ("https://bucket.s3.amazonaws.com/k", "bucket.s3.amazonaws.com"),
+        (
+            "https://vm.eu-west-1.compute.amazonaws.com/x",
+            "vm.eu-west-1.compute.amazonaws.com",
+        ),
+        ("https://www.example.com/", "example.com"),
+        ("https://foo.www.ck/", "www.ck"),  # !www.ck exception
+        ("https://shop.anything.ck/", "shop.anything.ck"),  # *.ck wildcard
+        ("https://x.city.kawasaki.jp/", "city.kawasaki.jp"),  # !city.* exception
+        ("https://a.b.kawasaki.jp/", "a.b.kawasaki.jp"),  # *.kawasaki.jp
+        ("https://co.uk/", "co.uk"),  # host IS a suffix -> identity
+        ("https://example.de/", "example.de"),  # implicit '*' rule
+        ("https://sub.example.de/", "example.de"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r[0] for r in df.select(registered_domain("url")).collect()]
+    assert got == [want for _, want in cases]
+    # the naive fallback reproduces the pre-round-12 behavior
+    naive = [
+        r[0] for r in df.select(registered_domain("url", rules=NAIVE_RULES)).collect()
+    ]
+    assert naive[1] == "github.io"  # one unit under the old subset
+    assert naive[0] == "b.co.uk"  # multipart subset entries unchanged
+
+
+def test_load_psl_reads_official_format_and_falls_back(spark, tmp_path):
+    """load_psl parses the upstream file format (comments, blanks,
+    wildcard and exception lines); absent path falls back to the bundled
+    snapshot; swapping the data swaps the behavior with no code change."""
+    from etl_data_transformer_spark.functions.urls import (
+        PSL_RULES,
+        load_psl,
+        registered_domain,
+    )
+
+    dat = tmp_path / "public_suffix_list.dat"
+    dat.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\n"
+        "co.uk\n"
+        "*.custom\n"
+        "!keep.custom\n"
+        "\n"
+        "// ===END ICANN DOMAINS===\n"
+    )
+    rules = load_psl(str(dat))
+    assert "co.uk" in rules.normals[2]
+    assert "custom" in rules.wildcards[1]
+    assert "keep.custom" in rules.exceptions[2]
+    df = spark.createDataFrame(
+        [("https://x.tenant.custom/a",), ("https://x.keep.custom/a",)], ["url"]
+    )
+    got = [
+        r[0] for r in df.select(registered_domain("url", rules=rules)).collect()
+    ]
+    assert got == ["x.tenant.custom", "keep.custom"]
+    # missing path -> bundled snapshot
+    assert load_psl(str(tmp_path / "nope.dat")) == PSL_RULES
+
+
+def test_psl_oracle_sql_mirrors_spark_expression(spark):
+    """The DuckDB CASE generated from the loaded rules must agree with the
+    Spark expression host-for-host — the lockstep the domain_stats_docs
+    hash relies on."""
+    import duckdb
+
+    from etl_data_transformer_spark.functions.urls import (
+        psl_registered_sql,
+        psl_slen_sql,
+        registered_domain,
+    )
+
+    hosts = [
+        "a.b.co.uk", "tenant.github.io", "deep.sub.tenant.github.io",
+        "user.blogspot.com.au", "bucket.s3.amazonaws.com",
+        "vm.eu-west-1.compute.amazonaws.com", "example.com", "foo.www.ck",
+        "shop.anything.ck", "x.city.kawasaki.jp", "a.b.kawasaki.jp",
+        "co.uk", "example.de", "sub.example.de", "localhost",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    spark_side = [
+        r[0]
+        for r in df.select(registered_domain("host", is_host=True)).collect()
+    ]
+    con = duckdb.connect()
+    sql = f"""
+        WITH h AS (SELECT unnest({hosts!r}) AS host),
+        l AS (SELECT host, string_split(host, '.') AS labels FROM h),
+        s AS (SELECT *, {psl_slen_sql("labels")} AS __slen FROM l)
+        SELECT {psl_registered_sql("host", "labels", "__slen")} FROM s
+    """
+    duck_side = [r[0] for r in con.execute(sql).fetchall()]
+    assert spark_side == duck_side
