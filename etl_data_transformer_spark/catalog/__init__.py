@@ -390,6 +390,11 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_docs": EXT.q_pmi_docs,
     "scd2_apply_user_state": WQ.q_scd2_apply_user_state,
     "snapshot_diff_orders": WQ.q_snapshot_diff_orders,
+    # round-12 addition: the canonical-URL keeper store's merged view —
+    # two sequential batches, alias collapse + keeper stability + CDC fp
+    # advancement hash-checked end to end (the cross-batch re-crawl tier
+    # next to url_dedup_docs' within-batch contract).
+    "url_keeper_merge_docs": EXT.q_url_keeper_merge_docs,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}

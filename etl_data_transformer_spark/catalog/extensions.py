@@ -1076,6 +1076,30 @@ def q_domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(_docs(spark, sf_dir).withColumn("url", _synthetic_url()))
 
 
+def q_url_keeper_merge_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 rotated row for the canonical-URL keeper store's MERGE
+    view: split ``documents`` at the median id into two sequential ingest
+    batches (the doc_id%50 path key makes batch-2 re-crawl most of
+    batch-1's canonicals), run batch 2 through ``url_keeper_gate`` against
+    batch 1's keeper rows, and return the merged last-writer view. The
+    DuckDB twin replays the whole contract relationally: keeper_id = the
+    FIRST batch's lowest id per canonical (stable across updates), fp =
+    the latest batch's representative content fingerprint. The value-hash
+    therefore checks alias collapse, keeper stability and CDC fp
+    advancement in one row set."""
+    from ..operators.domains import url_keeper_gate, url_keeper_merge, url_keeper_rows
+
+    d = _docs(spark, sf_dir).withColumn("url", _synthetic_url())
+    n = d.count()
+    b1 = d.filter(F.col("doc_id") < n // 2)
+    b2 = d.filter(F.col("doc_id") >= n // 2)
+    rows1 = url_keeper_rows(b1, batch_seq=1)
+    _new, _upd, append2, _dropped = url_keeper_gate(b2, rows1, batch_seq=2)
+    return url_keeper_merge(rows1.unionByName(append2)).select(
+        "canonical_url", "keeper_id", "fp"
+    )
+
+
 def q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-11 rotated row for URL-canonical exact dedup: the same
     deterministic URL derivation as ``domain_stats_docs`` (aliases across

@@ -1779,6 +1779,58 @@ EXTENSION_ORACLES["url_dedup_docs"] = f"""
     FROM canon GROUP BY canonical_url
 """
 
+# Round-12 canonical-URL keeper store merge view (rotated): two sequential
+# ingest batches split at the median doc_id; the merged contract is
+# keeper_id = the FIRST batch holding the canonical's lowest id (stable
+# across later re-crawls), fp = the LATEST batch's representative content
+# fingerprint (CDC advancement). The twin replays URL derivation +
+# canonicalization + per-batch representative selection + the
+# first-wins/latest-fp merge relationally.
+EXTENSION_ORACLES["url_keeper_merge_docs"] = f"""
+    WITH u AS (
+        SELECT doc_id, text,
+               {_URL_DERIVE_SQL}
+        FROM documents
+    ), parsed AS (
+        SELECT doc_id, text,
+               regexp_replace(url, '#.*$', '') AS nofrag,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport
+        FROM u
+    ), hp AS (
+        SELECT doc_id, text, nofrag, scheme,
+               regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+                              '^www\\.', '') AS host,
+               regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+        FROM parsed
+    ), canon AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id < (SELECT count(*) // 2 FROM documents)
+                    THEN 1 ELSE 2 END AS b,
+               {_URL_CANON_SQL} AS canonical_url
+        FROM (SELECT *,
+                     array_to_string(list_sort(list_filter(
+                         string_split(regexp_extract(nofrag, '\\?([^#]*)', 1), '&'),
+                         p -> p <> '' AND NOT regexp_matches(p, '{_URL_TRACKING_RE}'))),
+                         '&') AS qs
+              FROM hp)
+    ), rep AS (
+        SELECT canonical_url, b, min(doc_id) AS rid
+        FROM canon GROUP BY 1, 2
+    ), repfp AS (
+        SELECT r.canonical_url, r.b, r.rid,
+               sha256({_NORM_TEXT}) AS fp
+        FROM rep r JOIN canon c ON c.doc_id = r.rid AND c.b = r.b
+                                AND c.canonical_url = r.canonical_url
+    )
+    SELECT coalesce(b1.canonical_url, b2.canonical_url) AS canonical_url,
+           coalesce(b1.rid, b2.rid) AS keeper_id,
+           coalesce(b2.fp, b1.fp) AS fp
+    FROM (SELECT * FROM repfp WHERE b = 1) b1
+    FULL OUTER JOIN (SELECT * FROM repfp WHERE b = 2) b2
+      ON b1.canonical_url = b2.canonical_url
+"""
+
 ALL_ORACLES = {
     **PARITY_ORACLES,
     **EXTENSION_ORACLES,

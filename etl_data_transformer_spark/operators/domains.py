@@ -136,6 +136,281 @@ def url_dedup(
     )
 
 
+# ------------- canonical-URL keeper store (round 12, verdict r11 item 4) ----
+# Cross-batch URL identity: a persisted (canonical_url, keeper_id, fp,
+# batch_seq) row per canonical URL, so the ingest's URL gate can collapse
+# RE-CRAWLS across batches — a same-URL-same-content row drops as an
+# alias, a same-URL-CHANGED-content row routes to a CDC update of the
+# keeper document instead of landing as near-dup work for the content
+# tiers (the boundary previously documented as out of scope). Same
+# sidecar / append / compaction / atomic-swap lifecycle as every other
+# store; the merged view is last-writer-wins per canonical (max
+# batch_seq — keeper_id is STABLE across updates, only fp moves).
+
+_URL_KEEPER_ALGO = "url-keeper-store-v1"
+
+
+def url_keeper_rows(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_seq: int = 0,
+) -> DataFrame:
+    """One keeper row per canonical URL in a batch: (canonical_url,
+    keeper_id = lowest id, fp = the keeper's content fingerprint,
+    batch_seq). Non-URL-shaped rows have no URL identity and contribute
+    nothing (the ``url_dedup`` rule)."""
+    from .dedup import fingerprint
+
+    shaped = F.col(url_col).isNotNull() & is_urlish(url_col)
+    w = Window.partitionBy("canonical_url").orderBy(F.col(id_col).asc())
+    return (
+        df.filter(shaped)
+        .select(
+            canonicalize_url(url_col).alias("canonical_url"),
+            F.col(id_col),
+            fingerprint(text_col).alias("fp"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "canonical_url",
+            F.col(id_col).alias("keeper_id"),
+            "fp",
+            F.lit(int(batch_seq)).cast("long").alias("batch_seq"),
+        )
+    )
+
+
+def url_keeper_merge(rows: DataFrame) -> DataFrame:
+    """Merged keeper view: the highest-``batch_seq`` row per canonical URL
+    (keeper_id ascending as the deterministic tie-break — a rerun's
+    duplicate append carries identical values, so the pick is
+    result-neutral). One window over one shuffle on the canonical key."""
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col("batch_seq").desc(), F.col("keeper_id").asc()
+    )
+    return (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def url_keeper_gate(
+    batch: DataFrame,
+    store_rows: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_seq: int = 1,
+) -> "tuple[DataFrame, DataFrame, DataFrame, int]":
+    """Classify an ingest batch against the merged keeper view. Returns
+    ``(new_docs, updates, append_rows, n_alias_dropped)``:
+
+    - ``new_docs`` — rows whose canonical URL is unseen (within-batch
+      alias-collapsed, lowest id wins) plus every non-URL-shaped row
+      (no URL identity, same pass-through rule as ``url_dedup``);
+    - ``updates`` — re-crawls whose CONTENT changed: the batch row's
+      columns with ``keeper_id`` (the EXISTING keeper) and
+      ``canonical_url`` attached — route these to a CDC update-in-place
+      (``apply_url_updates``) instead of the content dedup tiers;
+    - ``append_rows`` — keeper rows to append AFTER the batch lands
+      (new canonicals at this seq, plus changed-content rows keeping the
+      existing keeper_id under the new fp) — the sigs-last ordering
+      discipline: a crash before this append leaves the batch re-crawl
+      work repeatable, never rows silently classified as aliases;
+    - ``n_alias_dropped`` — same-content re-crawls + within-batch
+      aliases collapsed.
+    """
+    from .dedup import fingerprint
+
+    shaped = F.col(url_col).isNotNull() & is_urlish(url_col)
+    passthrough = batch.filter(~shaped)
+    urlish = batch.filter(shaped)
+    n_urlish = urlish.count()
+
+    w = Window.partitionBy("__canon").orderBy(F.col(id_col).asc())
+    b = (
+        urlish.withColumn("__canon", canonicalize_url(url_col))
+        .withColumn("__fp", fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    merged = url_keeper_merge(store_rows).select(
+        F.col("canonical_url").alias("__canon"),
+        F.col("keeper_id").alias("__keeper"),
+        F.col("fp").alias("__old_fp"),
+    )
+    j = b.join(merged, "__canon", "left").localCheckpoint(eager=True)
+
+    new_docs = j.filter(F.col("__keeper").isNull()).drop(
+        "__canon", "__fp", "__keeper", "__old_fp"
+    )
+    changed = j.filter(
+        F.col("__keeper").isNotNull() & (F.col("__fp") != F.col("__old_fp"))
+    )
+    updates = changed.select(
+        F.col("__canon").alias("canonical_url"),
+        F.col("__keeper").alias("keeper_id"),
+        *[c for c in batch.columns],
+    )
+    append_rows = (
+        j.filter(F.col("__keeper").isNull())
+        .select(
+            F.col("__canon").alias("canonical_url"),
+            F.col(id_col).alias("keeper_id"),
+            F.col("__fp").alias("fp"),
+        )
+        .unionByName(
+            changed.select(
+                F.col("__canon").alias("canonical_url"),
+                F.col("__keeper").alias("keeper_id"),
+                F.col("__fp").alias("fp"),
+            )
+        )
+        .withColumn("batch_seq", F.lit(int(batch_seq)).cast("long"))
+    )
+    n_new = new_docs.count()
+    n_changed = changed.count()
+    return (
+        new_docs.unionByName(passthrough),
+        updates,
+        append_rows,
+        n_urlish - n_new - n_changed,
+    )
+
+
+def apply_url_updates(
+    corpus: DataFrame,
+    updates: DataFrame,
+    id_col: str = "doc_id",
+    update_cols: Sequence[str] = ("text",),
+) -> DataFrame:
+    """CDC update-in-place for re-crawled URLs: replace the keeper rows'
+    ``update_cols`` with the re-crawl's values (join on ``keeper_id``;
+    untouched rows pass through). Returns the updated corpus — persist it
+    through ``sources.writers.atomic_swap_write`` (or route updates to a
+    ``sources/manifest`` table's replace commit at warehouse scale; this
+    helper is the frame-level hook both share)."""
+    upd = updates.select(
+        F.col("keeper_id").alias(id_col),
+        *[F.col(c).alias(f"__new_{c}") for c in update_cols],
+    ).dropDuplicates([id_col])
+    out = corpus.join(upd, id_col, "left")
+    for c in update_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))
+    return out.drop(*[f"__new_{c}" for c in update_cols])
+
+
+def ensure_url_keeper_sidecar(path: str) -> None:
+    import os
+
+    from .dedup import _validate_store_params, _write_params_sidecar
+    from ..sources.writers import recover_interrupted_swap
+
+    recover_interrupted_swap(path)
+    sidecar = os.path.join(path, "_url_keeper_params.json")
+    params = {"algo": _URL_KEEPER_ALGO}
+    if os.path.exists(sidecar):
+        _validate_store_params(sidecar, params, label="url-keeper")
+        return
+    os.makedirs(path, exist_ok=True)
+    _write_params_sidecar(sidecar, params)
+
+
+def write_url_keeper_store(rows: DataFrame, path: str, mode: str = "append") -> None:
+    """Persist keeper rows; ``overwrite`` rebuilds through the crash-safe
+    atomic swap (sidecar lands with the data), ``append`` validates the
+    sidecar first. Append keeper rows only AFTER the batch's documents
+    landed (see ``url_keeper_gate``'s ordering note)."""
+    import os
+
+    from .dedup import _write_params_sidecar
+    from ..sources.writers import atomic_swap_write
+
+    if mode == "overwrite":
+        atomic_swap_write(
+            rows,
+            path,
+            finalize_staging=lambda staging: _write_params_sidecar(
+                os.path.join(staging, "_url_keeper_params.json"),
+                {"algo": _URL_KEEPER_ALGO},
+            ),
+        )
+        return
+    ensure_url_keeper_sidecar(path)
+    rows.write.mode(mode).parquet(path)
+
+
+def read_url_keeper_store(spark, path: str) -> DataFrame:
+    """Raw keeper rows (validate the sidecar, heal a crashed swap); take
+    the merged last-writer view via ``url_keeper_merge``."""
+    ensure_url_keeper_sidecar(path)
+    return spark.read.parquet(path)
+
+
+def compact_url_keeper_store(spark, path: str) -> None:
+    """Rewrite the store down to its merged view (one row per canonical,
+    max batch_seq kept so later appends keep winning) — bounds growth and
+    prunes rerun-duplicate appends, through one atomic swap."""
+    import os
+
+    from .dedup import _write_params_sidecar
+    from ..sources.writers import atomic_swap_write
+
+    ensure_url_keeper_sidecar(path)
+    merged = url_keeper_merge(spark.read.parquet(path)).localCheckpoint(eager=True)
+    atomic_swap_write(
+        merged,
+        path,
+        finalize_staging=lambda staging: _write_params_sidecar(
+            os.path.join(staging, "_url_keeper_params.json"),
+            {"algo": _URL_KEEPER_ALGO},
+        ),
+    )
+
+
+def url_keeper_ingest(
+    batch: DataFrame,
+    path: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "tuple[DataFrame, DataFrame, int]":
+    """Store-backed form of ``url_keeper_gate``: read + merge the
+    persisted store, classify the batch, and return ``(new_docs, updates,
+    n_alias_dropped)`` with the append rows ALREADY landed at the next
+    batch_seq. Rerun-idempotent: a rerun finds its own prior append in
+    the store, so every previously-new canonical classifies as a
+    same-content alias and appends nothing — land the batch's documents
+    BEFORE calling this (the ordering the composed ingest runners use for
+    every store sink)."""
+    import os
+
+    spark = batch.sparkSession
+    ensure_url_keeper_sidecar(path)
+    from ..sources.readers import read_parquet_or_none
+
+    existing = read_parquet_or_none(spark, path)
+    if existing is None:
+        existing = spark.createDataFrame(
+            [], "canonical_url string, keeper_id long, fp string, batch_seq long"
+        )
+        next_seq = 1
+    else:
+        next_seq = (existing.agg(F.max("batch_seq")).collect()[0][0] or 0) + 1
+    new_docs, updates, append_rows, n_dropped = url_keeper_gate(
+        batch, existing, url_col, id_col, text_col, batch_seq=next_seq
+    )
+    append_rows = append_rows.localCheckpoint(eager=True)
+    if append_rows.count():
+        append_rows.write.mode("append").parquet(os.path.join(path))
+    return new_docs, updates, n_dropped
+
+
 def url_dedup_groups(
     df: DataFrame,
     url_col: str = "url",

@@ -93,8 +93,14 @@ class IngestReport:
     # domain-tier audit (round 11, None unless the tier ran): documents
     # dropped by the registered-domain blocklist/allowlist gate, and
     # in-batch canonical-URL aliases collapsed before the content tiers
+    # (with a keeper store, round 12, this also counts cross-batch
+    # same-content re-crawls)
     n_domain_dropped: int | None = None
     n_url_alias_dropped: int | None = None
+    # canonical-URL keeper tier (round 12, None unless url_keeper_store
+    # ran): re-crawls with CHANGED content routed to a CDC update of the
+    # keeper document instead of the content dedup tiers
+    n_url_updates: int | None = None
 
 
 def _near_losers(pairs: DataFrame, survivors: DataFrame, id_col: str) -> DataFrame:
@@ -291,10 +297,11 @@ def _domain_gate(
     default-port / fragment aliases of the same page never reach the
     content tiers. Runs FIRST — for literal lists it is even cheaper than
     the entropy floor (the predicate pushes into the scan). Cross-batch
-    same-URL re-crawls are deliberately NOT dropped here: identical bytes
-    are caught by the exact content store, and changed bytes are a
-    freshness decision (supersede, not discard) that belongs to a CDC
-    layer, not a dedup gate. NULL and non-URL-shaped urls pass UNGATED
+    same-URL re-crawls are NOT this gate's business: they belong to the
+    canonical-URL keeper tier (round 12, ``url_keeper_store`` — alias
+    drop for identical bytes, CDC update-in-place for changed bytes),
+    which runs right after this gate when enabled. NULL and
+    non-URL-shaped urls pass UNGATED
     and UNCOLLAPSED (the operators' shared pass-through rule — malformed
     strings have no domain to gate on and no URL identity to collapse;
     round-11 review). Both steps delegate to the ``operators.domains``
@@ -495,6 +502,7 @@ def run_incremental_ingest(
     domain_blocklist: "Sequence[str] | DataFrame" = (),
     domain_allowlist: "Sequence[str] | DataFrame | None" = None,
     collapse_url_aliases: bool = False,
+    url_keeper_store: str | None = None,
 ) -> IngestReport:
     """Run one ingest batch through the enabled dedup tiers (exact is
     mandatory — it is the cheapest and catches byte-duplicates the banded
@@ -579,6 +587,12 @@ def run_incremental_ingest(
     q_on = nb_store is not None
     e_on = min_entropy_microbits is not None
     d_on = url_col is not None
+    uk_on = url_keeper_store is not None
+    if uk_on and (not d_on or survivors_path is None):
+        raise ValueError(
+            "url_keeper_store requires url_col (the URL identity to key on) "
+            "and survivors_path (the landed corpus the CDC updates rewrite)"
+        )
     if n_batch == 0:
         report = IngestReport(
             0,
@@ -595,6 +609,7 @@ def run_incremental_ingest(
             nb_threshold_micros=int(nb_threshold_micros) if q_on else None,
             n_domain_dropped=0 if d_on else None,
             n_url_alias_dropped=0 if d_on and collapse_url_aliases else None,
+            n_url_updates=0 if uk_on else None,
         )
         if audit_path is not None:
             write_ingest_audit(spark, audit_path, report)
@@ -738,7 +753,43 @@ def run_incremental_ingest(
         )
         if not collapse_url_aliases:
             n_url_alias_dropped = None
-    n_remaining = n_batch - (n_domain_dropped or 0) - (n_url_alias_dropped or 0)
+    # canonical-URL keeper gate (round 12): classify the batch against the
+    # persisted cross-batch URL identity BEFORE the content tiers — a
+    # same-content re-crawl drops as an alias, a changed-content re-crawl
+    # routes to a CDC update of the keeper document (applied after the
+    # batch lands; keeper rows append LAST, the commit point)
+    n_url_updates = 0 if uk_on else None
+    uk_updates = uk_append = None
+    if uk_on:
+        from ..operators.domains import ensure_url_keeper_sidecar, url_keeper_gate
+        from ..sources.readers import read_parquet_or_none
+
+        ensure_url_keeper_sidecar(url_keeper_store)
+        uk_existing = read_parquet_or_none(spark, url_keeper_store)
+        if uk_existing is None:
+            uk_existing = spark.createDataFrame(
+                [], "canonical_url string, keeper_id long, fp string, batch_seq long"
+            )
+            uk_seq = 1
+        else:
+            uk_seq = (uk_existing.agg(F.max("batch_seq")).collect()[0][0] or 0) + 1
+        batch, uk_updates, uk_append, n_uk_dropped = url_keeper_gate(
+            batch, uk_existing, url_col, id_col, text_col, batch_seq=uk_seq
+        )
+        batch = batch.localCheckpoint(eager=True)
+        uk_updates = uk_updates.localCheckpoint(eager=True)
+        uk_append = uk_append.localCheckpoint(eager=True)
+        n_url_updates = uk_updates.count()
+        if d_on:
+            n_url_alias_dropped = (n_url_alias_dropped or 0) + n_uk_dropped
+        else:
+            n_url_alias_dropped = n_uk_dropped
+    n_remaining = (
+        n_batch
+        - (n_domain_dropped or 0)
+        - (n_url_alias_dropped or 0)
+        - (n_url_updates or 0)
+    )
     # entropy floor next — the cheapest compute gate (one codegen
     # projection) runs before the NB scoring job sees the batch
     n_entropy_dropped = 0 if e_on else None
@@ -780,7 +831,7 @@ def run_incremental_ingest(
         max_bucket_size=max_bucket_size,
         n_batch=n_batch,
     )
-    if q_on or e_on or d_on:
+    if q_on or e_on or d_on or uk_on:
         from dataclasses import replace as _replace
 
         report = _replace(
@@ -790,6 +841,7 @@ def run_incremental_ingest(
             nb_threshold_micros=int(nb_threshold_micros) if q_on else None,
             n_domain_dropped=n_domain_dropped,
             n_url_alias_dropped=n_url_alias_dropped,
+            n_url_updates=n_url_updates,
         )
 
     # sinks: survivors first, then each store's rows FOR THE SURVIVORS —
@@ -896,6 +948,33 @@ def run_incremental_ingest(
             .mode("overwrite")
             .partitionBy("__batch_id")
             .parquet(passage_store)
+        )
+
+    if uk_on:
+        # canonical-URL keeper tier commit (round 12, ordered LAST): apply
+        # the CDC updates to the landed corpus in place, then append the
+        # keeper rows — restricted to canonicals whose keeper actually
+        # LANDED (a batch doc dropped by a content tier keeps its URL
+        # un-tracked; a future re-crawl re-runs content dedup, which is
+        # correct, just less pruned). Keeper rows are the commit point: a
+        # crash before this append makes the rerun re-classify and re-do
+        # exactly the un-committed work (the sigs-last seam discipline).
+        from ..operators.domains import apply_url_updates, write_url_keeper_store
+        from ..sources.writers import atomic_swap_write
+
+        if n_url_updates:
+            corpus = spark.read.parquet(survivors_path)
+            atomic_swap_write(
+                apply_url_updates(corpus, uk_updates, id_col, (text_col,)),
+                survivors_path,
+            )
+        landed_ids = (
+            spark.read.parquet(survivors_path)
+            .select(F.col(id_col).alias("keeper_id"))
+            .distinct()
+        )
+        write_url_keeper_store(
+            uk_append.join(landed_ids, "keeper_id", "left_semi"), url_keeper_store
         )
 
     if audit_path is not None:
@@ -1074,6 +1153,7 @@ def ingest_audit_row(spark, report: IngestReport) -> DataFrame:
             report.nb_threshold_micros,
             report.n_domain_dropped,
             report.n_url_alias_dropped,
+            report.n_url_updates,
             dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
         )
     ]
@@ -1087,7 +1167,8 @@ _AUDIT_COLS_DDL = (
     "simhash_capped_buckets long, passage_tokens_removed long, "
     "passage_docs_touched long, n_quality_dropped long, "
     "n_entropy_dropped long, nb_threshold_micros long, "
-    "n_domain_dropped long, n_url_alias_dropped long, ingest_ts timestamp"
+    "n_domain_dropped long, n_url_alias_dropped long, n_url_updates long, "
+    "ingest_ts timestamp"
 )
 _AUDIT_COL_NAMES = {c.strip().split()[0] for c in _AUDIT_COLS_DDL.split(",")}
 

@@ -517,3 +517,91 @@ def test_psl_oracle_sql_mirrors_spark_expression(spark):
     """
     duck_side = [r[0] for r in con.execute(sql).fetchall()]
     assert spark_side == duck_side
+
+
+# --------------------- canonical-URL keeper store (round 12) ----------------
+
+
+def test_url_keeper_two_batch_recrawl_e2e(spark, tmp_path):
+    """The cross-batch URL tier (round-11 verdict item 4): batch-2
+    re-crawls of batch-1 URLs never re-land as near-dup work — a
+    same-content alias drops, a changed-content re-crawl routes to a CDC
+    update of the keeper document in place; genuinely new URLs land."""
+    import os
+
+    from etl_data_transformer_spark.operators.domains import (
+        apply_url_updates,
+        url_keeper_ingest,
+        url_keeper_merge,
+    )
+    from etl_data_transformer_spark.sources.writers import atomic_swap_write
+
+    store = str(tmp_path / "keeper")
+    corpus_path = str(tmp_path / "corpus")
+    b1 = spark.createDataFrame(
+        [
+            (1, "https://a.example.com/page1", "original content one"),
+            (2, "https://a.example.com/page2?utm_source=x", "original content two"),
+            (3, None, "un-attributable row"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    new1, upd1, drop1 = url_keeper_ingest(b1, store)
+    assert upd1.count() == 0 and drop1 == 0
+    assert sorted(r.doc_id for r in new1.collect()) == [1, 2, 3]
+    atomic_swap_write(new1, corpus_path)
+
+    b2 = spark.createDataFrame(
+        [
+            # same-content re-crawl of page1 under a tracking alias -> drop
+            (10, "https://a.example.com/page1?fbclid=zz", "original content one"),
+            # CHANGED content re-crawl of page2 -> CDC update of keeper 2
+            (11, "https://a.example.com/page2", "revised content two"),
+            # genuinely new URL -> lands
+            (12, "https://a.example.com/page3", "brand new page"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    new2, upd2, drop2 = url_keeper_ingest(b2, store)
+    assert sorted(r.doc_id for r in new2.collect()) == [12]
+    assert drop2 == 1  # the same-content alias (id 10)
+    ups = upd2.collect()
+    assert len(ups) == 1 and ups[0].keeper_id == 2 and ups[0].doc_id == 11
+
+    # apply the CDC update in place + land the new doc
+    corpus = spark.read.parquet(corpus_path)
+    updated = apply_url_updates(corpus, upd2).unionByName(new2)
+    atomic_swap_write(updated, corpus_path)
+
+    landed = spark.read.parquet(corpus_path)
+    assert sorted(r.doc_id for r in landed.collect()) == [1, 2, 3, 12]  # alias never re-lands
+    assert (
+        landed.filter("doc_id = 2").collect()[0].text == "revised content two"
+    )  # updated in place, keeper id stable
+
+    # merged store view: keeper ids stable, fp follows the re-crawl
+    merged = {
+        r.canonical_url: (r.keeper_id, r.batch_seq)
+        for r in url_keeper_merge(spark.read.parquet(store)).collect()
+    }
+    assert merged["https://a.example.com/page1"] == (1, 1)
+    assert merged["https://a.example.com/page2"] == (2, 2)  # updated row won
+    assert merged["https://a.example.com/page3"][0] == 12
+
+    # rerun of batch 2 is a no-op: everything classifies as known
+    new2b, upd2b, _ = url_keeper_ingest(b2, store)
+    assert new2b.count() == 0 and upd2b.count() == 0
+
+    # compaction bounds growth to one row per canonical, results unchanged
+    from etl_data_transformer_spark.operators.domains import (
+        compact_url_keeper_store,
+    )
+
+    compact_url_keeper_store(spark, store)
+    rows = spark.read.parquet(store)
+    assert rows.count() == rows.select("canonical_url").distinct().count() == 3
+    assert {
+        r.canonical_url: (r.keeper_id, r.batch_seq)
+        for r in url_keeper_merge(rows).collect()
+    } == merged
+    assert os.path.exists(os.path.join(store, "_url_keeper_params.json"))

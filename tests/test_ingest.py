@@ -1639,3 +1639,74 @@ def test_ingest_with_split_minhash_store_matches_flat(spark, tmp_path):
     assert sorted(r["doc_id"] for r in sets.collect()) == flat[3]
     # one sig row per (landed doc, band), no duplicate appends
     assert slim.count() == len(flat[3]) * 4
+
+
+def test_ingest_url_keeper_tier_cross_batch_recrawls(spark, tmp_path):
+    """Round-12 keeper tier through the batch runner: same-content
+    re-crawls drop as aliases, changed-content re-crawls CDC-update the
+    keeper document in place (never re-landing as near-dup work), new
+    URLs land; reruns are idempotent and the audit carries the counts."""
+    from etl_data_transformer_spark.operators.domains import url_keeper_merge
+
+    ex = str(tmp_path / "ex")
+    keeper = str(tmp_path / "keeper")
+    landed_p = str(tmp_path / "landed")
+    audit_p = str(tmp_path / "audit")
+    kw = dict(
+        exact_store=ex,
+        survivors_path=landed_p,
+        audit_path=audit_p,
+        url_col="url",
+        url_keeper_store=keeper,
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, "https://a.example.com/p1", "original content one here"),
+            (2, "https://a.example.com/p2?utm_source=x", "original content two here"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    r1 = run_incremental_ingest(b1, **kw)
+    assert (r1.n_landed, r1.n_url_updates, r1.n_url_alias_dropped) == (2, 0, 0)
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "https://a.example.com/p1?fbclid=z", "original content one here"),
+            (11, "https://a.example.com/p2", "revised content two entirely"),
+            (12, "https://a.example.com/p3", "a brand new page altogether"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    r2 = run_incremental_ingest(b2, **kw)
+    assert (r2.n_landed, r2.n_url_updates, r2.n_url_alias_dropped) == (1, 1, 1)
+
+    landed = spark.read.parquet(landed_p)
+    assert sorted(r.doc_id for r in landed.collect()) == [1, 2, 12]
+    assert landed.filter("doc_id = 2").collect()[0].text == "revised content two entirely"
+
+    merged = {
+        r.canonical_url: r.keeper_id
+        for r in url_keeper_merge(spark.read.parquet(keeper)).collect()
+    }
+    assert merged == {
+        "https://a.example.com/p1": 1,
+        "https://a.example.com/p2": 2,
+        "https://a.example.com/p3": 12,
+    }
+
+    # rerun of batch 2: everything already known — nothing re-lands,
+    # nothing re-updates, the corpus is unchanged
+    r2b = run_incremental_ingest(b2, **kw)
+    assert (r2b.n_landed, r2b.n_url_updates) == (0, 0)
+    after = spark.read.parquet(landed_p)
+    assert sorted(r.doc_id for r in after.collect()) == [1, 2, 12]
+    assert after.filter("doc_id = 2").collect()[0].text == "revised content two entirely"
+
+    audit = spark.read.parquet(audit_p).orderBy("ingest_ts").collect()
+    assert [r.n_url_updates for r in audit] == [0, 1, 0]
+
+    # misconfiguration rejects up front
+    import pytest
+
+    with pytest.raises(ValueError, match="url_keeper_store requires"):
+        run_incremental_ingest(b1, exact_store=ex, url_keeper_store=keeper)
