@@ -405,6 +405,61 @@ def main() -> None:
         detail["sf1_spread"] = sf1_rep_times
         detail["sf1_attempts"] = sf1_attempts
         detail["sf1_duckdb"] = duck_sf1_times
+
+    # round-12 (verdict r11 item 5): per-query spark/duckdb RATIOS and
+    # their round-over-round deltas. The ratio cancels host drift (the
+    # DuckDB co-run is engine-constant), so a per-query delta > 1.3x is a
+    # genuine plan/engine regression, not a contended window — flagged in
+    # the summary so it can neither masquerade as noise nor hide in it.
+    def _ratios(spark_t: dict, duck_t: dict) -> dict:
+        return {
+            n: round(spark_t[n] / max(duck_t[n], 1e-9), 3)
+            for n in duck_t
+            if n in spark_t
+        }
+
+    detail["sf"] = float(sf)
+    detail["ratios"] = _ratios(times, duck_times)
+    if sf1_times:
+        detail["sf1_ratios"] = _ratios(sf1_times, duck_sf1_times)
+    prev = {}
+    try:
+        with open("BENCH_DETAIL.json") as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        pass
+    # only compare like with like: a detail sidecar from a different SF
+    # would make every delta bogus (pre-round-12 sidecars carry no sf key
+    # — they are the driver's per-round sf0.1 runs)
+    if prev.get("sf", 0.1) != float(sf):
+        prev = {}
+    ratio_regressions: list[str] = []
+    for tier, key in (("", "ratios"), ("sf1_", "sf1_ratios")):
+        cur = detail.get(key, {})
+        # previous rounds stored spread+duckdb but no ratios — derive
+        prev_cur = prev.get(key)
+        if prev_cur is None:
+            p_spread = prev.get(f"{tier}spread", {})
+            p_duck = prev.get(f"{tier}duckdb", {})
+            prev_cur = _ratios(
+                {n: min(ts) for n, ts in p_spread.items() if ts}, p_duck
+            )
+        deltas = {
+            n: round(cur[n] / max(prev_cur[n], 1e-9), 3)
+            for n in cur
+            if n in prev_cur
+        }
+        detail[f"{tier}ratio_delta_vs_prev"] = deltas
+        for n, dv in sorted(deltas.items(), key=lambda kv: -kv[1]):
+            if dv > 1.3:
+                ratio_regressions.append(f"{tier}{n}:x{dv}")
+        if deltas:
+            worst = max(deltas.items(), key=lambda kv: kv[1])
+            print(
+                f"# {tier or 'sf0.1_'}ratio deltas vs prev: worst {worst[0]} "
+                f"x{worst[1]}, {sum(1 for v in deltas.values() if v > 1.3)} over 1.3x",
+                file=sys.stderr,
+            )
     try:
         with open("BENCH_DETAIL.json", "w") as f:
             json.dump(detail, f)
@@ -446,6 +501,12 @@ def main() -> None:
             summary["sf1_spark_duckdb_ratio"] = round(
                 summary["sf1_spark_co_total"] / max(summary["sf1_duckdb_total"], 1e-9), 3
             )
+    # per-query ratio regressions vs the previous round's detail sidecar
+    # (>1.3x spark/duckdb ratio growth — host drift cancels in the ratio,
+    # so these are real; names capped to keep the contract line short,
+    # full deltas in BENCH_DETAIL.json)
+    summary["ratio_regressions"] = ratio_regressions[:8]
+    summary["n_ratio_regressions"] = len(ratio_regressions)
     print(json.dumps(summary))
 
 
