@@ -1136,6 +1136,31 @@ def _mixture_target_expr(targets: dict, domain_col: str):
     return expr
 
 
+def temperature_weights_from_stats(
+    stats: DataFrame,
+    alpha: float = 0.3,
+    domain_col: str = "source",
+    mass_col: str = "tok_sum",
+) -> dict[str, float]:
+    """α-weights straight from a (live) dataset-card profile (round 12):
+    sum the profile's ``mass_col`` per ``domain_col`` (works on any
+    ``corpus_stats`` / ``read_corpus_stats`` grouping that CONTAINS the
+    domain column) and temperature-flatten. With the streaming stats
+    store (``streaming.pipeline.stream_stats_rows``) this makes the
+    mixture pipeline's rebalance derive from the profile as it grows —
+    stats → temperature_weights → mixture_targets → sample, no corpus
+    re-scan. Driver-side dict over domain-count-many rows (bounded by
+    construction, like every mixture target)."""
+    rows = (
+        stats.groupBy(domain_col)
+        .agg(F.sum(mass_col).alias("__mass"))
+        .collect()
+    )
+    return temperature_weights(
+        {r[domain_col]: float(r["__mass"] or 0.0) for r in rows}, alpha
+    )
+
+
 def sample_token_mixture(
     df: DataFrame,
     weights: dict[str, float],

@@ -827,6 +827,67 @@ def stream_nb_counts(
     q.awaitTermination()
 
 
+def stream_stats_rows(
+    stream_docs: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    *,
+    group_cols: tuple = ("lang", "source"),
+    text_col: str = "text",
+) -> None:
+    """Streaming maintenance of the dataset-card stats store — the
+    streaming twin of ``plans/quality.write_stats_store`` (round 12,
+    closing the one additive-counter store without one): each
+    micro-batch's PARTIAL ``corpus_stats`` rows land in the batch's OWN
+    ``__batch_id`` partition, so a replayed batch overwrites its earlier
+    (possibly partial) rows instead of double-counting. Every column is
+    merge-able (counts/sums add, max_tokens maxes), so
+    ``read_corpus_stats`` at ANY point equals the full-corpus profile
+    over every landed batch — and the mixture pipeline's α-weights derive
+    LIVE from it (``operators.curation.temperature_weights_from_stats``),
+    no corpus re-scan. A flat ``write_stats_store`` seed converts to the
+    partitioned layout on first use; the ``_stats_params`` sidecar
+    (group-cols pin) is written-or-validated before any data."""
+    from ..plans.quality import (
+        _stats_params,
+        corpus_stats,
+        ensure_stats_params_sidecar,
+    )
+
+    ns = _stream_store_namespace(checkpoint_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from ..operators.dedup import _write_params_sidecar
+
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        ensure_stats_params_sidecar(store_path, group_cols)
+        _partitioned_store_or_convert(
+            spark,
+            store_path,
+            ns,
+            checkpoint_dir,
+            lambda staging: _write_params_sidecar(
+                os.path.join(staging, "_stats_params.json"),
+                _stats_params(group_cols),
+            ),
+        )
+        _overwrite_batch_partition(
+            corpus_stats(batch_df, group_cols, text_col), store_path, ns, batch_id
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_simhash_dedup(
     stream_docs: DataFrame,
     store_path: str,

@@ -1947,3 +1947,71 @@ def test_stream_ingest_entropy_gate(spark, tmp_path):
         (r["n_batch"], r["n_entropy_dropped"], r["n_quality_dropped"], r["n_landed"])
         for r in rows
     ] == [(3, 1, 1, 1)]
+
+
+def test_stream_stats_rows_equals_batch_profile_and_live_alpha(spark, tmp_path):
+    """Round-12 streaming twin of the dataset-card stats store: two
+    drained micro-batches land per-__batch_id partial rows; the merged
+    profile equals corpus_stats over everything streamed; a replayed
+    drain changes nothing; and the mixture α-weights derive live from
+    the growing profile."""
+    from etl_data_transformer_spark.operators.curation import (
+        temperature_weights,
+        temperature_weights_from_stats,
+    )
+    from etl_data_transformer_spark.plans.quality import (
+        corpus_stats,
+        read_corpus_stats,
+    )
+    from etl_data_transformer_spark.streaming.pipeline import stream_stats_rows
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "stats", "ckpt"))
+    schema = "doc_id long, lang string, source string, text string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_stats_rows(stream, store, ckpt)
+
+    b1 = [
+        (1, "en", "web", "one two three four"),
+        (2, "en", "web", "five six"),
+        (3, "de", "books", "sieben acht neun"),
+    ]
+    b2 = [
+        (4, "en", "web", "more english words arrive here now"),
+        (5, "de", "books", "zehn elf"),
+        (6, "fr", "web", "un deux trois"),
+    ]
+    spark.createDataFrame(b1, schema).write.mode("overwrite").parquet(src)
+    drain()
+    mid = {
+        (r.lang, r.source): (r.n_docs, r.tok_sum, r.max_tokens)
+        for r in read_corpus_stats(spark, store).collect()
+    }
+    assert mid[("en", "web")] == (2, 6, 4)
+
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    drain()
+
+    def key(df):
+        return sorted(map(tuple, df.collect()))
+
+    full = corpus_stats(spark.createDataFrame(b1 + b2, schema))
+    assert key(read_corpus_stats(spark, store)) == key(full)
+
+    # replay drain: no new data, nothing changes
+    rows_before = spark.read.parquet(store).count()
+    drain()
+    assert spark.read.parquet(store).count() == rows_before
+
+    # α-weights derive LIVE from the merged store profile — identical to
+    # weights over the batch-computed masses
+    live = temperature_weights_from_stats(read_corpus_stats(spark, store))
+    masses = {
+        r["source"]: float(r["m"])
+        for r in full.groupBy("source")
+        .agg(F.sum("tok_sum").alias("m"))
+        .collect()
+    }
+    assert live == temperature_weights(masses)
+    assert abs(sum(live.values()) - 1.0) < 1e-9 and set(live) == {"web", "books"}
