@@ -2280,6 +2280,109 @@ def _read_jaccard_params(path: str) -> dict:
         return json.load(f)
 
 
+# ---- candidate-mass drift tracking (round 12, verdict r11 item 7).
+# The frozen census never breaks EXACTNESS — but as post-freeze grams
+# become genuinely hot, their frozen df=0 rank keeps them inside
+# prefixes and the candidate join's row mass grows. The mass sidecar
+# records the store's build-time self-join candidate mass per doc
+# (sum over prefix grams of C(c_g, 2) / n_docs — the exact pre-filter
+# row count of the prefix self-join) and each incremental batch's
+# measured (cross + batch-self) candidate mass per batch doc, so drift
+# is DETECTED rather than discovered as a slow batch:
+# ``jaccard_store_drift`` compares the latest batch against the build
+# ratio and ``maybe_compact_jaccard_store`` re-censuses when it exceeds
+# the factor. The per-batch histograms aggregate over scans the
+# incremental join already performs (store postings are its join input),
+# so recording adds no new asymptotic cost.
+
+_JACCARD_MASS_SIDECAR = "_jaccard_mass.json"
+
+
+def _jaccard_build_cand_per_doc(postings: DataFrame, id_col: str) -> float:
+    n = postings.select(id_col).distinct().count()
+    row = (
+        postings.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("m"))
+        .collect()[0]
+    )
+    return float(row["m"] or 0.0) / max(n, 1)
+
+
+def _write_jaccard_mass(dirpath: str, build_cand_per_doc: float) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(dirpath, _JACCARD_MASS_SIDECAR + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(
+            {"build_cand_per_doc": build_cand_per_doc, "batches": []}, f
+        )
+    os.replace(tmp, os.path.join(dirpath, _JACCARD_MASS_SIDECAR))
+
+
+def _append_jaccard_mass(path: str, n_docs: int, cand_per_doc: float) -> None:
+    import json
+    import os
+
+    sidecar = os.path.join(path, _JACCARD_MASS_SIDECAR)
+    if not os.path.exists(sidecar):  # pre-round-12 store: start tracking now
+        _write_jaccard_mass(path, 0.0)
+    with open(sidecar, encoding="utf-8") as f:
+        mass = json.load(f)
+    mass["batches"].append(
+        {"n_docs": int(n_docs), "cand_per_doc": round(float(cand_per_doc), 3)}
+    )
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(mass, f)
+    os.replace(tmp, sidecar)
+
+
+def jaccard_store_drift(path: str, factor: float = 4.0) -> dict:
+    """Census-drift report for a prefix-Jaccard store: the build-time
+    candidate mass per doc, the latest batch's measured mass per batch
+    doc, their ratio, and whether it exceeds ``factor`` (→ recommend
+    ``compact_jaccard_store``). A store with no recorded batches (or a
+    pre-round-12 store) reports ratio 0 and no recommendation."""
+    import json
+    import os
+
+    sidecar = os.path.join(path, _JACCARD_MASS_SIDECAR)
+    if not os.path.exists(sidecar):
+        return {
+            "build_cand_per_doc": None,
+            "last_cand_per_doc": None,
+            "ratio": 0.0,
+            "recommend_compact": False,
+        }
+    with open(sidecar, encoding="utf-8") as f:
+        mass = json.load(f)
+    build = float(mass.get("build_cand_per_doc") or 0.0)
+    batches = mass.get("batches", [])
+    last = float(batches[-1]["cand_per_doc"]) if batches else None
+    # floor the baseline at 1 candidate/doc: a near-empty build ratio must
+    # not make the very first real batch scream 'drift'
+    ratio = (last / max(build, 1.0)) if last is not None else 0.0
+    return {
+        "build_cand_per_doc": build,
+        "last_cand_per_doc": last,
+        "ratio": round(ratio, 3),
+        "recommend_compact": ratio > factor,
+    }
+
+
+def maybe_compact_jaccard_store(spark, path: str, factor: float = 4.0) -> bool:
+    """Compact-on-drift: re-census + rebuild when the latest batch's
+    candidate mass per doc exceeds ``factor`` × the build-time ratio
+    (results are identical before and after — the census is a pruner, not
+    a correctness input). Returns whether compaction ran."""
+    if not jaccard_store_drift(path, factor)["recommend_compact"]:
+        return False
+    compact_jaccard_store(spark, path)
+    return True
+
+
 def write_jaccard_store(
     df: DataFrame,
     path: str,
@@ -2313,15 +2416,21 @@ def write_jaccard_store(
         )
         _jaccard_gramsets(g, id_col).write.parquet(os.path.join(staging, "gramsets"))
 
-    atomic_swap_write(
-        df,
-        path,
-        write_staging=_write,
-        finalize_staging=lambda staging: _write_params_sidecar(
+    def _finalize(staging):
+        _write_params_sidecar(
             os.path.join(staging, "_jaccard_params.json"),
             _jaccard_store_params(n, feature, num, den),
-        ),
-    )
+        )
+        # build-time candidate-mass baseline for the drift heuristic
+        _write_jaccard_mass(
+            staging,
+            _jaccard_build_cand_per_doc(
+                df.sparkSession.read.parquet(os.path.join(staging, "postings")),
+                id_col,
+            ),
+        )
+
+    atomic_swap_write(df, path, write_staging=_write, finalize_staging=_finalize)
 
 
 def jaccard_join_incremental(
@@ -2472,6 +2581,29 @@ def jaccard_join_incremental(
         # gramsets FIRST (see the crash-recovery docstring note)
         new_sets.write.mode("append").parquet(os.path.join(path, "gramsets"))
         new_postings.write.mode("append").parquet(os.path.join(path, "postings"))
+        # record this batch's candidate mass per doc for the drift
+        # heuristic (exact pre-filter row count of the candidate join:
+        # cross = Σ_g b_g·c_g against the store, self = Σ_g C(b_g, 2));
+        # both histograms aggregate the SAME frames the join just read
+        bh = new_postings.groupBy("g").agg(F.count(F.lit(1)).alias("__b"))
+        cross = (
+            bh.join(
+                store_postings.groupBy("g").agg(F.count(F.lit(1)).alias("__c")), "g"
+            )
+            .agg(F.sum(F.col("__b") * F.col("__c")).alias("m"))
+            .collect()[0]["m"]
+            or 0.0
+        )
+        self_m = (
+            bh.agg(
+                F.sum(F.col("__b") * (F.col("__b") - 1) / 2).alias("m")
+            ).collect()[0]["m"]
+            or 0.0
+        ) if include_batch_pairs else 0.0
+        n_docs = new_sets.count()
+        _append_jaccard_mass(
+            path, n_docs, (float(cross) + float(self_m)) / max(n_docs, 1)
+        )
     return verified
 
 
@@ -2520,14 +2652,17 @@ def compact_jaccard_store(spark, path: str) -> None:
         )
         sets.write.parquet(os.path.join(staging, "gramsets"))
 
-    atomic_swap_write(
-        sets,
-        path,
-        write_staging=_write,
-        finalize_staging=lambda staging: _write_params_sidecar(
-            os.path.join(staging, "_jaccard_params.json"), params
-        ),
-    )
+    def _finalize(staging):
+        _write_params_sidecar(os.path.join(staging, "_jaccard_params.json"), params)
+        # fresh census = fresh drift baseline, batch history reset
+        _write_jaccard_mass(
+            staging,
+            _jaccard_build_cand_per_doc(
+                spark.read.parquet(os.path.join(staging, "postings")), id_col
+            ),
+        )
+
+    atomic_swap_write(sets, path, write_staging=_write, finalize_staging=_finalize)
 
 
 def embedding_near_dups(df: DataFrame, id_col: str = "vec_id", threshold: float = 0.95) -> DataFrame:

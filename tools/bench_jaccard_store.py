@@ -21,6 +21,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from etl_data_transformer_spark.operators.dedup import (  # noqa: E402
     jaccard_join_incremental,
+    jaccard_store_drift,
+    maybe_compact_jaccard_store,
     write_jaccard_store,
 )
 from etl_data_transformer_spark.session import get_spark  # noqa: E402
@@ -55,6 +57,48 @@ def main() -> None:
             f"{tier}: corpus={n} build={t_build:.1f}s "
             f"batch(500 docs)x3={times} pairs={pairs}"
         )
+
+    # ---- drifted case (round 12): a vocabulary-shifted batch stream
+    # against the sf0.1 store — the frozen census keeps the unseen-hot
+    # grams in prefixes, so batch wall-clock and candidate mass climb;
+    # the drift heuristic detects it and compact-on-drift restores both.
+    store = os.path.join(SCRATCH, "sf0.1")
+    shifted_base = (
+        spark.read.parquet(SF01)
+        .limit(400)
+        .select(
+            (F.col("doc_id") + 200_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("breaking news update today exclusive report "), F.col("text")
+            ).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for b in range(3):
+        batch = shifted_base.select(
+            (F.col("doc_id") + b * 1_000_000).alias("doc_id"), "text"
+        )
+        t0 = time.time()
+        n_pairs = jaccard_join_incremental(batch, store).count()
+        d = jaccard_store_drift(store)
+        print(
+            f"drift batch {b}: {time.time() - t0:.2f}s pairs={n_pairs} "
+            f"cand/doc={d['last_cand_per_doc']} ratio={d['ratio']} "
+            f"recommend={d['recommend_compact']}"
+        )
+    t0 = time.time()
+    compacted = maybe_compact_jaccard_store(spark, store, factor=4.0)
+    print(f"maybe_compact: ran={compacted} in {time.time() - t0:.1f}s")
+    probe = shifted_base.select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"), "text"
+    )
+    t0 = time.time()
+    n_pairs = jaccard_join_incremental(probe, store).count()
+    d = jaccard_store_drift(store)
+    print(
+        f"post-compact probe: {time.time() - t0:.2f}s pairs={n_pairs} "
+        f"cand/doc={d['last_cand_per_doc']}"
+    )
     spark.stop()
 
 
