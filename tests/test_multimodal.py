@@ -131,3 +131,69 @@ def test_featurize_with_real_png_decoder(spark):
         n, feat = got[i]
         assert n == len(b)
         assert feat == want, i
+
+
+def test_wav_roundtrip_and_chunk_handling():
+    """PCM16 WAV round-trip through the pure-stdlib codec, incl. skipping
+    unknown RIFF chunks and rejecting non-PCM/non-WAVE input."""
+    import struct
+
+    import pytest
+
+    from etl_data_transformer_spark.functions.wav import wav_decode, wav_encode
+
+    samples = [0, 1000, -1000, 32767, -32768, 12, -7, 0]
+    b = wav_encode(samples, sample_rate=8000, n_channels=2)
+    sr, ch, got = wav_decode(b)
+    assert (sr, ch, got) == (8000, 2, samples)
+
+    # unknown chunk (LIST) before data is skipped per the RIFF spec
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    data = struct.pack("<3h", 5, -5, 9)
+    body = (
+        b"WAVE"
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    weird = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert wav_decode(weird) == (16000, 1, [5, -5, 9])
+
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"not audio at all")
+    # float-PCM (format 3) routes to the codec injection point
+    fmt3 = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+    nb = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt3) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt3)) + fmt3
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        wav_decode(nb)
+
+
+def test_featurize_with_real_wav_decoder(spark):
+    """Round-12: the SECOND real codec through the identical
+    featurize(decoder=...) mapInPandas plumbing — an AUDIO column this
+    time: per-media deterministic PCM16 WAVs decoded inside the executor,
+    duration/rate/RMS/zero-crossing features pinned against plain-Python
+    recomputation. No skip: the codec is stdlib-only."""
+    from etl_data_transformer_spark.functions.wav import wav_feature, wav_encode
+    from etl_data_transformer_spark.operators.multimodal import featurize
+
+    def make_wav(i: int) -> bytes:
+        samples = [((j * 37 + i * 11) % 2001) - 1000 for j in range(50 + i * 3)]
+        return wav_encode(samples, sample_rate=8000 + 1000 * (i % 3))
+
+    rows = [(i, make_wav(i), "audio", (None, None, None)) for i in range(8)]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, media_type string, "
+        "meta struct<width:int,height:int,duration_ms:long>",
+    )
+    out = featurize(df, feature_dim=6, decoder=lambda b: wav_feature(b, 6))
+    got = {r["media_id"]: (r["n_bytes"], list(r["feature"])) for r in out.collect()}
+    assert set(got) == set(range(8))
+    for i in range(8):
+        b = make_wav(i)
+        assert got[i] == (len(b), wav_feature(b, 6)), i
