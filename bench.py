@@ -450,8 +450,12 @@ def main() -> None:
             if n in prev_cur
         }
         detail[f"{tier}ratio_delta_vs_prev"] = deltas
+        # noise floor: sub-half-second queries are fixed-overhead-dominated
+        # on the Spark side and single-rep on the DuckDB side — their
+        # ratio jitters 2-3x run to run and would drown the real flags
+        tier_times = sf1_times if tier else times
         for n, dv in sorted(deltas.items(), key=lambda kv: -kv[1]):
-            if dv > 1.3:
+            if dv > 1.3 and tier_times.get(n, 0.0) >= 0.5:
                 ratio_regressions.append(f"{tier}{n}:x{dv}")
         if deltas:
             worst = max(deltas.items(), key=lambda kv: kv[1])
