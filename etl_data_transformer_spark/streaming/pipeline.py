@@ -888,6 +888,88 @@ def stream_stats_rows(
     q.awaitTermination()
 
 
+def stream_url_keeper(
+    stream_docs: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    *,
+    survivors_path: str,
+    updates_path: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming twin of the canonical-URL keeper tier (round 12 —
+    completing the house pattern: every store has batch, incremental and
+    streaming forms). Each micro-batch gates against the merged keeper
+    view: genuinely new URLs land in the batch's own ``__batch_id``
+    partition of ``survivors_path``; changed-content re-crawls become CDC
+    rows in ``updates_path`` (the batch columns + the stable
+    ``keeper_id`` — a stream cannot rewrite the landed corpus in place,
+    so consumers apply them downstream, the standard CDC-stream
+    contract); same-content re-crawls and in-batch aliases drop. Keeper
+    rows land LAST in their own store partition — the commit point, and
+    the replay heal: a replayed micro-batch excludes its own partition
+    from the gate view, recomputes the identical classification at the
+    identical ``batch_seq`` (max surviving seq + 1), and dynamically
+    overwrites all three of its partitions instead of duplicating. A
+    flat batch-written keeper store converts to the partitioned layout
+    on first use (sidecar validated before any data)."""
+    from ..operators.domains import (
+        _URL_KEEPER_ALGO,
+        ensure_url_keeper_sidecar,
+        url_keeper_gate,
+    )
+
+    ns = _stream_store_namespace(checkpoint_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from ..operators.dedup import _write_params_sidecar
+
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        ensure_url_keeper_sidecar(store_path)
+        _partitioned_store_or_convert(
+            spark,
+            store_path,
+            ns,
+            checkpoint_dir,
+            lambda staging: _write_params_sidecar(
+                os.path.join(staging, "_url_keeper_params.json"),
+                {"algo": _URL_KEEPER_ALGO},
+            ),
+        )
+        existing = _read_store_or_none(spark, store_path)
+        me = f"{ns}-{batch_id:06d}"
+        if existing is None:
+            existing = spark.createDataFrame(
+                [], "canonical_url string, keeper_id long, fp string, batch_seq long"
+            )
+        elif "__batch_id" in existing.columns:
+            # heal: a replayed batch must not gate against its own
+            # crashed prior attempt's keeper rows
+            existing = existing.filter(F.col("__batch_id") != me).drop("__batch_id")
+        seq = (existing.agg(F.max("batch_seq")).collect()[0][0] or 0) + 1
+        new_docs, updates, append_rows, _ = url_keeper_gate(
+            batch_df, existing, url_col, id_col, text_col, batch_seq=seq
+        )
+        # survivors and CDC updates first, keeper rows LAST (commit point)
+        _overwrite_batch_partition(new_docs, survivors_path, ns, batch_id)
+        _overwrite_batch_partition(updates, updates_path, ns, batch_id)
+        _overwrite_batch_partition(append_rows, store_path, ns, batch_id)
+
+    q = (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_simhash_dedup(
     stream_docs: DataFrame,
     store_path: str,

@@ -2015,3 +2015,72 @@ def test_stream_stats_rows_equals_batch_profile_and_live_alpha(spark, tmp_path):
     }
     assert live == temperature_weights(masses)
     assert abs(sum(live.values()) - 1.0) < 1e-9 and set(live) == {"web", "books"}
+
+
+def test_stream_url_keeper_parity_with_batch_and_replay(spark, tmp_path):
+    """Round-12 streaming twin of the URL keeper tier: two drained
+    micro-batches classify exactly like the batch url_keeper_ingest
+    sequence (merged keeper view, landed new docs, CDC update rows), and
+    a replayed drain changes nothing."""
+    from etl_data_transformer_spark.operators.domains import (
+        url_keeper_ingest,
+        url_keeper_merge,
+    )
+    from etl_data_transformer_spark.streaming.pipeline import stream_url_keeper
+
+    src, store, landed, updates, ckpt = (
+        str(tmp_path / p) for p in ("src", "keeper", "landed", "updates", "ckpt")
+    )
+    schema = "doc_id long, url string, text string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_url_keeper(
+            stream, store, ckpt, survivors_path=landed, updates_path=updates
+        )
+
+    b1 = [
+        (1, "https://a.example.com/p1", "original content one here"),
+        (2, "https://a.example.com/p2?utm_source=x", "original content two here"),
+    ]
+    b2 = [
+        (10, "https://a.example.com/p1?fbclid=z", "original content one here"),
+        (11, "https://a.example.com/p2", "revised content two entirely"),
+        (12, "https://a.example.com/p3", "a brand new page altogether"),
+    ]
+    spark.createDataFrame(b1, schema).write.mode("overwrite").parquet(src)
+    drain()
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    drain()
+
+    # batch control: the same two batches through url_keeper_ingest
+    bstore = str(tmp_path / "keeper_batch")
+    new1, _, _ = url_keeper_ingest(spark.createDataFrame(b1, schema), bstore)
+    new2, upd2, _ = url_keeper_ingest(spark.createDataFrame(b2, schema), bstore)
+
+    def merged(path):
+        return {
+            (r.canonical_url, r.keeper_id, r.fp)
+            for r in url_keeper_merge(
+                spark.read.parquet(path).drop("__batch_id")
+            ).collect()
+        }
+
+    assert merged(store) == merged(bstore)
+    stream_landed = sorted(
+        r.doc_id for r in spark.read.parquet(landed).collect()
+    )
+    assert stream_landed == sorted(
+        r.doc_id for r in new1.unionByName(new2).collect()
+    ) == [1, 2, 12]
+    cdc = spark.read.parquet(updates).collect()
+    assert [(r.keeper_id, r.doc_id, r.text) for r in cdc] == [
+        (2, 11, "revised content two entirely")
+    ]
+
+    # replayed drain: no new data -> nothing changes anywhere
+    counts = tuple(spark.read.parquet(p).count() for p in (store, landed, updates))
+    drain()
+    assert counts == tuple(
+        spark.read.parquet(p).count() for p in (store, landed, updates)
+    )
