@@ -247,6 +247,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing_gate": EXT.q_sequence_packing_gate,
     "top_ngram_docs": EXT.q_top_ngram_docs,
     "dedup_lines_docs": EXT.q_dedup_lines_docs,
+    # round-12 IN-SESSION promotion: the round's genuinely new operator —
+    # the canonical-URL keeper store's merge view (alias collapse, keeper
+    # stability, CDC fp advancement hash-checked end to end) — gets a
+    # driver-strength row immediately, so EVERY query the catalog has
+    # ever carried holds at least one driver slot after this round.
+    # Rotating out scd2_user_state (fresh r11 driver row; the SCD2 family
+    # keeps scd2_snapshot_orders driver-live, with scd2_apply_user_state
+    # and the history build holding rotated hash rows).
+    "url_keeper_merge_docs": EXT.q_url_keeper_merge_docs,
     # temporal + profiling surface (as-of, range join, sessions, rollup)
     **TEMPORAL_QUERIES,
 }
@@ -275,6 +284,7 @@ for _out in (
     # TEMPORAL_QUERIES spread, snapshot_diff via the WAREHOUSE spread
     "ann_ivf_recall",
     "quantize_embeddings",
+    "scd2_user_state",
     "top_fraction_docs",
     "contamination_docs",
     "lang_id",
@@ -390,11 +400,10 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_docs": EXT.q_pmi_docs,
     "scd2_apply_user_state": WQ.q_scd2_apply_user_state,
     "snapshot_diff_orders": WQ.q_snapshot_diff_orders,
-    # round-12 addition: the canonical-URL keeper store's merged view —
-    # two sequential batches, alias collapse + keeper stability + CDC fp
-    # advancement hash-checked end to end (the cross-batch re-crawl tier
-    # next to url_dedup_docs' within-batch contract).
-    "url_keeper_merge_docs": EXT.q_url_keeper_merge_docs,
+    # round-12 in-session rotate-out (url_keeper_merge_docs promoted;
+    # overlap documented at the QUERIES note): keeps the IDENTICAL
+    # driver-strength hash compare here.
+    "scd2_user_state": WQ.q_scd2_user_state,
 }
 
 _ALL_SQL: dict[str, str] = {**ALL_ORACLES, **BRANCH_ORACLES}
