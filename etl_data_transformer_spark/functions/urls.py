@@ -90,16 +90,16 @@ def parse_psl_rules(lines) -> PSLRules:
 
 
 def load_psl(path: str | None = None) -> PSLRules:
-    """Rules from a full upstream ``public_suffix_list.dat`` at ``path``,
-    falling back to the bundled snapshot when ``path`` is None or
-    missing. Swapping the file swaps the DATA only — every consumer
+    """Rules from a full upstream ``public_suffix_list.dat`` at ``path``;
+    ``None`` loads the bundled snapshot. An EXPLICIT path that does not
+    exist raises (round-12 review: silently degrading a production PSL
+    to the ~280-rule snapshot would corrupt every domain gate with no
+    signal). Swapping the file swaps the DATA only — every consumer
     (Spark expression and DuckDB oracle) regenerates from the result."""
-    import os
-
-    if path is not None and os.path.exists(path):
-        with open(path, encoding="utf-8") as f:
-            return parse_psl_rules(f.readlines())
-    return parse_psl_rules(PSL_SNAPSHOT)
+    if path is None:
+        return parse_psl_rules(PSL_SNAPSHOT)
+    with open(path, encoding="utf-8") as f:
+        return parse_psl_rules(f.readlines())
 
 
 # module defaults: the bundled snapshot, and the pre-round-12 naive set

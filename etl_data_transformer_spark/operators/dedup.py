@@ -726,9 +726,13 @@ def _write_minhash_store_split(
 
     from ..sources.writers import atomic_swap_write
 
+    # the id column is whatever the store frame carries besides (hs, sig)
+    # — same inference as _compact_store (round-12 review: hardcoding
+    # doc_id broke split migration of stores keyed on e.g. passage_id)
+    id_col = [c for c in store_df.columns if c not in ("hs", "sig")][0]
     store_df = store_df.localCheckpoint(eager=True)
-    sigs = store_df.select("doc_id", "sig")
-    sets = store_df.dropDuplicates(["doc_id"]).select("doc_id", "hs")
+    sigs = store_df.select(id_col, "sig")
+    sets = store_df.dropDuplicates([id_col]).select(id_col, "hs")
     spark = store_df.sparkSession
 
     if mode == "overwrite":
@@ -740,7 +744,7 @@ def _write_minhash_store_split(
 
         def _write(unused_df, staging):
             if bucket_by_band:
-                _bucketed_staging_writer("doc_id", num_buckets)(
+                _bucketed_staging_writer(id_col, num_buckets)(
                     sets, os.path.join(staging, "hashsets")
                 )
                 _bucketed_staging_writer("sig", num_buckets)(
@@ -763,7 +767,7 @@ def _write_minhash_store_split(
                 spark, os.path.join(path, "sigs"), "sig", num_buckets
             )
             _register_bucketed_store(
-                spark, os.path.join(path, "hashsets"), "doc_id", num_buckets
+                spark, os.path.join(path, "hashsets"), id_col, num_buckets
             )
         return
 
@@ -779,7 +783,7 @@ def _write_minhash_store_split(
         _write_params_sidecar(sidecar, params)
     if bucket_by_band:
         for sub, col, frame in (
-            ("hashsets", "doc_id", sets),
+            ("hashsets", id_col, sets),
             ("sigs", "sig", sigs),
         ):
             sub_path = os.path.join(path, sub)
@@ -848,31 +852,45 @@ def read_minhash_store_split(
             ignore_keys=_BUCKET_KEYS + _LAYOUT_KEYS,
         )
     if minhash_store_layout(path) == "split":
+        # infer the id column from the files (whatever sits beside sig/hs
+        # — the split writer preserves the source frame's id column)
+        id_col = [
+            c
+            for c in spark.read.parquet(os.path.join(path, "sigs")).columns
+            if c != "sig"
+        ][0]
         spec = minhash_store_bucket_spec(path)
         if spec is not None:
             n = spec[1]
             slim = spark.table(
                 _register_bucketed_store(spark, os.path.join(path, "sigs"), "sig", n)
-            ).select("doc_id", "sig")
+            ).select(id_col, "sig")
             sets = spark.table(
                 _register_bucketed_store(
-                    spark, os.path.join(path, "hashsets"), "doc_id", n
+                    spark, os.path.join(path, "hashsets"), id_col, n
                 )
-            ).select("doc_id", "hs")
+            ).select(id_col, "hs")
         else:
             slim = spark.read.parquet(os.path.join(path, "sigs")).select(
-                "doc_id", "sig"
+                id_col, "sig"
             )
             sets = spark.read.parquet(os.path.join(path, "hashsets")).select(
-                "doc_id", "hs"
+                id_col, "hs"
             )
-        return slim, sets.dropDuplicates(["doc_id"])
-    flat = read_minhash_store(
-        spark, path, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
-    )
+        return slim, sets.dropDuplicates([id_col])
+    # flat v1 store: derive both views, inferring the id column (the v1
+    # reader keeps its own doc_id contract for its own callers)
+    spec = minhash_store_bucket_spec(path)
+    if spec is not None:
+        flat = spark.table(_register_bucketed_store(spark, path, spec[0], spec[1]))
+    else:
+        flat = spark.read.parquet(path)
+    id_col = [
+        c for c in flat.columns if c not in ("hs", "sig", "__batch_id")
+    ][0]
     return (
-        flat.select("doc_id", "sig"),
-        flat.dropDuplicates(["doc_id"]).select("doc_id", "hs"),
+        flat.select(id_col, "sig"),
+        flat.dropDuplicates([id_col]).select(id_col, "hs"),
     )
 
 
@@ -977,7 +995,8 @@ def read_minhash_store(
             slim, sets = read_minhash_store_split(
                 spark, path, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
             )
-            return sets.join(slim, "doc_id").select("doc_id", "hs", "sig")
+            key = [c for c in slim.columns if c != "sig"][0]
+            return sets.join(slim, key).select(key, "hs", "sig")
         spec = minhash_store_bucket_spec(path)
         if spec is not None:
             table = _register_bucketed_store(spark, path, spec[0], spec[1])
@@ -2316,7 +2335,13 @@ def _write_jaccard_mass(dirpath: str, build_cand_per_doc: float) -> None:
     tmp = os.path.join(dirpath, _JACCARD_MASS_SIDECAR + ".tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(
-            {"build_cand_per_doc": build_cand_per_doc, "batches": []}, f
+            {
+                "build_cand_per_doc": (
+                    None if build_cand_per_doc is None else float(build_cand_per_doc)
+                ),
+                "batches": [],
+            },
+            f,
         )
     os.replace(tmp, os.path.join(dirpath, _JACCARD_MASS_SIDECAR))
 
@@ -2326,8 +2351,10 @@ def _append_jaccard_mass(path: str, n_docs: int, cand_per_doc: float) -> None:
     import os
 
     sidecar = os.path.join(path, _JACCARD_MASS_SIDECAR)
-    if not os.path.exists(sidecar):  # pre-round-12 store: start tracking now
-        _write_jaccard_mass(path, 0.0)
+    if not os.path.exists(sidecar):
+        # no baseline known — record batches but never recommend until a
+        # build/compaction (or the caller's store-postings seed) sets one
+        _write_jaccard_mass(path, None)
     with open(sidecar, encoding="utf-8") as f:
         mass = json.load(f)
     mass["batches"].append(
@@ -2358,14 +2385,19 @@ def jaccard_store_drift(path: str, factor: float = 4.0) -> dict:
         }
     with open(sidecar, encoding="utf-8") as f:
         mass = json.load(f)
-    build = float(mass.get("build_cand_per_doc") or 0.0)
+    build_raw = mass.get("build_cand_per_doc")
     batches = mass.get("batches", [])
     last = float(batches[-1]["cand_per_doc"]) if batches else None
-    # floor the baseline at 1 candidate/doc: a near-empty build ratio must
-    # not make the very first real batch scream 'drift'
-    ratio = (last / max(build, 1.0)) if last is not None else 0.0
+    # no recorded baseline (legacy store whose first append predates the
+    # caller-side store-postings seed) -> never recommend; floor a real
+    # baseline at 1 candidate/doc so a near-empty build ratio cannot make
+    # the very first real batch scream 'drift'
+    if build_raw is None or last is None:
+        ratio = 0.0
+    else:
+        ratio = last / max(float(build_raw), 1.0)
     return {
-        "build_cand_per_doc": build,
+        "build_cand_per_doc": build_raw,
         "last_cand_per_doc": last,
         "ratio": round(ratio, 3),
         "recommend_compact": ratio > factor,
@@ -2442,6 +2474,7 @@ def jaccard_join_incremental(
     threshold: float | None = None,
     include_batch_pairs: bool = True,
     append: bool = True,
+    record_mass: bool = True,
 ) -> DataFrame:
     """Exact Jaccard pairs (J >= threshold) TOUCHING an ingest batch —
     ``jaccard_join_prefix(store_corpus ∪ batch)`` restricted to pairs with
@@ -2581,29 +2614,40 @@ def jaccard_join_incremental(
         # gramsets FIRST (see the crash-recovery docstring note)
         new_sets.write.mode("append").parquet(os.path.join(path, "gramsets"))
         new_postings.write.mode("append").parquet(os.path.join(path, "postings"))
-        # record this batch's candidate mass per doc for the drift
-        # heuristic (exact pre-filter row count of the candidate join:
-        # cross = Σ_g b_g·c_g against the store, self = Σ_g C(b_g, 2));
-        # both histograms aggregate the SAME frames the join just read
-        bh = new_postings.groupBy("g").agg(F.count(F.lit(1)).alias("__b"))
-        cross = (
-            bh.join(
-                store_postings.groupBy("g").agg(F.count(F.lit(1)).alias("__c")), "g"
+        if record_mass:
+            # record this batch's candidate mass per doc for the drift
+            # heuristic (exact pre-filter row count of the candidate join:
+            # cross = Σ_g b_g·c_g against the store, self = Σ_g C(b_g, 2)).
+            # The store-side histogram re-aggregates the postings the join
+            # just read — one extra store-side pass per batch; pass
+            # record_mass=False on latency-critical paths and sample the
+            # drift check out of band instead.
+            if not os.path.exists(os.path.join(path, _JACCARD_MASS_SIDECAR)):
+                # legacy pre-round-12 store: seed the baseline from the
+                # CURRENT store postings (an absent/zero baseline must not
+                # flag spurious drift on the first tracked batch)
+                _write_jaccard_mass(
+                    path, _jaccard_build_cand_per_doc(store_postings, id_col)
+                )
+            bh = new_postings.groupBy("g").agg(F.count(F.lit(1)).alias("__b"))
+            cross = (
+                bh.join(
+                    store_postings.groupBy("g").agg(F.count(F.lit(1)).alias("__c")), "g"
+                )
+                .agg(F.sum(F.col("__b") * F.col("__c")).alias("m"))
+                .collect()[0]["m"]
+                or 0.0
             )
-            .agg(F.sum(F.col("__b") * F.col("__c")).alias("m"))
-            .collect()[0]["m"]
-            or 0.0
-        )
-        self_m = (
-            bh.agg(
-                F.sum(F.col("__b") * (F.col("__b") - 1) / 2).alias("m")
-            ).collect()[0]["m"]
-            or 0.0
-        ) if include_batch_pairs else 0.0
-        n_docs = new_sets.count()
-        _append_jaccard_mass(
-            path, n_docs, (float(cross) + float(self_m)) / max(n_docs, 1)
-        )
+            self_m = (
+                bh.agg(
+                    F.sum(F.col("__b") * (F.col("__b") - 1) / 2).alias("m")
+                ).collect()[0]["m"]
+                or 0.0
+            ) if include_batch_pairs else 0.0
+            n_docs = new_sets.count()
+            _append_jaccard_mass(
+                path, n_docs, (float(cross) + float(self_m)) / max(n_docs, 1)
+            )
     return verified
 
 

@@ -249,8 +249,13 @@ def url_keeper_gate(
     new_docs = j.filter(F.col("__keeper").isNull()).drop(
         "__canon", "__fp", "__keeper", "__old_fp"
     )
+    # NULL-SAFE change test (round-12 review): fingerprint(NULL text) is
+    # NULL, and a bare != evaluates to NULL for it — a NULL-text keeper
+    # re-crawled with real content (or vice versa) would be silently
+    # swallowed as an alias, losing the new content forever
     changed = j.filter(
-        F.col("__keeper").isNotNull() & (F.col("__fp") != F.col("__old_fp"))
+        F.col("__keeper").isNotNull()
+        & ~F.col("__fp").eqNullSafe(F.col("__old_fp"))
     )
     updates = changed.select(
         F.col("__canon").alias("canonical_url"),
@@ -305,6 +310,48 @@ def apply_url_updates(
     return out.drop(*[f"__new_{c}" for c in update_cols])
 
 
+_URL_KEEPER_SCHEMA = "canonical_url string, keeper_id long, fp string, batch_seq long"
+
+
+def read_or_seed_url_keeper(
+    spark,
+    path: str,
+    *,
+    exclude_batch_partition: "str | None" = None,
+    allow_streaming_layout: bool = False,
+) -> "tuple[DataFrame, int]":
+    """(rows, next_batch_seq) over the persisted keeper store — the ONE
+    copy of the read-or-empty-seed + next-sequence logic shared by
+    ``url_keeper_ingest``, the batch ingest runner and the streaming twin
+    (round-12 review: it was triplicated). A streaming
+    (``__batch_id``-partitioned) store REJECTS batch callers — a flat
+    append would corrupt its partition discovery — unless the caller IS
+    the streaming twin (``allow_streaming_layout=True``, passing its own
+    partition value to exclude: the replay heal)."""
+    from ..sources.readers import read_parquet_or_none
+
+    ensure_url_keeper_sidecar(path)
+    existing = read_parquet_or_none(spark, path)
+    if existing is None:
+        return spark.createDataFrame([], _URL_KEEPER_SCHEMA), 1
+    if "__batch_id" in existing.columns:
+        if not allow_streaming_layout:
+            raise ValueError(
+                f"url-keeper store at {path} has the streaming (__batch_id) "
+                "layout; a flat batch append would corrupt partition "
+                "discovery — route this pipeline through stream_url_keeper, "
+                "or rebuild the store flat with write_url_keeper_store("
+                "mode='overwrite')"
+            )
+        if exclude_batch_partition is not None:
+            existing = existing.filter(
+                F.col("__batch_id") != exclude_batch_partition
+            )
+        existing = existing.drop("__batch_id")
+    next_seq = (existing.agg(F.max("batch_seq")).collect()[0][0] or 0) + 1
+    return existing, next_seq
+
+
 def ensure_url_keeper_sidecar(path: str) -> None:
     import os
 
@@ -324,11 +371,14 @@ def ensure_url_keeper_sidecar(path: str) -> None:
 def write_url_keeper_store(rows: DataFrame, path: str, mode: str = "append") -> None:
     """Persist keeper rows; ``overwrite`` rebuilds through the crash-safe
     atomic swap (sidecar lands with the data), ``append`` validates the
-    sidecar first. Append keeper rows only AFTER the batch's documents
-    landed (see ``url_keeper_gate``'s ordering note)."""
+    sidecar first and rejects a streaming (``__batch_id``) layout — a
+    flat append there would corrupt partition discovery (round-12
+    review; the ``_reject_streaming_layout_append`` rule every other
+    store already follows). Append keeper rows only AFTER the batch's
+    documents landed (see ``url_keeper_gate``'s ordering note)."""
     import os
 
-    from .dedup import _write_params_sidecar
+    from .dedup import _reject_streaming_layout_append, _write_params_sidecar
     from ..sources.writers import atomic_swap_write
 
     if mode == "overwrite":
@@ -342,6 +392,7 @@ def write_url_keeper_store(rows: DataFrame, path: str, mode: str = "append") -> 
         )
         return
     ensure_url_keeper_sidecar(path)
+    _reject_streaming_layout_append(rows, path, "url-keeper")
     rows.write.mode(mode).parquet(path)
 
 
@@ -391,17 +442,7 @@ def url_keeper_ingest(
     import os
 
     spark = batch.sparkSession
-    ensure_url_keeper_sidecar(path)
-    from ..sources.readers import read_parquet_or_none
-
-    existing = read_parquet_or_none(spark, path)
-    if existing is None:
-        existing = spark.createDataFrame(
-            [], "canonical_url string, keeper_id long, fp string, batch_seq long"
-        )
-        next_seq = 1
-    else:
-        next_seq = (existing.agg(F.max("batch_seq")).collect()[0][0] or 0) + 1
+    existing, next_seq = read_or_seed_url_keeper(spark, path)
     new_docs, updates, append_rows, n_dropped = url_keeper_gate(
         batch, existing, url_col, id_col, text_col, batch_seq=next_seq
     )

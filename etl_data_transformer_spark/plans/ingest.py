@@ -761,18 +761,9 @@ def run_incremental_ingest(
     n_url_updates = 0 if uk_on else None
     uk_updates = uk_append = None
     if uk_on:
-        from ..operators.domains import ensure_url_keeper_sidecar, url_keeper_gate
-        from ..sources.readers import read_parquet_or_none
+        from ..operators.domains import read_or_seed_url_keeper, url_keeper_gate
 
-        ensure_url_keeper_sidecar(url_keeper_store)
-        uk_existing = read_parquet_or_none(spark, url_keeper_store)
-        if uk_existing is None:
-            uk_existing = spark.createDataFrame(
-                [], "canonical_url string, keeper_id long, fp string, batch_seq long"
-            )
-            uk_seq = 1
-        else:
-            uk_seq = (uk_existing.agg(F.max("batch_seq")).collect()[0][0] or 0) + 1
+        uk_existing, uk_seq = read_or_seed_url_keeper(spark, url_keeper_store)
         batch, uk_updates, uk_append, n_uk_dropped = url_keeper_gate(
             batch, uk_existing, url_col, id_col, text_col, batch_seq=uk_seq
         )
@@ -803,6 +794,40 @@ def run_incremental_ingest(
             batch, nb_store, nb_threshold_micros, text_col, id_col,
             n_remaining - (n_entropy_dropped or 0),
         )
+    # keeper CDC updates must clear the SAME quality gates as new docs
+    # (round-12 review: a junk re-crawl — boilerplate, error pages — must
+    # not overwrite good landed content). A gate-dropped update does NOT
+    # advance the keeper fp, so future re-crawls honestly re-classify as
+    # changed until acceptable content arrives; its drop counts into the
+    # gate's own audit column.
+    if uk_on and n_url_updates:
+        kept = uk_updates
+        if e_on:
+            kept, d_e = _entropy_gate(
+                kept, min_entropy_microbits, text_col, n_url_updates
+            )
+            n_entropy_dropped = (n_entropy_dropped or 0) + d_e
+        if q_on:
+            kept, d_q = _quality_gate(
+                kept, nb_store, nb_threshold_micros, text_col, id_col,
+                kept.count() if e_on else n_url_updates,
+            )
+            n_quality_dropped = (n_quality_dropped or 0) + d_q
+        if e_on or q_on:
+            kept = kept.localCheckpoint(eager=True)
+            n_kept = kept.count()
+            if n_kept != n_url_updates:
+                # keeper ids of updates are landed-corpus ids, disjoint
+                # from the batch ids on the new-doc append rows — the
+                # anti-join removes only the dropped updates' fp advances
+                dropped_upd = uk_updates.join(
+                    kept.select("keeper_id"), "keeper_id", "left_anti"
+                ).select("keeper_id").distinct()
+                uk_append = uk_append.join(
+                    dropped_upd, "keeper_id", "left_anti"
+                ).localCheckpoint(eager=True)
+                uk_updates = kept
+                n_url_updates = n_kept
 
     # passage store: convert layout + build the healed merge-on-read count
     # view keyed by the gated batch's content fingerprint
@@ -967,6 +992,27 @@ def run_incremental_ingest(
             atomic_swap_write(
                 apply_url_updates(corpus, uk_updates, id_col, (text_col,)),
                 survivors_path,
+            )
+            # refresh the exact store with the updated keepers' NEW
+            # content fingerprints, so future copies of the new text drop
+            # as exact dups (round-12 review). Old-fp rows stay: a stale
+            # re-crawl of the superseded text also drops — the
+            # conservative direction. Near-dup signatures are NOT
+            # refreshed by design: stale minhash/simhash rows can only
+            # cause extra conservative drops of near-dups of superseded
+            # text, never corruption (rerun-duplicate fp rows are
+            # likewise harmless — the exact tier tests fp EXISTENCE).
+            DD.write_exact_store(
+                DD.exact_fingerprint_store(
+                    uk_updates.select(
+                        F.col("keeper_id").alias(id_col), F.col(text_col)
+                    ),
+                    text_col,
+                    id_col,
+                ),
+                exact_store,
+                bucket_by_fp=ex_bucket is not None,
+                num_buckets=ex_bucket[1] if ex_bucket else 32,
             )
         landed_ids = (
             spark.read.parquet(survivors_path)

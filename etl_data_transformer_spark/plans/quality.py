@@ -277,10 +277,13 @@ def write_stats_store(
 ) -> None:
     """Append one batch's PARTIAL profile (= ``corpus_stats(batch)``) to
     the store; ``mode='overwrite'`` rebuilds from the given frame through
-    the crash-safe atomic swap (sidecar lands with the data)."""
+    the crash-safe atomic swap (sidecar lands with the data). A flat
+    append onto a STREAMING (``__batch_id``-partitioned,
+    ``stream_stats_rows``) store rejects — mixing layouts corrupts
+    partition discovery (round-12 review; the shared store rule)."""
     import os
 
-    from ..operators.dedup import _write_params_sidecar
+    from ..operators.dedup import _reject_streaming_layout_append, _write_params_sidecar
     from ..sources.writers import atomic_swap_write
 
     rows = corpus_stats(batch, group_cols, text_col)
@@ -294,6 +297,7 @@ def write_stats_store(
         )
         return
     ensure_stats_params_sidecar(path, group_cols)
+    _reject_streaming_layout_append(rows, path, "corpus-stats")
     rows.write.mode("append").parquet(path)
 
 
@@ -320,12 +324,20 @@ def compact_stats_store(
 ) -> None:
     """Collapse the accumulated partials to one row per group (the merged
     view materialized) through the atomic swap — reads after compaction
-    return identical profiles over fewer files."""
+    return identical profiles over fewer files. A STREAMING store refuses
+    compaction while its ``__batch_id`` partitions are live (the NB-store
+    rule): flattening would break the stream's replay-overwrite sink."""
     import os
 
     from ..operators.dedup import _write_params_sidecar
     from ..sources.writers import atomic_swap_write
 
+    if "__batch_id" in spark.read.parquet(path).columns:
+        raise ValueError(
+            f"stats store at {path} has the streaming (__batch_id) layout; "
+            "compacting it flat would break the stream's replay-overwrite "
+            "sink — stop the stream and rebuild flat first"
+        )
     merged = read_corpus_stats(spark, path, group_cols).localCheckpoint(eager=True)
     atomic_swap_write(
         merged,

@@ -942,17 +942,17 @@ def stream_url_keeper(
                 {"algo": _URL_KEEPER_ALGO},
             ),
         )
-        existing = _read_store_or_none(spark, store_path)
+        from ..operators.domains import read_or_seed_url_keeper
+
         me = f"{ns}-{batch_id:06d}"
-        if existing is None:
-            existing = spark.createDataFrame(
-                [], "canonical_url string, keeper_id long, fp string, batch_seq long"
-            )
-        elif "__batch_id" in existing.columns:
-            # heal: a replayed batch must not gate against its own
-            # crashed prior attempt's keeper rows
-            existing = existing.filter(F.col("__batch_id") != me).drop("__batch_id")
-        seq = (existing.agg(F.max("batch_seq")).collect()[0][0] or 0) + 1
+        # heal: a replayed batch must not gate against its own crashed
+        # prior attempt's keeper rows (its partition is excluded)
+        existing, seq = read_or_seed_url_keeper(
+            spark,
+            store_path,
+            exclude_batch_partition=me,
+            allow_streaming_layout=True,
+        )
         new_docs, updates, append_rows, _ = url_keeper_gate(
             batch_df, existing, url_col, id_col, text_col, batch_seq=seq
         )

@@ -480,8 +480,13 @@ def test_load_psl_reads_official_format_and_falls_back(spark, tmp_path):
         r[0] for r in df.select(registered_domain("url", rules=rules)).collect()
     ]
     assert got == ["x.tenant.custom", "keep.custom"]
-    # missing path -> bundled snapshot
-    assert load_psl(str(tmp_path / "nope.dat")) == PSL_RULES
+    # None -> bundled snapshot; an EXPLICIT missing path raises (silent
+    # degradation to the snapshot would corrupt domain gates unnoticed)
+    assert load_psl(None) == PSL_RULES
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        load_psl(str(tmp_path / "nope.dat"))
 
 
 def test_psl_oracle_sql_mirrors_spark_expression(spark):
