@@ -287,6 +287,7 @@ def _domain_gate(
     url_dedup_aliases: bool,
     id_col: str,
     n_batch: int,
+    strict: bool = False,
 ) -> tuple[DataFrame, int, int]:
     """Domain/URL gate shared by the three runners (round 11, verdict
     item 7): registered-domain blocklist/allowlist filtering
@@ -300,8 +301,9 @@ def _domain_gate(
     same-URL re-crawls are NOT this gate's business: they belong to the
     canonical-URL keeper tier (round 12, ``url_keeper_store`` — alias
     drop for identical bytes, CDC update-in-place for changed bytes),
-    which runs right after this gate when enabled. NULL and
-    non-URL-shaped urls pass UNGATED
+    which runs right after this gate when enabled. Unless ``strict``
+    (round 12 — the allowlist semantics where unattributable rows must
+    DROP), NULL and non-URL-shaped urls pass UNGATED
     and UNCOLLAPSED (the operators' shared pass-through rule — malformed
     strings have no domain to gate on and no URL identity to collapse;
     round-11 review). Both steps delegate to the ``operators.domains``
@@ -315,7 +317,7 @@ def _domain_gate(
     out = batch
     if (isinstance(blocklist, DataFrame) or len(blocklist)) or allowlist is not None:
         out = domain_gate(
-            out, url_col, blocklist=blocklist, allowlist=allowlist
+            out, url_col, blocklist=blocklist, allowlist=allowlist, strict=strict
         ).localCheckpoint(eager=True)
         n_dropped = n_batch - out.count()
     n_aliases = 0
@@ -502,6 +504,7 @@ def run_incremental_ingest(
     domain_blocklist: "Sequence[str] | DataFrame" = (),
     domain_allowlist: "Sequence[str] | DataFrame | None" = None,
     collapse_url_aliases: bool = False,
+    strict_domain_gate: bool = False,
     url_keeper_store: str | None = None,
 ) -> IngestReport:
     """Run one ingest batch through the enabled dedup tiers (exact is
@@ -750,6 +753,7 @@ def run_incremental_ingest(
         batch, n_domain_dropped, n_url_alias_dropped = _domain_gate(
             batch, url_col, domain_blocklist, domain_allowlist,
             collapse_url_aliases, id_col, n_batch,
+            strict=strict_domain_gate,
         )
         if not collapse_url_aliases:
             n_url_alias_dropped = None
@@ -1342,6 +1346,7 @@ def run_incremental_ingest_txn(
     domain_blocklist: "Sequence[str] | DataFrame" = (),
     domain_allowlist: "Sequence[str] | DataFrame | None" = None,
     collapse_url_aliases: bool = False,
+    strict_domain_gate: bool = False,
 ) -> IngestReport:
     """``run_incremental_ingest`` with ATOMIC publication (round-7 verdict
     item 4): every sink is a ``sources/manifest`` table and the landed
@@ -1488,6 +1493,7 @@ def run_incremental_ingest_txn(
         batch, n_domain_dropped, n_url_alias_dropped = _domain_gate(
             batch, url_col, domain_blocklist, domain_allowlist,
             collapse_url_aliases, id_col, n_batch,
+            strict=strict_domain_gate,
         )
         if not collapse_url_aliases:
             n_url_alias_dropped = None

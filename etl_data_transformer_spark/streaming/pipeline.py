@@ -1088,6 +1088,7 @@ def stream_ingest(
     domain_blocklist=(),
     domain_allowlist=None,
     collapse_url_aliases: bool = False,
+    strict_domain_gate: bool = False,
 ) -> None:
     """Streaming twin of ``plans/ingest.run_incremental_ingest`` — the
     EXACTLY-ONCE landed corpus the batch runner's docstring defers to.
@@ -1339,6 +1340,7 @@ def stream_ingest(
                 batch, n_domain_dropped, n_url_alias_dropped = _domain_gate(
                     batch, url_col, domain_blocklist, domain_allowlist,
                     collapse_url_aliases, id_col, n_batch_raw,
+                    strict=strict_domain_gate,
                 )
                 if not collapse_url_aliases:
                     n_url_alias_dropped = None

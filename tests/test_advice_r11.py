@@ -119,3 +119,29 @@ def test_domain_gate_strict_drops_unattributable_rows(spark):
     # strict also applies to pure-blocklist runs (drop what can't be vetted)
     strict_bl = domain_gate(df, blocklist=["other.org"], strict=True)
     assert sorted(r.doc_id for r in strict_bl.collect()) == [1]
+
+
+def test_runner_strict_domain_gate_drops_unattributable_rows(spark, tmp_path):
+    """The strict allowlist mode is reachable from the composed runner:
+    NULL/non-URL rows drop instead of bypassing the strictest gate."""
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest
+
+    batch = spark.createDataFrame(
+        [
+            (1, "https://good.example.com/p", "kept content here"),
+            (2, None, "unattributable row"),
+            (3, "not a url", "junk row"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    landed = str(tmp_path / "landed")
+    r = run_incremental_ingest(
+        batch,
+        exact_store=str(tmp_path / "ex"),
+        survivors_path=landed,
+        url_col="url",
+        domain_allowlist=["example.com"],
+        strict_domain_gate=True,
+    )
+    assert r.n_domain_dropped == 2 and r.n_landed == 1
+    assert [x.doc_id for x in spark.read.parquet(landed).collect()] == [1]
