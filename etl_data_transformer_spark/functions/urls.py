@@ -32,6 +32,7 @@ data.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 from pyspark.sql import Column
@@ -89,21 +90,35 @@ def parse_psl_rules(lines) -> PSLRules:
     )
 
 
+# where tools/fetch_psl.py vendors the complete upstream file; when it
+# exists, load_psl() (and therefore the module-default PSL_RULES every
+# consumer compiles from) picks it up automatically
+VENDORED_PSL_PATH = os.path.join(
+    os.path.dirname(__file__), "public_suffix_list.dat"
+)
+
+
 def load_psl(path: str | None = None) -> PSLRules:
     """Rules from a full upstream ``public_suffix_list.dat`` at ``path``;
-    ``None`` loads the bundled snapshot. An EXPLICIT path that does not
-    exist raises (round-12 review: silently degrading a production PSL
-    to the ~280-rule snapshot would corrupt every domain gate with no
-    signal). Swapping the file swaps the DATA only — every consumer
-    (Spark expression and DuckDB oracle) regenerates from the result."""
+    ``None`` auto-discovers a vendored copy at ``VENDORED_PSL_PATH``
+    (``tools/fetch_psl.py`` puts it there) and falls back to the bundled
+    snapshot. An EXPLICIT path that does not exist raises (round-12
+    review: silently degrading a production PSL to the curated snapshot
+    would corrupt every domain gate with no signal). Swapping the file
+    swaps the DATA only — every consumer (Spark expression and DuckDB
+    oracle) regenerates from the result."""
     if path is None:
-        return parse_psl_rules(PSL_SNAPSHOT)
+        if os.path.exists(VENDORED_PSL_PATH):
+            path = VENDORED_PSL_PATH
+        else:
+            return parse_psl_rules(PSL_SNAPSHOT)
     with open(path, encoding="utf-8") as f:
         return parse_psl_rules(f.readlines())
 
 
-# module defaults: the bundled snapshot, and the pre-round-12 naive set
-PSL_RULES = parse_psl_rules(PSL_SNAPSHOT)
+# module defaults: the vendored-or-snapshot rules, and the pre-round-12
+# naive set
+PSL_RULES = load_psl()
 NAIVE_RULES = parse_psl_rules(MULTIPART_SUFFIXES)
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"

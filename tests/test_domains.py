@@ -16,6 +16,7 @@ from etl_data_transformer_spark.functions.urls import (
 )
 from etl_data_transformer_spark.operators.domains import (
     domain_gate,
+    domain_stats,
     url_dedup,
     url_dedup_groups,
 )
@@ -610,3 +611,105 @@ def test_url_keeper_two_batch_recrawl_e2e(spark, tmp_path):
         for r in url_keeper_merge(rows).collect()
     } == merged
     assert os.path.exists(os.path.join(store, "_url_keeper_params.json"))
+
+
+# --------------------- round-13: expanded PSL snapshot + vendoring ----------
+
+
+def test_registered_domain_r13_registry_splits(spark):
+    """Round-13 snapshot expansion: the new registry families split
+    tenants per the publicsuffix.org algorithm — .jp prefectures, US
+    state locality space, letter registries (.bg), the new wildcard TLDs
+    (*.bd / *.fk / *.jm), European second-levels and the added private
+    registries."""
+    from etl_data_transformer_spark.functions.urls import registered_domain
+
+    cases = [
+        ("https://blog.shinjuku.tokyo.jp/x", "shinjuku.tokyo.jp"),
+        ("https://x.pref.hokkaido.jp/x", "pref.hokkaido.jp"),
+        ("https://portal.city.ca.us/x", "city.ca.us"),
+        ("https://deep.portal.city.ny.us/x", "city.ny.us"),
+        ("https://site.a.bg/x", "site.a.bg"),
+        ("https://shop.grameen.bd/x", "shop.grameen.bd"),  # *.bd wildcard
+        ("https://www.gov.fk/x", "gov.fk"),  # *.fk wildcard (host IS suffix)
+        ("https://org.asso.fr/x", "org.asso.fr"),
+        ("https://x.gouv.sn/x", "x.gouv.sn"),
+        ("https://me.notion.site/page", "me.notion.site"),
+        ("https://app-x.run.app/", "app-x.run.app"),
+        ("https://shop.myshopify.com/", "shop.myshopify.com"),
+        # unchanged r12 behaviors still hold after the expansion
+        ("https://a.b.co.uk/x", "b.co.uk"),
+        ("https://foo.www.ck/", "www.ck"),
+        ("https://sub.example.de/", "example.de"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r[0] for r in df.select(registered_domain("url")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_fetch_psl_validate_rejects_bad_files():
+    """tools/fetch_psl.py must refuse to vendor a truncated file, an HTML
+    error page, or anything missing the decade-old sentinel rules — a bad
+    vendored file would silently corrupt every domain gate."""
+    import pytest as _pytest
+
+    from tools.fetch_psl import MIN_RULES, SENTINELS, validate
+
+    good = "\n".join(
+        ["// comment", *SENTINELS]
+        + [f"rule{i}.example" for i in range(MIN_RULES)]
+    )
+    assert validate(good) >= MIN_RULES
+    with _pytest.raises(SystemExit, match="truncated"):
+        validate("\n".join(SENTINELS))  # far below MIN_RULES
+    no_sentinel = "\n".join(f"rule{i}.example" for i in range(MIN_RULES + 10))
+    with _pytest.raises(SystemExit, match="sentinel"):
+        validate(no_sentinel)
+    html = "<html><body>404</body></html>\n" + good
+    with _pytest.raises(SystemExit, match="HTML"):
+        validate(html)
+
+
+def test_vendored_psl_auto_discovery(tmp_path, monkeypatch):
+    """load_psl(None) picks up a vendored public_suffix_list.dat when one
+    exists at VENDORED_PSL_PATH (what tools/fetch_psl.py writes), and
+    falls back to the bundled snapshot when none does."""
+    import etl_data_transformer_spark.functions.urls as U
+
+    dat = tmp_path / "public_suffix_list.dat"
+    dat.write_text("// vendored\nco.uk\n*.custom\n!keep.custom\n")
+    monkeypatch.setattr(U, "VENDORED_PSL_PATH", str(dat))
+    rules = U.load_psl()
+    assert "custom" in rules.wildcards[1]
+    assert "keep.custom" in rules.exceptions[2]
+    monkeypatch.setattr(U, "VENDORED_PSL_PATH", str(tmp_path / "absent.dat"))
+    assert U.load_psl() == U.parse_psl_rules(U.PSL_SNAPSHOT)
+
+
+def test_domain_stats_and_gate_host_first_equivalence(spark):
+    """Round-13 perf rewrite equivalence pins: domain_stats grouping by
+    host alone (reg_domain computed post-agg) and domain_gate's
+    distinct-host DataFrame path must produce exactly the per-(host,
+    reg_domain) rows / gated ids the per-row forms did."""
+    rows = [
+        (1, "https://www.a.example.co.uk/x?utm_source=t", "hello world"),
+        (2, "https://a.example.co.uk/x", "hello"),
+        (3, "https://b.example.com/y", None),
+        (4, "https://tenant.github.io/z", "zz"),
+        (5, "not a url", "junk"),
+        (6, None, "null url"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    stats = {r["host"]: r for r in domain_stats(df).collect()}
+    assert stats["a.example.co.uk"]["reg_domain"] == "example.co.uk"
+    assert stats["a.example.co.uk"]["n_docs"] == 2
+    assert stats["a.example.co.uk"]["n_urls"] == 1  # canonical collapse
+    assert stats["tenant.github.io"]["reg_domain"] == "tenant.github.io"
+    assert stats["b.example.com"]["tok_sum"] == 0  # NULL text counts zero
+    bl = spark.createDataFrame([("example.co.uk",)], ["domain"])
+    kept = domain_gate(df, blocklist=bl)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4, 5, 6]
+    assert kept.columns == df.columns
+    al = spark.createDataFrame([("tenant.github.io",)], ["domain"])
+    strict = domain_gate(df, blocklist=bl, allowlist=al, strict=True)
+    assert sorted(r["doc_id"] for r in strict.collect()) == [4]

@@ -1,0 +1,113 @@
+"""Vendor the complete upstream Public Suffix List (round-13 verdict
+item 1b).
+
+Downloads https://publicsuffix.org/list/public_suffix_list.dat (Mozilla-
+maintained public dataset, MPL 2.0, ~9.5k rules / ~240 KB), validates it
+against sentinel rules the algorithm tests pin (a multipart normal rule,
+a wildcard, its exception, a private registry), and writes it to
+``etl_data_transformer_spark/functions/public_suffix_list.dat`` — the
+path ``functions.urls.load_psl()`` auto-discovers, after which EVERY
+consumer (the Spark ``registered_domain`` expression chain and the
+DuckDB oracle twins) regenerates from the full rule set on next import.
+
+The build container has no network access, so this is a deployment-time
+tool: run it once wherever the engine is installed with outbound HTTPS
+(or pass ``--from FILE`` to vendor an already-downloaded copy, e.g. one
+shipped through an artifact store). The bundled snapshot in
+``functions/psl_data.py`` (~700 curated rules) remains the offline
+fallback.
+
+Usage::
+
+    python tools/fetch_psl.py                 # download + validate + vendor
+    python tools/fetch_psl.py --from psl.dat  # vendor a local copy
+    python tools/fetch_psl.py --check         # report which source is live
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PSL_URL = "https://publicsuffix.org/list/public_suffix_list.dat"
+
+# rules that have been in the PSL for well over a decade and that the
+# engine's registry-split tests pin — a file missing any of these is not
+# a real public_suffix_list.dat and must not silently replace the snapshot
+SENTINELS = ("co.uk", "com.au", "*.ck", "!www.ck", "github.io", "blogspot.com")
+MIN_RULES = 5000  # upstream carries ~9.5k; anything smaller is truncated
+
+
+def validate(text: str) -> int:
+    """Rule count after validation; raises on a file that cannot be the
+    real upstream list (truncated download, HTML error page, wrong URL)."""
+    rules = [
+        ln.strip()
+        for ln in text.splitlines()
+        if ln.strip() and not ln.strip().startswith("//")
+    ]
+    if len(rules) < MIN_RULES:
+        raise SystemExit(
+            f"refusing to vendor: only {len(rules)} rules parsed "
+            f"(upstream has ~9.5k; minimum {MIN_RULES}) — truncated file?"
+        )
+    missing = [s for s in SENTINELS if s not in rules]
+    if missing:
+        raise SystemExit(
+            f"refusing to vendor: sentinel rules missing {missing} — "
+            "not a public_suffix_list.dat?"
+        )
+    if "<html" in text[:2048].lower():
+        raise SystemExit("refusing to vendor: looks like an HTML page")
+    return len(rules)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--from", dest="src", help="vendor a local file instead")
+    ap.add_argument(
+        "--check", action="store_true", help="report the live rule source"
+    )
+    args = ap.parse_args()
+
+    from etl_data_transformer_spark.functions.urls import (
+        VENDORED_PSL_PATH,
+        load_psl,
+    )
+
+    if args.check:
+        rules = load_psl()
+        n = sum(len(v) for d in rules for v in d.values())
+        src = (
+            f"vendored file {VENDORED_PSL_PATH}"
+            if os.path.exists(VENDORED_PSL_PATH)
+            else "bundled snapshot (functions/psl_data.py)"
+        )
+        print(f"live source: {src} ({n} parsed rules)")
+        return
+
+    if args.src:
+        with open(args.src, encoding="utf-8") as f:
+            text = f.read()
+    else:
+        from urllib.request import urlopen  # stdlib only, no new deps
+
+        print(f"downloading {PSL_URL} ...")
+        with urlopen(PSL_URL, timeout=60) as resp:
+            text = resp.read().decode("utf-8")
+
+    n = validate(text)
+    tmp = VENDORED_PSL_PATH + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(text)
+    os.replace(tmp, VENDORED_PSL_PATH)  # atomic: readers never see a partial
+    print(f"vendored {n} rules -> {VENDORED_PSL_PATH}")
+    print("all consumers (Spark expressions + DuckDB oracles) now compile "
+          "from the full rule set on next import")
+
+
+if __name__ == "__main__":
+    main()
