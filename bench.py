@@ -511,7 +511,16 @@ def main() -> None:
     # full deltas in BENCH_DETAIL.json)
     summary["ratio_regressions"] = ratio_regressions[:8]
     summary["n_ratio_regressions"] = len(ratio_regressions)
+    # stop the session BEFORE emitting the contract line (round-12
+    # verdict item 5: an unstopped JVM's ShutdownHookManager can dump
+    # "shutdown forcefully" stderr AFTER the summary JSON — the driver
+    # parses the last line, so nothing may trail it)
+    try:
+        spark.stop()
+    except Exception as e:  # a stop failure must never eat the summary
+        print(f"# spark.stop() failed: {e}", file=sys.stderr)
     print(json.dumps(summary))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -360,6 +360,34 @@ def apply_url_updates(
 
 _URL_KEEPER_SCHEMA = "canonical_url string, keeper_id long, fp string, batch_seq long"
 
+# the journaled-txn layout (round 13): keeper rows live in a
+# sources/manifest table and carry the appending batch's content
+# fingerprint ``__fp`` — the passage-count-store mechanism transplanted,
+# because changed-content keeper rows are keyed by the EXISTING keeper_id
+# (not a batch id), so the id-anti-join heal the other keyed stores use
+# cannot attribute them to a batch. A distinct algo string keeps the two
+# layouts from silently cross-reading each other's directories.
+_URL_KEEPER_TABLE_ALGO = "url-keeper-table-v1"
+
+
+def ensure_url_keeper_table_sidecar(table_dir: str) -> None:
+    """Write-or-validate the params sidecar for the MANIFEST-TABLE keeper
+    layout (``run_incremental_ingest_txn``'s ``url_keeper_table``). The
+    flat store's sidecar carries a different algo string, so pointing the
+    batch runner at a txn table (or vice versa) fails loudly instead of
+    mis-reading the layout."""
+    import os
+
+    from .dedup import _validate_store_params, _write_params_sidecar
+
+    sidecar = os.path.join(table_dir, "_url_keeper_params.json")
+    params = {"algo": _URL_KEEPER_TABLE_ALGO}
+    if os.path.exists(sidecar):
+        _validate_store_params(sidecar, params, label="url-keeper-table")
+        return
+    os.makedirs(table_dir, exist_ok=True)
+    _write_params_sidecar(sidecar, params)
+
 
 def read_or_seed_url_keeper(
     spark,

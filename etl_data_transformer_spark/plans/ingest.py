@@ -1347,6 +1347,7 @@ def run_incremental_ingest_txn(
     domain_allowlist: "Sequence[str] | DataFrame | None" = None,
     collapse_url_aliases: bool = False,
     strict_domain_gate: bool = False,
+    url_keeper_table: str | None = None,
 ) -> IngestReport:
     """``run_incremental_ingest`` with ATOMIC publication (round-7 verdict
     item 4): every sink is a ``sources/manifest`` table and the landed
@@ -1392,7 +1393,27 @@ def run_incremental_ingest_txn(
     outside the journal): below-threshold docs drop before any tier, and
     the audit row carries ``n_quality_dropped``; ``min_entropy_microbits``
     enables the map-only char-entropy pre-gate before it
-    (``n_entropy_dropped``), exactly as in the parquet runner."""
+    (``n_entropy_dropped``), exactly as in the parquet runner.
+
+    ``url_keeper_table`` (round 13, closing the round-12 boundary) brings
+    the canonical-URL keeper tier into the transaction: the keeper rows
+    live in a MANIFEST table whose rows carry the batch's content
+    fingerprint ``__fp`` (the passage-count-store mechanism — changed-
+    content keeper rows are keyed by the EXISTING keeper_id, not a batch
+    id, so the id heal cannot attribute them), reads exclude own-``__fp``
+    rows so a committed rerun re-classifies the batch IDENTICALLY, and the
+    keeper append joins the same journaled commit as every other sink —
+    the corpus can never run ahead of its URL identity. Changed-content
+    re-crawls route to a CDC update: the corpus write becomes an atomic
+    OVERWRITE (existing rows with the keepers' text replaced, plus the
+    guarded new rows) inside the same transaction, and the exact table
+    gains the updated keepers' NEW fingerprints (guarded on (id, fp), so
+    a rerun appends nothing). One documented recompute seam: a rerun of a
+    committed batch sees the refreshed exact fps, so a batch doc whose
+    text equals an update's new text counts as an exact dup on the rerun
+    — the guarded appends make the DATA state identical either way, only
+    the second audit row's tier counts can differ (same contract as the
+    rerun audit note above)."""
     from ..operators import dedup as DD
     from ..operators.curation import read_passage_store
     from ..sources import manifest as MF
@@ -1411,6 +1432,12 @@ def run_incremental_ingest_txn(
     q_on = nb_store is not None
     e_on = min_entropy_microbits is not None
     d_on = url_col is not None
+    uk_on = url_keeper_table is not None
+    if uk_on and url_col is None:
+        raise ValueError(
+            "url_keeper_table requires url_col (the URL identity to key on) "
+            "— pass url_col even when no domain lists are configured"
+        )
 
     # validate every enabled store's parameter sidecar up front (same
     # helpers as the parquet mode — the sidecar is a plain file next to
@@ -1450,6 +1477,10 @@ def run_incremental_ingest_txn(
         from ..operators.curation import ensure_passage_params_sidecar
 
         ensure_passage_params_sidecar(passage_table, window=passage_window)
+    if uk_on:
+        from ..operators.domains import ensure_url_keeper_table_sidecar
+
+        ensure_url_keeper_table_sidecar(url_keeper_table)
     # eval decon store: read-only input, sidecar-validated up front with
     # the transactional sinks (a window mismatch must fail before compute)
     decon_h = (
@@ -1473,7 +1504,10 @@ def run_incremental_ingest_txn(
             n_entropy_dropped=0 if e_on else None,
             nb_threshold_micros=int(nb_threshold_micros) if q_on else None,
             n_domain_dropped=0 if d_on else None,
-            n_url_alias_dropped=0 if d_on and collapse_url_aliases else None,
+            n_url_alias_dropped=0
+            if d_on and (collapse_url_aliases or uk_on)
+            else None,
+            n_url_updates=0 if uk_on else None,
         )
         if audit_table is not None:
             MF.multi_commit(
@@ -1497,7 +1531,43 @@ def run_incremental_ingest_txn(
         )
         if not collapse_url_aliases:
             n_url_alias_dropped = None
-    n_remaining = n_batch - (n_domain_dropped or 0) - (n_url_alias_dropped or 0)
+    # canonical-URL keeper gate (round 13): same tier position as the
+    # batch runner — classify against the manifest keeper table BEFORE the
+    # content tiers. Reads exclude own-__fp rows (the batch content
+    # fingerprint), so a rerun of a committed batch recomputes the
+    # IDENTICAL classification; the append (tagged with that __fp) and the
+    # CDC corpus overwrite join the journaled commit below.
+    n_url_updates = 0 if uk_on else None
+    uk_updates = uk_append = raw_uk = uk_fp = None
+    if uk_on:
+        from ..operators.domains import _URL_KEEPER_SCHEMA, url_keeper_gate
+
+        uk_fp = _batch_fingerprint(batch, id_col)
+        raw_uk = _read_manifest_table_or_none(spark, url_keeper_table)
+        if raw_uk is not None:
+            uk_existing = raw_uk.filter(F.col("__fp") != F.lit(uk_fp)).drop(
+                "__fp"
+            )
+            uk_seq = (
+                uk_existing.agg(F.max("batch_seq")).collect()[0][0] or 0
+            ) + 1
+        else:
+            uk_existing = spark.createDataFrame([], _URL_KEEPER_SCHEMA)
+            uk_seq = 1
+        batch, uk_updates, uk_append, n_uk_dropped = url_keeper_gate(
+            batch, uk_existing, url_col, id_col, text_col, batch_seq=uk_seq
+        )
+        batch = batch.localCheckpoint(eager=True)
+        uk_updates = uk_updates.localCheckpoint(eager=True)
+        uk_append = uk_append.localCheckpoint(eager=True)
+        n_url_updates = uk_updates.count()
+        n_url_alias_dropped = (n_url_alias_dropped or 0) + n_uk_dropped
+    n_remaining = (
+        n_batch
+        - (n_domain_dropped or 0)
+        - (n_url_alias_dropped or 0)
+        - (n_url_updates or 0)
+    )
     n_entropy_dropped = 0 if e_on else None
     if e_on:
         batch, n_entropy_dropped = _entropy_gate(
@@ -1564,7 +1634,7 @@ def run_incremental_ingest_txn(
         max_bucket_size=max_bucket_size,
         n_batch=n_batch,
     )
-    if q_on or e_on or d_on:
+    if q_on or e_on or d_on or uk_on:
         from dataclasses import replace as _replace
 
         report = _replace(
@@ -1574,6 +1644,7 @@ def run_incremental_ingest_txn(
             nb_threshold_micros=int(nb_threshold_micros) if q_on else None,
             n_domain_dropped=n_domain_dropped,
             n_url_alias_dropped=n_url_alias_dropped,
+            n_url_updates=n_url_updates,
         )
 
     land_df = survivors
@@ -1606,13 +1677,60 @@ def run_incremental_ingest_txn(
         return rows.join(raw.select(id_col).distinct(), id_col, "left_anti")
 
     raw_corpus = _read_manifest_table_or_none(spark, corpus_table)
-    writes = [
-        {"df": _guard(land_df, raw_corpus), "table_dir": corpus_table, "mode": "append"},
-        {
-            "df": _guard(DD.exact_fingerprint_store(survivors, text_col, id_col), raw_exact),
-            "table_dir": exact_table,
+    # CDC re-crawl updates (keeper tier): the corpus write becomes an
+    # atomic OVERWRITE — every existing row with the updated keepers'
+    # text replaced, plus the guarded new rows — inside the SAME journal,
+    # so readers flip from old corpus to updated+landed in one pointer
+    # move. Idempotent: a committed rerun recomputes identical updates
+    # (own-__fp heal) and rewrites the same bytes.
+    if uk_on and n_url_updates:
+        from ..operators.domains import apply_url_updates
+
+        if raw_corpus is None:
+            raise ValueError(
+                f"keeper table {url_keeper_table} routed {n_url_updates} "
+                f"CDC updates but corpus table {corpus_table} does not "
+                "exist — the keeper table belongs to a different pipeline"
+            )
+        corpus_df = apply_url_updates(
+            raw_corpus, uk_updates, id_col, (text_col,)
+        ).unionByName(_guard(land_df, raw_corpus))
+        corpus_write = {
+            "df": corpus_df,
+            "table_dir": corpus_table,
+            "mode": "overwrite",
+        }
+    else:
+        corpus_write = {
+            "df": _guard(land_df, raw_corpus),
+            "table_dir": corpus_table,
             "mode": "append",
-        },
+        }
+    exact_rows = _guard(
+        DD.exact_fingerprint_store(survivors, text_col, id_col), raw_exact
+    )
+    if uk_on and n_url_updates:
+        # refresh the exact table with the updated keepers' NEW content
+        # fingerprints (future copies of the new text drop as exact dups
+        # — round-12 review). Guarded on (id, fp): the ids already exist
+        # under their OLD fps, so the id guard can't apply, and on a
+        # committed rerun the (id, new-fp) rows are present and the
+        # anti-join empties the refresh.
+        refresh = DD.exact_fingerprint_store(
+            uk_updates.select(
+                F.col("keeper_id").alias(id_col), F.col(text_col)
+            ),
+            text_col,
+            id_col,
+        )
+        if raw_exact is not None:
+            refresh = refresh.join(
+                raw_exact.select(id_col, "fp"), [id_col, "fp"], "left_anti"
+            )
+        exact_rows = exact_rows.unionByName(refresh)
+    writes = [
+        corpus_write,
+        {"df": exact_rows, "table_dir": exact_table, "mode": "append"},
     ]
     if mh_on:
         writes.append(
@@ -1653,6 +1771,34 @@ def run_incremental_ingest_txn(
                 "table_dir": passage_table,
                 "mode": "append",
             }
+        )
+    if uk_on:
+        # keeper rows restricted to canonicals whose keeper exists in the
+        # FINAL corpus (existing rows for changed-content updates, this
+        # transaction's guarded landings for new canonicals — a batch doc
+        # dropped by a content tier keeps its URL un-tracked, same policy
+        # as the batch runner). Tagged with the batch __fp so reads can
+        # heal and a committed rerun's append is emptied by the
+        # own-__fp-exists guard (the passage table's analogue).
+        already_committed = (
+            raw_uk is not None
+            and raw_uk.filter(F.col("__fp") == F.lit(uk_fp)).limit(1).count()
+            > 0
+        )
+        landed_ids = _guard(land_df, raw_corpus).select(
+            F.col(id_col).alias("keeper_id")
+        )
+        if raw_corpus is not None:
+            landed_ids = landed_ids.unionByName(
+                raw_corpus.select(F.col(id_col).alias("keeper_id"))
+            )
+        uk_rows = uk_append.join(
+            landed_ids.distinct(), "keeper_id", "left_semi"
+        ).withColumn("__fp", F.lit(uk_fp))
+        if already_committed:
+            uk_rows = uk_rows.limit(0)
+        writes.append(
+            {"df": uk_rows, "table_dir": url_keeper_table, "mode": "append"}
         )
     if audit_table is not None:
         writes.append(

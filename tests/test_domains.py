@@ -713,3 +713,185 @@ def test_domain_stats_and_gate_host_first_equivalence(spark):
     al = spark.createDataFrame([("tenant.github.io",)], ["domain"])
     strict = domain_gate(df, blocklist=bl, allowlist=al, strict=True)
     assert sorted(r["doc_id"] for r in strict.collect()) == [4]
+
+
+# ------------- round-13: URL keeper in the journaled-txn runner -------------
+
+
+def _uk_txn_kw(tmp_path):
+    return dict(
+        corpus_table=str(tmp_path / "corpus"),
+        exact_table=str(tmp_path / "exact"),
+        audit_table=str(tmp_path / "audit"),
+        txn_dir=str(tmp_path / "txn"),
+        url_col="url",
+        url_keeper_table=str(tmp_path / "uk"),
+    )
+
+
+def _uk_b1(spark):
+    return spark.createDataFrame(
+        [
+            (1, "https://www.example.com/p?utm_source=x", "alpha content"),
+            (2, "https://example.com/p/", "beta content"),  # in-batch alias of 1
+            (3, "https://example.com/q", "gamma content"),
+        ],
+        "doc_id long, url string, text string",
+    )
+
+
+def _uk_b2(spark):
+    return spark.createDataFrame(
+        [
+            (11, "https://example.com/p", "alpha content"),  # same-content re-crawl
+            (12, "https://example.com/q#frag", "gamma REVISED"),  # changed content
+            (13, "https://example.com/r", "delta content"),  # new URL
+            (14, "not a url", "epsilon content"),  # no URL identity
+        ],
+        "doc_id long, url string, text string",
+    )
+
+
+def _uk_state(spark, kw):
+    from etl_data_transformer_spark.operators.domains import url_keeper_merge
+    from etl_data_transformer_spark.sources import manifest as MF
+
+    corpus = {
+        r.doc_id: r.text for r in MF.read_table(spark, kw["corpus_table"]).collect()
+    }
+    exact = sorted(
+        (r.doc_id, r.fp)
+        for r in MF.read_table(spark, kw["exact_table"]).collect()
+    )
+    merged = {
+        r.canonical_url: (r.keeper_id, r.batch_seq)
+        for r in url_keeper_merge(
+            MF.read_table(spark, kw["url_keeper_table"]).drop("__fp")
+        ).collect()
+    }
+    return corpus, exact, merged
+
+
+def test_ingest_txn_url_keeper_recrawl_e2e(spark, tmp_path):
+    """Round-13 verdict item 2: the canonical-URL keeper tier runs inside
+    the journaled transaction — same-content re-crawls drop, changed
+    content CDC-updates the keeper document ATOMICALLY with the landing,
+    the exact table gains the refreshed fp, and a rerun of the committed
+    batch changes no data."""
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest_txn
+
+    kw = _uk_txn_kw(tmp_path)
+    r1 = run_incremental_ingest_txn(_uk_b1(spark), **kw)
+    assert (r1.n_batch, r1.n_landed) == (3, 2)  # doc 2 = in-batch alias
+    assert (r1.n_url_alias_dropped, r1.n_url_updates) == (1, 0)
+
+    r2 = run_incremental_ingest_txn(_uk_b2(spark), **kw)
+    assert (r2.n_url_alias_dropped, r2.n_url_updates) == (1, 1)
+    assert r2.n_landed == 2  # 13 (new URL) + 14 (no URL identity)
+
+    corpus, exact, merged = _uk_state(spark, kw)
+    assert sorted(corpus) == [1, 3, 13, 14]
+    assert corpus[3] == "gamma REVISED"  # CDC applied in the same commit
+    # keeper 3 carries BOTH fps: the old (stale re-crawls still drop) and
+    # the refreshed one (copies of the new text drop as exact dups)
+    assert [d for d, _ in exact] == [1, 3, 3, 13, 14]
+    assert merged["https://example.com/p"] == (1, 1)
+    assert merged["https://example.com/q"] == (3, 2)  # keeper_id STABLE
+    assert merged["https://example.com/r"] == (13, 2)
+
+    # rerun of the committed batch: identical report, zero data movement
+    r2b = run_incremental_ingest_txn(_uk_b2(spark), **kw)
+    assert (r2b.n_url_alias_dropped, r2b.n_url_updates, r2b.n_landed) == (1, 1, 2)
+    assert _uk_state(spark, kw) == (corpus, exact, merged)
+    from etl_data_transformer_spark.sources import manifest as MF
+
+    audit = MF.read_table(spark, kw["audit_table"])
+    assert audit.count() == 3  # both attempts are real audit events
+    assert [
+        r.n_url_updates for r in audit.orderBy("ingest_ts").collect()
+    ] == [0, 1, 1]
+
+
+def test_ingest_txn_url_keeper_crash_at_commit_seam(spark, tmp_path, monkeypatch):
+    """Crash injection at the keeper-append seam: the keeper append is
+    journaled with the corpus, so a crash after the journal but before any
+    pointer flip publishes NOTHING until recovery rolls the WHOLE
+    transaction forward — the corpus can never run ahead of its URL
+    identity (or vice versa) — and the rerun after recovery is a no-op on
+    data."""
+    import pytest as _pytest
+
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest_txn
+    from etl_data_transformer_spark.sources import manifest as MF
+
+    kw = _uk_txn_kw(tmp_path)
+    run_incremental_ingest_txn(_uk_b1(spark), **kw)
+
+    real_flip = MF._flip_pointer
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before flip")
+
+    monkeypatch.setattr(MF, "_flip_pointer", boom)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        run_incremental_ingest_txn(_uk_b2(spark), **kw)
+    monkeypatch.setattr(MF, "_flip_pointer", real_flip)
+
+    # pointers stale: batch 2 invisible EVERYWHERE — no torn state where
+    # the corpus has the update but the keeper table lacks the seq-2 rows
+    corpus, exact, merged = _uk_state(spark, kw)
+    assert sorted(corpus) == [1, 3]
+    assert corpus[3] == "gamma content"  # CDC NOT applied
+    assert max(s for _, s in merged.values()) == 1  # no seq-2 keeper rows
+
+    healed = MF.recover_multi_commits(kw["txn_dir"])
+    assert healed  # the journal made the transaction redoable
+    corpus, exact, merged = _uk_state(spark, kw)
+    assert corpus[3] == "gamma REVISED" and sorted(corpus) == [1, 3, 13, 14]
+    assert merged["https://example.com/q"] == (3, 2)
+
+    # rerun after recovery: the own-__fp heal re-classifies identically
+    # and every guard empties — no duplicate keeper rows, fps, or docs
+    run_incremental_ingest_txn(_uk_b2(spark), **kw)
+    assert _uk_state(spark, kw) == (corpus, exact, merged)
+
+
+def test_ingest_txn_url_keeper_parity_with_batch_runner(spark, tmp_path):
+    """The txn keeper tier lands the same corpus (ids AND post-CDC text)
+    and the same merged keeper view as the plain-parquet runner on the
+    same two batches — only the publication protocol differs."""
+    from etl_data_transformer_spark.operators.domains import (
+        read_url_keeper_store,
+        url_keeper_merge,
+    )
+    from etl_data_transformer_spark.plans.ingest import (
+        run_incremental_ingest,
+        run_incremental_ingest_txn,
+    )
+
+    kw = _uk_txn_kw(tmp_path / "txn_mode")
+    run_incremental_ingest_txn(_uk_b1(spark), **kw)
+    run_incremental_ingest_txn(_uk_b2(spark), **kw)
+    t_corpus, _, t_merged = _uk_state(spark, kw)
+
+    pdir = tmp_path / "parquet_mode"
+    pkw = dict(
+        exact_store=str(pdir / "exact"),
+        survivors_path=str(pdir / "corpus"),
+        url_col="url",
+        url_keeper_store=str(pdir / "uk"),
+    )
+    run_incremental_ingest(_uk_b1(spark), **pkw)
+    run_incremental_ingest(_uk_b2(spark), **pkw)
+    p_corpus = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(pkw["survivors_path"]).collect()
+    }
+    p_merged = {
+        r.canonical_url: (r.keeper_id, r.batch_seq)
+        for r in url_keeper_merge(
+            read_url_keeper_store(spark, pkw["url_keeper_store"])
+        ).collect()
+    }
+    assert p_corpus == t_corpus
+    assert p_merged == t_merged
