@@ -2465,6 +2465,145 @@ def write_jaccard_store(
     atomic_swap_write(df, path, write_staging=_write, finalize_staging=_finalize)
 
 
+def _jaccard_pairs_core(
+    g_new: DataFrame,
+    census: DataFrame,
+    store_postings: DataFrame | None,
+    store_sets: DataFrame | None,
+    *,
+    id_col: str,
+    num: int,
+    den: int,
+    bnum: int,
+    bden: int,
+    include_batch_pairs: bool,
+    materialize: bool,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The incremental prefix-Jaccard join body shared by the batch form
+    (``jaccard_join_incremental``) and the streaming twin
+    (``streaming.pipeline.stream_jaccard_dedup``): order the batch's
+    grams under the FROZEN census, prefix-join the batch postings against
+    the persisted postings (plus the batch self-join), verify candidates
+    against the persisted gramsets — exactness does not depend on the
+    census (it is a pruner). ``None`` stores take the first-batch path
+    (empty store sides — the batch self-join IS the whole join). Returns
+    ``(verified_pairs, new_postings, new_sets)``; ``materialize`` eagerly
+    checkpoints the new rows when the caller will both join and land
+    them."""
+    new_postings = _jaccard_prefix_postings(g_new, census, id_col, bnum, bden)
+    if materialize:
+        new_postings = new_postings.localCheckpoint(eager=True)
+    new_sets = _jaccard_gramsets(g_new, id_col)
+    if materialize:
+        new_sets = new_sets.localCheckpoint(eager=True)
+    if store_postings is None:
+        store_postings = new_postings.limit(0)
+    if store_sets is None:
+        store_sets = new_sets.limit(0)
+
+    pa = new_postings.select(
+        F.col(id_col).alias("id_x"), "g",
+        F.col("sz").alias("__nx"), F.col("rn").alias("__rx"),
+    )
+    sides = store_postings
+    if include_batch_pairs:
+        sides = sides.unionByName(new_postings)
+    pb = sides.select(
+        F.col(id_col).alias("id_y"), "g",
+        F.col("sz").alias("__ny"), F.col("rn").alias("__ry"),
+    )
+    alpha = F.expr(f"((__nx + __ny) * {num} + {num + den - 1}) DIV {num + den}")
+    cand = (
+        pa.join(pb, "g")
+        .filter(F.col("id_x") != F.col("id_y"))
+        .filter(
+            F.least("__nx", "__ny") * F.lit(den)
+            >= F.greatest("__nx", "__ny") * F.lit(num)
+        )
+        .filter(
+            F.lit(1) + F.least(F.col("__nx") - F.col("__rx"), F.col("__ny") - F.col("__ry"))
+            >= alpha
+        )
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+        )
+        .distinct()
+    )
+    all_sets = store_sets.unionByName(new_sets)
+    verified = (
+        cand.join(
+            all_sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("gs").alias("__ga"),
+                F.col("n_grams").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            all_sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("gs").alias("__gb"),
+                F.col("n_grams").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("__i", F.size(F.array_intersect("__ga", "__gb")).cast("long"))
+        .filter(
+            F.col("__i") * F.lit(den)
+            >= F.lit(num) * (F.col("__na") + F.col("__nb") - F.col("__i"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__i").cast("long").alias("n_inter"),
+            F.col("__na").cast("long").alias("n_a"),
+            F.col("__nb").cast("long").alias("n_b"),
+        )
+    )
+    return verified, new_postings, new_sets
+
+
+def _record_jaccard_batch_mass(
+    path: str,
+    new_postings: DataFrame,
+    store_postings: DataFrame,
+    new_sets: DataFrame,
+    include_batch_pairs: bool,
+) -> None:
+    """Append this batch's candidate mass per doc to the drift sidecar
+    (exact pre-filter row count of the candidate join: cross = Σ_g b_g·c_g
+    against the store, self = Σ_g C(b_g, 2)). Seeds an absent baseline
+    from the CURRENT store postings (legacy store — an absent/zero
+    baseline must not flag spurious drift on the first tracked batch).
+    Shared by the batch incremental join and the streaming twin."""
+    import os
+
+    id_col = [c for c in new_sets.columns if c not in ("gs", "n_grams")][0]
+    if not os.path.exists(os.path.join(path, _JACCARD_MASS_SIDECAR)):
+        _write_jaccard_mass(
+            path, _jaccard_build_cand_per_doc(store_postings, id_col)
+        )
+    bh = new_postings.groupBy("g").agg(F.count(F.lit(1)).alias("__b"))
+    cross = (
+        bh.join(
+            store_postings.groupBy("g").agg(F.count(F.lit(1)).alias("__c")), "g"
+        )
+        .agg(F.sum(F.col("__b") * F.col("__c")).alias("m"))
+        .collect()[0]["m"]
+        or 0.0
+    )
+    self_m = (
+        bh.agg(F.sum(F.col("__b") * (F.col("__b") - 1) / 2).alias("m"))
+        .collect()[0]["m"]
+        or 0.0
+    ) if include_batch_pairs else 0.0
+    n_docs = new_sets.count()
+    _append_jaccard_mass(
+        path, n_docs, (float(cross) + float(self_m)) / max(n_docs, 1)
+    )
+
+
 def jaccard_join_incremental(
     new_df: DataFrame,
     path: str,
@@ -2542,72 +2681,18 @@ def jaccard_join_incremental(
     g_new = _jaccard_gram_rows(new_df, text_col, id_col, n, feature).localCheckpoint(
         eager=True
     )
-    new_postings = _jaccard_prefix_postings(g_new, census, id_col, bnum, bden)
-    if append:
-        new_postings = new_postings.localCheckpoint(eager=True)
-    new_sets = _jaccard_gramsets(g_new, id_col)
-    if append:
-        new_sets = new_sets.localCheckpoint(eager=True)
-
-    pa = new_postings.select(
-        F.col(id_col).alias("id_x"), "g",
-        F.col("sz").alias("__nx"), F.col("rn").alias("__rx"),
-    )
-    sides = store_postings
-    if include_batch_pairs:
-        sides = sides.unionByName(new_postings)
-    pb = sides.select(
-        F.col(id_col).alias("id_y"), "g",
-        F.col("sz").alias("__ny"), F.col("rn").alias("__ry"),
-    )
-    alpha = F.expr(f"((__nx + __ny) * {num} + {num + den - 1}) DIV {num + den}")
-    cand = (
-        pa.join(pb, "g")
-        .filter(F.col("id_x") != F.col("id_y"))
-        .filter(
-            F.least("__nx", "__ny") * F.lit(den)
-            >= F.greatest("__nx", "__ny") * F.lit(num)
-        )
-        .filter(
-            F.lit(1) + F.least(F.col("__nx") - F.col("__rx"), F.col("__ny") - F.col("__ry"))
-            >= alpha
-        )
-        .select(
-            F.least("id_x", "id_y").alias("id_a"),
-            F.greatest("id_x", "id_y").alias("id_b"),
-        )
-        .distinct()
-    )
-    all_sets = store_sets.unionByName(new_sets)
-    verified = (
-        cand.join(
-            all_sets.select(
-                F.col(id_col).alias("id_a"),
-                F.col("gs").alias("__ga"),
-                F.col("n_grams").alias("__na"),
-            ),
-            "id_a",
-        )
-        .join(
-            all_sets.select(
-                F.col(id_col).alias("id_b"),
-                F.col("gs").alias("__gb"),
-                F.col("n_grams").alias("__nb"),
-            ),
-            "id_b",
-        )
-        .withColumn("__i", F.size(F.array_intersect("__ga", "__gb")).cast("long"))
-        .filter(
-            F.col("__i") * F.lit(den)
-            >= F.lit(num) * (F.col("__na") + F.col("__nb") - F.col("__i"))
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.col("__i").cast("long").alias("n_inter"),
-            F.col("__na").cast("long").alias("n_a"),
-            F.col("__nb").cast("long").alias("n_b"),
-        )
+    verified, new_postings, new_sets = _jaccard_pairs_core(
+        g_new,
+        census,
+        store_postings,
+        store_sets,
+        id_col=id_col,
+        num=num,
+        den=den,
+        bnum=bnum,
+        bden=bden,
+        include_batch_pairs=include_batch_pairs,
+        materialize=append,
     )
     if append:
         verified = verified.localCheckpoint(eager=True)
@@ -2622,31 +2707,8 @@ def jaccard_join_incremental(
             # just read — one extra store-side pass per batch; pass
             # record_mass=False on latency-critical paths and sample the
             # drift check out of band instead.
-            if not os.path.exists(os.path.join(path, _JACCARD_MASS_SIDECAR)):
-                # legacy pre-round-12 store: seed the baseline from the
-                # CURRENT store postings (an absent/zero baseline must not
-                # flag spurious drift on the first tracked batch)
-                _write_jaccard_mass(
-                    path, _jaccard_build_cand_per_doc(store_postings, id_col)
-                )
-            bh = new_postings.groupBy("g").agg(F.count(F.lit(1)).alias("__b"))
-            cross = (
-                bh.join(
-                    store_postings.groupBy("g").agg(F.count(F.lit(1)).alias("__c")), "g"
-                )
-                .agg(F.sum(F.col("__b") * F.col("__c")).alias("m"))
-                .collect()[0]["m"]
-                or 0.0
-            )
-            self_m = (
-                bh.agg(
-                    F.sum(F.col("__b") * (F.col("__b") - 1) / 2).alias("m")
-                ).collect()[0]["m"]
-                or 0.0
-            ) if include_batch_pairs else 0.0
-            n_docs = new_sets.count()
-            _append_jaccard_mass(
-                path, n_docs, (float(cross) + float(self_m)) / max(n_docs, 1)
+            _record_jaccard_batch_mass(
+                path, new_postings, store_postings, new_sets, include_batch_pairs
             )
     return verified
 

@@ -1060,6 +1060,161 @@ def stream_simhash_dedup(
     q.awaitTermination()
 
 
+def stream_jaccard_dedup(
+    stream_docs: DataFrame,
+    store_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    feature: str = "shingles",
+    include_batch_pairs: bool = True,
+    record_mass: bool = True,
+) -> None:
+    """Streaming EXACT prefix-Jaccard near-dup detection — the streaming
+    twin of ``operators/dedup.jaccard_join_incremental`` (round-12 verdict
+    item 3: the last incremental store without one). Each micro-batch
+    shingles ONLY its own documents, orders them under the store's FROZEN
+    census, prefix-joins the persisted postings (plus the batch
+    self-join), verifies candidates against the persisted gramsets, writes
+    exact pairs (id_a, id_b, n_inter, n_a, n_b) to ``pairs_path``, and
+    lands its own gramsets + postings into the store's two sub-tables.
+
+    Store layout: ``store_path/{census,postings,gramsets}`` — the same
+    three sub-tables as the batch store, with postings and gramsets
+    ``__batch_id``-partitioned (a replayed batch overwrites exactly its
+    own partitions) and the census FROZEN: written once from the first
+    batch's grams (atomic swap), or reused from a ``write_jaccard_store``
+    corpus build whose flat sub-tables convert to a ``seed`` partition on
+    first contact. The census is a PRUNER, never a correctness input, so
+    a first-batch census stays exact forever — it only prunes less as the
+    vocabulary drifts, which is exactly what the mass telemetry watches:
+    ``record_mass`` appends each batch's candidate mass per doc to the
+    ``_jaccard_mass.json`` sidecar (baseline seeded from the store
+    postings at first record), so ``jaccard_store_drift`` /
+    ``maybe_compact_jaccard_store`` work unchanged on a streaming store.
+    (A replayed batch can append a duplicate telemetry entry — telemetry,
+    not data; the drift ratio reads only the LAST entry.)
+
+    Same durability discipline as the other streaming dedup twins:
+    ``__batch_id``-partitioned idempotent sinks, the id-anti-join replay
+    heal (batch and store ids are contractually disjoint), gramsets land
+    BEFORE postings so a mid-crash batch is un-indexed rather than
+    candidate-without-verify-row, and the ``_jaccard_params`` sidecar is
+    written-or-validated before any data so a restart with different
+    (n, feature, threshold) raises instead of joining nothing. Compaction
+    (``compact_jaccard_store``) rebuilds the store FLAT — route the next
+    stream start at a compacted store through the seed conversion
+    (automatic) rather than assuming partitions survive."""
+    from ..operators.dedup import (
+        _jaccard_gram_rows,
+        _jaccard_pairs_core,
+        _read_jaccard_params,
+        _record_jaccard_batch_mass,
+        ensure_jaccard_params_sidecar,
+    )
+
+    ns = _stream_store_namespace(checkpoint_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from ..sources.writers import atomic_swap_write
+
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).persist()
+        try:
+            if batch.isEmpty():
+                return
+            ensure_jaccard_params_sidecar(
+                store_path, n=n, feature=feature, threshold=threshold
+            )
+            params = _read_jaccard_params(store_path)
+            pn, pfeature = int(params["n"]), params["feature"]
+            bnum = int(params["threshold_num"])
+            bden = int(params["threshold_den"])
+            noop = lambda staging: None  # noqa: E731 — sidecars live at store root
+            store_postings = _partitioned_store_or_convert(
+                spark, os.path.join(store_path, "postings"), ns, checkpoint_dir, noop
+            )
+            store_sets = _partitioned_store_or_convert(
+                spark, os.path.join(store_path, "gramsets"), ns, checkpoint_dir, noop
+            )
+            g_new = _jaccard_gram_rows(
+                batch, text_col, id_col, pn, pfeature
+            ).localCheckpoint(eager=True)
+            # the census swap below targets the SUB-path, so heal it there
+            # (the sidecar ensure only heals swaps at the store root)
+            from ..sources.writers import recover_interrupted_swap
+
+            recover_interrupted_swap(os.path.join(store_path, "census"))
+            census = _read_store_or_none(spark, os.path.join(store_path, "census"))
+            if census is None:
+                # first batch: freeze ITS census (atomic swap — a replay
+                # recomputes the identical frame, a crashed partial write
+                # heals). Exactness never depends on which batch froze it.
+                atomic_swap_write(
+                    g_new.groupBy("g").agg(
+                        F.count(F.lit(1)).cast("long").alias("df")
+                    ),
+                    os.path.join(store_path, "census"),
+                )
+                census = spark.read.parquet(os.path.join(store_path, "census"))
+            if store_postings is not None:
+                store_postings = _drop_replayed_batch_rows(
+                    store_postings, batch, id_col
+                ).select(id_col, "g", "sz", "rn")
+            if store_sets is not None:
+                store_sets = (
+                    _drop_replayed_batch_rows(store_sets, batch, id_col)
+                    .dropDuplicates([id_col])
+                    .select(id_col, "gs", "n_grams")
+                )
+            verified, new_postings, new_sets = _jaccard_pairs_core(
+                g_new,
+                census,
+                store_postings,
+                store_sets,
+                id_col=id_col,
+                num=bnum,
+                den=bden,
+                bnum=bnum,
+                bden=bden,
+                include_batch_pairs=include_batch_pairs,
+                materialize=True,
+            )
+            _overwrite_batch_partition(verified, pairs_path, ns, batch_id)
+            # gramsets FIRST (the batch form's append-order discipline)
+            _overwrite_batch_partition(
+                new_sets, os.path.join(store_path, "gramsets"), ns, batch_id
+            )
+            _overwrite_batch_partition(
+                new_postings, os.path.join(store_path, "postings"), ns, batch_id
+            )
+            if record_mass:
+                _record_jaccard_batch_mass(
+                    store_path,
+                    new_postings,
+                    store_postings
+                    if store_postings is not None
+                    else new_postings.limit(0),
+                    new_sets,
+                    include_batch_pairs,
+                )
+        finally:
+            batch.unpersist()
+
+    q = (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_ingest(
     stream_docs: DataFrame,
     landed_path: str,

@@ -2084,3 +2084,136 @@ def test_stream_url_keeper_parity_with_batch_and_replay(spark, tmp_path):
     assert counts == tuple(
         spark.read.parquet(p).count() for p in (store, landed, updates)
     )
+
+
+def test_stream_jaccard_dedup_twin_of_batch_incremental(spark, tmp_path):
+    """Round-13 verdict item 3 (the last store without a streaming twin):
+    streaming prefix-Jaccard pairs equal the batch-incremental operator's
+    over the same batch split, the store accumulates __batch_id-
+    partitioned gramsets/postings under a frozen census, a no-new-data
+    drain is a no-op, and the drift telemetry records per batch."""
+    import json
+    import os
+
+    from etl_data_transformer_spark.operators import dedup as DD
+    from etl_data_transformer_spark.streaming.pipeline import stream_jaccard_dedup
+
+    src = str(tmp_path / "src_jc")
+    store = str(tmp_path / "store_jc")
+    pairs = str(tmp_path / "pairs_jc")
+    ckpt = str(tmp_path / "ckpt_jc")
+    schema = "doc_id long, text string"
+    b1_rows = [
+        (1, "the quick brown fox jumps over the lazy dog in the morning"),
+        (2, "an entirely different body of text about maritime chronometers"),
+        (3, "the quick brown fox jumps over the lazy dog in the evening"),
+    ]
+    b2_rows = [
+        (11, "the quick brown fox jumps over the lazy dog in the morning light"),
+        (12, "unrelated third subject matter concerning alpine railway gauges"),
+    ]
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        stream_jaccard_dedup(stream, store, pairs, ckpt, threshold=0.5)
+
+    spark.createDataFrame(b1_rows, schema).write.mode("overwrite").parquet(src)
+    drain()
+    assert "__batch_id" in spark.read.parquet(os.path.join(store, "postings")).columns
+    assert "__batch_id" in spark.read.parquet(os.path.join(store, "gramsets")).columns
+    census1 = {r.g: r.df for r in spark.read.parquet(os.path.join(store, "census")).collect()}
+
+    spark.createDataFrame(b2_rows, schema).write.mode("append").parquet(src)
+    drain()
+    # census FROZEN: batch 2 never rewrites it
+    assert {
+        r.g: r.df for r in spark.read.parquet(os.path.join(store, "census")).collect()
+    } == census1
+
+    got = {
+        (r.id_a, r.id_b, r.n_inter, r.n_a, r.n_b)
+        for r in spark.read.parquet(pairs).collect()
+    }
+
+    # twin equivalence: batch-mode store build + incremental join over the
+    # same split produces the identical exact pair rows
+    bstore = str(tmp_path / "batch_store_jc")
+    DD.write_jaccard_store(
+        spark.createDataFrame(b1_rows, schema), bstore, threshold=0.5
+    )
+    want_b1 = {
+        (r.id_a, r.id_b, r.n_inter, r.n_a, r.n_b)
+        for r in DD.jaccard_join_prefix(
+            spark.createDataFrame(b1_rows, schema), threshold=0.5
+        ).collect()
+    }
+    want_b2 = {
+        (r.id_a, r.id_b, r.n_inter, r.n_a, r.n_b)
+        for r in DD.jaccard_join_incremental(
+            spark.createDataFrame(b2_rows, schema), bstore, append=True
+        ).collect()
+    }
+    assert got == want_b1 | want_b2
+    assert (1, 3) in {(a, b) for a, b, *_ in got}  # in-batch pair
+    assert (1, 11) in {(a, b) for a, b, *_ in got}  # cross-batch pair
+
+    # drift telemetry: one entry per non-empty batch, baseline seeded
+    mass = json.load(open(os.path.join(store, "_jaccard_mass.json")))
+    assert len(mass["batches"]) == 2
+    drift = DD.jaccard_store_drift(store)
+    assert drift["last_cand_per_doc"] is not None
+
+    # no-new-data drain: both sinks unchanged
+    n_pairs = spark.read.parquet(pairs).count()
+    n_postings = spark.read.parquet(os.path.join(store, "postings")).count()
+    drain()
+    assert spark.read.parquet(pairs).count() == n_pairs
+    assert spark.read.parquet(os.path.join(store, "postings")).count() == n_postings
+
+    # restart with mismatched parameters must raise, not join nothing
+    spark.createDataFrame([(21, "one more row")], schema).write.mode("append").parquet(src)
+    # surfaces wrapped by awaitTermination (StreamingQueryException)
+    with pytest.raises(Exception, match="parameter mismatch"):
+        stream_jaccard_dedup(
+            spark.readStream.schema(schema).parquet(src),
+            store, pairs, ckpt, threshold=0.9,
+        )
+
+
+def test_stream_jaccard_dedup_seeds_from_flat_corpus_store(spark, tmp_path):
+    """A stream pointed at a write_jaccard_store corpus build converts the
+    flat postings/gramsets to a seed partition on first contact (census
+    and pruning-baseline reused) and pairs new docs against the seeded
+    corpus without re-shingling it."""
+    import os
+
+    from etl_data_transformer_spark.operators import dedup as DD
+    from etl_data_transformer_spark.streaming.pipeline import stream_jaccard_dedup
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog in the morning"),
+            (2, "an entirely different body of text about maritime chronometers"),
+        ],
+        schema,
+    )
+    store = str(tmp_path / "seeded_store")
+    DD.write_jaccard_store(corpus, store, threshold=0.5)
+
+    src = str(tmp_path / "src")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(11, "the quick brown fox jumps over the lazy dog in the morning light")],
+        schema,
+    ).write.mode("overwrite").parquet(src)
+    stream_jaccard_dedup(
+        spark.readStream.schema(schema).parquet(src),
+        store, pairs, ckpt, threshold=0.5,
+    )
+    postings = spark.read.parquet(os.path.join(store, "postings"))
+    assert "__batch_id" in postings.columns
+    assert postings.filter(F.col("__batch_id") == "seed").count() > 0
+    got = {(r.id_a, r.id_b) for r in spark.read.parquet(pairs).collect()}
+    assert got == {(1, 11)}
