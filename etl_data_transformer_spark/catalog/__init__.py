@@ -237,16 +237,36 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # family keeps TWO driver rows: scd2_user_state + scd2_snapshot_orders),
     # snapshot_diff_orders (the CDC-diff machinery stays driver-live via
     # scd2_snapshot_orders, which consumes the same snapshot diff).
-    "url_dedup_docs": EXT.q_url_dedup_docs,
-    "mixture_quality_docs": EXT.q_mixture_quality_docs,
     "ann_ivf_quantized_match": EXT.q_ann_ivf_quantized_match,
     "top_fraction_corpus_docs": EXT.q_top_fraction_corpus_docs,
     "semantic_dedup_gate": EXT.q_semantic_dedup_gate,
-    "semantic_incremental_gate": EXT.q_semantic_incremental_gate,
     "leakage_safe_split_gate": EXT.q_leakage_safe_split_gate,
     "sequence_packing_gate": EXT.q_sequence_packing_gate,
-    "top_ngram_docs": EXT.q_top_ngram_docs,
-    "dedup_lines_docs": EXT.q_dedup_lines_docs,
+    # round-13 rotation (round-12 verdict item 7, freshness cadence): the
+    # five LONGEST-rotated families return for fresh driver rows —
+    # semi_join_customers (out since r7; twin anti_join_customers keeps
+    # its rotated hash row), rollup_nation_status (out since r7, returns
+    # via the TEMPORAL_QUERIES spread; twin cube_agg stays rotated),
+    # price_histogram (out since r7; approx_percentile_prices stays
+    # driver-live), dup_count_docs (out since r6; ⊂ exact_dedup_groups,
+    # driver-live), explode_part_types (out since r6; ~ chunk_documents'
+    # explode, driver-live). Rotating out in exchange, each with a FRESH
+    # r12 driver row and a surviving driver-live family twin (all keep
+    # the IDENTICAL DuckDB value-hash compare in
+    # tests/test_rotated_oracle.py): url_dedup_docs (the URL family keeps
+    # url_keeper_merge_docs — canonicalization + alias collapse + keeper
+    # merge, a superset — and domain_stats_docs driver-live),
+    # mixture_quality_docs (the sampling family keeps stratified_cap_docs
+    # + quality_scores driver-live; mixture_sample_docs holds a rotated
+    # row), semantic_incremental_gate (the semantic family keeps
+    # semantic_dedup_gate driver-live), top_ngram_docs (term statistics
+    # stay driver-live via corpus_stats_docs), dedup_lines_docs (the
+    # line-level scrub is exercised inside curation_pipeline's driver
+    # row).
+    "semi_join_customers": PAR.q_semi_join_customers,
+    "price_histogram": PAR.q_price_histogram,
+    "dup_count_docs": PAR.q_dup_count_docs,
+    "explode_part_types": PAR.q_explode_part_types,
     # round-12 IN-SESSION promotion: the round's genuinely new operator —
     # the canonical-URL keeper store's merge view (alias collapse, keeper
     # stability, CDC fp advancement hash-checked end to end) — gets a
@@ -262,7 +282,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # rotated out (overlap documented above); the pop keeps the
 # TEMPORAL_QUERIES spread intact for its other entries
 for _out in (
-    "rollup_nation_status",
+    # rollup_nation_status returned to a driver slot in round 13 (see the
+    # promotion note above) — no longer popped from the spread
     "rolling_user_stats",
     "percentile_prices",
     "resample_events",
@@ -310,15 +331,19 @@ for _out in (
 # (heavy hitters, vocab/encoder, line dedup, top-ngram, resample+ffill,
 # funnel) — same oracle strength, just not in the driver's 50 rows.
 ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "semi_join_customers": PAR.q_semi_join_customers,
     "tfidf_top_terms": EXT.q_tfidf_top_terms,
-    "rollup_nation_status": TQ.q_rollup_nation_status,
     "rolling_user_stats": TQ.q_rolling_user_stats,
-    "dup_count_docs": PAR.q_dup_count_docs,
     "sql_fact_union": BSQL.q_sql_fact_union,
-    "explode_part_types": PAR.q_explode_part_types,
-    "price_histogram": PAR.q_price_histogram,
     "mixture_sample_docs": EXT.q_mixture_sample_docs,
+    # round-13 rotate-outs (fresh r12 driver rows; overlaps documented at
+    # the round-13 promotion note above). The five returning rotations
+    # (semi_join_customers, rollup_nation_status, price_histogram,
+    # dup_count_docs, explode_part_types) left this dict for driver slots.
+    "url_dedup_docs": EXT.q_url_dedup_docs,
+    "mixture_quality_docs": EXT.q_mixture_quality_docs,
+    "semantic_incremental_gate": EXT.q_semantic_incremental_gate,
+    "top_ngram_docs": EXT.q_top_ngram_docs,
+    "dedup_lines_docs": EXT.q_dedup_lines_docs,
     # round-7 rotate-outs (fresh r6 driver rows; overlaps: cube_agg <->
     # rollup_nation_status, anti_join_customers <-> semi_join_customers,
     # running_totals <-> rolling_user_stats, topk_orders_per_nation <->
