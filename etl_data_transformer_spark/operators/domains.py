@@ -287,7 +287,22 @@ def url_keeper_gate(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    merged = url_keeper_merge(store_rows).select(
+    # prune the store to THIS batch's canonicals BEFORE the merge window
+    # (round 13): the merged view is only consulted for canonicals present
+    # in the batch, and the batch key set is broadcast-sized, so the
+    # semi-join filters the store map-side — the per-canonical window then
+    # shuffles O(batch × rows-per-canonical), not O(store). Measured in
+    # SCALING.md: gate cost stays flat under a 10× store.
+    touched = url_keeper_merge(
+        store_rows.join(
+            F.broadcast(
+                b.select(F.col("__canon").alias("canonical_url")).distinct()
+            ),
+            "canonical_url",
+            "left_semi",
+        )
+    )
+    merged = touched.select(
         F.col("canonical_url").alias("__canon"),
         F.col("keeper_id").alias("__keeper"),
         F.col("fp").alias("__old_fp"),

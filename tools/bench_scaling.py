@@ -36,7 +36,113 @@ QUERIES = [
     "semantic_dedup",       # cluster-blocked cosine dedup (clusters ∝ corpus)
     "winnow_overlap_docs",  # map-only fingerprints + fp equi-join
     "mixture_sample_docs",  # token-mixture sampling: bucket census + boundary window
+    "domain_stats_docs",    # full-PSL per-host rollup (probes per DISTINCT host, r13)
 ]
+
+
+def _store_scenarios(spark, scaled: str) -> dict:
+    """Round-13 (verdict r12 item 8): 10× growth rows for the STORE-backed
+    incremental operators — the claim under test is that a FIXED-SIZE
+    batch costs the same against a 10× store (cost ∝ batch, not store).
+    Stores build once per scale into .scratch/scaling_stores (delete the
+    dir to force a rebuild); the probe batch is a deterministic 2,000-doc
+    re-crawl slice (ids offset, half the texts changed)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_data_transformer_spark.catalog import extensions as EXT
+    from etl_data_transformer_spark.operators import dedup as DD
+    from etl_data_transformer_spark.operators import domains as DOM
+
+    scratch = "/root/repo/.scratch/scaling_stores"
+    out: dict[str, dict] = {"keeper_gate": {}, "minhash_split_incremental": {}}
+    for label, d in (("base", BASE), ("scaled", scaled)):
+        # per-doc UNIQUE urls (the catalog's _synthetic_url keys paths by
+        # doc_id%50, which saturates the canonical space at ~200 — a store
+        # that stops growing can't evidence the 10x claim); ~997 hosts,
+        # one canonical per document, so store rows ∝ corpus
+        docs = EXT._docs(spark, d).withColumn(
+            "url",
+            F.concat(
+                F.lit("https://h"),
+                (F.col("doc_id") % 997).cast("string"),
+                F.lit(".example.com/d/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        probe = (
+            docs.orderBy("doc_id")
+            .limit(2000)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(" v2"))
+                ).otherwise(F.col("text")),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        # --- canonical-URL keeper gate: classify 2k re-crawls against the
+        # full-corpus keeper store (merge view pruned to batch canonicals)
+        kpath = os.path.join(scratch, f"keeper_{label}")
+        if not os.path.isdir(kpath):
+            DOM.write_url_keeper_store(
+                DOM.url_keeper_rows(docs), kpath, mode="overwrite"
+            )
+        best, counts = float("inf"), None
+        for _ in range(3):
+            t0 = time.time()
+            rows, seq = DOM.read_or_seed_url_keeper(spark, kpath)
+            new_docs, updates, appends, n_alias = DOM.url_keeper_gate(
+                probe, rows, batch_seq=seq
+            )
+            n_app = appends.count()
+            best = min(best, time.time() - t0)
+            counts = (updates.count(), n_alias, n_app)
+        out["keeper_gate"][label] = {
+            "sec": round(best, 3),
+            "store_rows": spark.read.parquet(kpath).count(),
+            "updates": counts[0],
+            "aliases": counts[1],
+        }
+
+        # --- verify-split MinHash store: 2k-batch incremental near-dup
+        # join against the full-corpus split store
+        mpath = os.path.join(scratch, f"mh_split_{label}")
+        if not os.path.isdir(mpath):
+            DD.write_minhash_store(
+                DD.minhash_signature_store(docs),
+                mpath,
+                mode="overwrite",
+                layout="split",
+            )
+        best, n_pairs = float("inf"), 0
+        for _ in range(3):
+            t0 = time.time()
+            slim, sets = DD.read_minhash_store_split(spark, mpath)
+            n_pairs = DD.minhash_dedup_incremental(
+                probe,
+                slim.select("doc_id", "sig"),
+                threshold=0.6,
+                store_sets=sets.select("doc_id", "hs"),
+            ).count()
+            best = min(best, time.time() - t0)
+        out["minhash_split_incremental"][label] = {
+            "sec": round(best, 3),
+            "store_docs": sets.count(),
+            "pairs": n_pairs,
+        }
+    for name, row in out.items():
+        factor = round(row["scaled"]["sec"] / max(row["base"]["sec"], 1e-9), 2)
+        row["factor"] = factor
+        print(
+            f"# store {name}: {row['base']['sec']}s -> {row['scaled']['sec']}s "
+            f"(x{factor} for a 10x store, fixed 2k batch)",
+            file=sys.stderr,
+        )
+    return out
 
 
 def _semantic_dedup_query(spark, sf_dir: str):
@@ -89,7 +195,8 @@ def main() -> None:
             f"(x{row['factor']}, rows {row['base_rows']} -> {row['scaled_rows']})",
             file=sys.stderr,
         )
-    print(json.dumps({"metric": "scaling_10x", "queries": out}))
+    stores = _store_scenarios(spark, scaled)
+    print(json.dumps({"metric": "scaling_10x", "queries": out, "stores": stores}))
 
 
 if __name__ == "__main__":
