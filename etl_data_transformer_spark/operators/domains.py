@@ -515,6 +515,43 @@ def compact_url_keeper_store(spark, path: str) -> None:
     )
 
 
+def compact_url_keeper_table(spark, table_dir: str) -> str:
+    """Keeper-aware compaction for the MANIFEST-TABLE layout
+    (``run_incremental_ingest_txn``'s ``url_keeper_table``): rewrite the
+    table down to its merged last-writer view — one row per canonical,
+    max batch_seq kept so later appends keep winning — as one new
+    version, CAS-guarded against a concurrent ingest (a commit landing in
+    between fails the compaction, never loses it). The generic
+    ``manifest.compact`` only consolidates files; this also drops
+    superseded keeper rows, bounding the merge window's input like
+    ``compact_url_keeper_store`` does for the flat layout. The ``__fp``
+    batch tags are REWRITTEN to a single compaction marker: a compacted
+    row is no longer attributable to its appending batch. Safe for
+    reruns: a crashed (uncommitted) batch left no rows to compact, and a
+    rerun of a batch committed BEFORE the compaction now sees its own
+    effects in the merged view instead of healing them away — every
+    canonical classifies as a same-content alias, so the rerun appends
+    nothing, updates nothing and lands nothing (the batch runner's
+    documented rerun semantics; only the second audit row's counts
+    differ). Returns the new version id."""
+    from ..sources import manifest as MF
+
+    ensure_url_keeper_table_sidecar(table_dir)
+    manifest = MF._read_current(table_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    rows = MF.read_table(spark, table_dir)
+    merged = url_keeper_merge(rows.drop("__fp")).withColumn(
+        "__fp", F.lit("compacted")
+    )
+    return MF.commit_write(
+        merged.localCheckpoint(eager=True),
+        table_dir,
+        mode="overwrite",
+        expected_base=manifest["version"],
+    )
+
+
 def url_keeper_ingest(
     batch: DataFrame,
     path: str,

@@ -895,3 +895,56 @@ def test_ingest_txn_url_keeper_parity_with_batch_runner(spark, tmp_path):
     }
     assert p_corpus == t_corpus
     assert p_merged == t_merged
+
+
+def test_ingest_txn_url_keeper_compaction_identity(spark, tmp_path):
+    """compact_url_keeper_table rewrites the txn keeper table to its
+    merged view (one row per canonical, superseded fps dropped), the gate
+    behaves identically afterwards, and a rerun of a pre-compaction batch
+    is still a no-op on data (alias path instead of heal path)."""
+    from etl_data_transformer_spark.operators.domains import (
+        compact_url_keeper_table,
+        url_keeper_merge,
+    )
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest_txn
+    from etl_data_transformer_spark.sources import manifest as MF
+
+    kw = _uk_txn_kw(tmp_path)
+    run_incremental_ingest_txn(_uk_b1(spark), **kw)
+    run_incremental_ingest_txn(_uk_b2(spark), **kw)
+    corpus, exact, merged = _uk_state(spark, kw)
+
+    raw_before = MF.read_table(spark, kw["url_keeper_table"]).count()
+    compact_url_keeper_table(spark, kw["url_keeper_table"])
+    rows_after = MF.read_table(spark, kw["url_keeper_table"])
+    # one row per canonical, __fp rewritten to the compaction marker
+    assert rows_after.count() == len(merged) < raw_before + 1
+    assert {r["__fp"] for r in rows_after.select("__fp").distinct().collect()} == {
+        "compacted"
+    }
+    assert {
+        r.canonical_url: (r.keeper_id, r.batch_seq)
+        for r in url_keeper_merge(rows_after.drop("__fp")).collect()
+    } == merged
+
+    # rerun of the pre-compaction batch 2: URL-identified rows take the
+    # alias path (their effects are merged in, no longer healed away), so
+    # no updates re-route; the no-URL-identity row recomputes through the
+    # tiers (reports reflect recomputation) but the corpus guard lands
+    # nothing — zero data movement either way
+    r = run_incremental_ingest_txn(_uk_b2(spark), **kw)
+    assert r.n_url_updates == 0 and r.n_url_alias_dropped == 3
+    got_corpus, got_exact, got_merged = _uk_state(spark, kw)
+    assert (got_corpus, got_merged) == (corpus, merged)
+    assert got_exact == exact  # (id, fp) refresh guarded — no duplicates
+
+    # a batch AFTER compaction keeps advancing sequence numbers
+    b3 = spark.createDataFrame(
+        [(21, "https://example.com/q", "gamma THIRD REVISION")],
+        "doc_id long, url string, text string",
+    )
+    r3 = run_incremental_ingest_txn(b3, **kw)
+    assert r3.n_url_updates == 1
+    _, _, m3 = _uk_state(spark, kw)
+    assert m3["https://example.com/q"][0] == 3  # keeper_id still stable
+    assert m3["https://example.com/q"][1] > merged["https://example.com/q"][1]
