@@ -948,3 +948,81 @@ def test_ingest_txn_url_keeper_compaction_identity(spark, tmp_path):
     _, _, m3 = _uk_state(spark, kw)
     assert m3["https://example.com/q"][0] == 3  # keeper_id still stable
     assert m3["https://example.com/q"][1] > merged["https://example.com/q"][1]
+
+
+def _psl_reference(host: str, rules) -> str:
+    """Pure-Python reference of the publicsuffix.org algorithm (longest
+    matching rule wins; ``*.base`` adds one label; ``!name`` IS the
+    registrable domain; implicit ``*`` -> 1-label suffix; a host that IS
+    a suffix returns itself) — the independent spec the Spark expression
+    chain and the generated DuckDB CASE are both checked against."""
+    labels = host.split(".")
+    n = len(labels)
+    for m in sorted(rules.exceptions, reverse=True):
+        if n >= m and ".".join(labels[-m:]) in rules.exceptions[m]:
+            return ".".join(labels[-m:])
+    slen = 1
+    for k in rules.normals:
+        if n >= k and ".".join(labels[-k:]) in rules.normals[k]:
+            slen = max(slen, k)
+    for j in rules.wildcards:
+        if n >= j + 1 and ".".join(labels[-j:] if j else []) in rules.wildcards[j]:
+            slen = max(slen, j + 1)
+    if n <= slen:
+        return host
+    return ".".join(labels[-(slen + 1):])
+
+
+def test_registered_domain_three_way_agreement_randomized(spark):
+    """Property check over ~400 generated hosts: the pure-Python PSL
+    reference, the Spark expression chain and the generated DuckDB CASE
+    agree host-for-host — hosts drawn from every rule shape in the
+    snapshot (exact suffixes, wildcard bases, exception names, unlisted
+    TLDs) with 0-3 random extra labels, plus single-label and deep-label
+    edges. Deterministic seed; a divergence prints the host."""
+    import random
+
+    import duckdb
+
+    from etl_data_transformer_spark.functions.urls import (
+        PSL_RULES,
+        psl_registered_sql,
+        psl_slen_sql,
+        registered_domain,
+    )
+
+    rng = random.Random(1337)
+    seeds = []
+    for d in (PSL_RULES.normals, PSL_RULES.wildcards, PSL_RULES.exceptions):
+        for k in d:
+            seeds.extend(rng.sample(sorted(d[k]), min(30, len(d[k]))))
+    seeds.extend(["com", "de", "xyz", "localhost", "arpa"])
+    hosts = []
+    for s in seeds:
+        base = s.lstrip("!*.")
+        extra = ["".join(rng.choices("abcxyz", k=rng.randint(1, 5)))
+                 for _ in range(rng.randint(0, 3))]
+        hosts.append(".".join(extra + [base]) if extra else base)
+    hosts.extend(["single", "a.b.c.d.e.f.g.h.co.uk", "x.y.anything.ck"])
+    hosts = sorted(set(hosts))
+
+    want = [_psl_reference(h, PSL_RULES) for h in hosts]
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    got_spark = [
+        r[0]
+        for r in df.select(registered_domain("host", is_host=True))
+        .collect()
+    ]
+    bad = [(h, w, g) for h, w, g in zip(hosts, want, got_spark) if w != g]
+    assert not bad, f"spark diverges from reference on {bad[:5]}"
+
+    con = duckdb.connect()
+    sql = f"""
+        WITH h AS (SELECT unnest({hosts!r}) AS host),
+        l AS (SELECT host, string_split(host, '.') AS labels FROM h),
+        s AS (SELECT *, {psl_slen_sql("labels")} AS __slen FROM l)
+        SELECT {psl_registered_sql("host", "labels", "__slen")} FROM s
+    """
+    got_duck = [r[0] for r in con.execute(sql).fetchall()]
+    bad = [(h, w, g) for h, w, g in zip(hosts, want, got_duck) if w != g]
+    assert not bad, f"duckdb twin diverges from reference on {bad[:5]}"
