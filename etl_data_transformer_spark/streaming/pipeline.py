@@ -1244,6 +1244,8 @@ def stream_ingest(
     domain_allowlist=None,
     collapse_url_aliases: bool = False,
     strict_domain_gate: bool = False,
+    url_keeper_store: str | None = None,
+    url_updates_path: str | None = None,
 ) -> None:
     """Streaming twin of ``plans/ingest.run_incremental_ingest`` — the
     EXACTLY-ONCE landed corpus the batch runner's docstring defers to.
@@ -1298,6 +1300,23 @@ def stream_ingest(
     audit row. The gate is deterministic, so batch replays recompute
     identical survivors (freeze DataFrame block/allow lists while a batch
     may replay, same rule as the NB store).
+
+    ``url_keeper_store`` + ``url_updates_path`` (round 13 — the keeper
+    tier now reachable from ALL THREE composed runners) enable the
+    canonical-URL keeper gate right after the domain tier, with
+    ``stream_url_keeper``'s mechanics folded in: the batch classifies
+    against the merged keeper view (own ``__batch_id`` partition
+    excluded — the replay heal), same-content re-crawls and in-batch
+    aliases drop into ``n_url_alias_dropped``, changed-content re-crawls
+    land as CDC rows in their own ``__batch_id`` partition of
+    ``url_updates_path`` (batch columns + the stable ``keeper_id``; a
+    stream cannot rewrite other batches' landed partitions in place, so
+    consumers apply them downstream — the standard CDC-stream contract;
+    ``n_url_updates`` in the audit row), and the batch's keeper rows land
+    LAST in the store partition, restricted to keepers that actually
+    exist (new canonicals that survived the content tiers keep their
+    rows; a tier-dropped doc keeps its URL un-tracked, same policy as the
+    batch runner). Both paths must be given together, with ``url_col``.
     """
     from ..operators.dedup import (
         _SIMHASH_ALGO,
@@ -1321,6 +1340,13 @@ def stream_ingest(
     q_on = nb_store is not None
     e_on = min_entropy_microbits is not None
     d_on = url_col is not None
+    uk_on = url_keeper_store is not None
+    if uk_on and (url_col is None or url_updates_path is None):
+        raise ValueError(
+            "url_keeper_store requires url_col (the URL identity to key "
+            "on) AND url_updates_path (a stream cannot rewrite landed "
+            "partitions in place — CDC updates need their own sink)"
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -1383,7 +1409,10 @@ def stream_ingest(
                         n_entropy_dropped=0 if e_on else None,
                         nb_threshold_micros=int(nb_threshold_micros) if q_on else None,
                         n_domain_dropped=0 if d_on else None,
-                        n_url_alias_dropped=0 if d_on and collapse_url_aliases else None,
+                        n_url_alias_dropped=0
+                        if d_on and (collapse_url_aliases or uk_on)
+                        else None,
+                        n_url_updates=0 if uk_on else None,
                     )
                     _overwrite_batch_partition(
                         ingest_audit_row(spark, zero), audit_path, ns, batch_id
@@ -1499,8 +1528,57 @@ def stream_ingest(
                 )
                 if not collapse_url_aliases:
                     n_url_alias_dropped = None
+            # canonical-URL keeper gate (round 13): the same tier position
+            # as the batch/txn runners, with stream_url_keeper's replay
+            # mechanics — gate against the merged view excluding this
+            # batch's own partition, CDC updates to their own sink, keeper
+            # rows landed LAST below
+            n_url_updates = 0 if uk_on else None
+            uk_updates = uk_append = uk_batch_ids = None
+            if uk_on:
+                from ..operators.domains import (
+                    _URL_KEEPER_ALGO,
+                    ensure_url_keeper_sidecar,
+                    read_or_seed_url_keeper,
+                    url_keeper_gate,
+                )
+
+                ensure_url_keeper_sidecar(url_keeper_store)
+                _partitioned_store_or_convert(
+                    spark,
+                    url_keeper_store,
+                    ns,
+                    checkpoint_dir,
+                    lambda staging: _write_params_sidecar(
+                        os.path.join(staging, "_url_keeper_params.json"),
+                        {"algo": _URL_KEEPER_ALGO},
+                    ),
+                )
+                uk_existing, uk_seq = read_or_seed_url_keeper(
+                    spark,
+                    url_keeper_store,
+                    exclude_batch_partition=f"{ns}-{batch_id:06d}",
+                    allow_streaming_layout=True,
+                )
+                batch, uk_updates, uk_append, n_uk_dropped = url_keeper_gate(
+                    batch, uk_existing, url_col, id_col, text_col,
+                    batch_seq=uk_seq,
+                )
+                batch = batch.localCheckpoint(eager=True)
+                uk_updates = uk_updates.localCheckpoint(eager=True)
+                uk_append = uk_append.localCheckpoint(eager=True)
+                uk_batch_ids = (
+                    batch.select(F.col(id_col).alias("keeper_id"))
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+                n_url_updates = uk_updates.count()
+                n_url_alias_dropped = (n_url_alias_dropped or 0) + n_uk_dropped
             n_remaining = (
-                n_batch_raw - (n_domain_dropped or 0) - (n_url_alias_dropped or 0)
+                n_batch_raw
+                - (n_domain_dropped or 0)
+                - (n_url_alias_dropped or 0)
+                - (n_url_updates or 0)
             )
             n_entropy_dropped = 0 if e_on else None
             if e_on:
@@ -1535,7 +1613,7 @@ def stream_ingest(
                 max_bucket_size=max_bucket_size,
                 n_batch=n_batch_raw,
             )
-            if q_on or e_on or d_on:
+            if q_on or e_on or d_on or uk_on:
                 from dataclasses import replace as _replace
 
                 report = _replace(
@@ -1545,6 +1623,7 @@ def stream_ingest(
                     nb_threshold_micros=int(nb_threshold_micros) if q_on else None,
                     n_domain_dropped=n_domain_dropped,
                     n_url_alias_dropped=n_url_alias_dropped,
+                    n_url_updates=n_url_updates,
                 )
 
             land_df = survivors
@@ -1597,6 +1676,29 @@ def stream_ingest(
                     simhash_store,
                     ns,
                     batch_id,
+                )
+            if uk_on:
+                _overwrite_batch_partition(
+                    uk_updates, url_updates_path, ns, batch_id
+                )
+                # keeper rows restricted to keepers that EXIST: a new
+                # canonical's keeper row lands only if its doc survived
+                # the content tiers (batch-side semi-join against the
+                # landed frame); changed-content rows keep the existing
+                # (already-landed) keeper_id and pass through. Landed
+                # LAST — the commit point, as in every keeper runner.
+                land_ids = (
+                    land_df.select(F.col(id_col).alias("keeper_id")).distinct()
+                )
+                uk_rows = (
+                    uk_append.join(uk_batch_ids, "keeper_id", "left_semi")
+                    .join(land_ids, "keeper_id", "left_semi")
+                    .unionByName(
+                        uk_append.join(uk_batch_ids, "keeper_id", "left_anti")
+                    )
+                )
+                _overwrite_batch_partition(
+                    uk_rows, url_keeper_store, ns, batch_id
                 )
             if audit_path is not None:
                 # layout already validated at the top of process(), before

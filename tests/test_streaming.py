@@ -2217,3 +2217,100 @@ def test_stream_jaccard_dedup_seeds_from_flat_corpus_store(spark, tmp_path):
     assert postings.filter(F.col("__batch_id") == "seed").count() > 0
     got = {(r.id_a, r.id_b) for r in spark.read.parquet(pairs).collect()}
     assert got == {(1, 11)}
+
+
+def test_stream_ingest_url_keeper_tier(spark, tmp_path):
+    """Round-13: the canonical-URL keeper tier reachable from the composed
+    STREAMING runner — same-content re-crawls drop, changed-content
+    re-crawls become CDC rows in their own sink with the stable
+    keeper_id, new URLs land, tier-dropped docs keep their URL
+    un-tracked, and the audit rows carry n_url_updates."""
+    import os
+
+    from etl_data_transformer_spark.operators.domains import url_keeper_merge
+    from etl_data_transformer_spark.streaming.pipeline import stream_ingest
+
+    src = str(tmp_path / "src")
+    landed = str(tmp_path / "landed")
+    ex = str(tmp_path / "ex")
+    uk = str(tmp_path / "uk")
+    upd = str(tmp_path / "upd")
+    audit = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, url string, text string"
+
+    def drain():
+        stream_ingest(
+            spark.readStream.schema(schema).parquet(src),
+            landed,
+            ckpt,
+            exact_store=ex,
+            url_col="url",
+            url_keeper_store=uk,
+            url_updates_path=upd,
+            audit_path=audit,
+        )
+
+    spark.createDataFrame(
+        [
+            (1, "https://www.example.com/p?utm_source=x", "alpha content"),
+            (2, "https://example.com/p/", "beta content"),  # in-batch alias of 1
+            (3, "https://example.com/q", "gamma content"),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(src)
+    drain()
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(landed).collect()
+    ) == [1, 3]
+
+    spark.createDataFrame(
+        [
+            (11, "https://example.com/p", "alpha content"),  # same-content re-crawl
+            (12, "https://example.com/q#frag", "gamma REVISED"),  # changed content
+            (13, "https://example.com/r", "delta content"),  # new URL, survives
+            (14, "https://example.com/s", "alpha content"),  # new URL, exact-dup DROPPED
+            (15, "not a url", "epsilon content"),  # no URL identity
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    drain()
+
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(landed).collect()
+    ) == [1, 3, 13, 15]  # 11 alias, 12 routed to CDC, 14 exact-dropped
+    updates = spark.read.parquet(upd).collect()
+    assert [(r.keeper_id, r.text) for r in updates] == [(3, "gamma REVISED")]
+    merged = {
+        r.canonical_url: (r.keeper_id, r.fp is not None)
+        for r in url_keeper_merge(
+            spark.read.parquet(uk).drop("__batch_id")
+        ).collect()
+    }
+    assert merged["https://example.com/p"][0] == 1
+    assert merged["https://example.com/q"][0] == 3  # keeper_id STABLE
+    assert merged["https://example.com/r"][0] == 13
+    # doc 14 was dropped by the exact tier -> its URL stays un-tracked
+    assert "https://example.com/s" not in merged
+    audits = (
+        spark.read.parquet(audit).orderBy("ingest_ts").collect()
+    )
+    assert [r.n_url_updates for r in audits] == [0, 1]
+    assert audits[1].n_url_alias_dropped == 1  # doc 11
+
+    # no-new-data drain: all sinks unchanged
+    counts = [
+        spark.read.parquet(p).count() for p in (landed, upd, uk, audit)
+    ]
+    drain()
+    assert [
+        spark.read.parquet(p).count() for p in (landed, upd, uk, audit)
+    ] == counts
+    # flat batch append onto the streaming keeper store refuses
+    from etl_data_transformer_spark.operators.domains import (
+        read_or_seed_url_keeper,
+    )
+
+    with pytest.raises(ValueError, match="streaming"):
+        read_or_seed_url_keeper(spark, uk)
+    assert os.path.exists(os.path.join(uk, "_url_keeper_params.json"))
