@@ -2719,7 +2719,22 @@ def compact_jaccard_store(spark, path: str) -> None:
     census drift (see the store header note) and compacts the
     append-accumulated small files, through one atomic swap. Pair results
     are identical before and after (the order is a pruner, not a
-    correctness input) — pinned by ``tests/test_dedup.py``."""
+    correctness input) — pinned by ``tests/test_dedup.py``.
+
+    A STREAMING store (round 13: ``stream_jaccard_dedup``'s
+    ``__batch_id``-partitioned sub-tables) keeps its partition layout
+    through the rebuild — deduped gramsets retain their origin batch
+    attribution and the rebuilt postings join it back per doc, so later
+    micro-batch partition overwrites keep working (the discipline the
+    other streaming store compactions already follow). Without this the
+    partition column would survive as a plain DATA column, the next
+    stream contact would misdetect the flat rebuild as the current
+    partitioned layout, and its dynamic overwrite would interleave
+    partition dirs with flat files — an unreadable mix. All rebuilt
+    postings are computed under the ONE fresh census, so prefix
+    completeness holds store-wide; a pre-compaction batch replayed
+    afterwards recomputes under that same (current) census and
+    overwrites its partition with identical rows."""
     import os
 
     from ..sources.writers import atomic_swap_write
@@ -2727,7 +2742,10 @@ def compact_jaccard_store(spark, path: str) -> None:
     params = _read_jaccard_params(path)
     num, den = int(params["threshold_num"]), int(params["threshold_den"])
     sets = spark.read.parquet(os.path.join(path, "gramsets"))
-    id_col = [c for c in sets.columns if c not in ("gs", "n_grams")][0]
+    streaming = "__batch_id" in sets.columns
+    id_col = [
+        c for c in sets.columns if c not in ("gs", "n_grams", "__batch_id")
+    ][0]
     # prune crashed-rerun duplicate appends along with the small files.
     # Also drop gramset rows whose id has NO posting row (round-11
     # advice): a batch that crashed between the gramsets and postings
@@ -2753,10 +2771,18 @@ def compact_jaccard_store(spark, path: str) -> None:
     def _write(unused_df, staging):
         census.write.parquet(os.path.join(staging, "census"))
         frozen = spark.read.parquet(os.path.join(staging, "census"))
-        _jaccard_prefix_postings(g, frozen, id_col, num, den).write.parquet(
-            os.path.join(staging, "postings")
-        )
-        sets.write.parquet(os.path.join(staging, "gramsets"))
+        posts = _jaccard_prefix_postings(g, frozen, id_col, num, den)
+        if streaming:
+            posts = posts.join(sets.select(id_col, "__batch_id"), id_col)
+            posts.write.partitionBy("__batch_id").parquet(
+                os.path.join(staging, "postings")
+            )
+            sets.write.partitionBy("__batch_id").parquet(
+                os.path.join(staging, "gramsets")
+            )
+        else:
+            posts.write.parquet(os.path.join(staging, "postings"))
+            sets.write.parquet(os.path.join(staging, "gramsets"))
 
     def _finalize(staging):
         _write_params_sidecar(os.path.join(staging, "_jaccard_params.json"), params)

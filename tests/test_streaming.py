@@ -2314,3 +2314,62 @@ def test_stream_ingest_url_keeper_tier(spark, tmp_path):
     with pytest.raises(ValueError, match="streaming"):
         read_or_seed_url_keeper(spark, uk)
     assert os.path.exists(os.path.join(uk, "_url_keeper_params.json"))
+
+
+def test_stream_jaccard_compaction_preserves_streaming_layout(spark, tmp_path):
+    """Round-13 review find: compacting a STREAMING jaccard store must
+    keep the __batch_id partition layout — a flat rebuild would leave the
+    partition column as a plain data column, the next drain would
+    misdetect the layout and its dynamic overwrite would interleave
+    partition dirs with flat files. After compaction the stream continues
+    and still pairs new docs against the compacted corpus."""
+    import os
+
+    from etl_data_transformer_spark.operators import dedup as DD
+    from etl_data_transformer_spark.streaming.pipeline import stream_jaccard_dedup
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def drain():
+        stream_jaccard_dedup(
+            spark.readStream.schema(schema).parquet(src),
+            store, pairs, ckpt, threshold=0.5,
+        )
+
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog in the morning"),
+            (2, "an entirely different body of text about maritime chronometers"),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(src)
+    drain()
+    spark.createDataFrame(
+        [(11, "the quick brown fox jumps over the lazy dog in the evening")],
+        schema,
+    ).write.mode("append").parquet(src)
+    drain()
+
+    DD.compact_jaccard_store(spark, store)
+    posts = spark.read.parquet(os.path.join(store, "postings"))
+    gsets = spark.read.parquet(os.path.join(store, "gramsets"))
+    assert "__batch_id" in posts.columns and "__batch_id" in gsets.columns
+    # genuinely PARTITIONED (directory layout), not a plain data column
+    assert any(
+        e.startswith("__batch_id=")
+        for e in os.listdir(os.path.join(store, "postings"))
+    )
+    assert gsets.count() == 3  # deduped, all docs retained
+
+    spark.createDataFrame(
+        [(21, "the quick brown fox jumps over the lazy dog in the morning too")],
+        schema,
+    ).write.mode("append").parquet(src)
+    drain()
+    got = {(r.id_a, r.id_b) for r in spark.read.parquet(pairs).collect()}
+    assert (1, 21) in got  # post-compaction stream pairs vs compacted corpus
+    assert (1, 11) in got  # pre-compaction pair history intact
