@@ -497,17 +497,25 @@ def read_url_keeper_store(spark, path: str) -> DataFrame:
 def compact_url_keeper_store(spark, path: str) -> None:
     """Rewrite the store down to its merged view (one row per canonical,
     max batch_seq kept so later appends keep winning) — bounds growth and
-    prunes rerun-duplicate appends, through one atomic swap."""
+    prunes rerun-duplicate appends, through one atomic swap. A STREAMING
+    (``__batch_id``-partitioned) store keeps its partition layout — each
+    winning row retains its origin batch attribution — so later
+    micro-batch partition overwrites keep landing consistently (round-13
+    review: a flat rewrite would leave ``__batch_id`` as a plain data
+    column, the next stream contact would misdetect the layout, and its
+    dynamic overwrite would interleave partition dirs with flat files)."""
     import os
 
     from .dedup import _write_params_sidecar
     from ..sources.writers import atomic_swap_write
 
     ensure_url_keeper_sidecar(path)
-    merged = url_keeper_merge(spark.read.parquet(path)).localCheckpoint(eager=True)
+    rows = spark.read.parquet(path)
+    merged = url_keeper_merge(rows).localCheckpoint(eager=True)
     atomic_swap_write(
         merged,
         path,
+        partition_by=["__batch_id"] if "__batch_id" in rows.columns else None,
         finalize_staging=lambda staging: _write_params_sidecar(
             os.path.join(staging, "_url_keeper_params.json"),
             {"algo": _URL_KEEPER_ALGO},
