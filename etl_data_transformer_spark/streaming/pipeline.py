@@ -1105,9 +1105,10 @@ def stream_jaccard_dedup(
     candidate-without-verify-row, and the ``_jaccard_params`` sidecar is
     written-or-validated before any data so a restart with different
     (n, feature, threshold) raises instead of joining nothing. Compaction
-    (``compact_jaccard_store``) rebuilds the store FLAT — route the next
-    stream start at a compacted store through the seed conversion
-    (automatic) rather than assuming partitions survive."""
+    (``compact_jaccard_store``) preserves the ``__batch_id`` layout on a
+    streaming store (re-censused postings keep their docs' origin batch
+    attribution), so the stream continues across a compaction — pinned by
+    ``tests/test_streaming.py``."""
     from ..operators.dedup import (
         _jaccard_gram_rows,
         _jaccard_pairs_core,
