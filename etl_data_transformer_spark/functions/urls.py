@@ -197,6 +197,113 @@ def registered_domain(
     return reg
 
 
+def registered_domain_frame(
+    df,
+    host_col: str = "host",
+    out_col: str = "reg_domain",
+    rules: PSLRules | None = None,
+):
+    """Frame-level eTLD+1: attach ``out_col`` to a DataFrame that is
+    UNIQUE per ``host_col`` (a distinct-host or host-aggregated frame) by
+    joining the PSL rules as a BROADCAST TABLE instead of compiling them
+    into a literal expression. Same result as ``registered_domain``
+    row-for-row (pinned by a property test over every rule shape), but
+    the plan cost is constant in the rule-set size: the round-13 snapshot
+    expansion made the literal ``InSet`` chain wide enough that Catalyst
+    analysis + codegen dominated the per-QUERY cost (~0.6 s at ~700
+    rules, growing with the rule count — the full upstream file would
+    triple it), which is the wrong trade on a frame that holds one row
+    per distinct host. Shape: explode each host's 1..n label suffixes
+    (hosts have a handful of labels), broadcast-join the rules rows
+    (suffix, kind, k), aggregate the longest normal/wildcard match and
+    the deepest exception per host, and rebuild the registrable domain
+    with one small slice expression. Two tiny shuffles over a
+    distinct-host frame — nothing touches the document-sized data.
+
+    ``registered_domain`` (the expression form) remains the right tool
+    for PER-ROW predicates over small literal rule sets
+    (``NAIVE_RULES``-class) and for callers that cannot reshape into a
+    frame; both compile from the same ``PSLRules`` data."""
+    r = rules if rules is not None else PSL_RULES
+    rows = []
+    for k in r.normals:
+        rows += [(s, "n", k) for s in sorted(r.normals[k])]
+    for j in r.wildcards:
+        rows += [(s, "w", j) for s in sorted(r.wildcards[j])]
+    for m in r.exceptions:
+        rows += [(s, "e", m) for s in sorted(r.exceptions[m])]
+    spark = df.sparkSession
+    rules_df = spark.createDataFrame(
+        rows, "__suffix string, __kind string, __k int"
+    )
+    labels = F.split(F.col(host_col), "\\.")
+    base = (
+        df.select(host_col)
+        .distinct()
+        .select(
+            F.col(host_col),
+            labels.alias("__labels"),
+            F.size(labels).alias("__n"),
+        )
+    )
+    cand = base.select(
+        host_col,
+        "__n",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__labels)), "
+                "k -> array_join(slice(__labels, -k, k), '.'))"
+            )
+        ).alias("__suffix"),
+    )
+    agg = (
+        cand.join(F.broadcast(rules_df), "__suffix", "left")
+        .groupBy(host_col)
+        .agg(
+            F.max(
+                F.when(F.col("__kind") == "n", F.col("__k"))
+            ).alias("__sn"),
+            # the wildcard adds one label and only matches hosts DEEPER
+            # than its base (n >= j+1): a host equal to the base falls
+            # through to the other rules / the implicit '*'
+            F.max(
+                F.when(
+                    (F.col("__kind") == "w")
+                    & (F.col("__n") >= F.col("__k") + 1),
+                    F.col("__k") + 1,
+                )
+            ).alias("__sw"),
+            # deepest exception wins; max over a struct orders by __k
+            # first and nulls (non-exception rows) are excluded by max
+            F.max(
+                F.when(
+                    F.col("__kind") == "e",
+                    F.struct(F.col("__k"), F.col("__suffix")),
+                )
+            )["__suffix"].alias("__exc"),
+        )
+    )
+    slen = F.greatest(
+        F.lit(1),
+        F.coalesce(F.col("__sn"), F.lit(1)),
+        F.coalesce(F.col("__sw"), F.lit(1)),
+    )
+    reg = (
+        F.when(F.col("__exc").isNotNull(), F.col("__exc"))
+        .when(F.col("__n") <= slen, F.col(host_col))
+        .otherwise(
+            F.array_join(
+                F.slice(F.col("__labels"), (slen + F.lit(1)) * -1, slen + F.lit(1)),
+                ".",
+            )
+        )
+    )
+    resolved = base.join(agg, host_col, "left").select(
+        F.col(host_col), reg.alias(out_col)
+    )
+    return df.join(resolved, host_col, "left")
+
+
 def psl_slen_sql(labels: str, rules: PSLRules | None = None) -> str:
     """DuckDB expression for the PSL suffix length over a label-array
     column — generated from the SAME rule data the Spark expression uses,

@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
-from ..functions.urls import canonicalize_url, is_urlish, registered_domain, url_host
+from ..functions.urls import (
+    canonicalize_url,
+    is_urlish,
+    registered_domain,
+    registered_domain_frame,
+    url_host,
+)
 
 
 def domain_stats(
@@ -67,14 +73,8 @@ def domain_stats(
             F.sum("__toks").cast("long").alias("tok_sum"),
             F.sum("__chars").cast("long").alias("char_sum"),
         )
-        .select(
-            "host",
-            registered_domain(F.col("host"), is_host=True).alias("reg_domain"),
-            "n_docs",
-            "n_urls",
-            "tok_sum",
-            "char_sum",
-        )
+        .transform(registered_domain_frame)
+        .select("host", "reg_domain", "n_docs", "n_urls", "tok_sum", "char_sum")
     )
 
 
@@ -117,12 +117,8 @@ def domain_gate(
     # table must not silently miss
     if isinstance(blocklist, DataFrame) or isinstance(allowlist, DataFrame):
         out = df.withColumn("__host", url_host(url_col))
-        kept = (
-            out.select("__host")
-            .distinct()
-            .withColumn(
-                "__dom", registered_domain(F.col("__host"), is_host=True)
-            )
+        kept = registered_domain_frame(
+            out.select("__host").distinct(), host_col="__host", out_col="__dom"
         )
         if isinstance(blocklist, DataFrame):
             bl = F.broadcast(

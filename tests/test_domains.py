@@ -1026,3 +1026,54 @@ def test_registered_domain_three_way_agreement_randomized(spark):
     got_duck = [r[0] for r in con.execute(sql).fetchall()]
     bad = [(h, w, g) for h, w, g in zip(hosts, want, got_duck) if w != g]
     assert not bad, f"duckdb twin diverges from reference on {bad[:5]}"
+
+
+def test_registered_domain_frame_equals_expression(spark):
+    """The broadcast-join frame form (round 13 — constant plan cost in the
+    rule-set size) must equal the literal-expression form host-for-host
+    over hosts drawn from every rule shape, including the wildcard
+    host-equals-base edge where the implicit '*' prevails."""
+    import random
+
+    from etl_data_transformer_spark.functions.urls import (
+        NAIVE_RULES,
+        PSL_RULES,
+        registered_domain,
+        registered_domain_frame,
+    )
+
+    rng = random.Random(7)
+    seeds = []
+    for d in (PSL_RULES.normals, PSL_RULES.wildcards, PSL_RULES.exceptions):
+        for k in d:
+            seeds.extend(rng.sample(sorted(d[k]), min(25, len(d[k]))))
+    seeds += ["com", "de", "localhost"]
+    hosts = sorted(
+        {s.lstrip("!*.") for s in seeds}
+        | {
+            ".".join(
+                ["".join(rng.choices("abcxyz", k=3)) for _ in range(rng.randint(1, 3))]
+                + [s.lstrip("!*.")]
+            )
+            for s in seeds
+        }
+        | {"compute.amazonaws.com", "x.compute.amazonaws.com", "single"}
+    )
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    expr_side = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", registered_domain("host", is_host=True).alias("d")
+        ).collect()
+    }
+    frame_side = {
+        r["host"]: r["reg_domain"]
+        for r in registered_domain_frame(df).collect()
+    }
+    assert frame_side == expr_side
+    # rules override plumbs through the frame form too
+    naive = registered_domain_frame(
+        spark.createDataFrame([("tenant.github.io",)], ["host"]),
+        rules=NAIVE_RULES,
+    ).collect()[0]["reg_domain"]
+    assert naive == "github.io"
