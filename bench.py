@@ -524,7 +524,23 @@ def main() -> None:
         spark.stop()
     except Exception as e:  # a stop failure must never eat the summary
         print(f"# spark.stop() failed: {e}", file=sys.stderr)
-    print(json.dumps(summary))
+    # round-14 (verdict r13 item 1): the driver captures only the LAST
+    # 2000 bytes of stdout, so a long line truncates at the FRONT and
+    # never parses — BENCH_r01..r13 all carry "parsed": null because the
+    # two per-query dicts alone are ~2.6 kB. Per-query timings live in
+    # BENCH_DETAIL.json; the contract line keeps totals/ratios/flags
+    # unconditionally and the per-query dicts only while the serialized
+    # line stays under the cap (sf1 tier dropped first — it is the
+    # bigger, newer addition; then the sf0.1 dict collapses to a count).
+    _STDOUT_CAP = 1900  # headroom under the driver's 2000-byte tail
+    line = json.dumps(summary)
+    if len(line) >= _STDOUT_CAP and "sf1_queries" in summary:
+        summary["sf1_queries_omitted_n"] = len(summary.pop("sf1_queries"))
+        line = json.dumps(summary)
+    if len(line) >= _STDOUT_CAP and "queries" in summary:
+        summary["queries_omitted_n"] = len(summary.pop("queries"))
+        line = json.dumps(summary)
+    print(line)
     sys.stdout.flush()
 
 
