@@ -101,6 +101,12 @@ class IngestReport:
     # ran): re-crawls with CHANGED content routed to a CDC update of the
     # keeper document instead of the content dedup tiers
     n_url_updates: int | None = None
+    # exact prefix-Jaccard tier (round 14, None unless jaccard_store /
+    # jaccard_table ran): survivor count after the tier and the exact
+    # J >= t pair volume that drove the drops — the last, most precise
+    # near-dup tier, so it runs on the fewest documents
+    n_after_jaccard: int | None = None
+    jaccard_pairs: int | None = None
 
 
 def _near_losers(pairs: DataFrame, survivors: DataFrame, id_col: str) -> DataFrame:
@@ -506,11 +512,15 @@ def run_incremental_ingest(
     collapse_url_aliases: bool = False,
     strict_domain_gate: bool = False,
     url_keeper_store: str | None = None,
+    jaccard_store: str | None = None,
+    jaccard_threshold: float = 0.6,
+    jaccard_n: int = 3,
+    jaccard_feature: str = "shingles",
 ) -> IngestReport:
     """Run one ingest batch through the enabled dedup tiers (exact is
     mandatory — it is the cheapest and catches byte-duplicates the banded
-    tiers would also flag; MinHash/SimHash tiers activate when their store
-    path is given). Batch ids must be disjoint from every store's ids (the
+    tiers would also flag; MinHash/SimHash/prefix-Jaccard tiers activate
+    when their store path is given). Batch ids must be disjoint from every store's ids (the
     shared incremental-dedup contract); every batch column survives into
     the landed output. Absent/empty stores take the first-batch path
     (full-batch dedup) — any OTHER store-read failure propagates rather
@@ -574,7 +584,25 @@ def run_incremental_ingest(
     once. NULL urls pass ungated; the audit row carries
     ``n_domain_dropped`` / ``n_url_alias_dropped``. Cross-batch same-URL
     re-crawls are deliberately left to the content stores (see
-    ``_domain_gate``)."""
+    ``_domain_gate``).
+
+    ``jaccard_store`` (round 14 — the last store family reachable from
+    the composed runners) enables the EXACT prefix-Jaccard tier after
+    SimHash: ``jaccard_join_incremental`` semantics against the
+    persisted ``{census,postings,gramsets}`` store, run AT the store's
+    build threshold (``jaccard_threshold`` seeds the sidecar on first
+    contact and must match it afterwards — a different threshold wants a
+    different store, because the persisted prefixes are complete only at
+    the build threshold and above, and running looser would silently
+    under-pair). A first batch freezes the census from its OWN gated
+    grams (atomic swap — the census is a pruner, never a correctness
+    input). Survivor gramsets land before postings (an id with postings
+    is fully indexed; the gramsets-only seam heals on rerun, the same
+    split-append discipline as the minhash split layout), and each
+    batch's candidate mass records into the drift sidecar so
+    ``jaccard_store_drift`` / ``maybe_compact_jaccard_store`` watch the
+    frozen census exactly as with stand-alone stores. The audit row
+    carries ``n_after_jaccard`` / ``jaccard_pairs``."""
     from ..operators import dedup as DD
     from ..operators.curation import read_passage_store
     from ..sources.writers import append_parquet
@@ -591,6 +619,7 @@ def run_incremental_ingest(
     e_on = min_entropy_microbits is not None
     d_on = url_col is not None
     uk_on = url_keeper_store is not None
+    jc_on = jaccard_store is not None
     if uk_on and (not d_on or survivors_path is None):
         raise ValueError(
             "url_keeper_store requires url_col (the URL identity to key on) "
@@ -605,6 +634,8 @@ def run_incremental_ingest(
             0,
             0 if mh_on else None,
             0 if sh_on else None,
+            n_after_jaccard=0 if jc_on else None,
+            jaccard_pairs=0 if jc_on else None,
             passage_tokens_removed=0 if rw_on else None,
             passage_docs_touched=0 if rw_on else None,
             n_quality_dropped=0 if q_on else None,
@@ -724,6 +755,54 @@ def run_incremental_ingest(
         if sh_on
         else None
     )
+    # prefix-Jaccard store (round 14): sidecar written-or-validated, then
+    # the three sub-tables read with the same discipline as the keyed
+    # stores — streaming (__batch_id) layouts reject, rows carrying batch
+    # ids heal away (a crashed prior attempt's append), gramsets dedupe
+    # per id. The census is FROZEN: absent store → None here, and the
+    # first batch's own grams freeze it at sink time.
+    jc_census = jc_postings_store = jc_sets_store = None
+    jc_num = jc_den = None
+    if jc_on:
+        import os as _os
+
+        recover_interrupted_swap(jaccard_store)
+        recover_interrupted_swap(_os.path.join(jaccard_store, "census"))
+        DD.ensure_jaccard_params_sidecar(
+            jaccard_store,
+            n=jaccard_n,
+            feature=jaccard_feature,
+            threshold=jaccard_threshold,
+        )
+        jc_params = DD._read_jaccard_params(jaccard_store)
+        jc_num = int(jc_params["threshold_num"])
+        jc_den = int(jc_params["threshold_den"])
+        jc_census = _read_store_or_none(
+            spark, _os.path.join(jaccard_store, "census")
+        )
+        jc_postings_store = _read_store_or_none(
+            spark, _os.path.join(jaccard_store, "postings")
+        )
+        jc_sets_store = _read_store_or_none(
+            spark, _os.path.join(jaccard_store, "gramsets")
+        )
+        for sub in (jc_postings_store, jc_sets_store):
+            if sub is not None and "__batch_id" in sub.columns:
+                raise ValueError(
+                    f"jaccard store at {jaccard_store} has the streaming "
+                    "(__batch_id) layout; batch ingest appends would corrupt "
+                    "it — run stream_ingest, or rebuild the store flat"
+                )
+        if jc_postings_store is not None:
+            jc_postings_store = _drop_replayed_batch_rows(
+                jc_postings_store, batch, id_col
+            ).select(id_col, "g", "sz", "rn")
+        if jc_sets_store is not None:
+            jc_sets_store = (
+                _drop_replayed_batch_rows(jc_sets_store, batch, id_col)
+                .dropDuplicates([id_col])
+                .select(id_col, "gs", "n_grams")
+            )
     # passage sidecar validation BEFORE the gate computes (the healed
     # count view itself needs the GATED batch's fingerprint, built below)
     if pg_on:
@@ -842,7 +921,20 @@ def run_incremental_ingest(
         else None
     )
 
-    survivors, report = _run_tiers(
+    # first jaccard batch: freeze the census from the GATED batch's own
+    # grams (a superset of the tier-4 input — the census is a pruner, so
+    # any df ordering is exact; the swap at sink time makes it durable)
+    jc_census_new = False
+    if jc_on and jc_census is None:
+        jc_census_new = True
+        jc_census = (
+            DD._jaccard_gram_rows(batch, text_col, id_col, jaccard_n, jaccard_feature)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            .localCheckpoint(eager=True)
+        )
+
+    survivors, report, jc_art = _run_tiers(
         batch,
         ex_store,
         mh_store,
@@ -859,6 +951,14 @@ def run_incremental_ingest(
         simhash_max_hamming=simhash_max_hamming,
         max_bucket_size=max_bucket_size,
         n_batch=n_batch,
+        jc_on=jc_on,
+        jc_census=jc_census,
+        jc_store_postings=jc_postings_store,
+        jc_store_sets=jc_sets_store,
+        jc_n=jaccard_n,
+        jc_feature=jaccard_feature,
+        jc_num=jc_num if jc_on else 3,
+        jc_den=jc_den if jc_on else 5,
     )
     if q_on or e_on or d_on or uk_on:
         from dataclasses import replace as _replace
@@ -964,6 +1064,47 @@ def run_incremental_ingest(
             ),
             simhash_store,
         )
+    if jc_on:
+        import os as _os
+
+        from ..sources.writers import atomic_swap_write as _swap
+
+        if jc_census_new:
+            # durable AFTER the tier used the in-memory frame — a crash
+            # here leaves no store contact; a crash after leaves census
+            # only, which the next run reads as the frozen pruner
+            _swap(jc_census, _os.path.join(jaccard_store, "census"))
+        jc_postings_new, jc_sets_new = jc_art
+        surv_ids = survivors.select(id_col).distinct()
+        sets_rows = jc_sets_new.join(surv_ids, id_col, "left_semi")
+        post_rows = jc_postings_new.join(surv_ids, id_col, "left_semi")
+        # both appends guard on the POSTINGS ids (the last-appended
+        # sub-table, mirroring the minhash split layout's sigs-last heal):
+        # an id with postings is fully indexed and skips; a gramsets-only
+        # id is the crashed seam — the rerun re-appends it whole, and the
+        # read-side per-id dedupe + compaction absorb the duplicate copy
+        posts_path = _os.path.join(jaccard_store, "postings")
+        landed_posts = _read_store_or_none(spark, posts_path)
+        if landed_posts is not None:
+            pids = landed_posts.select(id_col).distinct()
+            sets_rows = sets_rows.join(pids, id_col, "left_anti")
+            post_rows = post_rows.join(pids, id_col, "left_anti")
+        sets_rows.write.mode("append").parquet(
+            _os.path.join(jaccard_store, "gramsets")
+        )
+        post_rows.write.mode("append").parquet(posts_path)
+        # drift telemetry over the frames the candidate join actually
+        # consumed (full tier input, healed store side) — the same
+        # recording the stand-alone incremental join and stream twin do
+        DD._record_jaccard_batch_mass(
+            jaccard_store,
+            jc_postings_new,
+            jc_postings_store
+            if jc_postings_store is not None
+            else jc_postings_new.limit(0),
+            jc_sets_new,
+            True,
+        )
     if pg_on:
         # idempotent by construction: the dynamic overwrite replaces only
         # this batch's own fingerprint partition, so a rerun rewrites the
@@ -1002,7 +1143,7 @@ def run_incremental_ingest(
             # as exact dups (round-12 review). Old-fp rows stay: a stale
             # re-crawl of the superseded text also drops — the
             # conservative direction. Near-dup signatures are NOT
-            # refreshed by design: stale minhash/simhash rows can only
+            # refreshed by design: stale minhash/simhash/jaccard rows can only
             # cause extra conservative drops of near-dups of superseded
             # text, never corruption (rerun-duplicate fp rows are
             # likewise harmless — the exact tier tests fp EXISTENCE).
@@ -1050,11 +1191,25 @@ def _run_tiers(
     simhash_max_hamming: int,
     max_bucket_size: int | None,
     n_batch: int,
-) -> tuple[DataFrame, IngestReport]:
+    jc_on: bool = False,
+    jc_census: DataFrame | None = None,
+    jc_store_postings: DataFrame | None = None,
+    jc_store_sets: DataFrame | None = None,
+    jc_n: int = 3,
+    jc_feature: str = "shingles",
+    jc_num: int = 3,
+    jc_den: int = 5,
+) -> tuple[DataFrame, IngestReport, tuple[DataFrame, DataFrame] | None]:
     """The shared tier body (batch runner + streaming twin): exact →
-    MinHash → SimHash over an already-validated, already-healed view of
-    each store (``None`` = first batch for that tier). Returns the
-    surviving rows (all input columns) and the per-tier report."""
+    MinHash → SimHash → exact prefix-Jaccard over an already-validated,
+    already-healed view of each store (``None`` = first batch for that
+    tier). Returns the surviving rows (all input columns), the per-tier
+    report, and — when the Jaccard tier ran — its ``(new_postings,
+    new_sets)`` rows for the WHOLE tier input (computed under the frozen
+    ``jc_census``, eagerly materialized), so the caller's sink stage can
+    land the final survivors' rows without re-shingling. The Jaccard tier
+    runs LAST: it is the exact (verification-complete) and most expensive
+    tier, so it sees the fewest documents."""
     from ..operators import dedup as DD
 
     # tier 1: exact fingerprints (store absent → plain in-batch exact dedup)
@@ -1162,6 +1317,41 @@ def _run_tiers(
             ).localCheckpoint(eager=True)
         n_after_simhash = survivors.count()
 
+    # tier 4: exact prefix-Jaccard (round 14 — the last store family
+    # reachable from the composed runners). The batch's grams order under
+    # the caller-provided FROZEN census (first batch: the caller froze it
+    # from this batch's own grams — a pruner, never a correctness input),
+    # prefixes join the persisted postings plus the batch self-join, and
+    # candidates verify against the persisted gramsets — exact J >= t,
+    # same drop policy as the banded tiers.
+    n_after_jaccard = jc_pairs_n = None
+    jc_art = None
+    if jc_on:
+        g_new = DD._jaccard_gram_rows(
+            survivors, text_col, id_col, jc_n, jc_feature
+        ).localCheckpoint(eager=True)
+        pairs, jc_postings, jc_sets = DD._jaccard_pairs_core(
+            g_new,
+            jc_census,
+            jc_store_postings,
+            jc_store_sets,
+            id_col=id_col,
+            num=jc_num,
+            den=jc_den,
+            bnum=jc_num,
+            bden=jc_den,
+            include_batch_pairs=True,
+            materialize=True,
+        )
+        pairs = pairs.localCheckpoint(eager=True)
+        jc_pairs_n = pairs.count()
+        if jc_pairs_n:
+            survivors = survivors.join(
+                _near_losers(pairs, survivors, id_col), id_col, "left_anti"
+            ).localCheckpoint(eager=True)
+        n_after_jaccard = survivors.count()
+        jc_art = (jc_postings, jc_sets)
+
     report = IngestReport(
         n_batch,
         n_after_exact,
@@ -1172,8 +1362,10 @@ def _run_tiers(
         sh_pairs_n,
         mh_capped,
         sh_capped,
+        n_after_jaccard=n_after_jaccard,
+        jaccard_pairs=jc_pairs_n,
     )
-    return survivors, report
+    return survivors, report, jc_art
 
 
 def ingest_audit_row(spark, report: IngestReport) -> DataFrame:
@@ -1204,6 +1396,8 @@ def ingest_audit_row(spark, report: IngestReport) -> DataFrame:
             report.n_domain_dropped,
             report.n_url_alias_dropped,
             report.n_url_updates,
+            report.n_after_jaccard,
+            report.jaccard_pairs,
             dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
         )
     ]
@@ -1218,7 +1412,7 @@ _AUDIT_COLS_DDL = (
     "passage_docs_touched long, n_quality_dropped long, "
     "n_entropy_dropped long, nb_threshold_micros long, "
     "n_domain_dropped long, n_url_alias_dropped long, n_url_updates long, "
-    "ingest_ts timestamp"
+    "n_after_jaccard long, jaccard_pairs long, ingest_ts timestamp"
 )
 _AUDIT_COL_NAMES = {c.strip().split()[0] for c in _AUDIT_COLS_DDL.split(",")}
 
@@ -1348,6 +1542,10 @@ def run_incremental_ingest_txn(
     collapse_url_aliases: bool = False,
     strict_domain_gate: bool = False,
     url_keeper_table: str | None = None,
+    jaccard_table: str | None = None,
+    jaccard_threshold: float = 0.6,
+    jaccard_n: int = 3,
+    jaccard_feature: str = "shingles",
 ) -> IngestReport:
     """``run_incremental_ingest`` with ATOMIC publication (round-7 verdict
     item 4): every sink is a ``sources/manifest`` table and the landed
@@ -1413,7 +1611,19 @@ def run_incremental_ingest_txn(
     text equals an update's new text counts as an exact dup on the rerun
     — the guarded appends make the DATA state identical either way, only
     the second audit row's tier counts can differ (same contract as the
-    rerun audit note above)."""
+    rerun audit note above).
+
+    ``jaccard_table`` (round 14) brings the exact prefix-Jaccard tier
+    into the transaction: the store's three sub-frames live as MANIFEST
+    tables at ``jaccard_table/{census,postings,gramsets}`` (the params
+    sidecar at the table root, as with every store), the tier runs at the
+    store's build threshold exactly as in the parquet runner, and the
+    survivor gramsets + postings join the SAME journaled commit as every
+    other sink — the corpus can never run ahead of the index. A first
+    batch's census (frozen from its own gated grams) commits in the same
+    journal; committed reruns find every posting id present and append
+    nothing. The drift-mass sidecar records AFTER the commit (telemetry,
+    not data — a failed transaction records nothing)."""
     from ..operators import dedup as DD
     from ..operators.curation import read_passage_store
     from ..sources import manifest as MF
@@ -1433,6 +1643,7 @@ def run_incremental_ingest_txn(
     e_on = min_entropy_microbits is not None
     d_on = url_col is not None
     uk_on = url_keeper_table is not None
+    jc_on = jaccard_table is not None
     if uk_on and url_col is None:
         raise ValueError(
             "url_keeper_table requires url_col (the URL identity to key on) "
@@ -1473,6 +1684,13 @@ def run_incremental_ingest_txn(
         )
     if sh_on:
         DD.ensure_simhash_params_sidecar(simhash_table)
+    if jc_on:
+        DD.ensure_jaccard_params_sidecar(
+            jaccard_table,
+            n=jaccard_n,
+            feature=jaccard_feature,
+            threshold=jaccard_threshold,
+        )
     if pg_on:
         from ..operators.curation import ensure_passage_params_sidecar
 
@@ -1498,6 +1716,8 @@ def run_incremental_ingest_txn(
             0,
             0 if mh_on else None,
             0 if sh_on else None,
+            n_after_jaccard=0 if jc_on else None,
+            jaccard_pairs=0 if jc_on else None,
             passage_tokens_removed=0 if rw_on else None,
             passage_docs_touched=0 if rw_on else None,
             n_quality_dropped=0 if q_on else None,
@@ -1616,8 +1836,52 @@ def run_incremental_ingest_txn(
         if raw_sh is not None
         else None
     )
+    # prefix-Jaccard store views (round 14): the three sub-frames are
+    # manifest tables under jaccard_table/; same heal discipline as the
+    # other store views (after recovery, batch-id rows can only come from
+    # a fully committed prior attempt)
+    jc_census = raw_jc_posts = jc_postings_store = jc_sets_store = None
+    jc_num = jc_den = None
+    jc_census_new = False
+    if jc_on:
+        import os as _os
 
-    survivors, report = _run_tiers(
+        jc_params = DD._read_jaccard_params(jaccard_table)
+        jc_num = int(jc_params["threshold_num"])
+        jc_den = int(jc_params["threshold_den"])
+        jc_census = _read_manifest_table_or_none(
+            spark, _os.path.join(jaccard_table, "census")
+        )
+        raw_jc_posts = _read_manifest_table_or_none(
+            spark, _os.path.join(jaccard_table, "postings")
+        )
+        raw_jc_sets = _read_manifest_table_or_none(
+            spark, _os.path.join(jaccard_table, "gramsets")
+        )
+        if raw_jc_posts is not None:
+            jc_postings_store = _drop_replayed_batch_rows(
+                raw_jc_posts, batch, id_col
+            ).select(id_col, "g", "sz", "rn")
+        if raw_jc_sets is not None:
+            jc_sets_store = (
+                _drop_replayed_batch_rows(raw_jc_sets, batch, id_col)
+                .dropDuplicates([id_col])
+                .select(id_col, "gs", "n_grams")
+            )
+        if jc_census is None:
+            # first batch: freeze the census from the gated batch's own
+            # grams; it commits in the SAME journal as every other sink
+            jc_census_new = True
+            jc_census = (
+                DD._jaccard_gram_rows(
+                    batch, text_col, id_col, jaccard_n, jaccard_feature
+                )
+                .groupBy("g")
+                .agg(F.count(F.lit(1)).cast("long").alias("df"))
+                .localCheckpoint(eager=True)
+            )
+
+    survivors, report, jc_art = _run_tiers(
         batch,
         ex_store,
         mh_store,
@@ -1633,6 +1897,14 @@ def run_incremental_ingest_txn(
         simhash_max_hamming=simhash_max_hamming,
         max_bucket_size=max_bucket_size,
         n_batch=n_batch,
+        jc_on=jc_on,
+        jc_census=jc_census,
+        jc_store_postings=jc_postings_store,
+        jc_store_sets=jc_sets_store,
+        jc_n=jaccard_n,
+        jc_feature=jaccard_feature,
+        jc_num=jc_num if jc_on else 3,
+        jc_den=jc_den if jc_on else 5,
     )
     if q_on or e_on or d_on or uk_on:
         from dataclasses import replace as _replace
@@ -1753,6 +2025,42 @@ def run_incremental_ingest_txn(
                 "mode": "append",
             }
         )
+    if jc_on:
+        import os as _os
+
+        jc_postings_new, jc_sets_new = jc_art
+        surv_ids = survivors.select(id_col).distinct()
+        # guard against the POSTINGS table's ids (multi_commit is
+        # all-or-nothing, so postings-present == fully indexed; on a
+        # committed rerun both appends empty)
+        jc_sets_rows = jc_sets_new.join(surv_ids, id_col, "left_semi")
+        jc_post_rows = jc_postings_new.join(surv_ids, id_col, "left_semi")
+        if raw_jc_posts is not None:
+            jc_pids = raw_jc_posts.select(id_col).distinct()
+            jc_sets_rows = jc_sets_rows.join(jc_pids, id_col, "left_anti")
+            jc_post_rows = jc_post_rows.join(jc_pids, id_col, "left_anti")
+        if jc_census_new:
+            writes.append(
+                {
+                    "df": jc_census,
+                    "table_dir": _os.path.join(jaccard_table, "census"),
+                    "mode": "append",
+                }
+            )
+        writes.append(
+            {
+                "df": jc_sets_rows,
+                "table_dir": _os.path.join(jaccard_table, "gramsets"),
+                "mode": "append",
+            }
+        )
+        writes.append(
+            {
+                "df": jc_post_rows,
+                "table_dir": _os.path.join(jaccard_table, "postings"),
+                "mode": "append",
+            }
+        )
     if pg_on:
         # count rows derived from the corpus-GUARDED survivor ids: on a
         # committed rerun that set is empty (ids across batches are
@@ -1806,4 +2114,18 @@ def run_incremental_ingest_txn(
              "mode": "append"}
         )
     MF.multi_commit(writes, txn_dir)
+    if jc_on:
+        # drift telemetry AFTER the commit (a failed transaction records
+        # nothing); duplicate entries on a committed rerun are telemetry,
+        # not data — the drift ratio reads only the last entry
+        jc_postings_new, _jc_sets_new = jc_art
+        DD._record_jaccard_batch_mass(
+            jaccard_table,
+            jc_postings_new,
+            jc_postings_store
+            if jc_postings_store is not None
+            else jc_postings_new.limit(0),
+            _jc_sets_new,
+            True,
+        )
     return report

@@ -1247,6 +1247,10 @@ def stream_ingest(
     strict_domain_gate: bool = False,
     url_keeper_store: str | None = None,
     url_updates_path: str | None = None,
+    jaccard_store: str | None = None,
+    jaccard_threshold: float = 0.6,
+    jaccard_n: int = 3,
+    jaccard_feature: str = "shingles",
 ) -> None:
     """Streaming twin of ``plans/ingest.run_incremental_ingest`` — the
     EXACTLY-ONCE landed corpus the batch runner's docstring defers to.
@@ -1318,7 +1322,19 @@ def stream_ingest(
     exist (new canonicals that survived the content tiers keep their
     rows; a tier-dropped doc keeps its URL un-tracked, same policy as the
     batch runner). Both paths must be given together, with ``url_col``.
-    """
+
+    ``jaccard_store`` (round 14 — the tier now reachable from ALL THREE
+    composed runners) enables the exact prefix-Jaccard tier after
+    SimHash, with ``stream_jaccard_dedup``'s store mechanics folded in:
+    the ``{postings,gramsets}`` sub-tables are ``__batch_id``-partitioned
+    idempotent sinks (survivor rows only, gramsets landed before
+    postings), the census freezes from the first batch's gated grams
+    (atomic swap; a ``write_jaccard_store`` corpus seed converts on first
+    contact), the tier runs at the store's build threshold, and the
+    drift-mass sidecar records per batch. ``compact_jaccard_store``
+    preserves the streaming layout, so the stream continues across a
+    compaction. The audit row carries ``n_after_jaccard`` /
+    ``jaccard_pairs``."""
     from ..operators.dedup import (
         _SIMHASH_ALGO,
         _write_params_sidecar,
@@ -1342,6 +1358,7 @@ def stream_ingest(
     e_on = min_entropy_microbits is not None
     d_on = url_col is not None
     uk_on = url_keeper_store is not None
+    jc_on = jaccard_store is not None
     if uk_on and (url_col is None or url_updates_path is None):
         raise ValueError(
             "url_keeper_store requires url_col (the URL identity to key "
@@ -1404,6 +1421,8 @@ def stream_ingest(
                         0,
                         0 if mh_on else None,
                         0 if sh_on else None,
+                        n_after_jaccard=0 if jc_on else None,
+                        jaccard_pairs=0 if jc_on else None,
                         passage_tokens_removed=0 if rw_on else None,
                         passage_docs_touched=0 if rw_on else None,
                         n_quality_dropped=0 if q_on else None,
@@ -1471,6 +1490,53 @@ def stream_ingest(
                 if sh_on
                 else None
             )
+            # prefix-Jaccard store (round 14): sidecar at the store root,
+            # the two row sub-tables batch-partitioned (a write_jaccard
+            # _store corpus seed converts on first contact), rows healed
+            # against the RAW batch; the frozen census resolves after the
+            # gates (first batch freezes it from the GATED grams)
+            jc_postings_store = jc_sets_store = None
+            jc_num = jc_den = None
+            if jc_on:
+                from ..operators.dedup import (
+                    _read_jaccard_params,
+                    ensure_jaccard_params_sidecar,
+                )
+
+                ensure_jaccard_params_sidecar(
+                    jaccard_store,
+                    n=jaccard_n,
+                    feature=jaccard_feature,
+                    threshold=jaccard_threshold,
+                )
+                jc_params = _read_jaccard_params(jaccard_store)
+                jc_num = int(jc_params["threshold_num"])
+                jc_den = int(jc_params["threshold_den"])
+                noop = lambda staging: None  # noqa: E731 — sidecar at root
+                jc_postings_store = _partitioned_store_or_convert(
+                    spark,
+                    os.path.join(jaccard_store, "postings"),
+                    ns,
+                    checkpoint_dir,
+                    noop,
+                )
+                jc_sets_store = _partitioned_store_or_convert(
+                    spark,
+                    os.path.join(jaccard_store, "gramsets"),
+                    ns,
+                    checkpoint_dir,
+                    noop,
+                )
+                if jc_postings_store is not None:
+                    jc_postings_store = _drop_replayed_batch_rows(
+                        jc_postings_store, batch, id_col
+                    ).select(id_col, "g", "sz", "rn")
+                if jc_sets_store is not None:
+                    jc_sets_store = (
+                        _drop_replayed_batch_rows(jc_sets_store, batch, id_col)
+                        .dropDuplicates([id_col])
+                        .select(id_col, "gs", "n_grams")
+                    )
             pg_counts = None
             if pg_on:
                 from ..operators.curation import (
@@ -1597,7 +1663,37 @@ def stream_ingest(
                     n_remaining - (n_entropy_dropped or 0),
                 )
 
-            survivors, report = _run_tiers(
+            jc_census = None
+            if jc_on:
+                from ..operators.dedup import _jaccard_gram_rows
+                from ..sources.writers import (
+                    atomic_swap_write,
+                    recover_interrupted_swap,
+                )
+
+                # the census swap targets the SUB-path, so heal it there
+                # (the sidecar ensure only heals swaps at the store root)
+                recover_interrupted_swap(os.path.join(jaccard_store, "census"))
+                jc_census = _read_store_or_none(
+                    spark, os.path.join(jaccard_store, "census")
+                )
+                if jc_census is None:
+                    # first batch: freeze ITS gated grams' census (atomic
+                    # swap — a replay recomputes the identical frame);
+                    # exactness never depends on which batch froze it
+                    atomic_swap_write(
+                        _jaccard_gram_rows(
+                            batch, text_col, id_col, jaccard_n, jaccard_feature
+                        )
+                        .groupBy("g")
+                        .agg(F.count(F.lit(1)).cast("long").alias("df")),
+                        os.path.join(jaccard_store, "census"),
+                    )
+                    jc_census = spark.read.parquet(
+                        os.path.join(jaccard_store, "census")
+                    )
+
+            survivors, report, jc_art = _run_tiers(
                 batch,
                 ex,
                 mh,
@@ -1613,6 +1709,14 @@ def stream_ingest(
                 simhash_max_hamming=simhash_max_hamming,
                 max_bucket_size=max_bucket_size,
                 n_batch=n_batch_raw,
+                jc_on=jc_on,
+                jc_census=jc_census,
+                jc_store_postings=jc_postings_store,
+                jc_store_sets=jc_sets_store,
+                jc_n=jaccard_n,
+                jc_feature=jaccard_feature,
+                jc_num=jc_num if jc_on else 3,
+                jc_den=jc_den if jc_on else 5,
             )
             if q_on or e_on or d_on or uk_on:
                 from dataclasses import replace as _replace
@@ -1677,6 +1781,36 @@ def stream_ingest(
                     simhash_store,
                     ns,
                     batch_id,
+                )
+            if jc_on:
+                from ..operators.dedup import _record_jaccard_batch_mass
+
+                jc_postings_new, jc_sets_new = jc_art
+                surv_ids = survivors.select(id_col).distinct()
+                # survivor rows only, gramsets landed before postings —
+                # the partition overwrite is the replay heal, so no id
+                # guard is needed (a replayed batch replaces its own
+                # partitions with identical rows)
+                _overwrite_batch_partition(
+                    jc_sets_new.join(surv_ids, id_col, "left_semi"),
+                    os.path.join(jaccard_store, "gramsets"),
+                    ns,
+                    batch_id,
+                )
+                _overwrite_batch_partition(
+                    jc_postings_new.join(surv_ids, id_col, "left_semi"),
+                    os.path.join(jaccard_store, "postings"),
+                    ns,
+                    batch_id,
+                )
+                _record_jaccard_batch_mass(
+                    jaccard_store,
+                    jc_postings_new,
+                    jc_postings_store
+                    if jc_postings_store is not None
+                    else jc_postings_new.limit(0),
+                    jc_sets_new,
+                    True,
                 )
             if uk_on:
                 _overwrite_batch_partition(

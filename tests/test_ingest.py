@@ -1710,3 +1710,190 @@ def test_ingest_url_keeper_tier_cross_batch_recrawls(spark, tmp_path):
 
     with pytest.raises(ValueError, match="url_keeper_store requires"):
         run_incremental_ingest(b1, exact_store=ex, url_keeper_store=keeper)
+
+
+def _jc_b1(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),      # J(1,2)=4/6 — jaccard near-dup of 1
+            (3, "uno dos tres cuatro cinco"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _jc_b2(spark):
+    return spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta theta"),    # J(10, landed 1)=4/6 — cross-batch
+            (11, "uno dos tres cuatro nueve"),       # J(11, landed 3)=4/6 — cross-batch
+            (12, "completely different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_ingest_jaccard_tier_two_batches(spark, tmp_path):
+    """Round-14: the exact prefix-Jaccard tier through the batch runner —
+    in-batch pairs drop the higher id, cross-batch pairs drop against the
+    persisted store (unigram token sets here: J=4/6 >= 0.6), the store
+    grows by survivor rows only, reruns are idempotent, and the audit
+    carries the tier's counts."""
+    ex = str(tmp_path / "ex")
+    jc = str(tmp_path / "jc")
+    landed_p = str(tmp_path / "landed")
+    audit_p = str(tmp_path / "audit")
+    kw = dict(
+        exact_store=ex,
+        jaccard_store=jc,
+        jaccard_n=1,
+        jaccard_threshold=0.6,
+        survivors_path=landed_p,
+        audit_path=audit_p,
+    )
+    r1 = run_incremental_ingest(_jc_b1(spark), **kw)
+    assert (r1.n_batch, r1.n_after_exact, r1.n_after_jaccard, r1.n_landed) == (3, 3, 2, 2)
+    assert r1.jaccard_pairs == 1  # (1, 2)
+    assert r1.n_after_minhash is None  # other near tiers off
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(landed_p).collect()
+    ) == [1, 3]
+
+    r2 = run_incremental_ingest(_jc_b2(spark), **kw)
+    assert (r2.n_after_jaccard, r2.n_landed) == (1, 1)
+    assert r2.jaccard_pairs == 2  # (1,10) and (3,11), both vs the store
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(landed_p).collect()
+    ) == [1, 3, 12]
+
+    # store holds exactly the landed survivors' rows, once each
+    sets = spark.read.parquet(os.path.join(jc, "gramsets"))
+    assert sorted(r.doc_id for r in sets.collect()) == [1, 3, 12]
+    posts = spark.read.parquet(os.path.join(jc, "postings"))
+    assert set(r.doc_id for r in posts.select("doc_id").distinct().collect()) == {1, 3, 12}
+    # the frozen census exists and covers batch-1 grams
+    assert spark.read.parquet(os.path.join(jc, "census")).count() > 0
+
+    # equivalence with the stand-alone incremental join on a fresh probe:
+    # the composed tier and jaccard_join_incremental share the core, so a
+    # read-only screen of a near-dup of landed 12 finds exactly that pair
+    probe = spark.createDataFrame(
+        [(90, "completely different words here instead")],
+        "doc_id long, text string",
+    )
+    got = DD.jaccard_join_incremental(
+        probe, jc, id_col="doc_id", append=False
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(12, 90)]
+
+    # rerun of the committed batch 2: the heals make it recompute the
+    # identical survivors (report n_landed = 1), and the idempotent-append
+    # guards land no new corpus rows and no duplicate store rows
+    r2b = run_incremental_ingest(_jc_b2(spark), **kw)
+    assert r2b.n_landed == 1
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(landed_p).collect()
+    ) == [1, 3, 12]
+    sets2 = spark.read.parquet(os.path.join(jc, "gramsets"))
+    assert sets2.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+
+    audit = spark.read.parquet(audit_p).orderBy("ingest_ts").collect()
+    assert [r.jaccard_pairs for r in audit] == [1, 2, 2]
+    assert [r.n_after_jaccard for r in audit] == [2, 1, 1]
+
+    # a streaming-layout store rejects the batch runner up front
+    import pytest
+
+    stream_store = str(tmp_path / "jc_stream")
+    DD.ensure_jaccard_params_sidecar(stream_store, n=1, threshold=0.6)
+    sets.withColumn("__batch_id", F.lit("s-000000")).write.partitionBy(
+        "__batch_id"
+    ).parquet(os.path.join(stream_store, "gramsets"))
+    with pytest.raises(ValueError, match="streaming"):
+        run_incremental_ingest(
+            _jc_b1(spark),
+            exact_store=str(tmp_path / "ex2"),
+            jaccard_store=stream_store,
+            jaccard_n=1,
+            jaccard_threshold=0.6,
+        )
+
+
+def test_ingest_txn_jaccard_tier_atomic_and_crash(spark, tmp_path, monkeypatch):
+    """Round-14: the Jaccard tier inside the journaled transaction — same
+    survivors as the parquet runner, census/gramsets/postings live as
+    manifest sub-tables committing atomically with the corpus, a crash
+    before the pointer flips publishes nothing inconsistent, and the
+    recovered rerun appends no data."""
+    import pytest
+
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest_txn
+    from etl_data_transformer_spark.sources import manifest as MF
+
+    kw = dict(
+        corpus_table=str(tmp_path / "corpus"),
+        exact_table=str(tmp_path / "ex"),
+        jaccard_table=str(tmp_path / "jc"),
+        jaccard_n=1,
+        jaccard_threshold=0.6,
+        audit_table=str(tmp_path / "audit"),
+        txn_dir=str(tmp_path / "_txns"),
+    )
+    r1 = run_incremental_ingest_txn(_jc_b1(spark), **kw)
+    assert (r1.n_after_jaccard, r1.jaccard_pairs, r1.n_landed) == (2, 1, 2)
+    # crash batch 2 after the journal write, before any pointer flip
+    real_flip = MF._flip_pointer
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before flip")
+
+    monkeypatch.setattr(MF, "_flip_pointer", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_incremental_ingest_txn(_jc_b2(spark), **kw)
+    monkeypatch.setattr(MF, "_flip_pointer", real_flip)
+    # nothing from batch 2 is visible — corpus and index agree
+    assert sorted(
+        r.doc_id for r in MF.read_table(spark, kw["corpus_table"]).collect()
+    ) == [1, 3]
+    assert sorted(
+        r.doc_id
+        for r in MF.read_table(
+            spark, os.path.join(kw["jaccard_table"], "gramsets")
+        ).collect()
+    ) == [1, 3]
+    # the rerun heals the journal forward, then appends nothing new
+    r2 = run_incremental_ingest_txn(_jc_b2(spark), **kw)
+    assert (r2.n_after_jaccard, r2.jaccard_pairs, r2.n_landed) == (1, 2, 1)
+    assert sorted(
+        r.doc_id for r in MF.read_table(spark, kw["corpus_table"]).collect()
+    ) == [1, 3, 12]
+    posts = MF.read_table(spark, os.path.join(kw["jaccard_table"], "postings"))
+    assert set(r.doc_id for r in posts.select("doc_id").distinct().collect()) == {1, 3, 12}
+    r2b = run_incremental_ingest_txn(_jc_b2(spark), **kw)
+    assert r2b.n_landed == 1  # recomputed identically; guards append nothing
+    assert MF.read_table(spark, kw["corpus_table"]).count() == 3
+    sets = MF.read_table(spark, os.path.join(kw["jaccard_table"], "gramsets"))
+    assert sets.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    # parquet-runner parity on the same two batches
+    run_incremental_ingest(
+        _jc_b1(spark),
+        exact_store=str(tmp_path / "p_ex"),
+        jaccard_store=str(tmp_path / "p_jc"),
+        jaccard_n=1,
+        jaccard_threshold=0.6,
+        survivors_path=str(tmp_path / "p_landed"),
+    )
+    run_incremental_ingest(
+        _jc_b2(spark),
+        exact_store=str(tmp_path / "p_ex"),
+        jaccard_store=str(tmp_path / "p_jc"),
+        jaccard_n=1,
+        jaccard_threshold=0.6,
+        survivors_path=str(tmp_path / "p_landed"),
+    )
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "p_landed")).collect()
+    ) == sorted(
+        r.doc_id for r in MF.read_table(spark, kw["corpus_table"]).collect()
+    )

@@ -2443,3 +2443,97 @@ def test_stream_url_keeper_compaction_preserves_streaming_layout(spark, tmp_path
         ).collect()
     }
     assert merged["https://example.com/q"] == 2  # keeper unchanged: alias drop
+
+
+def test_stream_ingest_jaccard_tier(spark, tmp_path):
+    """Round-14: the exact prefix-Jaccard tier reachable from the composed
+    STREAMING runner — in-batch pairs drop the higher id in drain 1,
+    cross-batch pairs drop against the persisted __batch_id-partitioned
+    store in drain 2, the landed corpus matches the batch runner on the
+    same batches, a no-new-data drain moves nothing, and the audit rows
+    carry the tier's counts."""
+    import os
+
+    from etl_data_transformer_spark.plans.ingest import run_incremental_ingest
+    from etl_data_transformer_spark.streaming.pipeline import stream_ingest
+
+    src = str(tmp_path / "src")
+    landed = str(tmp_path / "landed")
+    ex = str(tmp_path / "ex")
+    jc = str(tmp_path / "jc")
+    audit = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def drain():
+        stream_ingest(
+            spark.readStream.schema(schema).parquet(src),
+            landed,
+            ckpt,
+            exact_store=ex,
+            jaccard_store=jc,
+            jaccard_n=1,
+            jaccard_threshold=0.6,
+            audit_path=audit,
+        )
+
+    b1 = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),      # J(1,2)=4/6 — in-batch near-dup
+        (3, "uno dos tres cuatro cinco"),
+    ]
+    spark.createDataFrame(b1, schema).write.mode("overwrite").parquet(src)
+    drain()
+    assert sorted(r.doc_id for r in spark.read.parquet(landed).collect()) == [1, 3]
+
+    b2 = [
+        (10, "alpha beta gamma delta theta"),    # J(10, landed 1)=4/6 — cross-batch
+        (11, "uno dos tres cuatro nueve"),       # J(11, landed 3)=4/6 — cross-batch
+        (12, "completely different words here now"),
+    ]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    drain()
+    assert sorted(r.doc_id for r in spark.read.parquet(landed).collect()) == [1, 3, 12]
+
+    # the store is __batch_id-partitioned with survivor rows only, and the
+    # frozen census exists once
+    sets = spark.read.parquet(os.path.join(jc, "gramsets"))
+    assert "__batch_id" in sets.columns
+    assert sorted(r.doc_id for r in sets.collect()) == [1, 3, 12]
+    posts = spark.read.parquet(os.path.join(jc, "postings"))
+    assert {r.doc_id for r in posts.select("doc_id").distinct().collect()} == {1, 3, 12}
+    assert spark.read.parquet(os.path.join(jc, "census")).count() > 0
+
+    audits = spark.read.parquet(audit).orderBy("ingest_ts").collect()
+    assert [r.jaccard_pairs for r in audits] == [1, 2]
+    assert [r.n_after_jaccard for r in audits] == [2, 1]
+
+    # no-new-data drain: every sink unchanged
+    counts = [spark.read.parquet(p).count() for p in (landed, audit)] + [
+        sets.count(),
+        posts.count(),
+    ]
+    drain()
+    assert [
+        spark.read.parquet(p).count() for p in (landed, audit)
+    ] + [
+        spark.read.parquet(os.path.join(jc, "gramsets")).count(),
+        spark.read.parquet(os.path.join(jc, "postings")).count(),
+    ] == counts
+
+    # batch-runner parity on identical batches
+    b_ex = str(tmp_path / "b_ex")
+    b_jc = str(tmp_path / "b_jc")
+    b_landed = str(tmp_path / "b_landed")
+    for rows in (b1, b2):
+        run_incremental_ingest(
+            spark.createDataFrame(rows, schema),
+            exact_store=b_ex,
+            jaccard_store=b_jc,
+            jaccard_n=1,
+            jaccard_threshold=0.6,
+            survivors_path=b_landed,
+        )
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(b_landed).collect()
+    ) == sorted(r.doc_id for r in spark.read.parquet(landed).collect())
