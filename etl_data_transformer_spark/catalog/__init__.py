@@ -263,10 +263,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stay driver-live via corpus_stats_docs), dedup_lines_docs (the
     # line-level scrub is exercised inside curation_pipeline's driver
     # row).
-    "semi_join_customers": PAR.q_semi_join_customers,
-    "price_histogram": PAR.q_price_histogram,
-    "dup_count_docs": PAR.q_dup_count_docs,
-    "explode_part_types": PAR.q_explode_part_types,
+    # round-14 rotation (round-13 verdict item 3, freshness cadence): the
+    # five LONGEST-rotated queries return for fresh driver rows — all out
+    # since round 11: hopping_events (window family twin tumbling_events
+    # stays driver-live), normalize_docs (canonicalization also exercised
+    # inside curation_pipeline's driver row), sparse_search_docs +
+    # bm25_search_docs (retrieval family keeps sparse_topk_docs
+    # driver-live), decontaminate_passages_docs (the contamination
+    # family swaps tiers again: the rewriting tier returns driver-live,
+    # dedup_passages_docs keeps the window machinery driver-live). They
+    # re-enter through their original QUERIES entries above (no longer
+    # popped below). Rotating out in exchange, the five round-13
+    # returners — each with a FRESH r13 driver row (CORRECTNESS_r13) and
+    # the family overlaps documented at the round-13 note above:
+    # semi_join_customers, rollup_nation_status (back out via the pop
+    # list — it arrives through the TEMPORAL_QUERIES spread),
+    # price_histogram, dup_count_docs, explode_part_types. All five keep
+    # the IDENTICAL DuckDB value-hash compare in
+    # tests/test_rotated_oracle.py.
     # round-12 IN-SESSION promotion: the round's genuinely new operator —
     # the canonical-URL keeper store's merge view (alias collapse, keeper
     # stability, CDC fp advancement hash-checked end to end) — gets a
@@ -282,20 +296,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # rotated out (overlap documented above); the pop keeps the
 # TEMPORAL_QUERIES spread intact for its other entries
 for _out in (
-    # rollup_nation_status returned to a driver slot in round 13 (see the
-    # promotion note above) — no longer popped from the spread
+    # rollup_nation_status held a driver slot in round 13 (freshness
+    # return); rotated back out in round 14 with its fresh r13 row — the
+    # pop resumes (see the round-14 note above)
+    "rollup_nation_status",
     "rolling_user_stats",
     "percentile_prices",
     "resample_events",
     "funnel_events",
     "profile_orders",
     # round-11 rotate-outs (fresh r10 driver rows; overlaps documented at
-    # the round-11 promotion note above)
-    "hopping_events",
-    "normalize_docs",
-    "sparse_search_docs",
-    "bm25_search_docs",
-    "decontaminate_passages_docs",
+    # the round-11 promotion note above). hopping_events, normalize_docs,
+    # sparse_search_docs, bm25_search_docs and decontaminate_passages_docs
+    # returned to driver slots in round 14 (longest-rotated, out since
+    # r11) — no longer popped.
     "nb_lang_classifier",
     "unigram_logprob",
     "hyperplane_blocked_recall",
@@ -344,6 +358,15 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_incremental_gate": EXT.q_semantic_incremental_gate,
     "top_ngram_docs": EXT.q_top_ngram_docs,
     "dedup_lines_docs": EXT.q_dedup_lines_docs,
+    # round-14 rotate-outs (fresh r13 driver rows; overlaps documented at
+    # the QUERIES round-13/round-14 promotion notes). Each keeps the
+    # IDENTICAL DuckDB value-hash compare here. rollup_nation_status
+    # rotates via the pop list (TEMPORAL spread) and lands here.
+    "semi_join_customers": PAR.q_semi_join_customers,
+    "rollup_nation_status": TQ.q_rollup_nation_status,
+    "price_histogram": PAR.q_price_histogram,
+    "dup_count_docs": PAR.q_dup_count_docs,
+    "explode_part_types": PAR.q_explode_part_types,
     # round-7 rotate-outs (fresh r6 driver rows; overlaps: cube_agg <->
     # rollup_nation_status, anti_join_customers <-> semi_join_customers,
     # running_totals <-> rolling_user_stats, topk_orders_per_nation <->
@@ -390,12 +413,9 @@ ROTATED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-11 rotate-outs (fresh r10 driver rows; overlaps documented at
     # the QUERIES round-11 promotion note) — made room for bpe_encode_docs,
     # domain_stats_docs and the seven returning rotations. Each keeps the
-    # IDENTICAL DuckDB value-hash compare here.
-    "hopping_events": EXT.q_hopping_events,
-    "normalize_docs": EXT.q_normalize_docs,
-    "sparse_search_docs": EXT.q_sparse_search_docs,
-    "bm25_search_docs": EXT.q_bm25_search_docs,
-    "decontaminate_passages_docs": EXT.q_decontaminate_passages_docs,
+    # IDENTICAL DuckDB value-hash compare here. hopping_events,
+    # normalize_docs, sparse_search_docs, bm25_search_docs and
+    # decontaminate_passages_docs returned to driver slots in round 14.
     "nb_lang_classifier": EXT.q_nb_lang_classifier,
     "unigram_logprob": EXT.q_unigram_logprob,
     "hyperplane_blocked_recall": EXT.q_hyperplane_blocked_recall,
