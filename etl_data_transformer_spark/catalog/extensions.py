@@ -1036,16 +1036,38 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _synthetic_url() -> "F.Column":
+def _url_mod(n_docs: int) -> int:
+    """The corpus-scaled modulus for ``_synthetic_url``: ~n/4, rounded
+    down to a multiple of 140 (lcm of the source cycle 20 and the suffix
+    arm 7 — see the alias-class argument in ``_synthetic_url``), floored
+    at 140. The SQL twin is ``oracles._URL_MOD_SQL``."""
+    return 140 * max((n_docs // 4) // 140, 1)
+
+
+def _synthetic_url(mod: int) -> "F.Column":
     """The deterministic (source, doc_id)->URL derivation shared by the
     domain-tier queries (the fixtures carry no URL column) — deliberately
     messy so canonicalization has work to do: mixed case, www., multipart
     suffix arm, default port, path key with a trailing-slash variant,
     unsorted query with tracking params, fragment. ONE copy on the Spark
     side (here) and one on the SQL side (oracles._URL_DERIVE_SQL): the two
-    must stay in lockstep or the domain-tier hash rows diverge."""
+    must stay in lockstep or the domain-tier hash rows diverge.
+
+    ``mod`` is the path/id-key modulus — callers pass ``_url_mod(n_docs)``
+    (the oracle derives the same value via a scalar count(*) subquery),
+    so the distinct-canonical count GROWS ~n/4 with the corpus instead of
+    saturating at a fixed toy space (round-14, verdict r13 item 4: the
+    old ``doc_id % 50`` capped the driver rows at ~200 canonicals at
+    every SF). The modulus is a multiple of 140 = lcm(source cycle 20,
+    suffix arm 7), so the ~4 ids sharing a key (i, i+mod, i+2·mod,
+    i+3·mod) also share source and suffix arm — i.e. the SAME canonical
+    — while still differing across the case/www/port/slash/fragment/
+    tracking arms, all of which canonicalization must strip for the
+    class to collapse. Two of the four ids land in each half of the id
+    range, which keeps the keeper query's cross-median re-crawl
+    structure."""
     did = F.col("doc_id")
-    k = (did % 50).cast("string")
+    k = (did % int(mod)).cast("string")
     return F.concat(
         F.lit("HTTPS://"),
         F.when(did % 11 == 0, F.lit("www.")).otherwise(F.lit("")),
@@ -1069,18 +1091,23 @@ def q_domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore checks host extraction, registered-domain (incl. the
     co.uk multipart branch via the doc_id%7 arm) AND full URL
     canonicalization (n_urls counts distinct canonical forms — the
-    doc_id%50 path key makes aliases collapse across port/slash/fragment/
-    tracking variants)."""
+    corpus-scaled path key makes aliases collapse across port/slash/
+    fragment/tracking variants while the canonical count grows ~n/4
+    with the corpus; see ``_synthetic_url``)."""
     from ..operators.domains import domain_stats
 
-    return domain_stats(_docs(spark, sf_dir).withColumn("url", _synthetic_url()))
+    d = _docs(spark, sf_dir)
+    return domain_stats(
+        d.withColumn("url", _synthetic_url(_url_mod(d.count())))
+    )
 
 
 def q_url_keeper_merge_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-12 rotated row for the canonical-URL keeper store's MERGE
     view: split ``documents`` at the median id into two sequential ingest
-    batches (the doc_id%50 path key makes batch-2 re-crawl most of
-    batch-1's canonicals), run batch 2 through ``url_keeper_gate`` against
+    batches (the corpus-scaled path key gives every batch-1 canonical a
+    batch-2 re-crawl — ids i and i+2·mod share a key across the median,
+    see ``_synthetic_url``), run batch 2 through ``url_keeper_gate`` against
     batch 1's keeper rows, and return the merged last-writer view. The
     DuckDB twin replays the whole contract relationally: keeper_id = the
     FIRST batch's lowest id per canonical (stable across updates), fp =
@@ -1089,8 +1116,9 @@ def q_url_keeper_merge_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     advancement in one row set."""
     from ..operators.domains import url_keeper_gate, url_keeper_merge, url_keeper_rows
 
-    d = _docs(spark, sf_dir).withColumn("url", _synthetic_url())
+    d = _docs(spark, sf_dir)
     n = d.count()
+    d = d.withColumn("url", _synthetic_url(_url_mod(n)))
     b1 = d.filter(F.col("doc_id") < n // 2)
     b2 = d.filter(F.col("doc_id") >= n // 2)
     rows1 = url_keeper_rows(b1, batch_seq=1)
@@ -1109,4 +1137,7 @@ def q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scratch, so the hash checks alias collapse end to end."""
     from ..operators.domains import url_dedup_groups
 
-    return url_dedup_groups(_docs(spark, sf_dir).withColumn("url", _synthetic_url()))
+    d = _docs(spark, sf_dir)
+    return url_dedup_groups(
+        d.withColumn("url", _synthetic_url(_url_mod(d.count())))
+    )

@@ -1668,14 +1668,27 @@ EXTENSION_ORACLES["bpe_encode_docs"] = _bpe_oracle()
 # suffix, shared by the domain-tier oracles (the Spark twin lives in
 # extensions._synthetic_url / functions.urls.canonicalize_url — the two
 # sides must stay in lockstep or the hash rows diverge).
-_URL_DERIVE_SQL = """'HTTPS://'
+# the path/id key modulus is CORPUS-SCALED (round-14, verdict r13 item 4):
+# ~n/4 rounded down to a multiple of 140 = lcm(source cycle 20, suffix
+# arm 7), floored at 140 — extensions._url_mod's twin. Distinct
+# canonicals grow ~n/4 with the corpus instead of saturating at the old
+# doc_id % 50's ~200, every key class (ids i, i+m, i+2m, i+3m) shares
+# source AND suffix arm so it collapses to ONE canonical across the six
+# canonicalization-stripped arm variants, and the scalar count(*)
+# subquery keeps the twin derivable inside one SQL string.
+_URL_MOD_SQL = (
+    "(SELECT 140 * (CASE WHEN (count(*) // 4) // 140 < 1 THEN 1 "
+    "ELSE (count(*) // 4) // 140 END) FROM documents)"
+)
+
+_URL_DERIVE_SQL = f"""'HTTPS://'
                || CASE WHEN doc_id % 11 = 0 THEN 'www.' ELSE '' END
                || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
                || CASE WHEN doc_id % 7 = 0 THEN '.Example.CO.UK' ELSE '.Example.COM' END
                || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
-               || '/d/' || (doc_id % 50)
+               || '/d/' || (doc_id % {_URL_MOD_SQL})
                || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
-               || '?utm_source=feed&z=9&id=' || (doc_id % 50) || '&a=1'
+               || '?utm_source=feed&z=9&id=' || (doc_id % {_URL_MOD_SQL}) || '&a=1'
                || CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END AS url"""
 
 _URL_CANON_SQL = """scheme || '://' || host
