@@ -1449,3 +1449,74 @@ def test_temperature_weights_properties():
         temperature_weights(sizes, alpha=-1)
     with pytest.raises(ValueError, match="positive mass"):
         temperature_weights({"a": 0.0})
+
+
+def test_connected_components_alternating_equivalence_and_long_path(spark):
+    """Round-14 (verdict r13 item 7): the large-star/small-star
+    alternation must produce the SAME min-label clusters as the default
+    propagation shape — including on a path graph LONGER than the
+    default's max_iter, which the propagation form refuses (its rounds
+    scale with component diameter; the alternation's scale with log n)."""
+    import random
+
+    import pytest as _pytest
+
+    from etl_data_transformer_spark.operators.graph import connected_components
+
+    # random graph with several components: both algorithms converge,
+    # labels must match exactly
+    rng = random.Random(7)
+    n = 120
+    edges = set()
+    for _ in range(150):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edf = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    base = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(nodes, edf, max_iter=50).collect()
+    }
+    alt = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            nodes, edf, algorithm="alternating"
+        ).collect()
+    }
+    assert alt == base
+
+    # a 60-node path: diameter 59 > the default max_iter=25 -> the
+    # propagation shape refuses (documented), the alternation resolves
+    # the whole chain to cluster 0 in O(log n) rounds
+    chain_nodes = spark.createDataFrame([(i,) for i in range(60)], ["id"])
+    chain_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], ["src", "dst"]
+    )
+    with _pytest.raises(RuntimeError, match="alternating"):
+        connected_components(chain_nodes, chain_edges)
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            chain_nodes, chain_edges, algorithm="alternating", max_iter=15
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(60)}
+
+    # string ids and isolated nodes work identically in both shapes
+    snodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("z",)], ["id"]
+    )
+    sedges = spark.createDataFrame([("b", "a"), ("c", "b")], ["src", "dst"])
+    for algo in ("label-propagation", "alternating"):
+        got_s = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(
+                snodes, sedges, algorithm=algo
+            ).collect()
+        }
+        assert got_s == {"a": "a", "b": "a", "c": "a", "z": "z"}
+
+    # unknown algorithm rejects
+    with _pytest.raises(ValueError, match="algorithm"):
+        connected_components(snodes, sedges, algorithm="bogus")
