@@ -64,9 +64,32 @@ class PSLRules(NamedTuple):
     exceptions: dict
 
 
+def _idna_rule_name(name: str) -> str:
+    """Punycode (A-label) form of a PSL rule name. The full upstream
+    ``public_suffix_list.dat`` writes IDN registry rules as U-labels
+    (``中国``, ``рф``, …) while hosts extracted from URLs are punycode
+    (``xn--…``) — stored as-is those rules could never match, so every
+    IDN registry host would silently fall to the implicit ``*`` rule
+    (round-13 advice). Encoded per label with the stdlib ``idna`` codec
+    (IDNA2003; the handful of IDNA2008-divergent code points keep their
+    2003 form — consistent, and strictly better than never matching). A
+    label the codec rejects is kept verbatim (same no-match behavior as
+    before, now confined to that rule)."""
+    if name.isascii():
+        return name
+    try:
+        return ".".join(
+            lbl if lbl.isascii() else lbl.encode("idna").decode("ascii")
+            for lbl in name.split(".")
+        )
+    except UnicodeError:
+        return name
+
+
 def parse_psl_rules(lines) -> PSLRules:
     """Parse official-syntax PSL rules (comments ``//`` and blanks
-    skipped, names lowercased). Accepts any iterable of rule lines — the
+    skipped, names lowercased, IDN names punycoded — see
+    ``_idna_rule_name``). Accepts any iterable of rule lines — the
     bundled snapshot tuple or a full ``public_suffix_list.dat``'s lines."""
     normals: dict = {}
     wildcards: dict = {}
@@ -76,13 +99,14 @@ def parse_psl_rules(lines) -> PSLRules:
         if not line or line.startswith("//"):
             continue
         if line.startswith("!"):
-            name = line[1:]
+            name = _idna_rule_name(line[1:])
             exceptions.setdefault(name.count(".") + 1, set()).add(name)
         elif line.startswith("*."):
-            base = line[2:]
+            base = _idna_rule_name(line[2:])
             wildcards.setdefault(base.count(".") + 1, set()).add(base)
         else:
-            normals.setdefault(line.count(".") + 1, set()).add(line)
+            name = _idna_rule_name(line)
+            normals.setdefault(name.count(".") + 1, set()).add(name)
     return PSLRules(
         {k: frozenset(v) for k, v in normals.items()},
         {k: frozenset(v) for k, v in wildcards.items()},
@@ -97,6 +121,41 @@ VENDORED_PSL_PATH = os.path.join(
     os.path.dirname(__file__), "public_suffix_list.dat"
 )
 
+# plausibility gate for a file claiming to be the FULL upstream
+# public_suffix_list.dat — shared by tools/fetch_psl.py (vendor time) and
+# load_psl's auto-discovery (import time): rules that have been in the
+# PSL for well over a decade and that the engine's registry-split tests
+# pin, plus a floor far below upstream's ~9.5k but far above any
+# truncation artifact
+PSL_SENTINELS = ("co.uk", "com.au", "*.ck", "!www.ck", "github.io", "blogspot.com")
+PSL_MIN_RULES = 5000
+
+
+def validate_psl_text(text: str) -> int:
+    """Rule count after validation; raises ``ValueError`` on a file that
+    cannot be the real upstream list (truncated download, HTML error
+    page, hand-copied fragment). Used by ``tools/fetch_psl.py`` before
+    vendoring AND by ``load_psl``'s auto-discovery before trusting an
+    already-vendored file — the same check at both ends of the seam."""
+    rules = [
+        ln.strip()
+        for ln in text.splitlines()
+        if ln.strip() and not ln.strip().startswith("//")
+    ]
+    if len(rules) < PSL_MIN_RULES:
+        raise ValueError(
+            f"only {len(rules)} rules parsed (upstream has ~9.5k; minimum "
+            f"{PSL_MIN_RULES}) — truncated file?"
+        )
+    missing = [s for s in PSL_SENTINELS if s not in rules]
+    if missing:
+        raise ValueError(
+            f"sentinel rules missing {missing} — not a public_suffix_list.dat?"
+        )
+    if "<html" in text[:2048].lower():
+        raise ValueError("looks like an HTML page")
+    return len(rules)
+
 
 def load_psl(path: str | None = None) -> PSLRules:
     """Rules from a full upstream ``public_suffix_list.dat`` at ``path``;
@@ -104,14 +163,29 @@ def load_psl(path: str | None = None) -> PSLRules:
     (``tools/fetch_psl.py`` puts it there) and falls back to the bundled
     snapshot. An EXPLICIT path that does not exist raises (round-12
     review: silently degrading a production PSL to the curated snapshot
-    would corrupt every domain gate with no signal). Swapping the file
-    swaps the DATA only — every consumer (Spark expression and DuckDB
-    oracle) regenerates from the result."""
+    would corrupt every domain gate with no signal), and an
+    auto-discovered vendored file must pass the same sentinel/size
+    validation ``tools/fetch_psl.py`` applies at vendor time (round-13
+    advice: a truncated or hand-copied file that bypassed the tool must
+    not silently replace the snapshot for every domain gate — the
+    failure is loud, at import). Explicit paths skip the plausibility
+    gate: deliberately small custom rule files are a supported input
+    there. Swapping the file swaps the DATA only — every consumer (Spark
+    expression and DuckDB oracle) regenerates from the result."""
     if path is None:
         if os.path.exists(VENDORED_PSL_PATH):
-            path = VENDORED_PSL_PATH
-        else:
-            return parse_psl_rules(PSL_SNAPSHOT)
+            with open(VENDORED_PSL_PATH, encoding="utf-8") as f:
+                text = f.read()
+            try:
+                validate_psl_text(text)
+            except ValueError as e:
+                raise ValueError(
+                    f"vendored PSL at {VENDORED_PSL_PATH} failed validation "
+                    f"({e}) — delete it to fall back to the bundled "
+                    "snapshot, or re-vendor with tools/fetch_psl.py"
+                ) from e
+            return parse_psl_rules(text.splitlines())
+        return parse_psl_rules(PSL_SNAPSHOT)
     with open(path, encoding="utf-8") as f:
         return parse_psl_rules(f.readlines())
 
@@ -189,8 +263,14 @@ def registered_domain(
     reg = F.when(n <= slen, host).otherwise(
         F.array_join(F.slice(labels, (slen + F.lit(1)) * -1, slen + F.lit(1)), ".")
     )
-    # exception rules override: the matched name IS the registrable domain
-    for m in sorted(r.exceptions, reverse=True):
+    # exception rules override: the matched name IS the registrable
+    # domain. Ascending iteration leaves the DEEPEST match outermost —
+    # evaluated first — matching the frame form's max-over-(depth, name)
+    # and the DuckDB twin (round-13 advice: upstream exceptions never
+    # nest, but a custom rule file's nested exceptions must resolve
+    # identically across all three forms; deepest wins, the PSL's
+    # longest-match principle)
+    for m in sorted(r.exceptions):
         reg = F.when(
             (n >= m) & last(m).isin(*sorted(r.exceptions[m])), last(m)
         ).otherwise(reg)
@@ -345,7 +425,10 @@ def psl_registered_sql(
         f"CASE WHEN len({labels}) <= {slen} THEN {host} "
         f"ELSE array_to_string({labels}[-({slen} + 1):], '.') END"
     )
-    for m in sorted(r.exceptions, reverse=True):
+    # ascending: the deepest exception wraps last -> outermost ->
+    # evaluated first, matching the expression and frame forms (see the
+    # precedence note in registered_domain)
+    for m in sorted(r.exceptions):
         base = (
             f"CASE WHEN len({labels}) >= {m} AND "
             f"array_to_string({labels}[-{m}:], '.') IN ({_in(r.exceptions[m])}) "

@@ -671,19 +671,98 @@ def test_fetch_psl_validate_rejects_bad_files():
 
 
 def test_vendored_psl_auto_discovery(tmp_path, monkeypatch):
-    """load_psl(None) picks up a vendored public_suffix_list.dat when one
-    exists at VENDORED_PSL_PATH (what tools/fetch_psl.py writes), and
-    falls back to the bundled snapshot when none does."""
+    """load_psl(None) picks up a PLAUSIBLE vendored public_suffix_list.dat
+    at VENDORED_PSL_PATH (what tools/fetch_psl.py writes), REJECTS an
+    implausible one loudly (round-13 advice: a truncated or hand-copied
+    file that bypassed fetch_psl's checks must not silently replace the
+    snapshot — same sentinel/size validation, at import), and falls back
+    to the bundled snapshot when none exists."""
+    import pytest as _pytest
+
     import etl_data_transformer_spark.functions.urls as U
 
     dat = tmp_path / "public_suffix_list.dat"
-    dat.write_text("// vendored\nco.uk\n*.custom\n!keep.custom\n")
+    # a full-looking file: every sentinel plus enough filler rules
+    dat.write_text(
+        "\n".join(
+            ["// vendored", *U.PSL_SENTINELS, "*.custom", "!keep.custom"]
+            + [f"rule{i}.example" for i in range(U.PSL_MIN_RULES)]
+        )
+    )
     monkeypatch.setattr(U, "VENDORED_PSL_PATH", str(dat))
     rules = U.load_psl()
     assert "custom" in rules.wildcards[1]
     assert "keep.custom" in rules.exceptions[2]
+    assert "co.uk" in rules.normals[2]
+    # a hand-copied fragment at the vendored path fails LOUDLY instead of
+    # silently replacing the snapshot for every domain gate
+    dat.write_text("// vendored\nco.uk\n*.custom\n!keep.custom\n")
+    with _pytest.raises(ValueError, match="failed validation"):
+        U.load_psl()
+    # an explicit path skips the plausibility gate: deliberately small
+    # custom rule files remain a supported input there
+    small = U.load_psl(str(dat))
+    assert "custom" in small.wildcards[1]
     monkeypatch.setattr(U, "VENDORED_PSL_PATH", str(tmp_path / "absent.dat"))
     assert U.load_psl() == U.parse_psl_rules(U.PSL_SNAPSHOT)
+
+
+def test_nested_exception_precedence_consistent_across_all_forms(spark):
+    """Round-13 advice: with a (synthetic) rule file whose exception
+    rules NEST, all three PSL twins — the expression form, the broadcast
+    frame form, and the DuckDB CASE chain — must pick the SAME winner:
+    the DEEPEST matching exception (the PSL's longest-match principle).
+    Upstream exceptions never nest, so only a custom/vendored file can
+    reach this path — which is exactly when silent divergence would go
+    unnoticed."""
+    import duckdb
+
+    from etl_data_transformer_spark.functions.urls import (
+        parse_psl_rules,
+        psl_registered_sql,
+        psl_slen_sql,
+        registered_domain,
+        registered_domain_frame,
+    )
+
+    rules = parse_psl_rules(
+        ["*.example", "*.a.example", "!a.example", "!b.a.example"]
+    )
+    hosts = [
+        "x.b.a.example",  # both !a.example and !b.a.example match -> deepest
+        "b.a.example",    # ditto (host IS the deep exception)
+        "y.a.example",    # only !a.example matches
+        "q.w.example",    # wildcard, no exception
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    expr_got = {
+        r["host"]: r["rd"]
+        for r in df.select(
+            "host", registered_domain("host", is_host=True, rules=rules).alias("rd")
+        ).collect()
+    }
+    frame_got = {
+        r["host"]: r["reg_domain"]
+        for r in registered_domain_frame(df, rules=rules).collect()
+    }
+    con = duckdb.connect()
+    sql_got = {}
+    slen = psl_slen_sql("labels", rules=rules)
+    reg = psl_registered_sql("host", "labels", "__slen", rules=rules)
+    for h in hosts:
+        sql_got[h] = con.execute(
+            f"SELECT {reg} FROM (SELECT host, labels, {slen} AS __slen FROM "
+            f"(SELECT '{h}' AS host, string_split('{h}', '.') AS labels))"
+        ).fetchone()[0]
+    want = {
+        "x.b.a.example": "b.a.example",
+        "b.a.example": "b.a.example",
+        "y.a.example": "a.example",
+        "q.w.example": "q.w.example",
+    }
+    assert expr_got == want
+    assert frame_got == want
+    assert sql_got == want
 
 
 def test_domain_stats_and_gate_host_first_equivalence(spark):
@@ -1077,3 +1156,35 @@ def test_registered_domain_frame_equals_expression(spark):
         rules=NAIVE_RULES,
     ).collect()[0]["reg_domain"]
     assert naive == "github.io"
+
+
+def test_idn_rules_punycode_to_match_punycode_hosts(spark):
+    """Round-13 advice: the full upstream PSL writes IDN registry rules
+    as U-labels while URL-extracted hosts are punycode — parse_psl_rules
+    must store them as A-labels or those registries can never match and
+    every such host silently falls to the implicit '*' rule."""
+    from etl_data_transformer_spark.functions.urls import (
+        parse_psl_rules,
+        registered_domain,
+    )
+
+    # 中国 == xn--fiqs8s, рф == xn--p1ai (decade-old PSL entries)
+    rules = parse_psl_rules(["com", "中国", "рф", "*.テスト"])
+    assert "xn--fiqs8s" in rules.normals[1]
+    assert "xn--p1ai" in rules.normals[1]
+    assert "xn--zckzah" in rules.wildcards[1]
+    df = spark.createDataFrame(
+        [
+            ("a.b.xn--fiqs8s",),   # registry match -> b.xn--fiqs8s
+            ("x.site.xn--p1ai",),  # registry match -> site.xn--p1ai
+            ("d.c.xn--zckzah",),   # wildcard adds a label -> d.c.xn--zckzah
+        ],
+        ["host"],
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            registered_domain("host", is_host=True, rules=rules)
+        ).collect()
+    ]
+    assert got == ["b.xn--fiqs8s", "site.xn--p1ai", "d.c.xn--zckzah"]

@@ -34,35 +34,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PSL_URL = "https://publicsuffix.org/list/public_suffix_list.dat"
 
-# rules that have been in the PSL for well over a decade and that the
-# engine's registry-split tests pin — a file missing any of these is not
-# a real public_suffix_list.dat and must not silently replace the snapshot
-SENTINELS = ("co.uk", "com.au", "*.ck", "!www.ck", "github.io", "blogspot.com")
-MIN_RULES = 5000  # upstream carries ~9.5k; anything smaller is truncated
+# the sentinel/size checks live in functions/urls.py since round 14 so
+# load_psl's auto-discovery runs the SAME validation at import time that
+# this tool runs at vendor time (round-13 advice: a file that bypassed
+# this tool must not silently replace the snapshot); re-exported here for
+# the existing test surface
+from etl_data_transformer_spark.functions.urls import (  # noqa: E402
+    PSL_MIN_RULES as MIN_RULES,
+)
+from etl_data_transformer_spark.functions.urls import (  # noqa: E402
+    PSL_SENTINELS as SENTINELS,
+)
+from etl_data_transformer_spark.functions.urls import (  # noqa: E402
+    validate_psl_text,
+)
 
 
 def validate(text: str) -> int:
-    """Rule count after validation; raises on a file that cannot be the
-    real upstream list (truncated download, HTML error page, wrong URL)."""
-    rules = [
-        ln.strip()
-        for ln in text.splitlines()
-        if ln.strip() and not ln.strip().startswith("//")
-    ]
-    if len(rules) < MIN_RULES:
-        raise SystemExit(
-            f"refusing to vendor: only {len(rules)} rules parsed "
-            f"(upstream has ~9.5k; minimum {MIN_RULES}) — truncated file?"
-        )
-    missing = [s for s in SENTINELS if s not in rules]
-    if missing:
-        raise SystemExit(
-            f"refusing to vendor: sentinel rules missing {missing} — "
-            "not a public_suffix_list.dat?"
-        )
-    if "<html" in text[:2048].lower():
-        raise SystemExit("refusing to vendor: looks like an HTML page")
-    return len(rules)
+    """Rule count after validation; exits on a file that cannot be the
+    real upstream list (truncated download, HTML error page, wrong URL).
+    Thin CLI wrapper over the shared ``validate_psl_text``."""
+    try:
+        return validate_psl_text(text)
+    except ValueError as e:
+        raise SystemExit(f"refusing to vendor: {e}") from e
 
 
 def main() -> None:
