@@ -10,10 +10,18 @@ Usage: python tools/bench_scaling.py [scaled_dir]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# repo root derived from this tool's own location (round-13 advice: the
+# hardcoded /root/repo broke any other checkout), overridable for odd
+# layouts via SPARK_GRAFT_REPO_ROOT
+REPO_ROOT = os.environ.get(
+    "SPARK_GRAFT_REPO_ROOT",
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+)
+sys.path.insert(0, REPO_ROOT)
 
 from etl_data_transformer_spark.session import get_spark  # noqa: E402
 
@@ -55,13 +63,13 @@ def _store_scenarios(spark, scaled: str) -> dict:
     from etl_data_transformer_spark.operators import dedup as DD
     from etl_data_transformer_spark.operators import domains as DOM
 
-    scratch = "/root/repo/.scratch/scaling_stores"
+    scratch = os.path.join(REPO_ROOT, ".scratch", "scaling_stores")
     out: dict[str, dict] = {"keeper_gate": {}, "minhash_split_incremental": {}}
     for label, d in (("base", BASE), ("scaled", scaled)):
-        # per-doc UNIQUE urls (the catalog's _synthetic_url keys paths by
-        # doc_id%50, which saturates the canonical space at ~200 — a store
-        # that stops growing can't evidence the 10x claim); ~997 hosts,
-        # one canonical per document, so store rows ∝ corpus
+        # per-doc UNIQUE urls — the store-growth WORST case (the
+        # catalog's _synthetic_url scales ~n/4 canonicals with 3-4
+        # aliases each since round 14; this scenario keeps one canonical
+        # per document so store rows ∝ corpus exactly); ~997 hosts
         docs = EXT._docs(spark, d).withColumn(
             "url",
             F.concat(
@@ -163,7 +171,11 @@ def _semantic_dedup_query(spark, sf_dir: str):
 
 
 def main() -> None:
-    scaled = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1_scaled"
+    scaled = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(REPO_ROOT, ".scratch", "sf1_scaled")
+    )
     import __spark_entry__ as entry_mod
 
     from etl_data_transformer_spark.catalog import ROTATED_QUERIES
