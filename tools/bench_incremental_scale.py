@@ -26,14 +26,18 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = os.environ.get(
+    "SPARK_GRAFT_REPO_ROOT",
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+)
+sys.path.insert(0, REPO_ROOT)
 
 from pyspark.sql import functions as F  # noqa: E402
 
 from etl_data_transformer_spark.session import get_spark  # noqa: E402
 
 SRC_DOCS = "/root/testdata/sf0.1/documents.parquet"  # 5k docs
-SCRATCH = "/root/repo/.scratch"
+SCRATCH = os.path.join(REPO_ROOT, ".scratch")
 BATCH_ID_BASE = 10**9  # above every scaled corpus id
 
 MH = dict(shingle_n=3, num_hashes=12, bands=4)

@@ -15,7 +15,11 @@ import shutil
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO_ROOT = os.environ.get(
+    "SPARK_GRAFT_REPO_ROOT",
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+)
+sys.path.insert(0, REPO_ROOT)
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -28,8 +32,8 @@ from etl_data_transformer_spark.operators.dedup import (  # noqa: E402
 from etl_data_transformer_spark.session import get_spark  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1/documents.parquet"
-SF1 = "/root/repo/.scratch/sf1_distinct/documents.parquet"
-SCRATCH = "/root/repo/.scratch/jaccard_store_bench"
+SF1 = os.path.join(REPO_ROOT, ".scratch/sf1_distinct/documents.parquet")
+SCRATCH = os.path.join(REPO_ROOT, ".scratch/jaccard_store_bench")
 
 
 def main() -> None:

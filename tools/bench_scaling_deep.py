@@ -26,10 +26,15 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = os.environ.get(
+    "SPARK_GRAFT_REPO_ROOT",
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+)
+sys.path.insert(0, REPO_ROOT)
 
 from etl_data_transformer_spark.session import get_spark  # noqa: E402
 
@@ -103,8 +108,8 @@ def main() -> None:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         del argv[i : i + 2]
-    scaled10 = argv[0] if len(argv) > 0 else "/root/repo/.scratch/sf1_distinct"
-    scaled30 = argv[1] if len(argv) > 1 else "/root/repo/.scratch/sf3_distinct"
+    scaled10 = argv[0] if len(argv) > 0 else os.path.join(REPO_ROOT, ".scratch/sf1_distinct")
+    scaled30 = argv[1] if len(argv) > 1 else os.path.join(REPO_ROOT, ".scratch/sf3_distinct")
     spark = get_spark("bench_scaling_deep")
     qs = _queries()
     tiers = [("base", BASE, 1), ("x10", scaled10, 10), ("x30", scaled30, 30)]

@@ -23,10 +23,15 @@ number of rows). Usage: python tools/bench_stratified.py [skew_dir]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = os.environ.get(
+    "SPARK_GRAFT_REPO_ROOT",
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+)
+sys.path.insert(0, REPO_ROOT)
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -44,8 +49,8 @@ def _timed(fn, reps: int = 3):
 
 
 def main() -> None:
-    skew_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1_scaled_skew"
-    base_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1_scaled"
+    skew_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO_ROOT, ".scratch/sf1_scaled_skew")
+    base_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO_ROOT, ".scratch/sf1_scaled")
     spark = get_spark("bench_stratified")
     for d in (base_dir, skew_dir):
         spark.read.parquet(f"{d}/lineitem.parquet").count()  # warm cache

@@ -17,10 +17,15 @@ Prints one JSON line; paste the table into SCALING.md.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = os.environ.get(
+    "SPARK_GRAFT_REPO_ROOT",
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+)
+sys.path.insert(0, REPO_ROOT)
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -59,8 +64,8 @@ def main() -> None:
         rows = int(sys.argv[sys.argv.index("--rows") + 1])
     spark = get_spark()
     df = scored_frame(spark, rows)
-    df.write.mode("overwrite").parquet("/root/repo/.scratch/topfrac_scored")
-    df = spark.read.parquet("/root/repo/.scratch/topfrac_scored")
+    df.write.mode("overwrite").parquet(os.path.join(REPO_ROOT, ".scratch/topfrac_scored"))
+    df = spark.read.parquet(os.path.join(REPO_ROOT, ".scratch/topfrac_scored"))
     df.count()  # warm
 
     res = {}

@@ -27,7 +27,11 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = os.environ.get(
+    "SPARK_GRAFT_REPO_ROOT",
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+)
+sys.path.insert(0, REPO_ROOT)
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -126,7 +130,7 @@ def main() -> None:
     distinct = "--distinct" in sys.argv[1:]
     factor = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
-    out = args[2] if len(args) > 2 else "/root/repo/.scratch/sf1_scaled"
+    out = args[2] if len(args) > 2 else os.path.join(REPO_ROOT, ".scratch/sf1_scaled")
     spark = get_spark("scale_fixtures")
     scale_fixture_dir(spark, factor, src, out, distinct=distinct)
 
