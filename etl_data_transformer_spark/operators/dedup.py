@@ -1653,7 +1653,20 @@ def _hamming_tile_pairs(
         idx = np.arange(65536)
         for i in range(16):
             lut += ((idx >> i) & 1).astype(np.uint8)
-        lut = lut.astype(np.int16)
+        # ROW-CHUNKED tile sweep (round 14): the full-tile form materialized
+        # a block_size^2 x 8B xor matrix (~33 MB) plus four LUT-gather
+        # temporaries per tile — every byte streamed through DRAM, and with
+        # ~25 concurrent tile tasks the engine was memory-BANDWIDTH-bound,
+        # not compute-bound: the identical workload cost 85 s on one core
+        # but 331 task-seconds across 25 (4x dilation; probe in
+        # OPTIMIZATION_r14.md). Sweeping the a-side in 128-row strips keeps
+        # each strip's xor (~2 MB) and its gather temporaries cache-resident,
+        # and the popcount accumulates in uint8 (max 4x16 = 64, no
+        # overflow) instead of int16, halving the widest temporary.
+        # Measured on the REAL sf1 tile set (1008 tiles, 2.8e9 pairs):
+        # 331 -> 90 task-seconds, wall 15.6 -> 4.6 s at 25-way parallelism;
+        # single-thread 85 -> 66 s, identical 39,307,446 output pairs.
+        chunk = 128
         for pdf in batches:
             outs = []
             for band, ids_a, sigs_a, blk_a, ids_b, sigs_b, blk_b in zip(
@@ -1669,48 +1682,49 @@ def _hamming_tile_pairs(
                 sa = np.asarray(sigs_a, dtype=np.int64)
                 ib = np.asarray(ids_b)
                 sb = np.asarray(sigs_b, dtype=np.int64)
-                xor = np.bitwise_xor.outer(sa, sb)
-                # four strided 16-bit LUT gathers + in-place adds: 2.3x the
-                # reshape-to-3D + sum(axis=2) form this replaces (the axis
-                # reduction over the gathered uint8 cube was the hot loop's
-                # actual bottleneck, measured 150 ms -> 65 ms per 2048^2
-                # tile; numpy 1.26 has no hardware bitwise_count)
-                u = xor.view(np.uint16)
-                ham = lut[u[:, 0::4]]
-                ham += lut[u[:, 1::4]]
-                ham += lut[u[:, 2::4]]
-                ham += lut[u[:, 3::4]]
-                mask = ham <= max_hamming
-                if blk_a == blk_b:
-                    # id-VALUE upper triangle, not a positional one: the
-                    # two sides are independent evaluations of the packed
-                    # collect_list, and nothing guarantees their element
-                    # orders agree (exchange reuse is a physical-plan
-                    # accident, not a semantic) — comparing the id values
-                    # keeps each unordered pair exactly once and drops the
-                    # self-pair under ANY permutation (review round-7)
-                    mask &= ia[:, None] < ib[None, :]
-                ra, rb = np.nonzero(mask)
-                if not len(ra):
-                    continue
-                x = xor[ra, rb]
-                first_band = np.full(len(ra), -1, dtype=np.int16)
-                for k, (off, width) in enumerate(slices):
-                    hit = (first_band < 0) & (((x >> off) & ((1 << width) - 1)) == 0)
-                    first_band[hit] = k
-                keep = first_band == band
-                if not keep.any():
-                    continue
-                pa, pb = ia[ra[keep]], ib[rb[keep]]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "id_a": np.minimum(pa, pb),
-                            "id_b": np.maximum(pa, pb),
-                            "hamming": ham[ra[keep], rb[keep]].astype(np.int32),
-                        }
+                diag = blk_a == blk_b
+                for r0 in range(0, len(sa), chunk):
+                    sa_c = sa[r0 : r0 + chunk]
+                    xor = sa_c[:, None] ^ sb[None, :]
+                    # four strided 16-bit LUT gathers + in-place adds (the
+                    # reshape-to-3D + sum(axis=2) form measured 2.3x slower;
+                    # numpy 1.26 has no hardware bitwise_count)
+                    u = xor.view(np.uint16)
+                    ham = lut[u[:, 0::4]]
+                    ham = ham + lut[u[:, 1::4]]
+                    ham += lut[u[:, 2::4]]
+                    ham += lut[u[:, 3::4]]
+                    mask = ham <= max_hamming
+                    if diag:
+                        # id-VALUE upper triangle, not a positional one: the
+                        # two sides are independent evaluations of the packed
+                        # collect_list, and nothing guarantees their element
+                        # orders agree (exchange reuse is a physical-plan
+                        # accident, not a semantic) — comparing the id values
+                        # keeps each unordered pair exactly once and drops the
+                        # self-pair under ANY permutation (review round-7)
+                        mask &= ia[r0 : r0 + chunk, None] < ib[None, :]
+                    ra, rb = np.nonzero(mask)
+                    if not len(ra):
+                        continue
+                    x = xor[ra, rb]
+                    first_band = np.full(len(ra), -1, dtype=np.int16)
+                    for k, (off, width) in enumerate(slices):
+                        hit = (first_band < 0) & (((x >> off) & ((1 << width) - 1)) == 0)
+                        first_band[hit] = k
+                    keep = first_band == band
+                    if not keep.any():
+                        continue
+                    pa, pb = ia[r0 : r0 + chunk][ra[keep]], ib[rb[keep]]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": np.minimum(pa, pb),
+                                "id_b": np.maximum(pa, pb),
+                                "hamming": ham[ra[keep], rb[keep]].astype(np.int32),
+                            }
+                        )
                     )
-                )
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
@@ -2060,6 +2074,21 @@ def jaccard_join_prefix(
         )
     r = Fraction(float(threshold)).limit_denominator(10**9)
     num, den = r.numerator, r.denominator
+    # spread before gram generation (round 14): the tokenize + shingle
+    # explode is the per-doc CPU hot spot and runs TWICE (the df census and
+    # the packed groupBy are separate consumers of the gram subtree, by
+    # design — see the no-checkpoint note below); on a narrow local scan
+    # both passes serialized onto scan-width tasks (measured at the sf1
+    # bench tier: 2 x ~13 s of map work on 10 of 32 cores). Hash-spreading
+    # the doc rows first runs both passes at full parallelism; a no-op on
+    # cluster-scale scans (spread()'s width check). decorrelate is
+    # REQUIRED: spreading BY id_col would satisfy the packed groupBy's
+    # distribution, eliding the exchange that is also the plan's
+    # ReuseExchange node — measured, every packed consumer then recomputed
+    # the pack from raw text (query CPU ~2x).
+    from ..sources.readers import spread
+
+    df = spread(df, key=id_col, decorrelate=True)
     g = _jaccard_gram_rows(df, text_col, id_col, n, feature)
     dfreq = g.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     # NO broadcast hint on the df dictionary: a char-gram universe is

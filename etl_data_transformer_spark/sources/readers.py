@@ -111,11 +111,22 @@ _SPREAD_TABLES = {
 }
 
 
-def spread(df: DataFrame, key: str | None = None) -> DataFrame:
+def spread(df: DataFrame, key: str | None = None, decorrelate: bool = False) -> DataFrame:
     """Ensure a DataFrame's map-side pipeline can use the whole machine:
     repartition (hash on ``key`` when given — no determinism sort; else
     round-robin) when the plan's scan width is below half the shuffle
     parallelism; a no-op otherwise (cluster-scale inputs).
+
+    ``decorrelate=True`` (with ``key``) hashes on ``xxhash64(key)`` instead
+    of ``key`` itself — still deterministic and evenly spread, but the
+    resulting output partitioning does NOT satisfy a downstream
+    ``groupBy(key)``/join-on-``key`` distribution. That is the POINT where a
+    caller relies on the downstream exchange as its ReuseExchange dedup
+    node: partitioning the spread BY the key would elide that exchange and
+    every consumer would recompute the map-side subtree instead of reading
+    the shuffle once (round 14: jaccard_join_prefix's packed groupBy lost
+    its reuse node exactly this way — per-consumer pack recompute doubled
+    the query's CPU).
 
     Width comes from ``df.inputFiles()`` + filesystem sizes — analysis-only,
     no ``df.rdd`` plan-conversion probe (that py4j round trip cost ~0.5 s
@@ -130,7 +141,10 @@ def spread(df: DataFrame, key: str | None = None) -> DataFrame:
     target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if _estimated_plan_width(spark, df) * 2 > target:
         return df
-    return df.repartition(target, F.col(key)) if key else df.repartition(target)
+    if key is None:
+        return df.repartition(target)
+    expr = F.xxhash64(F.col(key)) if decorrelate else F.col(key)
+    return df.repartition(target, expr)
 
 
 _BYTE_UNITS = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "p": 1024**5}
