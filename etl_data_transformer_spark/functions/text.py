@@ -1350,7 +1350,15 @@ def pmi_pairs(
     # split+filter expression from within transform() re-tokenized the
     # whole document per position — O(len²) per doc, measured 22x the
     # projected form at sf0.1 (38.6 s -> 1.7 s)
-    tk = df.select(
+    #
+    # round 14: spread first — the pair-building transform/flatten lambdas
+    # are INTERPRETED expressions (one thread per row) and ran at raw scan
+    # width (10-16 of 32 cores at the bench tiers); round-robin spread is
+    # fine here (no downstream keyed op to decorrelate from — the aggs key
+    # on t1/t2). No-op on cluster-scale scans.
+    from ..sources.readers import spread
+
+    tk = spread(df).select(
         F.filter(tokens(F.lower(F.col(text_col))), lambda t: F.length(t) > 0).alias(
             "__tk"
         )

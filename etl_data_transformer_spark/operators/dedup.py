@@ -1642,10 +1642,18 @@ def _hamming_tile_pairs(
         F.col("ids").alias("ids_b"),
         F.col("sigs").alias("sigs_b"),
     )
+    # 4x-parallelism tile fan-out (round 14): hashing ~1000 tile rows into
+    # the default 32 shuffle partitions left only ~25 non-empty — 7 idle
+    # cores plus stragglers under the Python-heavy tile tasks. Finer
+    # explicit partitioning (4 tasks/core) packs the uneven tiles evenly;
+    # tile tasks are pure compute, so smaller tasks cost nothing extra
+    # (workers are reused). On a cluster defaultParallelism scales with
+    # executors, so the fan-out stays proportional.
+    n_tile_parts = 4 * banded.sparkSession.sparkContext.defaultParallelism
     tiles = (
         a.join(b, ["band", "bv"])
         .filter(F.col("blk_a") <= F.col("blk_b"))
-        .repartition(F.col("band"), F.col("bv"), F.col("blk_a"), F.col("blk_b"))
+        .repartition(n_tile_parts, F.col("band"), F.col("bv"), F.col("blk_a"), F.col("blk_b"))
     )
 
     def popcount_tiles(batches):
