@@ -4,7 +4,8 @@
 incremental fact load, SURVEY.md §7.1 Slice B) at sf0.001.
 ``queries()`` exposes one callable per implemented operator from SURVEY.md §2
 plus the LLM-pipeline and temporal extensions (catalog package — 50 queries,
-sized to the driver's 50-query check budget; inventory map in COVERAGE.md);
+sized to the driver's 50-query check budget and FROZEN at the round-14 set
+for the optimization rounds; inventory map in COVERAGE.md);
 ``oracle_sql()`` gives the DuckDB twin for every query. Approximate
 operators (MinHash LSH, ANN LSH/IVF, SimHash, HLL) are oracle-checked via
 exact-verification or accuracy-assertion outputs rather than left

@@ -82,16 +82,20 @@ def q_fact_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     The latest-rates subplan appears in all three branches as an IDENTICAL
     subtree, so Spark's exchange reuse computes it once already — measured
     faster than materializing it via localCheckpoint (5.6 s vs 7.2 s at
-    sf0.1), so the branches are left self-contained. The ``rates=``
-    parameter remains for callers that precompute the dim."""
+    sf0.1), so the branches stay self-contained at EXECUTION time. The
+    lazy ``rates`` frame is built once and passed to all three (round 15):
+    the union embeds the same logical subtree either way, but the
+    driver-side construction (guide §4's py4j boundary) runs once instead
+    of three times."""
     star = load_star(
         spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region", "part", "events")
     )
     f_off = fact_offset(spark, sf_dir)
+    fx = latest_rates(derive_rates(star))
     return union_branches(
-        item_status_branch(star, f_off),
-        agg_china_branch(spark, star, events_offset(spark, sf_dir)),
-        tomford_branch(spark, star, f_off),
+        item_status_branch(star, f_off, rates=fx),
+        agg_china_branch(spark, star, events_offset(spark, sf_dir), rates=fx),
+        tomford_branch(spark, star, f_off, rates=fx),
     )
 
 

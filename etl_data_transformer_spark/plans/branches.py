@@ -34,14 +34,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import (
-    case_map,
-    deterministic_uuid,
-    ifnull,
-    in_list,
-    safe_divide,
-    surrogate_key,
-)
+from ..functions.scalar import in_list
 from ..operators.aggregates import latest_per_group
 from ..operators.joins import broadcast_dim_join, const_pinned_dim_join, null_tolerant_join
 
@@ -73,6 +66,16 @@ FACT_COLUMNS = [
     "cdc_ts",
     "channel_key",
 ]
+
+
+def _values_dim(spark: SparkSession, rows: list[tuple[str, int]], name_col: str, key_col: str) -> DataFrame:
+    """Tiny literal (string, long) dim via ONE ``spark.sql`` VALUES call.
+    ``createDataFrame`` cost ~0.15 s of schema inference + py4j round
+    trips per build (round 15); the CAST matches its inferred LongType."""
+    values = ",".join(f"('{n}',{k})" for n, k in rows)
+    return spark.sql(
+        f"SELECT col1 AS {name_col}, CAST(col2 AS BIGINT) AS {key_col} FROM VALUES {values}"
+    )
 
 
 def derive_rates(star: dict[str, DataFrame]) -> DataFrame:
@@ -139,35 +142,43 @@ def item_status_branch(
         "left",
     )  # J4 with misses → IFNULL fallback exercised
 
-    disc_amt = F.col("l_discount") * F.col("l_extendedprice")
-    out = joined.select(
-        surrogate_key("l_orderkey", "l_linenumber", "n_nationkey").alias("fact_item_status_key"),
-        F.when(in_list("n_regionkey", [0, 1]) & F.col("l_shipdate").isNotNull(), F.col("l_shipdate"))
-        .otherwise(F.col("o_orderdate"))
-        .alias("status_date_key"),  # F2, I:63-67
-        F.col("r_regionkey").cast("int").alias("region_key"),
-        surrogate_key("l_linestatus", "n_regionkey", "n_nationkey").alias("item_status_key"),
-        F.col("l_linestatus").alias("line_item_status"),
-        F.col("l_returnflag").alias("fulfiller_item_status"),
-        F.col("l_linenumber").cast("long").alias("item_status_id"),
-        F.when(F.col("l_returnflag") == "N", 1).otherwise(0).cast("long").alias("current_status"),
-        F.col("n_name").alias("brand_key"),
-        F.col("l_suppkey").cast("long").alias("dc_code"),
-        F.col("l_orderkey").cast("long").alias("trans_order_id"),
-        F.col("o_custkey").cast("long").alias("user_key"),
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("cart_id"),
-        F.col("l_partkey").cast("long").alias("sku_base_id"),
-        ifnull("p_name", surrogate_key("l_partkey", "n_regionkey", "n_nationkey")).alias("product_key"),  # F3, I:80
-        F.col("l_quantity").alias("status_quantity"),
-        F.col("l_extendedprice").alias("status_applied_amount"),
-        F.round(safe_divide("l_extendedprice", "conversion_rate"), 4).alias("status_applied_dollar_amount"),  # F4
-        F.round(disc_amt, 4).alias("status_applied_discount"),
-        F.round(safe_divide(disc_amt, F.col("conversion_rate")), 4).alias("status_applied_dollar_discount"),
-        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).cast("long").alias("cancel_reason_id"),
-        F.col("l_suppkey").cast("string").alias("store_number"),  # F5, I:87
-        F.when(F.col("l_linestatus") == "O", 1).otherwise(0).cast("long").alias("latest_status"),
-        F.col("l_shipdate").alias("cdc_ts"),
-        F.when(F.col("n_nationkey") == 7, 5).otherwise(1).cast("long").alias("channel_key"),  # I:91-95
+    # The 24-col projection as ONE selectExpr (round 15, verdict r14 item
+    # 6): the Column-builder form issued ~150 py4j round trips per branch
+    # (each F.*/Column op is a JVM call in classic mode), ~1.4-1.6 s of
+    # pure driver-side construction per fact_union build — guide §4's
+    # driver-boundary cost, paid before a single task runs. The SQL
+    # strings parse JVM-side in one call and produce the IDENTICAL
+    # expressions (CASE/concat_ws/try_divide; helpers' semantics inlined:
+    # surrogate_key = concat_ws('#', CAST(.. AS STRING)..), safe_divide =
+    # try_divide, ifnull = coalesce). Oracle hashes unchanged.
+    out = joined.selectExpr(
+        "concat_ws('#', CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING), CAST(n_nationkey AS STRING)) AS fact_item_status_key",
+        # F2, I:63-67
+        "CASE WHEN n_regionkey IN (0, 1) AND l_shipdate IS NOT NULL THEN l_shipdate ELSE o_orderdate END AS status_date_key",
+        "CAST(r_regionkey AS INT) AS region_key",
+        "concat_ws('#', CAST(l_linestatus AS STRING), CAST(n_regionkey AS STRING), CAST(n_nationkey AS STRING)) AS item_status_key",
+        "l_linestatus AS line_item_status",
+        "l_returnflag AS fulfiller_item_status",
+        "CAST(l_linenumber AS BIGINT) AS item_status_id",
+        "CAST(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS BIGINT) AS current_status",
+        "n_name AS brand_key",
+        "CAST(l_suppkey AS BIGINT) AS dc_code",
+        "CAST(l_orderkey AS BIGINT) AS trans_order_id",
+        "CAST(o_custkey AS BIGINT) AS user_key",
+        "CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS cart_id",
+        "CAST(l_partkey AS BIGINT) AS sku_base_id",
+        # F3, I:80
+        "coalesce(p_name, concat_ws('#', CAST(l_partkey AS STRING), CAST(n_regionkey AS STRING), CAST(n_nationkey AS STRING))) AS product_key",
+        "l_quantity AS status_quantity",
+        "l_extendedprice AS status_applied_amount",
+        "round(try_divide(l_extendedprice, conversion_rate), 4) AS status_applied_dollar_amount",  # F4
+        "round(l_discount * l_extendedprice, 4) AS status_applied_discount",
+        "round(try_divide(l_discount * l_extendedprice, conversion_rate), 4) AS status_applied_dollar_discount",
+        "CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT) AS cancel_reason_id",
+        "CAST(l_suppkey AS STRING) AS store_number",  # F5, I:87
+        "CAST(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS BIGINT) AS latest_status",
+        "l_shipdate AS cdc_ts",
+        "CAST(CASE WHEN n_nationkey = 7 THEN 5 ELSE 1 END AS BIGINT) AS channel_key",  # I:91-95
     )
     return out.distinct()  # A4, I:62
 
@@ -193,19 +204,19 @@ def agg_china_branch(
     # dedup_operation (I:171-188): DISTINCT over a projected noisy source,
     # incl. the day-floored record_updated_date (I:185).
     dedup = (
-        ev.select(
+        ev.selectExpr(
             "event_id",
             "ts",
             "user_id",
             "event_type",
             "value",
-            F.date_trunc("day", F.col("ts")).alias("record_updated_date"),
+            "date_trunc('day', ts) AS record_updated_date",
             # single-field extraction: measured vs from_json(schema) at
             # sf0.1 (min-of-3: 0.533s both) — identical, because Jackson
             # parses the document once either way; from_json only wins when
             # MULTIPLE fields are pulled from one parse. Revisit if more
             # props fields join the projection.
-            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            "CAST(get_json_object(props, '$.k') AS BIGINT) AS k",
         )
         .distinct()
     )
@@ -222,36 +233,43 @@ def agg_china_branch(
     src = const_pinned_dim_join(src, reg, F.col("cn_region") == 3)  # region_id = 7 analogue I:248
 
     # J6 (I:253-256): UPPER-normalized equi join against the channel dim.
-    ch = spark.createDataFrame(CHANNEL_DIM, ["channel_name", "ch_key"])
+    # VALUES via one spark.sql call: createDataFrame of the 5-row literal
+    # dim cost ~0.15 s of schema-inference + py4j per build (round 15);
+    # CAST AS BIGINT matches createDataFrame's inferred long.
+    ch = _values_dim(spark, CHANNEL_DIM, "channel_name", "ch_key")
     src = src.join(F.broadcast(ch), F.upper(src["event_type"]) == ch["channel_name"], "left")
 
-    amount = F.round(F.col("value") * 100.0, 4)
-    out = src.select(
-        deterministic_uuid("event_id", "user_id").alias("fact_item_status_key"),  # I:193 + §7.4.1
-        F.col("record_updated_date").alias("status_date_key"),  # I:194
-        F.col("cn_region").cast("int").alias("region_key"),
-        surrogate_key("event_type", "cn_region").alias("item_status_key"),  # I:196
-        F.col("event_type").alias("line_item_status"),
-        F.upper("event_type").alias("fulfiller_item_status"),
-        F.col("user_id").cast("long").alias("item_status_id"),
-        F.lit(0).cast("long").alias("current_status"),  # P4 literals, I:200-215
-        F.lit("china").alias("brand_key"),
-        F.lit(0).cast("long").alias("dc_code"),
-        F.lit(0).cast("long").alias("trans_order_id"),
-        F.col("user_id").cast("long").alias("user_key"),
-        F.lit(0).cast("long").alias("cart_id"),
-        F.col("event_id").cast("long").alias("sku_base_id"),
-        surrogate_key("event_id", "cn_region").alias("product_key"),
-        F.col("value").alias("status_quantity"),
-        amount.alias("status_applied_amount"),
-        F.round(safe_divide(amount, F.col("conversion_rate")), 4).alias("status_applied_dollar_amount"),
-        F.lit(0.0).alias("status_applied_discount"),
-        F.lit(0.0).alias("status_applied_dollar_discount"),
-        F.lit(0).cast("long").alias("cancel_reason_id"),
-        F.lit("0").alias("store_number"),
-        F.lit(0).cast("long").alias("latest_status"),
-        F.col("ts").alias("cdc_ts"),
-        case_map(F.upper("event_type"), CHANNEL_CASE, default=F.col("ch_key")).cast("long").alias("channel_key"),
+    # 24-col projection as ONE selectExpr — see item_status_branch's note.
+    # CHANNEL_CASE inlined (PURCHASE→1, SIGNUP→3, else dim fallback);
+    # deterministic_uuid = sha2(concat_ws('#', ..), 256); double literals
+    # carry the D suffix (a bare SQL `0.0` parses as DECIMAL, F.lit(0.0)
+    # is DOUBLE).
+    out = src.selectExpr(
+        "sha2(concat_ws('#', CAST(event_id AS STRING), CAST(user_id AS STRING)), 256) AS fact_item_status_key",  # I:193 + §7.4.1
+        "record_updated_date AS status_date_key",  # I:194
+        "CAST(cn_region AS INT) AS region_key",
+        "concat_ws('#', CAST(event_type AS STRING), CAST(cn_region AS STRING)) AS item_status_key",  # I:196
+        "event_type AS line_item_status",
+        "upper(event_type) AS fulfiller_item_status",
+        "CAST(user_id AS BIGINT) AS item_status_id",
+        "CAST(0 AS BIGINT) AS current_status",  # P4 literals, I:200-215
+        "'china' AS brand_key",
+        "CAST(0 AS BIGINT) AS dc_code",
+        "CAST(0 AS BIGINT) AS trans_order_id",
+        "CAST(user_id AS BIGINT) AS user_key",
+        "CAST(0 AS BIGINT) AS cart_id",
+        "CAST(event_id AS BIGINT) AS sku_base_id",
+        "concat_ws('#', CAST(event_id AS STRING), CAST(cn_region AS STRING)) AS product_key",
+        "value AS status_quantity",
+        "round(value * 100.0D, 4) AS status_applied_amount",
+        "round(try_divide(round(value * 100.0D, 4), conversion_rate), 4) AS status_applied_dollar_amount",
+        "CAST(0.0 AS DOUBLE) AS status_applied_discount",
+        "CAST(0.0 AS DOUBLE) AS status_applied_dollar_discount",
+        "CAST(0 AS BIGINT) AS cancel_reason_id",
+        "'0' AS store_number",
+        "CAST(0 AS BIGINT) AS latest_status",
+        "ts AS cdc_ts",
+        "CAST(CASE WHEN upper(event_type) = 'PURCHASE' THEN 1 WHEN upper(event_type) = 'SIGNUP' THEN 3 ELSE ch_key END AS BIGINT) AS channel_key",
     )
     return out.distinct()
 
@@ -277,46 +295,43 @@ def tomford_branch(
     fx = rates if rates is not None else latest_rates(derive_rates(star))
     a = broadcast_dim_join(a, fx, a["n_nationkey"] == fx["nationkey"])  # I:303
 
-    ist = spark.createDataFrame(ORDER_STATUS_DIM, ["st_name", "st_id"])
+    ist = _values_dim(spark, ORDER_STATUS_DIM, "st_name", "st_id")
     a = a.join(F.broadcast(ist), F.upper(a["o_orderstatus"]) == F.upper(ist["st_name"]), "left")  # I:304
     pt = star["part"].select("p_partkey", "p_name")
     a = a.join(F.broadcast(pt), (a["o_orderkey"] % 200) == pt["p_partkey"], "left")  # computed-key left join, I:305
-    cr = spark.createDataFrame(CANCEL_REASON_DIM, ["reason_code", "reason_id"])
+    cr = _values_dim(spark, CANCEL_REASON_DIM, "reason_code", "reason_id")
     a = a.join(F.broadcast(cr), a["o_orderpriority"] == cr["reason_code"], "left")  # J9, I:306
 
+    # 24-col projection as ONE selectExpr — see item_status_branch's note.
     # IFNULL status date (I:274): unfulfilled ('O') orders have no
     # fulfilment timestamp → fall back to the line-item timestamp.
-    fulfil_dt = F.when(F.col("o_orderstatus") != "O", F.col("o_orderdate") + F.expr("INTERVAL 2 DAYS"))
-    out = a.select(
-        surrogate_key("o_orderkey", "n_nationkey").alias("fact_item_status_key"),  # I:273
-        ifnull(fulfil_dt, F.col("o_orderdate")).alias("status_date_key"),
-        F.col("r_regionkey").cast("int").alias("region_key"),
-        surrogate_key("st_id", "n_regionkey", "n_nationkey").alias("item_status_key"),  # I:276
-        F.col("o_orderstatus").alias("line_item_status"),
-        F.col("o_orderstatus").alias("fulfiller_item_status"),
-        F.col("o_orderkey").cast("long").alias("item_status_id"),
-        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).cast("long").alias("current_status"),  # I:280 cast
-        F.col("n_name").alias("brand_key"),
-        F.when((F.col("n_regionkey") == 0) & (F.upper("o_orderstatus") == F.lit("F")), 210)
-        .when((F.col("n_regionkey") == 1) & (F.upper("o_orderstatus") == F.lit("F")), 845)
-        .otherwise(F.lit(None))
-        .cast("long")
-        .alias("dc_code"),  # I:282-285
-        F.col("o_orderkey").cast("long").alias("trans_order_id"),
-        F.col("o_custkey").cast("long").alias("user_key"),
-        F.lit(99999).cast("long").alias("cart_id"),  # I:288
-        ifnull(F.col("p_partkey"), F.col("o_orderkey") % 200).cast("long").alias("sku_base_id"),
-        ifnull("p_name", surrogate_key(F.col("o_orderkey") % 200, "n_nationkey")).alias("product_key"),  # I:290
-        F.lit(1.0).alias("status_quantity"),
-        F.col("o_totalprice").alias("status_applied_amount"),
-        F.round(safe_divide("o_totalprice", "conversion_rate"), 4).alias("status_applied_dollar_amount"),  # I:293
-        F.lit(0.0).alias("status_applied_discount"),
-        F.lit(0.0).alias("status_applied_dollar_discount"),
-        F.col("reason_id").cast("long").alias("cancel_reason_id"),  # I:296 cast str-ish → int
-        F.lit("").alias("store_number"),  # I:297
-        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).cast("long").alias("latest_status"),  # I:298
-        F.col("o_orderdate").cast("timestamp").alias("cdc_ts"),  # I:299 timestamp()
-        ifnull(F.col("st_id"), F.lit(1)).cast("long").alias("channel_key"),
+    out = a.selectExpr(
+        "concat_ws('#', CAST(o_orderkey AS STRING), CAST(n_nationkey AS STRING)) AS fact_item_status_key",  # I:273
+        "coalesce(CASE WHEN o_orderstatus <> 'O' THEN o_orderdate + INTERVAL 2 DAYS END, o_orderdate) AS status_date_key",
+        "CAST(r_regionkey AS INT) AS region_key",
+        "concat_ws('#', CAST(st_id AS STRING), CAST(n_regionkey AS STRING), CAST(n_nationkey AS STRING)) AS item_status_key",  # I:276
+        "o_orderstatus AS line_item_status",
+        "o_orderstatus AS fulfiller_item_status",
+        "CAST(o_orderkey AS BIGINT) AS item_status_id",
+        "CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS current_status",  # I:280 cast
+        "n_name AS brand_key",
+        # I:282-285
+        "CAST(CASE WHEN n_regionkey = 0 AND upper(o_orderstatus) = 'F' THEN 210 WHEN n_regionkey = 1 AND upper(o_orderstatus) = 'F' THEN 845 ELSE NULL END AS BIGINT) AS dc_code",
+        "CAST(o_orderkey AS BIGINT) AS trans_order_id",
+        "CAST(o_custkey AS BIGINT) AS user_key",
+        "CAST(99999 AS BIGINT) AS cart_id",  # I:288
+        "CAST(coalesce(p_partkey, o_orderkey % 200) AS BIGINT) AS sku_base_id",
+        "coalesce(p_name, concat_ws('#', CAST(o_orderkey % 200 AS STRING), CAST(n_nationkey AS STRING))) AS product_key",  # I:290
+        "CAST(1.0 AS DOUBLE) AS status_quantity",
+        "o_totalprice AS status_applied_amount",
+        "round(try_divide(o_totalprice, conversion_rate), 4) AS status_applied_dollar_amount",  # I:293
+        "CAST(0.0 AS DOUBLE) AS status_applied_discount",
+        "CAST(0.0 AS DOUBLE) AS status_applied_dollar_discount",
+        "CAST(reason_id AS BIGINT) AS cancel_reason_id",  # I:296 cast str-ish → int
+        "'' AS store_number",  # I:297
+        "CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS latest_status",  # I:298
+        "CAST(o_orderdate AS TIMESTAMP) AS cdc_ts",  # I:299 timestamp()
+        "CAST(coalesce(st_id, 1) AS BIGINT) AS channel_key",
     )
     return out.distinct()
 
