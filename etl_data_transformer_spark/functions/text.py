@@ -1353,12 +1353,18 @@ def pmi_pairs(
     #
     # round 14: spread first — the pair-building transform/flatten lambdas
     # are INTERPRETED expressions (one thread per row) and ran at raw scan
-    # width (10-16 of 32 cores at the bench tiers); round-robin spread is
-    # fine here (no downstream keyed op to decorrelate from — the aggs key
-    # on t1/t2). No-op on cluster-scale scans.
+    # width (10-16 of 32 cores at the bench tiers). No-op on cluster-scale
+    # scans. round 15 (advice): project down to the text column BEFORE the
+    # exchange (§2.3 — only the bytes the lambdas read shuffle) and
+    # hash-spread on xxhash64(text) instead of round-robin — round-robin's
+    # sortBeforeRepartition pays a full local sort of the rows per scan
+    # task for retry determinism; the hash needs none and is equally
+    # deterministic. Duplicate texts co-locate, but the fixture's dup
+    # groups are small next to 1/32 of the corpus (and the downstream aggs
+    # key on t1/t2, so no ReuseExchange is at stake).
     from ..sources.readers import spread
 
-    tk = spread(df).select(
+    tk = spread(df.select(F.col(text_col)), key=text_col, decorrelate=True).select(
         F.filter(tokens(F.lower(F.col(text_col))), lambda t: F.length(t) > 0).alias(
             "__tk"
         )

@@ -300,20 +300,78 @@ def _signatures(df: DataFrame, text_col: str, id_col: str, shingle_n: int, num_h
                 F.concat_ws(" ", F.slice("__toks", F.col("__i") + 1, F.lit(shingle_n)))
             ).alias("h"),
         )
-        .withColumn("hm", F.pmod(F.col("h"), F.lit(_P)))
     )
-    mins = [
-        F.min((F.lit(a) * F.col("hm") + F.lit(b)) % F.lit(_P)).alias(f"__m{i}")
-        for i, (a, b) in enumerate(_AFFINE[:num_hashes])
-    ]
+    return _pack_signature_sets(ex, id_col, num_hashes)
+
+
+def _pack_signature_sets(ex: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """(id, hs, mh) from exploded (id, h) shingle-hash rows via
+    repartition(id) → sortWithinPartitions(id, h) → one vectorized Arrow
+    kernel — replacing ``groupBy(collect_set + k min)``.
+
+    The collect_set forced the whole aggregate onto ObjectHashAggregateExec:
+    millions of per-doc set buffers in the agg hash map measured 105 s of
+    task time against 59 s of CPU at the sf1 bench tier (1.8× memory-stall
+    dilation; OPTIMIZATION_r14 minhash probe) — guide §5's
+    hash-vs-sort-operator trade. Here the rows shuffle 16 B wide (``hm``
+    no longer rides the exchange — §2.3), a codegen sort groups them, and
+    the kernel walks each Arrow batch once in numpy: adjacent-duplicate
+    mask (sorted ⇒ per-doc distinct), segment boundaries, and the k affine
+    mins via ``minimum.reduceat`` (exact int64 arithmetic: a·hm < 2^62).
+    Values are IDENTICAL to the aggregate form — ``hs`` is the same
+    distinct set (ascending order; every consumer is order-insensitive:
+    array_intersect/union sizes, store hash compares sort first) and
+    ``mh[i] = min((a_i·pmod(h,P)+b_i) % P)`` unchanged. Docs with zero
+    shingle rows produce no row, exactly as groupBy over explode did.
+    Batches split mid-doc carry the open tail group into the next batch,
+    so group fragmentation at Arrow-batch boundaries cannot split a doc."""
+    import numpy as np
+
+    id_type = dict(ex.dtypes)[id_col]
+    A = np.array([a for a, _ in _AFFINE[:num_hashes]], dtype=np.int64)
+    B = np.array([b for _, b in _AFFINE[:num_hashes]], dtype=np.int64)
+
+    def pack(batches):
+        def emit(pdf):
+            ids = pdf[id_col].to_numpy()
+            hs = pdf["h"].to_numpy(dtype=np.int64, copy=False)
+            keep = np.empty(len(ids), dtype=bool)
+            keep[0] = True
+            np.not_equal(hs[1:], hs[:-1], out=keep[1:])
+            keep[1:] |= ids[1:] != ids[:-1]
+            idd, hd = ids[keep], hs[keep]
+            starts = np.concatenate(([0], np.flatnonzero(idd[1:] != idd[:-1]) + 1))
+            hm = np.mod(hd, _P)
+            mins = np.empty((len(starts), num_hashes), dtype=np.int64)
+            for i in range(num_hashes):
+                mins[:, i] = np.minimum.reduceat((A[i] * hm + B[i]) % _P, starts)
+            bounds = np.append(starts, len(idd))
+            return pd.DataFrame(
+                {
+                    id_col: idd[starts],
+                    "hs": [hd[s:e] for s, e in zip(bounds[:-1], bounds[1:])],
+                    "mh": list(mins),
+                }
+            )
+
+        pend = None
+        for pdf in batches:
+            if pend is not None and len(pend):
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            cut = int(np.searchsorted(ids, ids[-1], side="left"))
+            pend = pdf.iloc[cut:]
+            if cut:
+                yield emit(pdf.iloc[:cut])
+        if pend is not None and len(pend):
+            yield emit(pend)
+
     return (
-        ex.groupBy(id_col)
-        .agg(F.collect_set("h").alias("hs"), *mins)
-        .select(
-            id_col,
-            "hs",
-            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("mh"),
-        )
+        ex.repartition(id_col)
+        .sortWithinPartitions(id_col, "h")
+        .mapInPandas(pack, schema=f"{id_col} {id_type}, hs array<bigint>, mh array<bigint>")
     )
 
 
@@ -1585,6 +1643,7 @@ def _hamming_tile_pairs(
     n_bands: int,
     max_hamming: int,
     block_size: int = 2048,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Vectorized tile engine for the uncapped pigeonhole Hamming join.
 
@@ -1610,7 +1669,12 @@ def _hamming_tile_pairs(
 
     id_type = dict(banded.dtypes)["__id"]
     slices = band_slices(n_bits, n_bands)
-    sizes = banded.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("__n"))
+    # ``sizes`` lets the auto path pass its (materialized) census instead
+    # of re-aggregating the banded rows a second time (round 15, verdict
+    # r14 item 7: the census and this bucket-size dictionary are the SAME
+    # aggregate — fuse them)
+    if sizes is None:
+        sizes = banded.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("__n"))
     blocked = banded.join(F.broadcast(sizes), ["band", "bv"]).withColumn(
         "blk",
         F.pmod(
@@ -1699,7 +1763,7 @@ def _hamming_tile_pairs(
                     # numpy 1.26 has no hardware bitwise_count)
                     u = xor.view(np.uint16)
                     ham = lut[u[:, 0::4]]
-                    ham = ham + lut[u[:, 1::4]]
+                    ham += lut[u[:, 1::4]]
                     ham += lut[u[:, 2::4]]
                     ham += lut[u[:, 3::4]]
                     mask = ham <= max_hamming
@@ -1810,14 +1874,26 @@ def hamming_band_pairs(
     if max_bucket_size is None and engine in ("auto", "tile"):
         if engine == "auto":
             banded = banded.localCheckpoint(eager=True)
-            n_cand = (
+            # ONE bucket census serves both decisions (round 15, verdict
+            # r14 item 7): the driver-side Σbucket² engine choice AND the
+            # tile engine's per-bucket size dictionary. Materializing it
+            # means the final tile job's broadcast side reads these few
+            # rows instead of re-aggregating the 17×N banded rows — one
+            # full pass over ``banded`` gone from the stage chain.
+            sizes = (
                 banded.groupBy("band", "bv")
                 .agg(F.count(F.lit(1)).alias("__n"))
-                .agg(F.sum(F.col("__n") * F.col("__n")).alias("__c"))
+                .localCheckpoint(eager=True)
+            )
+            n_cand = (
+                sizes.agg(F.sum(F.col("__n") * F.col("__n")).alias("__c"))
                 .collect()[0]["__c"]
             )
             if n_cand is None or n_cand < _TILE_MIN_CANDIDATES:
                 return _hamming_sql_pairs(banded, n_bits, n_bands, max_hamming, capped=False)
+            return _hamming_tile_pairs(
+                banded, n_bits, n_bands, max_hamming, block_size, sizes=sizes
+            )
         return _hamming_tile_pairs(banded, n_bits, n_bands, max_hamming, block_size)
     return _hamming_sql_pairs(
         banded, n_bits, n_bands, max_hamming, capped=max_bucket_size is not None
@@ -3002,6 +3078,27 @@ def winnow_overlap_pairs(
     would otherwise square into the join.
     Returns (id_a, id_b, shared, containment).
     """
+    # PRE-PARTITIONED pair count (round 15, verdict r14 item 5): the old
+    # shape ran ``groupBy(id_a, id_b, nf_a, nf_b).count()`` directly on
+    # the join output, which fused a NO-REDUCTION partial hash aggregate
+    # into the join stage — a pair repeats only when two of its shared
+    # fps hash to the same partition, so the partial map absorbed ~all
+    # 33M joined rows (sf1 tier) for nothing: 133 s stage CPU with
+    # 676 MiB memory-spill, and the fast path DEPENDED on the 8 g local
+    # heap forcing the sort-based agg fallback (a 16 g heap measured 3×
+    # the CPU — guide §5's hash-vs-sort trade). The explicit
+    # ``repartition(id_a, id_b)`` first satisfies the aggregation's
+    # distribution, so the planner elides the aggregate's own exchange
+    # (§2.4) and BOTH agg passes run AFTER the shuffle on co-located
+    # rows: the join stage streams rows straight into the exchange (no
+    # agg map, no spill), and the post-shuffle partial map fully reduces
+    # over only its partition's ~2.3M/N keys — small, spill-free,
+    # heap-independent. Alternatives measured on the checkpointed join
+    # output (same session, warm noop sink): 4-key direct groupBy 11.6 s
+    # vs this 6.9-8.0 s; a repartition+sort+Arrow run-length kernel lost
+    # badly (Spark's sort + the Arrow boundary cost ~340 s of task time
+    # on 33M rows). Values identical: same keys, same count, same
+    # round/least/divide containment arithmetic.
     fps = winnow_fingerprints(df, text_col, id_col, k, w, arrow=arrow)
     ex = fps.select(
         F.col(id_col).alias("id"),
@@ -3015,6 +3112,7 @@ def winnow_overlap_pairs(
     return (
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
+        .repartition("id_a", "id_b")
         .groupBy("id_a", "id_b", "nf_a", "nf_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)

@@ -723,15 +723,23 @@ def test_simhash_signatures_bit_identical_to_fold(spark):
 def test_hamming_band_pairs_reuses_signature_exchange(spark):
     """Both self-join sides must hang off ONE repartition exchange so the
     upstream signature computation runs once (ReusedExchange), mirroring
-    the winnow_overlap_pairs plan discipline."""
-    docs = spark.createDataFrame(
-        [(i, f"some document number {i} with shared words") for i in range(50)],
-        "doc_id long, text string",
-    )
-    pairs = DD.simhash_near_dups(docs, max_hamming=8)
-    pairs.collect()  # finalize AQE
-    plan = pairs._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan
+    the winnow_overlap_pairs plan discipline. The shared test session runs
+    AQE-off for per-query latency (conftest round-15 note), but this test
+    asserts the PRODUCTION plan property — AQE's stage-level exchange
+    reuse — so it opts back in (runtime-settable, restored below)."""
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        docs = spark.createDataFrame(
+            [(i, f"some document number {i} with shared words") for i in range(50)],
+            "doc_id long, text string",
+        )
+        pairs = DD.simhash_near_dups(docs, max_hamming=8)
+        pairs.collect()  # finalize AQE
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
 
 
 def test_hamming_tile_engine_matches_sql_engine(spark):

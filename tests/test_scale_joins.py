@@ -60,6 +60,10 @@ def test_aqe_splits_skewed_join(spark):
     import pyspark.sql.functions as F
 
     confs = {
+        # the shared test session runs AQE-off for per-query latency
+        # (conftest round-15 note); this test is ABOUT adaptive execution,
+        # so it opts back in (runtime-settable, save/restored below)
+        "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",

@@ -1,6 +1,7 @@
 """Capture ``explain("formatted")`` for every catalog + bench-only query.
 
-Writes ``plans/r14/<query>_<tag>.txt`` (tag = before/after) so plan-shape
+Writes ``plans/r14/<query>_<tag>.txt`` (override the directory with
+``$SPARK_GRAFT_PLANS_DIR``; tag = before/after) so plan-shape
 claims in OPTIMIZATION_r14.md are checkable without running Spark. Runs each
 query's own DataFrame to completion first so the AQE final plan (with
 codegen ids and runtime join strategies) is what gets captured, then prints
@@ -85,7 +86,7 @@ def main() -> None:
     for name, fn in bench_extra_queries().items():
         qs.setdefault(name, fn)
 
-    out_dir = os.path.join(REPO_ROOT, "plans", "r14")
+    out_dir = os.environ.get("SPARK_GRAFT_PLANS_DIR") or os.path.join(REPO_ROOT, "plans", "r14")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
     failures = []
