@@ -556,20 +556,32 @@ def main() -> None:
             if key in summary:
                 summary[key] = round(summary[key], 2)
         line = _dump(summary)
-    if len(line) >= _STDOUT_CAP and not summary.get("ratio_regressions"):
-        summary.pop("ratio_regressions", None)  # empty list; count stays
+    if len(line) >= _STDOUT_CAP:
+        # the flagged-name list costs ~30 B per entry and its full form
+        # lives in BENCH_DETAIL.json; the per-query dicts are the driver's
+        # round-over-round and scaling signal — shed the names FIRST
+        # (round-15 lesson: a noisy-window run with 8 flags pushed the
+        # sf0.1 dict out of the line). n_ratio_regressions stays.
+        summary.pop("ratio_regressions", None)
         line = _dump(summary)
     if len(line) >= _STDOUT_CAP:
         summary.pop("reps", None)  # protocol constants; in BENCH_DETAIL.json
         summary.pop("sf1_reps", None)
         line = _dump(summary)
     if len(line) >= _STDOUT_CAP and "queries" in summary:
-        # last compaction rung before anything is dropped: 1-dp sf0.1
-        # values (±0.05 s on rows whose floor is ~0.3 s; 3-dp fidelity
-        # stays in BENCH_DETAIL.json)
+        # next rungs before anything is dropped: 1-dp per-query values
+        # (±0.05 s on rows whose floor is ~0.3 s; 3-dp fidelity stays in
+        # BENCH_DETAIL.json)
         summary["queries"] = {n: round(v, 1) for n, v in summary["queries"].items()}
         line = _dump(summary)
+    if len(line) >= _STDOUT_CAP and "sf1_queries" in summary:
+        summary["sf1_queries"] = {
+            n: round(v, 1) for n, v in summary["sf1_queries"].items()
+        }
+        line = _dump(summary)
     if len(line) >= _STDOUT_CAP and "queries" in summary:
+        # last resort, sf0.1 dict first (verdict r14 item 3: sf1 is the
+        # only tier where the driver's scaling probe sees real work)
         summary["queries_omitted_n"] = len(summary.pop("queries"))
         line = _dump(summary)
     if len(line) >= _STDOUT_CAP and "sf1_queries" in summary:
